@@ -1,0 +1,673 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{GeoFunctions, HashFunctions, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** The engine's query surface: one entry per operator family from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each expressed
+  * over the harness test tables and paired, where SQL-expressible, with a
+  * DuckDB oracle that computes the same result.
+  *
+  * Determinism rules used throughout (so the driver's hash compare holds):
+  *  - double aggregates are cast to DecimalType before summing (exact) or
+  *    rounded after aggregation (error ≪ rounding step);
+  *  - every window/top-k has a total tiebreak order;
+  *  - both sides compute derived doubles with the same IEEE operation order.
+  */
+final case class QueryDef(name: String, oracle: Option[String],
+                          fn: (SparkSession, String) => DataFrame)
+
+object Queries {
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // the events table carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read nanos as long (session conf set in
+      // SparkEntry.configure) and truncate to microseconds — exactly what
+      // DuckDB's µs timestamps do, so oracle comparisons agree.
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** sum of a double column, exactly, via decimal */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+
+  // ---------------------------------------------------------------- geometry
+  // Synthetic deterministic geo layout shared with the oracle SQL:
+  //  - every customer becomes a point; lon/lat are pure integer-arithmetic
+  //    functions of c_custkey (offset 0.05° so no point sits on a cell edge)
+  //  - every nation becomes a 72°×34° rectangle in a 5×5 world grid
+  //  - every region becomes a 144°-wide overlapping lon band (first-match
+  //    tiebreak exercise)
+
+  private val ptsSql =
+    "SELECT c_custkey, ((c_custkey*7919)%3600)/10.0 - 179.95 AS lon, " +
+      "((c_custkey*104729)%1700)/10.0 - 84.95 AS lat FROM customer"
+
+  private val cellsSql =
+    "SELECT n_nationkey, n_name, " +
+      "CAST((n_nationkey%5)*72 - 180 AS DOUBLE) AS min_lon, " +
+      "CAST((n_nationkey//5)*34 - 85 AS DOUBLE) AS min_lat, " +
+      "CAST((n_nationkey%5)*72 - 108 AS DOUBLE) AS max_lon, " +
+      "CAST((n_nationkey//5)*34 - 51 AS DOUBLE) AS max_lat FROM nation"
+
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "customer").select(
+      col("c_custkey"),
+      ((col("c_custkey") * 7919 % 3600) / 10.0 - 179.95).as("lon"),
+      ((col("c_custkey") * 104729 % 1700) / 10.0 - 84.95).as("lat"))
+
+  private def cells(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "nation").select(
+      col("n_nationkey"), col("n_name"),
+      (col("n_nationkey") % 5 * 72 - 180).cast("double").as("min_lon"),
+      (expr("n_nationkey div 5") * 34 - 85).cast("double").as("min_lat"),
+      (col("n_nationkey") % 5 * 72 - 108).cast("double").as("max_lon"),
+      (expr("n_nationkey div 5") * 34 - 51).cast("double").as("max_lat"))
+
+  /** rectangle multipolygon column from bbox columns (GeoJSON nesting) */
+  private def rectGeom: Column = {
+    def p(a: Column, b: Column) = array(a, b)
+    array(array(array(
+      p(col("min_lon"), col("min_lat")), p(col("max_lon"), col("min_lat")),
+      p(col("max_lon"), col("max_lat")), p(col("min_lon"), col("max_lat")),
+      p(col("min_lon"), col("min_lat")))))
+  }
+
+  // ============================================================== queries ==
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------- aggregations (A*)
+
+    QueryDef("q1_pricing_summary", Some(
+      "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base, " +
+        "CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc, " +
+        "round(avg(l_quantity),4) AS avg_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY 1,2"),
+      (s, d) => T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n"))),
+
+    QueryDef("a1_daily_mart", Some(
+      "SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag, count(*) AS n_focos, " +
+        "max(l_quantity) AS max_qty, " +
+        "round(100.0*count(*)/NULLIF(sum(l_quantity),0), 4) AS density " +
+        "FROM lineitem GROUP BY 1,2"),
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_focos"), max("l_quantity").as("max_qty"),
+          round(lit(100.0) * count(lit(1)) /
+            when(sum("l_quantity") === 0, null).otherwise(sum("l_quantity")), 4)
+            .as("density"))),
+
+    QueryDef("a2_monthly_mart", Some(
+      "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_returnflag, " +
+        "count(*) AS n_focos, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY 1,2"),
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n_focos"), sum("l_quantity").cast("long").as("sum_qty"))),
+
+    QueryDef("a8_fact_cube", Some(
+      "SELECT CAST(l.l_shipdate AS DATE) AS day, l.l_returnflag, l.l_linestatus, " +
+        "o.o_orderpriority, count(*) AS n_focos " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1,2,3,4"),
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipdate").cast("date").as("day"), col("l_returnflag"),
+          col("l_linestatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_focos"))),
+
+    QueryDef("a10_coverage_check", Some(
+      "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "round(100.0*(count(*) FILTER (WHERE o_orderstatus = 'F'))/count(*), 4) AS pct_f " +
+        "FROM orders GROUP BY 1"),
+      (s, d) => T(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          round(lit(100.0) * count(when(col("o_orderstatus") === "F", 1)) / count(lit(1)), 4)
+            .as("pct_f"))),
+
+    QueryDef("a11_timeseries_week", Some(
+      "SELECT CAST(date_trunc('week', ts) AS DATE) AS week, count(*) AS n, " +
+        "round(sum(value), 4) AS total_value FROM events GROUP BY 1"),
+      (s, d) => T(s, d, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))),
+
+    QueryDef("a12_distinct_days", Some(
+      "SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem"),
+      (s, d) => T(s, d, "lineitem").select(col("l_shipdate").cast("date").as("day")).distinct()),
+
+    QueryDef("a13_count_distinct", Some(
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+      (s, d) => T(s, d, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"))),
+
+    // ----------------------------------------------------------- joins (J*)
+
+    QueryDef("j1_left_anti", Some(
+      "SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"),
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    QueryDef("j6_dim_rollup", Some(
+      "SELECT n.n_name, count(*) AS n_items, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue " +
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1"),
+      (s, d) => T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").cast("long").as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("revenue"))),
+
+    QueryDef("j8_cross_scaffold", Some(
+      "WITH months AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month FROM orders), " +
+        "f AS (SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month, r.r_name, " +
+        "count(*) AS n, CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1,2) " +
+        "SELECT m.month, r.r_name, coalesce(f.n, 0) AS n, " +
+        "CAST(coalesce(f.total, 0) AS DECIMAL(38,2)) AS total " +
+        "FROM months m CROSS JOIN region r " +
+        "LEFT JOIN f ON f.month = m.month AND f.r_name = r.r_name"),
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val months = o.select(date_trunc("month", col("o_orderdate")).cast("date").as("month")).distinct()
+        val f = o.join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"), col("r_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        months.crossJoin(broadcast(T(s, d, "region").select("r_name")))
+          .join(f, Seq("month", "r_name"), "left")
+          .select(col("month"), col("r_name"), coalesce(col("n"), lit(0)).as("n"),
+            coalesce(col("total"), lit(0)).cast(DecimalType(38, 2)).as("total"))
+      }),
+
+    QueryDef("j9_zero_fill", Some(
+      "SELECT n.n_name, coalesce(s.cnt, 0) AS n_suppliers FROM nation n LEFT JOIN " +
+        "(SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) s " +
+        "ON s.s_nationkey = n.n_nationkey"),
+      (s, d) => T(s, d, "nation")
+        .join(T(s, d, "supplier").groupBy("s_nationkey").agg(count(lit(1)).as("cnt")),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .select(col("n_name"), coalesce(col("cnt"), lit(0)).as("n_suppliers"))),
+
+    QueryDef("j11_stats_peaks", Some(
+      "WITH daily AS (SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS day, " +
+        "count(*) AS cnt FROM orders GROUP BY 1,2), " +
+        "stats AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS n_total, " +
+        "round(avg(cnt), 2) AS avg_daily, max(cnt) AS max_daily FROM daily GROUP BY 1), " +
+        "peak AS (SELECT p, day, row_number() OVER (PARTITION BY p ORDER BY cnt DESC, day ASC) AS rn FROM daily) " +
+        "SELECT s.p AS priority, s.n_total, s.avg_daily, s.max_daily, k.day AS peak_day " +
+        "FROM stats s JOIN peak k ON k.p = s.p AND k.rn = 1"),
+      (s, d) => {
+        val daily = T(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("p"), col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = daily.groupBy("p").agg(
+          sum("cnt").cast("long").as("n_total"), round(avg("cnt"), 2).as("avg_daily"),
+          max("cnt").as("max_daily"))
+        val peak = daily
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p").orderBy(col("cnt").desc, col("day").asc)))
+          .filter(col("rn") === 1).select(col("p"), col("day").as("peak_day"))
+        stats.join(peak, "p").select(col("p").as("priority"), col("n_total"),
+          col("avg_daily"), col("max_daily"), col("peak_day"))
+      }),
+
+    QueryDef("j12_scalar_summary", Some(
+      "WITH f AS (SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-05' " +
+        "AND CAST(ts AS DATE) < DATE '2024-01-25'), " +
+        "daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM f GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_events, round(sum(value), 4) AS total_value FROM f), " +
+        "peak AS (SELECT day AS peak_day, cnt AS peak_n, " +
+        "row_number() OVER (ORDER BY cnt DESC, day ASC) AS rn FROM daily) " +
+        "SELECT t.n_events, t.total_value, p.peak_day, p.peak_n FROM tot t " +
+        "JOIN peak p ON p.rn = 1"),
+      (s, d) => {
+        val f = T(s, d, "events")
+          .filter(col("ts").cast("date") >= lit("2024-01-05") &&
+            col("ts").cast("date") < lit("2024-01-25"))
+        val daily = f.groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("cnt"))
+        val tot = f.agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        val peak = daily.withColumn("rn",
+            row_number().over(Window.orderBy(col("cnt").desc, col("day").asc)))
+          .filter(col("rn") === 1)
+          .select(col("day").as("peak_day"), col("cnt").as("peak_n"))
+        tot.crossJoin(peak)
+      }),
+
+    // --------------------------------------------------------- windows (W*)
+
+    QueryDef("w1_ma7", Some(
+      "WITH daily AS (SELECT user_id % 10 AS grp, CAST(ts AS DATE) AS day, count(*) AS cnt " +
+        "FROM events GROUP BY 1,2) " +
+        "SELECT grp, day, cnt, round(avg(cnt) OVER (PARTITION BY grp ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7 FROM daily"),
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy((col("user_id") % 10).as("grp"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        daily.withColumn("ma7", round(avg("cnt").over(
+          Window.partitionBy("grp").orderBy("day").rowsBetween(-6, 0)), 2))
+      }),
+
+    QueryDef("w2_ma30", Some(
+      "WITH daily AS (SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1,2) " +
+        "SELECT rf, day, cnt, round(avg(cnt) OVER (PARTITION BY rf ORDER BY day " +
+        "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS ma30 FROM daily"),
+      (s, d) => {
+        val daily = T(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("rf"), col("l_shipdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        daily.withColumn("ma30", round(avg("cnt").over(
+          Window.partitionBy("rf").orderBy("day").rowsBetween(-29, 0)), 2))
+      }),
+
+    QueryDef("w3_argmax_tiebreak", Some(
+      "WITH daily AS (SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1,2) " +
+        "SELECT rf, day AS peak_day, cnt FROM (SELECT rf, day, cnt, " +
+        "row_number() OVER (PARTITION BY rf ORDER BY cnt DESC, day ASC) AS rn FROM daily) " +
+        "WHERE rn = 1"),
+      (s, d) => {
+        val daily = T(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("rf"), col("l_shipdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        daily.withColumn("rn", row_number().over(
+            Window.partitionBy("rf").orderBy(col("cnt").desc, col("day").asc)))
+          .filter(col("rn") === 1)
+          .select(col("rf"), col("day").as("peak_day"), col("cnt"))
+      }),
+
+    QueryDef("w5_latest_per_key", Some(
+      "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+      (s, d) => T(s, d, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")),
+
+    // ------------------------------------------------------ sort/limit (T*)
+
+    QueryDef("t1_topn", Some(
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
+      (s, d) => T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice").limit(20)),
+
+    QueryDef("t3_limit_probe", Some(
+      "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 101"),
+      (s, d) => T(s, d, "orders").orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus").limit(101)),
+
+    // --------------------------------------------------------- set ops (U*)
+
+    QueryDef("u1_union_all", Some(
+      "SELECT 'orders' AS tbl, count(*) AS n FROM orders " +
+        "UNION ALL SELECT 'customer', count(*) FROM customer " +
+        "UNION ALL SELECT 'lineitem', count(*) FROM lineitem"),
+      (s, d) =>
+        T(s, d, "orders").agg(count(lit(1)).as("n")).select(lit("orders").as("tbl"), col("n"))
+          .unionAll(T(s, d, "customer").agg(count(lit(1)).as("n"))
+            .select(lit("customer").as("tbl"), col("n")))
+          .unionAll(T(s, d, "lineitem").agg(count(lit(1)).as("n"))
+            .select(lit("lineitem").as("tbl"), col("n")))),
+
+    // ------------------------------------------- projections / filters (P*)
+
+    QueryDef("p3_locale_cast", Some(
+      "SELECT p_partkey, p_partkey || ',' || p_size AS raw, " +
+        "CAST(replace(p_partkey || ',' || p_size, ',', '.') AS DOUBLE) AS val FROM part"),
+      (s, d) => T(s, d, "part").select(
+        col("p_partkey"),
+        concat(col("p_partkey").cast("string"), lit(","), col("p_size").cast("string")).as("raw"),
+        regexp_replace(
+          concat(col("p_partkey").cast("string"), lit(","), col("p_size").cast("string")),
+          ",", ".").cast("double").as("val"))),
+
+    QueryDef("p6_value_clean", Some(
+      "WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 5 = 0 THEN 'nan' " +
+        "WHEN p_partkey % 7 = 0 THEN '  ' WHEN p_partkey % 3 = 0 THEN 'NULL' " +
+        "ELSE p_brand END AS dirty FROM part) " +
+        "SELECT p_partkey, dirty, CASE WHEN trim(dirty) = '' THEN NULL " +
+        "WHEN lower(trim(dirty)) IN ('nan','na','null','none') THEN NULL " +
+        "ELSE trim(dirty) END AS cleaned FROM t"),
+      (s, d) => {
+        val dirty = when(col("p_partkey") % 5 === 0, "nan")
+          .when(col("p_partkey") % 7 === 0, "  ")
+          .when(col("p_partkey") % 3 === 0, "NULL")
+          .otherwise(col("p_brand"))
+        T(s, d, "part").select(col("p_partkey"), dirty.as("dirty"))
+          .withColumn("cleaned",
+            when(trim(col("dirty")) === "", null)
+              .when(lower(trim(col("dirty"))).isin("nan", "na", "null", "none"), null)
+              .otherwise(trim(col("dirty"))))
+      }),
+
+    QueryDef("p7_props_json", Some(
+      "SELECT o_orderkey, to_json(struct_pack(o_orderkey := o_orderkey, " +
+        "o_orderstatus := o_orderstatus)) AS props FROM orders"),
+      (s, d) => T(s, d, "orders").select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("props"))),
+
+    QueryDef("p8_event_hash", Some(
+      "WITH t AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS fd, " +
+        "((user_id % 1700)/10.0 - 85.0) AS lat, (((user_id*7) % 3600)/10.0 - 180.0) AS lon, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS vts, event_type AS sat FROM events) " +
+        "SELECT event_id, md5('{\"file_date\": \"' || fd || '\", \"lat\": ' || printf('%.1f', lat) || " +
+        "', \"lon\": ' || printf('%.1f', lon) || ', \"view_ts\": \"' || vts || " +
+        "'\", \"satelite\": \"' || sat || '\"}') AS event_hash FROM t"),
+      (s, d) => T(s, d, "events").select(
+        col("event_id"),
+        HashFunctions.eventHashUdf(
+          date_format(col("ts"), "yyyy-MM-dd"),
+          (col("user_id") % 1700) / 10.0 - 85.0,
+          (col("user_id") * 7 % 3600) / 10.0 - 180.0,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          col("event_type")).as("event_hash"))),
+
+    QueryDef("p10_filter_norm", Some(
+      "SELECT c_custkey, CASE WHEN trim(upper('  ' || c_mktsegment || ' ')) = '' THEN NULL " +
+        "ELSE trim(upper('  ' || c_mktsegment || ' ')) END AS segment FROM customer"),
+      (s, d) => {
+        val padded = concat(lit("  "), col("c_mktsegment"), lit(" "))
+        val norm = trim(upper(padded))
+        T(s, d, "customer").select(col("c_custkey"),
+          when(norm === "", null).otherwise(norm).as("segment"))
+      }),
+
+    QueryDef("p11_api_where", Some(
+      "SELECT event_id, user_id, value FROM events " +
+        "WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND CAST(ts AS DATE) < DATE '2024-01-20' " +
+        "AND (event_type = 'click' OR upper(event_type) = 'CLICK')"),
+      (s, d) => T(s, d, "events").filter(
+        col("ts").cast("date") >= lit("2024-01-10") &&
+          col("ts").cast("date") < lit("2024-01-20") &&
+          (col("event_type") === "click" || upper(col("event_type")) === "CLICK"))
+        .select("event_id", "user_id", "value")),
+
+    QueryDef("p12_bbox_filter", Some(
+      s"WITH p AS ($ptsSql) SELECT c_custkey, lon, lat FROM p " +
+        "WHERE lon >= -50 AND lon <= 50 AND lat >= -20 AND lat <= 20"),
+      (s, d) => points(s, d).filter(
+        col("lon") >= -50 && col("lon") <= 50 && col("lat") >= -20 && col("lat") <= 20)),
+
+    // ------------------------------------------------------ scalar families
+
+    QueryDef("scalar_string_funcs", Some(
+      "SELECT c_custkey, split_part(c_name, '#', 2) AS id_part, " +
+        "upper(c_mktsegment) AS seg_upper, " +
+        "coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, 'OTHER') AS seg_or_other, " +
+        "length(c_name) AS name_len FROM customer"),
+      (s, d) => T(s, d, "customer").select(
+        col("c_custkey"),
+        expr("split_part(c_name, '#', 2)").as("id_part"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        coalesce(when(col("c_mktsegment") === "BUILDING", null).otherwise(col("c_mktsegment")),
+          lit("OTHER")).as("seg_or_other"),
+        length(col("c_name")).as("name_len"))),
+
+    QueryDef("scalar_date_funcs", Some(
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, " +
+        "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date' ELSE '2024-01-15' END AS DATE) AS parsed, " +
+        "datediff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS days_to_end, " +
+        "CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS DATE) AS od_minus_30, " +
+        "greatest(o_orderkey % 7, 3) AS g FROM orders"),
+      (s, d) => T(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        to_date(when(col("o_orderkey") % 3 === 0, "not-a-date").otherwise("2024-01-15"))
+          .as("parsed"),
+        datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_end"),
+        date_sub(col("o_orderdate").cast("date"), 30).as("od_minus_30"),
+        greatest(col("o_orderkey") % 7, lit(3)).as("g"))),
+
+    QueryDef("scalar_json_funcs", Some(
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"),
+      (s, d) => T(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // -------------------------------------------------------- geospatial
+
+    QueryDef("geo_bbox", Some(
+      s"WITH c AS ($cellsSql) SELECT n_nationkey, min_lon AS bb_min_lon, " +
+        "min_lat AS bb_min_lat, max_lon AS bb_max_lon, max_lat AS bb_max_lat FROM c"),
+      (s, d) => {
+        val g = cells(s, d).withColumn("geom", rectGeom)
+          .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+        g.select(col("n_nationkey"),
+          col("bb._1").as("bb_min_lon"), col("bb._2").as("bb_min_lat"),
+          col("bb._3").as("bb_max_lon"), col("bb._4").as("bb_max_lat"))
+      }),
+
+    QueryDef("j2_pip_join", Some(
+      s"WITH p AS ($ptsSql), c AS ($cellsSql) " +
+        "SELECT p.c_custkey, p.lon, p.lat, c.n_name FROM p LEFT JOIN c " +
+        "ON p.lon > c.min_lon AND p.lon < c.max_lon AND p.lat > c.min_lat AND p.lat < c.max_lat"),
+      (s, d) => {
+        val c = cells(s, d).withColumn("geom", rectGeom)
+        points(s, d).join(broadcast(c),
+          col("lon") > col("min_lon") && col("lon") < col("max_lon") &&
+            col("lat") > col("min_lat") && col("lat") < col("max_lat") &&
+            GeoFunctions.pointInMultiPolygonUdf(col("lon"), col("lat"), col("geom")),
+          "left")
+          .select("c_custkey", "lon", "lat", "n_name")
+      }),
+
+    QueryDef("j3_knn_join", Some(
+      s"WITH p AS ($ptsSql), c AS ($cellsSql), " +
+        "ctr AS (SELECT n_nationkey, n_name, min_lon + 36.0 AS clon, min_lat + 17.0 AS clat FROM c), " +
+        "dist AS (SELECT p.c_custkey, ctr.n_name, ctr.n_nationkey, " +
+        "2*6371000.0*asin(least(1.0, sqrt(" +
+        "pow(sin((ctr.clat - p.lat)/180.0*pi()/2), 2) + " +
+        "cos(p.lat/180.0*pi())*cos(ctr.clat/180.0*pi())*pow(sin((ctr.clon - p.lon)/180.0*pi()/2), 2)" +
+        "))) AS d FROM p CROSS JOIN ctr) " +
+        "SELECT c_custkey, n_name, round(d, 0) AS dist_m FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d ASC, n_nationkey ASC) AS rn FROM dist) " +
+        "WHERE rn = 1 AND d <= 3000000"),
+      (s, d) => {
+        val ctr = cells(s, d).select(col("n_nationkey"), col("n_name"),
+          (col("min_lon") + 36.0).as("clon"), (col("min_lat") + 17.0).as("clat"))
+        points(s, d).crossJoin(broadcast(ctr))
+          .withColumn("d", GeoFunctions.haversineMetersUdf(
+            col("lon"), col("lat"), col("clon"), col("clat")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(col("d").asc, col("n_nationkey").asc)))
+          .filter(col("rn") === 1 && col("d") <= 3000000)
+          .select(col("c_custkey"), col("n_name"), round(col("d"), 0).as("dist_m"))
+      }),
+
+    QueryDef("j4_first_match", Some(
+      s"WITH p AS ($ptsSql), " +
+        "b AS (SELECT r_regionkey, r_name, CAST(r_regionkey*72 - 180 AS DOUBLE) AS min_lon, " +
+        "CAST(r_regionkey*72 - 36 AS DOUBLE) AS max_lon FROM region) " +
+        "SELECT c_custkey, r_name FROM (SELECT p.c_custkey, b.r_name, " +
+        "row_number() OVER (PARTITION BY p.c_custkey ORDER BY b.r_regionkey ASC) AS rn " +
+        "FROM p JOIN b ON p.lon > b.min_lon AND p.lon < b.max_lon) WHERE rn = 1"),
+      (s, d) => {
+        val bands = T(s, d, "region").select(col("r_regionkey"), col("r_name"),
+          (col("r_regionkey") * 72 - 180).cast("double").as("min_lon"),
+          (col("r_regionkey") * 72 - 36).cast("double").as("max_lon"))
+        points(s, d).join(broadcast(bands),
+            col("lon") > col("min_lon") && col("lon") < col("max_lon"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(col("r_regionkey").asc)))
+          .filter(col("rn") === 1)
+          .select("c_custkey", "r_name")
+      }),
+
+    QueryDef("geo_area", Some(
+      s"WITH c AS ($cellsSql) SELECT n_nationkey, CAST(round(abs(" +
+        "(72.0/180.0*pi())*((2 + sin(min_lat/180.0*pi()) + sin(min_lat/180.0*pi()))) + " +
+        "(-72.0/180.0*pi())*((2 + sin(max_lat/180.0*pi()) + sin(max_lat/180.0*pi())))" +
+        ") * 6371000.0 * 6371000.0 / 2, 0) AS BIGINT) AS area_m2 FROM c"),
+      (s, d) => cells(s, d).withColumn("geom", rectGeom)
+        .select(col("n_nationkey"),
+          round(GeoFunctions.ringAreaSqMetersUdf(
+            element_at(element_at(col("geom"), 1), 1)), 0).cast("long").as("area_m2"))),
+
+    // ------------------------------------------------- corpus ops (dedup &c)
+
+    QueryDef("dedup_exact", Some(
+      "WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
+        "SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM u) WHERE rn = 1"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id", "text")
+        val dupes = docs.union(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.exact(dupes, Seq("text"), "doc_id")
+      }),
+
+    QueryDef("dedup_jaccard_words", Some(
+      "WITH w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard " +
+        "FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9"),
+      (s, d) => {
+        val w = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          array_distinct(split(lower(col("text")), " ")).as("ws"))
+        val a = w.select(col("lang"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
+        val b = w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+        a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+          .withColumn("j", size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+            size(array_distinct(concat(col("ws_a"), col("ws_b")))))
+          .filter(col("j") >= 0.9)
+          .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      }),
+
+    QueryDef("dedup_minhash_lsh", None, // not SQL-expressible → rows-only check
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        // plant near-duplicates: same text minus its first word, id + 1000000
+        val variants = docs.select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        Dedup.minHashLshPairs(docs.union(variants), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      }),
+
+    QueryDef("dedup_simhash", None, // custom hash → rows-only check
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val variants = docs.select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        Dedup.simHashPairs(docs.union(variants), "doc_id", "text", maxHamming = 3)
+      }),
+
+    QueryDef("dedup_embed_cosine", Some(
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25"),
+      (s, d) => Dedup.embeddingCosinePairs(
+        T(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+        "vec_id", "embedding", col("label"), 0.25)),
+
+    QueryDef("sim_topk_brute", Some(
+      "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(q.v, c.v) AS cos FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM " +
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank " +
+        "FROM scored) WHERE rank <= 10"),
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      }),
+
+    QueryDef("sim_topk_lsh", None, // approximate → rows-only check
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4)
+      }),
+
+    QueryDef("text_quality", Some(
+      "SELECT doc_id, length(text) AS n_chars_q, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n_words, " +
+        "round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
+        "round(CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio " +
+        "FROM documents"),
+      (s, d) => {
+        val t = col("text")
+        T(s, d, "documents").select(col("doc_id"),
+          length(t).cast("long").as("n_chars_q"),
+          size(split(trim(t), "\\s+")).cast("long").as("n_words"),
+          round(length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / length(t), 4)
+            .as("alpha_ratio"),
+          round(length(regexp_replace(t, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(t), 4)
+            .as("punct_ratio"))
+      }),
+
+    QueryDef("text_tokens", Some(
+      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
+        "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +
+        "FROM documents"),
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens_ws"),
+        TextFunctions.tokenCountBpeishUdf(col("text")).as("tokens_bpeish"))),
+
+    QueryDef("text_langid", None, // heuristic classifier → rows-only check
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.detectLanguageUdf(col("text")).as("lang_pred"))),
+
+    QueryDef("text_fingerprint", None, // JVM-specific hash → rows-only check
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))),
+
+    // ------------------------------------------------- incremental/streaming
+
+    QueryDef("k3_inserted_count", Some(
+      "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1"),
+      (s, d) => T(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))),
+
+    QueryDef("stream_window_agg", Some(
+      "SELECT CAST(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS BIGINT) AS bucket_start, " +
+        "count(*) AS n, round(sum(value), 4) AS total_value FROM events GROUP BY 1"),
+      (s, d) => T(s, d, "events")
+        .groupBy((floor(col("ts").cast("long") / 21600) * 21600).cast("long").as("bucket_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

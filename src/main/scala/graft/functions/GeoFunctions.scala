@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import graft.geo.Geo
+
+/** Spark bindings for the geometry kernel (graft.geo.Geo).
+  *
+  * Geometry columns are GeoJSON-style nested arrays
+  * `array<array<array<array<double>>>>` (multipolygon → polygon → ring →
+  * [lon,lat]), matching how the reference serves polygon coordinates
+  * (sqlm/marts/prereq/030_mv_uf_polycoords_polygon_superset.sql:3-5).
+  *
+  * Each UDF is deliberately kept null-tolerant: a null geometry yields null,
+  * which mirrors SQL semantics of the reference's left spatial joins.
+  *
+  * Scale note: all of these are driven through *broadcast* joins against
+  * dimension tables of ≤ thousands of polygons (SURVEY §2.3 — every spatial
+  * dim is small). The expensive exact predicate is always preceded by cheap
+  * bbox column conjuncts that Catalyst evaluates before the UDF, so at 100 TB
+  * the UDF runs on the few candidate (point, polygon) pairs only.
+  */
+object GeoFunctions {
+  type MP = Seq[Seq[Seq[Seq[Double]]]]
+
+  private def toMP(raw: MP): Geo.MultiPolygon =
+    raw.iterator.map { poly =>
+      poly.iterator.map { ring =>
+        ring.iterator.map(p => (p(0), p(1))).toIndexedSeq
+      }.toIndexedSeq
+    }.toIndexedSeq
+
+  val pointInMultiPolygonUdf =
+    udf((lon: Double, lat: Double, mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(Geo.pointInMultiPolygon(lon, lat, toMP(mp))))
+
+  val haversineMetersUdf =
+    udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
+      Geo.haversineMeters(lon1, lat1, lon2, lat2))
+
+  val distanceToMultiPolygonMetersUdf =
+    udf((lon: Double, lat: Double, mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(Geo.distanceToMultiPolygonMeters(lon, lat, toMP(mp))))
+
+  val ringAreaSqMetersUdf =
+    udf((ring: Seq[Seq[Double]]) =>
+      if (ring == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(
+        Geo.ringAreaSqMeters(ring.iterator.map(p => (p(0), p(1))).toIndexedSeq)))
+
+  val multiPolygonAreaSqMetersUdf =
+    udf((mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(toMP(mp).map(Geo.polygonAreaSqMeters).sum))
+
+  /** bbox as struct(minLon, minLat, maxLon, maxLat) — ST_Extent/ST_Envelope
+    * analog (api/app/main.py:883-922). */
+  val bboxUdf =
+    udf((mp: MP) =>
+      if (mp == null) null
+      else {
+        val b = Geo.bboxOfMultiPolygon(toMP(mp))
+        (b.minLon, b.minLat, b.maxLon, b.maxLat)
+      })
+
+  val simplifyDPUdf =
+    udf((mp: MP, tol: Double) =>
+      if (mp == null) null
+      else toMP(mp).map(_.map(r => Geo.simplifyDP(r, tol).map(p => Seq(p._1, p._2)))))
+
+  /** Drop interior rings — ST_MakePolygon(ST_ExteriorRing(..)) analog. */
+  val dropHolesUdf =
+    udf((mp: MP) => if (mp == null) null else mp.map(_.take(1)))
+
+  /** Largest part by spherical area — "mainland" selection (W4). */
+  val largestPartUdf =
+    udf((mp: MP) =>
+      if (mp == null || mp.isEmpty) null
+      else mp.maxBy(p => toMP(Seq(p)).headOption.map(Geo.polygonAreaSqMeters).getOrElse(0.0)))
+
+  val nPointsUdf =
+    udf((mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Integer]
+      else java.lang.Integer.valueOf(toMP(mp).iterator.map(_.iterator.map(_.length).sum).sum))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("pip", pointInMultiPolygonUdf)
+    spark.udf.register("haversine_m", haversineMetersUdf)
+    spark.udf.register("dist_poly_m", distanceToMultiPolygonMetersUdf)
+    spark.udf.register("ring_area_m2", ringAreaSqMetersUdf)
+    spark.udf.register("mp_area_m2", multiPolygonAreaSqMetersUdf)
+    spark.udf.register("geo_bbox", bboxUdf)
+    spark.udf.register("geo_simplify", simplifyDPUdf)
+    spark.udf.register("geo_drop_holes", dropHolesUdf)
+    spark.udf.register("geo_largest_part", largestPartUdf)
+    spark.udf.register("geo_npoints", nPointsUdf)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale corpus pipelines: language ID,
+  * quality scoring, token counting, fingerprinting, plus the reference's
+  * label-cleanup semantics (NFKD fold + mojibake repair,
+  * api/app/main.py:624-657).
+  *
+  * Everything here is row-local (no shuffle); the heuristics are pure
+  * functions so they stay inside whole-stage codegen where built-ins are used
+  * and cost one virtual call where a UDF is unavoidable.
+  */
+object TextFunctions {
+
+  // ----------------------------------------------------------- language id
+
+  /** Tiny stopword inventories for an n-gram-free language-ID heuristic.
+    * Deterministic and dependency-free; scores = stopword hit ratio.
+    */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "del"),
+    "pt" -> Set("o", "a", "de", "que", "e", "em", "um", "uma", "os", "as", "por", "com", "para", "não", "do"),
+    "fr" -> Set("le", "la", "de", "que", "et", "en", "un", "une", "les", "des", "pour", "avec", "est", "du", "ne"),
+    "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "nicht", "ein", "eine"),
+  )
+
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    // CJK codepoint share decides zh before any latin stopword voting
+    var cjk = 0; var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeBlock.of(c)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA) cjk += 1
+      }
+      i += 1
+    }
+    if (letters > 0 && cjk.toDouble / letters > 0.3) return "zh"
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val best = stopwords.iterator.map { case (lang, sw) =>
+      lang -> toks.count(sw.contains).toDouble / toks.length
+    }.maxByOption(_._2)
+    best match {
+      case Some((lang, score)) if score > 0.05 => lang
+      case _ => "und"
+    }
+  }
+
+  val detectLanguageUdf = udf((t: String) => detectLanguage(t))
+
+  // --------------------------------------------------------- quality score
+
+  /** Composite document-quality heuristics, all expressible as Spark
+    * built-ins so they survive whole-stage codegen. Returns the component
+    * columns; callers combine them. Ratios are guarded against empty text.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val nonEmpty = len > 0
+    val words = split(trim(text), "\\s+")
+    val nWords = when(length(trim(text)) === 0, 0).otherwise(size(words))
+    val alphaLen = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val punctLen = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    val upperLen = length(regexp_replace(text, "[^A-Z]", ""))
+    Seq(
+      "n_chars_q" -> len.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len" -> when(nWords > 0, round(alphaLen.cast("double") / nWords, 4)).otherwise(lit(0.0)),
+      "alpha_ratio" -> when(nonEmpty, round(alphaLen.cast("double") / len, 4)).otherwise(lit(0.0)),
+      "punct_ratio" -> when(nonEmpty, round(punctLen.cast("double") / len, 4)).otherwise(lit(0.0)),
+      "upper_ratio" -> when(nonEmpty, round(upperLen.cast("double") / len, 4)).otherwise(lit(0.0)),
+    )
+  }
+
+  /** Stopword ratio against the English inventory (codegen-friendly:
+    * array built-ins, no UDF). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^\\p{L}]+"), t => length(t) > 0)
+    val sw = array(stopwords("en").toSeq.sorted.map(lit): _*)
+    when(size(toks) > 0,
+      round(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks), 4))
+      .otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------- token counting
+
+  /** Whitespace token count — built-ins only. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+"))).cast("long")
+
+  /** BPE-ish token estimate: split into word pieces / numbers / punctuation
+    * runs, the pre-tokenization grammar most BPE vocabularies assume. */
+  private val bpePattern = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+".r
+
+  def tokenCountBpeish(text: String): Long =
+    if (text == null) 0L else bpePattern.findAllIn(text).length.toLong
+
+  val tokenCountBpeishUdf = udf((t: String) => tokenCountBpeish(t))
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** 64-bit polynomial rolling hash over the whitespace-normalized,
+    * lowercased text — a deterministic document fingerprint for exact-dup
+    * detection where md5(text) is too strict (case/whitespace variants).
+    */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+    h
+  }
+
+  val fingerprint64Udf = udf((t: String) => fingerprint64(t))
+
+  // ------------------------------------------------- label cleanup (serve)
+
+  /** Mojibake repair: if a string decodes "better" after a latin1↔utf8
+    * round-trip, take the repaired form (api/app/main.py:628-657 does the
+    * same double-encode probe).
+    */
+  def fixMojibake(s: String): String = {
+    if (s == null) return null
+    val suspicious = s.exists(c => c == 'Ã' || c == 'Â' || c == '�')
+    if (!suspicious) return s
+    try {
+      val repaired = new String(s.getBytes(StandardCharsets.ISO_8859_1), StandardCharsets.UTF_8)
+      if (repaired.contains('�')) s else repaired
+    } catch { case _: Exception => s }
+  }
+
+  /** NFKD fold to ascii (diacritic strip) — the reference's label
+    * normalization for matching user filters (api/app/main.py:624-627). */
+  def asciiFold(s: String): String =
+    if (s == null) null
+    else Normalizer.normalize(s, Normalizer.Form.NFKD).replaceAll("\\p{M}+", "")
+
+  val cleanLabelUdf = udf((s: String) => if (s == null) null else fixMojibake(s).trim)
+  val asciiFoldUdf = udf((s: String) => asciiFold(s))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("lang_id", detectLanguageUdf)
+    spark.udf.register("token_count_bpeish", tokenCountBpeishUdf)
+    spark.udf.register("fingerprint64", fingerprint64Udf)
+    spark.udf.register("clean_label", cleanLabelUdf)
+    spark.udf.register("ascii_fold", asciiFoldUdf)
+  }
+}

@@ -1,0 +1,237 @@
+package graft.geo
+
+/** Pure-Scala geometry kernel (no Spark imports — property-testable).
+  *
+  * Geometry representation follows GeoJSON nesting, which is also what the
+  * reference stores for its choropleth layers
+  * (sqlm/marts/prereq/030_mv_uf_polycoords_polygon_superset.sql:3-5 keeps
+  * `st_asgeojson(geom)::jsonb->'coordinates'`):
+  *
+  *   point        = (lon, lat)
+  *   ring         = Seq[point]            (closed or open; we tolerate both)
+  *   polygon      = Seq[ring]             (ring 0 = exterior, rest = holes)
+  *   multipolygon = Seq[polygon]
+  *
+  * Implements the semantics of the PostGIS calls the reference makes:
+  * ST_Intersects(point, mpoly) (sql/enrich/20_enrich_municipio.sql:54),
+  * ST_Distance(geography) (20_enrich_municipio.sql:67-74),
+  * ST_Area(geography) (sqlm/marts/prereq/010_mv_uf_geom_mainland.sql:15),
+  * ST_SimplifyPreserveTopology (sql/ref/00_ref_geo_prepare.sql:31),
+  * ST_MakePolygon(ST_ExteriorRing(..)) (sqlm/marts/prereq/020_*.sql:20),
+  * bbox/ST_Extent (api/app/main.py:883-922).
+  */
+object Geo {
+  type Point = (Double, Double) // (lon, lat)
+  type Ring = IndexedSeq[Point]
+  type Polygon = IndexedSeq[Ring]
+  type MultiPolygon = IndexedSeq[Polygon]
+
+  val EarthRadiusMeters: Double = 6371000.0
+
+  final case class BBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double) {
+    def contains(lon: Double, lat: Double): Boolean =
+      lon >= minLon && lon <= maxLon && lat >= minLat && lat <= maxLat
+    def expandDegrees(d: Double): BBox = BBox(minLon - d, minLat - d, maxLon + d, maxLat + d)
+    def union(o: BBox): BBox =
+      BBox(math.min(minLon, o.minLon), math.min(minLat, o.minLat),
+           math.max(maxLon, o.maxLon), math.max(maxLat, o.maxLat))
+  }
+
+  def bboxOfRing(ring: Ring): BBox = {
+    var minLon = Double.PositiveInfinity; var minLat = Double.PositiveInfinity
+    var maxLon = Double.NegativeInfinity; var maxLat = Double.NegativeInfinity
+    var i = 0
+    while (i < ring.length) {
+      val (lon, lat) = ring(i)
+      if (lon < minLon) minLon = lon; if (lon > maxLon) maxLon = lon
+      if (lat < minLat) minLat = lat; if (lat > maxLat) maxLat = lat
+      i += 1
+    }
+    BBox(minLon, minLat, maxLon, maxLat)
+  }
+
+  def bboxOfMultiPolygon(mp: MultiPolygon): BBox =
+    mp.iterator.flatMap(_.headOption).map(bboxOfRing)
+      .reduceOption(_ union _)
+      .getOrElse(BBox(Double.NaN, Double.NaN, Double.NaN, Double.NaN))
+
+  /** Ray-casting point-in-ring. Points exactly on an edge are
+    * implementation-defined (as in PostGIS ST_Intersects boundary cases are
+    * true; we don't guarantee boundary semantics — callers keep data off
+    * edges or accept either).
+    */
+  def pointInRing(lon: Double, lat: Double, ring: Ring): Boolean = {
+    var inside = false
+    val n = ring.length
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring(j)
+      val intersects = ((yi > lat) != (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+      if (intersects) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Exterior ring minus holes. */
+  def pointInPolygon(lon: Double, lat: Double, poly: Polygon): Boolean =
+    poly.nonEmpty && pointInRing(lon, lat, poly.head) &&
+      !poly.iterator.drop(1).exists(pointInRing(lon, lat, _))
+
+  def pointInMultiPolygon(lon: Double, lat: Double, mp: MultiPolygon): Boolean =
+    mp.exists(pointInPolygon(lon, lat, _))
+
+  // ---------------------------------------------------------------- distance
+
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Great-circle-ish distance from a point to a segment, computed by
+    * projecting in a local equirectangular frame (adequate for the ≤2 km
+    * acceptance radius the reference uses — 20_enrich_municipio.sql:74).
+    */
+  def distancePointToSegmentMeters(lon: Double, lat: Double,
+                                   lon1: Double, lat1: Double,
+                                   lon2: Double, lat2: Double): Double = {
+    val cosLat = math.cos(math.toRadians(lat))
+    val x = lon * cosLat; val y = lat
+    val x1 = lon1 * cosLat; val y1 = lat1
+    val x2 = lon2 * cosLat; val y2 = lat2
+    val dx = x2 - x1; val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((x - x1) * dx + (y - y1) * dy) / len2))
+    val projLon = (x1 + t * dx) / cosLat
+    val projLat = y1 + t * dy
+    haversineMeters(lon, lat, projLon, projLat)
+  }
+
+  /** Distance point→polygon boundary in meters; 0 if the point is inside.
+    * Mirrors `ST_Distance(f.geom::geography, m.geom::geography)` used by the
+    * KNN municipality fallback (sql/enrich/20_enrich_municipio.sql:67-74).
+    */
+  def distanceToMultiPolygonMeters(lon: Double, lat: Double, mp: MultiPolygon): Double = {
+    if (pointInMultiPolygon(lon, lat, mp)) return 0.0
+    var best = Double.PositiveInfinity
+    mp.foreach { poly =>
+      poly.foreach { ring =>
+        var i = 0
+        while (i < ring.length - 1) {
+          val (a1, b1) = ring(i); val (a2, b2) = ring(i + 1)
+          val d = distancePointToSegmentMeters(lon, lat, a1, b1, a2, b2)
+          if (d < best) best = d
+          i += 1
+        }
+        // close the ring if the data left it open
+        if (ring.length > 1 && ring.head != ring.last) {
+          val (a1, b1) = ring.last; val (a2, b2) = ring.head
+          val d = distancePointToSegmentMeters(lon, lat, a1, b1, a2, b2)
+          if (d < best) best = d
+        }
+      }
+    }
+    best
+  }
+
+  // -------------------------------------------------------------------- area
+
+  /** Planar shoelace area in degree² (signed magnitude). */
+  def ringAreaPlanarDeg2(ring: Ring): Double = {
+    var sum = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % n)
+      sum += x1 * y2 - x2 * y1
+      i += 1
+    }
+    math.abs(sum) / 2.0
+  }
+
+  /** Spherical ring area in m² (Chamberlain–Duquette style excess sum),
+    * the stand-in for `ST_Area(geom::geography)` — only used for ranking
+    * polygon parts by size (W4), so small absolute divergence from GEOS is
+    * acceptable; ordering is what matters.
+    */
+  def ringAreaSqMeters(ring: Ring): Double = {
+    val n = ring.length
+    if (n < 3) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val (lon1, lat1) = ring(i)
+      val (lon2, lat2) = ring((i + 1) % n)
+      sum += math.toRadians(lon2 - lon1) *
+        (2 + math.sin(math.toRadians(lat1)) + math.sin(math.toRadians(lat2)))
+      i += 1
+    }
+    math.abs(sum) * EarthRadiusMeters * EarthRadiusMeters / 2.0
+  }
+
+  def polygonAreaSqMeters(poly: Polygon): Double =
+    poly.headOption.map(ringAreaSqMeters).getOrElse(0.0) -
+      poly.iterator.drop(1).map(ringAreaSqMeters).sum
+
+  // ------------------------------------------------------------ simplify etc
+
+  private def perpendicularDistance(p: Point, a: Point, b: Point): Double = {
+    val (px, py) = p; val (ax, ay) = a; val (bx, by) = b
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0.0) math.hypot(px - ax, py - ay)
+    else math.abs(dy * px - dx * py + bx * ay - by * ax) / math.sqrt(len2)
+  }
+
+  /** Douglas–Peucker simplification with tolerance in degrees — stand-in for
+    * `ST_SimplifyPreserveTopology(geom, tol)` (sql/ref/00_ref_geo_prepare.sql:31;
+    * api/app/main.py:734-738). Plain DP: does not guarantee topology
+    * preservation across shared borders (documented divergence, SURVEY §7.4).
+    */
+  def simplifyDP(ring: Ring, tolDeg: Double): Ring = {
+    if (ring.length <= 2) return ring
+    val keep = new Array[Boolean](ring.length)
+    keep(0) = true; keep(ring.length - 1) = true
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi <= lo + 1) return
+      var maxD = -1.0; var maxI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = perpendicularDistance(ring(i), ring(lo), ring(hi))
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD > tolDeg) { keep(maxI) = true; rec(lo, maxI); rec(maxI, hi) }
+    }
+    rec(0, ring.length - 1)
+    val out = ring.indices.collect { case i if keep(i) => ring(i) }
+    // a ring needs ≥4 points (closed) to stay a ring; fall back to original
+    if (out.length < 4 && ring.head == ring.last) ring else out
+  }
+
+  /** `ST_MakePolygon(ST_ExteriorRing(p))` — drop holes (sqlm/marts/prereq/020_*.sql:20). */
+  def dropHoles(poly: Polygon): Polygon = poly.take(1)
+
+  /** Largest polygon part by spherical area — the "mainland" selection
+    * `row_number() over (order by st_area desc)` (sqlm/marts/prereq/010_*.sql:12-22). */
+  def largestPart(mp: MultiPolygon): Option[Polygon] =
+    if (mp.isEmpty) None else Some(mp.maxBy(polygonAreaSqMeters))
+
+  /** `ST_NPoints` analog. */
+  def nPoints(mp: MultiPolygon): Int = mp.iterator.map(_.iterator.map(_.length).sum).sum
+
+  /** Cheap validity proxy: every ring closed with ≥4 points. */
+  def isValid(mp: MultiPolygon): Boolean =
+    mp.forall(_.forall(r => r.length >= 4 && r.head == r.last))
+}

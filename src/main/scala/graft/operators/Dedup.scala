@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash-partitioned shuffle on the digest; the winner
+  *    per group is picked with min_by, not a sort.
+  *  - MinHash/SimHash dedup never does an O(n²) comparison: candidate
+  *    generation is an equi-join on LSH band keys (hash-partitioned, AQE
+  *    handles skewed buckets), and the exact similarity check runs only on
+  *    bucket-colliding pairs.
+  *  - n-gram Jaccard is always blocked (caller supplies a blocking key);
+  *    the pairwise step is a self-equi-join on the block, never a cross join.
+  *  - embedding near-dup joins on a coarse quantization bucket first.
+  */
+object Dedup {
+
+  /** Exact dedup: keep, per digest of `keyCols`, the row with the smallest
+    * `tieBreak` value. One shuffle; deterministic winner.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val digest = md5(concat_ws("", keyCols.map(col): _*))
+    val w = Window.partitionBy(digest).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles (codegen-friendly: split + sequence + transform).
+    * Produces the distinct shingle set used by both MinHash and exact
+    * Jaccard verification.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(words) - n, lit(0)))
+    array_distinct(
+      when(size(words) >= n,
+        transform(idx, i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", words))))
+  }
+
+  private val minhashSigUdf =
+    udf((shingles: Seq[String], numHashes: Int) => {
+      if (shingles == null || shingles.isEmpty) Seq.empty[Long]
+      else {
+        val base = shingles.map(HashFunctions.fnv1a64)
+        (0 until numHashes).map { i =>
+          // universal hashing family with fixed (deterministic) odd multipliers
+          val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
+          val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
+          base.iterator.map(h => a * h + b).min
+        }
+      }
+    })
+
+  /** MinHash signature column (array<long> of length numHashes). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashSigUdf(shingles, lit(numHashes))
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → signature → band keys → self-join per band → exact Jaccard
+    * verify on the shingle sets → pairs with jaccard ≥ threshold.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    // one row per (doc, band): band key = hash of the signature slice
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"),
+      col("sig"))
+      .withColumn("band_key", xxhash64(col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select("id", "shingles", "band", "band_key")
+
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, candidates = equal
+    * 16-bit chunk (any of 4 → catches all pairs with hamming ≤ 3 by
+    * pigeonhole), verified by popcount.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("sig", graft.functions.HashFunctions.simHash64Udf(col("tokens")))
+    val chunked = withSig.select(
+      col("id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val", expr("shiftrightunsigned(sig, chunk * 16) & 65535"))
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", graft.functions.HashFunctions.hamming64Udf(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity within blocks. The blocking key keeps
+    * the self-join linear-ish; pass a coarse key (lang, length bucket, hash
+    * prefix…). Output (id_a, id_b, jaccard ≥ threshold).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockKey: Column, shingleSize: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("block", blockKey)
+      .withColumn("sh", wordShingles(col("text"), shingleSize))
+    val a = base.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidate pairs
+    * generated within a caller-supplied bucket (label, LSH sign-bucket, IVF
+    * cell…) to avoid the n² cross join.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           bucket: Column, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), bucket.as("bucket"))
+      .withColumn("norm", Similarity.l2Norm(col("v")))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

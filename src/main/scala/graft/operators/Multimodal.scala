@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata, the
+  * standard layout for multimodal training shards. The *decode* step is a
+  * STUB (this container ships no codec libraries): `decodeStub` parses a
+  * deterministic fake header so the Spark-side plumbing — schema, typed
+  * Dataset pipeline, per-partition batching, feature shape — is real and
+  * testable, and a production build swaps `decodeStub`/`extractFeatures`
+  * for a JNI/FFI codec without touching the plan shape.
+  *
+  * Scale notes: media rows are large (MBs), so operators here avoid
+  * wide shuffles — everything is mapPartitions-shaped (narrow), and
+  * metadata-only aggregates drop the payload column *before* grouping so
+  * the shuffle carries bytes-counts, not bytes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+  ))
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            mime: String, width: Option[Int], height: Option[Int],
+                            duration_ms: Option[Long])
+
+  final case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                                n_frames: Int, checksum: Long)
+
+  final case class MediaFeatures(media_id: Long, feature: Array[Float])
+
+  /** STUB decoder — deterministic fake: "header" = first 8 bytes as two
+    * big-endian ints (width, height); frames = payload length / 1024 + 1;
+    * checksum = simple byte sum. A real build replaces this body with an
+    * actual codec call; the signature and batch shape stay.
+    */
+  def decodeStub(r: MediaRow): DecodedMedia = {
+    val p = if (r.payload == null) Array.empty[Byte] else r.payload
+    def be32(off: Int): Int =
+      if (p.length < off + 4) 0
+      else ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    var sum = 0L
+    var i = 0
+    while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+    DecodedMedia(r.media_id, r.kind,
+      width = math.abs(be32(0)) % 8192,
+      height = math.abs(be32(4)) % 8192,
+      n_frames = p.length / 1024 + 1,
+      checksum = sum)
+  }
+
+  /** Decode pass: typed, per-partition (narrow — no shuffle). */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Feature extraction stub: fixed-size float vector derived
+    * deterministically from the payload (real build: model inference here).
+    * Batch shape: one vector per row, dims = `dims`.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      val f = new Array[Float](dims)
+      var i = 0
+      while (i < p.length) { f(i % dims) += (p(i) & 0xff) / 255.0f; i += 1 }
+      MediaFeatures(r.media_id, f)
+    })
+  }
+
+  /** Frame sampling stub for video rows: emit every `stride`-th "frame"
+    * index with a byte-offset — shows the explode/generator shape a real
+    * frame sampler would use. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("n_frames", (coalesce(length(col("payload")), lit(0)) / 1024 + 1).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      .select(col("media_id"), col("frame_idx"), (col("frame_idx") * 1024).as("byte_offset"))
+
+  /** Metadata-only profile: drops the payload before the shuffle. */
+  def profile(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"), col("mime"),
+        coalesce(length(col("payload")), lit(0)).as("payload_bytes"))
+      .groupBy("kind", "mime")
+      .agg(count("*").as("n"), sum("payload_bytes").as("total_bytes"),
+        round(avg("payload_bytes"), 2).as("avg_bytes"))
+
+  /** Deterministic synthetic media table for tests/demos (no external data;
+    * payload bytes are a pure function of media_id). */
+  def synthetic(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val len = 64 + (id % 7).toInt * 512
+      val payload = Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
+      MediaRow(id, kind, payload,
+        mime = kind match { case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4" },
+        width = if (kind == "image") Some(64 + (id % 16).toInt * 8) else None,
+        height = if (kind == "image") Some(64 + (id % 9).toInt * 8) else None,
+        duration_ms = if (kind != "image") Some(1000L + id % 60000) else None)
+    }
+  }
+}
