@@ -1,0 +1,132 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** CSV ingest: the reference's extract/transform path re-expressed as one
+  * declarative plan (src/etl/transform/inpe_focos_diario.py).
+  *
+  * Stages (all row-local until the final dedup):
+  *   P1 header normalization → P2 fuzzy column resolution → P3 locale
+  *   decimal cast → P6 null-like cleaning → P4/P5 coordinate validation →
+  *   P7 props JSON → P8 canonical event hash → P9 in-file dedup.
+  *
+  * Scale: the only shuffle is `dropDuplicates(event_hash)`; everything else
+  * is a narrow projection that Catalyst fuses into the scan. At 100 TB the
+  * per-day batches arrive as independent files, so dedup shuffles only the
+  * day's partition, not history (cross-day idempotency is the left-anti
+  * append, K1).
+  */
+object Ingest {
+
+  /** P1 — `strip().lower().replace(" ","_")` on all headers
+    * (transform/inpe_focos_diario.py:18-21). */
+  def normalizeHeader(name: String): String =
+    name.trim.toLowerCase.replace(" ", "_")
+
+  def normalizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normalizeHeader).toIndexedSeq: _*)
+
+  /** P2 — preferred exact names, then substring-contains fallback
+    * (transform/inpe_focos_diario.py:24-36). */
+  def resolveColumn(columns: Seq[String], preferred: Seq[String]): Option[String] = {
+    preferred.collectFirst { case p if columns.contains(p) => p }
+      .orElse(columns.find(c => preferred.exists(c.contains)))
+  }
+
+  val latPreferred = Seq("lat", "latitude")
+  val lonPreferred = Seq("lon", "longitude")
+  val tsPreferred = Seq("data_hora_gmt", "datahora", "data_hora", "data")
+  val satPreferred = Seq("satelite")
+  val munPreferred = Seq("municipio")
+  val ufPreferred = Seq("estado", "uf")
+  val biomaPreferred = Seq("bioma")
+
+  /** P3 — `,`→`.` then cast; failures become NULL (matches pandas
+    * to_numeric(errors="coerce"), transform/inpe_focos_diario.py:39-40). */
+  def localeDouble(c: Column): Column =
+    regexp_replace(c.cast("string"), ",", ".").cast("double")
+
+  /** P6 — NaN/empty/null-word strings → NULL
+    * (transform/inpe_focos_diario.py:43-59). */
+  def cleanValue(c: Column): Column =
+    when(lower(trim(c)).isin("nan", "na", "null", "none") || trim(c) === "", null)
+      .otherwise(trim(c))
+
+  /** Read a daily CSV with delimiter sniffing (S4: the reference lets pandas
+    * sniff; we sniff the header line driver-side, then hand Spark the
+    * explicit separator so the scan stays distributed). */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val header = scala.io.Source.fromFile(
+      // for multi-file globs take any file; sniffing only needs one header
+      new java.io.File(path) match {
+        case f if f.isDirectory => f.listFiles().filter(_.getName.endsWith(".csv")).head
+        case f => f
+      })
+    val firstLine = try header.getLines().nextOption().getOrElse("") finally header.close()
+    val sep = if (firstLine.count(_ == ';') > firstLine.count(_ == ',')) ";" else ","
+    spark.read.option("header", "true").option("sep", sep)
+      .option("inferSchema", "false") // everything arrives as string, like dtype=str
+      .csv(path)
+  }
+
+  /** Full transform: raw CSV DataFrame → curated records.
+    * Column resolution happens against the *actual* schema (the reference
+    * sniffs per file because INPE renamed columns over time).
+    */
+  def transform(raw: DataFrame, fileDate: java.sql.Date): DataFrame = {
+    val df = normalizeHeaders(raw)
+    val cols = df.columns.toSeq
+    def res(pref: Seq[String]): Option[String] = resolveColumn(cols, pref)
+
+    val latCol = res(latPreferred).getOrElse(
+      throw new IllegalArgumentException(s"no latitude column in $cols"))
+    val lonCol = res(lonPreferred).getOrElse(
+      throw new IllegalArgumentException(s"no longitude column in $cols"))
+    val tsCol = res(tsPreferred)
+    val satCol = res(satPreferred)
+    val munCol = res(munPreferred)
+    val ufCol = res(ufPreferred)
+    val biomaCol = res(biomaPreferred)
+
+    def opt(name: Option[String]): Column =
+      name.map(n => cleanValue(col(n))).getOrElse(lit(null).cast("string"))
+
+    val cleaned = df.select(
+      localeDouble(col(latCol)).as("lat"),
+      localeDouble(col(lonCol)).as("lon"),
+      opt(tsCol).as("view_ts"),
+      opt(satCol).as("satelite"),
+      opt(munCol).as("municipio"),
+      opt(ufCol).as("uf"),
+      opt(biomaCol).as("bioma"),
+      // P7: whole cleaned row as JSON props (raw table keeps provenance)
+      to_json(struct(cols.map(c => cleanValue(col(c)).as(c)): _*)).as("props"))
+
+    cleaned
+      .filter(col("lat").isNotNull && col("lon").isNotNull) // P4
+      .filter(col("lat").between(-90, 90) && col("lon").between(-180, 180)) // P5
+      .withColumn("file_date", lit(fileDate))
+      // P8: canonical hash byte-compatible with the Python pipeline
+      .withColumn("event_hash", HashFunctions.eventHashUdf(
+        date_format(col("file_date"), "yyyy-MM-dd"),
+        col("lat"), col("lon"), col("view_ts"), col("satelite")))
+      .dropDuplicates("event_hash") // P9 (hash covers all identity fields)
+      .select("event_hash", "file_date", "lat", "lon", "view_ts", "satelite",
+        "municipio", "uf", "bioma", "props")
+  }
+
+  /** K1 — idempotent append: only rows whose event_hash is not already in
+    * the target partition (ON CONFLICT DO NOTHING analog,
+    * src/etl/load/postgis.py:69-94). Existing side is pruned to the same
+    * file_date partition so the anti-join never scans history.
+    */
+  def idempotentAppend(newRows: DataFrame, existing: DataFrame): DataFrame =
+    newRows.join(existing.select("event_hash"), Seq("event_hash"), "left_anti")
+
+  /** K3 — inserted-count accounting (load/postgis.py:129-146). */
+  def countsByFileDate(df: DataFrame): DataFrame =
+    df.groupBy("file_date").agg(count(lit(1)).as("n"))
+}

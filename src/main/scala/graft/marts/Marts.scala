@@ -1,0 +1,130 @@
+package graft.marts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregate marts (SURVEY §2.4) with the reference's exact key semantics.
+  *
+  * Two different day keys — deliberately copied, not "fixed" (§7.4 risk 5):
+  *  - municipality/UF marts key on `coalesce(view_ts::date, file_date)`
+  *    (sql/marts/10_focos_diario_municipio.sql:38)
+  *  - biome/UC/TI marts key on raw `file_date`
+  *    (sql/marts/40_focos_diario_bioma.sql:22)
+  *
+  * Ratio columns use Decimal arithmetic to match Postgres `numeric`
+  * rounding (§7.4 risk 3).
+  *
+  * Scale: every mart is a single hash-aggregate over the enriched fact;
+  * partial aggregation halves shuffle volume; output tables are written
+  * partitioned by day/month with dynamic partition overwrite so re-runs
+  * replace exactly one partition (the delete-day-then-insert analog, K2).
+  */
+object Marts {
+
+  /** `coalesce(view_ts::date, file_date)` — string timestamp cast with
+    * null fallback. ANSI off ⇒ to_date yields NULL on parse failure,
+    * matching Postgres `::date` + coalesce. */
+  val dayKey: Column = coalesce(to_date(col("view_ts")), col("file_date"))
+
+  private def per100km2(n: Column, area: Column): Column =
+    round((lit(100) * n.cast(DecimalType(38, 10))) /
+      when(area === 0, null).otherwise(area).cast(DecimalType(38, 10)), 4)
+
+  /** A1 — daily municipality mart (10_focos_diario_municipio.sql:28-51). */
+  def focosDiarioMunicipio(enriched: DataFrame): DataFrame =
+    enriched.filter(col("mun_cd_mun").isNotNull)
+      .groupBy(dayKey.as("day"), col("mun_cd_mun"), col("mun_nm_mun"), col("mun_uf"))
+      .agg(max("mun_area_km2").as("mun_area_km2"), count(lit(1)).as("n_focos"))
+      .withColumn("focos_por_100km2", per100km2(col("n_focos"), col("mun_area_km2")))
+
+  /** A2 — monthly municipality mart (11_focos_mensal_municipio.sql). */
+  def focosMensalMunicipio(enriched: DataFrame): DataFrame =
+    enriched.filter(col("mun_cd_mun").isNotNull)
+      .groupBy(date_trunc("month", dayKey).cast("date").as("month"),
+        col("mun_cd_mun"), col("mun_nm_mun"), col("mun_uf"))
+      .agg(max("mun_area_km2").as("mun_area_km2"), count(lit(1)).as("n_focos"))
+      .withColumn("focos_por_100km2", per100km2(col("n_focos"), col("mun_area_km2")))
+
+  /** A3/J6 — daily UF mart with area join (20_focos_diario_uf.sql:30-43). */
+  def focosDiarioUf(enriched: DataFrame, ufArea: DataFrame): DataFrame =
+    enriched.filter(col("mun_uf").isNotNull)
+      .groupBy(dayKey.as("day"), col("mun_uf").as("uf"))
+      .agg(count(lit(1)).as("n_focos"))
+      .join(broadcast(ufArea), "uf") // inner: UFs without area drop, as in J6
+      .withColumn("focos_por_100km2", per100km2(col("n_focos"), col("uf_area_km2")))
+
+  /** A4 — biome daily/monthly marts: keyed on FILE_DATE, label = max()
+    * (40_focos_diario_bioma.sql:20-30). */
+  def focosDiarioBioma(enriched: DataFrame): DataFrame =
+    enriched.filter(col("cd_bioma").isNotNull)
+      .groupBy(col("file_date").as("day"), col("cd_bioma"))
+      .agg(max("bioma").as("bioma"), count(lit(1)).cast("int").as("focos"))
+
+  def focosMensalBioma(enriched: DataFrame): DataFrame =
+    enriched.filter(col("cd_bioma").isNotNull)
+      .groupBy(date_trunc("month", col("file_date")).cast("date").as("month"), col("cd_bioma"))
+      .agg(max("bioma").as("bioma"), count(lit(1)).cast("int").as("focos"))
+
+  /** A5/A6 — UC and TI marts share the biome shape (50/60_*.sql). */
+  def focosDiarioKeyed(enriched: DataFrame, keyCol: String, labelCols: Seq[String]): DataFrame =
+    enriched.filter(col(keyCol).isNotNull)
+      .groupBy(col("file_date").as("day"), col(keyCol))
+      .agg(labelCols.map(c => max(c).as(c)).head,
+        (labelCols.map(c => max(c).as(c)).tail :+ count(lit(1)).cast("int").as("focos")): _*)
+
+  /** A7/W3 — period stats + argmax peak day with the DISTINCT ON tiebreak
+    * `order by uf, n_focos desc, day` (40_focos_periodo_uf.sql:22-73).
+    * One aggregate replaces the reference's stats×peaks join: max_by with a
+    * struct tiebreak — no second scan, no join.
+    */
+  def focosPeriodoUf(dailyUf: DataFrame,
+                     start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val base = dailyUf.filter(col("day").between(lit(start), lit(end)))
+    base.groupBy("uf").agg(
+      max("uf_area_km2").as("uf_area_km2"),
+      sum("n_focos").as("n_focos_total"),
+      round(avg("n_focos").cast(DecimalType(38, 10)), 2).as("n_focos_avg_daily"),
+      max("n_focos").as("n_focos_max_daily"),
+      // peak day = highest n_focos, earliest day on ties:
+      // maximize (n_focos, -epoch(day)) then take its day
+      max_by(col("day"), struct(col("n_focos"), to_timestamp(col("day")).cast("long") * -1))
+        .as("peak_day"))
+      .withColumn("period_start", lit(start)).withColumn("period_end", lit(end))
+      .withColumn("focos_por_100km2", per100km2(col("n_focos_total"), col("uf_area_km2")))
+  }
+
+  /** W1/W2 — trend view: 7- and 30-day moving averages, ROW-based frames
+    * (gaps NOT respected — copied bug-for-bug from
+    * 30_focos_diario_uf_trend.sql:21-37). */
+  def focosDiarioUfTrend(dailyUf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("uf").orderBy("day")
+    dailyUf.select(col("day"), col("uf"), col("n_focos"))
+      .withColumn("ma7", round(avg("n_focos").over(w.rowsBetween(-6, 0)).cast(DecimalType(38, 10)), 2))
+      .withColumn("ma30", round(avg("n_focos").over(w.rowsBetween(-29, 0)).cast(DecimalType(38, 10)), 2))
+  }
+
+  /** A8 — the serving fact cube `mv_focos_day_dim`
+    * (sqlm/marts/canonical/065_mv_focos_day_dim.sql:5-20): group by the 11
+    * dimension columns, count. Every API aggregate reads this table.
+    */
+  def factCube(enrichedFull: DataFrame): DataFrame =
+    enrichedFull.groupBy(
+        dayKey.as("day"),
+        col("mun_uf").as("uf"), col("cd_uf"), col("mun_cd_mun").as("cd_mun"),
+        col("mun_nm_mun"), col("bioma"), col("cd_bioma"),
+        col("uc_nome"), col("cd_cnuc"), col("ti_nome"), col("terrai_cod"))
+      .agg(count(lit(1)).as("n_focos"))
+
+  /** A9 — UF area rollup (sql/ref/05_ref_uf_area.sql:10-18). */
+  def ufAreaRollup(municipios: DataFrame): DataFrame =
+    municipios.groupBy(col("uf"))
+      .agg(sum("area_km2").as("uf_area_km2"))
+
+  /** K2 — partition-overwrite write of a mart keyed by `partCol`. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+}
