@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.enrich.Enrich
 import graft.functions.{GeoFunctions, HashFunctions, TextFunctions}
 import graft.operators.{Dedup, Similarity}
+import graft.serve.Serve
 
 /** The engine's query surface: one entry per operator family from
   * SURVEY.md §2 (+ the training-data-pipeline operators), each expressed
@@ -70,6 +72,26 @@ object Queries {
       (expr("n_nationkey div 5") * 34 - 85).cast("double").as("min_lat"),
       (col("n_nationkey") % 5 * 72 - 108).cast("double").as("max_lon"),
       (expr("n_nationkey div 5") * 34 - 51).cast("double").as("max_lat"))
+
+  /** fact-cube analog for the serving routes: nation plays municipality,
+    * region plays UF (day, uf, cd_mun, mun_nm_mun, n_focos) */
+  private def choroCube(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_orderdate").cast("date").as("day"), col("r_name").as("uf"),
+        col("n_nationkey").as("cd_mun"), col("n_name").as("mun_nm_mun"))
+      .agg(count(lit(1)).as("n_focos"))
+
+  /** municipality-geometry analog: one rectangle per nation keyed under its
+    * region as "uf" */
+  private def munGeoms(s: SparkSession, d: String): DataFrame =
+    cells(s, d)
+      .join(broadcast(T(s, d, "nation").select(col("n_nationkey").as("nk"),
+        col("n_regionkey"))), col("n_nationkey") === col("nk"))
+      .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("key"), col("r_name").as("uf"), rectGeom.as("geom"))
 
   /** rectangle multipolygon column from bbox columns (GeoJSON nesting) */
   private def rectGeom: Column = {
@@ -533,6 +555,128 @@ object Queries {
             Window.partitionBy("c_custkey").orderBy(col("r_regionkey").asc)))
           .filter(col("rn") === 1)
           .select("c_custkey", "r_name")
+      }),
+
+    // J5 — first-match ordered by *code*, not surrogate id
+    // (sqlm/marts/canonical/055_v_focos_enriched_full.sql:36-65). The dim's
+    // code column deliberately reverses the key order so this query's
+    // winners differ from j4's id-ordered winners.
+    QueryDef("j5_code_order", Some(
+      s"WITH p AS ($ptsSql), " +
+        "b AS (SELECT r_regionkey, 5 - r_regionkey AS code, r_name, " +
+        "CAST(r_regionkey*72 - 180 AS DOUBLE) AS min_lon, " +
+        "CAST(r_regionkey*72 - 36 AS DOUBLE) AS max_lon FROM region), " +
+        "m AS (SELECT p.c_custkey, b.r_name, " +
+        "row_number() OVER (PARTITION BY p.c_custkey ORDER BY b.code ASC) AS rn " +
+        "FROM p JOIN b ON p.lon > b.min_lon AND p.lon < b.max_lon) " +
+        "SELECT p.c_custkey, m.r_name AS region_name FROM p " +
+        "LEFT JOIN (SELECT c_custkey, r_name FROM m WHERE rn = 1) m USING (c_custkey)"),
+      (s, d) => {
+        val facts = points(s, d).select(col("c_custkey").as("event_hash"),
+          col("lon"), col("lat"))
+        val dim = T(s, d, "region").select(
+          col("r_regionkey").as("dim_id"), (lit(5) - col("r_regionkey")).as("code"),
+          col("r_name"),
+          (col("r_regionkey") * 72 - 180).cast("double").as("min_lon"),
+          lit(-90.0).as("min_lat"),
+          (col("r_regionkey") * 72 - 36).cast("double").as("max_lon"),
+          lit(90.0).as("max_lat"))
+          .withColumn("geom", rectGeom)
+        Enrich.enrichFirstMatch(facts, dim, Map("r_name" -> "region_name"),
+            "region_checked", orderCol = "code")
+          .select(col("event_hash").as("c_custkey"), col("region_name"))
+      }),
+
+    // J10 — municipal choropleth: per-"UF" geometry left-joined to the
+    // period aggregate, zero-filled, ordered (api/app/main.py:1020-1130).
+    // nation plays municipality, region plays UF; geometry column dropped
+    // for the compare (simplification is unit-tested).
+    QueryDef("j10_choropleth_mun", Some(
+      "WITH agg AS (SELECT CAST(n.n_nationkey AS VARCHAR) AS key, " +
+        "max(n.n_name) AS label, count(*) AS n_focos " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01' " +
+        "AND CAST(o.o_orderdate AS DATE) < DATE '1995-06-30' AND r.r_name = 'ASIA' " +
+        "GROUP BY 1), " +
+        "g AS (SELECT CAST(n_nationkey AS VARCHAR) AS key, r_name AS uf FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+        "SELECT g.key, g.uf, coalesce(a.label, g.key) AS label, " +
+        "coalesce(a.n_focos, 0) AS n_focos, " +
+        "CAST(coalesce(a.n_focos, 0) AS DOUBLE)/180 AS mean_per_day " +
+        "FROM g LEFT JOIN agg a USING (key) ORDER BY n_focos DESC, key"),
+      (s, d) => {
+        val cube = choroCube(s, d)
+        val geoms = munGeoms(s, d)
+        Serve.choroplethMun(cube, geoms,
+            java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-06-30"),
+            Serve.Filters(uf = Some("ASIA")))
+          .drop("geom")
+      }),
+
+    // /api/lookup/mun (main.py:1133-1208)
+    QueryDef("serve_lookup_mun", Some(
+      "WITH gm AS (SELECT CAST(n_nationkey AS VARCHAR) AS mun, r_name AS uf FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE CAST(n_nationkey AS VARCHAR) = '7' LIMIT 1), " +
+        "d AS (SELECT CAST(n.n_nationkey AS VARCHAR) AS mun, max(n.n_name) AS mun_nome " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "WHERE CAST(n.n_nationkey AS VARCHAR) = '7' GROUP BY 1) " +
+        "SELECT gm.mun, coalesce(d.mun_nome, gm.mun) AS mun_nome, " +
+        "upper(gm.uf) AS uf, upper(gm.uf) AS uf_nome FROM gm LEFT JOIN d ON d.mun = gm.mun"),
+      (s, d) => Serve.lookupMun(choroCube(s, d), munGeoms(s, d), "7")),
+
+    // /api/bounds (main.py:1211-1245): bbox + center of a keyed geometry
+    QueryDef("serve_bounds", Some(
+      s"WITH c AS ($cellsSql) SELECT min_lon AS minx, min_lat AS miny, " +
+        "max_lon AS maxx, max_lat AS maxy, " +
+        "(min_lat + max_lat)/2 AS center_lat, (min_lon + max_lon)/2 AS center_lon " +
+        "FROM c WHERE n_nationkey = 7"),
+      (s, d) => Serve.bounds(
+        cells(s, d).select(col("n_nationkey").as("key"), lit("X").as("uf"),
+          rectGeom.as("geom")), "7")),
+
+    // /api/geo/qa metric surface (main.py:1345-1398) — npoints / validity /
+    // spherical area / envelope per geometry, via the QA UDFs
+    QueryDef("serve_geo_qa", Some(
+      s"WITH c AS ($cellsSql) SELECT n_nationkey, 1 AS n_parts, 5 AS npoints, " +
+        "TRUE AS is_valid, CAST(round(abs(" +
+        "(72.0/180.0*pi())*((2 + sin(min_lat/180.0*pi()) + sin(min_lat/180.0*pi()))) + " +
+        "(-72.0/180.0*pi())*((2 + sin(max_lat/180.0*pi()) + sin(max_lat/180.0*pi())))" +
+        ") * 6371000.0 * 6371000.0 / 2, 0) AS BIGINT) AS area_m2, " +
+        "min_lon AS minx, min_lat AS miny, max_lon AS maxx, max_lat AS maxy FROM c"),
+      (s, d) => {
+        val g = cells(s, d).withColumn("geom", rectGeom)
+          .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+        g.select(col("n_nationkey"),
+          size(col("geom")).as("n_parts"),
+          GeoFunctions.nPointsUdf(col("geom")).as("npoints"),
+          GeoFunctions.isValidUdf(col("geom")).as("is_valid"),
+          round(GeoFunctions.multiPolygonAreaSqMetersUdf(col("geom")), 0)
+            .cast("long").as("area_m2"),
+          col("bb._1").as("minx"), col("bb._2").as("miny"),
+          col("bb._3").as("maxx"), col("bb._4").as("maxy"))
+      }),
+
+    // /api/geo fact side (main.py:1294-1317): one entity's filtered sum with
+    // label fallback + display-label cleanup (identity on clean labels)
+    QueryDef("serve_geo_overlay", Some(
+      "SELECT 'uc' AS entity, '1-URGENT' AS key, " +
+        "coalesce(max(uc_nome), '1-URGENT') AS label, coalesce(sum(n_focos), 0) AS n_focos FROM " +
+        "(SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS cd_cnuc, " +
+        "o_orderpriority || ' NAME' AS uc_nome, count(*) AS n_focos FROM orders GROUP BY 1,2,3) " +
+        "WHERE day >= DATE '1995-01-01' AND day < DATE '1995-12-31' " +
+        "AND (cd_cnuc = '1-URGENT' OR upper(uc_nome) = '1-URGENT')"),
+      (s, d) => {
+        val cube = T(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"),
+            col("o_orderpriority").as("cd_cnuc"),
+            concat(col("o_orderpriority"), lit(" NAME")).as("uc_nome"))
+          .agg(count(lit(1)).as("n_focos"))
+        Serve.geoOverlayStats(cube, "uc", "1-URGENT",
+          java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-12-31"),
+          Serve.Filters())
       }),
 
     QueryDef("geo_area", Some(

@@ -43,9 +43,16 @@ object Enrich {
       col("uf").as("mun_uf"), col("area_km2").as("mun_area_km2"),
       col("geom"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
 
+    // exactly one assignment per event even when a boundary point falls in
+    // two overlapping municipality polygons — mirrors the reference UPDATE
+    // (one row per fact, lowest code wins), and keeps Pipeline.checkDay's
+    // curated==enriched conservation invariant intact
     val exact = facts.join(broadcast(dim),
         bboxPre(col("lon"), col("lat")) && pip(col("lon"), col("lat")), "left")
       .drop("geom", "min_lon", "min_lat", "max_lon", "max_lat")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_hash").orderBy(col("mun_cd_mun").asc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
 
     val matched = exact.filter(col("mun_cd_mun").isNotNull)
     val unmatched = exact.filter(col("mun_cd_mun").isNull)
@@ -81,22 +88,30 @@ object Enrich {
   /** J4/W6 — generic first-match PIP enrichment (biome / UC / TI):
     * bbox && PIP join, ties broken by lowest dim_id (the reference's
     * `distinct on (event_hash) order by event_hash, b.id`,
-    * 21_enrich_biomas_ucs_tis.sql:33-43).
+    * 21_enrich_biomas_ucs_tis.sql:33-43). The J5 view flavor
+    * (sqlm/marts/canonical/055_v_focos_enriched_full.sql:36-65) orders by
+    * *code* instead — pass `orderCol` to select the tiebreak column.
     *
     * @param outCols mapping dimCol -> outputCol to denormalize
+    * @param orderCol dim column that breaks first-match ties (default the
+    *                 surrogate id; J5 passes the code column)
     */
   def enrichFirstMatch(facts: DataFrame, dim: DataFrame,
                        outCols: Map[String, String],
-                       checkedFlag: String): DataFrame = {
+                       checkedFlag: String,
+                       orderCol: String = "dim_id"): DataFrame = {
+    val extraOrder =
+      if (orderCol == "dim_id" || outCols.contains(orderCol)) Seq.empty[String]
+      else Seq(orderCol)
     val dimSel = dim.select(
-      (col("dim_id") +: outCols.keys.toSeq.map(col) :+
+      (col("dim_id") +: (outCols.keys.toSeq ++ extraOrder).map(col) :+
         col("geom") :+ col("min_lon") :+ col("min_lat") :+
         col("max_lon") :+ col("max_lat")): _*)
 
     val joined = facts.join(broadcast(dimSel),
         bboxPre(col("lon"), col("lat")) && pip(col("lon"), col("lat")), "left")
       .withColumn("rn", row_number().over(
-        Window.partitionBy("event_hash").orderBy(col("dim_id").asc_nulls_last)))
+        Window.partitionBy("event_hash").orderBy(col(orderCol).asc_nulls_last)))
       .filter(col("rn") === 1)
 
     val renamed = outCols.foldLeft(joined) { case (df, (dimCol, outCol)) =>
@@ -105,6 +120,7 @@ object Enrich {
     renamed
       .withColumn(checkedFlag, lit(true))
       .drop("rn", "dim_id", "geom", "min_lon", "min_lat", "max_lon", "max_lat")
+      .drop(extraOrder: _*)
       .drop(outCols.keys.toSeq.filterNot(outCols.contains).distinct: _*)
       .drop(outCols.keys.toSeq.filterNot(k => outCols(k) == k): _*)
   }

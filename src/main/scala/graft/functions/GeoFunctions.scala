@@ -85,6 +85,13 @@ object GeoFunctions {
       if (mp == null) null.asInstanceOf[java.lang.Integer]
       else java.lang.Integer.valueOf(toMP(mp).iterator.map(_.iterator.map(_.length).sum).sum))
 
+  /** ST_IsValid proxy (ring closure + ≥4 points) — QA metric surface
+    * (api/app/main.py:716-753). */
+  val isValidUdf =
+    udf((mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(Geo.isValid(toMP(mp))))
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("pip", pointInMultiPolygonUdf)
     spark.udf.register("haversine_m", haversineMetersUdf)
@@ -96,5 +103,6 @@ object GeoFunctions {
     spark.udf.register("geo_drop_holes", dropHolesUdf)
     spark.udf.register("geo_largest_part", largestPartUdf)
     spark.udf.register("geo_npoints", nPointsUdf)
+    spark.udf.register("geo_is_valid", isValidUdf)
   }
 }

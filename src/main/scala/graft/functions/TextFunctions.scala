@@ -147,7 +147,51 @@ object TextFunctions {
     if (s == null) null
     else Normalizer.normalize(s, Normalizer.Form.NFKD).replaceAll("\\p{M}+", "")
 
+  /** `_ascii_label` (api/app/main.py:624-625): NFKD then drop every
+    * non-ascii codepoint (encode('ascii','ignore')). */
+  def asciiLabel(s: String): String =
+    Normalizer.normalize(s, Normalizer.Form.NFKD).filter(_ < 128)
+
+  /** Exact port of `_clean_display_label` (api/app/main.py:628-657):
+    *  1. strip; empty stays empty;
+    *  2. latin1→utf-8 recode probe (strict both ways, as Python raises
+    *     UnicodeError on any char > U+00FF or invalid utf-8 byte run) —
+    *     adopt the recoding only when it changes the string and introduces
+    *     no U+FFFD;
+    *  3. if replacement chars remain: patch "S�o"→"São" (both cases, both
+    *     the single U+FFFD and the "ï¿½" mojibake triplet), then degrade
+    *     leftovers to "a", then ascii-fold if still dirty.
+    */
+  def cleanDisplayLabel(label: String): String = {
+    val repl = "�"
+    val bad = "ï¿½" // "ï¿½" — U+FFFD's utf-8 bytes read as latin1
+    var out = if (label == null) "" else label.strip()
+    if (out.isEmpty) return out
+    var hasMojibake = out.contains(repl) || out.contains(bad)
+    if (out.forall(_ <= 'ÿ')) {
+      try {
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val bytes = out.map(_.toByte).toArray
+        val recoded = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        if (recoded.nonEmpty && recoded != out && !recoded.contains(repl)) {
+          out = recoded
+          hasMojibake = out.contains(repl) || out.contains(bad)
+        }
+      } catch { case _: java.nio.charset.CharacterCodingException => }
+    }
+    if (!hasMojibake) return out
+    var p = out
+    p = p.replace(s"S${repl}o", "São").replace(s"s${repl}o", "são")
+    p = p.replace(s"S${bad}o", "São").replace(s"s${bad}o", "são")
+    p = p.replace(repl, "a").replace(bad, "a")
+    if (p.contains(repl) || p.contains(bad)) p = asciiLabel(p)
+    p
+  }
+
   val cleanLabelUdf = udf((s: String) => if (s == null) null else fixMojibake(s).trim)
+  val cleanDisplayLabelUdf = udf((s: String) => cleanDisplayLabel(s))
   val asciiFoldUdf = udf((s: String) => asciiFold(s))
 
   def register(spark: SparkSession): Unit = {
@@ -155,6 +199,7 @@ object TextFunctions {
     spark.udf.register("token_count_bpeish", tokenCountBpeishUdf)
     spark.udf.register("fingerprint64", fingerprint64Udf)
     spark.udf.register("clean_label", cleanLabelUdf)
+    spark.udf.register("clean_display_label", cleanDisplayLabelUdf)
     spark.udf.register("ascii_fold", asciiFoldUdf)
   }
 }

@@ -3,9 +3,12 @@ package graft.serve
 import java.sql.Date
 import java.time.LocalDate
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.geo.Geo
 
 /** The serving layer: parameterized query functions mirroring the
   * reference's 11 API routes over the persisted fact cube
@@ -26,6 +29,9 @@ object Serve {
   val MunGuardrailLimit = 10 // main.py:76
   val PointsDefaultLimit = 20000 // main.py:84
   val PointsHardCap = 50000 // main.py:83
+  val ChoroMaxDaysMun = 180 // CHORO_MAX_DAYS_MUN, main.py:80
+  val ChoroSimplifyTol = 0.01 // CHORO_SIMPLIFY_TOL, main.py:81
+  val GeoSimplifyDefaultTolM = 10.0 // GEO_SIMPLIFY_DEFAULT_TOL_M, main.py:82
 
   final case class Filters(uf: Option[String] = None, bioma: Option[String] = None,
                            mun: Option[String] = None, uc: Option[String] = None,
@@ -225,6 +231,215 @@ object Serve {
     }
     Legend(breaks, (values.min.toDouble, values.max.toDouble), method, useZeroClass)
   }
+
+  // -------------------------------------------- geometry-serving routes
+
+  /** /api/choropleth/mun — J10 (api/app/main.py:1020-1130): per-UF
+    * municipality geometries simplified at `tol` degrees, LEFT JOIN the
+    * period aggregate USING (key), zero-filled, ordered n_focos desc / key.
+    * `munGeoms` carries (key, uf, geom). The uf filter is mandatory and the
+    * range capped at [[ChoroMaxDaysMun]], as in the reference.
+    */
+  def choroplethMun(cube: DataFrame, munGeoms: DataFrame,
+                    from: LocalDate, to: LocalDate, f: Filters,
+                    tol: Double = ChoroSimplifyTol): DataFrame = {
+    validateRange(from, to)
+    val fn = normalizeFilters(f)
+    require(fn.uf.nonEmpty, "uf is required for municipal choropleth")
+    val days = java.time.temporal.ChronoUnit.DAYS.between(from, to)
+    require(days <= ChoroMaxDaysMun,
+      s"range too large for municipal choropleth; reduce to <= $ChoroMaxDaysMun days")
+    val agg = cube.filter(factWhere(from, to, f))
+      .groupBy(col("cd_mun").cast("string").as("key"))
+      .agg(max("mun_nm_mun").cast("string").as("label"), sum("n_focos").as("n_focos"))
+    val g = munGeoms.filter(upper(col("uf").cast("string")) === fn.uf.get)
+      .select(col("key").cast("string").as("key"), col("uf"),
+        GeoFunctions.simplifyDPUdf(col("geom"), lit(tol)).as("geom"))
+    g.join(agg, Seq("key"), "left")
+      .select(col("key"), col("uf"),
+        coalesce(col("label"), col("key")).as("label"),
+        coalesce(col("n_focos"), lit(0L)).as("n_focos"), col("geom"))
+      .withColumn("mean_per_day",
+        col("n_focos").cast("double") / math.max(1L, days).toDouble)
+      .orderBy(col("n_focos").desc, col("key").asc)
+  }
+
+  /** Legend for a choropleth result: collect the (≤5 570) aggregated values
+    * driver-side and run the exact break algorithm, as the reference does
+    * in Python (main.py:1096-1113). */
+  def legendFor(choropleth: DataFrame, valueCol: String = "n_focos"): Legend =
+    computeBreaks(choropleth.select(col(valueCol).cast("long")).collect()
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).toSeq)
+
+  /** /api/lookup/mun (main.py:1133-1208): geometry row for the key LEFT
+    * JOIN the fact-derived display name; uf upper-cased for both uf fields.
+    * Empty result ⇔ the reference's 404.
+    */
+  def lookupMun(cube: DataFrame, munGeoms: DataFrame, key: String): DataFrame = {
+    val k = normText(Some(key)).getOrElse(
+      throw new IllegalArgumentException("key is required"))
+    val gm = munGeoms.filter(col("key").cast("string") === k)
+      .select(col("key").cast("string").as("mun"), col("uf")).limit(1)
+    val d = cube.filter(col("cd_mun").cast("string") === k)
+      .groupBy(col("cd_mun").cast("string").as("mun"))
+      .agg(max("mun_nm_mun").cast("string").as("mun_nome"))
+    gm.join(d, Seq("mun"), "left")
+      .select(col("mun"), coalesce(col("mun_nome"), col("mun")).as("mun_nome"),
+        upper(col("uf").cast("string")).as("uf"),
+        upper(col("uf").cast("string")).as("uf_nome"))
+  }
+
+  /** /api/bounds (main.py:1211-1245, _load_bounds_bbox at 852-922): bbox of
+    * the keyed geometry (ST_Extent over all of the key's rows/parts) plus
+    * the center [lat, lon] (_bbox_center, main.py:849).
+    */
+  def bounds(geoms: DataFrame, key: String, uf: Option[String] = None): DataFrame = {
+    val k = normText(Some(key)).getOrElse(
+      throw new IllegalArgumentException("key is required"))
+    var g = geoms.filter(col("key").cast("string") === k)
+    uf.flatMap(u => normText(Some(u))).foreach(u =>
+      g = g.filter(upper(col("uf").cast("string")) === u))
+    g.withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+      .agg(min("bb._1").as("minx"), min("bb._2").as("miny"),
+        max("bb._3").as("maxx"), max("bb._4").as("maxy"))
+      .withColumn("center_lat", (col("miny") + col("maxy")) / 2.0)
+      .withColumn("center_lon", (col("minx") + col("maxx")) / 2.0)
+  }
+
+  /** Shape metrics for /api/geo + /api/geo/qa
+    * (_load_geo_shape_metrics, main.py:665-800). */
+  final case class ShapeMetrics(key: String, nPartsBeforeUnion: Int,
+                                isValidBefore: Boolean, isValidAfter: Boolean,
+                                npointsBeforeUnion: Int, npointsOut: Int,
+                                areaM2UnionBefore: Double, areaM2UnionAfter: Double,
+                                bbox: (Double, Double, Double, Double),
+                                bboxRatio: Double, warningBboxRatio: Boolean,
+                                simplifyApplied: Boolean, tolMUsed: Double,
+                                geometry: Geo.MultiPolygon, coordsHash: String)
+
+  /** Assemble + QA one key's geometry, driver-side (a single entity's
+    * polygon parts — ≤ thousands of points), mirroring main.py:665-800:
+    * collect the key's parts, combine (`ST_UnaryUnion(ST_Collect(...))`
+    * stand-in: multipolygon concatenation — parts are assumed disjoint,
+    * documented divergence per SURVEY §7.4 risk 2), metrics before,
+    * optional simplification (reference simplifies in EPSG:3857 meters; we
+    * Douglas–Peucker in degrees at tol_m/111320 — same intent, documented
+    * stand-in), metrics after, bbox, and the reference's bbox_ratio exactly
+    * as written — bbox area in degrees² over area in m² (main.py:780-783,
+    * copied unit-for-unit; /api/validate checks ratio ≤ 50 against this
+    * same definition so the two stay consistent).
+    */
+  def geoShapeMetrics(geoms: DataFrame, key: String,
+                      simplify: Boolean = true,
+                      tolM: Double = GeoSimplifyDefaultTolM): Option[ShapeMetrics] = {
+    require(tolM >= 0, "tol_m must be >= 0")
+    val k = normText(Some(key)).getOrElse(
+      throw new IllegalArgumentException("key is required"))
+    val rows = geoms.filter(col("key").cast("string") === k).select("geom").collect()
+    if (rows.isEmpty) return None
+
+    def toMP(raw: Seq[Seq[Seq[Seq[Double]]]]): Geo.MultiPolygon =
+      raw.iterator.map(_.iterator.map(
+        _.iterator.map(p => (p(0), p(1))).toIndexedSeq).toIndexedSeq).toIndexedSeq
+    val parts: Geo.MultiPolygon = rows.toIndexedSeq.flatMap { r =>
+      if (r.isNullAt(0)) IndexedSeq.empty[Geo.Polygon]
+      else toMP(r.getSeq[Seq[Seq[Seq[Double]]]](0).asInstanceOf[Seq[Seq[Seq[Seq[Double]]]]])
+    }
+    if (parts.isEmpty) return None
+
+    val areaBefore = parts.map(Geo.polygonAreaSqMeters).sum
+    val npointsBefore = Geo.nPoints(parts)
+    val validBefore = Geo.isValid(parts)
+    val out: Geo.MultiPolygon =
+      if (simplify) parts.map(_.map(r => Geo.simplifyDP(r, tolM / 111320.0)))
+      else parts
+    val areaAfter = out.map(Geo.polygonAreaSqMeters).sum
+    val bb = Geo.bboxOfMultiPolygon(out)
+    val bboxArea = math.max(0.0, bb.maxLon - bb.minLon) * math.max(0.0, bb.maxLat - bb.minLat)
+    val ratio = bboxArea / math.max(areaAfter, 1e-12)
+    Some(ShapeMetrics(k,
+      nPartsBeforeUnion = parts.length,
+      isValidBefore = validBefore, isValidAfter = Geo.isValid(out),
+      npointsBeforeUnion = npointsBefore, npointsOut = Geo.nPoints(out),
+      areaM2UnionBefore = areaBefore, areaM2UnionAfter = areaAfter,
+      bbox = (bb.minLon, bb.minLat, bb.maxLon, bb.maxLat),
+      bboxRatio = ratio, warningBboxRatio = ratio > 50.0,
+      simplifyApplied = simplify, tolMUsed = if (simplify) tolM else 0.0,
+      geometry = out, coordsHash = coordsHash(out)))
+  }
+
+  /** sha1[:16] of the canonical GeoJSON (_coords_hash, main.py:660-662:
+    * json.dumps(sort_keys=True, separators=(",",":"))). */
+  def coordsHash(mp: Geo.MultiPolygon): String = {
+    val sb = new StringBuilder
+    sb.append("{\"coordinates\":[")
+    mp.zipWithIndex.foreach { case (poly, pi) =>
+      if (pi > 0) sb.append(',')
+      sb.append('[')
+      poly.zipWithIndex.foreach { case (ring, ri) =>
+        if (ri > 0) sb.append(',')
+        sb.append('[')
+        ring.zipWithIndex.foreach { case ((lon, lat), i) =>
+          if (i > 0) sb.append(',')
+          sb.append('[').append(pyNum(lon)).append(',').append(pyNum(lat)).append(']')
+        }
+        sb.append(']')
+      }
+      sb.append(']')
+    }
+    sb.append("],\"type\":\"MultiPolygon\"}")
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Python json number repr: integral floats print as "N.0", others via
+    * shortest round-trip decimal (Java's Double.toString agrees on the
+    * post-parse coordinate domain; exponent-form corners documented). */
+  private def pyNum(x: Double): String = {
+    if (x == math.rint(x) && math.abs(x) < 1e16) {
+      val l = x.toLong
+      s"$l.0"
+    } else x.toString
+  }
+
+  /** /api/geo fact side (main.py:1294-1317): the filtered fact sum for one
+    * entity key, label falling back key-ward; display label is cleaned with
+    * the mojibake repair. entity ∈ {uc, ti} (GeoEntity, main.py:58).
+    */
+  def geoOverlayStats(cube: DataFrame, entity: String, key: String,
+                      from: LocalDate, to: LocalDate, f: Filters): DataFrame = {
+    validateRange(from, to)
+    val k = normText(Some(key)).getOrElse(
+      throw new IllegalArgumentException("key is required"))
+    val (keyCol, labelCol) = entity match {
+      case "uc" => (col("cd_cnuc"), col("uc_nome"))
+      case "ti" => (col("terrai_cod"), col("ti_nome"))
+      case other => throw new IllegalArgumentException(s"unsupported geo entity: $other")
+    }
+    val withKeyFilter = entity match {
+      case "uc" => f.copy(uc = Some(k))
+      case _ => f.copy(ti = Some(k))
+    }
+    cube.filter(factWhere(from, to, withKeyFilter) && keyCol.cast("string") === k)
+      .agg(TextFunctions.cleanDisplayLabelUdf(
+        coalesce(max(labelCol).cast("string"), lit(k))).as("label"),
+        coalesce(sum("n_focos"), lit(0L)).as("n_focos"))
+      .withColumn("entity", lit(entity)).withColumn("key", lit(k))
+      .select("entity", "key", "label", "n_focos")
+  }
+
+  /** /api/validate legend-monotonicity check (main.py:1792-1820). */
+  def legendMonotonic(l: Legend): Boolean =
+    l.breaks.length >= 2 && l.breaks.sliding(2).forall(p => p(1) > p(0))
+
+  /** /api/validate bounds-vs-geo check: bbox ratio ≤ 50 (main.py:1822-1846). */
+  def validateBboxRatio(m: ShapeMetrics): Boolean = m.bboxRatio <= 50.0
+
+  /** /api/validate points smoke: the page respects its limit (main.py:1848-1861). */
+  def validatePointsSmoke(facts: DataFrame, from: LocalDate, to: LocalDate,
+                          limit: Int = 200): Boolean =
+    points(facts, from, to, None, limit)._1.size <= limit
 
   /** /api/validate consistency triple (main.py:1733-1790): totals ==
     * timeseries sum == per-entity (choropleth) sum under any filter combo.
