@@ -57,15 +57,32 @@ object Ingest {
 
   /** Read a daily CSV with delimiter sniffing (S4: the reference lets pandas
     * sniff; we sniff the header line driver-side, then hand Spark the
-    * explicit separator so the scan stays distributed). */
+    * explicit separator so the scan stays distributed). Uses the Hadoop
+    * FileSystem API so directories, globs, and non-local filesystems
+    * (hdfs://, s3://) all resolve; an empty match is a clear error rather
+    * than a NoSuchElementException.
+    */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
-    val header = scala.io.Source.fromFile(
-      // for multi-file globs take any file; sniffing only needs one header
-      new java.io.File(path) match {
-        case f if f.isDirectory => f.listFiles().filter(_.getName.endsWith(".csv")).head
-        case f => f
-      })
-    val firstLine = try header.getLines().nextOption().getOrElse("") finally header.close()
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def firstCsv(statuses: Array[FileStatus], what: String): HPath = {
+      val files = Option(statuses).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".csv"))
+      require(files.nonEmpty, s"no .csv files $what: $path")
+      files.minBy(_.getPath.getName).getPath
+    }
+    val target =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) firstCsv(fs.listStatus(p), "in directory")
+      else if (fs.exists(p)) p
+      else firstCsv(fs.globStatus(p), "matching glob")
+    val in = fs.open(target)
+    val firstLine =
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        Option(r.readLine()).getOrElse("")
+      } finally in.close()
     val sep = if (firstLine.count(_ == ';') > firstLine.count(_ == ',')) ";" else ","
     spark.read.option("header", "true").option("sep", sep)
       .option("inferSchema", "false") // everything arrives as string, like dtype=str
@@ -113,7 +130,15 @@ object Ingest {
       .withColumn("event_hash", HashFunctions.eventHashUdf(
         date_format(col("file_date"), "yyyy-MM-dd"),
         col("lat"), col("lon"), col("view_ts"), col("satelite")))
-      .dropDuplicates("event_hash") // P9 (hash covers all identity fields)
+      // P9 — the hash excludes municipio/uf/bioma/props, so the survivor
+      // matters: keep the FIRST occurrence in file order like the
+      // reference's seen_hash skip (transform/inpe_focos_diario.py:143-169);
+      // monotonically_increasing_id preserves within-partition input order
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_hash").orderBy(col("__ord").asc)))
+      .filter(col("__rn") === 1)
       .select("event_hash", "file_date", "lat", "lon", "view_ts", "satelite",
         "municipio", "uf", "bioma", "props")
   }
