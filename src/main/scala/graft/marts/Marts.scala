@@ -55,6 +55,15 @@ object Marts {
       .join(broadcast(ufArea), "uf") // inner: UFs without area drop, as in J6
       .withColumn("focos_por_100km2", per100km2(col("n_focos"), col("uf_area_km2")))
 
+  /** A3 monthly — UF mart keyed by month (21_focos_mensal_uf.sql:30-43). */
+  def focosMensalUf(enriched: DataFrame, ufArea: DataFrame): DataFrame =
+    enriched.filter(col("mun_uf").isNotNull)
+      .groupBy(date_trunc("month", dayKey).cast("date").as("month"),
+        col("mun_uf").as("uf"))
+      .agg(count(lit(1)).as("n_focos"))
+      .join(broadcast(ufArea), "uf")
+      .withColumn("focos_por_100km2", per100km2(col("n_focos"), col("uf_area_km2")))
+
   /** A4 — biome daily/monthly marts: keyed on FILE_DATE, label = max()
     * (40_focos_diario_bioma.sql:20-30). */
   def focosDiarioBioma(enriched: DataFrame): DataFrame =
@@ -71,6 +80,13 @@ object Marts {
   def focosDiarioKeyed(enriched: DataFrame, keyCol: String, labelCols: Seq[String]): DataFrame =
     enriched.filter(col(keyCol).isNotNull)
       .groupBy(col("file_date").as("day"), col(keyCol))
+      .agg(labelCols.map(c => max(c).as(c)).head,
+        (labelCols.map(c => max(c).as(c)).tail :+ count(lit(1)).cast("int").as("focos")): _*)
+
+  /** A5/A6 monthly flavor (51/61_*.sql — still file_date-keyed). */
+  def focosMensalKeyed(enriched: DataFrame, keyCol: String, labelCols: Seq[String]): DataFrame =
+    enriched.filter(col(keyCol).isNotNull)
+      .groupBy(date_trunc("month", col("file_date")).cast("date").as("month"), col(keyCol))
       .agg(labelCols.map(c => max(c).as(c)).head,
         (labelCols.map(c => max(c).as(c)).tail :+ count(lit(1)).cast("int").as("focos")): _*)
 

@@ -19,9 +19,24 @@ import graft.marts.Marts
   *   curated/   — ingested facts, partitioned by file_date
   *   enriched/  — spatially enriched facts, partitioned by file_date
   *   marts/<name>/ — aggregate tables, partitioned by day or month
+  *
+  * The full reference enrichment chain runs per day: municipality PIP+KNN
+  * (sql/enrich/20_enrich_municipio.sql) then first-match biome, UC and TI
+  * (21_enrich_biomas_ucs_tis.sql:21-119); marts cover municipality/UF
+  * daily+monthly, trend, biome/UC/TI daily+monthly
+  * (sql/marts/10..61) and the 11-column fact cube
+  * (sqlm/marts/canonical/065_mv_focos_day_dim.sql).
+  *
+  * Scale: every mart read is bounded by a `file_date` PARTITION predicate
+  * before the derived day-key filter — `coalesce(to_date(view_ts),
+  * file_date)` alone would defeat partition pruning and scan full history
+  * every day. `view_ts` dates lag `file_date` by at most the retention
+  * window, so the bound is semantically safe.
   */
 final class Pipeline(spark: SparkSession, root: String,
-                     municipios: DataFrame, biomas: DataFrame) {
+                     municipios: DataFrame, biomas: DataFrame,
+                     ucs: Option[DataFrame] = None, tis: Option[DataFrame] = None,
+                     retentionDays: Int = 45) {
 
   private def path(p: String) = s"$root/$p"
   private def exists(p: String) = new java.io.File(p.stripPrefix("file:")).exists()
@@ -30,13 +45,63 @@ final class Pipeline(spark: SparkSession, root: String,
     if (exists(path(p))) spark.read.parquet(path(p))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
 
+  /** biome + UC + TI first-match enrichment, lowest-id tiebreak
+    * (21_enrich_biomas_ucs_tis.sql:33-43,62-73,92-103). Missing dims yield
+    * null columns with the checked flag still set (the reference marks rows
+    * checked even when no polygon matches, :47-58). */
+  private def enrichDims(withMun: DataFrame): DataFrame = {
+    val withBioma = Enrich.enrichFirstMatch(withMun, biomas,
+      Map("cd_bioma" -> "cd_bioma", "bioma_nome" -> "bioma"), "bioma_checked")
+    val withUc = ucs match {
+      case Some(uc) => Enrich.enrichFirstMatch(withBioma, uc,
+        Map("cd_cnuc" -> "cd_cnuc", "nome_uc" -> "uc_nome"), "uc_checked")
+      case None => withBioma
+        .withColumn("cd_cnuc", lit(null).cast("string"))
+        .withColumn("uc_nome", lit(null).cast("string"))
+        .withColumn("uc_checked", lit(true))
+    }
+    tis match {
+      case Some(ti) => Enrich.enrichFirstMatch(withUc, ti,
+        Map("terrai_cod" -> "terrai_cod", "terrai_nom" -> "ti_nome"), "ti_checked")
+      case None => withUc
+        .withColumn("terrai_cod", lit(null).cast("string"))
+        .withColumn("ti_nome", lit(null).cast("string"))
+        .withColumn("ti_checked", lit(true))
+    }
+  }
+
+  /** Mart input for day `d`: partition-pruned read of enriched/, then the
+    * derived day-key filter. The `file_date` BETWEEN bound is what makes a
+    * single-day run scan O(retention) partitions instead of full history. */
+  def martInput(enrichedAll: DataFrame, d: Date): DataFrame =
+    enrichedAll
+      .filter(col("file_date").between(date_sub(lit(d), retentionDays), lit(d)))
+      .filter(Marts.dayKey === lit(d))
+
+  /** Monthly-mart input: the whole month containing `d` (the reference
+    * deletes+rebuilds the month partition, 11_focos_mensal_municipio.sql),
+    * still bounded by a file_date partition window around the month. */
+  def monthInput(enrichedAll: DataFrame, d: Date): DataFrame = {
+    val ld = d.toLocalDate
+    val mStart = Date.valueOf(ld.withDayOfMonth(1))
+    val mEnd = Date.valueOf(ld.withDayOfMonth(ld.lengthOfMonth))
+    enrichedAll
+      .filter(col("file_date").between(
+        date_sub(lit(mStart), retentionDays), date_add(lit(mEnd), retentionDays)))
+      .filter(date_trunc("month", Marts.dayKey).cast("date") === lit(mStart))
+  }
+
   /** EP1 steps 4–7 for one day: ingest → idempotent load → enrich → marts. */
-  def runDay(csvPath: String, fileDate: LocalDate): Map[String, Long] = {
+  def runDay(csvPath: String, fileDate: LocalDate): Map[String, Long] =
+    runDayFrom(Ingest.readCsv(spark, csvPath), fileDate)
+
+  /** Same, from an already-resolved raw CSV DataFrame (the S1/S2 source
+    * resolver seam — Sources.resolveDaily feeds this directly). */
+  def runDayFrom(raw: DataFrame, fileDate: LocalDate): Map[String, Long] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val d = Date.valueOf(fileDate)
 
     // E+T: CSV → curated records
-    val raw = Ingest.readCsv(spark, csvPath)
     val records = Ingest.transform(raw, d).cache()
 
     // L: idempotent append against the same file_date partition only
@@ -49,7 +114,7 @@ final class Pipeline(spark: SparkSession, root: String,
     val attempted = records.count()
     val inserted = fresh.count()
 
-    // Enrich: new-rows-only, municipality PIP + first-match biome
+    // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI
     val curatedDay = spark.read.parquet(path("curated"))
       .filter(col("file_date") === lit(d))
     val already = readOrEmpty("enriched", curatedDay)
@@ -57,29 +122,89 @@ final class Pipeline(spark: SparkSession, root: String,
       if (already.columns.contains("event_hash"))
         Enrich.newRowsOnly(curatedDay, already.filter(col("file_date") === lit(d)))
       else curatedDay
-    val withMun = Enrich.enrichMunicipio(newRows, municipios)
-    val enriched = Enrich.enrichFirstMatch(withMun, biomas,
-      Map("cd_bioma" -> "cd_bioma", "bioma_nome" -> "bioma"), "bioma_checked")
+    val enriched = enrichDims(Enrich.enrichMunicipio(newRows, municipios))
     enriched.write.mode("append").partitionBy("file_date").parquet(path("enriched"))
 
-    // Marts for the day (delete-day-then-insert ≡ dynamic overwrite)
-    val enrichedAll = spark.read.parquet(path("enriched"))
-    val dayFacts = enrichedAll.filter(Marts.dayKey === lit(d))
-    Marts.writePartitioned(Marts.focosDiarioMunicipio(dayFacts),
-      path("marts/focos_diario_municipio"), "day")
-    val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
-    Marts.writePartitioned(Marts.focosDiarioUf(dayFacts, ufArea),
-      path("marts/focos_diario_uf"), "day")
-    Marts.writePartitioned(Marts.focosDiarioBioma(
-      enrichedAll.filter(col("file_date") === lit(d))), path("marts/focos_diario_bioma"), "day")
-
+    writeMarts(d)
     records.unpersist()
     Map("attempted" -> attempted, "inserted" -> inserted)
   }
 
+  /** All marts for one day (delete-day-then-insert ≡ dynamic partition
+    * overwrite; the hard-coded file order 10,11,20,21,30 + dashboard layer,
+    * src/etl/marts_runner.py:16-34). */
+  def writeMarts(d: Date): Unit = {
+    val enrichedAll = spark.read.parquet(path("enriched"))
+    val dayFacts = martInput(enrichedAll, d)
+    val monthFacts = monthInput(enrichedAll, d)
+    val fileDateFacts = enrichedAll.filter(col("file_date") === lit(d))
+    val monthFileFacts = enrichedAll.filter(
+      date_trunc("month", col("file_date")).cast("date") ===
+        lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1))))
+    val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
+
+    Marts.writePartitioned(Marts.focosDiarioMunicipio(dayFacts),
+      path("marts/focos_diario_municipio"), "day")
+    Marts.writePartitioned(Marts.focosMensalMunicipio(monthFacts),
+      path("marts/focos_mensal_municipio"), "month")
+    Marts.writePartitioned(Marts.focosDiarioUf(dayFacts, ufArea),
+      path("marts/focos_diario_uf"), "day")
+    Marts.writePartitioned(Marts.focosMensalUf(monthFacts, ufArea),
+      path("marts/focos_mensal_uf"), "month")
+    // biome/UC/TI marts key on raw file_date (40/50/60_*.sql — §7.4 risk 5)
+    Marts.writePartitioned(Marts.focosDiarioBioma(fileDateFacts),
+      path("marts/focos_diario_bioma"), "day")
+    Marts.writePartitioned(Marts.focosMensalBioma(monthFileFacts),
+      path("marts/focos_mensal_bioma"), "month")
+    Marts.writePartitioned(Marts.focosDiarioKeyed(fileDateFacts, "cd_cnuc", Seq("uc_nome")),
+      path("marts/focos_diario_uc"), "day")
+    Marts.writePartitioned(Marts.focosMensalKeyed(monthFileFacts, "cd_cnuc", Seq("uc_nome")),
+      path("marts/focos_mensal_uc"), "month")
+    Marts.writePartitioned(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")),
+      path("marts/focos_diario_ti"), "day")
+    Marts.writePartitioned(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")),
+      path("marts/focos_mensal_ti"), "month")
+    // trend view over the (small) daily UF mart — W1/W2 moving averages
+    Marts.focosDiarioUfTrend(spark.read.parquet(path("marts/focos_diario_uf")))
+      .write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
+    // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
+    // the UF code column the reference denormalizes; our dims carry uf text
+    Marts.writePartitioned(
+      Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))),
+      path("marts/mv_focos_day_dim"), "day")
+  }
+
+  /** Checked-flag read path: re-enrich only rows some dimension has not
+    * checked yet (the reference's `where not bioma_checked` working set,
+    * 21_enrich_biomas_ucs_tis.sql:17-27), then overwrite the day partition.
+    * Used when a dimension arrives after facts were first enriched. */
+  def reenrichDay(fileDate: LocalDate): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val d = Date.valueOf(fileDate)
+    val day = spark.read.parquet(path("enriched")).filter(col("file_date") === lit(d))
+    val unchecked = day.filter(
+      !col("bioma_checked") || !col("uc_checked") || !col("ti_checked"))
+    val n = unchecked.count()
+    if (n > 0) {
+      val base = unchecked.drop("cd_bioma", "bioma", "bioma_checked",
+        "cd_cnuc", "uc_nome", "uc_checked", "terrai_cod", "ti_nome", "ti_checked")
+      val redone = enrichDims(base)
+      val checked = day.filter(
+        col("bioma_checked") && col("uc_checked") && col("ti_checked"))
+      val out = checked.unionByName(redone.select(checked.columns.map(col): _*))
+      // read-modify-overwrite of exactly one partition (§7.4 risk 7)
+      val tmp = path(s"enriched_tmp_$fileDate")
+      out.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).withColumn("file_date", lit(d))
+        .write.mode("overwrite").partitionBy("file_date").parquet(path("enriched"))
+      new scala.reflect.io.Directory(new java.io.File(tmp.stripPrefix("file:"))).deleteRecursively()
+    }
+    n
+  }
+
   /** Conservation-of-counts invariants (src/etl/backfill.py:69-135):
-    * curated(day) == enriched(day); sum(mun mart) == curated rows with
-    * municipality. Returns error strings; empty = all good. */
+    * curated(day) == enriched(day); sum(mun mart) == enriched rows with
+    * municipality == sum over the UF mart. Returns error strings. */
   def checkDay(fileDate: LocalDate): Seq[String] = {
     val d = Date.valueOf(fileDate)
     val errs = scala.collection.mutable.Buffer[String]()
@@ -88,10 +213,13 @@ final class Pipeline(spark: SparkSession, root: String,
     val nCur = curated.count(); val nEnr = enriched.count()
     if (nCur != nEnr) errs += s"curated($nCur) != enriched($nEnr) for $fileDate"
     val withMun = enriched.filter(col("mun_cd_mun").isNotNull && Marts.dayKey === lit(d)).count()
-    val martSum = spark.read.parquet(path("marts/focos_diario_municipio"))
-      .filter(col("day") === lit(d))
-      .agg(coalesce(sum("n_focos"), lit(0L))).head.getLong(0)
-    if (withMun != martSum) errs += s"mart sum($martSum) != enriched with mun($withMun) for $fileDate"
+    def martSum(mart: String, valueCol: String): Long =
+      spark.read.parquet(path(s"marts/$mart")).filter(col("day") === lit(d))
+        .agg(coalesce(sum(valueCol), lit(0L))).head.getLong(0)
+    val munSum = martSum("focos_diario_municipio", "n_focos")
+    if (withMun != munSum) errs += s"mun mart sum($munSum) != enriched with mun($withMun) for $fileDate"
+    val ufSum = martSum("focos_diario_uf", "n_focos")
+    if (munSum != ufSum) errs += s"uf mart sum($ufSum) != mun mart sum($munSum) for $fileDate"
     errs.toSeq
   }
 
@@ -116,16 +244,17 @@ final class Pipeline(spark: SparkSession, root: String,
   }
 
   /** EP2 — range mode: loop days, stop on first failure, resume from state.
-    * @param csvFor resolves a date to its CSV path (the S1/S2 source
-    *               resolver seam — tests inject local fixtures)
+    * @param csvFor resolves a date to its raw CSV DataFrame (the S1/S2
+    *               source resolver seam — wire Sources.resolveDaily here;
+    *               tests inject local fixtures)
     */
-  def backfill(start: LocalDate, end: LocalDate, csvFor: LocalDate => String,
+  def backfill(start: LocalDate, end: LocalDate, csvFor: LocalDate => DataFrame,
                resume: Boolean = false, checks: Boolean = true): Seq[LocalDate] = {
     val from = if (resume) readState().map(_.plusDays(1)).getOrElse(start) else start
     val done = scala.collection.mutable.Buffer[LocalDate]()
     var cur = from
     while (!cur.isAfter(end)) {
-      runDay(csvFor(cur), cur)
+      runDayFrom(csvFor(cur), cur)
       if (checks) {
         val errs = checkDay(cur)
         require(errs.isEmpty, s"invariants failed for $cur: ${errs.mkString("; ")}")

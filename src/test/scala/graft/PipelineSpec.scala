@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Ingest
+import graft.pipeline.Pipeline
+
+/** End-to-end pipeline integration test on a synthetic 3-day fixture:
+  * ingest → enrich (municipality + biome + UC + TI) → marts + cube, with
+  * the backfill invariants of src/etl/backfill.py:69-135 asserted per day,
+  * idempotent re-runs, resumable state, mart-read partition pruning, and
+  * the checked-flags re-enrich path.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  type MP = Seq[Seq[Seq[Seq[Double]]]]
+  private def rect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): MP =
+    Seq(Seq(Seq(Seq(minLon, minLat), Seq(maxLon, minLat), Seq(maxLon, maxLat),
+      Seq(minLon, maxLat), Seq(minLon, minLat))))
+
+  private def bboxed(df: DataFrame, minLon: Double, minLat: Double,
+                     maxLon: Double, maxLat: Double): DataFrame =
+    df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
+      .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
+
+  private lazy val municipios: DataFrame = {
+    import spark.implicits._
+    val a = bboxed(Seq(("1100015", "Alpha", "RO", 5000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+      0, 0, 10, 10).withColumn("geom", typedLit(rect(0, 0, 10, 10)))
+    val b = bboxed(Seq(("1100023", "Beta", "AC", 7000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+      10.5, 0, 20, 10).withColumn("geom", typedLit(rect(10.5, 0, 20, 10)))
+    a.unionByName(b)
+  }
+
+  private lazy val biomas: DataFrame = {
+    import spark.implicits._
+    bboxed(Seq((1L, "1", "Amazonia")).toDF("dim_id", "cd_bioma", "bioma_nome"),
+      0, 0, 20, 10).withColumn("geom", typedLit(rect(0, 0, 20, 10)))
+  }
+  private lazy val ucs: DataFrame = {
+    import spark.implicits._
+    bboxed(Seq((1L, "42", "UC X")).toDF("dim_id", "cd_cnuc", "nome_uc"),
+      0, 0, 5, 10).withColumn("geom", typedLit(rect(0, 0, 5, 10)))
+  }
+  private lazy val tis: DataFrame = {
+    import spark.implicits._
+    bboxed(Seq((1L, "7", "TI Y")).toDF("dim_id", "terrai_cod", "terrai_nom"),
+      5.5, 0, 10, 10).withColumn("geom", typedLit(rect(5.5, 0, 10, 10)))
+  }
+
+  /** Per day: 2 points in UC territory, 1 in TI territory (all mun Alpha),
+    * 2 in mun Beta, plus one exact duplicate and one invalid-lat row. */
+  private def writeDailyCsv(dir: Path, day: LocalDate): String = {
+    val d = day.toString
+    val rows = Seq(
+      s"2,5;1,5;$d 12:00:00;AQUA;Alpha;RO;Amazonia",
+      s"4,5;4,4;$d 12:05:00;AQUA;Alpha;RO;Amazonia",
+      s"3,5;7,5;$d 12:10:00;TERRA;Alpha;RO;Amazonia",
+      s"1,5;11,5;$d 12:15:00;AQUA;Beta;AC;Amazonia",
+      s"8,5;15,5;$d 12:20:00;TERRA;Beta;AC;Amazonia",
+      s"2,5;1,5;$d 12:00:00;AQUA;Alpha;RO;Amazonia", // duplicate of row 1
+      s"999;1,5;$d 12:25:00;AQUA;Alpha;RO;Amazonia" // invalid latitude
+    )
+    val f = dir.resolve(s"$day.csv")
+    Files.writeString(f,
+      "latitude;longitude;data_hora_gmt;satelite;municipio;estado;bioma\n" +
+        rows.mkString("\n") + "\n")
+    f.toString
+  }
+
+  private lazy val fixture: (Pipeline, String, Path) = {
+    val dir = Files.createTempDirectory("graft_pipeline")
+    val root = dir.resolve("warehouse").toString
+    val p = new Pipeline(spark, root, municipios, biomas, Some(ucs), Some(tis))
+    (p, root, dir)
+  }
+
+  private val d1 = LocalDate.parse("2024-01-01")
+  private val d3 = LocalDate.parse("2024-01-03")
+
+  test("3-day backfill: enrich chain + marts + conservation invariants") {
+    val (p, root, dir) = fixture
+    val done = p.backfill(d1, d3,
+      d => Ingest.readCsv(spark, writeDailyCsv(dir, d)), checks = true)
+    assert(done.size == 3)
+    assert(p.readState().contains(d3))
+
+    val curated = spark.read.parquet(s"$root/curated")
+    assert(curated.count() == 15) // 5 valid unique rows x 3 days
+    val enriched = spark.read.parquet(s"$root/enriched")
+    assert(enriched.count() == 15)
+    assert(enriched.filter(col("mun_cd_mun").isNull).count() == 0)
+    // UC/TI coverage: 2 points/day in the UC box, 1/day in the TI box
+    assert(enriched.filter(col("cd_cnuc") === "42").count() == 6)
+    assert(enriched.filter(col("terrai_cod") === "7").count() == 3)
+    assert(enriched.filter(!col("bioma_checked") || !col("uc_checked") || !col("ti_checked"))
+      .count() == 0)
+
+    // marts: all six daily tables + monthly mun + cube materialized
+    def mart(n: String) = spark.read.parquet(s"$root/marts/$n")
+    assert(mart("focos_diario_municipio").agg(sum("n_focos")).head.getLong(0) == 15)
+    assert(mart("focos_diario_uf").agg(sum("n_focos")).head.getLong(0) == 15)
+    assert(mart("focos_mensal_municipio").agg(sum("n_focos")).head.getLong(0) == 15)
+    assert(mart("focos_diario_bioma").agg(sum("focos")).head.getLong(0) == 15)
+    assert(mart("focos_diario_uc").agg(sum("focos")).head.getLong(0) == 6)
+    assert(mart("focos_diario_ti").agg(sum("focos")).head.getLong(0) == 3)
+    val cube = mart("mv_focos_day_dim")
+    assert(cube.agg(sum("n_focos")).head.getLong(0) == 15)
+    // all 11 dimension columns populated end-to-end
+    assert(cube.filter(col("cd_cnuc") === "42").agg(sum("n_focos")).head.getLong(0) == 6)
+    assert(cube.filter(col("terrai_cod") === "7").agg(sum("n_focos")).head.getLong(0) == 3)
+    assert(cube.filter(col("cd_bioma") === "1").agg(sum("n_focos")).head.getLong(0) == 15)
+  }
+
+  test("idempotent re-run inserts nothing and keeps counts stable") {
+    val (p, root, dir) = fixture
+    val again = p.runDay(writeDailyCsv(dir, d1), d1)
+    assert(again("attempted") == 5)
+    assert(again("inserted") == 0)
+    assert(spark.read.parquet(s"$root/curated").count() == 15)
+    assert(spark.read.parquet(s"$root/enriched").count() == 15)
+    assert(p.checkDay(d1).isEmpty)
+  }
+
+  test("resume skips completed days") {
+    val (p, _, _) = fixture
+    val resumed = p.backfill(d1, d3,
+      _ => fail("resume must not re-run completed days"): DataFrame,
+      resume = true)
+    assert(resumed.isEmpty)
+  }
+
+  test("mart input is partition-pruned on file_date (not just the derived day key)") {
+    val (p, root, _) = fixture
+    val plan = p.martInput(spark.read.parquet(s"$root/enriched"),
+      java.sql.Date.valueOf(d1)).queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*file_date[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no file_date partition filter in plan:\n$plan")
+  }
+
+  test("checked-flags read path: reenrichDay restores a late-arriving dimension") {
+    val (p, root, dir2) = fixture
+    // simulate "UC dim arrived late": null the UC outputs of day 1 and clear its flag
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val day = spark.read.parquet(s"$root/enriched")
+      .filter(col("file_date") === lit(java.sql.Date.valueOf(d1)))
+    val doctored = day
+      .withColumn("uc_checked", lit(false))
+      .withColumn("cd_cnuc", lit(null).cast("string"))
+      .withColumn("uc_nome", lit(null).cast("string"))
+    val tmp = dir2.resolve("doctored").toString
+    doctored.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .withColumn("file_date", lit(java.sql.Date.valueOf(d1)))
+      .write.mode("overwrite").partitionBy("file_date").parquet(s"$root/enriched")
+
+    assert(p.reenrichDay(d1) == 5) // every day-1 row was unchecked
+    val redone = spark.read.parquet(s"$root/enriched")
+      .filter(col("file_date") === lit(java.sql.Date.valueOf(d1)))
+    assert(redone.count() == 5)
+    assert(redone.filter(col("cd_cnuc") === "42").count() == 2)
+    assert(redone.filter(!col("uc_checked")).count() == 0)
+    assert(p.checkDay(d1).isEmpty)
+  }
+}
