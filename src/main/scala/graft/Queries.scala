@@ -93,6 +93,16 @@ object Queries {
       .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("key"), col("r_name").as("uf"), rectGeom.as("geom"))
 
+  /** media table derived from documents (payload = utf-8 text bytes) */
+  private def mediaFromDocs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav").otherwise("video/mp4").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
   /** rectangle multipolygon column from bbox columns (GeoJSON nesting) */
   private def rectGeom: Column = {
     def p(a: Column, b: Column) = array(a, b)
@@ -810,6 +820,41 @@ object Queries {
     QueryDef("text_fingerprint", None, // JVM-specific hash → rows-only check
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))),
+
+    // ------------------------------------------------------------ multimodal
+    // media table derived deterministically from documents: payload =
+    // utf-8 bytes of the text, kind/mime from doc_id — so the metadata
+    // plumbing gets a real DuckDB oracle while decode stays a unit-tested
+    // stub (no codec libs in this container)
+
+    QueryDef("mm_profile", Some(
+      "WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
+        "encode(text) AS payload FROM documents) " +
+        "SELECT kind, mime, count(*) AS n, sum(octet_length(payload)) AS total_bytes, " +
+        "round(avg(octet_length(payload)), 2) AS avg_bytes FROM m GROUP BY 1, 2"),
+      (s, d) => graft.operators.Multimodal.profile(mediaFromDocs(s, d))),
+
+    QueryDef("mm_frames", Some(
+      "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents " +
+        "WHERE doc_id % 3 = 2) " +
+        "SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f*1024 AS INT) AS byte_offset " +
+        "FROM m, UNNEST(range(0, len//1024 + 1, 2)) AS t(f)"),
+      (s, d) => graft.operators.Multimodal.sampleFrames(mediaFromDocs(s, d), stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("byte_offset").cast("int").as("byte_offset"))),
+
+    QueryDef("mm_decode", None, // stub decoder → golden-unit-tested, rows-only here
+      (s, d) => {
+        import s.implicits._
+        val media = mediaFromDocs(s, d).select(
+            col("media_id"), col("kind"), col("payload"), col("mime"),
+            lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.Multimodal.decode(media).toDF()
+      }),
 
     // ------------------------------------------------- incremental/streaming
 

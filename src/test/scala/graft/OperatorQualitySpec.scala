@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Correctness signals for the approximate operators (VERDICT round-2 item
+  * 8): planted near-duplicates with known Jaccard for MinHash-LSH, recall
+  * vs brute force for sign-bucket LSH top-k, and golden values for the
+  * multimodal decode stub.
+  */
+class OperatorQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Deterministic pseudo-text corpus: 200 base docs of 40 words drawn from
+    * a 5 000-word vocabulary, plus a near-duplicate of each (first word
+    * dropped → shingle-Jaccard ≈ (n-k)/(n) high). */
+  private def corpus() = {
+    import spark.implicits._
+    val base = (0 until 200).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 131 + j * 17) % 5000}")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.map { case (id, text) =>
+      (id + 100000L, text.split(" ").drop(1).mkString(" "))
+    }
+    (base ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("MinHash-LSH finds planted near-duplicates and reports exact Jaccard") {
+    val docs = corpus()
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5).cache()
+    val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
+    val recall = planted.count().toDouble / 200.0
+    assert(recall >= 0.95, s"MinHash-LSH recall $recall < 0.95 on planted near-dups")
+
+    // reported jaccard must equal the exact shingle-set jaccard (the LSH
+    // stage only *finds* candidates; verification is exact)
+    val withSets = docs
+      .withColumn("sh", Dedup.wordShingles(col("text"), 3))
+      .select(col("doc_id"), col("sh"))
+    val checked = pairs
+      .join(withSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("exact", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") =!= col("exact"))
+    assert(checked.count() == 0, "LSH-reported jaccard diverges from exact jaccard")
+  }
+
+  test("prefix-filter Jaccard join is exhaustive (matches blocked all-pairs)") {
+    val docs = corpus().withColumn("ws", array_distinct(split(lower(col("text")), " ")))
+    val fast = Dedup.jaccardPrefixPairs(docs, "doc_id", "ws", lit(1), 0.8)
+    val a = docs.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+    val slow = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard")
+    // compare as sets driver-side (exceptAll trips a Spark analyzer bug on
+    // plans sharing the same source subtree on both sides)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(toSet(fast) == toSet(slow),
+      "prefix-filter join must produce exactly the all-pairs result")
+  }
+
+  /** Deterministic embeddings: 100 corpus vectors in 16d + 10 queries that
+    * are tiny perturbations of known corpus vectors (their true nearest
+    * neighbor by construction). */
+  test("sign-bucket LSH top-k: planted nearest neighbor survives bucketing") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 31 + j * 7).abs * 2 - 1)
+    val corpusVecs = (0 until 100).map(i => (i.toLong, vec(i)))
+    val queries = (0 until 10).map { q =>
+      val base = vec(q * 9)
+      (1000L + q, base.map(x => x + 0.001 * ((q % 3) - 1)))
+    }
+    val cDf = corpusVecs.toDF("vec_id", "embedding")
+    val qDf = queries.toDF("vec_id", "embedding")
+
+    val brute = Similarity.bruteForceTopK(cDf, qDf, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(cDf, qDf, "vec_id", "embedding", 1, nPlanes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+
+    // brute force must recover the planted neighbor for every query
+    queries.foreach { case (qid, _) =>
+      assert(brute(qid) == (qid - 1000) * 9, s"brute top-1 wrong for $qid")
+    }
+    // single-probe LSH: a near-identical vector lands in the same sign
+    // bucket unless a plane slices between them — recall must stay high
+    val hits = queries.count { case (qid, _) => lsh.get(qid).contains(brute(qid)) }
+    assert(hits >= 8, s"LSH top-1 recall $hits/10 < 8/10 on planted neighbors")
+  }
+
+  test("multimodal decode stub: golden header/frame/checksum values") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](2500)(i => (i % 251).toByte)
+    val row = Multimodal.MediaRow(7L, "video", payload, "video/mp4", None, None, Some(1000L))
+    val out = Multimodal.decode(Seq(row).toDS()).collect().head
+    // be32(0) of bytes 0,1,2,3 = 0x00010203; be32(4) = 0x04050607
+    assert(out.width == 0x00010203 % 8192)
+    assert(out.height == 0x04050607 % 8192)
+    assert(out.n_frames == 2500 / 1024 + 1)
+    assert(out.checksum == payload.map(b => (b & 0xff).toLong).sum)
+    val feats = Multimodal.extractFeatures(Seq(row).toDS(), dims = 8).collect().head
+    assert(feats.feature.length == 8)
+    assert(math.abs(feats.feature.sum - payload.map(b => (b & 0xff) / 255.0f).sum) < 0.5f)
+  }
+}
