@@ -43,23 +43,74 @@ object Dedup {
         .otherwise(array(concat_ws(" ", words))))
   }
 
+  /** Distinct 64-bit hashes of the word n-gram shingles, straight from the
+    * token array — the shingle STRINGS are never materialized (they would
+    * cost an allocation + utf8 decode per (doc × shingle) twice per join
+    * side). Output sorted ascending so set ops on two docs stream. Jaccard
+    * over these hashes equals shingle jaccard up to 2⁻⁶⁴ collisions.
+    */
+  private val shingleHashesUdf = udf((words: Seq[String], n: Int) => {
+    if (words == null || words.isEmpty) Seq.empty[Long]
+    else {
+      val m = words.length
+      val cnt = math.max(1, m - n + 1)
+      val out = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        val end = math.min(n, m - i)
+        while (j < end) {
+          h = (h ^ HashFunctions.fnv1a64(words(i + j))) * 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0
+      var r = 0
+      while (r < cnt) { // dedup sorted in place
+        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      out.take(w).toSeq
+    }
+  })
+
+  /** Sorted distinct shingle-hash set per row (tokenization = lowercased
+    * whitespace split, matching [[wordShingles]]). */
+  def shingleHashes(text: Column, n: Int): Column =
+    shingleHashesUdf(split(lower(trim(text)), "\\s+"), lit(n))
+
   private val minhashSigUdf =
-    udf((shingles: Seq[String], numHashes: Int) => {
-      if (shingles == null || shingles.isEmpty) Seq.empty[Long]
+    udf((base: Seq[Long], numHashes: Int) => {
+      if (base == null || base.isEmpty) Seq.empty[Long]
       else {
-        val base = shingles.map(HashFunctions.fnv1a64)
-        (0 until numHashes).map { i =>
+        val out = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) {
           // universal hashing family with fixed (deterministic) odd multipliers
           val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
           val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
-          base.iterator.map(h => a * h + b).min
+          var min = Long.MaxValue
+          var k = 0
+          while (k < base.size) {
+            val h = a * base(k) + b
+            if (h < min) min = h
+            k += 1
+          }
+          out(i) = min
+          i += 1
         }
+        out.toSeq
       }
     })
 
-  /** MinHash signature column (array<long> of length numHashes). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    minhashSigUdf(shingles, lit(numHashes))
+  /** MinHash signature column (array<long> of length numHashes) over a
+    * shingle-hash set ([[shingleHashes]]). */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    minhashSigUdf(hashes, lit(numHashes))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -72,31 +123,37 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df
+    val withShingles = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .withColumn("shingles", shingleHashes(col("text"), shingleSize))
+    // the signature UDF lives only in the banded subtree; the verification
+    // joins read the cheap shingle-hash projection
+    val withSig = withShingles
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
 
-    // one row per (doc, band): band key = hash of the signature slice
+    // one row per (doc, band): band key = hash of the signature slice.
+    // Only (id, band, key) flows into the self-join — the shingle arrays
+    // would otherwise be duplicated ×bands through the shuffle; they are
+    // joined back onto the (few) surviving candidate pairs instead.
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"),
       col("sig"))
       .withColumn("band_key", xxhash64(col("band"),
         concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select("id", "shingles", "band", "band_key")
+      .select("id", "band", "band_key")
 
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val sets = withShingles.select(col("id"), col("shingles"))
     candidates
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
