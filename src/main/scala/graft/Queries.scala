@@ -112,6 +112,16 @@ object Queries {
       p(col("min_lon"), col("min_lat")))))
   }
 
+  /** two-part multipolygon: left rect 24° wide, right rect 48° wide */
+  private def twoPartGeom: Column = {
+    def p(a: Column, b: Column) = array(a, b)
+    def rect(lo: Column, hi: Column) = array(array(
+      p(lo, col("min_lat")), p(hi, col("min_lat")),
+      p(hi, col("max_lat")), p(lo, col("max_lat")), p(lo, col("min_lat"))))
+    array(rect(col("min_lon"), col("min_lon") + 24),
+      rect(col("min_lon") + 24, col("max_lon")))
+  }
+
   // ============================================================== queries ==
 
   val all: Seq[QueryDef] = Seq(
@@ -698,6 +708,56 @@ object Queries {
         .select(col("n_nationkey"),
           round(GeoFunctions.ringAreaSqMetersUdf(
             element_at(element_at(col("geom"), 1), 1)), 0).cast("long").as("area_m2"))),
+
+    // ST_Dump / mainland / dissolve — the choropleth prereq chain
+    // (sqlm/marts/prereq/010-030_*.sql) over synthetic two-part nation
+    // geometries: left part 24° wide, right part 48° wide.
+
+    QueryDef("geo_dump_parts", Some(
+      s"WITH c AS ($cellsSql), parts AS (" +
+        "SELECT n_nationkey, 0 AS part_idx, min_lon AS lo, min_lon + 24 AS hi, min_lat, max_lat FROM c " +
+        "UNION ALL SELECT n_nationkey, 1, min_lon + 24, max_lon, min_lat, max_lat FROM c) " +
+        "SELECT n_nationkey, part_idx, 5 AS npoints, CAST(round(abs(" +
+        "((hi - lo)/180.0*pi())*((2 + sin(min_lat/180.0*pi()) + sin(min_lat/180.0*pi()))) + " +
+        "(-(hi - lo)/180.0*pi())*((2 + sin(max_lat/180.0*pi()) + sin(max_lat/180.0*pi())))" +
+        ") * 6371000.0 * 6371000.0 / 2, 0) AS BIGINT) AS area_m2 FROM parts"),
+      (s, d) => graft.marts.GeoPrep.explodeParts(
+          cells(s, d).withColumn("geom", twoPartGeom), Seq("n_nationkey"))
+        .select(col("n_nationkey"), col("part_idx"),
+          GeoFunctions.nPointsUdf(col("part")).as("npoints"),
+          round(GeoFunctions.multiPolygonAreaSqMetersUdf(col("part")), 0)
+            .cast("long").as("area_m2"))),
+
+    QueryDef("geo_mainland", Some(
+      s"WITH c AS ($cellsSql) SELECT n_nationkey, min_lon + 24 AS mainland_minx, " +
+        "CAST(round(abs(" +
+        "(48.0/180.0*pi())*((2 + sin(min_lat/180.0*pi()) + sin(min_lat/180.0*pi()))) + " +
+        "(-48.0/180.0*pi())*((2 + sin(max_lat/180.0*pi()) + sin(max_lat/180.0*pi())))" +
+        ") * 6371000.0 * 6371000.0 / 2, 0) AS BIGINT) AS area_m2 FROM c"),
+      (s, d) => graft.marts.GeoPrep.mainlandByKey(
+          cells(s, d).withColumn("geom", twoPartGeom), Seq("n_nationkey"))
+        .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+        .select(col("n_nationkey"), col("bb._1").as("mainland_minx"),
+          round(col("part_area_m2"), 0).cast("long").as("area_m2"))),
+
+    QueryDef("geo_dissolve", Some(
+      s"WITH c AS ($cellsSql) SELECT r.r_name, CAST(2*count(*) AS INT) AS n_parts, " +
+        "min(c.min_lon) AS minx, min(c.min_lat) AS miny, " +
+        "max(c.max_lon) AS maxx, max(c.max_lat) AS maxy " +
+        "FROM c JOIN nation n ON c.n_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1"),
+      (s, d) => {
+        val withRegion = cells(s, d).withColumn("geom", twoPartGeom)
+          .join(broadcast(T(s, d, "nation").select(col("n_nationkey").as("nk"),
+            col("n_regionkey"))), col("n_nationkey") === col("nk"))
+          .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        graft.marts.GeoPrep.dissolveByKey(withRegion.select(col("r_name"), col("geom")),
+            Seq("r_name"))
+          .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+          .select(col("r_name"), col("n_parts"),
+            col("bb._1").as("minx"), col("bb._2").as("miny"),
+            col("bb._3").as("maxx"), col("bb._4").as("maxy"))
+      }),
 
     // ------------------------------------------------- corpus ops (dedup &c)
 

@@ -1,0 +1,57 @@
+package graft.marts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+
+/** The choropleth prereq chain (sqlm/marts/prereq/010-030_*.sql) as
+  * DataFrame operators:
+  *
+  *  - `explodeParts` — ST_Dump + ST_CollectionExtract(g, 3): one row per
+  *    polygon part (010_mv_uf_geom_mainland.sql:5-9)
+  *  - `mainlandByKey` — W4: rank parts by spherical area desc, keep the
+  *    largest ("mainland", 010:12-22)
+  *  - `dropHolesByRow` — ST_MakePolygon(ST_ExteriorRing(p)) (020:20)
+  *  - `dissolveByKey` — ST_UnaryUnion(ST_Collect(geom)) stand-in for
+  *    pre-validated DISJOINT parts: multipolygon concatenation
+  *    (documented divergence, SURVEY §7.4 risk 2 — overlapping inputs
+  *    would double-count area but render identically)
+  *
+  * All inputs are small dimension tables (≤5 570 rows); the window ranks
+  * partition by the entity key so nothing ever gathers to one task.
+  */
+object GeoPrep {
+
+  /** One row per polygon part: (keyCols…, part_idx, part) — the ST_Dump
+    * analog. `part` stays a multipolygon-shaped single-polygon array so
+    * every Geo UDF applies unchanged. */
+  def explodeParts(geoms: DataFrame, keyCols: Seq[String]): DataFrame =
+    geoms.select(keyCols.map(col) :+ posexplode(col("geom")): _*)
+      .withColumnRenamed("pos", "part_idx")
+      .withColumn("part", array(col("col"))).drop("col")
+
+  /** W4 — keep each key's largest part by spherical area (tie: lowest
+    * part_idx), returning one single-part multipolygon per key. */
+  def mainlandByKey(geoms: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val parts = explodeParts(geoms, keyCols)
+      .withColumn("part_area_m2", GeoFunctions.multiPolygonAreaSqMetersUdf(col("part")))
+    parts.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("part_area_m2").desc, col("part_idx").asc)))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) :+ col("part").as("geom") :+ col("part_area_m2"): _*)
+  }
+
+  /** Drop interior rings of every part (020_*.sql:20). */
+  def dropHolesByRow(geoms: DataFrame): DataFrame =
+    geoms.withColumn("geom", GeoFunctions.dropHolesUdf(col("geom")))
+
+  /** Dissolve: concatenate all parts of all rows sharing the key into one
+    * multipolygon (+ part count for QA). */
+  def dissolveByKey(geoms: DataFrame, keyCols: Seq[String]): DataFrame =
+    geoms.groupBy(keyCols.map(col): _*)
+      .agg(flatten(collect_list(col("geom"))).as("geom"))
+      .withColumn("n_parts", size(col("geom")))
+}
