@@ -67,6 +67,38 @@ object Sources {
     raw.filter(extractDateCol(col(dateCol)) === lit(java.sql.Date.valueOf(d)))
   }
 
+  /** S1 cache — fetch-to-file with skip-if-present ("extract cache hit",
+    * inpe_focos_diario.py:224-233): a non-empty cached file short-circuits
+    * the fetch; the fetcher returning None models an HTTP 404. */
+  def cachedFetch(cacheDir: java.nio.file.Path, name: String,
+                  fetch: () => Option[Array[Byte]],
+                  force: Boolean = false): Option[java.nio.file.Path] = {
+    val out = cacheDir.resolve(name)
+    if (!force && java.nio.file.Files.exists(out) && java.nio.file.Files.size(out) > 0)
+      Some(out)
+    else fetch().map { bytes =>
+      java.nio.file.Files.createDirectories(cacheDir)
+      java.nio.file.Files.write(out, bytes)
+      out
+    }
+  }
+
+  /** S2 zip step — extract the first .csv entry of a monthly archive
+    * (_extract_zip_to_csv, inpe_focos_diario.py:71-82). */
+  def extractZipCsv(zipPath: java.nio.file.Path, csvPath: java.nio.file.Path): Unit = {
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entry = zf.entries().asScala
+        .find(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
+        .getOrElse(throw new java.io.FileNotFoundException(s"no csv found in zip: $zipPath"))
+      val in = zf.getInputStream(entry)
+      try java.nio.file.Files.copy(in, csvPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    } finally zf.close()
+  }
+
   /** S1+S2 — the full fallback chain (download_daily_csv,
     * inpe_focos_diario.py:257-311):
     *
