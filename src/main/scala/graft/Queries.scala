@@ -93,6 +93,14 @@ object Queries {
       .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("key"), col("r_name").as("uf"), rectGeom.as("geom"))
 
+  /** choroCube as oracle SQL (shared by the serve_* oracles) */
+  private val cubeSql =
+    "SELECT CAST(o.o_orderdate AS DATE) AS day, r.r_name AS uf, " +
+      "n.n_nationkey AS cd_mun, n.n_name AS mun_nm_mun, count(*) AS n_focos " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+      "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1,2,3,4"
+
   /** media table derived from documents (payload = utf-8 text bytes) */
   private def mediaFromDocs(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents").select(
@@ -633,6 +641,101 @@ object Queries {
             java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-06-30"),
             Serve.Filters(uf = Some("ASIA")))
           .drop("geom")
+      }),
+
+    // /api/timeseries/total through the real Serve.timeseries — 109-day
+    // span exercises the auto week-bucketing (main.py:392-397,1448-1506)
+    QueryDef("serve_timeseries", Some(
+      s"WITH cube AS ($cubeSql) " +
+        "SELECT CAST(date_trunc('week', day) AS DATE) AS bucket, " +
+        "CAST(sum(n_focos) AS BIGINT) AS n_focos FROM cube " +
+        "WHERE day >= DATE '1995-01-01' AND day < DATE '1995-04-20' " +
+        "AND uf = 'ASIA' GROUP BY 1 ORDER BY 1"),
+      (s, d) => Serve.timeseries(choroCube(s, d),
+          java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-04-20"),
+          Serve.Filters(uf = Some("ASIA")))
+        .select(col("bucket"), col("n_focos").cast("long").as("n_focos"))),
+
+    // /api/top via Serve.top: by=mun WITHOUT a uf filter triggers the
+    // municipality guardrail (limit capped at 10; main.py:1536-1539)
+    QueryDef("serve_top_guardrail", Some(
+      s"WITH cube AS ($cubeSql) " +
+        "SELECT cd_mun AS key, max(mun_nm_mun) AS name, CAST(sum(n_focos) AS BIGINT) AS n_focos " +
+        "FROM cube WHERE day >= DATE '1995-01-01' AND day < DATE '1995-12-31' " +
+        "AND cd_mun IS NOT NULL GROUP BY 1 ORDER BY n_focos DESC, key ASC LIMIT 10"),
+      (s, d) => Serve.top(choroCube(s, d),
+          java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-12-31"),
+          Serve.Filters(), by = "mun", limit = 50)
+        .select(col("key"), col("name"), col("n_focos").cast("long").as("n_focos"))),
+
+    // /api/totals + /api/summary through Serve (main.py:1597-1710)
+    QueryDef("serve_summary", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "f AS (SELECT * FROM cube WHERE day >= DATE '1995-01-01' AND day < DATE '1995-12-31' AND uf = 'ASIA'), " +
+        "daily AS (SELECT day, sum(n_focos) AS n FROM f GROUP BY 1), " +
+        "peak AS (SELECT day, n, row_number() OVER (ORDER BY n DESC, day ASC) AS rn FROM daily) " +
+        "SELECT (SELECT CAST(coalesce(sum(n),0) AS BIGINT) FROM daily) AS total_focos, " +
+        "(SELECT round(avg(n), 2) FROM daily) AS mean_daily, " +
+        "p.day AS peak_day, CAST(p.n AS BIGINT) AS peak_n " +
+        "FROM peak p WHERE p.rn = 1"),
+      (s, d) => Serve.summary(choroCube(s, d),
+          java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-12-31"),
+          Serve.Filters(uf = Some("ASIA")))
+        .select(col("total_focos").cast("long").as("total_focos"),
+          round(col("mean_daily"), 2).as("mean_daily"),
+          col("peak_day"), col("peak_n").cast("long").as("peak_n"))),
+
+    // /api/choropleth/uf via Serve.choroplethUf: latest-geometry-per-UF
+    // (W5) left-joined to the period aggregate, zero-filled (main.py:950-975)
+    QueryDef("serve_choropleth_uf", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "agg AS (SELECT uf, CAST(sum(n_focos) AS BIGINT) AS n_focos FROM cube " +
+        "WHERE day >= DATE '1995-01-01' AND day < DATE '1995-07-01' GROUP BY 1), " +
+        "g AS (SELECT r_name AS uf, CAST(r_regionkey*72 - 180 + 1 AS DOUBLE) AS minx FROM region) " +
+        "SELECT g.uf, g.minx, coalesce(a.n_focos, 0) AS n_focos " +
+        "FROM g LEFT JOIN agg a USING (uf) ORDER BY g.uf"),
+      (s, d) => {
+        val bands = T(s, d, "region").select(col("r_name").as("uf"),
+          (col("r_regionkey") * 72 - 180).cast("double").as("min_lon"),
+          lit(-90.0).as("min_lat"),
+          (col("r_regionkey") * 72 - 36).cast("double").as("max_lon"),
+          lit(90.0).as("max_lat"))
+        // two geometry vintages per UF; day2's rect is shifted +1° so the
+        // output minx proves the LATEST geometry won the W5 window
+        val geoms = bands.withColumn("day", lit("1995-01-01").cast("date"))
+          .withColumn("geom", rectGeom)
+          .unionByName(bands
+            .withColumn("min_lon", col("min_lon") + 1)
+            .withColumn("day", lit("1995-06-01").cast("date"))
+            .withColumn("geom", rectGeom))
+          .select("uf", "day", "geom")
+        Serve.choroplethUf(choroCube(s, d), geoms,
+            java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-07-01"),
+            Serve.Filters())
+          .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+          .select(col("uf"), col("bb._1").as("minx"), col("n_focos"))
+      }),
+
+    // /api/validate consistency triple (main.py:1733-1790) — the three
+    // sums computed through three different Serve paths must agree
+    QueryDef("serve_validate", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "f AS (SELECT * FROM cube WHERE day >= DATE '1995-01-01' AND day < DATE '1995-12-31' AND uf = 'ASIA'), " +
+        "tot AS (SELECT CAST(coalesce(sum(n_focos),0) AS BIGINT) AS total FROM f), " +
+        "ts AS (SELECT CAST(coalesce(sum(n),0) AS BIGINT) AS ts_sum FROM " +
+        "(SELECT day, sum(n_focos) AS n FROM f GROUP BY 1)), " +
+        "pu AS (SELECT CAST(coalesce(sum(n),0) AS BIGINT) AS uf_sum FROM " +
+        "(SELECT uf, sum(n_focos) AS n FROM f GROUP BY 1)) " +
+        "SELECT t.total, s.ts_sum, p.uf_sum, " +
+        "(t.total = s.ts_sum AND s.ts_sum = p.uf_sum) AS consistent " +
+        "FROM tot t, ts s, pu p"),
+      (s, d) => {
+        val (tot, tsSum, byUf) = Serve.validateConsistency(choroCube(s, d),
+          java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-12-31"),
+          Serve.Filters(uf = Some("ASIA")))
+        import s.implicits._
+        Seq((tot, tsSum, byUf, tot == tsSum && tsSum == byUf))
+          .toDF("total", "ts_sum", "uf_sum", "consistent")
       }),
 
     // /api/lookup/mun (main.py:1133-1208)
