@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide 100 TB behavior, pinned
+  * as tests so a refactor that silently loses a pushdown/broadcast fails CI.
+  * Runs against sf0.001 (plan shape is scale-invariant).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  /** AQE prints WholeStageCodegen spans only once the plan is final —
+    * execute, then read the final plan. */
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p11_api_where: predicates reach the parquet scan") {
+    val p = plan("p11_api_where")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"),
+      s"no pushed filters:\n$p")
+    // column pruning: only the needed columns are read
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("props"), s"props column not pruned: $read")
+  }
+
+  test("a8_fact_cube: shuffle join + partial/final hash aggregation") {
+    val p = plan("a8_fact_cube")
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_count|partial_".r.findFirstIn(p).isDefined,
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("j2_pip_join: dimension broadcast, bbox conjuncts evaluated with the join") {
+    val p = plan("j2_pip_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("min_lon"), "bbox prefilter columns missing from join condition")
+  }
+
+  test("j6_dim_rollup: both dimensions broadcast — fact side never shuffles for the join") {
+    val p = plan("j6_dim_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("t1_topn: sort+limit fuses into TakeOrderedAndProject") {
+    val p = plan("t1_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a1_daily_mart: single-pass aggregation with whole-stage codegen") {
+    val p = executedPlan("a1_daily_mart")
+    assert(p.contains("WholeStageCodegen"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"more shuffles than one agg exchange (+AQE read):\n$p")
+  }
+
+  test("dedup_exact: one hash shuffle on the digest, nothing more") {
+    val p = plan("dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("sim_topk_brute: query side broadcast — corpus scanned once, no corpus shuffle") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
