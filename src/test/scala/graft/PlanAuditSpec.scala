@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("a1_daily_mart: single-pass aggregation with whole-stage codegen") {
     val p = executedPlan("a1_daily_mart")
-    assert(p.contains("WholeStageCodegen"), p)
+    // codegen'd operators print with the *(stageId) marker
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"more shuffles than one agg exchange (+AQE read):\n$p")
   }
