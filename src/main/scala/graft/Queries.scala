@@ -264,6 +264,23 @@ object Queries {
           .orderBy("month", "r_name")
       }),
 
+    // J7 — mart→geometry inner equi join (90_geo_focos_diario_municipio.sql)
+    QueryDef("j7_geo_join", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "mart AS (SELECT day, cd_mun, sum(n_focos) AS n_focos FROM cube " +
+        "WHERE day >= DATE '1995-01-01' AND day < DATE '1995-02-01' GROUP BY 1,2), " +
+        s"g AS (SELECT n_nationkey AS cd_mun, min_lon, min_lat FROM ($cellsSql)) " +
+        "SELECT m.day, m.cd_mun, m.n_focos, g.min_lon, g.min_lat " +
+        "FROM mart m JOIN g USING (cd_mun)"),
+      (s, d) => {
+        val mart = choroCube(s, d)
+          .filter(col("day") >= lit("1995-01-01") && col("day") < lit("1995-02-01"))
+          .groupBy("day", "cd_mun").agg(sum("n_focos").as("n_focos"))
+        val geomDim = cells(s, d)
+          .select(col("n_nationkey").as("cd_mun"), col("min_lon"), col("min_lat"))
+        graft.marts.Marts.geoFocosDiario(mart, geomDim, "cd_mun")
+      }),
+
     QueryDef("j9_zero_fill", Some(
       "SELECT n.n_name, coalesce(s.cnt, 0) AS n_suppliers FROM nation n LEFT JOIN " +
         "(SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) s " +

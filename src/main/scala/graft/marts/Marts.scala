@@ -133,6 +133,13 @@ object Marts {
         col("uc_nome"), col("cd_cnuc"), col("ti_nome"), col("terrai_cod"))
       .agg(count(lit(1)).as("n_focos"))
 
+  /** J7 — geo view: mart rows inner-joined to their web geometry
+    * (sql/marts/90_geo_focos_diario_municipio.sql:13-15). The geometry
+    * side is a small dimension → broadcast; mart rows without a geometry
+    * drop, as in the reference's inner join. */
+  def geoFocosDiario(mart: DataFrame, geomDim: DataFrame, key: String): DataFrame =
+    mart.join(broadcast(geomDim), key)
+
   /** A9 — UF area rollup (sql/ref/05_ref_uf_area.sql:10-18). */
   def ufAreaRollup(municipios: DataFrame): DataFrame =
     municipios.groupBy(col("uf"))
