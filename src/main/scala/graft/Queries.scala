@@ -961,6 +961,19 @@ object Queries {
         Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
       }),
 
+    // IVF coarse quantization: nearest of two fixed centroids, computed
+    // with built-ins (zip_with/aggregate) — ties resolve to the lower cell
+    QueryDef("sim_ivf_assign", Some(
+      "SELECT vec_id, CASE WHEN list_distance(CAST(embedding AS DOUBLE[]), " +
+        "list_transform(range(64), x -> 0.25)) <= " +
+        "list_distance(CAST(embedding AS DOUBLE[]), list_transform(range(64), x -> 0.75)) " +
+        "THEN 0 ELSE 1 END AS cell FROM embeddings"),
+      (s, d) => T(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.ivfCellId(
+          col("embedding").cast("array<double>"),
+          Seq(Seq.fill(64)(0.25), Seq.fill(64)(0.75))).as("cell")),
+    ),
+
     QueryDef("sim_topk_lsh", None, // approximate → rows-only check
       (s, d) => {
         val e = T(s, d, "embeddings")

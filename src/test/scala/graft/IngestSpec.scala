@@ -50,6 +50,15 @@ class IngestSpec extends AnyFunSuite {
     assert(out.select("event_hash").distinct().count() == 2)
   }
 
+  test("S4: comma-dialect files sniff correctly too") {
+    val dir = Files.createTempDirectory("graft_comma")
+    val f = dir.resolve("d.csv")
+    Files.writeString(f, "latitude,longitude,satelite\n-10.5,-55.1,AQUA\n-10.6,-55.2,TERRA\n")
+    val df = Ingest.readCsv(spark, f.toString)
+    assert(df.columns.toSeq == Seq("latitude", "longitude", "satelite"))
+    assert(df.count() == 2)
+  }
+
   test("S1: cachedFetch skips the fetcher on a warm cache and models 404") {
     val dir = Files.createTempDirectory("graft_cache")
     var calls = 0

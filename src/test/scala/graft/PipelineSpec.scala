@@ -168,4 +168,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(redone.filter(!col("uc_checked")).count() == 0)
     assert(p.checkDay(d1).isEmpty)
   }
+
+  test("EP3 over EP1: the Serve layer answers from the pipeline-written cube") {
+    import graft.serve.Serve
+    val (_, root, _) = fixture
+    val cube = spark.read.parquet(s"$root/marts/mv_focos_day_dim")
+    val from = d1
+    val to = d3.plusDays(1)
+
+    assert(Serve.totals(cube, from, to, Serve.Filters()).head.getLong(0) == 15)
+    assert(Serve.totals(cube, from, to, Serve.Filters(uf = Some("ro")))
+      .head.getLong(0) == 9) // filter normalization upper-cases "ro"
+
+    val s = Serve.summary(cube, from, to, Serve.Filters()).head
+    assert(s.getAs[Long]("total_focos") == 15)
+    assert(s.getAs[java.sql.Date]("peak_day").toLocalDate == d1) // 5/5/5 tie -> earliest
+    assert(s.getAs[Long]("peak_n") == 5)
+
+    val top = Serve.top(cube, from, to, Serve.Filters(), by = "uf", limit = 5)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("n_focos"))
+    assert(top.toSeq == Seq("RO" -> 9L, "AC" -> 6L))
+
+    val (tot, ts, byUf) = Serve.validateConsistency(cube, from, to, Serve.Filters())
+    assert(tot == 15 && ts == 15 && byUf == 15)
+  }
 }
