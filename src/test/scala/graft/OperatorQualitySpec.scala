@@ -70,6 +70,24 @@ class OperatorQualitySpec extends AnyFunSuite {
       "prefix-filter join must produce exactly the all-pairs result")
   }
 
+  test("SimHash banding is COMPLETE for hamming <= 3 (pigeonhole guarantee)") {
+    import graft.functions.HashFunctions
+    val docs = corpus()
+    val found = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .select("id_a").collect().map(_.getLong(0)).toSet
+    // ground truth: hamming of the two simhashes per planted pair
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (0 until 200).filter { i =>
+      val h1 = HashFunctions.simHash64(texts(i.toLong).split("\\s+").toSeq)
+      val h2 = HashFunctions.simHash64(texts(i + 100000L).split("\\s+").toSeq)
+      HashFunctions.hammingDistance64(h1, h2) <= 3
+    }.map(_.toLong).toSet
+    assert(found == expected,
+      s"banding must find EXACTLY the <=3-hamming pairs (found ${found.size}, expected ${expected.size})")
+    assert(expected.size >= 100, "fixture sanity: most planted dups stay within hamming 3")
+  }
+
   /** Deterministic embeddings: 100 corpus vectors in 16d + 10 queries that
     * are tiny perturbations of known corpus vectors (their true nearest
     * neighbor by construction). */
