@@ -46,7 +46,9 @@ object Enrich {
     // exactly one assignment per event even when a boundary point falls in
     // two overlapping municipality polygons — mirrors the reference UPDATE
     // (one row per fact, lowest code wins), and keeps Pipeline.checkDay's
-    // curated==enriched conservation invariant intact
+    // curated==enriched conservation invariant intact. The window shuffles
+    // only the DAY's batch (enrichment is per-day incremental), never
+    // history — at 100 TB that is one day of facts, not the fact table.
     val exact = facts.join(broadcast(dim),
         bboxPre(col("lon"), col("lat")) && pip(col("lon"), col("lat")), "left")
       .drop("geom", "min_lon", "min_lat", "max_lon", "max_lat")
