@@ -555,7 +555,7 @@ object Queries {
         points(s, d).join(broadcast(c),
           col("lon") > col("min_lon") && col("lon") < col("max_lon") &&
             col("lat") > col("min_lat") && col("lat") < col("max_lat") &&
-            GeoFunctions.pointInMultiPolygonUdf(col("lon"), col("lat"), col("geom")),
+            GeoFunctions.pointInMultiPolygon(col("lon"), col("lat"), col("geom")),
           "left")
           .select("c_custkey", "lon", "lat", "n_name")
       }),

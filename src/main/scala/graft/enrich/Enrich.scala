@@ -27,7 +27,7 @@ object Enrich {
       latC >= col("min_lat") && latC <= col("max_lat")
 
   private def pip(lonC: Column, latC: Column): Column =
-    GeoFunctions.pointInMultiPolygonUdf(lonC, latC, col("geom"))
+    GeoFunctions.pointInMultiPolygon(lonC, latC, col("geom"))
 
   /** J2+J3 — municipality enrichment: exact PIP first; for the remainder,
     * nearest municipality within `knnMaxMeters` (geography distance to the

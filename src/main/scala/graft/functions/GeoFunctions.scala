@@ -35,6 +35,13 @@ object GeoFunctions {
       if (mp == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(Geo.pointInMultiPolygon(lon, lat, toMP(mp))))
 
+  /** Native-Expression binding for the hot PIP predicate — stays inside
+    * whole-stage codegen and skips the per-probe nested-Seq conversion the
+    * ScalaUDF pays (graft.plans.PointInMultiPolygon). Prefer this in join
+    * conditions; the UDF remains for SQL registration parity. */
+  def pointInMultiPolygon(lon: Column, lat: Column, geom: Column): Column =
+    graft.plans.PointInMultiPolygon(lon, lat, geom)
+
   val haversineMetersUdf =
     udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
       Geo.haversineMeters(lon1, lat1, lon2, lat2))

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType}
+
+/** Ray-cast point-in-multipolygon over Spark's internal `ArrayData` — no
+  * Catalyst→Scala collection conversion. Called from both the interpreted
+  * and the generated code paths of [[PointInMultiPolygon]].
+  *
+  * Semantics identical to graft.geo.Geo.pointInMultiPolygon
+  * (exterior ring minus holes, edge cases implementation-defined), which
+  * stays the property-tested reference implementation.
+  */
+object PipKernel {
+
+  def ringContains(lon: Double, lat: Double, ring: ArrayData): Boolean = {
+    var inside = false
+    val n = ring.numElements()
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val pi = ring.getArray(i)
+      val pj = ring.getArray(j)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      if (((yi > lat) != (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  def polygonContains(lon: Double, lat: Double, poly: ArrayData): Boolean = {
+    val nRings = poly.numElements()
+    if (nRings == 0 || !ringContains(lon, lat, poly.getArray(0))) return false
+    var h = 1
+    while (h < nRings) { // a hit inside any hole is a miss
+      if (ringContains(lon, lat, poly.getArray(h))) return false
+      h += 1
+    }
+    true
+  }
+
+  def contains(lon: Double, lat: Double, mp: ArrayData): Boolean = {
+    val nPolys = mp.numElements()
+    var p = 0
+    while (p < nPolys) {
+      if (polygonContains(lon, lat, mp.getArray(p))) return true
+      p += 1
+    }
+    false
+  }
+}
+
+/** Native Catalyst expression for the hot spatial predicate (SURVEY §2.9):
+  * `ST_Intersects(point, multipolygon)`. Compared to the ScalaUDF binding,
+  * this stays inside whole-stage codegen (defineCodeGen emits a static
+  * call) and never materializes the nested Seq[Seq[Seq[Seq[Double]]]]
+  * geometry per (point × polygon) probe — the dominant cost of the UDF at
+  * enrichment scale.
+  */
+case class PointInMultiPolygon(first: Expression, second: Expression,
+                               third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isGeom(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(ArrayType(ArrayType(DoubleType, _), _), _), _) => true
+      case _ => false
+    }
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      isGeom(third.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pip expects (double, double, array⁴<double>), got " +
+          s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override protected def nullSafeEval(lon: Any, lat: Any, geom: Any): Any =
+    PipKernel.contains(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      geom.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, g) =>
+      s"graft.plans.PipKernel.contains($lon, $lat, $g)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PointInMultiPolygon {
+  /** Column binding: `pipNative(lon, lat, geom)`. */
+  def apply(lon: Column, lat: Column, geom: Column): Column =
+    ColumnBridge.column(new PointInMultiPolygon(
+      ColumnBridge.expression(lon.cast("double")),
+      ColumnBridge.expression(lat.cast("double")),
+      ColumnBridge.expression(geom)))
+}

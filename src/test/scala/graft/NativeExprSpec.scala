@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoFunctions
+import graft.plans.GraftExtensions
+
+/** The native PointInMultiPolygon expression must agree with the
+  * property-tested UDF/kernel everywhere, handle nulls, stay codegen'd,
+  * and be SQL-callable via the extension registration. */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  type MP = Seq[Seq[Seq[Seq[Double]]]]
+  private val square: MP = Seq(Seq(Seq(
+    Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0), Seq(0.0, 0.0))))
+  private val withHole: MP = Seq(Seq(
+    Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0), Seq(0.0, 0.0)),
+    Seq(Seq(4.0, 4.0), Seq(6.0, 4.0), Seq(6.0, 6.0), Seq(4.0, 6.0), Seq(4.0, 4.0))))
+
+  test("native expression equals the UDF on a grid, including holes and nulls") {
+    import spark.implicits._
+    val pts = (for (x <- -2 to 12; y <- -2 to 12) yield (x + 0.5, y + 0.5)).toDF("lon", "lat")
+    val geoms = Seq(("sq", square), ("hole", withHole)).toDF("name", "geom")
+    val joined = pts.crossJoin(geoms)
+      .withColumn("via_expr", GeoFunctions.pointInMultiPolygon(col("lon"), col("lat"), col("geom")))
+      .withColumn("via_udf", GeoFunctions.pointInMultiPolygonUdf(col("lon"), col("lat"), col("geom")))
+    assert(joined.filter(col("via_expr") =!= col("via_udf")).count() == 0)
+    assert(joined.filter(col("name") === "hole" && col("lon") === 4.5 && col("lat") === 4.5)
+      .head.getAs[Boolean]("via_expr") == false) // inside the hole
+    // null geometry -> null result
+    val n = pts.limit(1)
+      .withColumn("geom", lit(null).cast("array<array<array<array<double>>>>"))
+      .select(GeoFunctions.pointInMultiPolygon(col("lon"), col("lat"), col("geom")))
+    assert(n.head.isNullAt(0))
+  }
+
+  test("the expression stays out of ScalaUDF — codegen-friendly plan") {
+    // non-literal input (range) so the predicate survives constant folding
+    val pts = spark.range(2).select(
+      (col("id") * 10 + 1).cast("double").as("lon"),
+      (col("id") * 10 + 1).cast("double").as("lat"))
+    val df = pts.withColumn("geom", typedLit(square))
+      .filter(GeoFunctions.pointInMultiPolygon(col("lon"), col("lat"), col("geom")))
+    assert(df.count() == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"native expr compiled to a UDF:\n$plan")
+    assert(plan.toLowerCase.contains("pointinmultipolygon"), plan)
+  }
+
+  test("pip_native is SQL-callable after extension registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((2.0, 3.0)).toDF("lon", "lat").createOrReplaceTempView("pts_native")
+    val mpSql = "array(array(array(" +
+      "array(0D,0D), array(10D,0D), array(10D,10D), array(0D,10D), array(0D,0D))))"
+    val r = spark.sql(
+      s"SELECT pip_native(lon, lat, $mpSql) AS hit, " +
+        s"pip_native(lon + 20, lat, $mpSql) AS miss FROM pts_native").head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
