@@ -575,7 +575,7 @@ object Queries {
         val ctr = cells(s, d).select(col("n_nationkey"), col("n_name"),
           (col("min_lon") + 36.0).as("clon"), (col("min_lat") + 17.0).as("clat"))
         points(s, d).crossJoin(broadcast(ctr))
-          .withColumn("d", GeoFunctions.haversineMetersUdf(
+          .withColumn("d", GeoFunctions.haversineMeters(
             col("lon"), col("lat"), col("clon"), col("clat")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("c_custkey").orderBy(col("d").asc, col("n_nationkey").asc)))

@@ -42,6 +42,10 @@ object GeoFunctions {
   def pointInMultiPolygon(lon: Column, lat: Column, geom: Column): Column =
     graft.plans.PointInMultiPolygon(lon, lat, geom)
 
+  /** Native-Expression haversine — codegen'd, for per-pair scoring loops. */
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    graft.plans.HaversineMeters(lon1, lat1, lon2, lat2)
+
   val haversineMetersUdf =
     udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
       Geo.haversineMeters(lon1, lat1, lon2, lat2))

@@ -106,3 +106,45 @@ object PointInMultiPolygon {
       ColumnBridge.expression(lat.cast("double")),
       ColumnBridge.expression(geom)))
 }
+
+/** Native haversine distance (meters) — the KNN candidate scorer runs once
+  * per (fact × candidate) pair, so it gets the same codegen treatment as
+  * the PIP predicate. Delegates to graft.geo.Geo.haversineMeters (the
+  * property-tested kernel) from both eval paths.
+  */
+case class HaversineMeters(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"haversine_m expects 4 doubles, got ${children.map(_.dataType)}")
+
+  override protected def nullSafeEval(lon1: Any, lat1: Any, lon2: Any, lat2: Any): Any =
+    graft.geo.Geo.haversineMeters(lon1.asInstanceOf[Double], lat1.asInstanceOf[Double],
+      lon2.asInstanceOf[Double], lat2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.geo.Geo.haversineMeters($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(newFirst, newSecond, newThird, newFourth)
+}
+
+object HaversineMeters {
+  def apply(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    ColumnBridge.column(new HaversineMeters(
+      ColumnBridge.expression(lon1.cast("double")),
+      ColumnBridge.expression(lat1.cast("double")),
+      ColumnBridge.expression(lon2.cast("double")),
+      ColumnBridge.expression(lat2.cast("double"))))
+}
