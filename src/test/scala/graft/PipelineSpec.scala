@@ -192,4 +192,20 @@ class PipelineSpec extends AnyFunSuite {
     val (tot, ts, byUf) = Serve.validateConsistency(cube, from, to, Serve.Filters())
     assert(tot == 15 && ts == 15 && byUf == 15)
   }
+
+  test("A7 period stats: single-pass max_by peak over the daily UF mart") {
+    import graft.marts.Marts
+    val (_, root, _) = fixture
+    val dailyUf = spark.read.parquet(s"$root/marts/focos_diario_uf")
+    val period = Marts.focosPeriodoUf(dailyUf,
+        java.sql.Date.valueOf(d1), java.sql.Date.valueOf(d3))
+      .collect().map(r => r.getAs[String]("uf") -> r).toMap
+    assert(period.keySet == Set("RO", "AC"))
+    val ro = period("RO")
+    assert(ro.getAs[Long]("n_focos_total") == 9)
+    assert(ro.getAs[java.math.BigDecimal]("n_focos_avg_daily").doubleValue() == 3.0)
+    assert(ro.getAs[Long]("n_focos_max_daily") == 3)
+    // 3/3/3 tie -> earliest day wins (DISTINCT ON tiebreak, W3)
+    assert(ro.getAs[java.sql.Date]("peak_day").toLocalDate == d1)
+  }
 }
