@@ -371,6 +371,15 @@ object Serve {
   /** sha1[:16] of the canonical GeoJSON (_coords_hash, main.py:660-662:
     * json.dumps(sort_keys=True, separators=(",",":"))). */
   def coordsHash(mp: Geo.MultiPolygon): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(geometryGeoJson(mp).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** ST_AsGeoJSON analog: the canonical (sorted-keys, compact-separator)
+    * MultiPolygon GeoJSON string — the overlay payload of /api/geo
+    * (st_asgeojson(geom_out)::jsonb, main.py:760). */
+  def geometryGeoJson(mp: Geo.MultiPolygon): String = {
     val sb = new StringBuilder
     sb.append("{\"coordinates\":[")
     mp.zipWithIndex.foreach { case (poly, pi) =>
@@ -388,9 +397,7 @@ object Serve {
       sb.append(']')
     }
     sb.append("],\"type\":\"MultiPolygon\"}")
-    val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    digest.map("%02x".format(_)).mkString.take(16)
+    sb.toString
   }
 
   /** Python json number repr: integral floats print as "N.0", others via

@@ -47,6 +47,16 @@ class ServeSpec extends AnyFunSuite {
     Serve.validateRange(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-12-31"))
   }
 
+  test("geometryGeoJson renders canonical sorted-key compact GeoJSON; coordsHash is its sha1 prefix") {
+    val mp: graft.geo.Geo.MultiPolygon = IndexedSeq(IndexedSeq(IndexedSeq(
+      (0.0, 0.0), (10.0, 0.0), (10.5, 10.0), (0.0, 0.0))))
+    val json = Serve.geometryGeoJson(mp)
+    assert(json ==
+      """{"coordinates":[[[[0.0,0.0],[10.0,0.0],[10.5,10.0],[0.0,0.0]]]],"type":"MultiPolygon"}""")
+    assert(Serve.coordsHash(mp).length == 16)
+    assert(Serve.coordsHash(mp) == Serve.coordsHash(mp)) // deterministic
+  }
+
   test("timeseries auto-bucketing thresholds (92/273 days, main.py:392-397)") {
     assert(Serve.granularity(92) == "day")
     assert(Serve.granularity(93) == "week")
