@@ -79,7 +79,14 @@ object GeoFunctions {
   val simplifyDPUdf =
     udf((mp: MP, tol: Double) =>
       if (mp == null) null
-      else toMP(mp).map(_.map(r => Geo.simplifyDP(r, tol).map(p => Seq(p._1, p._2)))))
+      else toMP(mp).map(_.map(r => Geo.simplifyDPChecked(r, tol).map(p => Seq(p._1, p._2)))))
+
+  /** Dissolve-safety guard: true when any two parts' bbox interiors overlap
+    * (the concat stand-in would double-count their area). */
+  val partsBBoxOverlapUdf =
+    udf((mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(Geo.partsBBoxOverlap(toMP(mp))))
 
   /** Drop interior rings — ST_MakePolygon(ST_ExteriorRing(..)) analog. */
   val dropHolesUdf =
@@ -115,5 +122,6 @@ object GeoFunctions {
     spark.udf.register("geo_largest_part", largestPartUdf)
     spark.udf.register("geo_npoints", nPointsUdf)
     spark.udf.register("geo_is_valid", isValidUdf)
+    spark.udf.register("geo_parts_overlap", partsBBoxOverlapUdf)
   }
 }

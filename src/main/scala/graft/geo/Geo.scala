@@ -220,6 +220,66 @@ object Geo {
     if (out.length < 4 && ring.head == ring.last) ring else out
   }
 
+  /** Proper self-intersection test between non-adjacent ring segments,
+    * O(n²) — run only on post-simplify rings, which are small by
+    * construction. Collinear-overlap cases are not flagged (plain DP's
+    * failure mode is a proper crossing).
+    */
+  def ringSelfIntersects(ring: Ring): Boolean = {
+    val pts = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    val n = pts.length
+    if (n < 4) return false
+    def o(a: Point, b: Point, c: Point): Double =
+      math.signum((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
+    var i = 0
+    while (i < n) {
+      val a1 = pts(i); val a2 = pts((i + 1) % n)
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) { // adjacent (shared endpoint) pairs skip
+          val b1 = pts(j); val b2 = pts((j + 1) % n)
+          if (o(a1, a2, b1) * o(a1, a2, b2) < 0 &&
+              o(b1, b2, a1) * o(b1, b2, a2) < 0) return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** DP + validity re-check: plain DP can produce a self-intersecting ring
+    * where `ST_SimplifyPreserveTopology` cannot — when simplification
+    * introduces a crossing (or degenerates the ring), fall back to the
+    * unsimplified ring, so no simplified output is ever less valid than its
+    * input. */
+  def simplifyDPChecked(ring: Ring, tolDeg: Double): Ring = {
+    val out = simplifyDP(ring, tolDeg)
+    if (out eq ring) ring
+    else if (out.length < 4 ||
+      (ringSelfIntersects(out) && !ringSelfIntersects(ring))) ring
+    else out
+  }
+
+  /** True when any two parts' bboxes overlap in their INTERIORS (touching
+    * edges are fine) — the cheap guard for the dissolve concat stand-in,
+    * which is only area-correct for disjoint parts. */
+  def partsBBoxOverlap(mp: MultiPolygon): Boolean = {
+    val boxes = mp.flatMap(_.headOption).map(bboxOfRing)
+    var i = 0
+    while (i < boxes.length) {
+      var j = i + 1
+      while (j < boxes.length) {
+        val a = boxes(i); val b = boxes(j)
+        if (a.minLon < b.maxLon && b.minLon < a.maxLon &&
+            a.minLat < b.maxLat && b.minLat < a.maxLat) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   /** `ST_MakePolygon(ST_ExteriorRing(p))` — drop holes (sqlm/marts/prereq/020_*.sql:20). */
   def dropHoles(poly: Polygon): Polygon = poly.take(1)
 

@@ -87,6 +87,15 @@ object Ingest {
     spark.read.option("header", "true").option("sep", sep)
       .option("inferSchema", "false") // everything arrives as string, like dtype=str
       .csv(path)
+      // File-order key for the P9 "first occurrence wins" dedup: for multi-
+      // file input FileSourceScanExec packs splits by SIZE, not name, so
+      // partition order alone does not reproduce file order. (file_path,
+      // file_block_start, within-split row index) does, for any mix of
+      // files/globs/dirs. Struct comparison is lexicographic by field.
+      .withColumn("__src_order", struct(
+        col("_metadata.file_path").as("f"),
+        col("_metadata.file_block_start").as("b"),
+        monotonically_increasing_id().as("i")))
   }
 
   /** Full transform: raw CSV DataFrame → curated records.
@@ -95,7 +104,9 @@ object Ingest {
     */
   def transform(raw: DataFrame, fileDate: java.sql.Date): DataFrame = {
     val df = normalizeHeaders(raw)
-    val cols = df.columns.toSeq
+    // `__`-prefixed columns are engine bookkeeping (readCsv's __src_order),
+    // never data: keep them out of resolution and the props JSON
+    val cols = df.columns.toSeq.filterNot(_.startsWith("__"))
     def res(pref: Seq[String]): Option[String] = resolveColumn(cols, pref)
 
     val latCol = res(latPreferred).getOrElse(
@@ -111,7 +122,15 @@ object Ingest {
     def opt(name: Option[String]): Column =
       name.map(n => cleanValue(col(n))).getOrElse(lit(null).cast("string"))
 
+    // P9 order key: the readCsv file-order struct when present (multi-file
+    // reads), else monotonically_increasing_id (single-file / in-memory
+    // frames, where within-partition input order is the file order)
+    val ordCol =
+      if (df.columns.contains("__src_order")) col("__src_order")
+      else struct(monotonically_increasing_id().as("i"))
+
     val cleaned = df.select(
+      ordCol.as("__ord"),
       localeDouble(col(latCol)).as("lat"),
       localeDouble(col(lonCol)).as("lon"),
       opt(tsCol).as("view_ts"),
@@ -132,9 +151,7 @@ object Ingest {
         col("lat"), col("lon"), col("view_ts"), col("satelite")))
       // P9 — the hash excludes municipio/uf/bioma/props, so the survivor
       // matters: keep the FIRST occurrence in file order like the
-      // reference's seen_hash skip (transform/inpe_focos_diario.py:143-169);
-      // monotonically_increasing_id preserves within-partition input order
-      .withColumn("__ord", monotonically_increasing_id())
+      // reference's seen_hash skip (transform/inpe_focos_diario.py:143-169)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("event_hash").orderBy(col("__ord").asc)))

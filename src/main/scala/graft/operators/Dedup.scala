@@ -87,23 +87,31 @@ object Dedup {
     udf((base: Seq[Long], numHashes: Int) => {
       if (base == null || base.isEmpty) Seq.empty[Long]
       else {
-        val out = new Array[Long](numHashes)
+        // universal hashing family with fixed (deterministic) odd multipliers;
+        // single pass over the shingles updating all mins at once — the
+        // shingle array is read once (cache-resident mins) instead of once
+        // per hash function.
+        val as = new Array[Long](numHashes)
+        val bs = new Array[Long](numHashes)
+        val mins = new Array[Long](numHashes)
         var i = 0
         while (i < numHashes) {
-          // universal hashing family with fixed (deterministic) odd multipliers
-          val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
-          val b = 0xc2b2ae3d27d4eb4fL * (i + 1)
-          var min = Long.MaxValue
-          var k = 0
-          while (k < base.size) {
-            val h = a * base(k) + b
-            if (h < min) min = h
-            k += 1
-          }
-          out(i) = min
+          as(i) = 0x9e3779b97f4a7c15L * (2 * i + 1)
+          bs(i) = 0xc2b2ae3d27d4eb4fL * (i + 1)
+          mins(i) = Long.MaxValue
           i += 1
         }
-        out.toSeq
+        val it = base.iterator
+        while (it.hasNext) {
+          val x = it.next()
+          var j = 0
+          while (j < numHashes) {
+            val h = as(j) * x + bs(j)
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        mins.toSeq
       }
     })
 
@@ -123,9 +131,16 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // Persisted because three subtrees read it (the banded signature tree and
+    // both sides of the verification join) — without it Spark re-tokenizes and
+    // re-hashes the corpus 3×. MEMORY_AND_DISK: shingle arrays spill rather
+    // than OOM at large SF; stays cached for the session (operator output is
+    // lazy, so there is no safe point to unpersist inside this function).
     val withShingles = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", shingleHashes(col("text"), shingleSize))
+      .drop("text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the signature UDF lives only in the banded subtree; the verification
     // joins read the cheap shingle-hash projection
     val withSig = withShingles
@@ -222,34 +237,46 @@ object Dedup {
       .withColumn("sz", size(col("toks")))
     val tok = base.select(col("id"), col("block"), col("sz"),
       explode(col("toks")).as("tok"))
-    // per-block doc frequency + dense token id (rarest-first canonical order)
+    // per-block doc frequency (distributed groupBy — never a global window)
     val freq = tok.groupBy("block", "tok").agg(count(lit(1)).as("tok_df"))
+    val vocab = freq.groupBy("block").agg(count(lit(1)).as("vocab_sz"))
+    val freqV = freq.join(vocab, "block")
+    // Dense token ids ONLY for blocks whose vocabulary fits the bitmask fast
+    // path: the row_number window then sorts ≤ maskBits rows per partition —
+    // bounded by construction. Large-vocab blocks (incl. blockKey=lit(1)
+    // global pairing over a big corpus) skip the rank entirely and use the
+    // distributed canonical order struct(tok_df, tok) — prefix selection and
+    // array_intersect verification need an ORDER, not a dense RANK, so no
+    // single task ever sees a whole block's vocabulary.
+    val withIdx = freqV.filter(col("vocab_sz") <= maskBits)
       .withColumn("tok_idx", row_number().over(
         Window.partitionBy("block").orderBy(col("tok_df").asc, col("tok").asc)) - 1)
-    val vocab = freq.groupBy("block").agg((max("tok_idx") + 1).as("vocab_sz"))
+      .unionByName(freqV.filter(col("vocab_sz") > maskBits)
+        .withColumn("tok_idx", lit(null).cast("int")))
 
-    // per-doc: tokens as dense ids — ascending tok_idx IS the canonical
-    // rarest-first order, so a sort_array replaces a per-doc window.
-    // Bitmask when the block's vocabulary fits in `maskBits` (small-universe
-    // fast path — popcount verify; large-vocab blocks verify on the sorted
-    // id arrays, where prefix filtering already keeps candidates rare).
-    val docs = tok.join(freq.select("block", "tok", "tok_idx"), Seq("block", "tok"))
+    // per-doc: tokens sorted by the canonical rarest-first key (tok_df, tok)
+    // — sort_array on the struct replaces a per-doc window; tok_idx rides
+    // along for the small-universe bitmask.
+    val docs = tok.join(withIdx, Seq("block", "tok"))
       .groupBy("id")
       .agg(first("block").as("block"), first("sz").as("sz"),
-        sort_array(collect_list(col("tok_idx"))).as("ids"))
-      .join(vocab, "block")
+        first("vocab_sz").as("vocab_sz"),
+        sort_array(collect_list(struct(col("tok_df"), col("tok"), col("tok_idx"))))
+          .as("ordered"))
+      .withColumn("ctoks", transform(col("ordered"), x => x.getField("tok")))
       .withColumn("mask",
         when(col("vocab_sz") <= maskBits,
-          bitmaskUdf(col("ids"), ceil(col("vocab_sz") / 64.0).cast("int")))
+          bitmaskUdf(transform(col("ordered"), x => x.getField("tok_idx")),
+            ceil(col("vocab_sz") / 64.0).cast("int")))
           .otherwise(lit(null)))
 
-    // t-prefix: first |S| − ⌈t·|S|⌉ + 1 rarest token ids. Rows verified by
-    // mask drop their id array before the candidate join — the join output
+    // t-prefix: first |S| − ⌈t·|S|⌉ + 1 rarest tokens. Rows verified by
+    // mask drop their token array before the candidate join — the join output
     // (candidates × columns) dominates cost, so its payload must stay tiny.
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val prefix = docs.select(col("block"), col("id"), col("sz"), col("mask"),
-        when(col("mask").isNull, col("ids")).as("ids"),
-        explode(slice(col("ids"), lit(1), prefixLen)).as("tid"))
+        when(col("mask").isNull, col("ctoks")).as("ids"),
+        explode(slice(col("ctoks"), lit(1), prefixLen)).as("tid"))
 
     def side(s: String) = prefix.select(col("block"), col("tid"),
       col("id").as(s"id_$s"), col("sz").as(s"sz_$s"),

@@ -302,6 +302,10 @@ object Serve {
     g.withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
       .agg(min("bb._1").as("minx"), min("bb._2").as("miny"),
         max("bb._3").as("maxx"), max("bb._4").as("maxy"))
+      // a global agg over an empty set yields one all-null row; drop it so a
+      // missing key yields an EMPTY frame — the engine's empty⇔404 contract
+      // (the reference 404s "geometry not found for key", main.py:919-920)
+      .filter(col("minx").isNotNull)
       .withColumn("center_lat", (col("miny") + col("maxy")) / 2.0)
       .withColumn("center_lon", (col("minx") + col("maxx")) / 2.0)
   }
@@ -351,7 +355,7 @@ object Serve {
     val npointsBefore = Geo.nPoints(parts)
     val validBefore = Geo.isValid(parts)
     val out: Geo.MultiPolygon =
-      if (simplify) parts.map(_.map(r => Geo.simplifyDP(r, tolM / 111320.0)))
+      if (simplify) parts.map(_.map(r => Geo.simplifyDPChecked(r, tolM / 111320.0)))
       else parts
     val areaAfter = out.map(Geo.polygonAreaSqMeters).sum
     val bb = Geo.bboxOfMultiPolygon(out)

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.marts.GeoPrep
+
+/** Dissolve overlap guard: the concat stand-in for ST_UnaryUnion is only
+  * area-correct for disjoint parts, so overlapping inputs must be flagged
+  * (or fail fast in raise mode) instead of silently double-counting area.
+  */
+class GeoPrepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rectMp(x1: Double, y1: Double, x2: Double, y2: Double) =
+    Seq(Seq(Seq(
+      Seq(x1, y1), Seq(x2, y1), Seq(x2, y2), Seq(x1, y2), Seq(x1, y1))))
+
+  test("dissolveByKey: disjoint parts unflagged, overlapping parts flagged") {
+    val geoms = Seq(
+      ("A", rectMp(0, 0, 10, 10)), ("A", rectMp(10, 0, 20, 10)), // edge-touching
+      ("B", rectMp(0, 0, 10, 10)), ("B", rectMp(5, 5, 15, 15))   // interior overlap
+    ).toDF("key", "geom")
+    val out = GeoPrep.dissolveByKey(geoms, Seq("key"))
+      .select("key", "n_parts", "overlap_flag").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out("A") == ((2, false)))
+    assert(out("B") == ((2, true)))
+  }
+
+  test("dissolveByKey raise mode: overlapping key fails the job") {
+    val bad = Seq(("B", rectMp(0, 0, 10, 10)), ("B", rectMp(5, 5, 15, 15)))
+      .toDF("key", "geom")
+    val e = intercept[Exception] {
+      GeoPrep.dissolveByKey(bad, Seq("key"), onOverlap = "raise").collect()
+    }
+    assert(e.getMessage.contains("overlapping parts") ||
+      Option(e.getCause).exists(_.getMessage.contains("overlapping parts")))
+
+    val ok = Seq(("A", rectMp(0, 0, 10, 10)), ("A", rectMp(10, 0, 20, 10)))
+      .toDF("key", "geom")
+    assert(GeoPrep.dissolveByKey(ok, Seq("key"), onOverlap = "raise").count() == 1)
+  }
+}

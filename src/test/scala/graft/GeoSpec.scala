@@ -97,6 +97,46 @@ class GeoSpec extends AnyFunSuite {
     assert(simplifyDP(tri, 10.0) == tri)
   }
 
+  test("ringSelfIntersects: bowtie flagged, simple shapes not") {
+    val bowtie = ring((0, 0), (2, 2), (2, 0), (0, 2), (0, 0))
+    assert(ringSelfIntersects(bowtie))
+    assert(!ringSelfIntersects(rect(0, 0, 10, 5)))
+    val l = ring((0, 0), (10, 0), (10, 5), (5, 5), (5, 10), (0, 10), (0, 0))
+    assert(!ringSelfIntersects(l)) // concave but simple
+  }
+
+  test("simplifyDPChecked: property — simplification never introduces a crossing") {
+    // deterministic pseudo-random star polygons (simple by construction:
+    // vertices at increasing angles around a center) across tolerances;
+    // the checked variant must never output a self-intersecting ring
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val n = 8 + rnd.nextInt(40)
+      val pts = (0 until n).map { i =>
+        val ang = 2 * math.Pi * i / n
+        val rad = 1.0 + 4.0 * rnd.nextDouble()
+        (rad * math.cos(ang), rad * math.sin(ang))
+      }
+      val r: Ring = (pts :+ pts.head).toIndexedSeq
+      assert(!ringSelfIntersects(r), s"trial $trial generator produced non-simple input")
+      for (tol <- Seq(0.01, 0.1, 0.5, 2.0)) {
+        val out = simplifyDPChecked(r, tol)
+        assert(!ringSelfIntersects(out), s"trial $trial tol $tol introduced a crossing")
+        assert(out.length >= 4 && out.head == out.last, s"trial $trial tol $tol degenerate")
+      }
+    }
+  }
+
+  test("partsBBoxOverlap: interior overlap flagged, shared edges not") {
+    def part(r: Ring): Polygon = IndexedSeq(r)
+    // touching along an edge (the dissolve fixtures' shape) — NOT an overlap
+    val touching: MultiPolygon = IndexedSeq(part(rect(0, 0, 24, 10)), part(rect(24, 0, 48, 10)))
+    assert(!partsBBoxOverlap(touching))
+    val overlapping: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(5, 5, 15, 15)))
+    assert(partsBBoxOverlap(overlapping))
+    assert(!partsBBoxOverlap(IndexedSeq(part(rect(0, 0, 1, 1))))) // single part
+  }
+
   test("largestPart / dropHoles / nPoints / isValid") {
     val small = IndexedSeq(rect(0, 0, 1, 1))
     val big = IndexedSeq(rect(10, 10, 20, 20), rect(12, 12, 13, 13))

@@ -55,8 +55,31 @@ class IngestSpec extends AnyFunSuite {
     val f = dir.resolve("d.csv")
     Files.writeString(f, "latitude,longitude,satelite\n-10.5,-55.1,AQUA\n-10.6,-55.2,TERRA\n")
     val df = Ingest.readCsv(spark, f.toString)
-    assert(df.columns.toSeq == Seq("latitude", "longitude", "satelite"))
+    // data columns + the engine's file-order bookkeeping column
+    assert(df.columns.toSeq.filterNot(_.startsWith("__")) ==
+      Seq("latitude", "longitude", "satelite"))
+    assert(df.columns.contains("__src_order"))
     assert(df.count() == 2)
+  }
+
+  test("P9: multi-file reads dedup with a file-order survivor key") {
+    val dir = Files.createTempDirectory("graft_multifile")
+    // same event hash inputs in both files, different municipio: the survivor
+    // must come from the lexically FIRST file regardless of split packing.
+    // b.csv is made much larger so size-ordered split packing would visit it
+    // first — the survivor must still come from a.csv.
+    Files.writeString(dir.resolve("a.csv"),
+      "latitude;longitude;satelite;municipio\n-10.5;-55.1;AQUA;FIRST\n")
+    val pad = (1 to 200).map(i => s"-2$i.0;-40.0;NOAA;PAD$i").mkString("\n")
+    Files.writeString(dir.resolve("b.csv"),
+      s"latitude;longitude;satelite;municipio\n-10.5;-55.1;AQUA;SECOND\n$pad\n")
+    val out = Ingest.transform(Ingest.readCsv(spark, dir.toString + "/*.csv"),
+      java.sql.Date.valueOf("2024-01-01"))
+    val dup = out.filter(col("lat") === -10.5).collect()
+    assert(dup.length == 1) // deduped across files
+    assert(dup.head.getAs[String]("municipio") == "FIRST")
+    // props JSON never leaks bookkeeping columns
+    assert(!dup.head.getAs[String]("props").contains("__src_order"))
   }
 
   test("S1: cachedFetch skips the fetcher on a warm cache and models 404") {
