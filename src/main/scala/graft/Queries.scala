@@ -157,6 +157,28 @@ object Queries {
     munGeoms(spark, dir)
   }
 
+  /** JIT/codegen warmup for the many-stage dedup/LSH plans: run the same
+    * operator compositions over a ~100-row slice so whole-stage-codegen
+    * classes are Janino-compiled (and cached) before timing. Only
+    * compilation is amortized — the timed queries still execute their full
+    * input one-shot. */
+  def warmupPlans(spark: SparkSession, dir: String): Unit = {
+    def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
+    val docs = T(spark, dir, "documents").limit(120)
+    val w = docs.select(col("doc_id"), col("lang"),
+      array_distinct(split(lower(col("text")), " ")).as("ws"))
+    run(Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9))
+    val d2 = docs.select(col("doc_id"), col("text"))
+    val variants = d2.select((col("doc_id") + 1000000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    run(Dedup.minHashLshPairs(d2.union(variants), "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5))
+    run(Dedup.simHashPairs(d2.union(variants), "doc_id", "text", maxHamming = 3))
+    val e = T(spark, dir, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    run(Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4))
+  }
+
   // ============================================================== queries ==
 
   val all: Seq[QueryDef] = Seq(

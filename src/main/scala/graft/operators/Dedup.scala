@@ -239,7 +239,9 @@ object Dedup {
       explode(col("toks")).as("tok"))
     // per-block doc frequency (distributed groupBy — never a global window)
     val freq = tok.groupBy("block", "tok").agg(count(lit(1)).as("tok_df"))
-    val vocab = freq.groupBy("block").agg(count(lit(1)).as("vocab_sz"))
+    // one row per block → broadcast; joining it onto the full token postings
+    // must not shuffle them
+    val vocab = broadcast(freq.groupBy("block").agg(count(lit(1)).as("vocab_sz")))
     val freqV = freq.join(vocab, "block")
     // Dense token ids ONLY for blocks whose vocabulary fits the bitmask fast
     // path: the row_number window then sorts ≤ maskBits rows per partition —
@@ -255,15 +257,23 @@ object Dedup {
         .withColumn("tok_idx", lit(null).cast("int")))
 
     // per-doc: tokens sorted by the canonical rarest-first key (tok_df, tok)
-    // — sort_array on the struct replaces a per-doc window; tok_idx rides
-    // along for the small-universe bitmask.
+    // — sort_array on the struct replaces a per-doc window. For small-vocab
+    // blocks tok_idx already encodes the (tok_df, tok) rank, so the token
+    // string is blanked before the doc-grouping shuffle (ints, not strings,
+    // through the exchange); sorting (tok_df, "", tok_idx) preserves the
+    // canonical order exactly.
     val docs = tok.join(withIdx, Seq("block", "tok"))
+      .withColumn("tok_s",
+        when(col("tok_idx").isNotNull, lit("")).otherwise(col("tok")))
       .groupBy("id")
       .agg(first("block").as("block"), first("sz").as("sz"),
         first("vocab_sz").as("vocab_sz"),
-        sort_array(collect_list(struct(col("tok_df"), col("tok"), col("tok_idx"))))
+        sort_array(collect_list(struct(col("tok_df"), col("tok_s"), col("tok_idx"))))
           .as("ordered"))
-      .withColumn("ctoks", transform(col("ordered"), x => x.getField("tok")))
+      .withColumn("ctoks",
+        when(col("vocab_sz") <= maskBits,
+          transform(col("ordered"), x => x.getField("tok_idx").cast("string")))
+          .otherwise(transform(col("ordered"), x => x.getField("tok_s"))))
       .withColumn("mask",
         when(col("vocab_sz") <= maskBits,
           bitmaskUdf(transform(col("ordered"), x => x.getField("tok_idx")),
