@@ -364,6 +364,63 @@ object Queries {
           col("avg_daily"), col("max_daily"), col("peak_day"))
       }),
 
+    // W1/W2 driven through the REAL mart function (Marts.focosDiarioUfTrend)
+    // over the TPC-H-derived cube. Moving averages are emitted as cents
+    // (decimal → BIGINT), with the oracle computing the identical half-up
+    // rounding via exact integer math: round2(s/c)·100 = (200·s + c)÷(2·c).
+    QueryDef("mart_trend", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "daily AS (SELECT day, uf, CAST(sum(n_focos) AS BIGINT) AS n_focos FROM cube GROUP BY 1,2), " +
+        "w AS (SELECT day, uf, n_focos, " +
+        "sum(n_focos) OVER w7 AS s7, count(*) OVER w7 AS c7, " +
+        "sum(n_focos) OVER w30 AS s30, count(*) OVER w30 AS c30 FROM daily " +
+        "WINDOW w7 AS (PARTITION BY uf ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), " +
+        "w30 AS (PARTITION BY uf ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT day, uf, n_focos, CAST((200*s7 + c7) // (2*c7) AS BIGINT) AS ma7_cents, " +
+        "CAST((200*s30 + c30) // (2*c30) AS BIGINT) AS ma30_cents FROM w ORDER BY uf, day"),
+      (s, d) => {
+        val daily = choroCube(s, d).groupBy("day", "uf").agg(sum("n_focos").as("n_focos"))
+        graft.marts.Marts.focosDiarioUfTrend(daily)
+          .select(col("day"), col("uf"), col("n_focos"),
+            (col("ma7") * 100).cast("long").as("ma7_cents"),
+            (col("ma30") * 100).cast("long").as("ma30_cents"))
+          .orderBy("uf", "day")
+      }),
+
+    // A7 driven through the REAL mart function (Marts.focosPeriodoUf):
+    // period totals + argmax peak day (earliest on ties) + density ratios,
+    // decimals emitted as scaled BIGINTs with exact integer-math oracles.
+    QueryDef("mart_periodo", Some(
+      s"WITH cube AS ($cubeSql), " +
+        "daily AS (SELECT day, uf, CAST(sum(n_focos) AS BIGINT) AS n_focos FROM cube GROUP BY 1,2), " +
+        "area AS (SELECT r_name AS uf, CAST((r_regionkey + 1) * 1000 AS DOUBLE) AS uf_area_km2 FROM region), " +
+        "base AS (SELECT d.day, d.uf, d.n_focos, a.uf_area_km2 FROM daily d JOIN area a USING (uf) " +
+        "WHERE d.day BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'), " +
+        "stats AS (SELECT uf, max(uf_area_km2) AS uf_area_km2, CAST(sum(n_focos) AS BIGINT) AS n_focos_total, " +
+        "CAST(count(*) AS BIGINT) AS days, CAST(max(n_focos) AS BIGINT) AS n_focos_max_daily FROM base GROUP BY 1), " +
+        "peak AS (SELECT uf, day, row_number() OVER (PARTITION BY uf ORDER BY n_focos DESC, day ASC) AS rn FROM base) " +
+        "SELECT s.uf, s.uf_area_km2, s.n_focos_total, " +
+        "CAST((200*s.n_focos_total + s.days) // (2*s.days) AS BIGINT) AS avg_daily_cents, " +
+        "s.n_focos_max_daily, k.day AS peak_day, " +
+        "DATE '1995-01-01' AS period_start, DATE '1995-12-31' AS period_end, " +
+        "CAST((2000*s.n_focos_total + CAST(s.uf_area_km2/1000 AS BIGINT)) // " +
+        "(2*CAST(s.uf_area_km2/1000 AS BIGINT)) AS BIGINT) AS focos_100km2_e4 " +
+        "FROM stats s JOIN peak k ON k.uf = s.uf AND k.rn = 1 ORDER BY s.uf"),
+      (s, d) => {
+        val daily = choroCube(s, d).groupBy("day", "uf").agg(sum("n_focos").as("n_focos"))
+        val area = T(s, d, "region").select(col("r_name").as("uf"),
+          ((col("r_regionkey") + 1) * 1000).cast("double").as("uf_area_km2"))
+        graft.marts.Marts.focosPeriodoUf(daily.join(broadcast(area), "uf"),
+            java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-12-31"))
+          .select(col("uf"), col("uf_area_km2"),
+            col("n_focos_total").cast("long").as("n_focos_total"),
+            (col("n_focos_avg_daily") * 100).cast("long").as("avg_daily_cents"),
+            col("n_focos_max_daily").cast("long").as("n_focos_max_daily"),
+            col("peak_day"), col("period_start"), col("period_end"),
+            (col("focos_por_100km2") * 10000).cast("long").as("focos_100km2_e4"))
+          .orderBy("uf")
+      }),
+
     QueryDef("j12_scalar_summary", Some(
       "WITH f AS (SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-05' " +
         "AND CAST(ts AS DATE) < DATE '2024-01-25'), " +
@@ -1062,9 +1119,21 @@ object Queries {
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         TextFunctions.detectLanguageUdf(col("text")).as("lang_pred"))),
 
-    QueryDef("text_fingerprint", None, // JVM-specific hash → rows-only check
+    // the 31-based polynomial hash is exactly expressible in DuckDB via
+    // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for
+    // BMP text), so the fingerprint gets a real value-level oracle
+    QueryDef("text_fingerprint", Some(
+      "WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT " +
+        "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM " +
+        "(SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        "list_transform(regexp_extract_all(norm, '.'), c -> unicode(c)::HUGEINT)), " +
+        "(acc, x) -> (31*acc + x) % 18446744073709551616::HUGEINT) AS h FROM n) " +
+        "ORDER BY doc_id"),
       (s, d) => T(s, d, "documents").select(col("doc_id"),
-        TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))),
+        TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
 
     // ------------------------------------------------------------ multimodal
     // media table derived deterministically from documents: payload =
@@ -1090,7 +1159,26 @@ object Queries {
         .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
           col("byte_offset").cast("int").as("byte_offset"))),
 
-    QueryDef("mm_decode", None, // stub decoder → golden-unit-tested, rows-only here
+    // the decode stub is pure byte arithmetic (BE32 header ints, frame
+    // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)
+    QueryDef("mm_decode", Some(
+      "WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS len FROM documents), " +
+        "b AS (SELECT media_id, kind, len, " +
+        "list_transform(range(least(len, 8)), i -> " +
+        "(strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16 + (strpos('0123456789abcdef', hx[2*i+2]) - 1)) AS hd, " +
+        "list_sum(list_transform(range(len), i -> " +
+        "(strpos('0123456789abcdef', hx[2*i+1]) - 1) * 16 + (strpos('0123456789abcdef', hx[2*i+2]) - 1))) AS bytesum " +
+        "FROM m), " +
+        "s AS (SELECT media_id, kind, len, bytesum, " +
+        "CASE WHEN len >= 4 THEN hd[1]*16777216 + hd[2]*65536 + hd[3]*256 + hd[4] ELSE 0 END AS u0, " +
+        "CASE WHEN len >= 8 THEN hd[5]*16777216 + hd[6]*65536 + hd[7]*256 + hd[8] ELSE 0 END AS u4 FROM b) " +
+        "SELECT media_id, kind, " +
+        "CAST(abs(CASE WHEN u0 >= 2147483648 THEN u0 - 4294967296 ELSE u0 END) % 8192 AS INT) AS width, " +
+        "CAST(abs(CASE WHEN u4 >= 2147483648 THEN u4 - 4294967296 ELSE u4 END) % 8192 AS INT) AS height, " +
+        "CAST(len // 1024 + 1 AS INT) AS n_frames, CAST(bytesum AS BIGINT) AS checksum " +
+        "FROM s ORDER BY media_id"),
       (s, d) => {
         import s.implicits._
         val media = mediaFromDocs(s, d).select(
@@ -1098,7 +1186,7 @@ object Queries {
             lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
             lit(null).cast("long").as("duration_ms"))
           .as[graft.operators.Multimodal.MediaRow]
-        graft.operators.Multimodal.decode(media).toDF()
+        graft.operators.Multimodal.decode(media).toDF().orderBy("media_id")
       }),
 
     // ------------------------------------------------- incremental/streaming

@@ -63,7 +63,7 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  private val signBucketUdf = udf((v: Seq[Double], nPlanes: Int) => {
+  private val signBucketUdf = udf((v: Seq[Double], nPlanes: Int, planeOffset: Int) => {
     if (v == null) null.asInstanceOf[java.lang.Long]
     else {
       var bucket = 0L
@@ -71,7 +71,7 @@ object Similarity {
       while (p < nPlanes) {
         var s = 0.0
         var d = 0
-        while (d < v.length) { s += v(d) * planeComponent(p, d); d += 1 }
+        while (d < v.length) { s += v(d) * planeComponent(planeOffset + p, d); d += 1 }
         if (s > 0) bucket |= (1L << p)
         p += 1
       }
@@ -79,24 +79,48 @@ object Similarity {
     }
   })
 
-  /** Random-hyperplane LSH bucket id (nPlanes sign bits → long). */
-  def signBucket(vec: Column, nPlanes: Int): Column =
-    signBucketUdf(vec.cast("array<double>"), lit(nPlanes))
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits → long);
+    * `planeOffset` selects an independent plane family per hash table. */
+  def signBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    signBucketUdf(vec.cast("array<double>"), lit(nPlanes), lit(planeOffset))
 
-  /** LSH-bucketed approximate top-k: queries only compare against corpus
-    * vectors sharing their sign-bucket (high cosine ⇒ likely same bucket).
-    * Trades recall for a corpus scan reduced by ~2^nPlanes.
+  /** LSH-bucketed approximate top-k: textbook multi-table sign-LSH
+    * (Indyk–Motwani) with hamming-1 multi-probe (Lv et al. VLDB'07) —
+    * a candidate matches when query and corpus vector share a bucket in ANY
+    * of `nTables` independent plane families, with each query additionally
+    * probing its bucket's hamming-1 neighbors.
+    *
+    * Scale: the corpus is indexed with nTables postings per vector (the
+    * standard LSH index cost, a narrow explode — no shuffle of the vectors
+    * beyond the bucket equi-join); probing multiplies only the small
+    * broadcast QUERY side by nTables·(nPlanes+1). A pair can match in
+    * several tables, so candidates dedup on (query, neighbor) before the
+    * exact rerank. Scan reduction vs brute ≈ 2^nPlanes / (nTables·(nPlanes+1)).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nPlanes: Int = 8,
+              nTables: Int = 4, multiProbe: Boolean = true): DataFrame = {
+    require(nPlanes < 63, "bucket is a long of sign bits")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", signBucket(col("cv"), nPlanes))
+      .withColumn("tb", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), signBucket(col("cv"), nPlanes, t * nPlanes).as("b"))): _*)))
+      .select(col("tb.t").as("t"), col("tb.b").as("bucket"),
+        col("neighbor_id"), col("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+    val qProbes = (0 until nTables).flatMap { t =>
+      val base = signBucket(col("qv"), nPlanes, t * nPlanes)
+      val bs =
+        if (multiProbe) base +: (0 until nPlanes).map(p => base.bitwiseXOR(lit(1L << p)))
+        else Seq(base)
+      bs.map(b => struct(lit(t).as("t"), b.as("b")))
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), nPlanes))
+      .withColumn("tb", explode(array(qProbes: _*)))
+      .select(col("tb.t").as("t"), col("tb.b").as("bucket"), col("query_id"), col("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // pair may match in >1 table
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -118,6 +118,30 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(hits >= 8, s"LSH top-1 recall $hits/10 < 8/10 on planted neighbors")
   }
 
+  test("sign-bucket LSH top-k: recall@10 floor vs brute force on real embeddings") {
+    import spark.implicits._
+    // harness-generated embeddings (TESTDATA.md) — a realistic corpus, so a
+    // bucketing-math regression shows up as a recall drop, not a green run
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+    def recall(nPlanes: Int): Double = {
+      val lsh = topSets(Similarity.lshTopK(e, q, "vec_id", "embedding", 10, nPlanes))
+      brute.map { case (qid, truth) =>
+        lsh.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / brute.size
+    }
+    val r4 = recall(4)
+    val r8 = recall(8)
+    info(f"recall@10 vs brute: nPlanes=4 -> $r4%.3f, nPlanes=8 -> $r8%.3f")
+    assert(r4 >= 0.6, f"single-probe LSH recall@10 $r4%.3f < 0.6 at nPlanes=4")
+    assert(r8 >= 0.4, f"multi-table LSH recall@10 $r8%.3f < 0.4 at nPlanes=8")
+  }
+
   test("multimodal decode stub: golden header/frame/checksum values") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](2500)(i => (i % 251).toByte)
