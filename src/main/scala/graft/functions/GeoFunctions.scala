@@ -88,6 +88,14 @@ object GeoFunctions {
       if (mp == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(Geo.partsBBoxOverlap(toMP(mp))))
 
+  /** Exact n-ary polygon union (ST_UnaryUnion analog) — see
+    * [[graft.geo.PolyUnion]]. */
+  val polygonUnionUdf =
+    udf((mp: MP) =>
+      if (mp == null) null
+      else graft.geo.PolyUnion.union(toMP(mp))
+        .map(_.map(_.map(p => Seq(p._1, p._2)))))
+
   /** Drop interior rings — ST_MakePolygon(ST_ExteriorRing(..)) analog. */
   val dropHolesUdf =
     udf((mp: MP) => if (mp == null) null else mp.map(_.take(1)))
@@ -123,5 +131,6 @@ object GeoFunctions {
     spark.udf.register("geo_npoints", nPointsUdf)
     spark.udf.register("geo_is_valid", isValidUdf)
     spark.udf.register("geo_parts_overlap", partsBBoxOverlapUdf)
+    spark.udf.register("geo_union", polygonUnionUdf)
   }
 }

@@ -48,30 +48,40 @@ object GeoPrep {
   def dropHolesByRow(geoms: DataFrame): DataFrame =
     geoms.withColumn("geom", GeoFunctions.dropHolesUdf(col("geom")))
 
-  /** Dissolve: concatenate all parts of all rows sharing the key into one
+  /** Dissolve: merge all parts of all rows sharing the key into one
     * multipolygon (+ part count for QA).
     *
-    * The concat stand-in for ST_UnaryUnion is area-correct only for DISJOINT
-    * parts, so every output row carries `overlap_flag` (any two part-bbox
-    * interiors overlap → the stand-in may double-count area); with
-    * `onOverlap = "raise"` an overlapping key fails the job instead of
-    * silently producing wrong /api/geo metrics.
+    * Concatenation is area-exact for DISJOINT parts (the normal case for
+    * pre-validated municipality layers), so every output row carries
+    * `overlap_flag` (any two part-bbox interiors overlap). Modes:
+    *  - "flag" (default): concat + flag — caller decides;
+    *  - "union": keys whose parts overlap run the exact polygon union
+    *    ([[graft.geo.PolyUnion]], the ST_UnaryUnion analog) so no area is
+    *    double-counted; disjoint keys keep the cheap concat (same region);
+    *  - "raise": an overlapping key fails the job instead of silently
+    *    producing wrong /api/geo metrics.
     */
   def dissolveByKey(geoms: DataFrame, keyCols: Seq[String],
                     onOverlap: String = "flag"): DataFrame = {
-    require(onOverlap == "flag" || onOverlap == "raise",
-      s"onOverlap must be 'flag' or 'raise', got $onOverlap")
+    require(Set("flag", "union", "raise")(onOverlap),
+      s"onOverlap must be 'flag', 'union' or 'raise', got $onOverlap")
     val dissolved = geoms.groupBy(keyCols.map(col): _*)
       .agg(flatten(collect_list(col("geom"))).as("geom"))
-      .withColumn("n_parts", size(col("geom")))
       .withColumn("overlap_flag", GeoFunctions.partsBBoxOverlapUdf(col("geom")))
-    if (onOverlap == "raise")
-      dissolved.withColumn("overlap_flag",
-        when(col("overlap_flag"), raise_error(concat(
-          lit("dissolveByKey: overlapping parts for key "),
-          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
-          lit(" — the concat stand-in for ST_UnaryUnion would double-count area"))))
-          .otherwise(col("overlap_flag")))
-    else dissolved
+    val resolved = onOverlap match {
+      case "union" =>
+        dissolved.withColumn("geom",
+          when(col("overlap_flag"), GeoFunctions.polygonUnionUdf(col("geom")))
+            .otherwise(col("geom")))
+      case "raise" =>
+        dissolved.withColumn("overlap_flag",
+          when(col("overlap_flag"), raise_error(concat(
+            lit("dissolveByKey: overlapping parts for key "),
+            concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+            lit(" — concat would double-count area; use onOverlap=union"))))
+            .otherwise(col("overlap_flag")))
+      case _ => dissolved
+    }
+    resolved.withColumn("n_parts", size(col("geom")))
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, TextFunctions}
-import graft.geo.Geo
+import graft.geo.{Geo, PolyUnion}
 
 /** The serving layer: parameterized query functions mirroring the
   * reference's 11 API routes over the persisted fact cube
@@ -323,15 +323,16 @@ object Serve {
 
   /** Assemble + QA one key's geometry, driver-side (a single entity's
     * polygon parts — ≤ thousands of points), mirroring main.py:665-800:
-    * collect the key's parts, combine (`ST_UnaryUnion(ST_Collect(...))`
-    * stand-in: multipolygon concatenation — parts are assumed disjoint,
-    * documented divergence per SURVEY §7.4 risk 2), metrics before,
-    * optional simplification (reference simplifies in EPSG:3857 meters; we
-    * Douglas–Peucker in degrees at tol_m/111320 — same intent, documented
-    * stand-in), metrics after, bbox, and the reference's bbox_ratio exactly
-    * as written — bbox area in degrees² over area in m² (main.py:780-783,
-    * copied unit-for-unit; /api/validate checks ratio ≤ 50 against this
-    * same definition so the two stay consistent).
+    * collect the key's parts, combine (`ST_UnaryUnion(ST_Collect(...))`:
+    * disjoint parts concatenate — identical region either way — and
+    * genuinely overlapping parts run the exact polygon union
+    * ([[graft.geo.PolyUnion]]) so union-area metrics never double-count),
+    * metrics before, optional simplification (reference simplifies in
+    * EPSG:3857 meters; we Douglas–Peucker in degrees at tol_m/111320 — same
+    * intent, documented stand-in), metrics after, bbox, and the reference's
+    * bbox_ratio exactly as written — bbox area in degrees² over area in m²
+    * (main.py:780-783, copied unit-for-unit; /api/validate checks ratio ≤ 50
+    * against this same definition so the two stay consistent).
     */
   def geoShapeMetrics(geoms: DataFrame, key: String,
                       simplify: Boolean = true,
@@ -342,18 +343,25 @@ object Serve {
     val rows = geoms.filter(col("key").cast("string") === k).select("geom").collect()
     if (rows.isEmpty) return None
 
-    def toMP(raw: Seq[Seq[Seq[Seq[Double]]]]): Geo.MultiPolygon =
+    // Row.getSeq yields mutable ArraySeq at every nesting level — declare
+    // collection.Seq or the immutable-Seq cast blows up at iteration time
+    type CSeq[A] = scala.collection.Seq[A]
+    def toMP(raw: CSeq[CSeq[CSeq[CSeq[Double]]]]): Geo.MultiPolygon =
       raw.iterator.map(_.iterator.map(
         _.iterator.map(p => (p(0), p(1))).toIndexedSeq).toIndexedSeq).toIndexedSeq
-    val parts: Geo.MultiPolygon = rows.toIndexedSeq.flatMap { r =>
+    val rawParts: Geo.MultiPolygon = rows.toIndexedSeq.flatMap { r =>
       if (r.isNullAt(0)) IndexedSeq.empty[Geo.Polygon]
-      else toMP(r.getSeq[Seq[Seq[Seq[Double]]]](0).asInstanceOf[Seq[Seq[Seq[Seq[Double]]]]])
+      else toMP(r.getSeq[CSeq[CSeq[CSeq[Double]]]](0))
     }
-    if (parts.isEmpty) return None
+    if (rawParts.isEmpty) return None
 
+    val npointsBefore = Geo.nPoints(rawParts)
+    val validBefore = Geo.isValid(rawParts)
+    // ST_UnaryUnion: for disjoint parts the concat IS the union; genuinely
+    // overlapping parts get the exact union so area never double-counts
+    val parts: Geo.MultiPolygon =
+      if (Geo.partsBBoxOverlap(rawParts)) PolyUnion.union(rawParts) else rawParts
     val areaBefore = parts.map(Geo.polygonAreaSqMeters).sum
-    val npointsBefore = Geo.nPoints(parts)
-    val validBefore = Geo.isValid(parts)
     val out: Geo.MultiPolygon =
       if (simplify) parts.map(_.map(r => Geo.simplifyDPChecked(r, tolM / 111320.0)))
       else parts
@@ -362,7 +370,7 @@ object Serve {
     val bboxArea = math.max(0.0, bb.maxLon - bb.minLon) * math.max(0.0, bb.maxLat - bb.minLat)
     val ratio = bboxArea / math.max(areaAfter, 1e-12)
     Some(ShapeMetrics(k,
-      nPartsBeforeUnion = parts.length,
+      nPartsBeforeUnion = rawParts.length,
       isValidBefore = validBefore, isValidAfter = Geo.isValid(out),
       npointsBeforeUnion = npointsBefore, npointsOut = Geo.nPoints(out),
       areaM2UnionBefore = areaBefore, areaM2UnionAfter = areaAfter,

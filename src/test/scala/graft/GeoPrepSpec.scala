@@ -29,6 +29,22 @@ class GeoPrepSpec extends AnyFunSuite {
     assert(out("B") == ((2, true)))
   }
 
+  test("dissolveByKey union mode: overlapping key unions exactly, disjoint key concats") {
+    val geoms = Seq(
+      ("A", rectMp(0, 0, 10, 10)), ("A", rectMp(20, 0, 30, 10)),  // disjoint
+      ("B", rectMp(0, 0, 10, 10)), ("B", rectMp(5, 5, 15, 15))    // overlap
+    ).toDF("key", "geom")
+    val out = GeoPrep.dissolveByKey(geoms, Seq("key"), onOverlap = "union")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("A").getAs[Int]("n_parts") == 2) // concat path untouched
+    // union path: one merged ring, inclusion-exclusion area 100+100-25
+    type CSeq[A] = scala.collection.Seq[A]
+    val bGeom = out("B").getSeq[CSeq[CSeq[CSeq[Double]]]](1)
+    assert(out("B").getAs[Int]("n_parts") == 1)
+    val ring = bGeom.head.head.iterator.map(p => (p(0), p(1))).toIndexedSeq
+    assert(math.abs(graft.geo.Geo.ringAreaPlanarDeg2(ring) - 175.0) < 1e-6)
+  }
+
   test("dissolveByKey raise mode: overlapping key fails the job") {
     val bad = Seq(("B", rectMp(0, 0, 10, 10)), ("B", rectMp(5, 5, 15, 15)))
       .toDF("key", "geom")

@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.{Geo, PolyUnion}
+import graft.geo.Geo._
+
+/** The union kernel's contract: the output multipolygon covers EXACTLY the
+  * set of points covered by at least one input part. Verified structurally
+  * on known shapes (area via inclusion–exclusion) and behaviorally with a
+  * deterministic Monte-Carlo region oracle on every fixture.
+  */
+class PolyUnionSpec extends AnyFunSuite {
+
+  private def ring(pts: (Double, Double)*): Ring = pts.toIndexedSeq
+  private def rect(x1: Double, y1: Double, x2: Double, y2: Double): Ring =
+    ring((x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1))
+  private def part(rs: Ring*): Polygon = rs.toIndexedSeq
+
+  private def planarArea(mp: MultiPolygon): Double =
+    mp.map { poly =>
+      Geo.ringAreaPlanarDeg2(poly.head) - poly.drop(1).map(Geo.ringAreaPlanarDeg2).sum
+    }.sum
+
+  /** Monte-Carlo oracle: union membership must equal any-part membership
+    * for a deterministic point cloud over the bbox (points near boundaries
+    * are skipped — the kernel's documented tolerance). */
+  private def assertRegionEquals(in: MultiPolygon, out: MultiPolygon,
+                                 seed: Int = 7, n: Int = 4000): Unit = {
+    val bb = Geo.bboxOfMultiPolygon(in).expandDegrees(0.5)
+    val rnd = new scala.util.Random(seed)
+    var checked = 0
+    var i = 0
+    while (i < n) {
+      val x = bb.minLon + rnd.nextDouble() * (bb.maxLon - bb.minLon)
+      val y = bb.minLat + rnd.nextDouble() * (bb.maxLat - bb.minLat)
+      val expect = in.exists(p => Geo.pointInPolygon(x, y, p))
+      val got = out.exists(p => Geo.pointInPolygon(x, y, p))
+      // skip points within tolerance of any input edge (boundary ambiguity)
+      val nearEdge = in.exists(p => p.exists { r =>
+        var j = 0; var near = false
+        while (j < r.length - 1 && !near) {
+          val (ax, ay) = r(j); val (bx, by) = r(j + 1)
+          val dx = bx - ax; val dy = by - ay
+          val len2 = dx * dx + dy * dy
+          val t = if (len2 == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((x - ax) * dx + (y - ay) * dy) / len2))
+          val px = ax + t * dx; val py = ay + t * dy
+          near = math.hypot(x - px, y - py) < 1e-4
+          j += 1
+        }
+        near
+      })
+      if (!nearEdge) {
+        assert(got == expect, s"region mismatch at ($x, $y): union=$got parts=$expect")
+        checked += 1
+      }
+      i += 1
+    }
+    assert(checked > n / 2, "fixture sanity: most samples usable")
+  }
+
+  test("disjoint rectangles: both parts survive, area preserved") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(20, 0, 30, 10)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 2)
+    assert(math.abs(planarArea(out) - 200.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("two overlapping rectangles: one merged ring, inclusion-exclusion area") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(5, 5, 15, 15)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(out.head.length == 1) // no holes
+    // 100 + 100 − 25
+    assert(math.abs(planarArea(out) - 175.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("contained rectangle: inner part vanishes") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 20, 20)), part(rect(5, 5, 10, 10)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(math.abs(planarArea(out) - 400.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("triple overlap (three staircase rects): exact inclusion-exclusion") {
+    val in: MultiPolygon = IndexedSeq(
+      part(rect(0, 0, 10, 10)), part(rect(5, 5, 15, 15)), part(rect(10, 10, 20, 20)))
+    val out = PolyUnion.union(in)
+    // 3·100 − 25 − 25 − 0 + 0
+    assert(math.abs(planarArea(out) - 250.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("cross shape: two elongated rects through each other") {
+    val in: MultiPolygon = IndexedSeq(part(rect(-10, -2, 10, 2)), part(rect(-2, -10, 2, 10)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    // 80 + 80 − 16
+    assert(math.abs(planarArea(out) - 144.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("ring of four rectangles enclosing a hole") {
+    // a square annulus built from four overlapping side slabs — the union
+    // must produce ONE exterior with ONE hole (the courtyard)
+    val in: MultiPolygon = IndexedSeq(
+      part(rect(0, 0, 20, 5)),    // bottom
+      part(rect(0, 15, 20, 20)),  // top
+      part(rect(0, 0, 5, 20)),    // left
+      part(rect(15, 0, 20, 20)))  // right
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(out.head.length == 2, s"expected exterior + hole, got ${out.head.length} rings")
+    // 400 − 10·10 courtyard
+    assert(math.abs(planarArea(out) - 300.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("part with a hole unioned with a filler covering the hole") {
+    val holey: Polygon = part(rect(0, 0, 20, 20), rect(5, 5, 15, 15).reverse)
+    val filler: Polygon = part(rect(4, 4, 16, 16))
+    val in: MultiPolygon = IndexedSeq(holey, filler)
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(out.head.length == 1, "hole must be filled")
+    assert(math.abs(planarArea(out) - 400.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("identical stacked parts dedup to one") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(0, 0, 10, 10)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(math.abs(planarArea(out) - 100.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("property: random overlapping rectangles match the MC region oracle") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 20) {
+      val k = 2 + rnd.nextInt(4)
+      val in: MultiPolygon = (0 until k).map { _ =>
+        val x = rnd.nextDouble() * 20; val y = rnd.nextDouble() * 20
+        val w = 2 + rnd.nextDouble() * 10; val h = 2 + rnd.nextDouble() * 10
+        part(rect(x, y, x + w, y + h))
+      }.toIndexedSeq
+      val out = PolyUnion.union(in)
+      assertRegionEquals(in, out, seed = trial, n = 1500)
+      // union area never exceeds the concat sum and never undershoots max part
+      val sum = in.map(p => Geo.ringAreaPlanarDeg2(p.head)).sum
+      val mx = in.map(p => Geo.ringAreaPlanarDeg2(p.head)).max
+      val a = planarArea(out)
+      assert(a <= sum + 1e-6 && a >= mx - 1e-6, s"trial $trial area $a out of [$mx, $sum]")
+    }
+  }
+}

@@ -57,6 +57,26 @@ class ServeSpec extends AnyFunSuite {
     assert(Serve.coordsHash(mp) == Serve.coordsHash(mp)) // deterministic
   }
 
+  test("geoShapeMetrics: overlapping parts union before area metrics; bounds empty on miss") {
+    import spark.implicits._
+    def rectMp(x1: Double, y1: Double, x2: Double, y2: Double) =
+      Seq(Seq(Seq(Seq(x1, y1), Seq(x2, y1), Seq(x2, y2), Seq(x1, y2), Seq(x1, y1))))
+    val geoms = Seq(
+      ("K", "N", rectMp(0.0, 0.0, 1.0, 1.0)),
+      ("K", "N", rectMp(0.5, 0.5, 1.5, 1.5))).toDF("key", "uf", "geom")
+    val m = Serve.geoShapeMetrics(geoms, "K", simplify = false).get
+    assert(m.nPartsBeforeUnion == 2)
+    // union area = two 1°×1° cells minus the 0.5°×0.5° overlap: the concat
+    // stand-in would report the full 2-cell sum (double-counting ~14%)
+    val cell = graft.geo.Geo.ringAreaSqMeters(
+      IndexedSeq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)))
+    assert(m.areaM2UnionBefore < 1.80 * cell,
+      s"union area ${m.areaM2UnionBefore} should drop the double-counted overlap (cell=$cell)")
+    assert(m.areaM2UnionBefore > 1.70 * cell)
+    // empty ⇔ 404 contract for bounds on a missing key
+    assert(Serve.bounds(geoms, "NOPE").isEmpty)
+  }
+
   test("timeseries auto-bucketing thresholds (92/273 days, main.py:392-397)") {
     assert(Serve.granularity(92) == "day")
     assert(Serve.granularity(93) == "week")
