@@ -67,6 +67,9 @@ object DimNormalizer {
       .filter(source.columns.contains).map(col)
     source.select((Seq(code.as("code"), name.as("name"),
         col(geomCol).as("geom")) ++ bboxCols): _*)
+      // global (partition-less) window ON PURPOSE: dims are ≤5 570 rows, a
+      // surrogate id needs a total order, and this runs once per reference-
+      // data refresh — the single-task WARN Spark logs here is expected
       .withColumn("dim_id", row_number().over(Window.orderBy(col("code").asc_nulls_last)))
   }
 

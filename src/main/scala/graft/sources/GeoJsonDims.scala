@@ -79,6 +79,9 @@ object GeoJsonDims {
     val geomType = ArrayType(ArrayType(ArrayType(ArrayType(DoubleType))))
     val schema = StructType(
       keys.map(k => StructField(k, StringType)) :+ StructField("geom", geomType))
+    // 1 partition ON PURPOSE: a FeatureCollection dim file is ≤5 570 rows
+    // (the reference's municipality layer) and is parsed driver-side anyway;
+    // downstream joins broadcast it, so splitting buys nothing
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
     df.withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
