@@ -12,6 +12,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry generated-class cache thrashes on
+      // a 70-query session — compiled classes must survive the whole run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/file-listing warmup so the first timed query isn't charged
@@ -30,7 +33,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+        try consume(fn(spark, sfDir)) catch {
+          case e: Throwable => // keep benching, but a ~0s entry must be loud
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
