@@ -988,6 +988,39 @@ object Queries {
             col("bb._3").as("maxx"), col("bb._4").as("maxy"))
       }),
 
+    // exact polygon union (ST_UnaryUnion analog): per nation, two rectangles
+    // overlapping by dx×8 — union area / part count / bbox are closed-form,
+    // so the PolyUnion kernel gets a driver-gated oracle (shoelace area is
+    // exact on these integer-degree coordinates)
+    QueryDef("geo_union", Some(
+      s"WITH c AS ($cellsSql), p AS (SELECT n_nationkey, " +
+        "CAST(10 + (n_nationkey % 5) * 4 AS DOUBLE) AS dx, min_lon AS x0, min_lat AS y0 FROM c) " +
+        "SELECT n_nationkey, 1 AS n_parts, true AS overlap_flag, " +
+        "CAST(56 * dx AS BIGINT) AS union_area_deg2, " +
+        "x0 AS minx, y0 AS miny, x0 + 3*dx AS maxx, y0 + 24 AS maxy " +
+        "FROM p ORDER BY n_nationkey"),
+      (s, d) => {
+        val base = cells(s, d).select(col("n_nationkey"),
+          (lit(10) + col("n_nationkey") % 5 * 4).cast("double").as("dx"),
+          col("min_lon").as("x0"), col("min_lat").as("y0"))
+        def rectMp(x1: Column, y1: Column, x2: Column, y2: Column) = {
+          def p(a: Column, b: Column) = array(a, b)
+          array(array(array(p(x1, y1), p(x2, y1), p(x2, y2), p(x1, y2), p(x1, y1))))
+        }
+        val parts = base.select(col("n_nationkey"),
+            rectMp(col("x0"), col("y0"), col("x0") + col("dx") * 2, col("y0") + 16).as("geom"))
+          .unionByName(base.select(col("n_nationkey"),
+            rectMp(col("x0") + col("dx"), col("y0") + 8,
+              col("x0") + col("dx") * 3, col("y0") + 24).as("geom")))
+        graft.marts.GeoPrep.dissolveByKey(parts, Seq("n_nationkey"), onOverlap = "union")
+          .withColumn("bb", GeoFunctions.bboxUdf(col("geom")))
+          .select(col("n_nationkey"), col("n_parts"), col("overlap_flag"),
+            round(GeoFunctions.planarAreaDeg2Udf(col("geom"))).cast("long").as("union_area_deg2"),
+            col("bb._1").as("minx"), col("bb._2").as("miny"),
+            col("bb._3").as("maxx"), col("bb._4").as("maxy"))
+          .orderBy("n_nationkey")
+      }),
+
     // ------------------------------------------------- corpus ops (dedup &c)
 
     QueryDef("dedup_exact", Some(

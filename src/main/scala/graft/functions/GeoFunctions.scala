@@ -96,6 +96,15 @@ object GeoFunctions {
       else graft.geo.PolyUnion.union(toMP(mp))
         .map(_.map(_.map(p => Seq(p._1, p._2)))))
 
+  /** Planar shoelace area in degree² (exteriors minus holes) — exact on
+    * integer-coordinate fixtures, used to oracle the union output. */
+  val planarAreaDeg2Udf =
+    udf((mp: MP) =>
+      if (mp == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(toMP(mp).map(poly =>
+        poly.headOption.map(Geo.ringAreaPlanarDeg2).getOrElse(0.0) -
+          poly.drop(1).map(Geo.ringAreaPlanarDeg2).sum).sum))
+
   /** Drop interior rings — ST_MakePolygon(ST_ExteriorRing(..)) analog. */
   val dropHolesUdf =
     udf((mp: MP) => if (mp == null) null else mp.map(_.take(1)))
