@@ -1051,7 +1051,43 @@ object Queries {
         Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
       }),
 
-    QueryDef("dedup_minhash_lsh", None, // not SQL-expressible → rows-only check
+    // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
+    // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
+    // hashes, the universal-hash signature mins via a 32-bit-split mulmod),
+    // and Spark's xxhash64 band key never needs reproducing — band-key
+    // equality ⟺ signature-slice equality. Signed mins map through the
+    // order-preserving bijection xor(·, 2^63) so slice equality matches.
+    QueryDef("dedup_minhash_lsh", Some(
+      "WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "w0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM u), " +
+        "wh AS (SELECT doc_id, list_transform(words, w -> " +
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(regexp_extract_all(w, '.'), c -> unicode(c)::HUGEINT)), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS wl, " +
+        "len(words) AS m FROM w0), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(1, m - 2)), " +
+        "i -> list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_slice(wl, CAST(i AS INT) + 1, least(CAST(i AS INT) + 3, m))), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))) AS shingles FROM wh), " +
+        "consts AS (SELECT CAST(i AS INT) AS i, " +
+        "(11400714819323198485::HUGEINT * (2*CAST(i AS INT) + 1)::HUGEINT) % 18446744073709551616::HUGEINT AS a, " +
+        "(14029467366897019727::HUGEINT * (CAST(i AS INT) + 1)::HUGEINT) % 18446744073709551616::HUGEINT AS b " +
+        "FROM UNNEST(range(64)) AS t(i)), " +
+        "shx AS (SELECT doc_id, unnest(shingles) AS h FROM sh), " +
+        "mins AS (SELECT doc_id, i, min(xor((((a * (h >> 32)) % 4294967296::HUGEINT) * 4294967296::HUGEINT " +
+        "+ a * (h % 4294967296::HUGEINT) + b) % 18446744073709551616::HUGEINT, " +
+        "9223372036854775808::HUGEINT)) AS v FROM shx CROSS JOIN consts GROUP BY doc_id, i), " +
+        "bands AS (SELECT doc_id, i // 4 AS bb, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key " +
+        "FROM mins GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM bands a JOIN bands b ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id) " +
+        "SELECT c.id_a, c.id_b, round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard " +
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b " +
+        "WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
       (s, d) => {
         val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
         // plant near-duplicates: same text minus its first word, id + 1000000
@@ -1059,14 +1095,36 @@ object Queries {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
         Dedup.minHashLshPairs(docs.union(variants), "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .orderBy("id_a", "id_b")
       }),
 
-    QueryDef("dedup_simhash", None, // custom hash → rows-only check
+    // SimHash too: FNV-1a token hashes + per-bit votes + popcount are all
+    // HUGEINT-expressible; output = exactly the hamming<=3 pairs
+    QueryDef("dedup_simhash", Some(
+      "WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM u), " +
+        "th AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::HUGEINT)), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h FROM tok), " +
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote " +
+        "FROM th, UNNEST(range(64)) AS t(b) GROUP BY 1, 2), " +
+        "sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << CAST(b AS INT)) " +
+        "ELSE 0::HUGEINT END) AS s FROM bits GROUP BY 1) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(CAST(CASE WHEN x >= 9223372036854775808::HUGEINT " +
+        "THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT)) AS INT) AS hamming " +
+        "FROM (SELECT sig.doc_id, s FROM sig) a JOIN (SELECT sig.doc_id, s FROM sig) b " +
+        "ON a.doc_id < b.doc_id, LATERAL (SELECT xor(a.s, b.s) AS x) t " +
+        "WHERE bit_count(CAST(CASE WHEN x >= 9223372036854775808::HUGEINT " +
+        "THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT)) <= 3 " +
+        "ORDER BY id_a, id_b"),
       (s, d) => {
         val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
         val variants = docs.select((col("doc_id") + 1000000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
         Dedup.simHashPairs(docs.union(variants), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
       }),
 
     // two-level bucket (label, 3 axis-aligned hyperplane sign bits): the
