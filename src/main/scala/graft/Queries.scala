@@ -1174,11 +1174,49 @@ object Queries {
           Seq(Seq.fill(64)(0.25), Seq.fill(64)(0.75))).as("cell")),
     ),
 
-    QueryDef("sim_topk_lsh", None, // approximate → rows-only check
+    // approximate, but fully DETERMINISTIC: plane components are FNV-derived
+    // doubles, and both engines evaluate the dot/norm folds in the same
+    // left-to-right IEEE order (list_reduce ⟷ the UDF's ascending-d loop),
+    // so bucket bits, candidate sets, cosines and ranks agree bit-for-bit
+    QueryDef("sim_topk_lsh", Some(
+      "WITH pc AS (SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(d AS INT) AS d, " +
+        "CAST(CAST(CASE WHEN f >= 9223372036854775808::HUGEINT " +
+        "THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS DOUBLE) " +
+        "/ CAST(9223372036854775807 AS DOUBLE) AS comp " +
+        "FROM UNNEST(range(4)) AS a(t), UNNEST(range(4)) AS b(p), UNNEST(range(64)) AS c(d), " +
+        "LATERAL (SELECT (CAST(t AS INT)*4 + CAST(p AS INT))::VARCHAR || ':' || CAST(d AS INT)::VARCHAR AS sk) s, " +
+        "LATERAL (SELECT list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(regexp_extract_all(sk, '.'), c -> unicode(c)::HUGEINT)), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f) ff), " +
+        "planes AS (SELECT t, p, list(comp ORDER BY d) AS cl FROM pc GROUP BY t, p), " +
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "dotsig AS (SELECT vec_id, t, p, CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, " +
+        "list_transform(range(64), dd -> v[CAST(dd AS INT)+1] * cl[CAST(dd AS INT)+1])), " +
+        "(a, x) -> a + x) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit " +
+        "FROM vecs CROSS JOIN planes), " +
+        "buckets AS (SELECT vec_id, t, sum(bit) AS bucket FROM dotsig GROUP BY 1, 2), " +
+        "qprobes AS (SELECT b.vec_id, b.t, " +
+        "unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket " +
+        "FROM buckets b WHERE b.vec_id < 5), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        "FROM qprobes q JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket WHERE q.vec_id <> c.vec_id), " +
+        "norms AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+        "list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm FROM vecs), " +
+        "scored AS (SELECT c.query_id, c.neighbor_id, " +
+        "list_reduce(list_prepend(0.0::DOUBLE, " +
+        "list_transform(range(64), dd -> qn.v[CAST(dd AS INT)+1] * cn.v[CAST(dd AS INT)+1])), " +
+        "(a, x) -> a + x) / (qn.nrm * cn.nrm) AS cos " +
+        "FROM cand c JOIN norms qn ON qn.vec_id = c.query_id JOIN norms cn ON cn.vec_id = c.neighbor_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cos, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank " +
+        "FROM scored) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4)
+          .orderBy("query_id", "rank")
       }),
 
     QueryDef("text_quality", Some(
@@ -1206,9 +1244,39 @@ object Queries {
         size(split(trim(col("text")), "\\s+")).cast("long").as("tokens_ws"),
         TextFunctions.tokenCountBpeishUdf(col("text")).as("tokens_bpeish"))),
 
-    QueryDef("text_langid", None, // heuristic classifier → rows-only check
+    // the stopword-vote heuristic is fully deterministic (explicit langOrder
+    // tie-break) → expressible as SQL ratio comparisons; CJK gate via
+    // codepoint-range counts
+    QueryDef("text_langid", Some {
+      val sw = Map(
+        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "del"),
+        "pt" -> Seq("o", "a", "de", "que", "e", "em", "um", "uma", "os", "as", "por", "com", "para", "não", "do"),
+        "fr" -> Seq("le", "la", "de", "que", "et", "en", "un", "une", "les", "des", "pour", "avec", "est", "du", "ne"),
+        "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "nicht", "ein", "eine"))
+      def lst(l: String) = sw(l).map(w => s"'$w'").mkString("[", ",", "]")
+      val ratios = Seq("en", "es", "pt", "fr", "de").map(l =>
+        s"CASE WHEN ntoks > 0 THEN CAST(len(list_filter(toks, t -> list_contains(${lst(l)}, t))) AS DOUBLE)/ntoks ELSE 0 END AS r_$l")
+        .mkString(", ")
+      "WITH b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\p{L}')) AS letters, " +
+        "len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]')) AS cjk, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> len(t) > 0) AS toks FROM documents), " +
+        "r AS (SELECT doc_id, letters, cjk, toks, len(toks) AS ntoks FROM b), " +
+        s"s AS (SELECT doc_id, letters, cjk, ntoks, $ratios FROM r) " +
+        "SELECT doc_id, CASE " +
+        "WHEN letters > 0 AND CAST(cjk AS DOUBLE)/letters > 0.3 THEN 'zh' " +
+        "WHEN ntoks = 0 THEN 'und' " +
+        "WHEN greatest(r_en, r_es, r_pt, r_fr, r_de) <= 0.05 THEN 'und' " +
+        "WHEN r_en >= r_es AND r_en >= r_pt AND r_en >= r_fr AND r_en >= r_de THEN 'en' " +
+        "WHEN r_es >= r_pt AND r_es >= r_fr AND r_es >= r_de THEN 'es' " +
+        "WHEN r_pt >= r_fr AND r_pt >= r_de THEN 'pt' " +
+        "WHEN r_fr >= r_de THEN 'fr' ELSE 'de' END AS lang_pred " +
+        "FROM s ORDER BY doc_id"
+    },
       (s, d) => T(s, d, "documents").select(col("doc_id"),
-        TextFunctions.detectLanguageUdf(col("text")).as("lang_pred"))),
+        TextFunctions.detectLanguageUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
 
     // the 31-based polynomial hash is exactly expressible in DuckDB via
     // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for

@@ -30,6 +30,11 @@ object TextFunctions {
     "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "nicht", "ein", "eine"),
   )
 
+  /** Deterministic tie-break order (ties above the 0.05 floor go to the
+    * earliest language here — pinned explicitly rather than leaking the
+    * JVM's HashMap iteration order into results). */
+  private val langOrder = Seq("en", "es", "pt", "fr", "de")
+
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     // CJK codepoint share decides zh before any latin stopword voting
@@ -48,9 +53,9 @@ object TextFunctions {
     if (letters > 0 && cjk.toDouble / letters > 0.3) return "zh"
     val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
-    val best = stopwords.iterator.map { case (lang, sw) =>
-      lang -> toks.count(sw.contains).toDouble / toks.length
-    }.maxByOption(_._2)
+    val best = langOrder.iterator.map { lang =>
+      lang -> toks.count(stopwords(lang).contains).toDouble / toks.length
+    }.maxByOption(_._2) // maxBy keeps the FIRST max → langOrder breaks ties
     best match {
       case Some((lang, score)) if score > 0.05 => lang
       case _ => "und"
