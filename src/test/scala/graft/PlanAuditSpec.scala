@@ -70,4 +70,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("sim_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("sim_topk_lsh: probe side broadcast — corpus never shuffles for the bucket join") {
+    val p = plan("sim_topk_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_minhash_lsh: the shingle projection is cached and reused across subtrees") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"withShingles persist() lost — banded and verify subtrees re-shingle the corpus:\n$p")
+  }
+
+  test("dedup_jaccard_words: every Window is block-partitioned (no global sort task)") {
+    val p = plan("dedup_jaccard_words")
+    // row_number windows must partition by block — a Window whose
+    // partition spec is empty funnels the vocabulary through one task
+    val windows = "(?s)Window .{0,400}?windowspecdefinition\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected a row_number window in the plan:\n$p")
+    windows.foreach { w =>
+      assert(w.contains("block"), s"un-partitioned window in plan:\n$w")
+    }
+  }
 }
