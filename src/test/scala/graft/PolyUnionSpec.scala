@@ -139,6 +139,50 @@ class PolyUnionSpec extends AnyFunSuite {
     assertRegionEquals(in, out)
   }
 
+  test("mixed degeneracy: overlap + collinear shared edge in one collection") {
+    // A overlaps B; C shares a full edge with A (collinear, same line)
+    val in: MultiPolygon = IndexedSeq(
+      part(rect(0, 0, 10, 10)),
+      part(rect(5, 5, 15, 15)),
+      part(rect(10, 0, 20, 5))) // touches A along x=10, below B's overlap zone
+    val out = PolyUnion.union(in)
+    // 100 + 100 − 25 + 50 (C disjoint-interior, edge-touching)
+    assert(math.abs(planarArea(out) - 225.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("rotated square crossing a rect: non-axis-aligned proper intersections") {
+    val diamond = ring((10, 0), (20, 10), (10, 20), (0, 10), (10, 0))
+    val in: MultiPolygon = IndexedSeq(part(diamond), part(rect(-5, 8, 25, 12)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assertRegionEquals(in, out)
+    // diamond area 200, slab 30×4=120, intersection is the slab clipped to
+    // the diamond: width at |y−10| = 20−2|y−10| → ints = ∫(20−2t)dt·2 over
+    // t∈[0,2]... compute numerically instead: MC, via region check only
+    val a = planarArea(out)
+    assert(a > 200.0 && a < 320.0, s"area $a outside sane bounds")
+  }
+
+  test("vertex-on-edge touch: triangle tip resting on a rect edge") {
+    val tri = ring((5, 10), (8, 16), (2, 16), (5, 10)) // tip touches y=10 edge
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(tri))
+    val out = PolyUnion.union(in)
+    // disjoint interiors: both survive; area exact
+    assert(math.abs(planarArea(out) - (100.0 + 18.0)) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
+  test("chain of three: A overlaps B overlaps C (transitive merge into one ring)") {
+    val in: MultiPolygon = IndexedSeq(
+      part(rect(0, 0, 10, 10)), part(rect(8, 0, 18, 10)), part(rect(16, 0, 26, 10)))
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    // 3·100 − 2·(2·10)
+    assert(math.abs(planarArea(out) - 260.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
   test("property: random overlapping rectangles match the MC region oracle") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 20) {
