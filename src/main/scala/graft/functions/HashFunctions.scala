@@ -75,9 +75,24 @@ object HashFunctions {
       s""""lon": ${pyFloatRepr6(pyRound6(lon))}, "view_ts": $vts, "satelite": $sat}"""
   }
 
-  def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  // per-row getInstance("MD5") is a JCA provider lookup — thread-local
+  // reuse matters in the ingest hot path (one hash per event row)
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = Character.forDigit((d(i) >> 4) & 0xf, 16)
+      hex(2 * i + 1) = Character.forDigit(d(i) & 0xf, 16)
+      i += 1
+    }
+    new String(hex)
+  }
 
   def eventHash(fileDate: String, lat: Double, lon: Double,
                 viewTs: String, satelite: String): String =

@@ -183,6 +183,21 @@ class PolyUnionSpec extends AnyFunSuite {
     assertRegionEquals(in, out)
   }
 
+  test("scale smoke: 15x15 grid of slightly-overlapping parts unions in bounded time") {
+    // dissolve-sized input (225 parts, ~2k edges after splitting): the
+    // sort-sweep pair prune + grid-distributed geometry must stay far from
+    // the O(E^2) worst case
+    val in: MultiPolygon = (for { i <- 0 until 15; j <- 0 until 15 } yield
+      part(rect(i * 10, j * 10, i * 10 + 11, j * 10 + 11))).toIndexedSeq
+    val t0 = System.nanoTime()
+    val out = PolyUnion.union(in)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 1, s"grid should merge into one region, got ${out.length}")
+    // region = 151x151 minus nothing (overlaps fill the seams)
+    assert(math.abs(planarArea(out) - 151.0 * 151.0) < 1e-4)
+    assert(secs < 20.0, s"union took ${secs}s — pair pruning regressed")
+  }
+
   test("property: random overlapping rectangles match the MC region oracle") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 20) {
