@@ -43,6 +43,30 @@ object StreamingJobs {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_hash")
 
+  /** Stream-static spatial enrichment: streaming point events joined to a
+    * broadcast polygon dimension with the batch path's exact plan shape —
+    * cheap bbox column conjuncts evaluated before the codegen PIP predicate
+    * (graft.enrich.Enrich). Stream-static joins need no state for the
+    * static side; the one-row-per-event guarantee (window-based in batch,
+    * unsupported on streams) is provided by watermark-bounded dedup on
+    * event_hash, which also absorbs source replays.
+    *
+    * @param points streaming frame with `event_hash`, `ts`, `lon`, `lat`
+    * @param dim    static dim with label columns + `geom` + bbox columns
+    */
+  def enrichPoints(points: DataFrame, dim: DataFrame,
+                   watermark: String = "1 day"): DataFrame = {
+    val pip = graft.functions.GeoFunctions.pointInMultiPolygon(
+      col("lon"), col("lat"), col("geom"))
+    val bboxPre =
+      col("lon") >= col("min_lon") && col("lon") <= col("max_lon") &&
+        col("lat") >= col("min_lat") && col("lat") <= col("max_lat")
+    points.withWatermark("ts", watermark)
+      .join(broadcast(dim), bboxPre && pip, "left")
+      .drop("geom", "min_lon", "min_lat", "max_lon", "max_lat")
+      .dropDuplicatesWithinWatermark("event_hash")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
                                   first_ts: Timestamp, last_ts: Timestamp)

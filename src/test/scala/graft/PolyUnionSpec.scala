@@ -216,4 +216,28 @@ class PolyUnionSpec extends AnyFunSuite {
       assert(a <= sum + 1e-6 && a >= mx - 1e-6, s"trial $trial area $a out of [$mx, $sum]")
     }
   }
+
+  test("property: random rotated convex n-gons match the MC region oracle") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 20) {
+      val k = 2 + rnd.nextInt(3)
+      val in: MultiPolygon = (0 until k).map { _ =>
+        val n = 3 + rnd.nextInt(6)
+        val cx = rnd.nextDouble() * 20; val cy = rnd.nextDouble() * 20
+        val rad = 3 + rnd.nextDouble() * 6
+        val rot = rnd.nextDouble() * 2 * math.Pi
+        val pts = (0 until n).map { i =>
+          val ang = rot + 2 * math.Pi * i / n
+          (cx + rad * math.cos(ang), cy + rad * math.sin(ang))
+        }
+        part((pts :+ pts.head).toIndexedSeq)
+      }.toIndexedSeq
+      val out = PolyUnion.union(in)
+      assertRegionEquals(in, out, seed = 100 + trial, n = 1500)
+      val sum = in.map(p => Geo.ringAreaPlanarDeg2(p.head)).sum
+      val mx = in.map(p => Geo.ringAreaPlanarDeg2(p.head)).max
+      val a = planarArea(out)
+      assert(a <= sum + 1e-6 && a >= mx - 1e-6, s"trial $trial area $a out of [$mx, $sum]")
+    }
+  }
 }

@@ -69,6 +69,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("h1", "h2", "h3"))
   }
 
+  test("stream-static enrichment: PIP join against a broadcast dim equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rectMp(x1: Double, y1: Double, x2: Double, y2: Double) =
+      Seq(Seq(Seq(Seq(x1, y1), Seq(x2, y1), Seq(x2, y2), Seq(x1, y2), Seq(x1, y1))))
+    val dim = Seq(
+      ("M1", rectMp(0.0, 0.0, 10.0, 10.0), 0.0, 0.0, 10.0, 10.0),
+      ("M2", rectMp(10.0, 0.0, 20.0, 10.0), 10.0, 0.0, 20.0, 10.0)
+    ).toDF("cd_mun", "geom", "min_lon", "min_lat", "max_lon", "max_lat")
+
+    val in = MemoryStream[(String, Timestamp, Double, Double)]
+    val pts = in.toDF().toDF("event_hash", "ts", "lon", "lat")
+    val q = StreamingJobs.enrichPoints(pts, dim)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_test").start()
+    in.addData(
+      ("e1", ts("2024-01-01 10:00:00"), 5.0, 5.0),    // inside M1
+      ("e2", ts("2024-01-01 10:01:00"), 15.0, 5.0),   // inside M2
+      ("e3", ts("2024-01-01 10:02:00"), 50.0, 50.0),  // no match -> null
+      ("e1", ts("2024-01-01 10:03:00"), 5.0, 5.0))    // replay -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test").select("event_hash", "cd_mun")
+      .as[(String, Option[String])].collect().toMap
+    assert(got == Map("e1" -> Some("M1"), "e2" -> Some("M2"), "e3" -> None))
+  }
+
   test("sessionize: per-user state emits a summary after the quiet timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
