@@ -33,14 +33,18 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir)) catch {
-          case e: Throwable => // keep benching, but a ~0s entry must be loud
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            -1L
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { consume(fn(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
-      name -> times.min
+      // a failed iteration must never masquerade as a (fast) timing; if
+      // every iteration failed, report -1 so the JSON is loud too
+      val best = times.min
+      name -> (if (best.isInfinity) -1.0 else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

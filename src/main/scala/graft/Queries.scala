@@ -78,6 +78,10 @@ object Queries {
   // once per (session, sf-dir) instead of re-paying the 3-join aggregation
   // per query. Keyed by session so test suites with fresh sessions stay
   // isolated; the cube is ≤ tens of MB at any bench SF (days × 25 nations).
+  // Deliberately UNBOUNDED and never unpersisted: entries live for the
+  // driver-process lifetime, which is exactly one Verify/Bench run — a
+  // long-lived service embedding this module would read the persisted mart
+  // instead of this cache.
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
@@ -1281,8 +1285,13 @@ object Queries {
     // the 31-based polynomial hash is exactly expressible in DuckDB via
     // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for
     // BMP text), so the fingerprint gets a real value-level oracle
+    // normalization is byte-faithful to the Scala side: Java trim strips ALL
+    // chars <= U+0020 (not just spaces, unlike DuckDB trim), and Java \s
+    // includes \x0B where RE2's does not
     QueryDef("text_fingerprint", Some(
-      "WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
+      "WITH n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+        "'^[\\x{00}-\\x{20}]+', ''), '[\\x{00}-\\x{20}]+$', ''), " +
+        "'[ \\t\\n\\x{0B}\\f\\r]+', ' ', 'g') AS norm " +
         "FROM documents) " +
         "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT " +
         "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM " +

@@ -20,10 +20,12 @@ import scala.collection.mutable
   *     left); CCW rings are exteriors, CW rings are holes, holes attach to
   *     their smallest containing exterior.
   *
-  * Numerical model: double arithmetic with a relative tolerance — features
-  * (slivers, gaps) thinner than ~1e-9·scale may collapse; the reference's
-  * GEOS union is exact-rational and immune. Documented divergence; the
-  * dissolve caller only routes keys here whose parts genuinely overlap.
+  * Numerical model: double arithmetic with relative tolerances — the
+  * coverage side-probe offset is 1e-7·scale, so features (slivers, gaps)
+  * thinner than ~1e-7·scale (≈ 1 m at continental degree coordinates) may
+  * be misclassified; the reference's GEOS union is exact-rational and
+  * immune. Documented divergence; the dissolve caller only routes keys here
+  * whose parts genuinely overlap.
   *
   * Complexity: O(E·k + C) where E = edges, k = candidates from a sort-sweep
   * bbox prune, C = coverage tests (2 per subsegment × parts). Runs per
@@ -126,8 +128,18 @@ object PolyUnion {
     }
 
     // ---- 3. boundary filter: keep covered|uncovered separators, interior left
-    def covered(x: Double, y: Double): Boolean =
-      parts.exists(p => Geo.pointInPolygon(x, y, p))
+    // per-part bbox prefilter: probes near one part's boundary must not pay a
+    // full point-in-ring scan of every OTHER part's vertices — without this
+    // the stage is O(subsegments × parts × vertices) on dense layers
+    val partBoxes = parts.map(p => Geo.bboxOfRing(p.head))
+    def covered(x: Double, y: Double): Boolean = {
+      var i = 0
+      while (i < parts.length) {
+        if (partBoxes(i).contains(x, y) && Geo.pointInPolygon(x, y, parts(i))) return true
+        i += 1
+      }
+      false
+    }
 
     val snapScale = 1e9 / scale
     def snap(x: Double, y: Double): (Long, Long) =

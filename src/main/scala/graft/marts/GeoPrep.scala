@@ -74,12 +74,16 @@ object GeoPrep {
           when(col("overlap_flag"), GeoFunctions.polygonUnionUdf(col("geom")))
             .otherwise(col("geom")))
       case "raise" =>
-        dissolved.withColumn("overlap_flag",
+        // the guard lives inside the GEOM projection (not overlap_flag):
+        // a caller that selects only key/geom/n_parts must still trip it —
+        // Catalyst would prune a raise_error hidden in an unread column
+        dissolved.withColumn("geom",
           when(col("overlap_flag"), raise_error(concat(
             lit("dissolveByKey: overlapping parts for key "),
             concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
-            lit(" — concat would double-count area; use onOverlap=union"))))
-            .otherwise(col("overlap_flag")))
+            lit(" — concat would double-count area; use onOverlap=union")))
+            .cast(dissolved.schema("geom").dataType))
+            .otherwise(col("geom")))
       case _ => dissolved
     }
     resolved.withColumn("n_parts", size(col("geom")))

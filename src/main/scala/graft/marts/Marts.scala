@@ -101,7 +101,11 @@ object Marts {
     base.groupBy("uf").agg(
       max("uf_area_km2").as("uf_area_km2"),
       sum("n_focos").as("n_focos_total"),
-      round(avg("n_focos").cast(DecimalType(38, 10)), 2).as("n_focos_avg_daily"),
+      // exact-rational mean, like Postgres numeric avg: sum::decimal / count
+      // then half-up round — avg() in DOUBLE can land a hair below an exact
+      // .xx5 boundary (e.g. 3/40 = 0.075) and round the last cent down
+      round((sum("n_focos").cast(DecimalType(38, 10)) / count(lit(1))).cast(DecimalType(38, 10)), 2)
+        .as("n_focos_avg_daily"),
       max("n_focos").as("n_focos_max_daily"),
       // peak day = highest n_focos, earliest day on ties:
       // maximize (n_focos, -epoch(day)) then take its day

@@ -51,6 +51,13 @@ object StreamingJobs {
     * unsupported on streams) is provided by watermark-bounded dedup on
     * event_hash, which also absorbs source replays.
     *
+    * Divergence from the batch path: for a point matching SEVERAL dim
+    * polygons (a shared-border or overlapping layer), the dedup survivor is
+    * whichever joined row the engine emits first — NOT the batch path's
+    * lowest-code tiebreak. Deterministic only for non-overlapping dims
+    * (pre-validated layers, the reference's case); overlapping layers must
+    * use the batch enrichment.
+    *
     * @param points streaming frame with `event_hash`, `ts`, `lon`, `lat`
     * @param dim    static dim with label columns + `geom` + bbox columns
     */

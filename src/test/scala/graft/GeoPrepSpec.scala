@@ -54,6 +54,15 @@ class GeoPrepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overlapping parts") ||
       Option(e.getCause).exists(_.getMessage.contains("overlapping parts")))
 
+    // the guard must survive column pruning: a caller that never reads
+    // overlap_flag still fails (raise_error lives in the geom projection)
+    val e2 = intercept[Exception] {
+      GeoPrep.dissolveByKey(bad, Seq("key"), onOverlap = "raise")
+        .select("key", "geom", "n_parts").collect()
+    }
+    assert(e2.getMessage.contains("overlapping parts") ||
+      Option(e2.getCause).exists(_.getMessage.contains("overlapping parts")))
+
     val ok = Seq(("A", rectMp(0, 0, 10, 10)), ("A", rectMp(10, 0, 20, 10)))
       .toDF("key", "geom")
     assert(GeoPrep.dissolveByKey(ok, Seq("key"), onOverlap = "raise").count() == 1)
