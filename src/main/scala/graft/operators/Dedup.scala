@@ -235,8 +235,14 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), blockKey.as("block"),
         col(setCol).as("toks"))
       .withColumn("sz", size(col("toks")))
+    // persisted: the token-postings projection feeds BOTH the frequency
+    // aggregation and the per-doc grouping — without it the (expensive)
+    // upstream tokenization/shingling runs twice. MEMORY_AND_DISK so big
+    // corpora spill instead of OOM; lives for the session like the minhash
+    // shingle cache (no safe unpersist point inside a lazy operator).
     val tok = base.select(col("id"), col("block"), col("sz"),
-      explode(col("toks")).as("tok"))
+        explode(col("toks")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-block doc frequency (distributed groupBy — never a global window)
     val freq = tok.groupBy("block", "tok").agg(count(lit(1)).as("tok_df"))
     // one row per block → broadcast; joining it onto the full token postings
@@ -279,6 +285,9 @@ object Dedup {
           bitmaskUdf(transform(col("ordered"), x => x.getField("tok_idx")),
             ceil(col("vocab_sz") / 64.0).cast("int")))
           .otherwise(lit(null)))
+      // both sides of the prefix self-join read this aggregate — cache it
+      // so the doc-grouping shuffle runs once, not per side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // t-prefix: first |S| − ⌈t·|S|⌉ + 1 rarest tokens. Rows verified by
     // mask drop their token array before the candidate join — the join output
