@@ -79,8 +79,14 @@ object Dedup {
   })
 
   /** Sorted distinct shingle-hash set per row (tokenization = lowercased
-    * whitespace split, matching [[wordShingles]]). */
+    * whitespace split, matching [[wordShingles]]). Binds the native codegen
+    * expression (graft.plans.ShingleHashesExpr); [[shingleHashesUdf]] stays
+    * as the golden-parity reference implementation. */
   def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.ShingleHashesExpr(split(lower(trim(text)), "\\s+"), n)
+
+  /** Reference UDF binding for parity tests. */
+  private[graft] def shingleHashesRef(text: Column, n: Int): Column =
     shingleHashesUdf(split(lower(trim(text)), "\\s+"), lit(n))
 
   private val minhashSigUdf =
@@ -116,8 +122,13 @@ object Dedup {
     })
 
   /** MinHash signature column (array<long> of length numHashes) over a
-    * shingle-hash set ([[shingleHashes]]). */
+    * shingle-hash set ([[shingleHashes]]) — native codegen expression;
+    * [[minhashSigUdf]] stays as the parity reference. */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
+    graft.plans.MinHashSignatureExpr(hashes, numHashes)
+
+  /** Reference UDF binding for parity tests. */
+  private[graft] def minhashSignatureRef(hashes: Column, numHashes: Int): Column =
     minhashSigUdf(hashes, lit(numHashes))
 
   /** MinHash+LSH near-duplicate pairs.

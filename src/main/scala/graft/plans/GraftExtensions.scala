@@ -11,22 +11,43 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.pipNative)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private def builder(children: Seq[Expression]): Expression = {
+  private type Reg = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def pipBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, "pip_native(lon, lat, geom) takes 3 arguments")
     new PointInMultiPolygon(children(0), children(1), children(2))
   }
 
-  val pipNative: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$name takes 2 arguments")
+    mk(children(0), children(1))
+  }
+
+  val pipNative: Reg =
     (FunctionIdentifier("pip_native"),
       new ExpressionInfo(classOf[PointInMultiPolygon].getName, "pip_native"),
-      builder _)
+      pipBuilder _)
+
+  val shingleHashes: Reg =
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      binary("shingle_hashes(words, n)", new ShingleHashesExpr(_, _)) _)
+
+  val minhashSignature: Reg =
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
+      binary("minhash_signature(hashes, numHashes)", new MinHashSignatureExpr(_, _)) _)
+
+  val all: Seq[Reg] = Seq(pipNative, shingleHashes, minhashSignature)
 
   /** Late registration on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      pipNative._1, pipNative._2, pipNative._3)
+    all.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
 }

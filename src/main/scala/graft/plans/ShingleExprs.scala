@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-dedup kernels over Spark's internal ArrayData — the corpus-scale
+  * hot path of MinHash (SURVEY's training-data operators). Semantics are
+  * byte-identical to the ScalaUDF reference implementations in
+  * graft.operators.Dedup (golden-parity-tested); these run inside
+  * whole-stage codegen and skip the Catalyst→Seq conversion the UDFs pay
+  * per row.
+  */
+object ShingleKernel {
+
+  /** FNV-1a64 over UTF-16 code units — identical to
+    * HashFunctions.fnv1a64(w.toString); ASCII fast path reads the UTF-8
+    * bytes directly (byte == code unit below 0x80). */
+  def wordHash(w: UTF8String): Long = {
+    val nb = w.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < nb) {
+      if ((w.getByte(i) & 0x80) != 0) { ascii = false; i = nb }
+      i += 1
+    }
+    if (ascii) {
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < nb) {
+        h = (h ^ (w.getByte(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      h
+    } else graft.functions.HashFunctions.fnv1a64(w.toString)
+  }
+
+  /** Sorted distinct rolling shingle hashes — mirrors Dedup.shingleHashesUdf:
+    * shingle i = fold of the n word hashes starting at i (short tail shingle
+    * only when the doc has < n words). */
+  def shingleHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) { wh(i) = wordHash(words.getUTF8String(i)); i += 1 }
+    val cnt = math.max(1, m - n + 1)
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      val end = math.min(n, m - i)
+      while (j < end) { h = (h ^ wh(i + j)) * 0x100000001b3L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < cnt) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** MinHash signature — mirrors Dedup.minhashSigUdf (single pass over the
+    * shingles updating all universal-hash mins). */
+  def minhashSignature(base: ArrayData, numHashes: Int): ArrayData = {
+    val m = base.numElements()
+    if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    val mins = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 0x9e3779b97f4a7c15L * (2 * i + 1)
+      bs(i) = 0xc2b2ae3d27d4eb4fL * (i + 1)
+      mins(i) = Long.MaxValue
+      i += 1
+    }
+    var k = 0
+    while (k < m) {
+      val x = base.getLong(k)
+      var j = 0
+      while (j < numHashes) {
+        val h = as(j) * x + bs(j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      k += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+}
+
+/** `shingleHashes(words, n)` as a native codegen expression. */
+case class ShingleHashesExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (array<string>, int), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(words: Any, n: Any): Any =
+    ShingleKernel.shingleHashes(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n) =>
+      s"graft.plans.ShingleKernel.shingleHashes($w, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashesExpr {
+  def apply(words: Column, n: Int): Column =
+    ColumnBridge.column(new ShingleHashesExpr(
+      ColumnBridge.expression(words),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(n))))
+}
+
+/** `minhashSignature(hashes, numHashes)` as a native codegen expression. */
+case class MinHashSignatureExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects (array<bigint>, int), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(hashes: Any, n: Any): Any =
+    ShingleKernel.minhashSignature(hashes.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n) =>
+      s"graft.plans.ShingleKernel.minhashSignature($h, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignatureExpr {
+  def apply(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(new MinHashSignatureExpr(
+      ColumnBridge.expression(hashes),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(numHashes))))
+}

@@ -49,6 +49,43 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("pointinmultipolygon"), plan)
   }
 
+  test("shingle/minhash native expressions match the reference UDFs byte-for-byte") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // real corpus + adversarial rows: non-ASCII (the UDF hashes UTF-16 code
+    // units), short docs (< n words), repeated words, whitespace edges
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, "não é ó açaí coração"),
+        (900002L, "one"),
+        (900003L, "a a a a a"),
+        (900004L, "  padded   whitespace\tand\ttabs  "),
+        (900005L, "múltiplos tokens não-ascii você já viu")
+      ).toDF("doc_id", "text"))
+    val both = docs
+      .withColumn("via_expr", Dedup.shingleHashes(col("text"), 3))
+      .withColumn("via_udf", Dedup.shingleHashesRef(col("text"), 3))
+      .withColumn("sig_expr", Dedup.minhashSignature(col("via_expr"), 64))
+      .withColumn("sig_udf", Dedup.minhashSignatureRef(col("via_udf"), 64))
+    assert(both.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+      "shingle hashes diverge from the UDF reference")
+    assert(both.filter(col("sig_expr") =!= col("sig_udf")).count() == 0,
+      "minhash signatures diverge from the UDF reference")
+  }
+
+  test("minhash banded subtree is UDF-free (shingle + signature codegen native)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sig = docs
+      .withColumn("sh", graft.operators.Dedup.shingleHashes(col("text"), 3))
+      .withColumn("sig", graft.operators.Dedup.minhashSignature(col("sh"), 64))
+    assert(sig.count() == 2)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"minhash path still contains a ScalaUDF:\n$plan")
+  }
+
   test("pip_native is SQL-callable after extension registration") {
     import spark.implicits._
     GraftExtensions.register(spark)
