@@ -196,7 +196,7 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sig", graft.functions.HashFunctions.simHash64Udf(col("tokens")))
+      .withColumn("sig", graft.plans.SimHash64Expr(col("tokens")))
     val chunked = withSig.select(
       col("id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("chunk"))

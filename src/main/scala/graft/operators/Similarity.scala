@@ -80,8 +80,14 @@ object Similarity {
   })
 
   /** Random-hyperplane LSH bucket id (nPlanes sign bits → long);
-    * `planeOffset` selects an independent plane family per hash table. */
+    * `planeOffset` selects an independent plane family per hash table.
+    * Native codegen expression (graft.plans.SignBucketExpr) — the UDF stays
+    * as the parity reference. */
   def signBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    graft.plans.SignBucketExpr(vec, nPlanes, planeOffset)
+
+  /** Reference UDF binding for parity tests. */
+  private[graft] def signBucketRef(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     signBucketUdf(vec.cast("array<double>"), lit(nPlanes), lit(planeOffset))
 
   /** LSH-bucketed approximate top-k: textbook multi-table sign-LSH

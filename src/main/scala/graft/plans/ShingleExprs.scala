@@ -70,6 +70,62 @@ object ShingleKernel {
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** SimHash64 — mirrors HashFunctions.simHash64 (per-bit votes of each
+    * token's FNV-1a64 hash; wordHash is the parity-tested UTF-16 hash). */
+  def simHash64(tokens: ArrayData, unused: Int): Long = {
+    val m = tokens.numElements()
+    if (m == 0) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = wordHash(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Random-hyperplane sign bucket — mirrors Similarity.signBucketUdf with
+    * identical left-to-right fp summation (the sim_topk_lsh oracle depends
+    * on bit-exact dot products). Plane component vectors are deterministic
+    * pure functions of (planeIdx, dim), cached per plane index. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  private def planeComponents(plane: Int, dims: Int): Array[Double] = {
+    val cur = planeCache.get(plane)
+    if (cur != null && cur.length >= dims) cur
+    else {
+      val arr = Array.tabulate(math.max(dims, 64))(d =>
+        graft.functions.HashFunctions.fnv1a64(s"$plane:$d").toDouble /
+          Long.MaxValue.toDouble)
+      planeCache.put(plane, arr)
+      arr
+    }
+  }
+
+  def signBucket(v: ArrayData, nPlanes: Int, planeOffset: Int): Long = {
+    val dims = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val comp = planeComponents(planeOffset + p, dims)
+      var s = 0.0
+      var d = 0
+      while (d < dims) { s += v.getDouble(d) * comp(d); d += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** MinHash signature — mirrors Dedup.minhashSigUdf (single pass over the
     * shingles updating all universal-hash mins). */
   def minhashSignature(base: ArrayData, numHashes: Int): ArrayData = {
@@ -160,4 +216,71 @@ object MinHashSignatureExpr {
     ColumnBridge.column(new MinHashSignatureExpr(
       ColumnBridge.expression(hashes),
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(numHashes))))
+}
+
+/** `simHash64(tokens)` as a native codegen expression (the int child is an
+  * ignored placeholder so the binary shape matches its siblings). */
+case class SimHash64Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects (array<string>, int), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(tokens: Any, n: Any): Any =
+    ShingleKernel.simHash64(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.plans.ShingleKernel.simHash64($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimHash64Expr {
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(new SimHash64Expr(
+      ColumnBridge.expression(tokens),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(0))))
+}
+
+/** `signBucket(vec, nPlanes, planeOffset)` as a native codegen expression. */
+case class SignBucketExpr(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"sign_bucket expects (array<double>, int, int), got ($a, $b, $c)")
+    }
+
+  override protected def nullSafeEval(v: Any, nPlanes: Any, offset: Any): Any =
+    ShingleKernel.signBucket(v.asInstanceOf[ArrayData],
+      nPlanes.asInstanceOf[Int], offset.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, n, o) =>
+      s"graft.plans.ShingleKernel.signBucket($v, $n, $o)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object SignBucketExpr {
+  def apply(vec: Column, nPlanes: Int, planeOffset: Int): Column =
+    ColumnBridge.column(new SignBucketExpr(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(nPlanes)),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(planeOffset))))
 }

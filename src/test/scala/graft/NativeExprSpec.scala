@@ -86,6 +86,32 @@ class NativeExprSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), s"minhash path still contains a ScalaUDF:\n$plan")
   }
 
+  test("simhash/sign-bucket native expressions match the reference UDFs bit-for-bit") {
+    import spark.implicits._
+    // simhash over real + non-ASCII corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "não é ó açaí coração")).toDF("doc_id", "text"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+    val sh = docs
+      .withColumn("via_expr", graft.plans.SimHash64Expr(col("tokens")))
+      .withColumn("via_udf", graft.functions.HashFunctions.simHash64Udf(col("tokens")))
+    assert(sh.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+      "simhash diverges from the UDF reference")
+
+    // sign buckets over real embeddings — the sim_topk_lsh oracle depends on
+    // bit-exact fp dot products, so equality here must be exact
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (offset <- Seq(0, 4, 12)) {
+      val b = e
+        .withColumn("via_expr", graft.operators.Similarity.signBucket(col("v"), 4, offset))
+        .withColumn("via_udf", graft.operators.Similarity.signBucketRef(col("v"), 4, offset))
+      assert(b.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+        s"sign bucket diverges from the UDF reference at offset $offset")
+    }
+  }
+
   test("pip_native is SQL-callable after extension registration") {
     import spark.implicits._
     GraftExtensions.register(spark)
