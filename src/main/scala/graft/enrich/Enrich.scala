@@ -66,7 +66,7 @@ object Enrich {
     val cand = unmatched.join(broadcast(dim),
       col("lon") >= col("min_lon") - padDeg && col("lon") <= col("max_lon") + padDeg &&
         col("lat") >= col("min_lat") - padDeg && col("lat") <= col("max_lat") + padDeg)
-      .withColumn("dist_m", GeoFunctions.distanceToMultiPolygonMetersUdf(
+      .withColumn("dist_m", GeoFunctions.distanceToMultiPolygonMeters(
         col("lon"), col("lat"), col("geom")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_hash").orderBy(col("dist_m").asc, col("mun_cd_mun").asc)))

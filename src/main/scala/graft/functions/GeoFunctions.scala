@@ -46,6 +46,11 @@ object GeoFunctions {
   def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
     graft.plans.HaversineMeters(lon1, lat1, lon2, lat2)
 
+  /** Native-Expression point→polygon distance (graft.plans.DistKernel) —
+    * the KNN candidate scorer; the UDF remains the parity reference. */
+  def distanceToMultiPolygonMeters(lon: Column, lat: Column, geom: Column): Column =
+    graft.plans.DistanceToMultiPolygon(lon, lat, geom)
+
   val haversineMetersUdf =
     udf((lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>
       Geo.haversineMeters(lon1, lat1, lon2, lat2))

@@ -148,3 +148,99 @@ object HaversineMeters {
       ColumnBridge.expression(lon2.cast("double")),
       ColumnBridge.expression(lat2.cast("double"))))
 }
+
+/** Distance point→polygon boundary in meters over internal ArrayData —
+  * mirrors graft.geo.Geo.distanceToMultiPolygonMeters exactly (0 inside;
+  * else min over segment distances in the local equirectangular frame,
+  * haversine to the projection). The KNN fallback scores every
+  * (fact × candidate-dim) pair with this, so it gets the same native
+  * treatment as the PIP predicate.
+  */
+object DistKernel {
+
+  private def segDistanceMeters(lon: Double, lat: Double,
+                                lon1: Double, lat1: Double,
+                                lon2: Double, lat2: Double): Double =
+    graft.geo.Geo.distancePointToSegmentMeters(lon, lat, lon1, lat1, lon2, lat2)
+
+  def distanceMeters(lon: Double, lat: Double, mp: ArrayData): Double = {
+    if (PipKernel.contains(lon, lat, mp)) return 0.0
+    var best = Double.PositiveInfinity
+    val nPolys = mp.numElements()
+    var p = 0
+    while (p < nPolys) {
+      val poly = mp.getArray(p)
+      val nRings = poly.numElements()
+      var r = 0
+      while (r < nRings) {
+        val ring = poly.getArray(r)
+        val n = ring.numElements()
+        var i = 0
+        while (i < n - 1) {
+          val a = ring.getArray(i); val b = ring.getArray(i + 1)
+          val d = segDistanceMeters(lon, lat,
+            a.getDouble(0), a.getDouble(1), b.getDouble(0), b.getDouble(1))
+          if (d < best) best = d
+          i += 1
+        }
+        // close the ring if the data left it open
+        if (n > 1) {
+          val last = ring.getArray(n - 1); val head = ring.getArray(0)
+          if (last.getDouble(0) != head.getDouble(0) ||
+              last.getDouble(1) != head.getDouble(1)) {
+            val d = segDistanceMeters(lon, lat,
+              last.getDouble(0), last.getDouble(1),
+              head.getDouble(0), head.getDouble(1))
+            if (d < best) best = d
+          }
+        }
+        r += 1
+      }
+      p += 1
+    }
+    best
+  }
+}
+
+/** Native binding for the KNN candidate scorer. */
+case class DistanceToMultiPolygon(first: Expression, second: Expression,
+                                  third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isGeom(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(ArrayType(ArrayType(DoubleType, _), _), _), _) => true
+      case _ => false
+    }
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      isGeom(third.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dist_poly expects (double, double, array⁴<double>), got " +
+          s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override protected def nullSafeEval(lon: Any, lat: Any, geom: Any): Any =
+    DistKernel.distanceMeters(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      geom.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, g) =>
+      s"graft.plans.DistKernel.distanceMeters($lon, $lat, $g)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object DistanceToMultiPolygon {
+  def apply(lon: Column, lat: Column, geom: Column): Column =
+    ColumnBridge.column(new DistanceToMultiPolygon(
+      ColumnBridge.expression(lon.cast("double")),
+      ColumnBridge.expression(lat.cast("double")),
+      ColumnBridge.expression(geom)))
+}

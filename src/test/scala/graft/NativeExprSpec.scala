@@ -86,6 +86,25 @@ class NativeExprSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), s"minhash path still contains a ScalaUDF:\n$plan")
   }
 
+  test("distance-to-polygon native expression matches the reference UDF bit-for-bit") {
+    import spark.implicits._
+    // grid of probes around/inside both fixtures, incl. an open-ring variant
+    val openRing: MP = Seq(Seq(Seq(
+      Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0)))) // not closed
+    val pts = (for (x <- -3 to 13 by 2; y <- -3 to 13 by 2) yield (x + 0.3, y + 0.7))
+      .toDF("lon", "lat")
+    val geoms = Seq(("sq", square), ("hole", withHole), ("open", openRing))
+      .toDF("name", "geom")
+    val joined = pts.crossJoin(geoms)
+      .withColumn("via_expr", GeoFunctions.distanceToMultiPolygonMeters(
+        col("lon"), col("lat"), col("geom")))
+      .withColumn("via_udf", GeoFunctions.distanceToMultiPolygonMetersUdf(
+        col("lon"), col("lat"), col("geom")))
+    assert(joined.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+      "distance diverges from the UDF reference")
+    assert(joined.filter(col("via_expr") === 0.0).count() > 0, "fixture sanity: some probes inside")
+  }
+
   test("simhash/sign-bucket native expressions match the reference UDFs bit-for-bit") {
     import spark.implicits._
     // simhash over real + non-ASCII corpus
