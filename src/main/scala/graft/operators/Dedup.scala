@@ -83,7 +83,9 @@ object Dedup {
     * expression (graft.plans.ShingleHashesExpr); [[shingleHashesUdf]] stays
     * as the golden-parity reference implementation. */
   def shingleHashes(text: Column, n: Int): Column =
-    graft.plans.ShingleHashesExpr(split(lower(trim(text)), "\\s+"), n)
+    // null text → empty set (the UDF reference's semantics), not null
+    coalesce(graft.plans.ShingleHashesExpr(split(lower(trim(text)), "\\s+"), n),
+      typedLit(Seq.empty[Long]))
 
   /** Reference UDF binding for parity tests. */
   private[graft] def shingleHashesRef(text: Column, n: Int): Column =
@@ -125,7 +127,8 @@ object Dedup {
     * shingle-hash set ([[shingleHashes]]) — native codegen expression;
     * [[minhashSigUdf]] stays as the parity reference. */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
-    graft.plans.MinHashSignatureExpr(hashes, numHashes)
+    coalesce(graft.plans.MinHashSignatureExpr(hashes, numHashes),
+      typedLit(Seq.empty[Long]))
 
   /** Reference UDF binding for parity tests. */
   private[graft] def minhashSignatureRef(hashes: Column, numHashes: Int): Column =
@@ -196,7 +199,7 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sig", graft.plans.SimHash64Expr(col("tokens")))
+      .withColumn("sig", coalesce(graft.plans.SimHash64Expr(col("tokens")), lit(0L)))
     val chunked = withSig.select(
       col("id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("chunk"))

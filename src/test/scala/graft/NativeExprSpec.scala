@@ -72,6 +72,11 @@ class NativeExprSpec extends AnyFunSuite {
       "shingle hashes diverge from the UDF reference")
     assert(both.filter(col("sig_expr") =!= col("sig_udf")).count() == 0,
       "minhash signatures diverge from the UDF reference")
+    // null text keeps the UDF's semantics: EMPTY set, not null
+    val nullRow = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .head
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[Long](0).isEmpty)
   }
 
   test("minhash banded subtree is UDF-free (shingle + signature codegen native)") {
