@@ -69,7 +69,10 @@ object Enrich {
       .withColumn("dist_m", GeoFunctions.distanceToMultiPolygonMeters(
         col("lon"), col("lat"), col("geom")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("event_hash").orderBy(col("dist_m").asc, col("mun_cd_mun").asc)))
+        // nulls LAST: a null-distance candidate (null geom, populated bbox)
+        // must not take rank 1 and shadow a real candidate within the cutoff
+        Window.partitionBy("event_hash")
+          .orderBy(col("dist_m").asc_nulls_last, col("mun_cd_mun").asc)))
       .filter(col("rn") === 1 && col("dist_m") <= knnMaxMeters)
       .drop("rn", "dist_m", "geom", "min_lon", "min_lat", "max_lon", "max_lat")
 

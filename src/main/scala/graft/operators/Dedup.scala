@@ -246,17 +246,19 @@ object Dedup {
   def jaccardPrefixPairs(df: DataFrame, idCol: String, setCol: String,
                          blockKey: Column, threshold: Double,
                          maskBits: Int = 4096): DataFrame = {
+    // persisted: base feeds BOTH the frequency aggregation and the per-doc
+    // grouping (via tok) — without it the expensive upstream tokenization/
+    // shingling runs twice. Cached PRE-explode: one row per doc with an
+    // array column is far smaller than the exploded postings, and the
+    // explode itself is cheap codegen. MEMORY_AND_DISK so big corpora spill
+    // instead of OOM; lives for the session like the minhash shingle cache
+    // (no safe unpersist point inside a lazy operator).
     val base = df.select(col(idCol).as("id"), blockKey.as("block"),
         col(setCol).as("toks"))
       .withColumn("sz", size(col("toks")))
-    // persisted: the token-postings projection feeds BOTH the frequency
-    // aggregation and the per-doc grouping — without it the (expensive)
-    // upstream tokenization/shingling runs twice. MEMORY_AND_DISK so big
-    // corpora spill instead of OOM; lives for the session like the minhash
-    // shingle cache (no safe unpersist point inside a lazy operator).
-    val tok = base.select(col("id"), col("block"), col("sz"),
-        explode(col("toks")).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = base.select(col("id"), col("block"), col("sz"),
+      explode(col("toks")).as("tok"))
     // per-block doc frequency (distributed groupBy — never a global window)
     val freq = tok.groupBy("block", "tok").agg(count(lit(1)).as("tok_df"))
     // one row per block → broadcast; joining it onto the full token postings

@@ -43,7 +43,40 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
       binary("minhash_signature(hashes, numHashes)", new MinHashSignatureExpr(_, _)) _)
 
-  val all: Seq[Reg] = Seq(pipNative, shingleHashes, minhashSignature)
+  val simhash64: Reg =
+    (FunctionIdentifier("simhash64_native"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64_native"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "simhash64_native(tokens) takes 1 argument")
+        new SimHash64Expr(children.head)
+      })
+
+  val signBucket: Reg =
+    (FunctionIdentifier("sign_bucket"),
+      new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
+      { children: Seq[Expression] =>
+        require(children.length == 3, "sign_bucket(vec, nPlanes, planeOffset) takes 3 arguments")
+        new SignBucketExpr(children(0), children(1), children(2))
+      })
+
+  val distPoly: Reg =
+    (FunctionIdentifier("dist_poly_native"),
+      new ExpressionInfo(classOf[DistanceToMultiPolygon].getName, "dist_poly_native"),
+      { children: Seq[Expression] =>
+        require(children.length == 3, "dist_poly_native(lon, lat, geom) takes 3 arguments")
+        new DistanceToMultiPolygon(children(0), children(1), children(2))
+      })
+
+  val haversine: Reg =
+    (FunctionIdentifier("haversine_native"),
+      new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_native"),
+      { children: Seq[Expression] =>
+        require(children.length == 4, "haversine_native(lon1, lat1, lon2, lat2) takes 4 arguments")
+        new HaversineMeters(children(0), children(1), children(2), children(3))
+      })
+
+  val all: Seq[Reg] =
+    Seq(pipNative, shingleHashes, minhashSignature, simhash64, signBucket, distPoly, haversine)
 
   /** Late registration on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -48,7 +48,13 @@ object ShingleKernel {
     if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
     val wh = new Array[Long](m)
     var i = 0
-    while (i < m) { wh(i) = wordHash(words.getUTF8String(i)); i += 1 }
+    // null elements (possible from SQL array literals) hash as empty words
+    while (i < m) {
+      wh(i) =
+        if (words.isNullAt(i)) 0xcbf29ce484222325L
+        else wordHash(words.getUTF8String(i))
+      i += 1
+    }
     val cnt = math.max(1, m - n + 1)
     val out = new Array[Long](cnt)
     i = 0
@@ -71,14 +77,17 @@ object ShingleKernel {
   }
 
   /** SimHash64 — mirrors HashFunctions.simHash64 (per-bit votes of each
-    * token's FNV-1a64 hash; wordHash is the parity-tested UTF-16 hash). */
-  def simHash64(tokens: ArrayData, unused: Int): Long = {
+    * token's FNV-1a64 hash; wordHash is the parity-tested UTF-16 hash).
+    * Null elements vote as empty words. */
+  def simHash64(tokens: ArrayData): Long = {
     val m = tokens.numElements()
     if (m == 0) return 0L
     val votes = new Array[Int](64)
     var i = 0
     while (i < m) {
-      val h = wordHash(tokens.getUTF8String(i))
+      val h =
+        if (tokens.isNullAt(i)) 0xcbf29ce484222325L
+        else wordHash(tokens.getUTF8String(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -127,7 +136,8 @@ object ShingleKernel {
   }
 
   /** MinHash signature — mirrors Dedup.minhashSigUdf (single pass over the
-    * shingles updating all universal-hash mins). */
+    * shingles updating all universal-hash mins). Null elements (possible
+    * from SQL array literals) are skipped rather than silently read as 0. */
   def minhashSignature(base: ArrayData, numHashes: Int): ArrayData = {
     val m = base.numElements()
     if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
@@ -143,12 +153,14 @@ object ShingleKernel {
     }
     var k = 0
     while (k < m) {
-      val x = base.getLong(k)
-      var j = 0
-      while (j < numHashes) {
-        val h = as(j) * x + bs(j)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (!base.isNullAt(k)) {
+        val x = base.getLong(k)
+        var j = 0
+        while (j < numHashes) {
+          val h = as(j) * x + bs(j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       k += 1
     }
@@ -218,36 +230,30 @@ object MinHashSignatureExpr {
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(numHashes))))
 }
 
-/** `simHash64(tokens)` as a native codegen expression (the int child is an
-  * ignored placeholder so the binary shape matches its siblings). */
-case class SimHash64Expr(left: Expression, right: Expression)
-  extends BinaryExpression {
+/** `simHash64(tokens)` as a native codegen expression. */
+case class SimHash64Expr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects (array<string>, int), got ($l, $r)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
   }
 
-  override protected def nullSafeEval(tokens: Any, n: Any): Any =
-    ShingleKernel.simHash64(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def nullSafeEval(tokens: Any): Any =
+    ShingleKernel.simHash64(tokens.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, n) =>
-      s"graft.plans.ShingleKernel.simHash64($t, $n)")
+    defineCodeGen(ctx, ev, t => s"graft.plans.ShingleKernel.simHash64($t)")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object SimHash64Expr {
   def apply(tokens: Column): Column =
-    ColumnBridge.column(new SimHash64Expr(
-      ColumnBridge.expression(tokens),
-      ColumnBridge.expression(org.apache.spark.sql.functions.lit(0))))
+    ColumnBridge.column(new SimHash64Expr(ColumnBridge.expression(tokens)))
 }
 
 /** `signBucket(vec, nPlanes, planeOffset)` as a native codegen expression. */

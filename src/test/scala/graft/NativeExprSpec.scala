@@ -26,7 +26,7 @@ class NativeExprSpec extends AnyFunSuite {
     val joined = pts.crossJoin(geoms)
       .withColumn("via_expr", GeoFunctions.pointInMultiPolygon(col("lon"), col("lat"), col("geom")))
       .withColumn("via_udf", GeoFunctions.pointInMultiPolygonUdf(col("lon"), col("lat"), col("geom")))
-    assert(joined.filter(col("via_expr") =!= col("via_udf")).count() == 0)
+    assert(joined.filter(!(col("via_expr") <=> col("via_udf"))).count() == 0)
     assert(joined.filter(col("name") === "hole" && col("lon") === 4.5 && col("lat") === 4.5)
       .head.getAs[Boolean]("via_expr") == false) // inside the hole
     // null geometry -> null result
@@ -68,9 +68,9 @@ class NativeExprSpec extends AnyFunSuite {
       .withColumn("via_udf", Dedup.shingleHashesRef(col("text"), 3))
       .withColumn("sig_expr", Dedup.minhashSignature(col("via_expr"), 64))
       .withColumn("sig_udf", Dedup.minhashSignatureRef(col("via_udf"), 64))
-    assert(both.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+    assert(both.filter(!(col("via_expr") <=> col("via_udf"))).count() == 0,
       "shingle hashes diverge from the UDF reference")
-    assert(both.filter(col("sig_expr") =!= col("sig_udf")).count() == 0,
+    assert(both.filter(!(col("sig_expr") <=> col("sig_udf"))).count() == 0,
       "minhash signatures diverge from the UDF reference")
     // null text keeps the UDF's semantics: EMPTY set, not null
     val nullRow = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
@@ -105,7 +105,7 @@ class NativeExprSpec extends AnyFunSuite {
         col("lon"), col("lat"), col("geom")))
       .withColumn("via_udf", GeoFunctions.distanceToMultiPolygonMetersUdf(
         col("lon"), col("lat"), col("geom")))
-    assert(joined.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+    assert(joined.filter(!(col("via_expr") <=> col("via_udf"))).count() == 0,
       "distance diverges from the UDF reference")
     assert(joined.filter(col("via_expr") === 0.0).count() > 0, "fixture sanity: some probes inside")
   }
@@ -120,7 +120,7 @@ class NativeExprSpec extends AnyFunSuite {
     val sh = docs
       .withColumn("via_expr", graft.plans.SimHash64Expr(col("tokens")))
       .withColumn("via_udf", graft.functions.HashFunctions.simHash64Udf(col("tokens")))
-    assert(sh.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+    assert(sh.filter(!(col("via_expr") <=> col("via_udf"))).count() == 0,
       "simhash diverges from the UDF reference")
 
     // sign buckets over real embeddings — the sim_topk_lsh oracle depends on
@@ -131,7 +131,7 @@ class NativeExprSpec extends AnyFunSuite {
       val b = e
         .withColumn("via_expr", graft.operators.Similarity.signBucket(col("v"), 4, offset))
         .withColumn("via_udf", graft.operators.Similarity.signBucketRef(col("v"), 4, offset))
-      assert(b.filter(col("via_expr") =!= col("via_udf")).count() == 0,
+      assert(b.filter(!(col("via_expr") <=> col("via_udf"))).count() == 0,
         s"sign bucket diverges from the UDF reference at offset $offset")
     }
   }
