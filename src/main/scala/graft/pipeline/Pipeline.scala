@@ -191,7 +191,7 @@ final class Pipeline(spark: SparkSession, root: String,
       val redone = enrichDims(base)
       val checked = day.filter(
         col("bioma_checked") && col("uc_checked") && col("ti_checked"))
-      val out = checked.unionByName(redone.select(checked.columns.map(col): _*))
+      val out = checked.unionByName(redone.select(checked.columns.toIndexedSeq.map(col): _*))
       // read-modify-overwrite of exactly one partition (§7.4 risk 7)
       val tmp = path(s"enriched_tmp_$fileDate")
       out.write.mode("overwrite").parquet(tmp)
@@ -215,7 +215,7 @@ final class Pipeline(spark: SparkSession, root: String,
     val withMun = enriched.filter(col("mun_cd_mun").isNotNull && Marts.dayKey === lit(d)).count()
     def martSum(mart: String, valueCol: String): Long =
       spark.read.parquet(path(s"marts/$mart")).filter(col("day") === lit(d))
-        .agg(coalesce(sum(valueCol), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum(valueCol), lit(0L))).head().getLong(0)
     val munSum = martSum("focos_diario_municipio", "n_focos")
     if (withMun != munSum) errs += s"mun mart sum($munSum) != enriched with mun($withMun) for $fileDate"
     val ufSum = martSum("focos_diario_uf", "n_focos")

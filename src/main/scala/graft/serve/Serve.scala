@@ -466,11 +466,11 @@ object Serve {
   def validateConsistency(cube: DataFrame, from: LocalDate, to: LocalDate,
                           f: Filters): (Long, Long, Long) = {
     val filtered = cube.filter(factWhere(from, to, f))
-    val total = filtered.agg(coalesce(sum("n_focos"), lit(0))).head.getLong(0)
+    val total = filtered.agg(coalesce(sum("n_focos"), lit(0))).head().getLong(0)
     val tsSum = timeseries(cube, from, to, f)
-      .agg(coalesce(sum("n_focos"), lit(0))).head.getLong(0)
+      .agg(coalesce(sum("n_focos"), lit(0))).head().getLong(0)
     val byUf = filtered.groupBy("uf").agg(sum("n_focos").as("n"))
-      .agg(coalesce(sum("n"), lit(0))).head.getLong(0)
+      .agg(coalesce(sum("n"), lit(0))).head().getLong(0)
     (total, tsSum, byUf)
   }
 }
