@@ -70,6 +70,21 @@ class OperatorQualitySpec extends AnyFunSuite {
       "prefix-filter join must produce exactly the all-pairs result")
   }
 
+  test("jaccard dual paths agree: bitmask fast path == large-vocab canonical-order path") {
+    // the SAME corpus through both verification strategies: maskBits large
+    // enough for the dense-id popcount path vs maskBits=16 forcing the
+    // distributed (tok_df, tok) string-order path — outputs must be identical
+    val docs = corpus().withColumn("ws", array_distinct(split(lower(col("text")), " ")))
+    def run(maskBits: Int) =
+      Dedup.jaccardPrefixPairs(docs, "doc_id", "ws", lit(1), 0.8, maskBits = maskBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = run(1 << 20)
+    val slow = run(16)
+    assert(fast == slow,
+      s"dual-path divergence: mask=${fast.size} pairs, string-order=${slow.size} pairs")
+    assert(fast.nonEmpty, "fixture sanity: some qualifying pairs exist")
+  }
+
   test("SimHash banding is COMPLETE for hamming <= 3 (pigeonhole guarantee)") {
     import graft.functions.HashFunctions
     val docs = corpus()

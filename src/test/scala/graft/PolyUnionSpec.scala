@@ -131,6 +131,18 @@ class PolyUnionSpec extends AnyFunSuite {
     assertRegionEquals(in, out)
   }
 
+  test("hole partially filled: the hole shrinks instead of vanishing") {
+    val holey: Polygon = part(rect(0, 0, 20, 20), rect(5, 5, 15, 15).reverse)
+    val filler: Polygon = part(rect(5, 5, 10, 15)) // covers the hole's left half
+    val in: MultiPolygon = IndexedSeq(holey, filler)
+    val out = PolyUnion.union(in)
+    assert(out.length == 1)
+    assert(out.head.length == 2, s"expected exterior + shrunken hole, got ${out.head.length} rings")
+    // 400 − hole 100 + fill 50
+    assert(math.abs(planarArea(out) - 350.0) < 1e-6)
+    assertRegionEquals(in, out)
+  }
+
   test("identical stacked parts dedup to one") {
     val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(0, 0, 10, 10)))
     val out = PolyUnion.union(in)
