@@ -1178,6 +1178,32 @@ object Queries {
           Seq(Seq.fill(64)(0.25), Seq.fill(64)(0.75))).as("cell")),
     ),
 
+    // IVF-restricted search: corpus partitioned into 2 fixed centroid cells,
+    // each query probes its nearest cell (nProbe=1) and reranks by exact
+    // cosine — candidate set and ranks reproduce exactly in SQL (the cell
+    // CASE mirrors sim_ivf_assign; cosine folds share IEEE order)
+    QueryDef("sim_topk_ivf", Some(
+      "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cells AS (SELECT vec_id, v, CASE WHEN list_distance(v, list_transform(range(64), x -> 0.25)) <= " +
+        "list_distance(v, list_transform(range(64), x -> 0.75)) THEN 0 ELSE 1 END AS cell, " +
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm " +
+        "FROM vecs), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(64), " +
+        "dd -> q.v[CAST(dd AS INT)+1] * c.v[CAST(dd AS INT)+1])), (a, x) -> a + x) / (q.nrm * c.nrm) AS cos " +
+        "FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id WHERE q.vec_id < 5), " +
+        "ranked AS (SELECT query_id, neighbor_id, cos, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+            Seq(Seq.fill(64)(0.25), Seq.fill(64)(0.75)), nProbe = 1)
+          .orderBy("query_id", "rank")
+      }),
+
     // approximate, but fully DETERMINISTIC: plane components are FNV-derived
     // doubles, and both engines evaluate the dot/norm folds in the same
     // left-to-right IEEE order (list_reduce ⟷ the UDF's ascending-d loop),

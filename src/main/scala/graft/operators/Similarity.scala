@@ -150,4 +150,46 @@ object Similarity {
         lit(0.0d), (acc, x) => acc + x))
     array_position(dists, array_min(dists)).cast("int") - 1
   }
+
+  /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
+    * lower cell id, consistent with [[ivfCellId]]) — built-ins only. */
+  def ivfProbeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val idx = sequence(lit(0), lit(centroids.length - 1))
+    val pairs = transform(idx, i => struct(
+      aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x).as("dist"),
+      i.as("cell")))
+    slice(transform(array_sort(pairs), p => p.getField("cell")), 1, nProbe)
+  }
+
+  /** IVF-restricted ANN top-k: the corpus is partitioned into centroid
+    * cells (one cell per vector — the inverted file); each query probes its
+    * `nProbe` nearest cells and reranks candidates by exact cosine.
+    *
+    * Scale: the candidate join is a hash-partitioned equi-join on the cell
+    * id; queries (small side) are broadcast ×nProbe. A corpus vector lives
+    * in exactly ONE cell, so a (query, neighbor) pair matches at most once —
+    * no dedup needed. Scan reduction ≈ nCells / nProbe vs brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              centroids: Seq[Seq[Double]], nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length, "nProbe must be 1..nCells")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", ivfCellId(col("cv"), centroids))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(ivfProbeCells(col("qv"), centroids, nProbe)))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
 }

@@ -133,6 +133,29 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(hits >= 8, s"LSH top-1 recall $hits/10 < 8/10 on planted neighbors")
   }
 
+  test("IVF top-k: probing every cell equals brute force exactly; nProbe=1 is a subset") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+    val cents = Seq(Seq.fill(64)(0.25), Seq.fill(64)(0.75))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = rows(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val probeAll = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, cents, nProbe = 2))
+    assert(probeAll == brute, "nProbe = nCells must reproduce brute force exactly")
+    // single-probe results are drawn from the probed cell only — each
+    // reported neighbor must share the query's cell
+    val cellOf = e.withColumn("cell", Similarity.ivfCellId(col("embedding"), cents))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val single = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, cents, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(single.nonEmpty)
+    single.foreach { case (qid, nid) =>
+      assert(cellOf(qid) == cellOf(nid), s"neighbor $nid outside query $qid's probed cell")
+    }
+  }
+
   test("sign-bucket LSH top-k: recall@10 floor vs brute force on real embeddings") {
     import spark.implicits._
     // harness-generated embeddings (TESTDATA.md) — a realistic corpus, so a
