@@ -1266,6 +1266,22 @@ object Queries {
             .as("punct_ratio"))
       }),
 
+    // stopword-hit ratio (English inventory) — quality-filter signal, pure
+    // built-ins on the Spark side (TextFunctions.stopwordRatio)
+    QueryDef("text_stopword_ratio", Some {
+      val sw = Seq("a", "and", "as", "at", "for", "in", "is", "it", "of", "on",
+        "that", "the", "to", "was", "with").map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
+        "FROM documents) " +
+        "SELECT doc_id, CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS stopword_ratio FROM t ORDER BY doc_id"
+    },
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
     QueryDef("text_tokens", Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +
