@@ -1267,10 +1267,11 @@ object Queries {
       }),
 
     // stopword-hit ratio (English inventory) — quality-filter signal, pure
-    // built-ins on the Spark side (TextFunctions.stopwordRatio)
+    // built-ins on the Spark side (TextFunctions.stopwordRatio); the oracle
+    // list is BUILT FROM the same inventory so the two cannot drift
     QueryDef("text_stopword_ratio", Some {
-      val sw = Seq("a", "and", "as", "at", "for", "in", "is", "it", "of", "on",
-        "that", "the", "to", "was", "with").map(w => s"'$w'").mkString("[", ",", "]")
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
       "WITH t AS (SELECT doc_id, " +
         "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
         "FROM documents) " +

@@ -22,7 +22,7 @@ object TextFunctions {
   /** Tiny stopword inventories for an n-gram-free language-ID heuristic.
     * Deterministic and dependency-free; scores = stopword hit ratio.
     */
-  private val stopwords: Map[String, Set[String]] = Map(
+  private[graft] val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"),
     "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "del"),
     "pt" -> Set("o", "a", "de", "que", "e", "em", "um", "uma", "os", "as", "por", "com", "para", "não", "do"),

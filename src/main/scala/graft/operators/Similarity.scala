@@ -30,6 +30,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Shared exact-cosine rerank tail: candidates carry (query_id, qv, qn,
+    * neighbor_id, cv, cn); output contract (rounding, tie-break, columns)
+    * lives HERE once for brute/LSH/IVF, so the cross-implementation
+    * equality tests hold by construction. */
+  private def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Brute-force top-k cosine neighbors of each query vector.
     *
     * @param corpus  (idCol, vecCol) table — the big side, scanned once
@@ -43,14 +59,7 @@ object Similarity {
       .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    rerankTopK(c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Deterministic random-hyperplane sign bits: plane p's component for
@@ -121,47 +130,40 @@ object Similarity {
       bs.map(b => struct(lit(t).as("t"), b.as("b")))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))) // once per query, before the explode
       .withColumn("tb", explode(array(qProbes: _*)))
-      .select(col("tb.t").as("t"), col("tb.b").as("bucket"), col("query_id"), col("qv"))
-      .withColumn("qn", l2Norm(col("qv")))
-    val scored = c.join(broadcast(q), Seq("t", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id") // pair may match in >1 table
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .select(col("tb.t").as("t"), col("tb.b").as("bucket"),
+        col("query_id"), col("qv"), col("qn"))
+    rerankTopK(c.join(broadcast(q), Seq("t", "bucket"))
+      .dropDuplicates("query_id", "neighbor_id"), k) // pair may match in >1 table
   }
+
+  /** (squared-L2 distance, cell id) pairs to every centroid — the single
+    * source of truth for both assignment and probing, so their tie-break
+    * (dist asc, cell asc) agrees BY CONSTRUCTION. */
+  private def centroidDistPairs(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val idx = sequence(lit(0), lit(centroids.length - 1))
+    transform(idx, i => struct(
+      aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x).as("dist"),
+      i.as("cell")))
+  }
+
+  /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
+    * lower cell id) — built-ins only. */
+  def ivfProbeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    slice(transform(array_sort(centroidDistPairs(vec, centroids)),
+      p => p.getField("cell")), 1, nProbe)
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (broadcast list), search only matching cells. Centroids are
     * caller-provided (e.g. sampled + k-means'd offline); here we only need
-    * the assignment + cell-restricted search plumbing.
+    * the assignment + cell-restricted search plumbing. Defined as the first
+    * probe cell so assignment and probing can never diverge.
     */
-  def ivfCellId(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    // argmin over squared L2 distance, computed with built-ins
-    val idx = sequence(lit(0), lit(centroids.length - 1))
-    val dists = transform(idx, i =>
-      aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x))
-    array_position(dists, array_min(dists)).cast("int") - 1
-  }
-
-  /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
-    * lower cell id, consistent with [[ivfCellId]]) — built-ins only. */
-  def ivfProbeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
-    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val idx = sequence(lit(0), lit(centroids.length - 1))
-    val pairs = transform(idx, i => struct(
-      aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x).as("dist"),
-      i.as("cell")))
-    slice(transform(array_sort(pairs), p => p.getField("cell")), 1, nProbe)
-  }
+  def ivfCellId(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(ivfProbeCells(vec, centroids, 1), 1)
 
   /** IVF-restricted ANN top-k: the corpus is partitioned into centroid
     * cells (one cell per vector — the inverted file); each query probes its
@@ -180,16 +182,8 @@ object Similarity {
       .withColumn("cell", ivfCellId(col("cv"), centroids))
       .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))) // once per query, before the explode
       .withColumn("cell", explode(ivfProbeCells(col("qv"), centroids, nProbe)))
-      .withColumn("qn", l2Norm(col("qv")))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    rerankTopK(c.join(broadcast(q), Seq("cell")), k)
   }
 }
