@@ -78,16 +78,20 @@ object Queries {
   // once per (session, sf-dir) instead of re-paying the 3-join aggregation
   // per query. Keyed by session so test suites with fresh sessions stay
   // isolated; the cube is ≤ tens of MB at any bench SF (days × 25 nations).
-  // Deliberately UNBOUNDED and never unpersisted: entries live for the
-  // driver-process lifetime, which is exactly one Verify/Bench run — a
+  // Entries live for the driver-process lifetime of a Verify/Bench run — a
   // long-lived service embedding this module would read the persisted mart
-  // instead of this cache.
+  // instead of this cache, or bound growth by calling
+  // CacheRegistry.unpersistAll(session), which also evicts this map's
+  // entries for that session via the hook below.
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  CacheRegistry.addHook(s => dfCache.keySet.removeIf(_._1 == s))
+
   private def memoized(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
     dfCache.computeIfAbsent((s, d, tag), _ => {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = CacheRegistry.register(
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       df.count() // materialize eagerly so no single query is charged the build
       df
     })

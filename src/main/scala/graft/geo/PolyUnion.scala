@@ -194,6 +194,7 @@ object PolyUnion {
     kept.foreach { case (startKey, _) =>
       if (!used.contains(startKey)) {
         val ringPts = mutable.ArrayBuffer.empty[Point]
+        val traceSegs = mutable.ArrayBuffer.empty[SegKey]
         var curKey = startKey
         var cur = kept(curKey)
         var ok = true
@@ -201,6 +202,7 @@ object PolyUnion {
         var steps = 0
         while (ok && steps <= guard) {
           used += curKey
+          traceSegs += curKey
           ringPts += cur._1
           val endSnap = curKey._2
           if (endSnap == startKey._1) {
@@ -209,7 +211,13 @@ object PolyUnion {
           } else {
             val cands = outgoing.getOrElse(endSnap, mutable.ArrayBuffer.empty)
               .filter { case (k, _) => !used.contains(k) }
-            if (cands.isEmpty) { ringPts.clear(); ok = false }
+            if (cands.isEmpty) {
+              // dead end: release this trace's segments so rings that need
+              // them can still form from a different start (a consumed-but-
+              // unringed segment would otherwise silently under-cover)
+              traceSegs.foreach(used -= _)
+              ringPts.clear(); ok = false
+            }
             else {
               // incoming direction reversed
               val inAng = angle(cur._1._1 - cur._2._1, cur._1._2 - cur._2._2)

@@ -120,9 +120,17 @@ object Marts {
     * 30_focos_diario_uf_trend.sql:21-37). */
   def focosDiarioUfTrend(dailyUf: DataFrame): DataFrame = {
     val w = Window.partitionBy("uf").orderBy("day")
+    // exact-rational mean over the frame (same form as focosPeriodoUf):
+    // a DOUBLE window avg can land a hair below an exact .xx5 boundary and
+    // round the last cent down
+    def exactMa(lo: Int): Column = {
+      val frame = w.rowsBetween(lo, 0)
+      round((sum("n_focos").over(frame).cast(DecimalType(38, 10)) /
+        count(lit(1)).over(frame)).cast(DecimalType(38, 10)), 2)
+    }
     dailyUf.select(col("day"), col("uf"), col("n_focos"))
-      .withColumn("ma7", round(avg("n_focos").over(w.rowsBetween(-6, 0)).cast(DecimalType(38, 10)), 2))
-      .withColumn("ma30", round(avg("n_focos").over(w.rowsBetween(-29, 0)).cast(DecimalType(38, 10)), 2))
+      .withColumn("ma7", exactMa(-6))
+      .withColumn("ma30", exactMa(-29))
   }
 
   /** A8 — the serving fact cube `mv_focos_day_dim`

@@ -149,12 +149,13 @@ object Dedup {
     // both sides of the verification join) — without it Spark re-tokenizes and
     // re-hashes the corpus 3×. MEMORY_AND_DISK: shingle arrays spill rather
     // than OOM at large SF; stays cached for the session (operator output is
-    // lazy, so there is no safe point to unpersist inside this function).
-    val withShingles = df
+    // lazy, so there is no safe point to unpersist inside this function —
+    // long-lived hosts release it via CacheRegistry.unpersistAll).
+    val withShingles = graft.CacheRegistry.register(df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", shingleHashes(col("text"), shingleSize))
       .drop("text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the signature UDF lives only in the banded subtree; the verification
     // joins read the cheap shingle-hash projection
     val withSig = withShingles
@@ -252,11 +253,13 @@ object Dedup {
     // array column is far smaller than the exploded postings, and the
     // explode itself is cheap codegen. MEMORY_AND_DISK so big corpora spill
     // instead of OOM; lives for the session like the minhash shingle cache
-    // (no safe unpersist point inside a lazy operator).
-    val base = df.select(col(idCol).as("id"), blockKey.as("block"),
-        col(setCol).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (no safe unpersist point inside a lazy operator; hosts release via
+    // CacheRegistry.unpersistAll).
+    val base = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"), blockKey.as("block"),
+          col(setCol).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tok = base.select(col("id"), col("block"), col("sz"),
       explode(col("toks")).as("tok"))
     // per-block doc frequency (distributed groupBy — never a global window)
@@ -284,7 +287,7 @@ object Dedup {
     // string is blanked before the doc-grouping shuffle (ints, not strings,
     // through the exchange); sorting (tok_df, "", tok_idx) preserves the
     // canonical order exactly.
-    val docs = tok.join(withIdx, Seq("block", "tok"))
+    val docs = graft.CacheRegistry.register(tok.join(withIdx, Seq("block", "tok"))
       .withColumn("tok_s",
         when(col("tok_idx").isNotNull, lit("")).otherwise(col("tok")))
       .groupBy("id")
@@ -303,7 +306,7 @@ object Dedup {
           .otherwise(lit(null)))
       // both sides of the prefix self-join read this aggregate — cache it
       // so the doc-grouping shuffle runs once, not per side
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // t-prefix: first |S| − ⌈t·|S|⌉ + 1 rarest tokens. Rows verified by
     // mask drop their token array before the candidate join — the join output

@@ -117,11 +117,11 @@ object Similarity {
               nTables: Int = 4, multiProbe: Boolean = true): DataFrame = {
     require(nPlanes < 63, "bucket is a long of sign bits")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv"))) // once per vector, before the table explode
       .withColumn("tb", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), signBucket(col("cv"), nPlanes, t * nPlanes).as("b"))): _*)))
       .select(col("tb.t").as("t"), col("tb.b").as("bucket"),
-        col("neighbor_id"), col("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
+        col("neighbor_id"), col("cv"), col("cn"))
     val qProbes = (0 until nTables).flatMap { t =>
       val base = signBucket(col("qv"), nPlanes, t * nPlanes)
       val bs =

@@ -194,4 +194,20 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(feats.feature.length == 8)
     assert(math.abs(feats.feature.sum - payload.map(b => (b & 0xff) / 255.0f).sum) < 0.5f)
   }
+
+  test("CacheRegistry releases operator-persisted frames; operators re-persist after") {
+    val docs = corpus()
+    // minHashLshPairs persists its shingle projection internally
+    val n1 = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+    val released = CacheRegistry.unpersistAll(spark, blocking = true)
+    assert(released >= 1, s"expected at least the shingle cache, got $released")
+    // idempotent: nothing registered now
+    assert(CacheRegistry.unpersistAll(spark, blocking = true) == 0)
+    // the operator still works (re-persists + re-registers on next use)
+    val n2 = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+    assert(n1 == n2)
+    assert(CacheRegistry.unpersistAll(spark, blocking = true) >= 1)
+  }
 }
