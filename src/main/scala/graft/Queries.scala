@@ -1059,6 +1059,36 @@ object Queries {
         Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
       }),
 
+    // The dedup endgame: near-dup pairs → connected components → one
+    // canonical doc per cluster (Lee et al. ACL'22 pipeline). Spark side is
+    // iterative min-label propagation + pointer jumping; the oracle computes
+    // the same fixpoint as a recursive reachability closure (UNION-dedup
+    // terminates it) over the identical pair predicate.
+    QueryDef("dedup_clusters", Some(
+      "WITH RECURSIVE " +
+        "w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
+        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r) " +
+        "SELECT id AS doc_id, min(r) AS cluster_id, " +
+        "CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS is_canonical " +
+        "FROM reach GROUP BY id ORDER BY doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val w = docs.select(col("doc_id"), col("lang"),
+          array_distinct(split(lower(col("text")), " ")).as("ws"))
+        val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+            pairs, "id_a", "id_b")
+          .select(col("doc_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      }),
+
     // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
     // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
     // hashes, the universal-hash signature mins via a 32-bit-split mulmod),
@@ -1287,6 +1317,49 @@ object Queries {
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id")),
 
+    // PII redaction over documents. The synthetic corpus carries no real
+    // PII, so deterministic PII is injected into every 7th doc (identically
+    // on both sides) to exercise actual redaction; counts are taken per
+    // class on the text with all PRIOR classes already replaced — exactly
+    // the occurrences each stage redacts.
+    QueryDef("text_pii_scrub", Some {
+      val Seq(em, ip, cc, ph) = TextFunctions.piiPatterns.map(_._2)
+      "WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
+        "' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242' " +
+        "ELSE text END AS s0 FROM documents), " +
+        s"t1 AS (SELECT *, regexp_replace(s0, '$em', '<EMAIL>', 'g') AS s1 FROM t0), " +
+        s"t2 AS (SELECT *, regexp_replace(s1, '$ip', '<IP>', 'g') AS s2 FROM t1), " +
+        s"t3 AS (SELECT *, regexp_replace(s2, '$cc', '<CC>', 'g') AS s3 FROM t2), " +
+        s"t4 AS (SELECT *, regexp_replace(s3, '$ph', '<PHONE>', 'g') AS s4 FROM t3) " +
+        "SELECT doc_id, s4 AS clean_text, " +
+        s"CAST(len(regexp_extract_all(s0, '$em')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(s1, '$ip')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(s2, '$cc')) AS BIGINT) AS n_ccs, " +
+        s"CAST(len(regexp_extract_all(s3, '$ph')) AS BIGINT) AS n_phones " +
+        "FROM t4 ORDER BY doc_id"
+    },
+      (s, d) => {
+        val Seq(em, ip, cc, ph) = TextFunctions.piiPatterns.map(_._2)
+        T(s, d, "documents")
+          .withColumn("s0", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact: user"),
+              col("doc_id").cast("string"), lit("@example.com or 192.168."),
+              (col("doc_id") % 256).cast("string"),
+              lit(".1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242")))
+            .otherwise(col("text")))
+          .withColumn("s1", regexp_replace(col("s0"), em, "<EMAIL>"))
+          .withColumn("s2", regexp_replace(col("s1"), ip, "<IP>"))
+          .withColumn("s3", regexp_replace(col("s2"), cc, "<CC>"))
+          .withColumn("s4", regexp_replace(col("s3"), ph, "<PHONE>"))
+          .select(col("doc_id"), col("s4").as("clean_text"),
+            regexp_count(col("s0"), lit(em)).cast("long").as("n_emails"),
+            regexp_count(col("s1"), lit(ip)).cast("long").as("n_ips"),
+            regexp_count(col("s2"), lit(cc)).cast("long").as("n_ccs"),
+            regexp_count(col("s3"), lit(ph)).cast("long").as("n_phones"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("text_tokens", Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +
@@ -1410,6 +1483,32 @@ object Queries {
       "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1"),
       (s, d) => T(s, d, "events")
         .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))),
+
+    // Event-time sessionization via the session_window built-in — the same
+    // aggregation runs streaming (watermark + append, StreamingSpec) and
+    // batch; this entry is the batch form, oracled as gaps-and-islands SQL.
+    // Both sides work in integer microseconds (Spark's reader truncates the
+    // parquet nanos, epoch_ns//1000 reproduces it), so boundary semantics
+    // are exact: only a gap STRICTLY over 8h starts a new session (an event
+    // at exactly last_ts+gap merges — pinned by the StreamingSpec boundary
+    // test).
+    QueryDef("stream_sessionize", Some(
+      "WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
+        "x AS (SELECT user_id, us, value, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) > 28800000000 THEN 1 ELSE 0 END AS brk FROM ev), " +
+        "s AS (SELECT user_id, us, value, sum(brk) OVER (PARTITION BY user_id ORDER BY us " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+        "SELECT user_id, min(us) AS session_start_us, max(us) + 28800000000 AS session_end_us, " +
+        "count(*) AS n_events, round(sum(value), 4) AS total_value " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us")),
 
     QueryDef("stream_window_agg", Some(
       "SELECT CAST(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS BIGINT) AS bucket_start, " +

@@ -113,6 +113,30 @@ object TextFunctions {
 
   val tokenCountBpeishUdf = udf((t: String) => tokenCountBpeish(t))
 
+  // --------------------------------------------------------------- PII scrub
+
+  /** Redaction classes for the PII-removal pass a pre-training pipeline
+    * runs over raw text, in application order: emails first (their digit
+    * runs must not be half-eaten by later classes), then IPv4 (else the
+    * phone pattern swallows dotted quads), then credit-card digit runs,
+    * then phone-ish sequences. Patterns stay in the Java-regex ∩ RE2
+    * common subset (char classes, (?:), bounded repeats, \b — no
+    * backrefs/lookaround) so the IDENTICAL strings drive both the Spark
+    * plan and the DuckDB oracle.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "<IP>" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "<CC>" -> "\\b(?:\\d[ -]?){13,16}\\b",
+    "<PHONE>" -> "[+(]?\\d[\\d().\\s-]{6,}\\d")
+
+  /** Replace every PII class occurrence with its token — a pure
+    * regexp_replace fold, fully codegen'd, no UDF. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (tok, pat)) =>
+      regexp_replace(c, pat, tok)
+    }
+
   // --------------------------------------------------------- fingerprinting
 
   /** 64-bit polynomial rolling hash over the whitespace-normalized,

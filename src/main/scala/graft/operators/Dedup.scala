@@ -348,6 +348,72 @@ object Dedup {
     jaccardPrefixPairs(base, "id", "sh", col("block"), threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph — the dedup
+    * endgame: pairs (from [[minHashLshPairs]] / [[jaccardPrefixPairs]] /
+    * [[embeddingCosinePairs]]) → clusters → one canonical doc per cluster,
+    * the pipeline of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL '22).
+    *
+    * Iterative min-label propagation with pointer jumping: each round a
+    * node takes the min label over itself and its neighbors (one
+    * hash-partitioned equi-join + partial-agg groupBy), then follows the
+    * label chain one extra hop (label ← label(label), a second equi-join) —
+    * the classic parallel-CC shortcut that converges in O(log diameter)
+    * rounds instead of O(diameter). Each round is localCheckpoint'ed so the
+    * plan stays O(1) across iterations instead of nesting joins per round
+    * (for cluster jobs with executor churn, set a reliable
+    * `spark.sparkContext.setCheckpointDir` and swap to `checkpoint` —
+    * semantics are identical). Per-round driver work is one `isEmpty`
+    * convergence probe; no data is ever collected.
+    *
+    * @param nodes frame containing `idCol` — every doc, so unpaired docs
+    *              come back as singleton clusters of themselves
+    * @param pairs undirected edges (`aCol`, `bCol`); null endpoints dropped
+    * @return (`idCol`, cluster_id) where cluster_id = min node id in the
+    *         component — deterministic, so the canonical representative is
+    *         simply the row with id == cluster_id
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    // symmetrized edge list, reused every round (released via CacheRegistry)
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .na.drop()
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = nodes.select(col(idCol).as("id")).na.drop().distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min over self + neighbors' labels
+      val fromNeighbors = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val minned = labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: labels are always node ids, so the chain lookup is a
+      // self-equi-join on the (same-sized) label frame
+      val jumped = minned
+        .join(minned.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+      val upd = jumped
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .localCheckpoint(true)
+      converged = upd.filter(col("label") < col("prev")).isEmpty // monotone ↓
+      labels = upd.select("id", "label")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (components with diameter > 2^maxIter are beyond it)")
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidate pairs
     * generated within a caller-supplied bucket (label, LSH sign-bucket, IVF
     * cell…) to avoid the n² cross join.

@@ -74,6 +74,22 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("event_hash")
   }
 
+  /** Event-time sessionization via the session_window built-in: a session
+    * absorbs events while consecutive gaps stay within `gap` (an event at
+    * exactly last_ts+gap still merges — pinned by StreamingSpec); it
+    * closes (and, in streaming append mode, emits exactly once) when the
+    * watermark passes last_ts + gap — state is watermark-bounded, unlike
+    * [[sessionize]]'s processing-time timeout. The identical aggregation
+    * runs in batch as the `stream_sessionize` oracle query.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "8 hours",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
                                   first_ts: Timestamp, last_ts: Timestamp)

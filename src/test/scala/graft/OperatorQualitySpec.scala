@@ -195,6 +195,48 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(math.abs(feats.feature.sum - payload.map(b => (b & 0xff) / 255.0f).sum) < 0.5f)
   }
 
+  test("connectedComponents: chains, multiple components, singletons, min-id labels") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("id")
+    // a 6-node path (tests multi-round propagation + pointer jumping),
+    // a triangle, a pair, and singletons 11, 12
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // path 1-…-6
+      (7L, 8L), (8L, 9L), (7L, 9L),                     // triangle
+      (10L, 4L)                                         // joins the path
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L,
+      11L -> 11L, 12L -> 12L)
+    assert(got == expect)
+  }
+
+  test("connectedComponents: empty pair set yields all-singleton clusters") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  test("connectedComponents: long chain converges via pointer jumping; tiny maxIter throws") {
+    import spark.implicits._
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    // O(log d) rounds: a 64-node path must close well within 10 rounds
+    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 10)
+      .collect()
+    assert(got.forall(_.getLong(1) == 1L))
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 1).collect()
+    }
+  }
+
   test("CacheRegistry releases operator-persisted frames; operators re-persist after") {
     val docs = corpus()
     // minHashLshPairs persists its shingle projection internally

@@ -81,4 +81,24 @@ class ServeGoldenSpec extends AnyFunSuite {
           s"= ${TextFunctions.cleanDisplayLabel(in)}, want $want")
     }
   }
+
+  test("scrubPii: golden redactions for every class, clean text untouched") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "mail me at jo.doe+x@sub.example.org today"
+        -> "mail me at <EMAIL> today",
+      "server 10.0.255.3 rebooted" -> "server <IP> rebooted",
+      "card 4111 1111 1111 1111 expires" -> "card <CC>expires",
+      "call +55 (11) 91234-5678 now" -> "call <PHONE> now",
+      "all: a@b.co 1.2.3.4 4111-1111-1111-1111 then (555) 010-4242"
+        -> "all: <EMAIL> <IP> <CC>then <PHONE>",
+      "no pii here just words" -> "no pii here just words",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.scrubPii(col("t")).as("s"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }

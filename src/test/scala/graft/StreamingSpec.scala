@@ -96,6 +96,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("e1" -> Some("M1"), "e2" -> Some("M2"), "e3" -> None))
   }
 
+  test("session_window boundary: an exact-gap event MERGES; one past it splits (pins oracle > semantics)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),  // exactly gap later -> merges
+      (1L, ts("2024-01-01 12:00:01"), 3.0)   // 1s past the gap -> new session
+    ).toDF("user_id", "ts", "value")
+    val got = events
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").cast("string").as("start"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 12:00:01" -> 1L))
+  }
+
+  test("session windows: streaming append emits watermark-closed sessions equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingJobs.sessionWindows(df, gap = "1 hour", watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sw_test").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0), // same session as above
+        (2L, ts("2024-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      // pushes the watermark to 19:50 -> both 10:xx sessions close and emit;
+      // this event's own session stays open (not emitted)
+      in.addData((1L, ts("2024-01-01 20:00:00"), 9.0))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("sw_test").count() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+    } finally q.stop()
+    val got = spark.table("sw_test")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:05:00", 2L, 3.0),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 1L, 4.0)))
+  }
+
   test("sessionize: per-user state emits a summary after the quiet timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
