@@ -1360,6 +1360,65 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // Deterministic train/val/test assignment + Bernoulli sample flag, the
+    // reproducible-split primitive of a training-data pipeline: bucket =
+    // first 2 hex chars of a salted md5. Hex strings compare exactly like
+    // their numeric values ('0'-'9' < 'a'-'f'), so the thresholds are plain
+    // string comparisons — portable to any engine, no hex parsing. Salted
+    // independently per decision so split and sample never correlate.
+    // Row-local (no shuffle) → embarrassingly parallel at any scale.
+    QueryDef("sample_split", Some(
+      "WITH h AS (SELECT doc_id, lang, " +
+        "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hspl, " +
+        "substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hsmp FROM documents) " +
+        "SELECT doc_id, lang, " +
+        "CASE WHEN hspl < 'cc' THEN 'train' WHEN hspl < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        "CAST(hsmp < '1a' AS INT) AS in_sample FROM h ORDER BY doc_id"),
+      (s, d) => T(s, d, "documents")
+        .withColumn("hspl", substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 2))
+        .withColumn("hsmp", substring(md5(concat(lit("sample:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 2))
+        .select(col("doc_id"), col("lang"),
+          when(col("hspl") < "cc", "train").when(col("hspl") < "e6", "val")
+            .otherwise("test").as("split"),
+          (col("hsmp") < "1a").cast("int").as("in_sample"))
+        .orderBy("doc_id")),
+
+    // Per-language corpus statistics with EXACT nearest-rank percentiles of
+    // the whitespace token count — the "how big/skewed is my training set"
+    // query. Rank idx = floor((n-1)·q + 0.5), the same nearest-rank rule as
+    // the serve legend breaks. One shuffle (window per lang) + one agg; at
+    // 100 TB swap the exact window for approx_percentile — noted, not
+    // silently done, because the oracle checks exactness.
+    QueryDef("text_corpus_stats", Some(
+      "WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        "r AS (SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY tok) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM t) " +
+        "SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens, " +
+        "CAST(max(CASE WHEN rn = CAST(floor(0.5*(n-1) + 0.5) AS BIGINT) + 1 THEN tok END) AS BIGINT) AS p50_tokens, " +
+        "CAST(max(CASE WHEN rn = CAST(floor(0.9*(n-1) + 0.5) AS BIGINT) + 1 THEN tok END) AS BIGINT) AS p90_tokens, " +
+        "CAST(max(CASE WHEN rn = CAST(floor(0.99*(n-1) + 0.5) AS BIGINT) + 1 THEN tok END) AS BIGINT) AS p99_tokens " +
+        "FROM r GROUP BY lang ORDER BY lang"),
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+        val w = Window.partitionBy("lang")
+        val r = t
+          .withColumn("rn", row_number().over(w.orderBy("tok")))
+          .withColumn("n", count(lit(1)).over(w))
+        def atQ(q: Double) =
+          max(when(col("rn") === floor(lit(q) * (col("n") - 1) + 0.5).cast("long") + 1,
+            col("tok")))
+        r.groupBy("lang").agg(
+            max("n").cast("long").as("n_docs"),
+            sum("tok").cast("long").as("total_tokens"),
+            atQ(0.5).cast("long").as("p50_tokens"),
+            atQ(0.9).cast("long").as("p90_tokens"),
+            atQ(0.99).cast("long").as("p99_tokens"))
+          .orderBy("lang")
+      }),
+
     QueryDef("text_tokens", Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.HashFunctions
 
@@ -383,11 +384,16 @@ object Dedup {
         .na.drop()
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var labels = nodes.select(col(idCol).as("id")).na.drop().distinct()
+    // Iterate over the ACTIVE subgraph only — nodes touching ≥1 edge. In a
+    // dedup corpus the overwhelming majority of docs are singletons; they
+    // skip the loop entirely and re-enter via the final left join. This is
+    // what keeps the iteration state ≪ corpus at 100 TB.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
       // min over self + neighbors' labels
       val fromNeighbors = edges.join(labels, col("src") === col("id"))
@@ -400,18 +406,30 @@ object Dedup {
         .join(minned.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      val upd = jumped
-        .join(labels.withColumnRenamed("label", "prev"), "id")
+      // labels only ever decrease elementwise, so the label sum is strictly
+      // monotone until the fixpoint: an unchanged sum ⟺ an unchanged
+      // labeling. Observation collects the sum DURING the checkpoint job —
+      // no per-round convergence join, no extra action.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      labels = jumped
+        .observe(obs, sum(col("label").cast(DecimalType(38, 0))).as("s"))
         .localCheckpoint(true)
-      converged = upd.filter(col("label") < col("prev")).isEmpty // monotone ↓
-      labels = upd.select("id", "label")
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum != null && s == prevSum
+      prevSum = s
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter sum=$s converged=$converged t=${System.nanoTime() / 1000000}")
     }
-    if (!converged)
+    if (!converged && prevSum != null)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (components with diameter > 2^maxIter are beyond it)")
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // singletons come back with label = own id
+    nodes.select(col(idCol).as("id")).na.drop().distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidate pairs
