@@ -1216,6 +1216,39 @@ object Queries {
     // each query probes its nearest cell (nProbe=1) and reranks by exact
     // cosine — candidate set and ranks reproduce exactly in SQL (the cell
     // CASE mirrors sim_ivf_assign; cosine folds share IEEE order)
+    // Natively-trained IVF quantizer: 2 deterministic Lloyd iterations
+    // (init = 8 lowest-id vectors, exact argmin assignment with tie→lower
+    // cell, per-dim means rounded to 6dp so engine summation order can't
+    // leak in), then the final cell assignment. The oracle unrolls both
+    // iterations in SQL with the proven left-fold distance pattern.
+    QueryDef("sim_kmeans", Some {
+      val D = 64; val K = 8
+      def distList(v: String, cs: String): String =
+        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+      def iterSql(n: Int, prev: String): String =
+        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
+          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
+          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
+          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
+          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
+        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
+        s"fin AS (SELECT vec_id, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) " +
+        "SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM fin ORDER BY vec_id"
+    },
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        e.select(col("vec_id"), Similarity.ivfCellId(col("v"), cents).as("cell"))
+          .orderBy("vec_id")
+      }),
+
     QueryDef("sim_topk_ivf", Some(
       "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cells AS (SELECT vec_id, v, CASE WHEN list_distance(v, list_transform(range(64), x -> 0.25)) <= " +

@@ -144,10 +144,13 @@ object Similarity {
   private def centroidDistPairs(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     val idx = sequence(lit(0), lit(centroids.length - 1))
+    // field names imposed by cast, NOT .as aliases: the analyzer strips
+    // aliases inside lambda bodies when the surrounding select is rewritten
+    // (e.g. by a generator such as posexplode), which breaks getField
     transform(idx, i => struct(
       aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x).as("dist"),
-      i.as("cell")))
+        lit(0.0d), (acc, x) => acc + x),
+      i).cast("struct<dist:double,cell:int>"))
   }
 
   /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
@@ -164,6 +167,51 @@ object Similarity {
     */
   def ivfCellId(vec: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(ivfProbeCells(vec, centroids, 1), 1)
+
+  /** Lloyd's k-means over an embedding column — trains the IVF coarse
+    * quantizer natively instead of requiring caller-provided centroids.
+    * Deterministic end-to-end so the fit is reproducible (and oracle-able):
+    *  - init: the k lowest-id vectors;
+    *  - assignment: exact squared-L2 argmin (ties → lower cell), the same
+    *    [[ivfCellId]] expression used at query time — left-fold IEEE order,
+    *    so any engine folding left reproduces it bit-for-bit;
+    *  - update: per-dimension mean ROUNDED to 6 dp — partial-aggregation
+    *    summation order is nondeterministic at the 1e-16 level, rounding at
+    *    1e-6 makes the new centroids run- and engine-independent;
+    *  - an emptied cell keeps its previous centroid.
+    *
+    * Scale: per iteration one narrow shuffle — posexplode to (cell, dim)
+    * rows with map-side partial aggregation down to k·d groups — then k·d
+    * doubles to the driver (centroids are driver state by design, as in any
+    * Spark k-means); assignment broadcasts those k·d literals into a
+    * codegen'd expression. No per-row driver work.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): Seq[Seq[Double]] = {
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: IndexedSeq[Seq[Double]] = base.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val means = base
+        .select(col("v"), ivfCellId(col("v"), cents).as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(r =>
+            // exact-binary-value decimal rounding (NOT shortest-repr), the
+            // semantics DuckDB's round(double, 6) applies to the same mean
+            new java.math.BigDecimal(r.getDouble(2))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toIndexedSeq
+          case None => cents(c) // emptied cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
 
   /** IVF-restricted ANN top-k: the corpus is partitioned into centroid
     * cells (one cell per vector — the inverted file); each query probes its
