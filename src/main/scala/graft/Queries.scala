@@ -238,6 +238,19 @@ object Queries {
           col("l_linestatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_focos"))),
 
+    // Pathological-skew aggregation: l_returnflag has 3 values over 600k
+    // rows — a direct groupBy sends ~1/3 of the table to each of 3 reducers.
+    // The salted two-stage decomposition spreads each hot key over 16
+    // reducers and must return EXACTLY the direct result (count/sum are
+    // monoids; decimal partials keep the sum split-invariant).
+    QueryDef("skew_salted_agg", Some(
+      "SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      (s, d) => operators.Skew.saltedCountSum(T(s, d, "lineitem"),
+          col("l_returnflag"), "l_returnflag", col("l_quantity"), salts = 16)
+        .select(col("l_returnflag"), col("n"), col("s").cast("long").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     QueryDef("a10_coverage_check", Some(
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n, " +
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +

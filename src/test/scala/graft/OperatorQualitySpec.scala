@@ -237,6 +237,46 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("saltedCountSum equals the direct aggregate on a pathologically skewed key") {
+    import spark.implicits._
+    // 10k rows, 95% on one key, fractional values to exercise decimal sums
+    val df = (1 to 10000).map { i =>
+      (if (i % 20 == 0) s"k${i % 7}" else "HOT", i * 0.25)
+    }.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,6)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val salted = graft.operators.Skew.saltedCountSum(df, col("k"), "k", col("v"), salts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(salted == direct)
+    // degenerate salts=1 still correct
+    val one = graft.operators.Skew.saltedCountSum(df, col("k"), "k", col("v"), salts = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(one == direct)
+  }
+
+  test("kmeansFit: SSE never increases across iterations; all centroids stay valid") {
+    import spark.implicits._
+    val vecs = (0 until 300).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until 8).map(j => c * 3.0 + ((i * 31 + j * 17) % 100) / 100.0))
+    }.toDF("vec_id", "v")
+    def sse(cents: Seq[Seq[Double]]): Double =
+      vecs.select(col("v")).collect().map { r =>
+        val v = r.getSeq[Double](0)
+        cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    val c1 = graft.operators.Similarity.kmeansFit(vecs, "vec_id", "v", k = 3, iters = 1)
+    val c2 = graft.operators.Similarity.kmeansFit(vecs, "vec_id", "v", k = 3, iters = 3)
+    assert(c1.length == 3 && c2.length == 3)
+    assert(c2.forall(c => c.length == 8 && c.forall(x => !x.isNaN)))
+    // Lloyd monotonicity (up to the 1e-6 centroid rounding)
+    assert(sse(c2) <= sse(c1) + 1e-3, s"SSE rose: ${sse(c1)} -> ${sse(c2)}")
+    // the 3 planted clusters are separated by ~3.0 per dim; means must land
+    // near distinct plateaus
+    assert(c2.map(c => math.round(c.head / 3.0)).toSet.size == 3)
+  }
+
   test("CacheRegistry releases operator-persisted frames; operators re-persist after") {
     val docs = corpus()
     // minHashLshPairs persists its shingle projection internally

@@ -92,4 +92,36 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(w.contains("block"), s"un-partitioned window in plan:\n$w")
     }
   }
+
+  test("text_pii_scrub: pure codegen regexp fold — no UDF, no shuffle before the output sort") {
+    val p = plan("text_pii_scrub")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // row-local work: the only exchange is the rangepartitioning of the
+    // deterministic output ORDER BY
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"PII scrub introduced a hash shuffle:\n$p")
+  }
+
+  test("sample_split: row-local hashing — no UDF, no hash shuffle") {
+    val p = plan("sample_split")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("skew_salted_agg: two aggregation stages, hot-key exchange keyed by (key, salt)") {
+    val p = plan("skew_salted_agg")
+    // stage-1 exchange must include the salt so a hot key spreads; stage-2
+    // combines per key
+    val exs = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(exs.exists(_.contains("__salt")),
+      s"no salted exchange — hot keys funnel to one reducer:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, // partial+final × 2 stages
+      s"missing two-stage aggregation:\n$p")
+  }
+
+  test("stream_sessionize (batch form): session window agg with map-side partials") {
+    val p = plan("stream_sessionize")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("session_window") || p.contains("SessionWindow"), p)
+  }
 }
