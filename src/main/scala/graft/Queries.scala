@@ -1465,6 +1465,50 @@ object Queries {
           .orderBy("lang")
       }),
 
+    // Gopher-style within-document repetition filters (duplicate-word
+    // fraction, top-bigram share) — row-local array built-ins both sides.
+    QueryDef("text_repetition", Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "b AS (SELECT doc_id, w, len(w) AS n, CASE WHEN len(w) >= 2 THEN " +
+        "list_transform(range(len(w)-1), i -> w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]) " +
+        "ELSE [] END AS bg FROM t) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_words_r, " +
+        "CASE WHEN n > 0 THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/n, 4) ELSE 0.0 END AS dup_word_ratio, " +
+        "CASE WHEN n >= 2 THEN round(CAST(list_max(list_transform(list_distinct(bg), " +
+        "x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/(n-1), 4) ELSE 0.0 END AS top_bigram_share " +
+        "FROM b ORDER BY doc_id"),
+      (s, d) => {
+        val cols = TextFunctions.repetitionMetrics(col("text"))
+          .map { case (n, c) => c.as(n) }
+        T(s, d, "documents").select((col("doc_id") +: cols): _*).orderBy("doc_id")
+      }),
+
+    // Sequence packing for fixed-token training windows: docs concatenated
+    // back-to-back per language stream (ordered by doc_id), a doc belongs
+    // to the 2048-token sequence its first token lands in. One window
+    // cumsum. Packing is inherently sequential per stream — at 100 TB the
+    // stream key is sharded (lang × shard) so each task packs one bounded
+    // shard; the per-stream semantics here are exactly that per-shard step.
+    QueryDef("pack_sequences", Some(
+      "WITH t AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), " +
+        "c AS (SELECT doc_id, lang, tokens, sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens, " +
+        "CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id, " +
+        "CAST((cum - tokens) % 2048 AS BIGINT) AS seq_offset " +
+        "FROM c ORDER BY doc_id"),
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.withColumn("cum", sum("tokens").over(w))
+          .select(col("doc_id"), col("lang"), col("tokens"),
+            floor((col("cum") - col("tokens")) / 2048).cast("long").as("seq_id"),
+            ((col("cum") - col("tokens")) % 2048).cast("long").as("seq_offset"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("text_tokens", Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +

@@ -113,6 +113,32 @@ object TextFunctions {
 
   val tokenCountBpeishUdf = udf((t: String) => tokenCountBpeish(t))
 
+  // ------------------------------------------------------ repetition filters
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1
+    * use these to drop boilerplate/spam): duplicate-word fraction and the
+    * share of all bigrams taken by the single most frequent bigram. Pure
+    * array built-ins — row-local, codegen'd, no shuffle; the per-row
+    * distinct×filter count is quadratic in DISTINCT bigrams, bounded by
+    * document length (fine for the ≤ thousands-of-words docs this filter
+    * targets; chunk longer docs upstream).
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    val bg = transform(sequence(lit(0), greatest(n - 2, lit(0))),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
+    val topBg = array_max(transform(array_distinct(bg),
+      x => size(filter(bg, y => y === x))))
+    Seq(
+      "n_words_r" -> n.cast("long"),
+      "dup_word_ratio" -> when(n > 0,
+        round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 4))
+        .otherwise(lit(0.0)),
+      "top_bigram_share" -> when(n >= 2,
+        round(topBg.cast("double") / (n - 1), 4)).otherwise(lit(0.0)))
+  }
+
   // --------------------------------------------------------------- PII scrub
 
   /** Redaction classes for the PII-removal pass a pre-training pipeline
