@@ -1465,6 +1465,43 @@ object Queries {
           .orderBy("lang")
       }),
 
+    // TF-IDF top terms per document — the distributed retrieval/curation
+    // shape: token explode → (doc, term) tf → term df aggregation →
+    // broadcast idf join back → per-doc top-5 window (score desc, term asc).
+    // idf = ln((N+1)/(df+1)) + 1, ROUNDED to 8 dp before the tf multiply so
+    // libm ulp differences between engines cannot flip rankings; N is the
+    // corpus doc count (a 1-row broadcast join, not a literal).
+    QueryDef("text_tfidf_top_terms", Some(
+      "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS term, " +
+        "len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok FROM documents), " +
+        "tf AS (SELECT t.doc_id, t.term, len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x = t.term)) AS tf " +
+        "FROM tok t JOIN documents d ON d.doc_id = t.doc_id), " +
+        "df AS (SELECT term, count(*) AS df FROM tok GROUP BY term), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.term, " +
+        "round(tf.tf * round(ln((n.n + 1.0) / (df.df + 1.0)) + 1.0, 8), 6) AS score " +
+        "FROM tf JOIN df ON df.term = tf.term CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rnk FROM scored) " +
+        "SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") *
+            round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 8), 6))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+          .orderBy("doc_id", "rnk")
+      }),
+
     // Gopher-style within-document repetition filters (duplicate-word
     // fraction, top-bigram share) — row-local array built-ins both sides.
     QueryDef("text_repetition", Some(
