@@ -238,6 +238,23 @@ object Queries {
           col("l_linestatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_focos"))),
 
+    // Per-column data-quality profile of an arbitrary table (orders): one
+    // wide aggregate (Expand + single shuffle) computing rows/nulls/exact
+    // distincts for every column at once, unpivoted via stack.
+    QueryDef("profile_table", Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) FILTER (WHERE $c IS NULL) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+      (s, d) => operators.Profile.profile(T(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // Pathological-skew aggregation: l_returnflag has 3 values over 600k
     // rows — a direct groupBy sends ~1/3 of the table to each of 3 reducers.
     // The salted two-stage decomposition spreads each hot key over 16

@@ -277,6 +277,15 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(c2.map(c => math.round(c.head / 3.0)).toSet.size == 3)
   }
 
+  test("Profile.profile: null and distinct counts per column, output follows column order") {
+    import spark.implicits._
+    val df = Seq((Option(1), Option("a")), (None: Option[Int], Option("a")),
+      (Option(2), None: Option[String])).toDF("x", "y")
+    val got = graft.operators.Profile.profile(df, Seq("y", "x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("y", 3L, 1L, 1L), ("x", 3L, 1L, 2L)))
+  }
+
   test("CacheRegistry releases operator-persisted frames; operators re-persist after") {
     val docs = corpus()
     // minHashLshPairs persists its shingle projection internally
