@@ -92,9 +92,12 @@ object TextFunctions {
     * array built-ins, no UDF). */
   def stopwordRatio(text: Column): Column = {
     val toks = filter(split(lower(text), "[^\\p{L}]+"), t => length(t) > 0)
-    val sw = array(stopwords("en").toSeq.sorted.map(lit): _*)
+    // membership via isInCollection (compiles to a hashed InSet), not
+    // array_contains over a CreateArray free variable — the latter would
+    // rebuild the 15-element array once per token in the HOF path
+    val sw = stopwords("en").toSeq.sorted
     when(size(toks) > 0,
-      round(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks), 4))
+      round(size(filter(toks, t => t.isInCollection(sw))).cast("double") / size(toks), 4))
       .otherwise(lit(0.0))
   }
 

@@ -37,10 +37,19 @@ object Dedup {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(words) - n, lit(0)))
+    val m = size(words)
+    // n-gram join via a zip_with chain over shifted copies — NOT
+    // transform-with-indexing: a free variable inside a HOF lambda
+    // (words[i+j]) re-evaluates per element in the interpreted HOF path,
+    // re-splitting the text once per shingle (O(len²) regex work per row).
+    // zip_with pads the shorter side with null and concat_ws skips nulls,
+    // so the tail partials are sliced off by the m-n+1 length below.
+    val joined = (2 to n).foldLeft(words) { (acc, j) =>
+      zip_with(acc, slice(words, lit(j), greatest(m - j + 1, lit(1))),
+        (a, b) => concat_ws(" ", a, b))
+    }
     array_distinct(
-      when(size(words) >= n,
-        transform(idx, i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      when(m >= n, slice(joined, lit(1), m - n + 1))
         .otherwise(array(concat_ws(" ", words))))
   }
 

@@ -142,15 +142,19 @@ object Similarity {
     * source of truth for both assignment and probing, so their tie-break
     * (dist asc, cell asc) agrees BY CONSTRUCTION. */
   private def centroidDistPairs(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val idx = sequence(lit(0), lit(centroids.length - 1))
-    // field names imposed by cast, NOT .as aliases: the analyzer strips
+    // The (centroid, cell) table is ONE typedLit constant (constant-folded
+    // after the rename cast) — building it with array(...lit...) inside a
+    // lambda would re-create the k×d literal array per cell per row, k²·d
+    // evals. The lambda below touches only its element var and `vec`.
+    // Field names imposed by cast, NOT .as aliases: the analyzer strips
     // aliases inside lambda bodies when the surrounding select is rewritten
-    // (e.g. by a generator such as posexplode), which breaks getField
-    transform(idx, i => struct(
-      aggregate(zip_with(vec, element_at(cents, i + 1), (x, y) => (x - y) * (x - y)),
+    // (e.g. by a generator such as posexplode), which breaks getField.
+    val centsLit = typedLit(centroids.zipWithIndex)
+      .cast("array<struct<c:array<double>,cell:int>>")
+    transform(centsLit, p => struct(
+      aggregate(zip_with(vec, p.getField("c"), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x),
-      i).cast("struct<dist:double,cell:int>"))
+      p.getField("cell")).cast("struct<dist:double,cell:int>"))
   }
 
   /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
