@@ -1385,41 +1385,45 @@ object Queries {
     // on both sides) to exercise actual redaction; counts are taken per
     // class on the text with all PRIOR classes already replaced — exactly
     // the occurrences each stage redacts.
+    // Both sides fold over TextFunctions.piiPatterns — one source of truth
+    // for patterns, tokens, AND count-column names, so adding/removing a
+    // class stays in sync by construction. clean_text on the Spark side is
+    // the library's scrubPii itself (provably equal to the staged fold).
     QueryDef("text_pii_scrub", Some {
-      val Seq(em, ip, cc, ph) = TextFunctions.piiPatterns.map(_._2)
+      val pats = TextFunctions.piiPatterns
+      def cntName(tok: String) = "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
+      val ctes = pats.zipWithIndex.map { case ((tok, pat), i) =>
+        s"t${i + 1} AS (SELECT *, regexp_replace(s$i, '$pat', '$tok', 'g') AS s${i + 1} FROM t$i)"
+      }
+      val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
+        s"CAST(len(regexp_extract_all(s$i, '$pat')) AS BIGINT) AS ${cntName(tok)}"
+      }
       "WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
         "' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.' || " +
         "CAST(doc_id % 256 AS VARCHAR) || '.1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242' " +
         "ELSE text END AS s0 FROM documents), " +
-        s"t1 AS (SELECT *, regexp_replace(s0, '$em', '<EMAIL>', 'g') AS s1 FROM t0), " +
-        s"t2 AS (SELECT *, regexp_replace(s1, '$ip', '<IP>', 'g') AS s2 FROM t1), " +
-        s"t3 AS (SELECT *, regexp_replace(s2, '$cc', '<CC>', 'g') AS s3 FROM t2), " +
-        s"t4 AS (SELECT *, regexp_replace(s3, '$ph', '<PHONE>', 'g') AS s4 FROM t3) " +
-        "SELECT doc_id, s4 AS clean_text, " +
-        s"CAST(len(regexp_extract_all(s0, '$em')) AS BIGINT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(s1, '$ip')) AS BIGINT) AS n_ips, " +
-        s"CAST(len(regexp_extract_all(s2, '$cc')) AS BIGINT) AS n_ccs, " +
-        s"CAST(len(regexp_extract_all(s3, '$ph')) AS BIGINT) AS n_phones " +
-        "FROM t4 ORDER BY doc_id"
+        ctes.mkString(", ") +
+        s" SELECT doc_id, s${pats.length} AS clean_text, " + counts.mkString(", ") +
+        s" FROM t${pats.length} ORDER BY doc_id"
     },
       (s, d) => {
-        val Seq(em, ip, cc, ph) = TextFunctions.piiPatterns.map(_._2)
-        T(s, d, "documents")
+        val pats = TextFunctions.piiPatterns
+        def cntName(tok: String) = "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
+        val base = T(s, d, "documents")
           .withColumn("s0", when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" contact: user"),
               col("doc_id").cast("string"), lit("@example.com or 192.168."),
               (col("doc_id") % 256).cast("string"),
               lit(".1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242")))
             .otherwise(col("text")))
-          .withColumn("s1", regexp_replace(col("s0"), em, "<EMAIL>"))
-          .withColumn("s2", regexp_replace(col("s1"), ip, "<IP>"))
-          .withColumn("s3", regexp_replace(col("s2"), cc, "<CC>"))
-          .withColumn("s4", regexp_replace(col("s3"), ph, "<PHONE>"))
-          .select(col("doc_id"), col("s4").as("clean_text"),
-            regexp_count(col("s0"), lit(em)).cast("long").as("n_emails"),
-            regexp_count(col("s1"), lit(ip)).cast("long").as("n_ips"),
-            regexp_count(col("s2"), lit(cc)).cast("long").as("n_ccs"),
-            regexp_count(col("s3"), lit(ph)).cast("long").as("n_phones"))
+        val staged = pats.zipWithIndex.foldLeft(base) { case (df, ((tok, pat), i)) =>
+          df.withColumn(s"s${i + 1}", regexp_replace(col(s"s$i"), pat, tok))
+        }
+        val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
+          regexp_count(col(s"s$i"), lit(pat)).cast("long").as(cntName(tok))
+        }
+        staged.select((Seq(col("doc_id"),
+            TextFunctions.scrubPii(col("s0")).as("clean_text")) ++ counts): _*)
           .orderBy("doc_id")
       }),
 
@@ -1508,7 +1512,11 @@ object Queries {
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
-        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        // df (the term->doc-frequency table) is VOCABULARY-sized — never
+        // broadcast it (unbounded at corpus scale); tf and df shuffle on
+        // the same term key, and AQE may still pick broadcast when small.
+        // Only the 1-row corpus count broadcasts unconditionally.
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
           .withColumn("score", round(col("tf") *
             round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 8), 6))
         val w = Window.partitionBy("doc_id")

@@ -401,6 +401,14 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
+    // Checkpoint blocks of superseded rounds are released EAGERLY — the
+    // ContextCleaner only frees them on driver GC, so an iterative job
+    // would otherwise hold O(rounds) copies of the label frame in storage.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    var prevCkpt = ckptRdd(labels)
     var iter = 0
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
@@ -423,6 +431,10 @@ object Dedup {
       labels = jumped
         .observe(obs, sum(col("label").cast(DecimalType(38, 0))).as("s"))
         .localCheckpoint(true)
+      // the new round is materialized — the previous round's blocks are
+      // no longer referenced by anything downstream
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = ckptRdd(labels)
       val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
       converged = prevSum != null && s == prevSum
       prevSum = s

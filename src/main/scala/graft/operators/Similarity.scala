@@ -190,6 +190,26 @@ object Similarity {
     * Spark k-means); assignment broadcasts those k·d literals into a
     * codegen'd expression. No per-row driver work.
     */
+  /** round(x, 6) with the oracle engine's exact semantics: scale by 1e6 in
+    * DOUBLE (the multiply's own fp rounding is part of the contract — e.g.
+    * the double just below 5e-7 scales to exactly 0.5 and rounds UP), then
+    * round half-away-from-zero, then divide. Decimal-string rounding
+    * (BigDecimal HALF_UP on the exact binary value) disagrees on such
+    * inputs — verified empirically against DuckDB's round(double, 6).
+    * The half-case test is exact for |p| < 2^52 because p - floor(p) is
+    * computed without rounding there.
+    */
+  private[graft] def roundHalfAwayAtMicro(m: Double): Double = {
+    val p = m * 1e6
+    val f = math.floor(p)
+    val diff = p - f
+    val r =
+      if (diff > 0.5) f + 1
+      else if (diff < 0.5) f
+      else if (p >= 0) f + 1 else f // half → away from zero
+    r / 1e6
+  }
+
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): Seq[Seq[Double]] = {
     val base = corpus.select(col(idCol).as("id"),
@@ -205,11 +225,8 @@ object Similarity {
       val byCell = means.groupBy(_.getInt(0))
       cents = cents.indices.map { c =>
         byCell.get(c) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(r =>
-            // exact-binary-value decimal rounding (NOT shortest-repr), the
-            // semantics DuckDB's round(double, 6) applies to the same mean
-            new java.math.BigDecimal(r.getDouble(2))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toIndexedSeq
+          case Some(rows) => rows.sortBy(_.getInt(1))
+            .map(r => roundHalfAwayAtMicro(r.getDouble(2))).toIndexedSeq
           case None => cents(c) // emptied cell keeps its centroid
         }
       }

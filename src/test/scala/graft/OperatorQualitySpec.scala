@@ -255,6 +255,26 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(one == direct)
   }
 
+  test("roundHalfAwayAtMicro matches the oracle engine's round(double, 6) on boundary doubles") {
+    // ground truth probed directly from DuckDB: the scale-by-1e6 multiply's
+    // own fp rounding is part of the contract (5e-07's double scales to
+    // exactly 0.5), and halves round away from zero
+    val cases = Seq(
+      5e-07 -> 1e-06,
+      2.4999999999999998e-06 -> 3e-06,
+      3.5e-06 -> 4e-06,
+      -5e-07 -> -1e-06,
+      -2.5e-06 -> -3e-06,
+      0.1234565 -> 0.123457,
+      1.0000004999999999 -> 1.0, // product stays below .5 → rounds down
+      0.0 -> 0.0,
+      0.123456 -> 0.123456)
+    cases.foreach { case (in, want) =>
+      val got = Similarity.roundHalfAwayAtMicro(in)
+      assert(got == want, s"round6($in) = $got, want $want")
+    }
+  }
+
   test("kmeansFit: SSE never increases across iterations; all centroids stay valid") {
     import spark.implicits._
     val vecs = (0 until 300).map { i =>
