@@ -1486,6 +1486,49 @@ object Queries {
           .orderBy("lang")
       }),
 
+    // RAG-prep chunking: fixed 200-char windows with 50-char overlap
+    // (stride 150), one row per chunk — a row-local explode, no shuffle.
+    // The last window starts before n_chars so every doc emits ≥1 chunk
+    // and no zero-length tail chunk appears.
+    QueryDef("doc_chunks", Some(
+      "WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "c AS (SELECT doc_id, text, n, unnest(range(0, greatest(n - 50, 1), 150)) AS start FROM t) " +
+        "SELECT doc_id, CAST(start // 150 AS INT) AS chunk_id, CAST(start AS BIGINT) AS char_start, " +
+        "substr(text, CAST(start AS INT) + 1, 200) AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+      (s, d) => T(s, d, "documents")
+        .withColumn("n", length(col("text")))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), greatest(col("n") - 50, lit(1)) - 1, lit(150))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 150).cast("int").as("chunk_id"),
+          col("start").cast("long").as("char_start"),
+          col("text").substr(col("start") + 1, lit(200)).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // int8 embedding quantization for storage-efficient vector stores:
+    // per-vector symmetric max-abs scale, q = round(x * 127 / maxabs)
+    // half-away-from-zero (both engines' round on doubles), exploded to
+    // scalar rows so the gate hashes exact values. scale emitted in cents-
+    // style fixed point (1e6) to avoid float-format drift.
+    QueryDef("embed_quantize", Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), " +
+        "x AS (SELECT vec_id, mx, unnest(range(len(v))) AS pos, unnest(v) AS val FROM m) " +
+        "SELECT vec_id, CAST(pos AS INT) AS pos, " +
+        "CAST(round(CASE WHEN mx > 0 THEN val * 127 / mx ELSE 0 END, 0) AS INT) AS q, " +
+        "CAST(round(mx * 1e6, 0) AS BIGINT) AS scale_micro " +
+        "FROM x ORDER BY vec_id, pos"),
+      (s, d) => T(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("mx"), posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          round(when(col("mx") > 0, col("val") * 127 / col("mx")).otherwise(0.0), 0)
+            .cast("int").as("q"),
+          round(col("mx") * 1e6, 0).cast("long").as("scale_micro"))
+        .orderBy("vec_id", "pos")),
+
     // TF-IDF top terms per document — the distributed retrieval/curation
     // shape: token explode → (doc, term) tf → term df aggregation →
     // broadcast idf join back → per-doc top-5 window (score desc, term asc).
