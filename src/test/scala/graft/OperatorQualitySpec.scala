@@ -214,6 +214,30 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("connectedComponents matches brute-force union-find on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val nodes = (1L to n.toLong)
+      val pairs = (1 to n).map { _ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))
+      }.filter(p => p._1 != p._2)
+      // reference: textbook union-find
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(i => i -> find(i)).toMap
+      val got = Dedup.connectedComponents(nodes.toDF("id"), "id",
+          pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n) diverged from union-find")
+    }
+  }
+
   test("connectedComponents: empty pair set yields all-singleton clusters") {
     import spark.implicits._
     val nodes = (1L to 5L).toDF("id")
