@@ -162,4 +162,20 @@ object Marts {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
+
+  /** Bucketed managed-table write: pre-shuffles once at write time so every
+    * later equi-join/aggregation on `bucketCols` between co-bucketed tables
+    * runs with NO exchange (sort-merge join straight off the scans — the
+    * 100 TB technique for repeated big×big joins, e.g. fact-to-fact
+    * event_hash joins, where neither side broadcasts). `sortBy` the same
+    * columns so even the merge-sort is free. Requires a table catalog
+    * (saveAsTable); plain parquet paths cannot carry bucket metadata.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

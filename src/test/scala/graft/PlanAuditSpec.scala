@@ -119,6 +119,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing two-stage aggregation:\n$p")
   }
 
+  test("co-bucketed tables join with NO exchange (write-time shuffle amortized)") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    graft.marts.Marts.writeBucketed(a, "bkt_a", 4, Seq("k"))
+    graft.marts.Marts.writeBucketed(b, "bkt_b", 4, Seq("k"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join still shuffles — bucket metadata lost:\n$p")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("stream_sessionize (batch form): session window agg with map-side partials") {
     val p = plan("stream_sessionize")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
