@@ -1125,6 +1125,44 @@ object Queries {
     // and Spark's xxhash64 band key never needs reproducing — band-key
     // equality ⟺ signature-slice equality. Signed mins map through the
     // order-preserving bijection xor(·, 2^63) so slice equality matches.
+    // The user-facing dedup rollup: per language, how many docs survive
+    // cluster-canonical selection and what fraction was removed.
+    QueryDef("dedup_summary", Some(
+      "WITH RECURSIVE " +
+        "w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
+        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
+        "cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT d.lang, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        "round(100.0 * sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) / count(*), 2) AS pct_dropped " +
+        "FROM cl JOIN documents d ON d.doc_id = cl.doc_id " +
+        "GROUP BY d.lang ORDER BY d.lang"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val w = docs.select(col("doc_id"), col("lang"),
+          array_distinct(split(lower(col("text")), " ")).as("ws"))
+        val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+            pairs, "id_a", "id_b")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+              .cast("long").as("n_kept"),
+            sum(when(col("doc_id") =!= col("cluster_id"), 1).otherwise(0))
+              .cast("long").as("n_dropped"),
+            round(lit(100.0) * sum(when(col("doc_id") =!= col("cluster_id"), 1).otherwise(0)) /
+              count(lit(1)), 2).as("pct_dropped"))
+          .orderBy("lang")
+      }),
+
     QueryDef("dedup_minhash_lsh", Some(
       "WITH u AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
