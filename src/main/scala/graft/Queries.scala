@@ -1119,12 +1119,6 @@ object Queries {
           .orderBy("doc_id")
       }),
 
-    // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
-    // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
-    // hashes, the universal-hash signature mins via a 32-bit-split mulmod),
-    // and Spark's xxhash64 band key never needs reproducing — band-key
-    // equality ⟺ signature-slice equality. Signed mins map through the
-    // order-preserving bijection xor(·, 2^63) so slice equality matches.
     // The user-facing dedup rollup: per language, how many docs survive
     // cluster-canonical selection and what fraction was removed.
     QueryDef("dedup_summary", Some(
@@ -1163,6 +1157,12 @@ object Queries {
           .orderBy("lang")
       }),
 
+    // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
+    // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
+    // hashes, the universal-hash signature mins via a 32-bit-split mulmod),
+    // and Spark's xxhash64 band key never needs reproducing — band-key
+    // equality ⟺ signature-slice equality. Signed mins map through the
+    // order-preserving bijection xor(·, 2^63) so slice equality matches.
     QueryDef("dedup_minhash_lsh", Some(
       "WITH u AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
@@ -1429,12 +1429,11 @@ object Queries {
     // the library's scrubPii itself (provably equal to the staged fold).
     QueryDef("text_pii_scrub", Some {
       val pats = TextFunctions.piiPatterns
-      def cntName(tok: String) = "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
       val ctes = pats.zipWithIndex.map { case ((tok, pat), i) =>
         s"t${i + 1} AS (SELECT *, regexp_replace(s$i, '$pat', '$tok', 'g') AS s${i + 1} FROM t$i)"
       }
       val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
-        s"CAST(len(regexp_extract_all(s$i, '$pat')) AS BIGINT) AS ${cntName(tok)}"
+        s"CAST(len(regexp_extract_all(s$i, '$pat')) AS BIGINT) AS ${TextFunctions.piiCountName(tok)}"
       }
       "WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
         "' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.' || " +
@@ -1446,7 +1445,6 @@ object Queries {
     },
       (s, d) => {
         val pats = TextFunctions.piiPatterns
-        def cntName(tok: String) = "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
         val base = T(s, d, "documents")
           .withColumn("s0", when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" contact: user"),
@@ -1458,7 +1456,8 @@ object Queries {
           df.withColumn(s"s${i + 1}", regexp_replace(col(s"s$i"), pat, tok))
         }
         val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
-          regexp_count(col(s"s$i"), lit(pat)).cast("long").as(cntName(tok))
+          regexp_count(col(s"s$i"), lit(pat)).cast("long")
+            .as(TextFunctions.piiCountName(tok))
         }
         staged.select((Seq(col("doc_id"),
             TextFunctions.scrubPii(col("s0")).as("clean_text")) ++ counts): _*)
@@ -1569,7 +1568,8 @@ object Queries {
 
     // TF-IDF top terms per document — the distributed retrieval/curation
     // shape: token explode → (doc, term) tf → term df aggregation →
-    // broadcast idf join back → per-doc top-5 window (score desc, term asc).
+    // shuffled idf join back (df is vocabulary-sized, never broadcast) →
+    // per-doc top-5 window (score desc, term asc).
     // idf = ln((N+1)/(df+1)) + 1, ROUNDED to 8 dp before the tf multiply so
     // libm ulp differences between engines cannot flip rankings; N is the
     // corpus doc count (a 1-row broadcast join, not a literal).

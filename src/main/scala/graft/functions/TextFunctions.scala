@@ -178,6 +178,12 @@ object TextFunctions {
     "<CC>" -> "\\b(?:\\d[ -]?){13,16}\\b",
     "<PHONE>" -> "[+(]?\\d[\\d().\\s-]{6,}\\d")
 
+  /** Count-column name for a redaction token — "<EMAIL>" → "n_emails".
+    * Single source of truth shared by the text_pii_scrub query's Spark
+    * side and its generated oracle SQL. */
+  def piiCountName(tok: String): String =
+    "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
+
   /** Replace every PII class occurrence with its token — a pure
     * regexp_replace fold, fully codegen'd, no UDF. */
   def scrubPii(text: Column): Column =

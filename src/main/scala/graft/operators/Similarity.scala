@@ -172,6 +172,28 @@ object Similarity {
   def ivfCellId(vec: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(ivfProbeCells(vec, centroids, 1), 1)
 
+  /** round(x, 6) with the oracle engine's exact semantics: scale by 1e6 in
+    * DOUBLE (the multiply's own fp rounding is part of the contract — e.g.
+    * the double just below 5e-7 scales to exactly 0.5 and rounds UP), then
+    * round half-away-from-zero, then divide. Decimal-string rounding
+    * (BigDecimal HALF_UP on the exact binary value) disagrees on such
+    * inputs — verified empirically against DuckDB's round(double, 6).
+    * The half-case test is exact for |p| < 2^52 because p - floor(p) is
+    * computed without rounding there. Negative underflow keeps its sign
+    * (-2e-7 → -0.0), as std::round does.
+    */
+  private[graft] def roundHalfAwayAtMicro(m: Double): Double = {
+    val p = m * 1e6
+    val f = math.floor(p)
+    val diff = p - f
+    val r =
+      if (diff > 0.5) f + 1
+      else if (diff < 0.5) f
+      else if (p >= 0) f + 1 else f // half → away from zero
+    val q = r / 1e6
+    if (q == 0.0 && p < 0) -0.0 else q
+  }
+
   /** Lloyd's k-means over an embedding column — trains the IVF coarse
     * quantizer natively instead of requiring caller-provided centroids.
     * Deterministic end-to-end so the fit is reproducible (and oracle-able):
@@ -190,26 +212,6 @@ object Similarity {
     * Spark k-means); assignment broadcasts those k·d literals into a
     * codegen'd expression. No per-row driver work.
     */
-  /** round(x, 6) with the oracle engine's exact semantics: scale by 1e6 in
-    * DOUBLE (the multiply's own fp rounding is part of the contract — e.g.
-    * the double just below 5e-7 scales to exactly 0.5 and rounds UP), then
-    * round half-away-from-zero, then divide. Decimal-string rounding
-    * (BigDecimal HALF_UP on the exact binary value) disagrees on such
-    * inputs — verified empirically against DuckDB's round(double, 6).
-    * The half-case test is exact for |p| < 2^52 because p - floor(p) is
-    * computed without rounding there.
-    */
-  private[graft] def roundHalfAwayAtMicro(m: Double): Double = {
-    val p = m * 1e6
-    val f = math.floor(p)
-    val diff = p - f
-    val r =
-      if (diff > 0.5) f + 1
-      else if (diff < 0.5) f
-      else if (p >= 0) f + 1 else f // half → away from zero
-    r / 1e6
-  }
-
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): Seq[Seq[Double]] = {
     val base = corpus.select(col(idCol).as("id"),

@@ -297,6 +297,10 @@ class OperatorQualitySpec extends AnyFunSuite {
       val got = Similarity.roundHalfAwayAtMicro(in)
       assert(got == want, s"round6($in) = $got, want $want")
     }
+    // negative underflow keeps its sign, like std::round: -2e-7 → -0.0
+    val negZero = Similarity.roundHalfAwayAtMicro(-2e-7)
+    assert(negZero == 0.0 && 1.0 / negZero == Double.NegativeInfinity,
+      s"round6(-2e-7) must be -0.0, got $negZero")
   }
 
   test("kmeansFit: SSE never increases across iterations; all centroids stay valid") {
