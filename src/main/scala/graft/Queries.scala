@@ -1284,6 +1284,51 @@ object Queries {
     // each query probes its nearest cell (nProbe=1) and reranks by exact
     // cosine — candidate set and ranks reproduce exactly in SQL (the cell
     // CASE mirrors sim_ivf_assign; cosine folds share IEEE order)
+    // The full ANN pipeline end-to-end: TRAIN the quantizer (2 Lloyd
+    // iterations), INDEX the corpus into its cells, SEARCH with nProbe=2
+    // and exact-cosine rerank — every stage from the proven sim_kmeans /
+    // sim_topk_ivf building blocks, composed.
+    QueryDef("sim_topk_kmeans", Some {
+      val D = 64; val K = 8
+      def distList(v: String, cs: String): String =
+        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+      def iterSql(n: Int, prev: String): String =
+        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
+          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
+          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
+          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
+          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
+        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
+        "cells AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell, " +
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm FROM " +
+        s"(SELECT vec_id, v, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) tf), " +
+        s"qp AS (SELECT vec_id, v, nrm, unnest(list_transform(list_sort(list_transform(range($K), " +
+        "k -> {'d': ds[CAST(k AS INT)+1], 'cell': CAST(k AS INT)})), p -> p.cell)[1:2]) AS cell FROM " +
+        s"(SELECT vec_id, v, nrm, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM cells WHERE vec_id < 5) tq), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($D), " +
+        "dd -> q.v[CAST(dd AS INT)+1] * c.v[CAST(dd AS INT)+1])), (a, x) -> a + x) / (q.nrm * c.nrm) AS cos " +
+        "FROM qp q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"
+    },
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "v", 10,
+            cents, nProbe = 2)
+          .orderBy("query_id", "rank")
+      }),
+
     // Natively-trained IVF quantizer: 2 deterministic Lloyd iterations
     // (init = 8 lowest-id vectors, exact argmin assignment with tie→lower
     // cell, per-dim means rounded to 6dp so engine summation order can't
