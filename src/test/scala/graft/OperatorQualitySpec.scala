@@ -214,6 +214,22 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("wordShingles: window edges, short-doc fallback, dedup, case folding") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a b c d", Seq("a b c", "b c d")),         // two 3-gram windows
+      ("a b c", Seq("a b c")),                    // exactly n words
+      ("a b", Seq("a b")),                        // short doc -> whole text
+      ("one", Seq("one")),                        // single word
+      ("A b a B A b", Seq("a b a", "b a b")),     // lowercased + deduped
+      ("  x   y  z ", Seq("x y z"))               // trim + multi-space split
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(sort_array(Dedup.wordShingles(col("t"), 3)).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == cases.map(_._2.sorted))
+  }
+
   test("connectedComponents matches brute-force union-find on randomized graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
