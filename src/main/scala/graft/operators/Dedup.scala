@@ -397,8 +397,11 @@ object Dedup {
     // dedup corpus the overwhelming majority of docs are singletons; they
     // skip the loop entirely and re-enter via the final left join. This is
     // what keeps the iteration state ≪ corpus at 100 TB.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init one propagation step ahead: label₀ = min(self, neighbors) is
+    // exactly what round 1 would compute from identity labels, for the
+    // price of a single groupBy instead of a join+union+groupBy+jump round
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
     // Checkpoint blocks of superseded rounds are released EAGERLY — the
@@ -418,7 +421,9 @@ object Dedup {
       val minned = labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min("label").as("label"))
       // pointer jump: labels are always node ids, so the chain lookup is a
-      // self-equi-join on the (same-sized) label frame
+      // self-equi-join on the (same-sized) label frame. (A second composed
+      // jump was measured and did NOT cut rounds on near-dup graphs — the
+      // tail of convergence is propagation-limited, not chain-limited.)
       val jumped = minned
         .join(minned.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
