@@ -341,6 +341,32 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(c2.map(c => math.round(c.head / 3.0)).toSet.size == 3)
   }
 
+  test("documented 100TB swaps hold their error bounds: approx_count_distinct, approx_percentile") {
+    // profile_table/text_corpus_stats document approx functions as the
+    // at-scale replacement for their exact (oracle-checkable) forms; this
+    // pins that the swap actually delivers bounded error on real data.
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    cols.foreach { c =>
+      val exact = orders.select(countDistinct(col(c))).head().getLong(0)
+      val approx = orders.select(approx_count_distinct(col(c), 0.05)).head().getLong(0)
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.15, f"approx_count_distinct($c) off by ${err * 100}%.1f%% (exact=$exact approx=$approx)")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+    val sorted = docs.collect().map(_.getLong(0)).sorted
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val approx = docs.select(percentile_approx(col("tok"), lit(q), lit(10000)))
+        .head().getLong(0)
+      // approx must land within a ±1%-of-n rank window of the true quantile
+      val lo = sorted(math.max(0, (q * (sorted.length - 1) - sorted.length * 0.01).toInt))
+      val hi = sorted(math.min(sorted.length - 1, (q * (sorted.length - 1) + sorted.length * 0.01).toInt.max(0)))
+      assert(approx >= lo && approx <= hi,
+        s"percentile_approx(q=$q)=$approx outside rank window [$lo,$hi]")
+    }
+  }
+
   test("Profile.profile: null and distinct counts per column, output follows column order") {
     import spark.implicits._
     val df = Seq((Option(1), Option("a")), (None: Option[Int], Option("a")),
