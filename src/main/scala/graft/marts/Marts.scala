@@ -163,6 +163,31 @@ object Marts {
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
 
+  /** Small-files compaction: rewrite a parquet dataset into files of
+    * ~`targetFileBytes` (by on-disk input size, a good proxy after
+    * re-encoding at matching compression). Incremental per-day mart
+    * appends accumulate one-file-per-task fragments; scans of a
+    * many-small-files table pay per-file open/footer costs and tiny
+    * row-groups, so periodic compaction is part of the 100 TB write-path
+    * hygiene. Writes to `outPath` (atomic swap is the caller's move —
+    * write-new + rename keeps readers consistent, as the reference's
+    * delete-day-then-insert does transactionally in Postgres).
+    * Returns (input file count, output partition count).
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                outPath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // coalesce, not repartition: shrinking file count must not shuffle
+    spark.read.parquet(inPath).coalesce(parts)
+      .write.mode("overwrite").parquet(outPath)
+    (files.length, parts)
+  }
+
   /** Bucketed managed-table write: pre-shuffles once at write time so every
     * later equi-join/aggregation on `bucketCols` between co-bucketed tables
     * runs with NO exchange (sort-merge join straight off the scans — the

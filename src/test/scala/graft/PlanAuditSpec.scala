@@ -140,6 +140,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("compactTo: many fragments collapse to the computed file budget without a shuffle") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString + "/c"
+    // 24 tiny fragments, the shape left by 24 incremental appends
+    (1 to 24).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val (nIn, nParts) = graft.marts.Marts.compactTo(spark, in, out,
+      targetFileBytes = 1L << 30) // everything fits one file
+    assert(nIn == 24 && nParts == 1, s"got ($nIn, $nParts)")
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    assert(spark.read.parquet(out).count() == 24)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+      == (1L to 24L))
+  }
+
   test("stream_sessionize (batch form): session window agg with map-side partials") {
     val p = plan("stream_sessionize")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
