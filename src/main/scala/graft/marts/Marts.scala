@@ -163,6 +163,22 @@ object Marts {
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
 
+  /** Range-sorted write: repartitionByRange + sortWithinPartitions on
+    * `sortCols` before writing, so every output file covers a DISJOINT
+    * range of the sort key and parquet footer min/max statistics let
+    * point/range scans skip whole files (the Z-order-lite of a single-key
+    * access pattern — `day`/`cd_mun` lookups in the serve layer). One
+    * range exchange at write time buys file-level pruning on every
+    * subsequent read.
+    */
+  def writeSorted(df: DataFrame, path: String, parts: Int,
+                  sortCols: Seq[String]): Unit = {
+    val cs = sortCols.map(col)
+    df.repartitionByRange(parts, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * ~`targetFileBytes` (by on-disk input size, a good proxy after
     * re-encoding at matching compression). Incremental per-day mart

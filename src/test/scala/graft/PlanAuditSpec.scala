@@ -140,6 +140,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("writeSorted: output files cover disjoint key ranges (footer-stat file skipping)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/s"
+    val df = new scala.util.Random(7).shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    graft.marts.Marts.writeSorted(df, out, parts = 4, Seq("k"))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 range files, got ${files.length}")
+    // per-file key ranges must not overlap — that's what footer pruning needs
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == 4000)
+  }
+
   test("compactTo: many fragments collapse to the computed file budget without a shuffle") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
