@@ -195,12 +195,22 @@ object Marts {
     import org.apache.hadoop.fs.Path
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    // recursive: partitioned datasets keep data files under key=value subdirs
+    val it = fs.listFiles(p, true)
+    val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toVector
     val totalBytes = files.map(_.getLen).sum
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // coalesce, not repartition: shrinking file count must not shuffle
-    spark.read.parquet(inPath).coalesce(parts)
-      .write.mode("overwrite").parquet(outPath)
+    val df = spark.read.parquet(inPath)
+    // coalesce, not repartition: shrinking file count must not shuffle.
+    // coalesce cannot raise the partition count, so clamp to what the scan
+    // yields and report the count actually used.
+    val parts = math.min(
+      math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt),
+      math.max(1, df.rdd.getNumPartitions))
+    df.coalesce(parts).write.mode("overwrite").parquet(outPath)
     (files.length, parts)
   }
 

@@ -182,6 +182,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 24)
     assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
       == (1L to 24L))
+    // the compaction mechanism itself must be shuffle-free
+    val cp = spark.read.parquet(in).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange"), cp)
+  }
+
+  test("compactTo: hive-partitioned dataset is listed recursively and parts clamp to scan splits") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_part_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_part_out").toString + "/c"
+    // 3 partitions × 4 fragments each, all under day=X subdirs — the
+    // pre-fix bug: non-recursive listStatus saw 0 files → totalBytes=0 →
+    // silent coalesce(1) of the whole dataset
+    for (d <- 1 to 3; i <- 1 to 4)
+      Seq((d * 100L + i, s"r$d-$i", d)).toDF("k", "v", "day").coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(in)
+    val (nIn, nParts) = graft.marts.Marts.compactTo(spark, in, out,
+      targetFileBytes = 1L) // absurdly small target: uncapped math would ask
+                            // for more files than the scan has splits
+    assert(nIn == 12, s"recursive listing should see 12 leaf files, got $nIn")
+    val scanParts = spark.read.parquet(in).rdd.getNumPartitions
+    assert(nParts <= scanParts && nParts >= 1, s"parts=$nParts scan=$scanParts")
+    assert(spark.read.parquet(out).count() == 12)
   }
 
   test("stream_sessionize (batch form): session window agg with map-side partials") {
