@@ -1816,6 +1816,61 @@ object Queries {
 
     // ------------------------------------------------- incremental/streaming
 
+    // As-of join: every event picks up the user's latest purchase value at
+    // or before its own timestamp (the feature-store "state as of event
+    // time" join). Oracle mirrors the union-merge-window implementation so
+    // tie semantics (version at exactly the event instant is visible) are
+    // pinned identically on both sides; max() over doubles is exact, so no
+    // rounding is needed.
+    QueryDef("asof_join", Some(
+      "WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type, value FROM events), " +
+        "ver AS (SELECT user_id, us, max(value) AS vval FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "m AS (SELECT user_id, us, 0 AS pri, NULL::BIGINT AS event_id, vval FROM ver " +
+        "UNION ALL SELECT user_id, us, 1 AS pri, event_id, NULL AS vval FROM ev), " +
+        "f AS (SELECT user_id, us, pri, event_id, last_value(vval IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY us, pri ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase FROM m) " +
+        "SELECT event_id, user_id, us AS ts_us, last_purchase FROM f WHERE pri = 1 ORDER BY event_id"),
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        val ver = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "us").agg(max("value").as("last_purchase"))
+        operators.TemporalJoins.asofJoin(
+          ev.select("event_id", "user_id", "us"), "us",
+          ver, "us", Seq("user_id"), Seq("last_purchase"))
+          .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+            col("last_purchase"))
+          .orderBy("event_id")
+      }),
+
+    // Interval correlation: every click within 24 h after an error by the
+    // same user ("what did the user do in the incident window"). The
+    // binned equi-join form — DuckDB happily runs the raw inequality join
+    // at oracle scale, which is exactly the point: the oracle is the
+    // theta-join, the engine is the scale-safe rewrite, and they must
+    // agree pair-for-pair.
+    QueryDef("range_join_binned", Some(
+      "WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events) " +
+        "SELECT err.event_id AS err_id, c.event_id AS click_id, c.user_id, c.us AS click_us " +
+        "FROM (SELECT * FROM ev WHERE event_type = 'error') err " +
+        "JOIN (SELECT * FROM ev WHERE event_type = 'click') c " +
+        "ON err.user_id = c.user_id AND c.us BETWEEN err.us AND err.us + 86400000000 " +
+        "ORDER BY err_id, click_id"),
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        val iv = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("us").as("start_us"), (col("us") + 86400000000L).as("end_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+        operators.TemporalJoins.rangeJoinBinned(
+          clicks, "us", iv, "start_us", "end_us", Seq("user_id"), 86400000000L)
+          .select(col("err_id"), col("click_id"), col("user_id"),
+            col("us").as("click_us"))
+          .orderBy("err_id", "click_id")
+      }),
+
     QueryDef("k3_inserted_count", Some(
       "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1"),
       (s, d) => T(s, d, "events")
