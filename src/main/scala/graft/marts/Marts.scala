@@ -229,4 +229,43 @@ object Marts {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton-curve) clustered write: multi-dimensional locality so
+    * parquet footer stats prune files for predicates on ANY clustering
+    * column — the multi-column complement of [[writeSorted]], which makes
+    * one key chain prunable and leaves every other column covering the
+    * full range in every file. Each row's clustering values are scaled to
+    * `bits`-bit grid cells (one cheap global min/max pass) and their bits
+    * interleaved into a single Morton code; a range exchange + in-partition
+    * sort on that code gives every output file a contiguous curve segment
+    * ≈ a small spatial tile, so per-file min/max of EACH dimension is a
+    * fraction of its domain. Pure codegen bit arithmetic — no UDF. The
+    * classic layout for bbox-style scans (lon/lat) and (day, key) marts at
+    * 100 TB, where no single sort order serves all query dimensions.
+    */
+  def writeZOrdered(df: DataFrame, path: String, parts: Int,
+                    zCols: Seq[String], bits: Int = 16): Unit = {
+    require(zCols.nonEmpty && zCols.size * bits <= 63,
+      s"need 1..${63 / math.max(1, bits)} columns at $bits bits")
+    val mins = zCols.map(c => min(col(c).cast("double")).as(s"mn_$c"))
+    val maxs = zCols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
+    val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
+    val n = zCols.size
+    val top = (1L << bits) - 1
+    val cells = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (st.getDouble(i), st.getDouble(n + i))
+      if (mx <= mn) lit(0L)
+      else least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * (top + 1)).cast("long"))
+    }
+    val morton = (0 until bits).flatMap { b =>
+      cells.zipWithIndex.map { case (cell, i) =>
+        shiftleft(shiftright(cell, b).bitwiseAND(1), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", morton)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -207,6 +207,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 12)
   }
 
+  test("writeZOrdered: every file covers a fraction of BOTH dimensions (plain sort covers all of the second)") {
+    import spark.implicits._
+    // 64×64 uniform grid — the adversarial case for single-column sorting:
+    // an x-sort makes y unprunable (every file spans the full y range)
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    def fileCoverage(dir: String, c: String): Seq[Double] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min(c),
+            org.apache.spark.sql.functions.max(c)).head()
+        (r.getInt(1) - r.getInt(0) + 1) / 64.0
+      }
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/z"
+    val sDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/s"
+    graft.marts.Marts.writeZOrdered(grid, zDir, 16, Seq("x", "y"), bits = 6)
+    graft.marts.Marts.writeSorted(grid, sDir, 16, Seq("x"))
+    // plain x-sort: y is unprunable — every file spans (nearly) all of y
+    assert(fileCoverage(sDir, "y").forall(_ >= 0.9))
+    // z-order: 16 files ≈ 4×4 curve tiles — BOTH dims bounded per file
+    // (0.25 ideal; range-boundary straddle gives a little slack)
+    val (cx, cy) = (fileCoverage(zDir, "x"), fileCoverage(zDir, "y"))
+    assert(cx.sum / cx.size <= 0.45, s"mean x coverage ${cx.sum / cx.size}: $cx")
+    assert(cy.sum / cy.size <= 0.45, s"mean y coverage ${cy.sum / cy.size}: $cy")
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
+
   test("stream_sessionize (batch form): session window agg with map-side partials") {
     val p = plan("stream_sessionize")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
