@@ -1253,6 +1253,48 @@ object Queries {
           element_at(col("embedding"), 2) >= 0,
           element_at(col("embedding"), 3) >= 0), 0.25)),
 
+    // SemDeDup: k-means cells (the proven 2-iteration deterministic fit),
+    // then inside each cell drop every vector with a cosine>=0.3 neighbor
+    // that sits nearer the centroid (ties -> lower id). Oracle composes the
+    // sim_kmeans SQL blocks with the within-cell pairwise rule; distances
+    // and cosines are left-fold IEEE on both sides, so the kept set matches
+    // exactly.
+    QueryDef("dedup_semantic", Some {
+      val D = 64; val K = 8
+      def distList(v: String, cs: String): String =
+        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+      def iterSql(n: Int, prev: String): String =
+        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
+          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
+          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
+          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
+          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
+        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
+        "cells AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell, list_min(ds) AS dc, " +
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm FROM " +
+        s"(SELECT vec_id, v, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) tf), " +
+        "losers AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b " +
+        "ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
+        "AND (b.dc < a.dc OR (b.dc = a.dc AND b.vec_id < a.vec_id)) " +
+        s"AND list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($D), " +
+        "dd -> a.v[CAST(dd AS INT)+1] * b.v[CAST(dd AS INT)+1])), (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3) " +
+        "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM losers) AS kept " +
+        "FROM cells ORDER BY vec_id"
+    },
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.3)
+          .orderBy("vec_id")
+      }),
+
     QueryDef("sim_topk_brute", Some(
       "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -474,4 +474,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Semantic deduplication in the style of SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a k-means coarse quantizer,
+    * then inside each cluster drop every document that has a semantic
+    * near-duplicate (cosine ≥ threshold) which ranks better — closer to the
+    * cluster centroid, ties to the lower id. The kept set is exactly the
+    * per-duplicate-group centroid-nearest representatives, decided by a
+    * purely local pairwise rule (no iteration, no connected components).
+    *
+    * Scale: candidate generation IS the clustering — the only join is a
+    * within-cell self-join (hash equi-join on the cell id), the same
+    * bounded-bucket shape as [[embeddingCosinePairs]]; with k sized so
+    * cells hold ~corpus/k docs, pair work is n²/k spread over the cluster.
+    * Assignment/distances are codegen'd centroid-literal expressions — the
+    * corpus is scanned, never collected.
+    *
+    * @return (idCol, cell, kept) for every input row — kept=false means a
+    *         better in-cell near-duplicate exists
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("asg", Similarity.ivfCellAssign(col("v"), centroids))
+      .select(col("id"), col("v"), col("asg.cell").as("cell"), col("asg.dist").as("dc"))
+      .withColumn("nrm", Similarity.l2Norm(col("v")))
+    val peers = base.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+      col("dc").as("dc_b"), col("nrm").as("n_b"))
+    val losers = base.join(peers, "cell")
+      .filter(col("id") =!= col("id_b"))
+      // the peer ranks better: nearer the centroid, ties to lower id
+      .filter(col("dc_b") < col("dc") ||
+        (col("dc_b") === col("dc") && col("id_b") < col("id")))
+      .filter(Similarity.dot(col("v"), col("v_b")) / (col("nrm") * col("n_b")) >= threshold)
+      .select(col("id")).distinct()
+    base.join(losers.withColumn("lost", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("lost") === false, lit(true)).as("kept"))
+  }
 }

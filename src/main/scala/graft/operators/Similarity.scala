@@ -172,6 +172,13 @@ object Similarity {
   def ivfCellId(vec: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(ivfProbeCells(vec, centroids, 1), 1)
 
+  /** Nearest-centroid assignment WITH its squared-L2 distance — struct
+    * (dist, cell), same tie-break (dist asc, cell asc) as [[ivfCellId]] by
+    * construction. The distance is what SemDeDup-style policies rank by
+    * ("keep the doc closest to its cluster centroid"). */
+  def ivfCellAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(array_sort(centroidDistPairs(vec, centroids)), 1)
+
   /** round(x, 6) with the oracle engine's exact semantics: scale by 1e6 in
     * DOUBLE (the multiply's own fp rounding is part of the contract — e.g.
     * the double just below 5e-7 scales to exactly 0.5 and rounds UP), then

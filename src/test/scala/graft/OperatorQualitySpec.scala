@@ -391,4 +391,26 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(n1 == n2)
     assert(CacheRegistry.unpersistAll(spark, blocking = true) >= 1)
   }
+
+  test("semanticDedup keeps exactly the centroid-nearest of each duplicate group") {
+    import spark.implicits._
+    // two well-separated centroids; around the first, a trio of
+    // near-identical vectors (ids 10, 11, 12 — 11 is nearest the centroid)
+    // plus an unrelated orthogonal-ish vector; around the second, a lone
+    // vector. Expected: 11 kept, 10 and 12 dropped, the rest kept.
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val vecs = Seq(
+      (10L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (11L, Seq(1.0, 0.05, 0.0, 0.0)), // nearest centroid 0
+      (12L, Seq(0.95, 0.1, 0.0, 0.0)),
+      (20L, Seq(0.1, -0.9, 0.0, 0.0)), // same cell, cosine < threshold
+      (30L, Seq(0.0, 0.0, 0.1, 0.9))   // alone in cell 1
+    ).toDF("id", "v")
+    val out = Dedup.semanticDedup(vecs, "id", "v", cents, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(11L)._2 && !out(10L)._2 && !out(12L)._2,
+      s"duplicate trio should keep only 11: $out")
+    assert(out(20L)._2 && out(30L)._2, s"non-duplicates must survive: $out")
+    assert(out(10L)._1 == 0 && out(30L)._1 == 1, s"cell assignment: $out")
+  }
 }
