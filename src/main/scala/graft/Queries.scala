@@ -1802,6 +1802,48 @@ object Queries {
         TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Token-budget corpus selection: greedily take the highest-quality docs
+    // (stopword-ratio proxy, ties -> lower doc_id) until the token budget is
+    // spent. The ORACLE is the naive single global sort+cumsum; the ENGINE
+    // never sorts the corpus globally — quality is 4dp-rounded, so per-bin
+    // token totals (≤10k bins) carry the cross-bin cumulative on a tiny
+    // broadcast frame, and the in-bin running sum is a window PARTITIONED
+    // by bin. cum_above + in-bin cumsum == the global greedy cumsum
+    // exactly, shard-parallel at any corpus size.
+    QueryDef("corpus_select_budget", Some {
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens, " +
+        "CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS q FROM (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
+        "FROM documents) raw), " +
+        "c AS (SELECT doc_id, tokens, q, sum(tokens) OVER (ORDER BY q DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, q AS quality, " +
+        "CAST(cum AS BIGINT) AS cum_tokens, cum <= 15000 AS selected FROM c ORDER BY doc_id"
+    },
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+          TextFunctions.stopwordRatio(col("text")).as("q"))
+        val wAbove = Window.orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // bin frame is ≤ 10 001 rows (4dp ratios) — the global window runs
+        // on THAT, not the corpus
+        val binsC = t.groupBy("q").agg(sum("tokens").as("btoks"))
+          .withColumn("cum_above", coalesce(sum("btoks").over(wAbove), lit(0L)))
+          .select("q", "cum_above")
+        val wIn = Window.partitionBy("q").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.join(broadcast(binsC), Seq("q"))
+          .withColumn("cum_tokens", col("cum_above") + sum("tokens").over(wIn))
+          .select(col("doc_id"), col("tokens"), col("q").as("quality"),
+            col("cum_tokens"), (col("cum_tokens") <= 15000L).as("selected"))
+          .orderBy("doc_id")
+      }),
+
     // ------------------------------------------------------------ multimodal
     // media table derived deterministically from documents: payload =
     // utf-8 bytes of the text, kind/mime from doc_id — so the metadata
