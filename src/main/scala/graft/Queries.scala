@@ -1204,6 +1204,65 @@ object Queries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Incremental (cross-batch) dedup: history = doc_id < 400; the new
+    // batch = the remaining docs + planted exact copies (ids +2000000, of
+    // history docs 100..149) + planted near-dup variants (ids +1000000,
+    // first word dropped, of history docs < 100). The oracle reuses the
+    // proven minhash SQL blocks over the combined corpus and probes batch
+    // bands against history bands only — same asymmetric join as the
+    // engine.
+    QueryDef("dedup_incremental", Some(
+      "WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 400), " +
+        "nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 " +
+        "UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents WHERE doc_id < 100 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 100 AND doc_id < 150), " +
+        "u AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM nb), " +
+        "w0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM u), " +
+        "wh AS (SELECT doc_id, list_transform(words, w -> " +
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(regexp_extract_all(w, '.'), c -> unicode(c)::HUGEINT)), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS wl, " +
+        "len(words) AS m FROM w0), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(1, m - 2)), " +
+        "i -> list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_slice(wl, CAST(i AS INT) + 1, least(CAST(i AS INT) + 3, m))), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))) AS shingles FROM wh), " +
+        "consts AS (SELECT CAST(i AS INT) AS i, " +
+        "(11400714819323198485::HUGEINT * (2*CAST(i AS INT) + 1)::HUGEINT) % 18446744073709551616::HUGEINT AS a, " +
+        "(14029467366897019727::HUGEINT * (CAST(i AS INT) + 1)::HUGEINT) % 18446744073709551616::HUGEINT AS b " +
+        "FROM UNNEST(range(64)) AS t(i)), " +
+        "shx AS (SELECT doc_id, unnest(shingles) AS h FROM sh), " +
+        "mins AS (SELECT doc_id, i, min(xor((((a * (h >> 32)) % 4294967296::HUGEINT) * 4294967296::HUGEINT " +
+        "+ a * (h % 4294967296::HUGEINT) + b) % 18446744073709551616::HUGEINT, " +
+        "9223372036854775808::HUGEINT)) AS v FROM shx CROSS JOIN consts GROUP BY doc_id, i), " +
+        "bnd AS (SELECT doc_id, i // 4 AS bb, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key " +
+        "FROM mins GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid " +
+        "FROM bnd b JOIN bnd h ON b.bb = h.bb AND b.key = h.key " +
+        "AND b.doc_id >= 400 AND h.doc_id < 400), " +
+        "near AS (SELECT DISTINCT c.bid FROM cand c " +
+        "JOIN sh sa ON sa.doc_id = c.bid JOIN sh sb ON sb.doc_id = c.hid " +
+        "WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5), " +
+        "hd AS (SELECT DISTINCT md5(text) AS dg FROM hist) " +
+        "SELECT doc_id, md5(text) IN (SELECT dg FROM hd) AS dup_exact, " +
+        "doc_id IN (SELECT bid FROM near) AS dup_near, " +
+        "NOT (md5(text) IN (SELECT dg FROM hd) OR doc_id IN (SELECT bid FROM near)) AS admitted " +
+        "FROM nb ORDER BY doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val hist = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        Dedup.incrementalDedup(hist, batch, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .orderBy("doc_id")
+      }),
+
     // SimHash too: FNV-1a token hashes + per-bit votes + popcount are all
     // HUGEINT-expressible; output = exactly the hamming<=3 pairs
     QueryDef("dedup_simhash", Some(

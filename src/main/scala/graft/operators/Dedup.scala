@@ -144,6 +144,18 @@ object Dedup {
   private[graft] def minhashSignatureRef(hashes: Column, numHashes: Int): Column =
     minhashSigUdf(hashes, lit(numHashes))
 
+  /** (id, band, band_key) postings from an (id, sig) frame — the LSH index
+    * rows. Shared by the self-join ([[minHashLshPairs]]) and the
+    * batch-vs-index probe ([[incrementalDedup]]). */
+  private def bandKeys(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    withSig.select(
+      col("id"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"),
+      col("sig"))
+      .withColumn("band_key", xxhash64(col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select("id", "band", "band_key")
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle → signature → band keys → self-join per band → exact Jaccard
@@ -175,13 +187,7 @@ object Dedup {
     // Only (id, band, key) flows into the self-join — the shingle arrays
     // would otherwise be duplicated ×bands through the shuffle; they are
     // joined back onto the (few) surviving candidate pairs instead.
-    val banded = withSig.select(
-      col("id"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"),
-      col("sig"))
-      .withColumn("band_key", xxhash64(col("band"),
-        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select("id", "band", "band_key")
+    val banded = bandKeys(withSig, bands, rowsPerBand)
 
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
@@ -199,6 +205,67 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cross-batch incremental dedup — the "index once, probe per batch"
+    * pattern of a continuously-ingesting corpus: a new batch is admitted
+    * doc-by-doc only where it matches nothing already ingested, so history
+    * is NEVER deduped against itself again.
+    *
+    * Two independent match signals per batch doc:
+    *  - `dup_exact`: its text digest already exists in history (one
+    *    equi-join against the distinct history digests);
+    *  - `dup_near`: an LSH band collision with a history doc whose exact
+    *    shingle Jaccard ≥ threshold (band-postings equi-join — batch
+    *    postings × history postings, never batch × history docs — then the
+    *    verify join on the few surviving candidates).
+    *
+    * Scale: everything derived from history here (digests, band postings,
+    * shingle sets) is a pure function of the history frame — at 100 TB a
+    * pipeline persists those three artifacts ONCE at ingest time and this
+    * operator's history side becomes a read of the stored index, so the
+    * per-batch cost is batch-side hashing + two hash-partitioned equi-joins
+    * sized by the batch, independent of corpus size.
+    *
+    * @return one row per batch doc: (idCol, dup_exact, dup_near, admitted)
+    *         with admitted = neither signal fired
+    */
+  def incrementalDedup(history: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, shingleSize: Int = 3,
+                       numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // both sides are read by a digest join, a banding subtree and a verify
+    // join — persist the hashed projection once each (cf. minHashLshPairs)
+    def prep(df: DataFrame): DataFrame = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"),
+        shingleHashes(col(textCol), shingleSize).as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val h = prep(history)
+    val b = prep(batch)
+    def postings(side: DataFrame): DataFrame = bandKeys(
+      side.select(col("id"),
+        minhashSignature(col("shingles"), numHashes).as("sig")),
+      bands, rowsPerBand)
+    val cand = postings(b).withColumnRenamed("id", "bid")
+      .join(postings(h).withColumnRenamed("id", "hid"), Seq("band", "band_key"))
+      .select("bid", "hid").dropDuplicates("bid", "hid")
+    val near = cand
+      .join(b.select(col("id").as("bid"), col("shingles").as("sh_b")), "bid")
+      .join(h.select(col("id").as("hid"), col("shingles").as("sh_h")), "hid")
+      .filter(size(array_intersect(col("sh_b"), col("sh_h"))).cast("double") /
+        size(array_union(col("sh_b"), col("sh_h"))) >= threshold)
+      .select(col("bid").as("id")).distinct()
+      .withColumn("__near", lit(true))
+    val hDigests = h.select("digest").distinct().withColumn("__exact", lit(true))
+    b.join(hDigests, Seq("digest"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__exact"), lit(false)).as("dup_exact"),
+        coalesce(col("__near"), lit(false)).as("dup_near"),
+        (coalesce(col("__exact"), lit(false)) === false &&
+          coalesce(col("__near"), lit(false)) === false).as("admitted"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash, candidates = equal
