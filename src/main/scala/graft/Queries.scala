@@ -1635,6 +1635,30 @@ object Queries {
           (col("hsmp") < "1a").cast("int").as("in_sample"))
         .orderBy("doc_id")),
 
+    // Balanced per-stratum sampling: exactly min(quota, count) docs per
+    // language, chosen as the quota lowest salted-hash docs — a
+    // deterministic uniform draw with NO RNG state, reproducible across
+    // runs and engines (the corpus-rebalancing step that caps dominant
+    // languages). Per-key top-N window — hash-partitioned by stratum,
+    // no global sort; the en stratum dominates the corpus and is capped,
+    // the small strata survive whole.
+    QueryDef("balanced_sample", Some(
+      "WITH t AS (SELECT doc_id, lang, md5('bal:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents), " +
+        "r AS (SELECT doc_id, lang, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rk FROM t) " +
+        "SELECT doc_id, lang, rk, rk <= 60 AS picked FROM r ORDER BY doc_id"),
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("hk"), col("doc_id"))
+        T(s, d, "documents")
+          .withColumn("hk", md5(concat(lit("bal:"),
+            col("doc_id").cast("string")).cast("binary")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("lang"), col("rk"),
+            (col("rk") <= 60).as("picked"))
+          .orderBy("doc_id")
+      }),
+
     // Per-language corpus statistics with EXACT nearest-rank percentiles of
     // the whitespace token count — the "how big/skewed is my training set"
     // query. Rank idx = floor((n-1)·q + 0.5), the same nearest-rank rule as

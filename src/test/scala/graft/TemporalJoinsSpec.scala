@@ -88,6 +88,47 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq(20L, 21L))
   }
 
+  test("asofJoin matches brute force on randomized keys/timestamps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rightRaw = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(9999).toLong))
+    // unique per (key, ts) — the operator's documented precondition
+    val right = rightRaw.groupBy(r => (r._1, r._2))
+      .map { case ((k, ts), rows) => (k, ts, rows.map(_._3).max) }.toSeq
+    val left = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong))
+    val got = TemporalJoins.asofJoin(left.toDF("eid", "k", "ets"), "ets",
+      right.toDF("k", "vts", "p"), "vts", Seq("k"), Seq("p"))
+      .select("eid", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = left.map { case (eid, k, ets) =>
+      val c = right.filter(r => r._1 == k && r._2 <= ets)
+      eid -> (if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("rangeJoinBinned matches brute force on randomized intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val iv = (1 to 200).map { i =>
+      val lo = rnd.nextInt(2000).toLong
+      (rnd.nextInt(10).toLong, i.toLong, lo, lo + rnd.nextInt(300).toLong)
+    }
+    val pts = (1 to 400).map(i =>
+      (rnd.nextInt(10).toLong, (1000 + i).toLong, rnd.nextInt(2300).toLong))
+    val got = TemporalJoins.rangeJoinBinned(pts.toDF("k", "pid", "pts"),
+      "pts", iv.toDF("k", "iid", "lo", "hi"), "lo", "hi", Seq("k"), 128L)
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      (ik, iid, lo, hi) <- iv
+      (pk, pid, p) <- pts
+      if ik == pk && p >= lo && p <= hi
+    } yield (iid, pid)).sorted
+    assert(got === expected)
+  }
+
   test("rangeJoinBinned plan: equi-join, never BroadcastNestedLoop") {
     import spark.implicits._
     val iv = Seq((1L, 10L, 100L, 300L)).toDF("k", "iid", "lo", "hi")
