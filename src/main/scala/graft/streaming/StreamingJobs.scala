@@ -43,6 +43,26 @@ object StreamingJobs {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_hash")
 
+  /** Streaming corpus admission against a static history index — the
+    * streaming form of [[graft.operators.Dedup.incrementalDedup]]'s exact
+    * stage: a document is admitted only if its text digest is absent from
+    * the already-ingested corpus (stream-static LEFT ANTI join — the
+    * static side holds no state store, it is re-planned per microbatch)
+    * and not already seen in-stream within the watermark
+    * (dropDuplicatesWithinWatermark bounds in-stream state AND absorbs
+    * source replays). At scale `historyDigests` is the persisted digest
+    * index, not a recomputation over history text.
+    *
+    * @param docs streaming frame with `ts`, `doc_id`, `text`
+    * @param historyDigests static frame with a `digest` column
+    */
+  def admitStream(docs: DataFrame, historyDigests: DataFrame,
+                  watermark: String = "1 day"): DataFrame =
+    docs.withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .join(broadcast(historyDigests.select("digest")), Seq("digest"), "left_anti")
+
   /** Stream-static spatial enrichment: streaming point events joined to a
     * broadcast polygon dimension with the batch path's exact plan shape —
     * cheap bbox column conjuncts evaluated before the codegen PIP predicate

@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("h1", "h2", "h3"))
   }
 
+  test("admitStream: history dups rejected, in-stream replays collapse, fresh docs admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("old doc one", "old doc two").toDF("text")
+      .select(md5(col("text").cast("binary")).as("digest"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingJobs.admitStream(df, history)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("admit_test").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "old doc one"),   // exact dup of history
+      (ts("2024-01-01 10:01:00"), 2L, "fresh doc a"),
+      (ts("2024-01-01 10:02:00"), 3L, "fresh doc a"))   // in-batch replay
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 10:03:00"), 4L, "fresh doc a"),   // cross-batch replay
+      (ts("2024-01-01 10:04:00"), 5L, "fresh doc b"),
+      (ts("2024-01-01 10:05:00"), 6L, "old doc two"))   // history dup, later batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("admit_test").select("text").as[String].collect().sorted
+    assert(got.toSeq == Seq("fresh doc a", "fresh doc b"))
+  }
+
   test("stream-static enrichment: PIP join against a broadcast dim equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
