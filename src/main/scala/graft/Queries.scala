@@ -1908,9 +1908,14 @@ object Queries {
         "CAST(cum AS BIGINT) AS cum_tokens, cum <= 15000 AS selected FROM c ORDER BY doc_id"
     },
       (s, d) => {
-        val t = T(s, d, "documents").select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
-          TextFunctions.stopwordRatio(col("text")).as("q"))
+        // both the bin aggregate and the probe side read this frame —
+        // persist so the corpus is tokenized once, not twice (the
+        // minHashLshPairs convention; released via CacheRegistry)
+        val t = CacheRegistry.register(
+          T(s, d, "documents").select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+            TextFunctions.stopwordRatio(col("text")).as("q"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val wAbove = Window.orderBy(col("q").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         // bin frame is ≤ 10 001 rows (4dp ratios) — the global window runs
@@ -1994,8 +1999,11 @@ object Queries {
         "ver AS (SELECT user_id, us, max(value) AS vval FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2), " +
         "m AS (SELECT user_id, us, 0 AS pri, NULL::BIGINT AS event_id, vval FROM ver " +
         "UNION ALL SELECT user_id, us, 1 AS pri, event_id, NULL AS vval FROM ev), " +
-        "f AS (SELECT user_id, us, pri, event_id, last_value(vval IGNORE NULLS) OVER " +
-        "(PARTITION BY user_id ORDER BY us, pri ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase FROM m) " +
+        // version payloads ride in a struct (like the engine's __p), so a
+        // version whose aggregated payload is NULL still counts as the
+        // latest version instead of being skipped by IGNORE NULLS
+        "f AS (SELECT user_id, us, pri, event_id, (last_value(CASE WHEN pri = 0 THEN {'v': vval} END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY us, pri ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS last_purchase FROM m) " +
         "SELECT event_id, user_id, us AS ts_us, last_purchase FROM f WHERE pri = 1 ORDER BY event_id"),
       (s, d) => {
         val ev = T(s, d, "events").select(col("event_id"), col("user_id"),

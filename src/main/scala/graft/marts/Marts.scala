@@ -195,14 +195,26 @@ object Marts {
     import org.apache.hadoop.fs.Path
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // recursive: partitioned datasets keep data files under key=value subdirs
+    val rootUri = p.toUri.getPath
+    // recursive: partitioned datasets keep data files under key=value
+    // subdirs. Skip files under hidden ancestors too (_temporary,
+    // .hive-staging…) — spark.read ignores them, so counting their bytes
+    // would inflate the file budget with dead data.
     val it = fs.listFiles(p, true)
     val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
       .filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        val rel = s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        s.isFile && rel.split('/').forall(seg =>
+          !seg.startsWith("_") && !seg.startsWith("."))
       }.toVector
     val totalBytes = files.map(_.getLen).sum
+    // hive-style partition dirs (key=value) must survive the rewrite, or
+    // the compacted copy loses directory pruning and per-partition
+    // overwrite targeting
+    val partCols = files.flatMap(_.getPath.toUri.getPath
+        .stripPrefix(rootUri).split('/').dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+      .distinct
     val df = spark.read.parquet(inPath)
     // coalesce, not repartition: shrinking file count must not shuffle.
     // coalesce cannot raise the partition count, so clamp to what the scan
@@ -210,7 +222,9 @@ object Marts {
     val parts = math.min(
       math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt),
       math.max(1, df.rdd.getNumPartitions))
-    df.coalesce(parts).write.mode("overwrite").parquet(outPath)
+    val writer = df.coalesce(parts).write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(outPath)
     (files.length, parts)
   }
 
@@ -245,17 +259,24 @@ object Marts {
     */
   def writeZOrdered(df: DataFrame, path: String, parts: Int,
                     zCols: Seq[String], bits: Int = 16): Unit = {
-    require(zCols.nonEmpty && zCols.size * bits <= 63,
-      s"need 1..${63 / math.max(1, bits)} columns at $bits bits")
+    require(bits >= 1 && zCols.nonEmpty && zCols.size * bits <= 63,
+      s"need 1..${63 / math.max(1, bits)} columns at $bits (>=1) bits")
     val mins = zCols.map(c => min(col(c).cast("double")).as(s"mn_$c"))
     val maxs = zCols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
     val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
     val n = zCols.size
     val top = (1L << bits) - 1
     val cells = zCols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (st.getDouble(i), st.getDouble(n + i))
-      if (mx <= mn) lit(0L)
-      else least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * (top + 1)).cast("long"))
+      // null stats = empty input or an all-null column: no spread to
+      // cluster on, degrade to cell 0 instead of an opaque NPE
+      if (st.isNullAt(i) || st.isNullAt(n + i)) lit(0L)
+      else {
+        val (mn, mx) = (st.getDouble(i), st.getDouble(n + i))
+        if (mx <= mn) lit(0L)
+        else least(lit(top), coalesce(
+          floor((col(c).cast("double") - mn) / (mx - mn) * (top + 1)).cast("long"),
+          lit(0L)))
+      }
     }
     val morton = (0 until bits).flatMap { b =>
       cells.zipWithIndex.map { case (cell, i) =>

@@ -53,6 +53,10 @@ object TemporalJoins {
     val rPre = right.select(
       keys.map(col) :+ col(rightOrd).as("__ord") :+
         struct(payload.map(col): _*).as("__p"): _*)
+      // a version with no ordering value would sort NULLS FIRST and leak
+      // its payload onto every pre-first-version left row — "no ord" means
+      // "never valid", so drop it
+      .filter(col("__ord").isNotNull)
     val pType = rPre.schema("__p").dataType
     val rAligned = extras.foldLeft(rPre.withColumn("__pri", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))

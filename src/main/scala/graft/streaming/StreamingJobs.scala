@@ -61,7 +61,10 @@ object StreamingJobs {
     docs.withColumn("digest", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
-      .join(broadcast(historyDigests.select("digest")), Seq("digest"), "left_anti")
+      // no broadcast hint: the digest index is corpus-sized at scale —
+      // let stats/AQE choose broadcast only when it actually fits
+      .join(historyDigests.select("digest"), Seq("digest"), "left_anti")
+      .drop("digest")
 
   /** Stream-static spatial enrichment: streaming point events joined to a
     * broadcast polygon dimension with the batch path's exact plan shape —

@@ -205,6 +205,32 @@ class PlanAuditSpec extends AnyFunSuite {
     val scanParts = spark.read.parquet(in).rdd.getNumPartitions
     assert(nParts <= scanParts && nParts >= 1, s"parts=$nParts scan=$scanParts")
     assert(spark.read.parquet(out).count() == 12)
+    // the hive layout must survive compaction — without day=X dirs the
+    // compacted swap-in loses directory pruning
+    val outDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(outDirs == Set("day=1", "day=2", "day=3"), s"got $outDirs")
+    // dead bytes under hidden dirs (crashed-write leftovers) must not
+    // inflate the input count / byte budget
+    val tmp = new java.io.File(s"$in/_temporary/0")
+    tmp.mkdirs()
+    Seq((999L, "dead", 9)).toDF("k", "v", "day").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath + "/x")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_compact_part_out2").toString + "/c"
+    val (nIn2, _) = graft.marts.Marts.compactTo(spark, in, out2, targetFileBytes = 1L)
+    assert(nIn2 == 12, s"files under _temporary must be ignored, got $nIn2")
+  }
+
+  test("writeZOrdered: empty input and all-null columns degrade gracefully") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_edge").toString
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    graft.marts.Marts.writeZOrdered(empty, s"$dir/e", 4, Seq("x", "y"), bits = 4)
+    assert(spark.read.parquet(s"$dir/e").count() == 0)
+    val allNull = Seq((Some(1), Option.empty[Int]), (Some(2), Option.empty[Int]))
+      .toDF("x", "y")
+    graft.marts.Marts.writeZOrdered(allNull, s"$dir/n", 2, Seq("x", "y"), bits = 4)
+    assert(spark.read.parquet(s"$dir/n").count() == 2)
   }
 
   test("writeZOrdered: every file covers a fraction of BOTH dimensions (plain sort covers all of the second)") {

@@ -45,6 +45,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
       104L -> "b", 105L -> null, 106L -> "x", 107L -> null))
   }
 
+  test("asofJoin: a right row with null ord is never a valid version") {
+    import spark.implicits._
+    val right = Seq((1L, Option.empty[Long], "ghost"), (1L, Some(10L), "a"))
+      .toDF("k", "vts", "payload")
+    val out = TemporalJoins.asofJoin(
+      Seq((100L, 1L, 5L), (101L, 1L, 12L)).toDF("eid", "k", "ets"), "ets",
+      right, "vts", Seq("k"), Seq("payload"))
+      .select("eid", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // pre-version event gets null (NOT the null-ord row's payload)
+    assert(out === Map(100L -> null, 101L -> "a"))
+  }
+
   test("asofJoin: preserves all left columns and attaches multi-column payload") {
     import spark.implicits._
     val right = Seq((1L, 10L, "a", 1.5)).toDF("k", "vts", "s", "v")
