@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.HashFunctions
 
@@ -470,7 +469,6 @@ object Dedup {
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
-    var prevSum: java.math.BigDecimal = null
     // Checkpoint blocks of superseded rounds are released EAGERLY — the
     // ContextCleaner only frees them on driver GC, so an iterative job
     // would otherwise hold O(rounds) copies of the label frame in storage.
@@ -480,13 +478,22 @@ object Dedup {
       }
     var prevCkpt = ckptRdd(labels)
     var iter = 0
+    var sawRounds = false
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
-      // min over self + neighbors' labels
+      // min over self + neighbors' labels. Self rows are tagged so the
+      // aggregation carries each node's PREVIOUS label alongside the new
+      // min for free (every id has exactly one self row), making the
+      // per-round change count directly observable. Convergence = first
+      // round with zero changes; unlike the sum-comparison form this needs
+      // no second round when the INITIAL labeling is already final (size-≤2
+      // components everywhere — the common near-dup case at low thresholds).
       val fromNeighbors = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      val minned = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+      val minned = labels.withColumn("self", lit(true))
+        .unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
       // pointer jump: labels are always node ids, so the chain lookup is a
       // self-equi-join on the (same-sized) label frame. (A second composed
       // jump was measured and did NOT cut rounds on near-dup graphs — the
@@ -494,27 +501,28 @@ object Dedup {
       val jumped = minned
         .join(minned.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      // labels only ever decrease elementwise, so the label sum is strictly
-      // monotone until the fixpoint: an unchanged sum ⟺ an unchanged
-      // labeling. Observation collects the sum DURING the checkpoint job —
-      // no per-round convergence join, no extra action.
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
+          col("prev"))
+      // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
+      // Observation collects the count DURING the checkpoint job — no
+      // convergence join, no extra action, no confirmation round.
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       labels = jumped
-        .observe(obs, sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
+        .select("id", "label")
         .localCheckpoint(true)
       // the new round is materialized — the previous round's blocks are
       // no longer referenced by anything downstream
       prevCkpt.foreach(_.unpersist(false))
       prevCkpt = ckptRdd(labels)
-      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
-      converged = prevSum != null && s == prevSum
-      prevSum = s
+      val chg = obs.get("chg").asInstanceOf[Long]
+      converged = chg == 0L
+      sawRounds = true
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter sum=$s converged=$converged t=${System.nanoTime() / 1000000}")
+        System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
     }
-    if (!converged && prevSum != null)
+    if (!converged && sawRounds)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (components with diameter > 2^maxIter are beyond it)")
