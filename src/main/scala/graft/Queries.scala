@@ -1778,6 +1778,45 @@ object Queries {
           .orderBy("doc_id", "rnk")
       }),
 
+    // Unigram-LM quality score (the CCNet-style "how surprising is this
+    // doc under the corpus language model" signal): train unigram counts
+    // over the whole corpus, score each doc by its total negative
+    // log-likelihood. Per-token -ln p is rounded to 8 dp (the tfidf-proven
+    // ulp-drift killer) and summed as DECIMAL — order-free exact — then
+    // emitted in 1e-8 units as BIGINT, so the driver hash cannot see
+    // engine summation order. The count join shuffles on the word key
+    // (vocabulary-sized — never broadcast); only the 1-row total
+    // broadcasts.
+    QueryDef("text_lm_score", Some(
+      "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
+        "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
+        "cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w), " +
+        "tot AS (SELECT sum(c) AS n FROM cnt), " +
+        "sc AS (SELECT t.doc_id, CAST(round(-ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(18, 8)) AS lp " +
+        "FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tot), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "CAST(sum(lp) * 100000000 AS BIGINT) AS nll_e8 FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, coalesce(a.nll_e8, 0) AS nll_e8 " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^\\p{L}]+"),
+            x => length(x) > 0)).as("w"))
+        val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum("c").as("n"))
+        val agg = toks.join(cnt, "w").crossJoin(broadcast(tot))
+          .withColumn("lp", round(-log(col("c").cast("double") / col("n")), 8)
+            .cast(DecimalType(18, 8)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_toks"),
+            (sum(col("lp")) * 100000000L).cast("long").as("nll_e8"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+            coalesce(col("nll_e8"), lit(0L)).as("nll_e8"))
+          .orderBy("doc_id")
+      }),
+
     // Gopher-style within-document repetition filters (duplicate-word
     // fraction, top-bigram share) — row-local array built-ins both sides.
     QueryDef("text_repetition", Some(
