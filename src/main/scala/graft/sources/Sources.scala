@@ -128,4 +128,36 @@ object Sources {
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no daily or monthly source found for $d"))
   }
+
+  final case class JsonlRead(clean: DataFrame, corrupt: DataFrame)
+
+  /** JSON-Lines corpus source — the interchange format of document
+    * pipelines. Explicit caller schema (NO inference: schema inference is a
+    * full extra pass over the data, a non-starter at corpus scale) and
+    * PERMISSIVE parsing with corrupt-line capture: one malformed line must
+    * not kill a billion-line ingest, and must not vanish silently either —
+    * `corrupt` carries the raw offending lines for quarantine. The parsed
+    * frame is persisted (registered with [[graft.CacheRegistry]]) because
+    * both outputs filter it — and because Spark refuses corrupt-column-only
+    * filters on a raw file scan precisely to stop people double-parsing the
+    * corpus; production jobs that only want `clean` should write `corrupt`
+    * to a quarantine sink in the same pass.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): JsonlRead = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "caller schema must not define _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = graft.CacheRegistry.register(
+      spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    JsonlRead(
+      clean = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
 }

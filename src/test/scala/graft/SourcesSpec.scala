@@ -93,6 +93,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(nb.head.getAs[String]("code") == "002")
   }
 
+  test("JSONL source: clean rows parsed against the explicit schema, bad lines quarantined verbatim") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""",
+      """{"doc_id": 3, "text": "truncated...""", // malformed JSON
+      """not json at all""",
+      """{"doc_id": 4, "text": null, "lang": "en"}"""))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val r = Sources.readJsonl(spark, f.toString, schema)
+    val clean = r.clean.collect().map(x =>
+      (x.getLong(0), if (x.isNullAt(1)) null else x.getString(1))).sortBy(_._1)
+    assert(clean.toSeq == Seq((1L, "hello world"), (2L, "bonjour"), (4L, null)))
+    assert(r.clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val bad = r.corrupt.collect().map(_.getString(0)).sorted
+    assert(bad.length == 2 && bad.exists(_.contains("truncated")) &&
+      bad.contains("not json at all"))
+    intercept[IllegalArgumentException] {
+      Sources.readJsonl(spark, f.toString,
+        schema.add("_corrupt_record", StringType))
+    }
+  }
+
   test("S6: first available source wins, in fixed candidate order") {
     import spark.implicits._
     val d = Seq(("1", "x", "g")).toDF("cd_bioma", "bioma", "geom")
