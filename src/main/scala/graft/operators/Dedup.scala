@@ -570,10 +570,15 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("asg", Similarity.ivfCellAssign(col("v"), centroids))
-      .select(col("id"), col("v"), col("asg.cell").as("cell"), col("asg.dist").as("dc"))
-      .withColumn("nrm", Similarity.l2Norm(col("v")))
+    // both sides of the within-cell pair join and the final output read
+    // this frame — persist so the k·d centroid-distance assignment runs
+    // once per vector, not three times (released via CacheRegistry)
+    val base = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("asg", Similarity.ivfCellAssign(col("v"), centroids))
+        .select(col("id"), col("v"), col("asg.cell").as("cell"), col("asg.dist").as("dc"))
+        .withColumn("nrm", Similarity.l2Norm(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val peers = base.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
       col("dc").as("dc_b"), col("nrm").as("n_b"))
     val losers = base.join(peers, "cell")
