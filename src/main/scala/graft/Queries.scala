@@ -1817,6 +1817,43 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // Distributed BPE tokenizer training: 10 merge rules learned from the
+    // corpus. The corpus is scanned once (word counts); every merge round
+    // runs on the vocabulary only — pair-count agg, top-1 collect (the one
+    // driver row, like the kmeans centroids), codegen'd fold applying the
+    // merge. Oracle unrolls all 10 rounds in SQL: pair counts from
+    // adjacent-token zips, lexicographic-tiebreak argmax, and the merge
+    // applied via a list-of-lists fold (the 1-row best-pair CTE is CROSS
+    // JOINed in, since DuckDB lambdas can reference columns but not
+    // subqueries).
+    QueryDef("text_bpe_merges", Some {
+      def round(n: Int): String = {
+        val (v, p, b) = (s"v$n", s"p$n", s"b$n")
+        s"$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM " +
+          s"(SELECT cnt, unnest(list_transform(range(len(t) - 1), i -> " +
+          s"{'l': t[CAST(i AS INT)+1], 'r': t[CAST(i AS INT)+2]})) AS pr FROM $v) GROUP BY 1, 2), " +
+          s"$b AS (SELECT l, r, l || r AS m, c FROM $p ORDER BY c DESC, l, r LIMIT 1), " +
+          s"v${n + 1} AS (SELECT w, cnt, list_reduce(list_transform(t, x -> [x]), " +
+          s"(acc, x) -> CASE WHEN acc[len(acc)] = $b.l AND x[1] = $b.r " +
+          s"THEN list_concat(acc[1:len(acc)-1], [$b.m]) ELSE list_concat(acc, x) END) AS t " +
+          s"FROM $v CROSS JOIN $b)"
+      }
+      "WITH dw AS (SELECT unnest(list_filter(string_split_regex(lower(text), " +
+        "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
+        "v0 AS (SELECT w, count(*) AS cnt, regexp_extract_all(w, '.') AS t FROM dw GROUP BY w), " +
+        (0 until 10).map(round).mkString(", ") + " " +
+        (0 until 10).map(n =>
+          s"SELECT ${n + 1} AS merge_rank, l, r, m AS merged, c AS pair_count FROM b$n")
+          .mkString(" UNION ALL ") +
+        " ORDER BY merge_rank"
+    },
+      (s, d) => {
+        val ms = operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10)
+        import s.implicits._
+        ms.toDF("merge_rank", "l", "r", "merged", "pair_count")
+          .orderBy("merge_rank")
+      }),
+
     // Gopher-style within-document repetition filters (duplicate-word
     // fraction, top-bigram share) — row-local array built-ins both sides.
     QueryDef("text_repetition", Some(

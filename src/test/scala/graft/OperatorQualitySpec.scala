@@ -392,6 +392,22 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(CacheRegistry.unpersistAll(spark, blocking = true) >= 1)
   }
 
+  test("bpeFit learns hand-computable merges and stops when words are fully fused") {
+    import spark.implicits._
+    // corpus: aaab ×3, ab ×2
+    // round 1: (a,a)=6 beats (a,b)=5 → 'aa'; aaab → [aa,a,b] (greedy
+    //          left-to-right, no overlap)
+    // round 2: (a,b)=5 beats (aa,a)=3 → 'ab'
+    // round 3: (aa,ab)=3 → 'aaab'; then no pairs remain anywhere, so a
+    //          4th requested merge must NOT invent anything
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("text")
+    val ms = graft.operators.Tokenizer.bpeFit(docs, "text", merges = 4)
+    assert(ms == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("semanticDedup keeps exactly the centroid-nearest of each duplicate group") {
     import spark.implicits._
     // two well-separated centroids; around the first, a trio of
