@@ -1854,6 +1854,42 @@ object Queries {
           .orderBy("merge_rank")
       }),
 
+    // The encode half of the tokenizer pipeline: train the 10 merges, then
+    // tokenize every document with them (row-local folds, merge table as
+    // plan literals). Oracle reuses the training unroll's final vocabulary
+    // v10 — a doc's BPE length is the sum of its words' split lengths.
+    QueryDef("text_bpe_encode", Some {
+      def round(n: Int): String = {
+        val (v, p, b) = (s"v$n", s"p$n", s"b$n")
+        s"$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM " +
+          s"(SELECT cnt, unnest(list_transform(range(len(t) - 1), i -> " +
+          s"{'l': t[CAST(i AS INT)+1], 'r': t[CAST(i AS INT)+2]})) AS pr FROM $v) GROUP BY 1, 2), " +
+          s"$b AS (SELECT l, r, l || r AS m, c FROM $p ORDER BY c DESC, l, r LIMIT 1), " +
+          s"v${n + 1} AS (SELECT w, cnt, list_reduce(list_transform(t, x -> [x]), " +
+          s"(acc, x) -> CASE WHEN acc[len(acc)] = $b.l AND x[1] = $b.r " +
+          s"THEN list_concat(acc[1:len(acc)-1], [$b.m]) ELSE list_concat(acc, x) END) AS t " +
+          s"FROM $v CROSS JOIN $b)"
+      }
+      "WITH dw AS (SELECT unnest(list_filter(string_split_regex(lower(text), " +
+        "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
+        "v0 AS (SELECT w, count(*) AS cnt, regexp_extract_all(w, '.') AS t FROM dw GROUP BY w), " +
+        (0 until 10).map(round).mkString(", ") + ", " +
+        "dw2 AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
+        "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
+        "lens AS (SELECT dw2.doc_id, len(v10.t) AS n FROM dw2 JOIN v10 ON v10.w = dw2.w) " +
+        "SELECT d.doc_id, coalesce(CAST(sum(lens.n) AS BIGINT), 0) AS n_bpe_tokens " +
+        "FROM documents d LEFT JOIN lens ON lens.doc_id = d.doc_id " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    },
+      (s, d) => {
+        val ms = operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10)
+          .map(t => (t._2, t._3, t._4))
+        T(s, d, "documents").select(col("doc_id"),
+          size(operators.Tokenizer.bpeEncode(col("text"), ms)).cast("long")
+            .as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      }),
+
     // Gopher-style within-document repetition filters (duplicate-word
     // fraction, top-bigram share) — row-local array built-ins both sides.
     QueryDef("text_repetition", Some(

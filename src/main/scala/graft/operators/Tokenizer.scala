@@ -35,6 +35,24 @@ object Tokenizer {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
         .otherwise(concat(acc, array(x))))
 
+  /** Encode text with a learned merge table: lowercased letter-run words
+    * (the [[bpeFit]] tokenization), each word character-split and folded
+    * through the merges IN RANK ORDER, flattened back to one token list.
+    * Purely row-local codegen expressions — embarrassingly parallel at any
+    * corpus size; the merge table rides into the plan as literals.
+    *
+    * @param mergeRules (l, r, merged) in rank order, from [[bpeFit]]
+    */
+  def bpeEncode(text: Column, mergeRules: Seq[(String, String, String)]): Column = {
+    def chars(w: Column): Column =
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    flatten(transform(
+      filter(split(lower(text), "[^\\p{L}]+"), x => length(x) > 0),
+      w => mergeRules.foldLeft(chars(w)) {
+        case (acc, (l, r, m)) => applyMerge(acc, l, r, m)
+      }))
+  }
+
   /** Learn the first `merges` BPE merge rules from a text corpus.
     *
     * Deterministic end-to-end: tokenization = lowercased letter runs (the
