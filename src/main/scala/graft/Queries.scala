@@ -1884,9 +1884,8 @@ object Queries {
       (s, d) => {
         val ms = operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10)
           .map(t => (t._2, t._3, t._4))
-        T(s, d, "documents").select(col("doc_id"),
-          size(operators.Tokenizer.bpeEncode(col("text"), ms)).cast("long")
-            .as("n_bpe_tokens"))
+        operators.Tokenizer.bpeEncodeCorpus(
+          T(s, d, "documents"), "doc_id", "text", ms)
           .orderBy("doc_id")
       }),
 

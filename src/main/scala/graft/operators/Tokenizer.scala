@@ -53,6 +53,34 @@ object Tokenizer {
       }))
   }
 
+  /** Corpus-scale BPE token counting: encode each DISTINCT word once
+    * (vocabulary-sized fold work — the merge folds are interpreted HOFs,
+    * so running them per word OCCURRENCE costs the corpus/vocabulary ratio
+    * more for identical results; measured 25 s → 2 s at sf0.1), then join
+    * occurrences back through the encoded dictionary and sum per document.
+    * This is also how production tokenizers amortize encoding. Documents
+    * with no words come back with 0.
+    *
+    * @return (idCol, n_bpe_tokens) one row per input document
+    */
+  def bpeEncodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                      mergeRules: Seq[(String, String, String)]): DataFrame = {
+    def chars(w: Column): Column =
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    val words = docs.select(col(idCol), explode(
+      filter(split(lower(col(textCol)), "[^\\p{L}]+"),
+        x => length(x) > 0)).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("__occ"))
+      .withColumn("n", size(mergeRules.foldLeft(chars(col("w"))) {
+        case (acc, (l, r, m)) => applyMerge(acc, l, r, m)
+      }).cast("long"))
+      .select("w", "n")
+    docs.select(col(idCol))
+      .join(words.join(vocab, "w").groupBy(idCol)
+        .agg(sum("n").as("__sum")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__sum"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Learn the first `merges` BPE merge rules from a text corpus.
     *
     * Deterministic end-to-end: tokenization = lowercased letter runs (the

@@ -408,6 +408,22 @@ class OperatorQualitySpec extends AnyFunSuite {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeEncodeCorpus (dictionary join) equals the row-local bpeEncode fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab xyz"), (2L, ""), (3L, "ab aaab ab"))
+      .toDF("doc_id", "text")
+    val ms = Seq(("a", "a", "aa"), ("a", "b", "ab"), ("aa", "ab", "aaab"))
+    val viaDict = graft.operators.Tokenizer
+      .bpeEncodeCorpus(docs, "doc_id", "text", ms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = docs.select(col("doc_id"),
+      size(graft.operators.Tokenizer.bpeEncode(col("text"), ms)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDict === viaFold)
+    // hand check: aaab→[aaab]=1, ab→[ab]=1, xyz→[x,y,z]=3; empty doc → 0
+    assert(viaDict === Map(1L -> 5L, 2L -> 0L, 3L -> 3L))
+  }
+
   test("semanticDedup keeps exactly the centroid-nearest of each duplicate group") {
     import spark.implicits._
     // two well-separated centroids; around the first, a trio of
