@@ -40,6 +40,26 @@ object Queries {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
 
+  /** One BPE merge round of the oracle unroll (shared by text_bpe_merges
+    * and text_bpe_encode so their semantics cannot drift): pair counts from
+    * adjacent-token zips over v{n}, lexicographic-tiebreak argmax b{n},
+    * merge applied via a list-of-lists fold into v{n+1}. The 1-row b{n} is
+    * LEFT JOINed (lambdas accept columns, not subqueries) — LEFT, not
+    * CROSS, so a round with no pairs left yields null-pair comparisons and
+    * a no-op fold instead of annihilating the vocabulary, mirroring
+    * bpeFit's early stop. */
+  private def bpeRoundSql(n: Int): String = {
+    val (v, p, b) = (s"v$n", s"p$n", s"b$n")
+    s"$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM " +
+      s"(SELECT cnt, unnest(list_transform(range(len(t) - 1), i -> " +
+      s"{'l': t[CAST(i AS INT)+1], 'r': t[CAST(i AS INT)+2]})) AS pr FROM $v) GROUP BY 1, 2), " +
+      s"$b AS (SELECT l, r, l || r AS m, c FROM $p ORDER BY c DESC, l, r LIMIT 1), " +
+      s"v${n + 1} AS (SELECT w, cnt, list_reduce(list_transform(t, x -> [x]), " +
+      s"(acc, x) -> CASE WHEN acc[len(acc)] = $b.l AND x[1] = $b.r " +
+      s"THEN list_concat(acc[1:len(acc)-1], [$b.m]) ELSE list_concat(acc, x) END) AS t " +
+      s"FROM $v LEFT JOIN $b ON true)"
+  }
+
   // ---------------------------------------------------------------- geometry
   // Synthetic deterministic geo layout shared with the oracle SQL:
   //  - every customer becomes a point; lon/lat are pure integer-arithmetic
@@ -1823,25 +1843,16 @@ object Queries {
     // driver row, like the kmeans centroids), codegen'd fold applying the
     // merge. Oracle unrolls all 10 rounds in SQL: pair counts from
     // adjacent-token zips, lexicographic-tiebreak argmax, and the merge
-    // applied via a list-of-lists fold (the 1-row best-pair CTE is CROSS
+    // applied via a list-of-lists fold (the 1-row best-pair CTE is LEFT
     // JOINed in, since DuckDB lambdas can reference columns but not
-    // subqueries).
+    // subqueries; LEFT — not CROSS — so an exhausted round with no pairs
+    // left degrades to a null-pair no-op fold instead of annihilating the
+    // vocabulary, matching bpeFit's early stop).
     QueryDef("text_bpe_merges", Some {
-      def round(n: Int): String = {
-        val (v, p, b) = (s"v$n", s"p$n", s"b$n")
-        s"$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM " +
-          s"(SELECT cnt, unnest(list_transform(range(len(t) - 1), i -> " +
-          s"{'l': t[CAST(i AS INT)+1], 'r': t[CAST(i AS INT)+2]})) AS pr FROM $v) GROUP BY 1, 2), " +
-          s"$b AS (SELECT l, r, l || r AS m, c FROM $p ORDER BY c DESC, l, r LIMIT 1), " +
-          s"v${n + 1} AS (SELECT w, cnt, list_reduce(list_transform(t, x -> [x]), " +
-          s"(acc, x) -> CASE WHEN acc[len(acc)] = $b.l AND x[1] = $b.r " +
-          s"THEN list_concat(acc[1:len(acc)-1], [$b.m]) ELSE list_concat(acc, x) END) AS t " +
-          s"FROM $v CROSS JOIN $b)"
-      }
       "WITH dw AS (SELECT unnest(list_filter(string_split_regex(lower(text), " +
         "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
         "v0 AS (SELECT w, count(*) AS cnt, regexp_extract_all(w, '.') AS t FROM dw GROUP BY w), " +
-        (0 until 10).map(round).mkString(", ") + " " +
+        (0 until 10).map(bpeRoundSql).mkString(", ") + " " +
         (0 until 10).map(n =>
           s"SELECT ${n + 1} AS merge_rank, l, r, m AS merged, c AS pair_count FROM b$n")
           .mkString(" UNION ALL ") +
@@ -1855,25 +1866,14 @@ object Queries {
       }),
 
     // The encode half of the tokenizer pipeline: train the 10 merges, then
-    // tokenize every document with them (row-local folds, merge table as
-    // plan literals). Oracle reuses the training unroll's final vocabulary
-    // v10 — a doc's BPE length is the sum of its words' split lengths.
+    // tokenize every document with them. Oracle reuses the training
+    // unroll's final vocabulary v10 — a doc's BPE length is the sum of its
+    // words' split lengths.
     QueryDef("text_bpe_encode", Some {
-      def round(n: Int): String = {
-        val (v, p, b) = (s"v$n", s"p$n", s"b$n")
-        s"$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM " +
-          s"(SELECT cnt, unnest(list_transform(range(len(t) - 1), i -> " +
-          s"{'l': t[CAST(i AS INT)+1], 'r': t[CAST(i AS INT)+2]})) AS pr FROM $v) GROUP BY 1, 2), " +
-          s"$b AS (SELECT l, r, l || r AS m, c FROM $p ORDER BY c DESC, l, r LIMIT 1), " +
-          s"v${n + 1} AS (SELECT w, cnt, list_reduce(list_transform(t, x -> [x]), " +
-          s"(acc, x) -> CASE WHEN acc[len(acc)] = $b.l AND x[1] = $b.r " +
-          s"THEN list_concat(acc[1:len(acc)-1], [$b.m]) ELSE list_concat(acc, x) END) AS t " +
-          s"FROM $v CROSS JOIN $b)"
-      }
       "WITH dw AS (SELECT unnest(list_filter(string_split_regex(lower(text), " +
         "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
         "v0 AS (SELECT w, count(*) AS cnt, regexp_extract_all(w, '.') AS t FROM dw GROUP BY w), " +
-        (0 until 10).map(round).mkString(", ") + ", " +
+        (0 until 10).map(bpeRoundSql).mkString(", ") + ", " +
         "dw2 AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
         "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
         "lens AS (SELECT dw2.doc_id, len(v10.t) AS n FROM dw2 JOIN v10 ON v10.w = dw2.w) " +

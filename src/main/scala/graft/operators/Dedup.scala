@@ -478,7 +478,6 @@ object Dedup {
       }
     var prevCkpt = ckptRdd(labels)
     var iter = 0
-    var sawRounds = false
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
       // min over self + neighbors' labels. Self rows are tagged so the
@@ -517,12 +516,11 @@ object Dedup {
       prevCkpt = ckptRdd(labels)
       val chg = obs.get("chg").asInstanceOf[Long]
       converged = chg == 0L
-      sawRounds = true
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
     }
-    if (!converged && sawRounds)
+    if (!converged && iter > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (components with diameter > 2^maxIter are beyond it)")

@@ -35,23 +35,31 @@ object Tokenizer {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
         .otherwise(concat(acc, array(x))))
 
-  /** Encode text with a learned merge table: lowercased letter-run words
-    * (the [[bpeFit]] tokenization), each word character-split and folded
-    * through the merges IN RANK ORDER, flattened back to one token list.
-    * Purely row-local codegen expressions — embarrassingly parallel at any
-    * corpus size; the merge table rides into the plan as literals.
+  /** Lowercased letter-run words — the tokenization every BPE entry point
+    * shares. */
+  private def wordsOf(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}]+"), x => length(x) > 0)
+
+  /** One word → its BPE token list: character split, then the merge rules
+    * folded in rank order. The single source of the encode semantics —
+    * [[bpeEncode]] and [[bpeEncodeCorpus]] both call this. */
+  private def encodeWord(w: Column,
+                         mergeRules: Seq[(String, String, String)]): Column =
+    mergeRules.foldLeft(
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))) {
+      case (acc, (l, r, m)) => applyMerge(acc, l, r, m)
+    }
+
+  /** Encode text with a learned merge table, row-locally: per-word
+    * [[encodeWord]], flattened back to one token list. The merge table
+    * rides into the plan as literals. The folds are interpreted HOFs — use
+    * [[bpeEncodeCorpus]] for corpus-scale batch work, this form for
+    * streams and small frames.
     *
     * @param mergeRules (l, r, merged) in rank order, from [[bpeFit]]
     */
-  def bpeEncode(text: Column, mergeRules: Seq[(String, String, String)]): Column = {
-    def chars(w: Column): Column =
-      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-    flatten(transform(
-      filter(split(lower(text), "[^\\p{L}]+"), x => length(x) > 0),
-      w => mergeRules.foldLeft(chars(w)) {
-        case (acc, (l, r, m)) => applyMerge(acc, l, r, m)
-      }))
-  }
+  def bpeEncode(text: Column, mergeRules: Seq[(String, String, String)]): Column =
+    flatten(transform(wordsOf(text), w => encodeWord(w, mergeRules)))
 
   /** Corpus-scale BPE token counting: encode each DISTINCT word once
     * (vocabulary-sized fold work — the merge folds are interpreted HOFs,
@@ -65,16 +73,10 @@ object Tokenizer {
     */
   def bpeEncodeCorpus(docs: DataFrame, idCol: String, textCol: String,
                       mergeRules: Seq[(String, String, String)]): DataFrame = {
-    def chars(w: Column): Column =
-      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-    val words = docs.select(col(idCol), explode(
-      filter(split(lower(col(textCol)), "[^\\p{L}]+"),
-        x => length(x) > 0)).as("w"))
-    val vocab = words.groupBy("w").agg(count(lit(1)).as("__occ"))
-      .withColumn("n", size(mergeRules.foldLeft(chars(col("w"))) {
-        case (acc, (l, r, m)) => applyMerge(acc, l, r, m)
-      }).cast("long"))
-      .select("w", "n")
+    val words = docs.select(col(idCol), explode(wordsOf(col(textCol))).as("w"))
+    val vocab = words.select("w").distinct()
+      .select(col("w"),
+        size(encodeWord(col("w"), mergeRules)).cast("long").as("n"))
     docs.select(col(idCol))
       .join(words.join(vocab, "w").groupBy(idCol)
         .agg(sum("n").as("__sum")), Seq(idCol), "left")
@@ -94,13 +96,10 @@ object Tokenizer {
   def bpeFit(docs: DataFrame, textCol: String,
              merges: Int): Seq[(Int, String, String, String, Long)] = {
     require(merges >= 1, "need at least one merge")
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
     var vocab = docs
-      .select(explode(filter(split(lower(col(textCol)), "[^\\p{L}]+"),
-        x => length(x) > 0)).as("w"))
+      .select(explode(wordsOf(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("t", chars)
+      .withColumn("t", encodeWord(col("w"), Nil))
       .localCheckpoint(true)
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
