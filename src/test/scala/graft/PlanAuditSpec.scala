@@ -263,6 +263,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("dedup_incremental: every join is an equi-join — postings probe, digest lookup, never a nested loop") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+    // the candidate dedup before the verify join is a real aggregation
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("text_bpe_encode: dictionary encode — the interpreted merge folds run on DISTINCT words only") {
+    val p = plan("text_bpe_encode")
+    // the fold (aggregate HOF) must sit above the distinct-vocab aggregate,
+    // not on the per-occurrence explode side: exactly one explode feeds a
+    // HashAggregate before any aggregate-lambda projection appears
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("stream_sessionize (batch form): session window agg with map-side partials") {
     val p = plan("stream_sessionize")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
