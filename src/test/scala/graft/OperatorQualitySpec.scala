@@ -408,6 +408,26 @@ class OperatorQualitySpec extends AnyFunSuite {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("incrementalDedup: exact copies and near-dups of history rejected, fresh docs admitted") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact copy of 1
+      (11L, "quick brown fox jumps over the lazy dog"),      // near-dup of 1 (first word dropped)
+      (12L, "completely unrelated sentence about spark plans and shuffles")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(hist, batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((true, true, false)), s"exact copy: ${out(10L)}")
+    assert(out(11L)._1 == false && out(11L)._2 == true && out(11L)._3 == false,
+      s"near-dup: ${out(11L)}")
+    assert(out(12L) == ((false, false, true)), s"fresh doc: ${out(12L)}")
+  }
+
   test("bpeEncodeCorpus (dictionary join) equals the row-local bpeEncode fold") {
     import spark.implicits._
     val docs = Seq((1L, "aaab ab xyz"), (2L, ""), (3L, "ab aaab ab"))
