@@ -2043,6 +2043,49 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // End-to-end corpus build: exact dedup (first-id winner per digest) →
+    // quality gate (length + fluency floors) → token-budget greedy
+    // selection (the binned decomposition again — no global sort) →
+    // per-language rollup. One oracled query proving the pipeline stages
+    // compose deterministically; each stage is the already-proven operator.
+    QueryDef("corpus_build_pipeline", Some {
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH ded AS (SELECT doc_id, text, lang, n_chars FROM " +
+        "(SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents d) WHERE rn = 1), " +
+        "t0 AS (SELECT doc_id, lang, n_chars, len(string_split_regex(trim(text), '\\s+')) AS tokens, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks FROM ded), " +
+        "t AS (SELECT doc_id, lang, tokens, CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS q FROM t0 WHERE n_chars >= 100), " +
+        "f AS (SELECT * FROM t WHERE q >= 0.05), " +
+        "c AS (SELECT doc_id, lang, tokens, q, sum(tokens) OVER (ORDER BY q DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM f) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens " +
+        "FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang"
+    },
+      (s, d) => {
+        val ded = Dedup.exact(T(s, d, "documents"), Seq("text"), "doc_id")
+        val f = ded.filter(col("n_chars") >= 100)
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+            TextFunctions.stopwordRatio(col("text")).as("q"))
+          .filter(col("q") >= 0.05)
+        val wAbove = Window.orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val binsC = f.groupBy("q").agg(sum("tokens").as("btoks"))
+          .withColumn("cum_above", coalesce(sum("btoks").over(wAbove), lit(0L)))
+          .select("q", "cum_above")
+        val wIn = Window.partitionBy("q").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.join(broadcast(binsC), Seq("q"))
+          .withColumn("cum", col("cum_above") + sum("tokens").over(wIn))
+          .filter(col("cum") <= 10000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").cast("long").as("n_tokens"))
+          .orderBy("lang")
+      }),
+
     // ------------------------------------------------------------ multimodal
     // media table derived deterministically from documents: payload =
     // utf-8 bytes of the text, kind/mime from doc_id — so the metadata
