@@ -2066,11 +2066,15 @@ object Queries {
     },
       (s, d) => {
         val ded = Dedup.exact(T(s, d, "documents"), Seq("text"), "doc_id")
-        val f = ded.filter(col("n_chars") >= 100)
-          .select(col("doc_id"), col("lang"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
-            TextFunctions.stopwordRatio(col("text")).as("q"))
-          .filter(col("q") >= 0.05)
+        // bin aggregate + probe side both read this — persist so the dedup
+        // window and tokenization run once (the corpus_select convention)
+        val f = CacheRegistry.register(
+          ded.filter(col("n_chars") >= 100)
+            .select(col("doc_id"), col("lang"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+              TextFunctions.stopwordRatio(col("text")).as("q"))
+            .filter(col("q") >= 0.05)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val wAbove = Window.orderBy(col("q").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val binsC = f.groupBy("q").agg(sum("tokens").as("btoks"))
