@@ -1820,9 +1820,13 @@ object Queries {
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"),
       (s, d) => {
         val docs = T(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^\\p{L}]+"),
-            x => length(x) > 0)).as("w"))
+        // the unigram-count aggregate and the scoring join both read the
+        // token stream — persist so the corpus tokenizes once
+        val toks = CacheRegistry.register(
+          docs.select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "[^\\p{L}]+"),
+              x => length(x) > 0)).as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
         val tot = cnt.agg(sum("c").as("n"))
         val agg = toks.join(cnt, "w").crossJoin(broadcast(tot))

@@ -73,7 +73,11 @@ object Tokenizer {
     */
   def bpeEncodeCorpus(docs: DataFrame, idCol: String, textCol: String,
                       mergeRules: Seq[(String, String, String)]): DataFrame = {
-    val words = docs.select(col(idCol), explode(wordsOf(col(textCol))).as("w"))
+    // the distinct-vocab build and the occurrence join both read the word
+    // stream — persist so the corpus splits once (released via CacheRegistry)
+    val words = graft.CacheRegistry.register(
+      docs.select(col(idCol), explode(wordsOf(col(textCol))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocab = words.select("w").distinct()
       .select(col("w"),
         size(encodeWord(col("w"), mergeRules)).cast("long").as("n"))
