@@ -1584,6 +1584,37 @@ object Queries {
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id")),
 
+    // benchmark decontamination: train docs (source ∉ eval set) flagged by
+    // 5-gram overlap with the eval partition (sources src0-src2), zero-
+    // filled to a full per-doc audit. Spark joins 64-bit FNV shingle hashes
+    // (codegen ShingleHashesExpr — 8-byte shuffle payload); the oracle
+    // joins the gram STRINGS — equal counts absent 2⁻⁶⁴ collisions, the
+    // same equivalence dedup_jaccard_words already pins. The <n-words
+    // whole-doc fallback is reproduced in the oracle's ELSE branch.
+    QueryDef("text_decontaminate", Some(
+      "WITH d AS (SELECT doc_id, lang, source, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "g AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 5 " +
+        "THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) " +
+        "ELSE [array_to_string(w, ' ')] END) AS gram FROM d), " +
+        "dg AS (SELECT DISTINCT doc_id, source, gram FROM g), " +
+        "ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM dg " +
+        "WHERE source IN ('src0','src1','src2')), " +
+        "hits AS (SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams, " +
+        "count(DISTINCT ev.eval_id) AS n_eval_docs FROM dg t JOIN ev USING (gram) " +
+        "WHERE t.source NOT IN ('src0','src1','src2') GROUP BY 1) " +
+        "SELECT d.doc_id, d.lang, " +
+        "CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams, " +
+        "CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs, " +
+        "CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated " +
+        "FROM d LEFT JOIN hits h USING (doc_id) " +
+        "WHERE d.source NOT IN ('src0','src1','src2') ORDER BY d.doc_id"),
+      (s, d) => operators.TextAnalysis.decontaminate(T(s, d, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"), n = 5)
+        .select(col("doc_id"), col("lang"), col("n_shared_grams"),
+          col("n_eval_docs"), col("contaminated"))
+        .orderBy("doc_id")),
+
     // PII redaction over documents. The synthetic corpus carries no real
     // PII, so deterministic PII is injected into every 7th doc (identically
     // on both sides) to exercise actual redaction; counts are taken per

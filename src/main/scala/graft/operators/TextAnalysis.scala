@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -35,5 +35,48 @@ object TextAnalysis {
       col("n_words") >= minWords &&
         col("alpha_ratio") >= minAlphaRatio &&
         col("punct_ratio") <= maxPunctRatio)
+  }
+
+  /** Train/eval decontamination by word n-gram overlap — the standard
+    * benchmark-contamination check (Brown et al. 2020 §C run it with
+    * 13-grams; Dodge et al. 2021 audit C4 the same way): a training
+    * document is contaminated when it shares any length-`n` word n-gram
+    * with any document of the held-out/eval partition (`isEval` rows).
+    *
+    * Returns the NON-eval rows of `docs` annotated with
+    * `n_shared_grams` (distinct overlapping n-grams), `n_eval_docs`
+    * (distinct eval documents hit), and a 0/1 `contaminated` flag —
+    * zero-filled, so the output is a full per-document audit report, not
+    * just the hits.
+    *
+    * Scale shape: both sides reduce to DISTINCT 64-bit FNV shingle hashes
+    * via the codegen'd [[graft.plans.ShingleHashesExpr]] (8-byte join
+    * payload — the gram strings never reach the shuffle), then one
+    * equi-join on the hash. The eval side is benchmark-sized in practice
+    * (orders of magnitude under the corpus), so AQE broadcasts it and the
+    * 100 TB side is a single scan + map-side join + partial agg. Documents
+    * shorter than `n` words hash as one whole-document gram (the
+    * [[Dedup.shingleHashes]] fallback) — they match only verbatim copies.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("__eval", isEval)
+    // per-doc hash sets are already distinct (sorted-dedup inside the
+    // expression), so neither join input needs its own distinct shuffle
+    val grams = tagged.select(col(idCol).as("__id"), col("__eval"),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+    val ev = grams.filter(col("__eval"))
+      .select(col("__g"), col("__id").as("__eval_id"))
+    val hits = grams.filter(!col("__eval")).drop("__eval")
+      .join(ev, "__g")
+      .groupBy("__id")
+      .agg(countDistinct("__g").as("n_shared_grams"),
+        countDistinct("__eval_id").as("n_eval_docs"))
+    tagged.filter(!col("__eval")).drop("__eval")
+      .join(hits, col(idCol) === col("__id"), "left")
+      .drop("__id")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .withColumn("n_eval_docs", coalesce(col("n_eval_docs"), lit(0L)))
+      .withColumn("contaminated", (col("n_shared_grams") > 0).cast("int"))
   }
 }

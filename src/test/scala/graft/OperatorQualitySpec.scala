@@ -465,4 +465,31 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(out(20L)._2 && out(30L)._2, s"non-duplicates must survive: $out")
     assert(out(10L)._1 == 0 && out(30L)._1 == 1, s"cell assignment: $out")
   }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
+    import spark.implicits._
+    // eval doc 1 = "a b c d e f"; train doc 10 copies its 5-gram "b c d e f"
+    // (contaminated, 2 shared 5-grams hit? no — exactly the grams of doc 10
+    // that appear in doc 1: doc 10 = "z b c d e f" → grams {"z b c d e",
+    // "b c d e f"}; only the latter is in eval). Train doc 11 shares words
+    // but no 5-gram. Short train doc 12 (<5 words) only matches verbatim —
+    // doc 13 is its verbatim eval copy, so 12 IS contaminated.
+    val docs = Seq(
+      (1L, "a b c d e f", true),
+      (13L, "tiny short doc", true),
+      (10L, "z b c d e f", false),
+      (11L, "f e d c b a q r s t", false),
+      (12L, "tiny short doc", false),
+      (14L, "q w e r t y u", false)
+    ).toDF("id", "text", "ev")
+    val out = operators.TextAnalysis
+      .decontaminate(docs, "id", "text", col("ev"), n = 5)
+      .select("id", "n_shared_grams", "n_eval_docs", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(10L) === ((1L, 1L, 1)), s"one shared 5-gram with one eval doc: $out")
+    assert(out(11L) === ((0L, 0L, 0)), s"shared words but no shared 5-gram: $out")
+    assert(out(12L) === ((1L, 1L, 1)), s"verbatim short-doc copy matches whole-doc gram: $out")
+    assert(out(14L) === ((0L, 0L, 0)), s"unrelated doc clean: $out")
+    assert(!out.contains(1L) && !out.contains(13L), "eval rows are excluded from the report")
+  }
 }
