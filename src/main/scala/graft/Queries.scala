@@ -2270,6 +2270,30 @@ object Queries {
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start_us")),
 
+    // stream-stream interval join (purchase→view attribution within 1h per
+    // user) run in batch — the identical expression tree is the streaming
+    // job (StreamingJobs.correlateStreams; watermarks are no-ops in batch);
+    // StreamingSpec pins streaming output == this batch result
+    QueryDef("stream_correlate", Some(
+      "WITH e AS (SELECT event_id, user_id, ts, event_type FROM events) " +
+        "SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id, " +
+        "CAST(epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000 AS BIGINT) AS delay_us " +
+        "FROM (SELECT * FROM e WHERE event_type = 'view') v " +
+        "JOIN (SELECT * FROM e WHERE event_type = 'purchase') p " +
+        "ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR " +
+        "ORDER BY view_id, purchase_id"),
+      (s, d) => {
+        val e = T(s, d, "events").select("event_id", "user_id", "ts", "event_type")
+        graft.streaming.StreamingJobs.correlateStreams(
+            e.filter(col("event_type") === "view").drop("event_type"),
+            e.filter(col("event_type") === "purchase").drop("event_type"),
+            "user_id")
+          .select(col("l.event_id").as("view_id"), col("r.event_id").as("purchase_id"),
+            col("l.user_id").as("user_id"),
+            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("delay_us"))
+          .orderBy("view_id", "purchase_id")
+      }),
+
     QueryDef("stream_window_agg", Some(
       "SELECT CAST(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS BIGINT) AS bucket_start, " +
         "count(*) AS n, round(sum(value), 4) AS total_value FROM events GROUP BY 1"),

@@ -97,6 +97,38 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("event_hash")
   }
 
+  /** Stream-stream event-time interval join — the attribution shape (a
+    * `right` event credited to every `left` event of the same key it
+    * follows within `maxDelay`, e.g. purchase→view attribution). Both
+    * sides carry watermarks and the join condition bounds `r.ts` to
+    * `[l.ts, l.ts + maxDelay]`, so the state store retains each side only
+    * until the opposite watermark passes its join-window — the documented
+    * requirement for stream-stream inner joins to evict state. Without the
+    * time bound Spark would (correctly) refuse unbounded-state retention.
+    *
+    * Scale: state is hash-partitioned by `keyCol`; per-key state size is
+    * rate × (maxDelay + watermark), independent of stream history length.
+    * The same expression tree runs on batch frames (watermarks are no-ops
+    * there), which is how the `stream_correlate` oracle pins its values.
+    *
+    * @param left  frame with `keyCol` + `ts` (the earlier/cause side)
+    * @param right frame with `keyCol` + `ts` (the later/effect side)
+    */
+  def correlateStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                       maxDelayUs: Long = 3600L * 1000000L,
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    // µs integer bounds (unix_micros) keep the predicate identical across
+    // engines; the raw ts comparison is kept alongside because Spark's
+    // stream-stream state eviction analyzer looks for event-time columns
+    // in the range condition
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${maxDelayUs} MICROSECOND"))
+  }
+
   /** Event-time sessionization via the session_window built-in: a session
     * absorbs events while consecutive gaps stay within `gap` (an event at
     * exactly last_ts+gap still merges — pinned by StreamingSpec); it

@@ -168,6 +168,50 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 1L, 4.0)))
   }
 
+  test("stream-stream interval join: attribution pairs equal batch, out-of-window dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val vdf = views.toDF().toDF("event_id", "user_id", "ts")
+    val bdf = buys.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingJobs.correlateStreams(vdf, bdf, "user_id",
+        maxDelayUs = 3600L * 1000000L, watermark = "10 minutes")
+      .select(col("l.event_id").as("view_id"), col("r.event_id").as("purchase_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("corr_test").start()
+    try {
+      views.addData(
+        (1L, 7L, ts("2024-01-01 10:00:00")),
+        (2L, 7L, ts("2024-01-01 12:00:00")),
+        (3L, 8L, ts("2024-01-01 10:00:00")))
+      buys.addData(
+        (101L, 7L, ts("2024-01-01 10:30:00")), // within 1h of view 1
+        (102L, 7L, ts("2024-01-01 12:59:00")), // within 1h of view 2 only
+        (103L, 8L, ts("2024-01-01 09:30:00")), // BEFORE the view — no credit
+        (104L, 9L, ts("2024-01-01 10:30:00"))) // no view for this user
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("corr_test").count() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+    } finally q.stop()
+    val got = spark.table("corr_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L), (2L, 102L)), s"streaming pairs: $got")
+    // batch twin of the same expression tree gives the identical pair set
+    val bViews = Seq((1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")), (3L, 8L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val bBuys = Seq((101L, 7L, ts("2024-01-01 10:30:00")),
+      (102L, 7L, ts("2024-01-01 12:59:00")), (103L, 8L, ts("2024-01-01 09:30:00")),
+      (104L, 9L, ts("2024-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    val batch = StreamingJobs.correlateStreams(bViews, bBuys, "user_id",
+        maxDelayUs = 3600L * 1000000L)
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   test("file-source checkpoint: a restarted query resumes exactly-once, no reprocessing") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ckpt_in").toString
