@@ -1312,6 +1312,34 @@ object Queries {
           .orderBy("id_a", "id_b")
       }),
 
+    // winnowing fingerprints (MOSS): doc pairs sharing a selected 24-char
+    // gram — catches every shared substring of ≥35 normalized chars
+    // (k+w-1). The oracle replays the exact kernel: rolling fingerprint64
+    // polynomial per position (HUGEINT mod-2^64 wrap), per-window rightmost
+    // min (len - list_position(list_reverse(...)) gives the rightmost tie),
+    // gram join on the substrings themselves.
+    QueryDef("dedup_winnow", Some(
+      "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), " +
+        "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nrm FROM documents), " +
+        "c AS (SELECT doc_id, nrm, length(nrm) AS ln, " +
+        "list_transform(regexp_extract_all(nrm, '.'), ch -> unicode(ch)::HUGEINT) AS cs FROM n), " +
+        "hh AS (SELECT doc_id, nrm, ln, CASE WHEN ln < 24 THEN [] ELSE " +
+        "list_transform(range(1, ln - 22), i -> " +
+        "list_reduce(list_prepend(1125899906842597::HUGEINT, cs[i:i+23]), " +
+        "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)) END AS hs FROM c), " +
+        "sel AS (SELECT doc_id, nrm, CASE WHEN ln < 24 THEN [0] ELSE " +
+        "list_distinct(list_transform(range(1, greatest(len(hs) - 11, 1) + 1), j -> " +
+        "j + len(hs[j:least(j+11, len(hs))]) " +
+        "- list_position(list_reverse(hs[j:least(j+11, len(hs))]), " +
+        "list_min(hs[j:least(j+11, len(hs))])) - 1)) END AS ps FROM hh), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(ps, p -> substr(nrm, p + 1, 24))) AS gram FROM sel) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY id_a, id_b"),
+      (s, d) => Dedup.winnowPairs(T(s, d, "documents"), "doc_id", "text",
+          k = 24, w = 12)
+        .orderBy("id_a", "id_b")),
+
     // two-level bucket (label, 3 axis-aligned hyperplane sign bits): the
     // single-probe LSH scale path — ~8× fewer candidate pairs than
     // label-only blocking, and still SQL-expressible for the oracle
@@ -2039,6 +2067,34 @@ object Queries {
     // broadcast frame, and the in-bin running sum is a window PARTITIONED
     // by bin. cum_above + in-bin cumsum == the global greedy cumsum
     // exactly, shard-parallel at any corpus size.
+    // source-mixing weights: per-source sampling multiplier that equalizes
+    // token share across sources (uniform target — the Pile/DoReMi-style
+    // reweighting step before sampling). weight = total/(k·src_tokens),
+    // emitted as round-half-up 1e-8 fixed-point via pure integer math
+    // ((2·1e8·num + den) // (2·den)) so both engines agree bit-for-bit.
+    // Longs hold to ~9·10¹⁰ total tokens; the 100 TB swap is the same
+    // expression over DECIMAL(38,0) (one k-row frame — cost-free).
+    QueryDef("corpus_mix_weights", Some(
+      "WITH t AS (SELECT source, count(*) AS n_docs, " +
+        "sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT sum(n_tokens) AS total, count(*) AS k FROM t) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST((200000000 * total + k * n_tokens) // (2 * k * n_tokens) AS BIGINT) AS weight_e8 " +
+        "FROM t, tot ORDER BY source"),
+      (s, d) => {
+        val t = T(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        val tot = t.agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))
+        t.crossJoin(broadcast(tot))
+          .withColumn("weight_e8",
+            expr("(200000000L * total + k * n_tokens) div (2L * k * n_tokens)"))
+          .select("source", "n_docs", "n_tokens", "weight_e8")
+          .orderBy("source")
+      }),
+
     QueryDef("corpus_select_budget", Some {
       val sw = TextFunctions.stopwords("en").toSeq.sorted
         .map(w => s"'$w'").mkString("[", ",", "]")

@@ -590,4 +590,59 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"),
         coalesce(col("lost") === false, lit(true)).as("kept"))
   }
+
+  /** Whitespace-collapse + lowercase normalization shared by the winnowing
+    * path and its oracle (explicit char class — Java's and RE2's `\s`
+    * disagree on \x0B). */
+  private def winnowNorm(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Per-doc distinct winnowing fingerprints: (pos, gram) of each selected
+    * k-char window of the normalized text — the document's MOSS signature.
+    * Selection runs in the codegen'd [[graft.plans.WinnowPositionsExpr]]
+    * kernel; the gram string is extracted only for the SELECTED positions
+    * (density 2/(w+1) of the text), so the exploded postings stay ~6× under
+    * a full k-gram index.
+    */
+  def winnowedGrams(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int): DataFrame = {
+    val nrm = winnowNorm(col(textCol))
+    df.select(col(idCol).as("id"), nrm.as("nrm"))
+      .select(col("id"), col("nrm"),
+        explode(graft.plans.WinnowPositionsExpr(col("nrm"), k, w)).as("pos"))
+      .select(col("id"), col("nrm").substr(col("pos") + 1, lit(k)).as("gram"))
+      .dropDuplicates("id", "gram")
+  }
+
+  /** Exact-substring near-dup pairs via winnowing (Schleimer et al.
+    * SIGMOD'03): doc pairs sharing ≥1 selected fingerprint, i.e. —
+    * by the winnowing guarantee — every pair sharing an exact substring of
+    * ≥ k+w-1 normalized chars is found, with index density only 2/(w+1).
+    * This is the character-level complement of [[jaccardPrefixPairs]]
+    * (word-set overlap) and [[minHashLshPairs]] (probabilistic): think
+    * license headers, boilerplate, quoted passages.
+    *
+    * Scale: one equi-join on the selected gram; no all-pairs stage. Grams
+    * seen in more than `maxDf` documents (boilerplate so common it can't
+    * discriminate — MOSS drops these the same way) are excluded BEFORE the
+    * pair join, bounding any single bucket's contribution to maxDf².
+    * n_shared counts distinct shared fingerprints per pair.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 24, w: Int = 12, maxDf: Long = 0L): DataFrame = {
+    val grams = winnowedGrams(df, idCol, textCol, k, w)
+    val filtered =
+      if (maxDf <= 0L) grams
+      else {
+        val wDf = Window.partitionBy("gram")
+        grams.withColumn("__df", count(lit(1)).over(wDf))
+          .filter(col("__df") <= maxDf).drop("__df")
+      }
+    val a = filtered.select(col("id").as("id_a"), col("gram"))
+    val b = filtered.select(col("id").as("id_b"), col("gram"))
+    a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

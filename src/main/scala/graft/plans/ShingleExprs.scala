@@ -135,6 +135,66 @@ object ShingleKernel {
     bucket
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * §2 — the MOSS algorithm): over the rolling k-gram hashes of the
+    * normalized text, every window of `w` consecutive hashes selects its
+    * minimum (rightmost on ties); the distinct selected 0-based positions
+    * are returned ascending. Guarantee: two documents sharing any substring
+    * of length ≥ k+w-1 share at least one selected fingerprint.
+    *
+    * Hash = the fingerprint64 polynomial (basis·31^k + Σ c·31^t mod 2^64)
+    * over each k-char window, computed rolling (O(n), not O(n·k)); min is
+    * by UNSIGNED comparison so the SQL oracle's HUGEINT-mod-2^64 order
+    * matches. Texts shorter than k chars select position 0 (whole-text
+    * gram — the shingleHashes short-doc convention).
+    */
+  def winnowPositions(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < k) return ArrayData.toArrayData(Array(0))
+    val m = n - k + 1
+    var pow = 1L // 31^(k-1): weight of the outgoing char
+    var t = 0
+    while (t < k - 1) { pow *= 31L; t += 1 }
+    var b = 1125899906842597L // basis·31^k: constant head of every window hash
+    t = 0
+    while (t < k) { b *= 31L; t += 1 }
+    val hs = new Array[Long](m)
+    var g = 0L
+    var i = 0
+    while (i < k) { g = g * 31L + str.charAt(i); i += 1 }
+    hs(0) = b + g
+    i = 1
+    while (i < m) {
+      g = (g - str.charAt(i - 1) * pow) * 31L + str.charAt(i + k - 1)
+      hs(i) = b + g
+      i += 1
+    }
+    val wEff = math.min(w, m)
+    val selected = new Array[Boolean](m)
+    var j = 0
+    while (j <= m - wEff) {
+      var best = j
+      var x = j + 1
+      val end = j + wEff
+      while (x < end) {
+        // <= keeps the RIGHTMOST minimum — the tie rule the oracle pins
+        if (java.lang.Long.compareUnsigned(hs(x), hs(best)) <= 0) best = x
+        x += 1
+      }
+      selected(best) = true
+      j += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < m) { if (selected(i)) cnt += 1; i += 1 }
+    val out = new Array[Int](cnt)
+    var o = 0
+    i = 0
+    while (i < m) { if (selected(i)) { out(o) = i; o += 1 }; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** MinHash signature — mirrors Dedup.minhashSigUdf (single pass over the
     * shingles updating all universal-hash mins). Null elements (possible
     * from SQL array literals) are skipped rather than silently read as 0. */
@@ -254,6 +314,40 @@ case class SimHash64Expr(child: Expression)
 object SimHash64Expr {
   def apply(tokens: Column): Column =
     ColumnBridge.column(new SimHash64Expr(ColumnBridge.expression(tokens)))
+}
+
+/** `winnowPositions(text, k, w)` as a native codegen expression. */
+case class WinnowPositionsExpr(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_positions expects (string, int, int), got ($a, $b, $c)")
+    }
+
+  override protected def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    ShingleKernel.winnowPositions(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k, w) =>
+      s"graft.plans.ShingleKernel.winnowPositions($s, $k, $w)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowPositionsExpr {
+  def apply(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(new WinnowPositionsExpr(
+      ColumnBridge.expression(text),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(k)),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(w))))
 }
 
 /** `signBucket(vec, nPlanes, planeOffset)` as a native codegen expression. */

@@ -466,6 +466,68 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(out(10L)._1 == 0 && out(30L)._1 == 1, s"cell assignment: $out")
   }
 
+  /** Straight-line winnowing reimplementation (full fold per position, no
+    * rolling optimization, list-based) — the spec the codegen kernel must
+    * match. */
+  private def winnowNaive(text: String, k: Int, w: Int): Seq[Int] = {
+    val n = text.length
+    if (n < k) return Seq(0)
+    val hs = (0 to n - k).map { i =>
+      var h = 1125899906842597L
+      (i until i + k).foreach(j => h = 31 * h + text.charAt(j))
+      h
+    }
+    val wEff = math.min(w, hs.length)
+    (0 to hs.length - wEff).map { j =>
+      val win = hs.slice(j, j + wEff)
+      val mn = win.minBy(identity)(Ordering.fromLessThan[Long](
+        (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+      j + win.lastIndexOf(mn)
+    }.distinct.sorted
+  }
+
+  test("winnow kernel matches the naive spec on random strings (incl. short-text fallback)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 60).map { i =>
+      val len = if (i < 5) i else 5 + rnd.nextInt(120) // exercise n<k and n<k+w-1
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    } // 4-letter alphabet forces hash ties → pins the rightmost-tie rule
+    val got = texts.toDF("id", "t")
+      .select(col("id"), graft.plans.WinnowPositionsExpr(col("t"), 8, 4).as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == winnowNaive(t, 8, 4), s"id=$id text='$t'")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >= k+w-1 substring produce a pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rand(35) // exactly k+w-1 for (k=24, w=12)
+    val docs = Seq(
+      (1L, rand(80) + shared + rand(80)),
+      (2L, rand(40) + shared + rand(120)),
+      (3L, rand(200))) // unrelated — 26-letter random text, no 24-char overlap
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 24, w = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted shared substring not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false pair with doc 3: $pairs")
+  }
+
+  test("winnowPairs maxDf drops boilerplate grams before the pair join") {
+    import spark.implicits._
+    val boiler = "this header appears in every single document verbatim"
+    val docs = (1L to 6L).map(i => (i, boiler + " " + ("u" * 30 + i.toString)))
+      .toDF("doc_id", "text")
+    val all = Dedup.winnowPairs(docs, "doc_id", "text", k = 24, w = 12).count()
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text", k = 24, w = 12, maxDf = 3L).count()
+    assert(all == 15L, s"boilerplate should pair all 6 docs: $all") // C(6,2)
+    assert(capped == 0L, s"df-capped grams must not produce pairs: $capped")
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
     import spark.implicits._
     // eval doc 1 = "a b c d e f"; train doc 10 copies its 5-gram "b c d e f"
