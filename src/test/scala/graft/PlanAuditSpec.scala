@@ -271,6 +271,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("dedup_winnow: codegen kernel (no UDF), gram equi-join, never a nested loop") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("text_decontaminate: hash-payload equi-join, no UDF, no nested loop") {
+    val p = plan("text_decontaminate")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_bpe_encode: dictionary encode — the interpreted merge folds run on DISTINCT words only") {
     val p = plan("text_bpe_encode")
     // the fold (aggregate HOF) must sit above the distinct-vocab aggregate,
