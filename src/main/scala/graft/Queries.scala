@@ -2095,6 +2095,43 @@ object Queries {
           .orderBy("source")
       }),
 
+    // training-order interleaving by stride scheduling (Waldspurger &
+    // Weihl OSDI'94, applied to source mixing): doc #i of source s gets
+    // virtual time i/w_s, so reading in vt order interleaves sources
+    // proportionally to their [corpus_mix_weights] weight — no global
+    // window anywhere: src_rank is a source-PARTITIONED window and vt is
+    // row-local integer math; consumers range-read on vt (the ORDER BY
+    // here is output determinism only). 1e12 fixed-point holds to ~9·10⁶
+    // docs/source with e8 weights; DECIMAL(38,0) is the 100 TB swap.
+    QueryDef("corpus_interleave", Some(
+      "WITH d AS (SELECT doc_id, source, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents), " +
+        "t AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1), " +
+        "tot AS (SELECT sum(src_tokens) AS total, count(*) AS k FROM t), " +
+        "w AS (SELECT source, CAST((200000000 * total + k * src_tokens) " +
+        "// (2 * k * src_tokens) AS BIGINT) AS weight_e8 FROM t, tot), " +
+        "r AS (SELECT doc_id, source, row_number() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS src_rank FROM d) " +
+        "SELECT r.doc_id, r.source, CAST(src_rank AS BIGINT) AS src_rank, " +
+        "CAST((src_rank * 1000000000000) // weight_e8 AS BIGINT) AS vt " +
+        "FROM r JOIN w USING (source) ORDER BY vt, doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        val t = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+        val tot = t.agg(sum("src_tokens").as("total"), count(lit(1)).as("k"))
+        val wts = t.crossJoin(broadcast(tot))
+          .withColumn("weight_e8",
+            expr("(200000000L * total + k * src_tokens) div (2L * k * src_tokens)"))
+          .select("source", "weight_e8")
+        val rnW = Window.partitionBy("source").orderBy("doc_id")
+        docs.withColumn("src_rank", row_number().over(rnW).cast("long"))
+          .join(broadcast(wts), "source")
+          .withColumn("vt", expr("(src_rank * 1000000000000L) div weight_e8"))
+          .select("doc_id", "source", "src_rank", "vt")
+          .orderBy("vt", "doc_id")
+      }),
+
     QueryDef("corpus_select_budget", Some {
       val sw = TextFunctions.stopwords("en").toSeq.sorted
         .map(w => s"'$w'").mkString("[", ",", "]")
