@@ -1511,6 +1511,50 @@ object Queries {
           .orderBy("vec_id")
       }),
 
+    // product quantization (2×32-dim subspaces, 4-centroid codebooks, 2
+    // Lloyd iterations each): codes + squared reconstruction error. The
+    // oracle unrolls BOTH subspace k-means runs with the sim_kmeans SQL
+    // machinery over sliced vectors; same init (first K by vec_id), same
+    // 6dp centroid rounding, same tie rule (list_position on the min =
+    // lowest cell).
+    QueryDef("embed_pq_codes", Some {
+      val SUB = 32; val K = 4
+      def distList(cs: String): String =
+        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(range($SUB), i -> (v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+          s"(v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+      def iterSql(p: String, tbl: String, n: Int): String =
+        s"${p}g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+          s"(SELECT vec_id, v, ${distList(s"(SELECT cs FROM ${p}c$n)")} AS ds FROM $tbl) ${p}t$n), " +
+          s"${p}m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ${p}g$n) ${p}u$n GROUP BY cell, pos), " +
+          s"${p}n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$n GROUP BY cell), " +
+          s"${p}c${n + 1} AS (SELECT list(coalesce(${p}n$n.c, (SELECT cs FROM ${p}c$n)[CAST(cellno AS INT)+1]) " +
+          s"ORDER BY cellno) AS cs FROM range($K) ${p}r$n(cellno) LEFT JOIN ${p}n$n ON ${p}n$n.cell = cellno)"
+      def subBlock(p: String, tbl: String): String =
+        s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM " +
+          s"(SELECT vec_id, v FROM $tbl ORDER BY vec_id LIMIT $K) ${p}i0), " +
+          iterSql(p, tbl, 0) + ", " + iterSql(p, tbl, 1) + ", " +
+          s"${p}fin AS (SELECT vec_id, ${distList(s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "e0 AS (SELECT vec_id, v[1:32] AS v FROM e), " +
+        "e1 AS (SELECT vec_id, v[33:64] AS v FROM e), " +
+        subBlock("s0", "e0") + ", " + subBlock("s1", "e1") + ", " +
+        "a0 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code0, " +
+        "list_min(ds) AS d0 FROM s0fin), " +
+        "a1 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code1, " +
+        "list_min(ds) AS d1 FROM s1fin) " +
+        "SELECT a0.vec_id, code0, code1, round(d0 + d1, 6) AS err " +
+        "FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id"
+    },
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val books = Similarity.pqFit(e, "vec_id", "v", dims = 64, m = 2, k = 4, iters = 2)
+        Similarity.pqEncode(e, "vec_id", "v", books, dims = 64)
+          .orderBy("vec_id")
+      }),
+
     QueryDef("sim_topk_ivf", Some(
       "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cells AS (SELECT vec_id, v, CASE WHEN list_distance(v, list_transform(range(64), x -> 0.25)) <= " +

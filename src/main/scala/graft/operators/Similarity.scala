@@ -264,4 +264,46 @@ object Similarity {
       .withColumn("cell", explode(ivfProbeCells(col("qv"), centroids, nProbe)))
     rerankTopK(c.join(broadcast(q), Seq("cell")), k)
   }
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid TPAMI'11 §II):
+    * the vector space is split into `m` contiguous `dims/m`-dim subspaces
+    * and an independent k-means codebook is trained per subspace — m·log2(k)
+    * bits encode a vector, k·m small centroids reconstruct it. Training is
+    * m [[kmeansFit]] runs over sliced vectors (each a corpus scan with
+    * map-side-combined k·(dims/m) partial sums — same scale shape as IVF
+    * training; at 100 TB you train on a sample, encode the full corpus).
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+            m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      kmeansFit(corpus.select(col(idCol).as("id"),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("v")),
+        "id", "v", k, iters)
+    }
+  }
+
+  /** PQ encoding: per subspace the nearest codebook centroid (ties → lower
+    * code, the [[ivfCellAssign]] rule), plus the total squared
+    * reconstruction error Σ_s ‖v_s − c_{code_s}‖² — the quantity PQ
+    * minimizes and the quality gauge an index build monitors. Row-local
+    * built-ins against broadcast codebook literals: no shuffle, no UDF.
+    * Output: idCol, code0..code{m-1} (int), err (squared L2, 6 dp).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]], dims: Int): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    val v = col(vecCol).cast("array<double>")
+    val assigns = codebooks.zipWithIndex.map { case (cb, s) =>
+      ivfCellAssign(slice(v, s * sub + 1, sub), cb).as(s"__a$s")
+    }
+    val base = df.select(col(idCol) +: assigns: _*)
+    val codes = (0 until m).map(s => base(s"__a$s.cell").as(s"code$s"))
+    // left-to-right sum matches the oracle's d0 + d1 + … evaluation order
+    val err = (0 until m).map(s => base(s"__a$s.dist")).reduce(_ + _)
+    base.select((col(idCol) +: codes :+ round(err, 6).as("err")): _*)
+  }
 }

@@ -528,6 +528,25 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(capped == 0L, s"df-capped grams must not produce pairs: $capped")
   }
 
+  test("pqEncode: per-subspace nearest codes and summed reconstruction error") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 → 2-dim subspaces; codebooks chosen so the
+    // expected code and error are hand-computable
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), // subspace 0
+      Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))) // subspace 1
+    val vecs = Seq(
+      (1L, Seq(0.1, 0.0, 0.9, 0.1)), // s0→code 0 (err .01), s1→code 1 (err .02)
+      (2L, Seq(1.0, 1.0, 0.0, 1.0)), // exact c1 / exact c0 → err 0
+      (3L, Seq(0.5, 0.5, 0.5, 0.5))  // equidistant BOTH subspaces → ties → code 0
+    ).toDF("id", "v")
+    val out = Similarity.pqEncode(vecs, "id", "v", books, dims = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((0, 1, 0.03)), s"hand-computed codes/err: $out")
+    assert(out(2L) === ((1, 0, 0.0)), s"exact centroids give zero error: $out")
+    assert(out(3L) === ((0, 0, 1.0)), s"ties resolve to the lower code: $out")
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
     import spark.implicits._
     // eval doc 1 = "a b c d e f"; train doc 10 copies its 5-gram "b c d e f"
