@@ -1555,6 +1555,56 @@ object Queries {
           .orderBy("vec_id")
       }),
 
+    // PQ-ADC search over the trained codebooks: the oracle's s0fin/s1fin
+    // distance lists ARE the per-query ADC tables (distances to the final
+    // rounded centroids in cell order), so the approximate distance is two
+    // list lookups on the neighbor's codes — evaluation order d0+d1 matches
+    // the Spark reduce exactly.
+    QueryDef("sim_topk_pq", Some {
+      val SUB = 32; val K = 4
+      def distList(cs: String): String =
+        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(range($SUB), i -> (v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+          s"(v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+      def iterSql(p: String, tbl: String, n: Int): String =
+        s"${p}g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+          s"(SELECT vec_id, v, ${distList(s"(SELECT cs FROM ${p}c$n)")} AS ds FROM $tbl) ${p}t$n), " +
+          s"${p}m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ${p}g$n) ${p}u$n GROUP BY cell, pos), " +
+          s"${p}n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$n GROUP BY cell), " +
+          s"${p}c${n + 1} AS (SELECT list(coalesce(${p}n$n.c, (SELECT cs FROM ${p}c$n)[CAST(cellno AS INT)+1]) " +
+          s"ORDER BY cellno) AS cs FROM range($K) ${p}r$n(cellno) LEFT JOIN ${p}n$n ON ${p}n$n.cell = cellno)"
+      def subBlock(p: String, tbl: String): String =
+        s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM " +
+          s"(SELECT vec_id, v FROM $tbl ORDER BY vec_id LIMIT $K) ${p}i0), " +
+          iterSql(p, tbl, 0) + ", " + iterSql(p, tbl, 1) + ", " +
+          s"${p}fin AS (SELECT vec_id, ${distList(s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "e0 AS (SELECT vec_id, v[1:32] AS v FROM e), " +
+        "e1 AS (SELECT vec_id, v[33:64] AS v FROM e), " +
+        subBlock("s0", "e0") + ", " + subBlock("s1", "e1") + ", " +
+        "a0 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code0 FROM s0fin), " +
+        "a1 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code1 FROM s1fin), " +
+        "cand AS (SELECT q0.vec_id AS query_id, a0.vec_id AS neighbor_id, " +
+        "q0.ds[code0 + 1] + q1.ds[code1 + 1] AS score " +
+        "FROM s0fin q0 JOIN s1fin q1 ON q0.vec_id = q1.vec_id " +
+        "CROSS JOIN a0 JOIN a1 ON a0.vec_id = a1.vec_id " +
+        "WHERE q0.vec_id < 5 AND a0.vec_id <> q0.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id ASC) AS INT) AS rank " +
+        "FROM cand) " +
+        "SELECT query_id, neighbor_id, round(score, 6) AS adc_dist, rank " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"
+    },
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val books = Similarity.pqFit(e, "vec_id", "v", dims = 64, m = 2, k = 4, iters = 2)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "v", 10,
+            books, dims = 64)
+          .orderBy("query_id", "rank")
+      }),
+
     QueryDef("sim_topk_ivf", Some(
       "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cells AS (SELECT vec_id, v, CASE WHEN list_distance(v, list_transform(range(64), x -> 0.25)) <= " +

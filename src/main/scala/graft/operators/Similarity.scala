@@ -284,6 +284,45 @@ object Similarity {
     }
   }
 
+  /** Squared-L2 distances to every centroid, in cell order — the ADC
+    * distance-table builder (one k-entry table per query per subspace). */
+  def centroidDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(centroidDistPairs(vec, centroids), p => p.getField("dist"))
+
+  /** PQ asymmetric-distance (ADC) top-k (Jégou et al. TPAMI'11 §III): each
+    * query precomputes an m×k distance table to the codebook centroids;
+    * a corpus vector's approximate distance is then m table lookups on its
+    * CODES — the encoded corpus is scanned without touching any corpus
+    * vector. Scale: the codes frame is m ints per vector (the whole point
+    * of PQ — ~8 bytes instead of dims×8); queries with their tables are
+    * broadcast, so the scan is shuffle-free and codegen'd (element_at on a
+    * small array). Ranking is per-query (dist asc, ties → lower neighbor).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]],
+             dims: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = dims / m
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, dims)
+      .select(col(idCol).as("neighbor_id") +: (0 until m).map(s => col(s"code$s")): _*)
+    val v = col(vecCol).cast("array<double>")
+    val q = queries.select(col(idCol).as("query_id") +:
+      codebooks.zipWithIndex.map { case (cb, s) =>
+        centroidDists(slice(v, s * sub + 1, sub), cb).as(s"__qt$s")
+      }: _*)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(s => element_at(col(s"__qt$s"), col(s"code$s") + 1))
+          .reduce(_ + _))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+  }
+
   /** PQ encoding: per subspace the nearest codebook centroid (ties → lower
     * code, the [[ivfCellAssign]] rule), plus the total squared
     * reconstruction error Σ_s ‖v_s − c_{code_s}‖² — the quantity PQ

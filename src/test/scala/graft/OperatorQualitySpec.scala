@@ -180,6 +180,57 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(r8 >= 0.4, f"multi-table LSH recall@10 $r8%.3f < 0.4 at nPlanes=8")
   }
 
+  test("PQ-ADC top-k: recall@10 floor vs brute force on real embeddings") {
+    import spark.implicits._
+    // L2-NORMALIZED vectors: brute ranks by cosine, ADC by squared L2 —
+    // the two orders agree only on the unit sphere, and normalizing
+    // isolates what the floor should measure (quantization loss, not a
+    // metric mismatch)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+    val e = raw.select(col("vec_id"),
+      transform(col("raw"), x => x / Similarity.l2Norm(col("raw"))).as("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+    val books = Similarity.pqFit(e, "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 2)
+    val pq = topSets(Similarity.pqTopK(e, q, "vec_id", "embedding", 10, books, dims = 64))
+    val recall = brute.map { case (qid, truth) =>
+      pq.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / brute.size
+    info(f"PQ-ADC recall@10 vs brute (m=8, k=16, normalized): $recall%.3f")
+    // low floor BY CONSTRUCTION: these synthetic vectors are near-
+    // equidistant, so within-cell fine ranking (which PQ cannot see —
+    // same codes ⇒ same ADC distance) dominates top-10 membership. The
+    // canary catches gross bucketing/lookup regressions; EXACTNESS of the
+    // ADC math is pinned by the sim_topk_pq oracle and the identity below.
+    assert(recall >= 0.2, f"PQ-ADC recall@10 $recall%.3f < 0.2")
+  }
+
+  test("ADC distance identity: reported dist == exact L2² to the RECONSTRUCTED neighbor") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 5)
+    val books = Similarity.pqFit(e, "vec_id", "v", dims = 64, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(e, "vec_id", "v", books, dims = 64)
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val qvecs = q.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val top = Similarity.pqTopK(e, q, "vec_id", "v", 10, books, dims = 64)
+      .select("query_id", "neighbor_id", "adc_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty)
+    top.foreach { case (qid, nid, adc) =>
+      // ADC dist ≡ ‖q − decode(codes(n))‖²: the defining identity of
+      // asymmetric distance computation
+      val recon = codes(nid).zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      val exact = qvecs(qid).zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - exact) < 1e-5, s"q=$qid n=$nid adc=$adc exact=$exact")
+    }
+  }
+
   test("multimodal decode stub: golden header/frame/checksum values") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](2500)(i => (i % 251).toByte)
