@@ -207,6 +207,38 @@ object Queries {
     run(Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4))
   }
 
+  /** DuckDB SQL builders for the unrolled deterministic k-means oracle
+    * (init = first k vectors by vec_id, per-iteration 6dp centroid
+    * rounding, empty-cell coalesce, lowest-cell tie via list_position on
+    * the min) — ONE source of truth for the sim_kmeans / dedup_semantic /
+    * sim_topk_kmeans / embed_pq_codes / sim_topk_pq oracles. `p` prefixes
+    * the CTE names so several instantiations (e.g. the two PQ subspaces)
+    * can coexist in one WITH chain; a table `tbl` must expose (vec_id, v).
+    */
+  private object KmeansSql {
+    def distList(dim: Int, v: String, cs: String): String =
+      s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(range($dim), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
+        s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
+    def iterSql(p: String, tbl: String, dim: Int, k: Int, n: Int): String =
+      s"${p}g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
+        s"(SELECT vec_id, v, ${distList(dim, "v", s"(SELECT cs FROM ${p}c$n)")} AS ds FROM $tbl) ${p}t$n), " +
+        s"${p}m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
+        s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ${p}g$n) ${p}u$n GROUP BY cell, pos), " +
+        s"${p}n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$n GROUP BY cell), " +
+        s"${p}c${n + 1} AS (SELECT list(coalesce(${p}n$n.c, (SELECT cs FROM ${p}c$n)[CAST(cellno AS INT)+1]) " +
+        s"ORDER BY cellno) AS cs FROM range($k) ${p}r$n(cellno) LEFT JOIN ${p}n$n ON ${p}n$n.cell = cellno)"
+    /** c0 init + 2 Lloyd iterations; the trained centroids are `${p}c2`. */
+    def trainBlock(p: String, tbl: String, dim: Int, k: Int): String =
+      s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM " +
+        s"(SELECT vec_id, v FROM $tbl ORDER BY vec_id LIMIT $k) ${p}i0), " +
+        iterSql(p, tbl, dim, k, 0) + ", " + iterSql(p, tbl, dim, k, 1)
+    /** trainBlock + per-vector distance lists vs the trained centroids. */
+    def subBlock(p: String, tbl: String, dim: Int, k: Int): String =
+      trainBlock(p, tbl, dim, k) + ", " +
+        s"${p}fin AS (SELECT vec_id, ${distList(dim, "v", s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
+  }
+
   // ============================================================== queries ==
 
   val all: Seq[QueryDef] = Seq(
@@ -1368,21 +1400,9 @@ object Queries {
     // exactly.
     QueryDef("dedup_semantic", Some {
       val D = 64; val K = 8
-      def distList(v: String, cs: String): String =
-        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
-          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
-      def iterSql(n: Int, prev: String): String =
-        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
-          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
-          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
-          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
-          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
-          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
-          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
+      def distList(v: String, cs: String): String = KmeansSql.distList(D, v, cs)
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
-        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
+        KmeansSql.trainBlock("", "e", D, K) + ", " +
         "cells AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell, list_min(ds) AS dc, " +
         "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm FROM " +
         s"(SELECT vec_id, v, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) tf), " +
@@ -1439,21 +1459,9 @@ object Queries {
     // sim_topk_ivf building blocks, composed.
     QueryDef("sim_topk_kmeans", Some {
       val D = 64; val K = 8
-      def distList(v: String, cs: String): String =
-        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
-          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
-      def iterSql(n: Int, prev: String): String =
-        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
-          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
-          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
-          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
-          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
-          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
-          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
+      def distList(v: String, cs: String): String = KmeansSql.distList(D, v, cs)
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
-        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
+        KmeansSql.trainBlock("", "e", D, K) + ", " +
         "cells AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell, " +
         "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm FROM " +
         s"(SELECT vec_id, v, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) tf), " +
@@ -1484,23 +1492,8 @@ object Queries {
     // leak in), then the final cell assignment. The oracle unrolls both
     // iterations in SQL with the proven left-fold distance pattern.
     QueryDef("sim_kmeans", Some {
-      val D = 64; val K = 8
-      def distList(v: String, cs: String): String =
-        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(range($D), i -> ($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
-          s"($v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
-      def iterSql(n: Int, prev: String): String =
-        s"g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
-          s"(SELECT vec_id, v, ${distList("v", s"(SELECT cs FROM $prev)")} AS ds FROM e) t$n), " +
-          s"m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
-          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM g$n) u$n GROUP BY cell, pos), " +
-          s"n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM m$n GROUP BY cell), " +
-          s"c${n + 1} AS (SELECT list(coalesce(n$n.c, (SELECT cs FROM $prev)[CAST(cellno AS INT)+1]) " +
-          s"ORDER BY cellno) AS cs FROM range($K) r$n(cellno) LEFT JOIN n$n ON n$n.cell = cellno)"
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) i0), " +
-        iterSql(0, "c0") + ", " + iterSql(1, "c1") + ", " +
-        s"fin AS (SELECT vec_id, ${distList("v", "(SELECT cs FROM c2)")} AS ds FROM e) " +
+        KmeansSql.subBlock("", "e", 64, 8) + " " +
         "SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM fin ORDER BY vec_id"
     },
       (s, d) => {
@@ -1518,28 +1511,11 @@ object Queries {
     // 6dp centroid rounding, same tie rule (list_position on the min =
     // lowest cell).
     QueryDef("embed_pq_codes", Some {
-      val SUB = 32; val K = 4
-      def distList(cs: String): String =
-        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(range($SUB), i -> (v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
-          s"(v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
-      def iterSql(p: String, tbl: String, n: Int): String =
-        s"${p}g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
-          s"(SELECT vec_id, v, ${distList(s"(SELECT cs FROM ${p}c$n)")} AS ds FROM $tbl) ${p}t$n), " +
-          s"${p}m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
-          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ${p}g$n) ${p}u$n GROUP BY cell, pos), " +
-          s"${p}n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$n GROUP BY cell), " +
-          s"${p}c${n + 1} AS (SELECT list(coalesce(${p}n$n.c, (SELECT cs FROM ${p}c$n)[CAST(cellno AS INT)+1]) " +
-          s"ORDER BY cellno) AS cs FROM range($K) ${p}r$n(cellno) LEFT JOIN ${p}n$n ON ${p}n$n.cell = cellno)"
-      def subBlock(p: String, tbl: String): String =
-        s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM " +
-          s"(SELECT vec_id, v FROM $tbl ORDER BY vec_id LIMIT $K) ${p}i0), " +
-          iterSql(p, tbl, 0) + ", " + iterSql(p, tbl, 1) + ", " +
-          s"${p}fin AS (SELECT vec_id, ${distList(s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "e0 AS (SELECT vec_id, v[1:32] AS v FROM e), " +
         "e1 AS (SELECT vec_id, v[33:64] AS v FROM e), " +
-        subBlock("s0", "e0") + ", " + subBlock("s1", "e1") + ", " +
+        KmeansSql.subBlock("s0", "e0", 32, 4) + ", " +
+        KmeansSql.subBlock("s1", "e1", 32, 4) + ", " +
         "a0 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code0, " +
         "list_min(ds) AS d0 FROM s0fin), " +
         "a1 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code1, " +
@@ -1561,28 +1537,11 @@ object Queries {
     // list lookups on the neighbor's codes — evaluation order d0+d1 matches
     // the Spark reduce exactly.
     QueryDef("sim_topk_pq", Some {
-      val SUB = 32; val K = 4
-      def distList(cs: String): String =
-        s"list_transform($cs, c -> list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(range($SUB), i -> (v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1])*" +
-          s"(v[CAST(i AS INT)+1]-c[CAST(i AS INT)+1]))), (a, x) -> a + x))"
-      def iterSql(p: String, tbl: String, n: Int): String =
-        s"${p}g$n AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell FROM " +
-          s"(SELECT vec_id, v, ${distList(s"(SELECT cs FROM ${p}c$n)")} AS ds FROM $tbl) ${p}t$n), " +
-          s"${p}m$n AS (SELECT cell, pos, round(avg(x), 6) AS m FROM " +
-          s"(SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ${p}g$n) ${p}u$n GROUP BY cell, pos), " +
-          s"${p}n$n AS (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$n GROUP BY cell), " +
-          s"${p}c${n + 1} AS (SELECT list(coalesce(${p}n$n.c, (SELECT cs FROM ${p}c$n)[CAST(cellno AS INT)+1]) " +
-          s"ORDER BY cellno) AS cs FROM range($K) ${p}r$n(cellno) LEFT JOIN ${p}n$n ON ${p}n$n.cell = cellno)"
-      def subBlock(p: String, tbl: String): String =
-        s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM " +
-          s"(SELECT vec_id, v FROM $tbl ORDER BY vec_id LIMIT $K) ${p}i0), " +
-          iterSql(p, tbl, 0) + ", " + iterSql(p, tbl, 1) + ", " +
-          s"${p}fin AS (SELECT vec_id, ${distList(s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "e0 AS (SELECT vec_id, v[1:32] AS v FROM e), " +
         "e1 AS (SELECT vec_id, v[33:64] AS v FROM e), " +
-        subBlock("s0", "e0") + ", " + subBlock("s1", "e1") + ", " +
+        KmeansSql.subBlock("s0", "e0", 32, 4) + ", " +
+        KmeansSql.subBlock("s1", "e1", 32, 4) + ", " +
         "a0 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code0 FROM s0fin), " +
         "a1 AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS code1 FROM s1fin), " +
         "cand AS (SELECT q0.vec_id AS query_id, a0.vec_id AS neighbor_id, " +
@@ -2166,8 +2125,8 @@ object Queries {
     // reweighting step before sampling). weight = total/(k·src_tokens),
     // emitted as round-half-up 1e-8 fixed-point via pure integer math
     // ((2·1e8·num + den) // (2·den)) so both engines agree bit-for-bit.
-    // Longs hold to ~9·10¹⁰ total tokens; the 100 TB swap is the same
-    // expression over DECIMAL(38,0) (one k-row frame — cost-free).
+    // 2·1e8·total fits a long to ~4.6·10¹⁰ total tokens; the 100 TB swap
+    // is the same expression over DECIMAL(38,0) (one k-row frame).
     QueryDef("corpus_mix_weights", Some(
       "WITH t AS (SELECT source, count(*) AS n_docs, " +
         "sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens " +
@@ -2196,7 +2155,8 @@ object Queries {
     // window anywhere: src_rank is a source-PARTITIONED window and vt is
     // row-local integer math; consumers range-read on vt (the ORDER BY
     // here is output determinism only). 1e12 fixed-point holds to ~9·10⁶
-    // docs/source with e8 weights; DECIMAL(38,0) is the 100 TB swap.
+    // docs/source with e8 weights (and the weight math itself to
+    // ~4.6·10¹⁰ total tokens); DECIMAL(38,0) is the 100 TB swap.
     QueryDef("corpus_interleave", Some(
       "WITH d AS (SELECT doc_id, source, " +
         "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents), " +

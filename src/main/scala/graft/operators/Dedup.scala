@@ -606,6 +606,7 @@ object Dedup {
     */
   def winnowedGrams(df: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got (k=$k, w=$w)")
     val nrm = winnowNorm(col(textCol))
     df.select(col(idCol).as("id"), nrm.as("nrm"))
       .select(col("id"), col("nrm"),
@@ -630,7 +631,12 @@ object Dedup {
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 24, w: Int = 12, maxDf: Long = 0L): DataFrame = {
-    val grams = winnowedGrams(df, idCol, textCol, k, w)
+    // persisted: the gram frame feeds BOTH self-join sides (and the maxDf
+    // window when enabled) — without it the corpus is normalized + winnowed
+    // 2-3 times (the minHashLshPairs convention; released via CacheRegistry)
+    val grams = graft.CacheRegistry.register(
+      winnowedGrams(df, idCol, textCol, k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val filtered =
       if (maxDf <= 0L) grams
       else {

@@ -62,9 +62,16 @@ object TextAnalysis {
                     isEval: Column, n: Int = 5): DataFrame = {
     val tagged = docs.withColumn("__eval", isEval)
     // per-doc hash sets are already distinct (sorted-dedup inside the
-    // expression), so neither join input needs its own distinct shuffle
-    val grams = tagged.select(col(idCol).as("__id"), col("__eval"),
-      explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+    // expression), so neither join input needs its own distinct shuffle.
+    // The signature frame is persisted PRE-explode (one row per doc, the
+    // minHashLshPairs convention): the eval and train subtrees below both
+    // read it, which would otherwise re-scan + re-shingle the corpus twice.
+    val sigs = graft.CacheRegistry.register(
+      tagged.select(col(idCol).as("__id"), col("__eval"),
+        Dedup.shingleHashes(col(textCol), n).as("__hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val grams = sigs.select(col("__id"), col("__eval"),
+      explode(col("__hs")).as("__g"))
     val ev = grams.filter(col("__eval"))
       .select(col("__g"), col("__id").as("__eval_id"))
     val hits = grams.filter(!col("__eval")).drop("__eval")

@@ -149,9 +149,23 @@ object ShingleKernel {
     * gram — the shingleHashes short-doc convention).
     */
   def winnowPositions(s: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got (k=$k, w=$w)")
     val str = s.toString
-    val n = str.length
+    // positions/lengths count CODEPOINTS, not UTF-16 units: both consumers
+    // index codepoints — Column.substr (UTF8String.substringSQL) and the
+    // oracle's regexp_extract_all/unicode/length/substr — and the hash folds
+    // unicode(ch), so supplementary-plane chars must be one unit here too
+    val n = str.codePointCount(0, str.length)
     if (n < k) return ArrayData.toArrayData(Array(0))
+    val cps = new Array[Int](n)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp
+      ci += 1
+      off += Character.charCount(cp)
+    }
     val m = n - k + 1
     var pow = 1L // 31^(k-1): weight of the outgoing char
     var t = 0
@@ -162,11 +176,11 @@ object ShingleKernel {
     val hs = new Array[Long](m)
     var g = 0L
     var i = 0
-    while (i < k) { g = g * 31L + str.charAt(i); i += 1 }
+    while (i < k) { g = g * 31L + cps(i); i += 1 }
     hs(0) = b + g
     i = 1
     while (i < m) {
-      g = (g - str.charAt(i - 1) * pow) * 31L + str.charAt(i + k - 1)
+      g = (g - cps(i - 1) * pow) * 31L + cps(i + k - 1)
       hs(i) = b + g
       i += 1
     }

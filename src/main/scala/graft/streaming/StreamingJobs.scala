@@ -119,10 +119,9 @@ object StreamingJobs {
                        watermark: String = "1 hour"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
-    // µs integer bounds (unix_micros) keep the predicate identical across
-    // engines; the raw ts comparison is kept alongside because Spark's
-    // stream-stream state eviction analyzer looks for event-time columns
-    // in the range condition
+    // raw event-time comparisons (not unix_micros projections): Spark's
+    // stream-stream state-eviction analyzer derives the watermark range
+    // from time-typed columns in the join condition
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col("r.ts") >= col("l.ts") &&

@@ -521,11 +521,13 @@ class OperatorQualitySpec extends AnyFunSuite {
     * rolling optimization, list-based) — the spec the codegen kernel must
     * match. */
   private def winnowNaive(text: String, k: Int, w: Int): Seq[Int] = {
-    val n = text.length
+    // codepoint units, like the kernel (and DuckDB's unicode()/substr)
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n < k) return Seq(0)
     val hs = (0 to n - k).map { i =>
       var h = 1125899906842597L
-      (i until i + k).foreach(j => h = 31 * h + text.charAt(j))
+      (i until i + k).foreach(j => h = 31 * h + cps(j))
       h
     }
     val wEff = math.min(w, hs.length)
@@ -540,10 +542,12 @@ class OperatorQualitySpec extends AnyFunSuite {
   test("winnow kernel matches the naive spec on random strings (incl. short-text fallback)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val texts = (0 until 60).map { i =>
+    val base = (0 until 60).map { i =>
       val len = if (i < 5) i else 5 + rnd.nextInt(120) // exercise n<k and n<k+w-1
       (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
     } // 4-letter alphabet forces hash ties → pins the rightmost-tie rule
+    val texts = base :+ // supplementary-plane chars: 1 codepoint = 2 UTF-16
+      (999L, "ab😀cd😁efghijkl") // units — pins codepoint indexing
     val got = texts.toDF("id", "t")
       .select(col("id"), graft.plans.WinnowPositionsExpr(col("t"), 8, 4).as("ps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
