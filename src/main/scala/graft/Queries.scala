@@ -2391,6 +2391,54 @@ object Queries {
       (s, d) => T(s, d, "events")
         .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))),
 
+    // SCD2 merge (Kimball type-2 upsert) over a synthetic dimension built
+    // from `customer`: every 10th key changes segment → close + reopen;
+    // keys ≡5 (mod 10) send a NO-OP update (attrs identical — must not
+    // churn); keys ≡0 (mod 100) arrive shifted +1e6 as brand-new. One
+    // full-outer join + classify/explode, no second join (operators/Scd).
+    QueryDef("scd2_merge", Some(
+      "WITH dim AS (SELECT c_custkey, c_mktsegment, c_nationkey, " +
+        "DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, " +
+        "true AS is_current FROM customer), " +
+        "upd AS (SELECT c_custkey, 'MOVED' AS c_mktsegment, c_nationkey, " +
+        "DATE '2024-06-01' AS eff FROM customer WHERE c_custkey % 10 = 0 " +
+        "UNION ALL SELECT c_custkey, c_mktsegment, c_nationkey, DATE '2024-06-01' " +
+        "FROM customer WHERE c_custkey % 10 = 5 " +
+        "UNION ALL SELECT c_custkey + 1000000, 'FRESH', c_nationkey, DATE '2024-06-01' " +
+        "FROM customer WHERE c_custkey % 100 = 0), " +
+        "j AS (SELECT coalesce(d.c_custkey, u.c_custkey) AS c_custkey, " +
+        "d.c_mktsegment AS dseg, d.c_nationkey AS dnat, d.valid_from, d.valid_to, d.is_current, " +
+        "u.c_mktsegment AS useg, u.c_nationkey AS unat, u.eff, " +
+        "d.c_custkey IS NOT NULL AS dp, u.c_custkey IS NOT NULL AS up, " +
+        "(d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment AND " +
+        "d.c_nationkey IS NOT DISTINCT FROM u.c_nationkey) AS same " +
+        "FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey) " +
+        "SELECT c_custkey, dseg AS c_mktsegment, dnat AS c_nationkey, " +
+        "valid_from, valid_to, is_current FROM j WHERE dp AND (NOT up OR same) " +
+        "UNION ALL SELECT c_custkey, dseg, dnat, valid_from, eff, false " +
+        "FROM j WHERE dp AND up AND NOT same " +
+        "UNION ALL SELECT c_custkey, useg, unat, eff, CAST(NULL AS DATE), true " +
+        "FROM j WHERE up AND (NOT dp OR NOT same) " +
+        "ORDER BY c_custkey, valid_from"),
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val dim = c.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+        val eff = java.sql.Date.valueOf("2024-06-01")
+        val upd = c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"), col("c_nationkey"))
+          .union(c.filter(col("c_custkey") % 10 === 5)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+          .union(c.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("FRESH").as("c_mktsegment"), col("c_nationkey")))
+          .withColumn("eff", lit(eff))
+        operators.Scd.scd2Apply(dim, upd, Seq("c_custkey"),
+            Seq("c_mktsegment", "c_nationkey"), "eff")
+          .orderBy("c_custkey", "valid_from")
+      }),
+
     // Event-time sessionization via the session_window built-in — the same
     // aggregation runs streaming (watermark + append, StreamingSpec) and
     // batch; this entry is the batch form, oracled as gaps-and-islands SQL.

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 maintenance (Kimball's SCD2) as pure
+  * DataFrame algebra — the MERGE-style upsert a warehouse needs without
+  * assuming a transactional table format: versions carry
+  * (valid_from, valid_to, is_current), updates close the current version
+  * and open a new one only when an attribute actually changed.
+  *
+  * Scale shape: ONE full-outer equi-join of the OPEN slice against the
+  * update batch (history rows never join — they pass through, and with the
+  * dimension stored partitioned by `is_current` they are not even
+  * scanned), then a single-pass classify-and-explode that emits 1 or 2
+  * rows per joined key — no second join, no window. With the dim bucketed
+  * by key ([[graft.marts.Marts]] writeBucketed) the merge runs without a
+  * dim-side exchange.
+  */
+object Scd {
+
+  /** Apply one update batch to an SCD2 dimension.
+    *
+    * @param dim      current SCD2 table: keyCols ++ attrCols ++
+    *                 (valid_from non-null, valid_to, is_current)
+    * @param updates  key-unique batch: keyCols ++ attrCols ++ effCol
+    *                 (dedup upstream, e.g. [[Dedup.exact]] latest-wins)
+    * @param effCol   the batch's effective timestamp/date column
+    * @return the post-merge SCD2 table, same columns as `dim`:
+    *         changed open rows closed at eff; changed or brand-new keys
+    *         open a new version at eff; identical updates are no-ops;
+    *         history rows pass through untouched. Attribute comparison is
+    *         null-safe (a NULL attr equals NULL — no churn on NULLs).
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                attrCols: Seq[String], effCol: String): DataFrame = {
+    val validToType = dim.schema("valid_to").dataType
+    val keys = keyCols.map(col)
+    val u = updates.select(
+      keyCols.map(col) ++
+        attrCols.map(a => col(a).as(s"__u_$a")) :+ col(effCol).as("__eff"): _*)
+    val open = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val j = open.join(u, keyCols, "full_outer")
+    val dimPresent = col("valid_from").isNotNull // non-null by SCD2 contract
+    val updPresent = col("__eff").isNotNull
+    val same = attrCols.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
+    def row(attrs: Seq[Column], vf: Column, vt: Column, cur: Column): Column =
+      struct(keys ++ attrs :+ vf.as("valid_from") :+
+        vt.cast(validToType).as("valid_to") :+ cur.as("is_current"): _*)
+    val keepOld = row(attrCols.map(col), col("valid_from"), col("valid_to"),
+      col("is_current"))
+    val closed = row(attrCols.map(col), col("valid_from"), col("__eff"),
+      lit(false))
+    val fresh = row(attrCols.map(a => col(s"__u_$a").as(a)), col("__eff"),
+      lit(null), lit(true))
+    val branches =
+      when(dimPresent && updPresent && !same, array(closed, fresh))
+        .when(dimPresent, array(keepOld)) // no update, or a no-op update
+        .otherwise(array(fresh))          // brand-new key
+    val outCols = (keyCols ++ attrCols ++ Seq("valid_from", "valid_to", "is_current")).map(col)
+    hist.select(outCols: _*)
+      .unionAll(j.select(explode(branches).as("__r")).select(col("__r.*"))
+        .select(outCols: _*))
+  }
+}

@@ -111,12 +111,16 @@ object StreamingJobs {
     * The same expression tree runs on batch frames (watermarks are no-ops
     * there), which is how the `stream_correlate` oracle pins its values.
     *
-    * @param left  frame with `keyCol` + `ts` (the earlier/cause side)
-    * @param right frame with `keyCol` + `ts` (the later/effect side)
+    * @param left     frame with `keyCol` + `ts` (the earlier/cause side)
+    * @param right    frame with `keyCol` + `ts` (the later/effect side)
+    * @param joinType "inner" (attribution pairs only) or "left_outer" —
+    *                 an unattributed left event emits with NULL right
+    *                 columns once the watermark proves no match can arrive
     */
   def correlateStreams(left: DataFrame, right: DataFrame, keyCol: String,
                        maxDelayUs: Long = 3600L * 1000000L,
-                       watermark: String = "1 hour"): DataFrame = {
+                       watermark: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     // raw event-time comparisons (not unix_micros projections): Spark's
@@ -125,7 +129,8 @@ object StreamingJobs {
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${maxDelayUs} MICROSECOND"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${maxDelayUs} MICROSECOND"),
+      joinType)
   }
 
   /** Event-time sessionization via the session_window built-in: a session

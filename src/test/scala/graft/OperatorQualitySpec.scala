@@ -602,6 +602,41 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(out(3L) === ((0, 0, 1.0)), s"ties resolve to the lower code: $out")
   }
 
+  test("scd2Apply: close+reopen on change, no-op on identical, null-safe attrs, history untouched") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val dim = Seq(
+      // key 1: history row + open row (attr will change)
+      (1L, "a", d("2023-01-01"), Option(d("2024-01-01")), false),
+      (1L, "b", d("2024-01-01"), Option.empty[Date], true),
+      // key 2: open row, update carries identical attr → must not churn
+      (2L, "x", d("2024-01-01"), Option.empty[Date], true),
+      // key 3: open row with NULL attr, update NULL attr → null-safe same
+      (3L, null.asInstanceOf[String], d("2024-01-01"), Option.empty[Date], true),
+      // key 4: open row, no update at all
+      (4L, "z", d("2024-01-01"), Option.empty[Date], true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = Seq(
+      (1L, "c", d("2024-06-01")),
+      (2L, "x", d("2024-06-01")),
+      (3L, null.asInstanceOf[String], d("2024-06-01")),
+      (5L, "new", d("2024-06-01"))
+    ).toDF("k", "attr", "eff")
+    val out = operators.Scd.scd2Apply(dim, upd, Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, Some("a"), "2023-01-01", Some("2024-01-01"), false), // history verbatim
+      (1L, Some("b"), "2024-01-01", Some("2024-06-01"), false), // closed at eff
+      (1L, Some("c"), "2024-06-01", None, true),                // new version
+      (2L, Some("x"), "2024-01-01", None, true),                // no-op: still the ORIGINAL row
+      (3L, None, "2024-01-01", None, true),                     // NULL == NULL: no churn
+      (4L, Some("z"), "2024-01-01", None, true),                // untouched
+      (5L, Some("new"), "2024-06-01", None, true)               // brand-new key
+    ), s"got: $out")
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
     import spark.implicits._
     // eval doc 1 = "a b c d e f"; train doc 10 copies its 5-gram "b c d e f"

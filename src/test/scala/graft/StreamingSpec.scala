@@ -212,6 +212,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"batch $batch != streaming $got")
   }
 
+  test("stream-stream LEFT OUTER: unattributed view emits with nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingJobs.correlateStreams(
+        views.toDF().toDF("event_id", "user_id", "ts"),
+        buys.toDF().toDF("event_id", "user_id", "ts"), "user_id",
+        maxDelayUs = 3600L * 1000000L, watermark = "10 minutes",
+        joinType = "left_outer")
+      .select(col("l.event_id").as("view_id"),
+        col("r.event_id").as("purchase_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("corr_outer_test").start()
+    try {
+      views.addData(
+        (1L, 7L, ts("2024-01-01 10:00:00")), // will be matched
+        (2L, 8L, ts("2024-01-01 10:00:00"))) // never matched
+      buys.addData((101L, 7L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 2's join window (ts+1h+10m)
+      // so the engine can prove no purchase can still arrive for it
+      views.addData((3L, 9L, ts("2024-01-02 10:00:00")))
+      buys.addData((102L, 9L, ts("2024-01-02 10:00:01")))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("corr_outer_test")
+               .filter(col("purchase_id").isNull).isEmpty &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("corr_outer_test").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.contains((1L, Some(101L))), s"matched pair missing: $got")
+    assert(got.contains((2L, None)), s"unattributed view must emit with null: $got")
+  }
+
   test("file-source checkpoint: a restarted query resumes exactly-once, no reprocessing") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ckpt_in").toString
