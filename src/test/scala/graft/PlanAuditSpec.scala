@@ -284,6 +284,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("scd2_merge: exactly ONE join (the full-outer classify), no window, no nested loop") {
+    val p = plan("scd2_merge")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"SCD2 must not need a window:\n$p")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins >= 1, p)
+    // SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin each print one
+    // operator line containing 'Join'; the merge is single-join by design
+    val joinOps = p.linesIterator.count(l => l.contains("Join") && !l.contains("ReusedExchange"))
+    assert(joinOps == 1, s"expected exactly one join operator, got $joinOps:\n$p")
+  }
+
   test("text_bpe_encode: dictionary encode — the interpreted merge folds run on DISTINCT words only") {
     val p = plan("text_bpe_encode")
     // the fold (aggregate HOF) must sit above the distinct-vocab aggregate,
