@@ -1372,6 +1372,29 @@ object Queries {
           k = 24, w = 12)
         .orderBy("id_a", "id_b")),
 
+    // ExactSubstr-style duplicated-span removal list (Lee et al.
+    // arXiv:2107.06499): maximal token intervals covered by 8-token windows
+    // occurring >1× corpus-wide. Engine shuffles only (hash128, doc, pos)
+    // rows and counts occurrences with a single window-over-key shuffle;
+    // the oracle groups the gram STRINGS — agreement also certifies the
+    // 128-bit key carries no collision at this scale.
+    QueryDef("dedup_substring", Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "g0 AS (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t WHERE len(w) >= 8), " +
+        "g AS (SELECT doc_id, CAST(i AS BIGINT) AS s, " +
+        "array_to_string(w[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' ') AS gram FROM g0), " +
+        "c AS (SELECT doc_id, s, count(*) OVER (PARTITION BY gram) AS occ FROM g), " +
+        "o AS (SELECT doc_id, s, s + 7 AS e FROM c WHERE occ > 1), " +
+        "m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM o), " +
+        "i AS (SELECT doc_id, s, e, sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl FROM m) " +
+        "SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end, " +
+        "CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
+        "FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"),
+      (s, d) => Dedup.substringSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")),
+
     // two-level bucket (label, 3 axis-aligned hyperplane sign bits): the
     // single-probe LSH scale path — ~8× fewer candidate pairs than
     // label-only blocking, and still SQL-expressible for the oracle

@@ -591,6 +591,63 @@ object Dedup {
         coalesce(col("lost") === false, lit(true)).as("kept"))
   }
 
+  /** Duplicated-substring spans, ExactSubstr-style (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every maximal token interval of a document covered
+    * by k-token windows that occur more than once in the corpus — the
+    * removal list a span-level deduper consumes. Complements [[winnowPairs]]
+    * (which finds the doc PAIRS sharing a substring; this finds the exact
+    * token INTERVALS to cut).
+    *
+    * Spark-first shape, one narrow shuffle per stage:
+    *  1. window keys: each k-token window hashes to TWO independent 64-bit
+    *     keys, so the corpus-wide stage ships fixed 28-byte
+    *     (key1, key2, doc, pos) rows — never gram strings. 128 key bits keep
+    *     the false-duplicate probability ~n²/2¹²⁹ (a single xxhash64 would
+    *     already see expected collisions at ~10¹³ windows = 100 TB scale);
+    *  2. occurrence counts via `count(*) OVER (PARTITION BY key)` — count,
+    *     filter, and the surviving positions in ONE shuffle (an agg+self-join
+    *     would shuffle the posting list twice). Mega-duplicated boilerplate
+    *     (the classic skew key) costs only its count here — nothing
+    *     pair-joins;
+    *  3. per-doc gaps-and-islands merge (island starts where
+    *     pos > 1 + running max end) — a doc-keyed shuffle whose input is
+    *     only the duplicated positions.
+    * The paper's suffix array finds variable-length maximal repeats; fixed-k
+    * windows + interval merge find exactly the intervals covered by length-k
+    * repeats — same removal semantics for any repeat of length ≥ k, with an
+    * embarrassingly-parallel sort instead of a global suffix array.
+    *
+    * Output: (id, span_start, span_end, span_tokens, n_windows) with
+    * token positions 0-based inclusive.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k >= 2, s"window of $k tokens cannot witness a repeat")
+    val grams = df
+      .select(col(idCol).as("id"), split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))")))
+      .select(col("id"), col("pos").cast("long").as("s"),
+        xxhash64(col("col")).as("g1"), xxhash64(col("col"), lit(1)).as("g2"))
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("g1", "g2")))
+      .filter(col("occ") > 1)
+      .select(col("id"), col("s"), (col("s") + (k - 1)).as("e"))
+    val wd = Window.partitionBy("id").orderBy("s")
+    dup
+      .withColumn("pme", max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("pme").isNull || col("s") > col("pme") + 1, 1)
+        .otherwise(0)).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("isl"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
   /** Whitespace-collapse + lowercase normalization shared by the winnowing
     * path and its oracle (explicit char class — Java's and RE2's `\s`
     * disagree on \x0B). */

@@ -663,4 +663,54 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(out(14L) === ((0L, 0L, 0)), s"unrelated doc clean: $out")
     assert(!out.contains(1L) && !out.contains(13L), "eval rows are excluded from the report")
   }
+
+  test("substringSpans matches a brute-force interval merge on planted repeats") {
+    import spark.implicits._
+    val k = 4
+    // vocab large enough that unplanted k-grams are unique; planted repeats:
+    //  - doc 0 and doc 1 share an 8-token run (one merged span each)
+    //  - doc 2 repeats its own 4-token run twice (self-repeat, two spans —
+    //    positions 2..5 and 10..13, gap of 4 > 1 so NOT merged)
+    //  - doc 3/4 share two k-runs separated by one unique token: the
+    //    bridging windows are unique, so the two spans stay separate
+    //    ([0,3] and [5,8]; 5 > 3+1 starts a new island)
+    val uniq = Iterator.from(0).map(i => s"u$i")
+    def take(n: Int) = (1 to n).map(_ => uniq.next()).mkString(" ")
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val rep4 = "r1 r2 r3 r4"
+    val runA = "a1 a2 a3 a4"
+    val runB = "b1 b2 b3 b4"
+    val docs = Seq(
+      (0L, s"${take(3)} $shared8 ${take(3)}"),
+      (1L, s"${take(5)} $shared8"),
+      (2L, s"${take(2)} $rep4 ${take(4)} $rep4 ${take(2)}"),
+      (3L, s"$runA ${take(1)} $runB"),
+      (4L, s"$runA ${take(1)} $runB ${take(6)}")
+    ).toDF("doc_id", "text")
+
+    // brute force: mark every k-window whose token string occurs >1× in the
+    // corpus, merge per-doc intervals that overlap or touch
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+")).toMap
+    val occ = toks.toSeq.flatMap { case (id, w) =>
+      w.sliding(k).zipWithIndex.map { case (g, p) => (g.mkString(" "), id, p) }
+    }
+    val counts = occ.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = occ.filter(o => counts(o._1) > 1)
+      .groupBy(_._2).view.mapValues { os =>
+        val ivs = os.map(o => (o._3.toLong, o._3.toLong + k - 1)).sortBy(_._1)
+        ivs.tail.foldLeft(Vector(ivs.head)) { case (acc, (s, e)) =>
+          val (ps, pe) = acc.last
+          if (s <= pe + 1) acc.init :+ (ps, math.max(pe, e)) else acc :+ (s, e)
+        }
+      }.toMap
+    val got = Dedup.substringSpans(docs, "doc_id", "text", k)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toList
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    assert(got === expected, s"got $got\nexpected $expected")
+    // the specific planted shapes, as documentation of the semantics
+    assert(got(2L).size == 2, "self-repeat yields two disjoint spans")
+    assert(got(3L) === Vector((0L, 3L), (5L, 8L)),
+      "a 1-unique-token gap keeps the two shared runs as separate spans")
+  }
 }

@@ -310,4 +310,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("session_window") || p.contains("SessionWindow"), p)
   }
+
+  test("dedup_substring: no joins at all — occurrence counting is a window over the gram key, " +
+    "and the island agg reuses the doc-key partitioning") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"span detection must not pair-join (skew-safe by construction):\n$p")
+    // shuffles: gram-key window + doc-key window + the output range sort;
+    // the (id, isl) HashAggregate must NOT add a fourth — hash(id) already
+    // clusters its keys
+    val hashEx = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(hashEx.size <= 2, s"expected ≤2 hash shuffles (gram window, doc window):\n$p")
+    assert(!p.contains("ScalaUDF"), s"gram hashing must stay codegen:\n$p")
+  }
 }
