@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.enrich.Enrich
 import graft.functions.{GeoFunctions, HashFunctions, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 import graft.serve.Serve
 
 /** The engine's query surface: one entry per operator family from
@@ -1932,6 +1932,40 @@ object Queries {
           .select(col("doc_id"), col("term"), col("score"), col("rnk"))
           .orderBy("doc_id", "rnk")
       }),
+
+    // BM25 top-k sparse retrieval (Lucene idf form) — the inverted-index
+    // complement of sim_topk_*. Scores are exact decimal sums of 6dp-rounded
+    // per-term contributions emitted as 1e-6-unit BIGINTs; idf rounded 8dp.
+    // Engine prunes the corpus postings with a broadcast of the distinct
+    // query terms BEFORE any term-keyed shuffle.
+    QueryDef("bm25_topk", Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, w, unnest(w) AS term FROM t) GROUP BY 1, 2, 3), " +
+        "q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES " +
+        "(0, 'fast table scan'), (1, 'window agg stream merge'), " +
+        "(2, 'customer order big data')) AS qv(query_id, qtext)), " +
+        "qt AS (SELECT DISTINCT query_id, unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term FROM q), " +
+        "tl AS (SELECT DISTINCT term FROM qt), " +
+        "ptf AS (SELECT tf.* FROM tf JOIN tl USING (term)), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY term), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(w)) AS BIGINT) AS sumdl FROM t), " +
+        "idf AS (SELECT term, df, n, sumdl, round(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5)), 8) AS idf FROM df CROSS JOIN s), " +
+        "sc AS (SELECT qt.query_id, ptf.doc_id, " +
+        "CAST(round(idf.idf * ((CAST(ptf.tf AS DOUBLE) * 2.2) / (CAST(ptf.tf AS DOUBLE) + " +
+        "1.2 * (0.25 + 0.75 * (CAST(ptf.dl AS DOUBLE) / (CAST(idf.sumdl AS DOUBLE) / CAST(idf.n AS DOUBLE)))))), 6) " +
+        "AS DECIMAL(18,6)) AS c FROM ptf JOIN idf USING (term) JOIN qt USING (term)), " +
+        "agg AS (SELECT query_id, doc_id, CAST(sum(c) * 1000000 AS BIGINT) AS score_micro " +
+        "FROM sc GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, score_micro, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank FROM agg) " +
+        "SELECT query_id, doc_id, score_micro, rank FROM rk WHERE rank <= 10 " +
+        "ORDER BY query_id, rank"),
+      (s, d) => Retrieval.bm25TopK(T(s, d, "documents"), "doc_id", "text",
+          Seq(0L -> "fast table scan", 1L -> "window agg stream merge",
+            2L -> "customer order big data"), k = 10)
+        .orderBy("query_id", "rank")),
 
     // Unigram-LM quality score (the CCNet-style "how surprising is this
     // doc under the corpus language model" signal): train unigram counts

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse lexical retrieval — the inverted-index complement of the dense-ANN
+  * operators in [[Similarity]]. A training-data pipeline uses this for
+  * query-driven corpus curation (pull documents matching a probe set),
+  * benchmark decontamination by retrieval, and as the first stage of hybrid
+  * (BM25 + embedding) mining.
+  */
+object Retrieval {
+
+  /** Lucene-style BM25 top-k: for each query string, the k best-scoring
+    * documents under
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))` (the Robertson/Sparck-Jones form
+    * Lucene uses, non-negative by construction).
+    *
+    * Spark-first shape, sized for an unbounded corpus and a small query set:
+    *  - per-doc term frequencies aggregate map-side before any shuffle
+    *    (partial HashAggregate on (doc, term));
+    *  - the tiny query-term list broadcasts and SEMI-prunes the tf table
+    *    BEFORE anything term-keyed shuffles — the corpus-wide inverted
+    *    index is built only for the terms actually queried;
+    *  - df(term) is then a count over that pruned posting list, and the
+    *    (term, df, idf) frame — at most |query terms| rows — broadcasts
+    *    back onto the postings: the only all-corpus shuffle left is the
+    *    (query, doc) score sum;
+    *  - top-k per query is a row_number window partitioned by query id —
+    *    with few queries each partition is one reducer's sort of that
+    *    query's candidates; Spark's rank pushdown (WindowGroupLimit)
+    *    truncates each map-side partition to k before the shuffle, so no
+    *    reducer materializes a full candidate list.
+    *
+    * Determinism for the cross-engine oracle: idf is rounded to 8 dp, each
+    * term contribution to 6 dp, and the per-doc score summed as DECIMAL —
+    * order-free exact — then emitted in 1e-6 units as BIGINT, so engine
+    * summation order and float formatting cannot leak into the comparison
+    * (ties broken by doc id).
+    *
+    * @param queries (query_id, query_text) pairs; must be small (they
+    *                broadcast — retrieval with a BILLION queries is a
+    *                different operator: a term-keyed join, not this one)
+    * @return (query_id, doc_id, score_micro, rank), rank 1..k per query
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+    val docToks = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(toks(col("qtext"))).as("term"))
+      .distinct()
+
+    // prune the exploded term stream with a broadcast of the DISTINCT
+    // query-term list BEFORE the tf groupBy — the term-keyed shuffle then
+    // carries only query-term postings, not the whole vocabulary. Postings
+    // are built once per term even when queries share a term, so df is a
+    // plain count. Persisted: both the df subtree and the scoring subtree
+    // read it (released via CacheRegistry).
+    val termList = qterms.select("term").distinct()
+    val prunedTf = graft.CacheRegistry.register(docToks
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(termList), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val df = prunedTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docToks.agg(count(lit(1)).as("n"),
+      sum(size(col("w")).cast("long")).as("sumdl"))
+
+    // identical IEEE evaluation order on both engines: every operand cast
+    // to double explicitly, parenthesization mirrored in the oracle SQL
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val idf8 = round(
+      log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5)), 8)
+    val tfn = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val contrib = round(col("idf") * tfn, 6)
+
+    val idfFrame = df.crossJoin(stats).withColumn("idf", idf8)
+    val scored = prunedTf
+      .join(broadcast(idfFrame), "term")
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"),
+        contrib.cast(DecimalType(18, 6)).as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg((sum(col("c")) * 1000000).cast("long").as("score_micro"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank"))
+  }
+}

@@ -713,4 +713,35 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(3L) === Vector((0L, 3L), (5L, 8L)),
       "a 1-unique-token gap keeps the two shared runs as separate spans")
   }
+
+  test("bm25TopK reproduces hand-computed Lucene-BM25 scores on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana")
+    ).toDF("doc_id", "text")
+    val got = operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq(7L -> "apple banana"), k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // independent arithmetic: N=3, sumdl=9, avgdl=3; df(apple)=df(banana)=2
+    val idf = BigDecimal(math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def termScore(tf: Long, dl: Long): BigDecimal =
+      BigDecimal(idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0)))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def micro(terms: (Long, Long)*): Long =
+      (terms.map { case (tf, dl) => termScore(tf, dl) }.sum * 1000000).toLongExact
+    val expected = Map(
+      1L -> micro((2L, 3L), (1L, 3L)), // apple×2 + banana×1
+      2L -> micro((1L, 2L)),           // apple×1
+      3L -> micro((4L, 4L)))           // banana×4
+    assert(got.map(g => g._1 -> g._2).toMap === expected,
+      s"got ${got.toList} expected $expected")
+    // ranking: descending score, contiguous ranks
+    assert(got.map(_._3).toList === List(1, 2, 3))
+    assert(got.sliding(2).forall(p => p(0)._2 >= p(1)._2), "scores not descending")
+  }
 }

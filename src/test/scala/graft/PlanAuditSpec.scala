@@ -311,6 +311,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("session_window") || p.contains("SessionWindow"), p)
   }
 
+  test("bm25_topk: query-term pruning precedes the postings shuffle, top-k rank is " +
+    "group-limit-pushed, pruned postings cached for the df and scoring subtrees") {
+    val p = plan("bm25_topk")
+    // Spark 3.5+ WindowGroupLimit truncates each map partition to k before
+    // the query-keyed shuffle — no reducer sorts a full candidate list
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into a group limit:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"pruned postings not cached — corpus exploded twice:\n$p")
+    // the only corpus-wide hash shuffles are the pruned (doc, dl, term) agg
+    // and the (query, doc) score sum; the full-vocabulary tf must NOT shuffle
+    val bigShuffles = "Exchange hashpartitioning\\((doc_id|query_id)[^\\)]*\\)".r
+      .findAllIn(p).toList
+    assert(bigShuffles.nonEmpty, p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("dedup_substring: no joins at all — occurrence counting is a window over the gram key, " +
     "and the island agg reuses the doc-key partitioning") {
     val p = plan("dedup_substring")
