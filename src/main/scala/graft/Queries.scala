@@ -320,6 +320,48 @@ object Queries {
         .select(col("l_returnflag"), col("n"), col("s").cast("long").as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // Count-min heavy hitters: tokens whose exact corpus count >= 500 next
+    // to their CMS estimate (d=4, w=1024, Kirsch–Mitzenmacher buckets over
+    // the corpus fingerprint polynomial). The oracle recomputes the SKETCH
+    // too, so bucket math, cell sums and the min-estimate all hash-check;
+    // `never_undercounts` makes CMS's one-sided error auditable per row.
+    QueryDef("stats_heavy_hitters", Some {
+      def fnv(e: String): String =
+        "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          s"list_transform(regexp_extract_all($e, '.'), c -> unicode(c)::HUGEINT)), " +
+          "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
+      "WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "x -> len(x) > 0)) AS term FROM documents), " +
+        "counts AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY term), " +
+        s"h AS (SELECT term, exact_cnt, ${fnv("term")} AS h1, ${fnv("term || '#'")} AS h2 FROM counts), " +
+        "jb AS (SELECT term, exact_cnt, j, CAST((h1 + j * h2) % 1024 AS BIGINT) AS b " +
+        "FROM h CROSS JOIN (SELECT unnest(range(4)) AS j)), " +
+        "cells AS (SELECT j, b, CAST(sum(exact_cnt) AS BIGINT) AS cell FROM jb GROUP BY j, b), " +
+        "est AS (SELECT c.term, c.exact_cnt, min(cells.cell) AS cms_est FROM jb c " +
+        "JOIN cells ON cells.j = c.j AND cells.b = c.b WHERE c.exact_cnt >= 500 GROUP BY 1, 2) " +
+        "SELECT term, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est, " +
+        "cms_est >= exact_cnt AS never_undercounts FROM est ORDER BY exact_cnt DESC, term"
+    },
+      (s, d) => operators.Sketches.cmsHeavyHitters(T(s, d, "documents"), "text",
+          threshold = 500L, depth = 4, width = 1024)
+        .orderBy(col("exact_cnt").desc, col("term"))),
+
+    // HyperLogLog++ distincts per group: constant-memory alternative to
+    // a13's exact countDistinct. Approximate by nature → no SQL oracle
+    // (rows-only); the error bound vs exact is pinned in SketchesSpec.
+    QueryDef("stats_hll_distinct", None,
+      (s, d) => operators.Sketches.hllDistinct(T(s, d, "events"),
+          "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // Greenwald–Khanna approximate quantiles per group (mergeable
+    // fixed-size state; exact `percentile` buffers every value). Approximate
+    // → rows-only; error bound vs exact percentile pinned in SketchesSpec.
+    QueryDef("stats_approx_quantiles", None,
+      (s, d) => operators.Sketches.approxQuantiles(T(s, d, "events"),
+          "event_type", "value", Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")),
+
     QueryDef("a10_coverage_check", Some(
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n, " +
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
@@ -2279,6 +2321,30 @@ object Queries {
           .withColumn("cum_tokens", col("cum_above") + sum("tokens").over(wIn))
           .select(col("doc_id"), col("tokens"), col("q").as("quality"),
             col("cum_tokens"), (col("cum_tokens") <= 15000L).as("selected"))
+          .orderBy("doc_id")
+      }),
+
+    // Percentile gate: top decile by quality, decided by pure integer
+    // arithmetic (rank·10 ≤ N) over the same binned-rank decomposition as
+    // corpus_select_budget — the ORACLE is the naive global sort; the
+    // ENGINE never sorts the corpus (tiny bin frame + in-bin windows).
+    QueryDef("quality_percentile_gate", Some {
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH t AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS q FROM (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
+        "FROM documents) raw), " +
+        "r AS (SELECT doc_id, q, CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rank, " +
+        "count(*) OVER () AS n FROM t) " +
+        "SELECT doc_id, q AS quality, rank, rank * 10 <= n AS selected FROM r ORDER BY doc_id"
+    },
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"),
+          TextFunctions.stopwordRatio(col("text")).as("q"))
+        operators.TextAnalysis.percentileGate(t, "doc_id", "q", num = 1, den = 10)
+          .select(col("doc_id"), col("q").as("quality"), col("rank"), col("selected"))
           .orderBy("doc_id")
       }),
 

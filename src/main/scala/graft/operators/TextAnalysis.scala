@@ -86,4 +86,41 @@ object TextAnalysis {
       .withColumn("n_eval_docs", coalesce(col("n_eval_docs"), lit(0L)))
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("int"))
   }
+
+  /** Percentile gate: keep the top `num/den` fraction of documents by a
+    * (discretized) score — "train on the top decile by quality" — without
+    * ever sorting the corpus globally.
+    *
+    * The global rank decomposes exactly like corpus_select_budget's cumsum:
+    * scores are rounded to ≤10⁴ distinct bins, per-bin counts roll up on a
+    * tiny frame (the only global window runs over THAT), and the in-bin
+    * row_number is a window PARTITIONED by bin. `cum_above + in-bin rank`
+    * IS the global (score desc, id asc) rank, shard-parallel at any corpus
+    * size. Selection is pure integer arithmetic — `rank·den ≤ num·N` —
+    * so engines can't disagree on a float boundary.
+    *
+    * Returns every row annotated with (rank, selected); `scoreCol` must be
+    * already discretized (e.g. `round(q, 4)`).
+    */
+  def percentileGate(df: DataFrame, idCol: String, scoreCol: String,
+                     num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= $num/$den <= 1")
+    import org.apache.spark.sql.expressions.Window
+    // both the bin aggregate and the probe side read the scored frame
+    val t = graft.CacheRegistry.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wAbove = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = t.groupBy(scoreCol).agg(count(lit(1)).as("__bn"))
+    val binsC = bins
+      .withColumn("__cum_above", coalesce(sum("__bn").over(wAbove), lit(0L)))
+      .withColumn("__n", sum("__bn").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(scoreCol), col("__cum_above"), col("__n"))
+    val wIn = Window.partitionBy(scoreCol).orderBy(idCol)
+    t.join(broadcast(binsC), Seq(scoreCol))
+      .withColumn("rank", col("__cum_above") + row_number().over(wIn))
+      .withColumn("selected", col("rank") * den <= lit(num) * col("__n"))
+      .drop("__cum_above", "__n")
+  }
 }

@@ -714,6 +714,25 @@ class OperatorQualitySpec extends AnyFunSuite {
       "a 1-unique-token gap keeps the two shared runs as separate spans")
   }
 
+  test("percentileGate rank equals the global-sort rank, boundary decided by integers") {
+    import spark.implicits._
+    // heavy ties (11 distinct scores over 200 rows) — exactly the case the
+    // binned decomposition must get right; ids shuffled so in-bin order
+    // isn't insertion order
+    val rows = (0 until 200).map(i => ((i * 73) % 200L, (i % 11) / 10.0))
+    val df = rows.toDF("id", "q")
+    val got = operators.TextAnalysis.percentileGate(df, "id", "q", num = 3, den = 10)
+      .select("id", "rank", "selected")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val expRank = rows.sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    rows.foreach { case (id, _) =>
+      assert(got(id)._1 === expRank(id), s"rank mismatch for id $id")
+      assert(got(id)._2 === (expRank(id) * 10 <= 3 * 200), s"selection mismatch for id $id")
+    }
+    assert(got.values.count(_._2) === 60, "exactly 30% selected")
+  }
+
   test("bm25TopK reproduces hand-computed Lucene-BM25 scores on a tiny corpus") {
     import spark.implicits._
     val docs = Seq(

@@ -327,6 +327,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("quality_percentile_gate: the corpus-sized row_number window is bin-partitioned " +
+    "(the only global windows run on the aggregated bin frame)") {
+    val p = plan("quality_percentile_gate")
+    val windows = "(?s)Window \\[row_number.{0,300}?windowspecdefinition\\([^,]*".r
+      .findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected a row_number window:\n$p")
+    windows.foreach(w => assert(w.contains("windowspecdefinition(q"),
+      s"corpus row_number window not partitioned by the score bin:\n$w"))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"scored frame not cached — corpus scored twice:\n$p")
+  }
+
   test("dedup_substring: no joins at all — occurrence counting is a window over the gram key, " +
     "and the island agg reuses the doc-key partitioning") {
     val p = plan("dedup_substring")
