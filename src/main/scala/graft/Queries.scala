@@ -320,6 +320,36 @@ object Queries {
         .select(col("l_returnflag"), col("n"), col("s").cast("long").as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // Z-score anomaly scan: top-20 most anomalous event values vs their
+    // event-type distribution. Moments are EXACT decimal sums (engine
+    // summation order invisible); mean/sd/z then use the identical IEEE
+    // expression on both engines; global top-k is a TakeOrdered merge, not
+    // a sort. The per-type moment frame broadcasts back onto the stream.
+    QueryDef("stats_zscore_outliers", Some(
+      "WITH s AS (SELECT event_type, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,9))) AS s1, " +
+        "sum(CAST(value AS DECIMAL(18,9)) * CAST(value AS DECIMAL(18,9))) AS s2 " +
+        "FROM events GROUP BY 1), " +
+        "m AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, " +
+        "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd FROM s), " +
+        "z AS (SELECT e.event_id, e.event_type, e.value, " +
+        "round((e.value - m.mean) / m.sd, 4) AS z FROM events e JOIN m USING (event_type)) " +
+        "SELECT event_id, event_type, value, z FROM z ORDER BY abs(z) DESC, event_id LIMIT 20"),
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val vdec = col("value").cast(DecimalType(18, 9))
+        val mom = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(vdec).as("s1"), sum(vdec * vdec).as("s2"))
+        val mean = col("s1").cast("double") / col("n")
+        val m = mom.select(col("event_type"), mean.as("mean"),
+          sqrt(col("s2").cast("double") / col("n") - mean * mean).as("sd"))
+        ev.join(broadcast(m), "event_type")
+          .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+          .orderBy(abs(col("z")).desc, col("event_id"))
+          .select("event_id", "event_type", "value", "z")
+          .limit(20)
+      }),
+
     // Count-min heavy hitters: tokens whose exact corpus count >= 500 next
     // to their CMS estimate (d=4, w=1024, Kirsch–Mitzenmacher buckets over
     // the corpus fingerprint polynomial). The oracle recomputes the SKETCH
@@ -2323,6 +2353,21 @@ object Queries {
             col("cum_tokens"), (col("cum_tokens") <= 15000L).as("selected"))
           .orderBy("doc_id")
       }),
+
+    // Bloom-pre-filtered blocklist removal: ban every doc sharing text
+    // (by md5) with the doc_id%7==0 ban set. The bloom sketch is built by
+    // Spark's native BloomFilterAggregate and evaluated as a codegen
+    // might_contain literal at the scan — bloom-clean rows never shuffle;
+    // only candidates take the exact FP-removing anti-join. Result is
+    // EXACTLY the anti-join (oracle: NOT IN), sketch just reduces work.
+    QueryDef("filter_blocklist_bloom", Some(
+      "SELECT doc_id FROM documents WHERE md5(text) NOT IN " +
+        "(SELECT md5(text) FROM documents WHERE doc_id % 7 = 0) ORDER BY doc_id"),
+      (s, d) => operators.Blocklist.bloomAntiJoin(
+          T(s, d, "documents"), md5(encode(col("text"), "UTF-8")),
+          T(s, d, "documents").filter(col("doc_id") % 7 === 0)
+            .select(md5(encode(col("text"), "UTF-8")).as("k")), col("k"))
+        .select("doc_id").orderBy("doc_id")),
 
     // Percentile gate: top decile by quality, decided by pure integer
     // arithmetic (rank·10 ≤ N) over the same binned-rank decomposition as

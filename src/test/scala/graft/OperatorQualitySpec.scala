@@ -714,6 +714,24 @@ class OperatorQualitySpec extends AnyFunSuite {
       "a 1-unique-token gap keeps the two shared runs as separate spans")
   }
 
+  test("bloomAntiJoin is exact even when the sketch is saturated with false positives") {
+    import spark.implicits._
+    val big = (0L until 2000L).map(i => (i, s"key$i")).toDF("id", "k")
+    val block = (0L until 2000L by 5).map(i => s"key$i").toDF("bk") // 400 banned
+    // 0.5 bits/key → nearly every probe is a bloom positive; the anti-join
+    // must still strip every false positive and nothing else
+    val got = operators.Blocklist
+      .bloomAntiJoin(big, col("k"), block, col("bk"), fpBits = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = (0L until 2000L).filterNot(_ % 5 == 0).toSet
+    assert(got === expected)
+    // and with a roomy sketch the same answer (candidate branch ≈ truth)
+    val roomy = operators.Blocklist
+      .bloomAntiJoin(big, col("k"), block, col("bk"), fpBits = 16.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(roomy === expected)
+  }
+
   test("percentileGate rank equals the global-sort rank, boundary decided by integers") {
     import spark.implicits._
     // heavy ties (11 distinct scores over 200 rows) — exactly the case the

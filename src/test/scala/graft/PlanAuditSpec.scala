@@ -327,6 +327,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("filter_blocklist_bloom: might_contain is a literal-sketch codegen predicate; " +
+    "the clean branch reaches the union with NO join") {
+    val p = plan("filter_blocklist_bloom")
+    assert(p.contains("might_contain"), s"bloom predicate missing from plan:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("Union"), p)
+    // exactly one join operator (the candidate branch's FP-removing anti)
+    val joinOps = p.linesIterator.count(l =>
+      l.contains("Join") && !l.contains("ReusedExchange"))
+    assert(joinOps == 1, s"expected one anti-join, got $joinOps:\n$p")
+  }
+
+  test("stats_zscore_outliers: moment frame broadcasts back, top-k is TakeOrdered (no global sort)") {
+    val p = plan("stats_zscore_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k not a TakeOrdered merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"moment frame did not broadcast:\n$p")
+  }
+
   test("quality_percentile_gate: the corpus-sized row_number window is bin-partitioned " +
     "(the only global windows run on the aggregated bin frame)") {
     val p = plan("quality_percentile_gate")
