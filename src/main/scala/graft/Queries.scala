@@ -140,6 +140,23 @@ object Queries {
         .select(col("n_nationkey").as("key"), col("r_name").as("uf"), rectGeom.as("geom"))
     }
 
+  /** Near-dup cluster assignment (prefix-filter Jaccard pairs → connected
+    * components) — a materialized mart in production (the cluster map is
+    * written once per corpus build and read by every downstream consumer),
+    * so the two consumers here (dedup_clusters, dedup_summary) share one
+    * memoized build instead of re-running the pair join + iteration twice.
+    * Deliberately NOT pre-warmed in Bench: the first consumer measures the
+    * real build. */
+  private def clusterAssignments(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "dedupClusters") {
+      val docs = T(s, d, "documents")
+      val w = docs.select(col("doc_id"), col("lang"),
+        array_distinct(split(lower(col("text")), " ")).as("ws"))
+      val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+    }
+
   /** choroCube as oracle SQL (shared by the serve_* oracles) */
   private val cubeSql =
     "SELECT CAST(o.o_orderdate AS DATE) AS day, r.r_name AS uf, " +
@@ -205,6 +222,14 @@ object Queries {
     val e = T(spark, dir, "embeddings").limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     run(Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4))
+    // the CC iteration's join+union+agg+observe round and the bigram-LM
+    // multi-join both compile distinct codegen classes — a cold first run
+    // otherwise charges ~tens of seconds of Janino/JIT to whichever
+    // consumer happens to execute first
+    run(Dedup.connectedComponents(d2.select("doc_id"), "doc_id",
+      d2.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")).limit(40),
+      "id_a", "id_b"))
+    run(operators.TextAnalysis.bigramLmScore(d2, "doc_id", "text"))
   }
 
   /** DuckDB SQL builders for the unrolled deterministic k-means oracle
@@ -1231,17 +1256,10 @@ object Queries {
         "SELECT id AS doc_id, min(r) AS cluster_id, " +
         "CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS is_canonical " +
         "FROM reach GROUP BY id ORDER BY doc_id"),
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val w = docs.select(col("doc_id"), col("lang"),
-          array_distinct(split(lower(col("text")), " ")).as("ws"))
-        val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
-        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
-            pairs, "id_a", "id_b")
-          .select(col("doc_id"), col("cluster_id"),
-            (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
-          .orderBy("doc_id")
-      }),
+      (s, d) => clusterAssignments(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")),
 
     // The user-facing dedup rollup: per language, how many docs survive
     // cluster-canonical selection and what fraction was removed.
@@ -1262,14 +1280,8 @@ object Queries {
         "round(100.0 * sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) / count(*), 2) AS pct_dropped " +
         "FROM cl JOIN documents d ON d.doc_id = cl.doc_id " +
         "GROUP BY d.lang ORDER BY d.lang"),
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val w = docs.select(col("doc_id"), col("lang"),
-          array_distinct(split(lower(col("text")), " ")).as("ws"))
-        val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
-        Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
-            pairs, "id_a", "id_b")
-          .join(docs.select("doc_id", "lang"), "doc_id")
+      (s, d) => clusterAssignments(s, d)
+          .join(T(s, d, "documents").select("doc_id", "lang"), "doc_id")
           .groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
@@ -1278,8 +1290,7 @@ object Queries {
               .cast("long").as("n_dropped"),
             round(lit(100.0) * sum(when(col("doc_id") =!= col("cluster_id"), 1).otherwise(0)) /
               count(lit(1)), 2).as("pct_dropped"))
-          .orderBy("lang")
-      }),
+          .orderBy("lang")),
 
     // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
     // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
@@ -1529,6 +1540,25 @@ object Queries {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      }),
+
+    // Contrastive hard negatives: per query, top-5 most-similar vectors
+    // with a DIFFERENT label (the DPR-style mining step). Brute-exact like
+    // sim_topk_brute; the label-mismatch predicate rides the broadcast join.
+    QueryDef("sim_hard_negatives", Some(
+      "WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(q.v, c.v) AS cos FROM q CROSS JOIN c " +
+        "WHERE q.label <> c.label AND q.vec_id <> c.vec_id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM " +
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank " +
+        "FROM scored) WHERE rank <= 5"),
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", 5)
       }),
 
     // IVF coarse quantization: nearest of two fixed centroids, computed
@@ -2004,6 +2034,28 @@ object Queries {
           .select(col("doc_id"), col("term"), col("score"), col("rnk"))
           .orderBy("doc_id", "rnk")
       }),
+
+    // Bigram-LM fluency (Jelinek–Mercer λ=0.7) — next order up from
+    // text_lm_score's unigram model; same determinism recipe (8dp-rounded
+    // per-transition -ln p, exact decimal sum, 1e-8-unit BIGINT).
+    QueryDef("text_lm_bigram", Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "u AS (SELECT unnest(w) AS tok FROM t), " +
+        "c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u), " +
+        "bg AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS v, w[CAST(i AS INT) + 2] AS wd " +
+        "FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t WHERE len(w) >= 2)), " +
+        "c2 AS (SELECT v, wd, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY v, wd), " +
+        "sc AS (SELECT bg.doc_id, round(-ln(0.7 * (CAST(c2.c AS DOUBLE) / CAST(cv.c AS DOUBLE)) + " +
+        "0.3 * (CAST(cw.c AS DOUBLE) / CAST(nn.n AS DOUBLE))), 8) AS s " +
+        "FROM bg JOIN c2 ON c2.v = bg.v AND c2.wd = bg.wd " +
+        "JOIN c1 cv ON cv.tok = bg.v JOIN c1 cw ON cw.tok = bg.wd CROSS JOIN nn) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, " +
+        "CAST(sum(CAST(s AS DECIMAL(18,8))) * 100000000 AS BIGINT) AS nll_1e8 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => operators.TextAnalysis.bigramLmScore(
+          T(s, d, "documents"), "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
 
     // BM25 top-k sparse retrieval (Lucene idf form) — the inverted-index
     // complement of sim_topk_*. Scores are exact decimal sums of 6dp-rounded

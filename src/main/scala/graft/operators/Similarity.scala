@@ -62,6 +62,28 @@ object Similarity {
     rerankTopK(c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * most-cosine-similar corpus vectors with a DIFFERENT label — the
+    * "looks alike, isn't" negatives an embedding-model trainer pairs with
+    * its positives (in-batch-negatives upgrade; see e.g. DPR, Karpukhin et
+    * al. 2020 §3.2 on hard negatives from a retriever).
+    *
+    * Same physique as [[bruteForceTopK]]: the small query set broadcasts,
+    * the corpus is scanned once, per-query top-k rides the WindowGroupLimit
+    * rank pushdown; the label-mismatch predicate is evaluated with the
+    * broadcast join, so same-label candidates are dropped before any
+    * cosine math. The (query_id, neighbor_id, cosine, rank) contract and
+    * tie rules match the other top-k operators.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl")).withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql")).withColumn("qn", l2Norm(col("qv")))
+    rerankTopK(c.join(broadcast(q), col("__ql") =!= col("__cl")), k)
+  }
+
   /** Deterministic random-hyperplane sign bits: plane p's component for
     * dimension d is a fixed pseudo-random ±1-ish value derived from
     * fnv1a64(p:d) — no RNG state, reproducible across runs/executors.

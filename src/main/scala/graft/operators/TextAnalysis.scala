@@ -87,6 +87,52 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("int"))
   }
 
+  /** Bigram-LM fluency score with Jelinek–Mercer interpolation — the
+    * next-order upgrade of the unigram `text_lm_score` signal (CCNet uses a
+    * 5-gram KenLM the same way; a corpus-trained bigram model is the
+    * distributed-friendly middle ground):
+    * `p(w|v) = λ·C(vw)/C(v) + (1-λ)·C(w)/N`, doc score = Σ -ln p over its
+    * transitions (docs under 2 tokens have none and drop out).
+    *
+    * Determinism contract (the text_lm_score recipe): per-transition -ln p
+    * rounded to 8 dp, summed as DECIMAL (order-free exact), emitted in 1e-8
+    * units as BIGINT.
+    *
+    * Scale shape: the exploded bigram stream persists (counted once, scored
+    * once); C2 is a (v,w)-keyed count, the two unigram joins are
+    * vocabulary-keyed — all equi-joins, nothing broadcasts except the 1-row
+    * total (N is derived from the unigram frame, not a second corpus scan).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"),
+      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    val uni = graft.CacheRegistry.register(
+      t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = uni.agg(sum("c").as("n"))
+    val bg = graft.CacheRegistry.register(
+      t.filter(size(col("w")) >= 2)
+        .select(col("__id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS v, w[i + 1] AS wd))")).as("p"))
+        .select(col("__id"), col("p.v").as("v"), col("p.wd").as("wd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c2 = bg.groupBy("v", "wd").agg(count(lit(1)).as("c2"))
+    bg.join(c2, Seq("v", "wd"))
+      .join(uni.select(col("tok").as("v"), col("c").as("cv")), "v")
+      .join(uni.select(col("tok").as("wd"), col("c").as("cw")), "wd")
+      .crossJoin(broadcast(totals))
+      .withColumn("s", round(-log(
+        lit(lambda) * (col("c2").cast("double") / col("cv").cast("double")) +
+          lit(1.0 - lambda) * (col("cw").cast("double") / col("n").cast("double"))), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        (sum(col("s")) * 100000000L).cast("long").as("nll_1e8"))
+      .select(col("__id").as(idCol), col("n_transitions"), col("nll_1e8"))
+  }
+
   /** Percentile gate: keep the top `num/den` fraction of documents by a
     * (discretized) score — "train on the top decile by quality" — without
     * ever sorting the corpus globally.

@@ -714,6 +714,40 @@ class OperatorQualitySpec extends AnyFunSuite {
       "a 1-unique-token gap keeps the two shared runs as separate spans")
   }
 
+  test("hardNegatives returns only cross-label neighbors; an identical cross-label vector ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "a", Seq(1.0, 0.0, 0.0)),
+      (2L, "a", Seq(0.9, 0.1, 0.0)),  // same label — must never appear
+      (3L, "b", Seq(1.0, 0.0, 0.0)),  // identical, other label — rank 1
+      (4L, "b", Seq(0.0, 1.0, 0.0)),
+      (5L, "c", Seq(0.7, 0.7, 0.0))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", "label", 3).orderBy("rank").collect()
+    assert(got.forall(_.getLong(0) == 1L))
+    val neighbors = got.map(r => (r.getLong(1), r.getInt(3)))
+    assert(!neighbors.map(_._1).contains(2L), "same-label vector leaked into negatives")
+    assert(neighbors.head === ((3L, 1)), s"identical cross-label vector must rank 1: ${neighbors.toList}")
+    assert(neighbors.map(_._1).toSet === Set(3L, 4L, 5L))
+  }
+
+  test("bigramLmScore reproduces a hand-computed interpolated NLL") {
+    import spark.implicits._
+    // corpus: "x y x y" (doc 1), "x z" (doc 2); N=6, C(x)=3, C(y)=2, C(z)=1
+    // C2: (x,y)=2, (y,x)=1, (x,z)=1
+    val docs = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def term(c2: Long, cv: Long, cw: Long): BigDecimal =
+      BigDecimal(-math.log(0.7 * (c2.toDouble / cv) + 0.3 * (cw.toDouble / 6.0)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = ((term(2, 3, 2) + term(1, 2, 3) + term(2, 3, 2)) * 100000000).toLongExact
+    val d2 = (term(1, 3, 1) * 100000000).toLongExact
+    assert(got(1L) === ((3L, d1)), s"doc1: ${got(1L)} expected (3, $d1)")
+    assert(got(2L) === ((1L, d2)), s"doc2: ${got(2L)} expected (1, $d2)")
+  }
+
   test("bloomAntiJoin is exact even when the sketch is saturated with false positives") {
     import spark.implicits._
     val big = (0L until 2000L).map(i => (i, s"key$i")).toDF("id", "k")
