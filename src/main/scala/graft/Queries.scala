@@ -2035,6 +2035,62 @@ object Queries {
           .orderBy("doc_id", "rnk")
       }),
 
+    // Tokenizer-vocabulary coverage audit: per-doc OOV rate against the
+    // frequent-token vocabulary (count >= 100) — the check run before
+    // switching tokenizers. Token stream persists (vocab build + coverage
+    // join read it); the join is vocab-keyed, the rollup doc-keyed.
+    QueryDef("text_oov_rate", Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "c AS (SELECT term, count(*) AS c FROM toks GROUP BY term), " +
+        "v AS (SELECT term FROM c WHERE c >= 100), " +
+        "j AS (SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov " +
+        "FROM toks t LEFT JOIN v ON v.term = t.term) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val toks = CacheRegistry.register(
+          T(s, d, "documents").select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 100).select(col("term"), lit(1).as("__in"))
+        toks.join(vocab, Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1).otherwise(0)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic weighted downsampling: keep a doc iff
+    // fingerprint(doc_id) mod 1e6 < rate_micro(source) — per-source rates
+    // 1, 1/2, 1/3, 1/4 in exact integer micro-units. Row-local (no
+    // shuffle), idempotent under re-runs and task retries, and the same
+    // doc survives on any cluster size — the reproducible alternative to
+    // rand()-based sampling.
+    QueryDef("sample_weighted", Some {
+      val fnv = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'), c -> unicode(c)::HUGEINT)), " +
+        "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
+      s"WITH h AS (SELECT doc_id, source, $fnv AS hu FROM documents), " +
+        "s AS (SELECT doc_id, source, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT " +
+        "THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS hs, " +
+        "CAST(1000000 // (1 + CAST(substr(source, 4) AS INT) % 4) AS BIGINT) AS rate_micro FROM h) " +
+        "SELECT doc_id, source, rate_micro, " +
+        "CAST(((hs % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket, " +
+        "((hs % 1000000) + 1000000) % 1000000 < rate_micro AS kept " +
+        "FROM s ORDER BY doc_id"
+    },
+      (s, d) => T(s, d, "documents").select(col("doc_id"), col("source"),
+          expr("1000000L div (1 + cast(substring(source, 4, 10) as int) % 4)")
+            .as("rate_micro"),
+          pmod(TextFunctions.fingerprint64Udf(col("doc_id").cast("string")),
+            lit(1000000L)).as("bucket"))
+        .withColumn("kept", col("bucket") < col("rate_micro"))
+        .orderBy("doc_id")),
+
     // Bigram-LM fluency (Jelinek–Mercer λ=0.7) — next order up from
     // text_lm_score's unigram model; same determinism recipe (8dp-rounded
     // per-transition -ln p, exact decimal sum, 1e-8-unit BIGINT).
