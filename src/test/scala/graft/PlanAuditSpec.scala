@@ -119,6 +119,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing two-stage aggregation:\n$p")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      // date-partitioned fact (the day-keyed mart layout) + FILE-backed dim:
+      // a LocalRelation dim gets its Filter constant-folded away before the
+      // PartitionPruning rule looks for a selective predicate — exactly why
+      // the marts join on the raw partition column against stored dims
+      (0 until 2000).map(i => (i.toLong, f"2024-01-${i % 20 + 1}%02d"))
+        .toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      (1 to 20).map(d => (f"2024-01-$d%02d", if (d <= 2) "hot" else "cold"))
+        .toDF("day", "tag").write.mode("overwrite").parquet(dir + "_dim")
+      val joined = spark.read.parquet(dir)
+        .join(spark.read.parquet(dir + "_dim").filter(col("tag") === "hot"), "day")
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the partitioned fact scan:\n$p")
+      assert(p.contains("SubqueryBroadcast"),
+        s"DPP did not reuse the join's broadcast:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir + "_dim"))
+    }
+  }
+
   test("co-bucketed tables join with NO exchange (write-time shuffle amortized)") {
     import spark.implicits._
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
