@@ -36,6 +36,16 @@ object Queries {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB fold for [[TextFunctions.fingerprint64]]'s polynomial
+    * (31·h + codepoint, seed 1125899906842597, mod 2⁶⁴) over the chars of
+    * `e` — ONE source of truth for every oracle that must stay bit-identical
+    * to the Scala fingerprint (text_fingerprint, stats_heavy_hitters,
+    * sample_weighted). Returns the UNSIGNED HUGEINT value in [0, 2⁶⁴). */
+  private def fnvPolySql(e: String): String =
+    "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      s"list_transform(regexp_extract_all($e, '.'), c -> unicode(c)::HUGEINT)), " +
+      "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
+
   /** sum of a double column, exactly, via decimal */
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
@@ -358,7 +368,8 @@ object Queries {
         "m AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, " +
         "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd FROM s), " +
         "z AS (SELECT e.event_id, e.event_type, e.value, " +
-        "round((e.value - m.mean) / m.sd, 4) AS z FROM events e JOIN m USING (event_type)) " +
+        "round((e.value - m.mean) / m.sd, 4) AS z FROM events e JOIN m USING (event_type) " +
+        "WHERE m.sd > 0) " +
         "SELECT event_id, event_type, value, z FROM z ORDER BY abs(z) DESC, event_id LIMIT 20"),
       (s, d) => {
         val ev = T(s, d, "events")
@@ -368,7 +379,9 @@ object Queries {
         val mean = col("s1").cast("double") / col("n")
         val m = mom.select(col("event_type"), mean.as("mean"),
           sqrt(col("s2").cast("double") / col("n") - mean * mean).as("sd"))
-        ev.join(broadcast(m), "event_type")
+        // sd = 0 (singleton / constant group) would put NaN z-scores at the
+        // top of the ranking — degenerate groups have no outliers by def
+        ev.join(broadcast(m.filter(col("sd") > 0)), "event_type")
           .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
           .orderBy(abs(col("z")).desc, col("event_id"))
           .select("event_id", "event_type", "value", "z")
@@ -381,10 +394,7 @@ object Queries {
     // too, so bucket math, cell sums and the min-estimate all hash-check;
     // `never_undercounts` makes CMS's one-sided error auditable per row.
     QueryDef("stats_heavy_hitters", Some {
-      def fnv(e: String): String =
-        "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
-          s"list_transform(regexp_extract_all($e, '.'), c -> unicode(c)::HUGEINT)), " +
-          "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
+      def fnv(e: String): String = fnvPolySql(e)
       "WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
         "x -> len(x) > 0)) AS term FROM documents), " +
         "counts AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY term), " +
@@ -2071,9 +2081,7 @@ object Queries {
     // doc survives on any cluster size — the reproducible alternative to
     // rand()-based sampling.
     QueryDef("sample_weighted", Some {
-      val fnv = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
-        "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'), c -> unicode(c)::HUGEINT)), " +
-        "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
+      val fnv = fnvPolySql("CAST(doc_id AS VARCHAR)")
       s"WITH h AS (SELECT doc_id, source, $fnv AS hu FROM documents), " +
         "s AS (SELECT doc_id, source, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT " +
         "THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS hs, " +
@@ -2102,8 +2110,11 @@ object Queries {
         "bg AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS v, w[CAST(i AS INT) + 2] AS wd " +
         "FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t WHERE len(w) >= 2)), " +
         "c2 AS (SELECT v, wd, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY v, wd), " +
-        "sc AS (SELECT bg.doc_id, round(-ln(0.7 * (CAST(c2.c AS DOUBLE) / CAST(cv.c AS DOUBLE)) + " +
-        "0.3 * (CAST(cw.c AS DOUBLE) / CAST(nn.n AS DOUBLE))), 8) AS s " +
+        // interpolation constants emitted from the SAME Scala doubles the
+        // engine uses: 1.0 - 0.7 is 0.30000000000000004, one ulp away from
+        // the parsed literal 0.3 — enough to flip an 8dp rounding boundary
+        s"sc AS (SELECT bg.doc_id, round(-ln(${0.7} * (CAST(c2.c AS DOUBLE) / CAST(cv.c AS DOUBLE)) + " +
+        s"${1.0 - 0.7} * (CAST(cw.c AS DOUBLE) / CAST(nn.n AS DOUBLE))), 8) AS s " +
         "FROM bg JOIN c2 ON c2.v = bg.v AND c2.wd = bg.wd " +
         "JOIN c1 cv ON cv.tok = bg.v JOIN c1 cw ON cw.tok = bg.wd CROSS JOIN nn) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, " +
@@ -2341,9 +2352,7 @@ object Queries {
         "FROM documents) " +
         "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT " +
         "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM " +
-        "(SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, " +
-        "list_transform(regexp_extract_all(norm, '.'), c -> unicode(c)::HUGEINT)), " +
-        "(acc, x) -> (31*acc + x) % 18446744073709551616::HUGEINT) AS h FROM n) " +
+        s"(SELECT doc_id, ${fnvPolySql("norm")} AS h FROM n) " +
         "ORDER BY doc_id"),
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))

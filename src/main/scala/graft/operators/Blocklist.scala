@@ -41,14 +41,32 @@ object Blocklist {
   def bloomAntiJoin(big: DataFrame, keyCol: Column,
                     blocklist: DataFrame, blockKeyCol: Column,
                     fpBits: Double = 10.0): DataFrame = {
-    val keys = blocklist.select(blockKeyCol.as("__bk")).filter(col("__bk").isNotNull)
+    // persisted: three consumers read the key projection (count job,
+    // bloom-aggregate job, anti-join build side) — released via CacheRegistry
+    val keys = graft.CacheRegistry.register(
+      blocklist.select(blockKeyCol.as("__bk")).filter(col("__bk").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // sketch sizing needs the cardinality — one count job over the (small
     // relative to `big`) blocklist, then one aggregate job for the bitmap
-    val est = math.max(keys.count(), 1L)
-    val numBits = math.max(64L, (est * fpBits).toLong)
+    val nKeys = keys.count()
+    // empty blocklist: BloomFilterAggregate.eval returns null (might_contain
+    // of a null sketch is null, which would drop EVERY row from BOTH
+    // branches) — nothing is blocked, so the answer is `big` itself
+    if (nKeys == 0L) return big
+    val numBits = math.max(64L, (nKeys * fpBits).toLong)
+    // Spark silently Math.min-clamps the sizing against the runtime-filter
+    // session caps (default 4M items / 64M bits) — a saturated sketch would
+    // keep results EXACT but send ~everything through the candidate branch,
+    // voiding the operator; raise the caps to what this sketch needs
+    val conf = big.sparkSession.conf
+    def raise(key: String, need: Long): Unit =
+      if (conf.getOption(key).map(_.toLong).getOrElse(0L) < need)
+        conf.set(key, need.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nKeys)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("__bk"))),
-      Literal(est), Literal(numBits), 0, 0)
+      Literal(nKeys), Literal(numBits), 0, 0)
     val bloomBin = keys
       .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)

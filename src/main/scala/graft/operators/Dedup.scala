@@ -630,7 +630,12 @@ object Dedup {
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))")))
       .select(col("id"), col("pos").cast("long").as("s"),
-        xxhash64(col("col")).as("g1"), xxhash64(col("col"), lit(1)).as("g2"))
+        // the two 64-bit keys must be INDEPENDENT hashes: xxhash64(gram, 1)
+        // would chain the first hash as the seed of the second (a bijection
+        // of it — colliding whenever g1 collides), so the second key hashes
+        // a DIFFERENT string instead
+        xxhash64(col("col")).as("g1"),
+        xxhash64(concat(lit("#"), col("col"))).as("g2"))
     val dup = grams
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("g1", "g2")))
       .filter(col("occ") > 1)

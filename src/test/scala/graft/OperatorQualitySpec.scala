@@ -740,7 +740,9 @@ class OperatorQualitySpec extends AnyFunSuite {
     val got = operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text", lambda = 0.7)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     def term(c2: Long, cv: Long, cw: Long): BigDecimal =
-      BigDecimal(-math.log(0.7 * (c2.toDouble / cv) + 0.3 * (cw.toDouble / 6.0)))
+      // (1.0 - 0.7), not the literal 0.3 — the engine computes the unigram
+      // weight from lambda and the two differ by one ulp
+      BigDecimal(-math.log(0.7 * (c2.toDouble / cv) + (1.0 - 0.7) * (cw.toDouble / 6.0)))
         .setScale(8, BigDecimal.RoundingMode.HALF_UP)
     val d1 = ((term(2, 3, 2) + term(1, 2, 3) + term(2, 3, 2)) * 100000000).toLongExact
     val d2 = (term(1, 3, 1) * 100000000).toLongExact
@@ -764,6 +766,11 @@ class OperatorQualitySpec extends AnyFunSuite {
       .bloomAntiJoin(big, col("k"), block, col("bk"), fpBits = 16.0)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(roomy === expected)
+    // empty blocklist blocks nothing (a null sketch would drop every row)
+    val none = operators.Blocklist
+      .bloomAntiJoin(big, col("k"), block.filter(col("bk") === "nope"), col("bk"))
+      .count()
+    assert(none === 2000L, "empty blocklist must keep the full corpus")
   }
 
   test("percentileGate rank equals the global-sort rank, boundary decided by integers") {
