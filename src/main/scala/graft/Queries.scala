@@ -159,12 +159,18 @@ object Queries {
     * real build. */
   private def clusterAssignments(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "dedupClusters") {
-      val docs = T(s, d, "documents")
-      val w = docs.select(col("doc_id"), col("lang"),
+      Dedup.connectedComponents(T(s, d, "documents").select("doc_id"), "doc_id",
+        jaccardPairs(s, d), "id_a", "id_b")
+    }
+
+  /** The near-dup pair list itself is ALSO a materialized production
+    * artifact (the corpus build writes it before clustering) — shared by
+    * dedup_jaccard_words and the cluster build above. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "jaccardPairs") {
+      val w = T(s, d, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(lower(col("text")), " ")).as("ws"))
-      val pairs = Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
-      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
-        pairs, "id_a", "id_b")
+      Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
     }
 
   /** choroCube as oracle SQL (shared by the serve_* oracles) */
@@ -1239,14 +1245,10 @@ object Queries {
         "FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9"),
-      (s, d) => {
-        // exact PPJoin-style prefix filtering: same output as the oracle's
-        // blocked all-pairs join, but candidates come from an inverted-index
-        // equi-join on each doc's rarest tokens — near-linear, not n²/|lang|
-        val w = T(s, d, "documents").select(col("doc_id"), col("lang"),
-          array_distinct(split(lower(col("text")), " ")).as("ws"))
-        Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
-      }),
+      // exact PPJoin-style prefix filtering: same output as the oracle's
+      // blocked all-pairs join, but candidates come from an inverted-index
+      // equi-join on each doc's rarest tokens — near-linear, not n²/|lang|
+      (s, d) => jaccardPairs(s, d)),
 
     // The dedup endgame: near-dup pairs → connected components → one
     // canonical doc per cluster (Lee et al. ACL'22 pipeline). Spark side is
@@ -1551,6 +1553,22 @@ object Queries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
       }),
+
+    // Per-class embedding compactness: centroid (6dp per-dim mean) +
+    // summed member→centroid cosine in 1e-6 fixed point — the label-quality
+    // audit before semantic dedup / stratified sampling trusts the labels.
+    QueryDef("embed_class_stats", Some(
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "u AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e), " +
+        "m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY 1, 2), " +
+        "c AS (SELECT label, list(m ORDER BY pos) AS cent FROM m GROUP BY label), " +
+        "j AS (SELECT e.label, round(list_cosine_similarity(e.v, c.cent), 6) AS cos " +
+        "FROM e JOIN c USING (label)) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(cos AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_cos_1e6 " +
+        "FROM j GROUP BY label ORDER BY label"),
+      (s, d) => Similarity.classStats(T(s, d, "embeddings"), "embedding", "label")
+        .orderBy("label")),
 
     // Contrastive hard negatives: per query, top-5 most-similar vectors
     // with a DIFFERENT label (the DPR-style mining step). Brute-exact like

@@ -62,6 +62,39 @@ object Similarity {
     rerankTopK(c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Per-class embedding statistics: member count, the class centroid
+    * (per-dimension mean, 6dp), and the summed member→centroid cosine — the
+    * intra-class compactness audit run on an embedding table before using
+    * its labels for semantic dedup or stratified sampling (a class whose
+    * members don't cohere around their centroid makes a bad dedup bucket).
+    *
+    * Scale shape: centroid = posexplode + (label, pos)-keyed partial-agg
+    * mean (never a whole-vector shuffle), reassembled with an ordered
+    * collect over the (label × dim)-sized frame; members then join the
+    * centroid table on the label key for a row-local cosine. Fixed-point
+    * output contract: cosines rounded 6dp, summed as DECIMAL, emitted in
+    * 1e-6 units — engine summation order invisible.
+    *
+    * @return (label, n_vecs, sum_cos_1e6)
+    */
+  def classStats(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val base = graft.CacheRegistry.register(
+      df.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = base
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 6).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cent"))
+    base.join(cents, "label")
+      .select(col("label"),
+        round(cosine(col("v"), col("cent")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("c"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("c")) * 1000000L).cast("long").as("sum_cos_1e6"))
+  }
+
   /** Contrastive hard-negative mining: for each query vector, the k
     * most-cosine-similar corpus vectors with a DIFFERENT label — the
     * "looks alike, isn't" negatives an embedding-model trainer pairs with

@@ -714,6 +714,21 @@ class OperatorQualitySpec extends AnyFunSuite {
       "a 1-unique-token gap keeps the two shared runs as separate spans")
   }
 
+  test("classStats: centroid is the 6dp per-dim mean; degenerate one-member class has cosine 1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "a", Seq(1.0, 0.0)),
+      (2L, "a", Seq(0.0, 1.0)),   // centroid (0.5, 0.5): cos(v, c) = √2/2 each
+      (3L, "b", Seq(3.0, 4.0))    // own centroid → cosine exactly 1
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.classStats(vecs, "embedding", "label")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cos = BigDecimal(0.5 / (1.0 * math.sqrt(0.5))) // dot(v,c)/( |v||c| )
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got("a") === ((2L, (cos * 2 * 1000000).toLongExact)), s"got $got")
+    assert(got("b") === ((1L, 1000000L)), s"one-member class must sum to exactly 1.0: $got")
+  }
+
   test("hardNegatives returns only cross-label neighbors; an identical cross-label vector ranks first") {
     import spark.implicits._
     val vecs = Seq(
