@@ -2792,6 +2792,26 @@ object Queries {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // Batch twin of StreamingJobs.trendingTokens (ts synthesized from
+    // doc_id — one doc per hour): per-6h-window token counts >= 10. The
+    // streaming path itself (watermark-closed append, exactly-once emit) is
+    // pinned in StreamingSpec against this exact computation.
+    QueryDef("stream_trending_tokens", Some(
+      "WITH t AS (SELECT doc_id * 3600 AS ep, " +
+        "unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS term " +
+        "FROM documents) " +
+        "SELECT CAST(ep // 21600 * 21600 AS BIGINT) AS bucket_start, term, " +
+        "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2 HAVING count(*) >= 10 " +
+        "ORDER BY bucket_start, term"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(timestamp_seconds(col("doc_id") * 3600).as("ts"), col("text"))
+        graft.streaming.StreamingJobs.trendingTokens(docs, "text", "6 hours", "1 day", 10L)
+          .select(col("bucket_start").cast("long").as("bucket_start"),
+            col("term"), col("n"))
+          .orderBy("bucket_start", "term")
+      }),
+
     QueryDef("stream_window_agg", Some(
       "SELECT CAST(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS BIGINT) AS bucket_start, " +
         "count(*) AS n, round(sum(value), 4) AS total_value FROM events GROUP BY 1"),

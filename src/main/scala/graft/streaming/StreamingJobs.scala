@@ -37,6 +37,28 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Streaming trending tokens: per event-time window, the tokens whose
+    * count reaches `minCount` — the heavy-hitter feed over an arriving
+    * corpus (burst phrases, spam campaigns, scraper boilerplate showing up
+    * NOW). Explode → windowed count with map-side partials; state is one
+    * counter per (open window, term) and the watermark closes windows, so
+    * append mode emits each trending row exactly once. The threshold
+    * filter runs post-aggregation — at scale swap the exact counter for
+    * [[graft.operators.Sketches.cmsCells]] cells keyed by window when the
+    * per-window vocabulary no longer fits state.
+    */
+  def trendingTokens(docs: DataFrame, textCol: String = "text",
+                     window_ : String = "6 hours", watermark: String = "1 day",
+                     minCount: Long = 10L): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("w.start").as("bucket_start"), col("term"), col("n"))
+
   /** Streaming exact dedup on event_hash with watermark-bounded state —
     * the streaming analog of the idempotent-insert sink (K1). */
   def dedupStream(events: DataFrame, watermark: String = "1 day"): DataFrame =

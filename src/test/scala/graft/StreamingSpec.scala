@@ -47,6 +47,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 4) // 3 distinct windows, one split by type
   }
 
+  test("trending tokens: append emits exactly the watermark-closed windows, equal to batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_trend_in").toString
+    // three 6h windows across three days: the last window stays OPEN under
+    // the 1-day watermark (max ts - 1d < its end) and must not emit
+    val docs = Seq(
+      (ts("2024-01-01 00:10:00"), "spam spam spam eggs"),
+      (ts("2024-01-01 01:20:00"), "spam spam ham"),
+      (ts("2024-01-02 00:05:00"), "spam eggs eggs"),
+      (ts("2024-01-03 10:00:00"), "late late late")
+    ).toDF("ts", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingJobs.trendingTokens(stream, minCount = 3L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trend_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("trend_test")
+      .select(col("bucket_start").cast("long"), col("term"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // batch twin restricted to windows closed by the final watermark
+    // (watermark = 2024-01-03 10:00 - 1 day → the Jan-3 06:00 window is open)
+    val want = StreamingJobs.trendingTokens(docs, minCount = 3L)
+      .select(col("bucket_start").cast("long"), col("term"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      .filter(_._1 < ts("2024-01-03 00:00:00").getTime / 1000)
+    assert(got === want, s"got $got want $want")
+    assert(got.exists(_._2 == "spam") && !got.exists(_._2 == "late"),
+      "open window leaked into append output")
+  }
+
   test("streaming dedup within watermark drops replayed event hashes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
