@@ -2489,6 +2489,45 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // Rank-normalized signal fusion: combine two incomparable quality
+    // signals (stopword fluency ↑, doc length ↑) on a common scale by
+    // mapping each to its corpus percent-rank in integer micro-units
+    // (pr = (rank-1)·1e6 // (n-1)), then blending with integer mean —
+    // no float cutoff anywhere, so engines cannot disagree. Each rank uses
+    // the binned decomposition (percentileGate machinery); the oracle is
+    // the naive pair of global-sort windows.
+    QueryDef("quality_blend", Some {
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len, CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS q FROM (SELECT doc_id, n_chars, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
+        "FROM documents) raw), " +
+        "r AS (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rq, " +
+        "CAST(row_number() OVER (ORDER BY len DESC, doc_id) AS BIGINT) AS rl, " +
+        "count(*) OVER () AS n FROM t) " +
+        "SELECT doc_id, CAST((rq - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_fluency, " +
+        "CAST((rl - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_length, " +
+        "CAST(((rq - 1) * 1000000 // (n - 1) + (rl - 1) * 1000000 // (n - 1)) // 2 AS BIGINT) AS blend " +
+        "FROM r ORDER BY doc_id"
+    },
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("len"),
+          TextFunctions.stopwordRatio(col("text")).as("q"))
+        val fl = operators.TextAnalysis
+          .percentRankMicro(t, "doc_id", "q", "pr_fluency")
+          .select("doc_id", "pr_fluency")
+        val ln = operators.TextAnalysis
+          .percentRankMicro(t, "doc_id", "len", "pr_length")
+          .select("doc_id", "pr_length")
+        fl.join(ln, "doc_id")
+          .withColumn("blend", expr("(pr_fluency + pr_length) div 2"))
+          .orderBy("doc_id")
+      }),
+
     // Bloom-pre-filtered blocklist removal: ban every doc sharing text
     // (by md5) with the doc_id%7==0 ban set. The bloom sketch is built by
     // Spark's native BloomFilterAggregate and evaluated as a codegen

@@ -151,6 +151,17 @@ object TextAnalysis {
   def percentileGate(df: DataFrame, idCol: String, scoreCol: String,
                      num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"need 0 <= $num/$den <= 1")
+    binnedRank(df, idCol, scoreCol)
+      .withColumn("selected", col("rank") * den <= lit(num) * col("__n"))
+      .drop("__n")
+  }
+
+  /** The binned global-rank core shared by [[percentileGate]] and
+    * [[percentRankMicro]]: every row annotated with its exact
+    * (score desc, id asc) corpus rank and the corpus size `__n`, without a
+    * global sort — per-bin counts roll up on a tiny frame, the in-bin
+    * row_number window is bin-partitioned. */
+  private def binnedRank(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // both the bin aggregate and the probe side read the scored frame
     val t = graft.CacheRegistry.register(
@@ -166,7 +177,16 @@ object TextAnalysis {
     val wIn = Window.partitionBy(scoreCol).orderBy(idCol)
     t.join(broadcast(binsC), Seq(scoreCol))
       .withColumn("rank", col("__cum_above") + row_number().over(wIn))
-      .withColumn("selected", col("rank") * den <= lit(num) * col("__n"))
-      .drop("__cum_above", "__n")
+      .drop("__cum_above")
   }
+
+  /** Percent-rank in integer micro-units — `(rank-1)·1e6 // (n-1)` under
+    * the (score desc, id asc) total order — the common scale for fusing
+    * incomparable quality signals without a float boundary anywhere. */
+  def percentRankMicro(df: DataFrame, idCol: String, scoreCol: String,
+                       outCol: String): DataFrame =
+    binnedRank(df, idCol, scoreCol)
+      .withColumn(outCol,
+        expr(s"(rank - 1) * 1000000L div (__n - 1)"))
+      .drop("rank", "__n")
 }
