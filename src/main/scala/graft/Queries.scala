@@ -417,21 +417,42 @@ object Queries {
           threshold = 500L, depth = 4, width = 1024)
         .orderBy(col("exact_cnt").desc, col("term"))),
 
-    // HyperLogLog++ distincts per group: constant-memory alternative to
-    // a13's exact countDistinct. Approximate by nature → no SQL oracle
-    // (rows-only); the error bound vs exact is pinned in SketchesSpec.
-    QueryDef("stats_hll_distinct", None,
-      (s, d) => operators.Sketches.hllDistinct(T(s, d, "events"),
+    // HyperLogLog++ distincts per group, certified: the CMS recipe applied
+    // to HLL — the sketch estimate folds into a `within_bound` boolean next
+    // to the exact count, so the row hash-checks against an exact-side
+    // oracle (HLL register noise never reaches the output). ±5% is
+    // generous vs relativeSD 0.02; the tighter bound stays in SketchesSpec.
+    QueryDef("stats_hll_distinct", Some(
+      "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +
+        "TRUE AS within_bound FROM events GROUP BY 1"),
+      (s, d) => operators.Sketches.hllDistinctAudit(T(s, d, "events"),
           "event_type", "user_id")
         .orderBy("event_type")),
 
-    // Greenwald–Khanna approximate quantiles per group (mergeable
-    // fixed-size state; exact `percentile` buffers every value). Approximate
-    // → rows-only; error bound vs exact percentile pinned in SketchesSpec.
-    QueryDef("stats_approx_quantiles", None,
-      (s, d) => operators.Sketches.approxQuantiles(T(s, d, "events"),
+    // Greenwald–Khanna approximate quantiles per group, certified: one row
+    // per (event_type, p) with the exact interpolated quantile — assembled
+    // as vlo + (vhi−vlo)·frac from row_number'd values, the identical IEEE
+    // expression on both sides, so no rounding is needed — and a
+    // within_bound verdict checking GK's rank guarantee (≤ n/accuracy).
+    QueryDef("stats_approx_quantiles", Some(
+      "WITH ev AS (SELECT event_type, value AS v FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1), " +
+        "t AS (SELECT event_type, n, p, CAST(n - 1 AS DOUBLE) * p AS idx, " +
+        "CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS lo, " +
+        "CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS hi " +
+        "FROM g CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)), " +
+        "r AS (SELECT event_type, v, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY v) AS rn FROM ev) " +
+        "SELECT t.event_type, t.p, " +
+        "max(CASE WHEN rn = lo + 1 THEN v END) + " +
+        "(max(CASE WHEN rn = hi + 1 THEN v END) - " +
+        "max(CASE WHEN rn = lo + 1 THEN v END)) * (idx - CAST(lo AS DOUBLE)) AS exact_q, " +
+        "TRUE AS within_bound " +
+        "FROM r JOIN t ON r.event_type = t.event_type " +
+        "GROUP BY t.event_type, t.p, t.idx, t.lo"),
+      (s, d) => operators.Sketches.approxQuantilesAudit(T(s, d, "events"),
           "event_type", "value", Seq(0.5, 0.9, 0.99))
-        .orderBy("event_type")),
+        .orderBy("event_type", "p")),
 
     QueryDef("a10_coverage_check", Some(
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n, " +

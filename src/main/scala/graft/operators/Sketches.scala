@@ -97,6 +97,25 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(keyCol), relativeSD).as("approx_distinct"))
 
+  /** Certification query for [[hllDistinct]]: the sketch estimate next to
+    * the exact distinct count and a `within_bound` verdict (±`bound`
+    * relative error — generous vs HLL++'s 2% standard deviation at
+    * relativeSD 0.02). The approx value itself is folded into the boolean
+    * so the row is hash-checkable against an exact-side oracle that cannot
+    * reproduce HLL's register noise: `(group, exact_distinct, TRUE)`. One
+    * aggregation computes both sides — the exact branch is the same single
+    * shuffle a13 already pays; the audit is a bounded-cardinality frame. */
+  def hllDistinctAudit(df: DataFrame, groupCol: String, keyCol: String,
+                       relativeSD: Double = 0.02,
+                       bound: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"),
+        approx_count_distinct(col(keyCol), relativeSD).as("approx_distinct"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")).cast("double")
+          <= lit(bound) * col("exact_distinct").cast("double"))
+          .as("within_bound"))
+
   /** Per-group approximate quantiles (the Greenwald–Khanna sketch behind
     * `percentile_approx`) — mergeable fixed-size state, vs the exact
     * `percentile` which buffers every value per group. */
@@ -105,4 +124,54 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(percentile_approx(col(valCol),
         typedLit(probabilities), lit(accuracy)).as("quantiles"))
+
+  /** Certification query for [[approxQuantiles]]: one row per (group, p)
+    * with the EXACT interpolated quantile and a GK rank-error verdict.
+    *
+    * Hash-checkability without rounding: `exact_q` is assembled from two
+    * ranked values as `vlo + (vhi − vlo)·frac` with `frac = (n−1)·p − lo` —
+    * the identical IEEE-double expression an oracle can evaluate from its
+    * own row_number frame, so both sides agree to the last ulp (the
+    * determinism rule in Queries.scala). The sketch's output never appears
+    * raw: GK guarantees rank error ≤ n/accuracy, so the audit counts
+    * values ≤ the approx quantile and folds |rank − p·n| ≤ n/accuracy + 1
+    * into `within_bound` (the +1 absorbs rank discreteness).
+    *
+    * Scale shape: the sketch side is the mergeable one-pass aggregate; the
+    * exact side (row_number per group) is the audit's cost and exists only
+    * to certify — production code calls [[approxQuantiles]]. */
+  def approxQuantilesAudit(df: DataFrame, groupCol: String, valCol: String,
+                           probabilities: Seq[Double],
+                           accuracy: Int = 10000): DataFrame = {
+    val ev = df.select(col(groupCol), col(valCol).as("__v"))
+    val grp = ev.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("__v"), typedLit(probabilities), lit(accuracy))
+        .as("__aq"))
+    val tgt = grp
+      .select(col(groupCol), col("__n"),
+        posexplode(arrays_zip(typedLit(probabilities).as("p"),
+          col("__aq").as("aq"))))
+      .select(col(groupCol), col("__n"), col("col.p").as("p"),
+        col("col.aq").as("__approx_q"))
+      .withColumn("__idx", (col("__n") - 1).cast("double") * col("p"))
+      .withColumn("__lo", floor(col("__idx")).cast("long"))
+      .withColumn("__hi", ceil(col("__idx")).cast("long"))
+    val ranked = ev.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__v"))).cast("long"))
+    ranked.join(broadcast(tgt), groupCol)
+      .groupBy(col(groupCol), col("p"), col("__n"), col("__idx"),
+        col("__lo"), col("__approx_q"))
+      .agg(
+        max(when(col("__r") === col("__lo") + 1, col("__v"))).as("__vlo"),
+        max(when(col("__r") === col("__hi") + 1, col("__v"))).as("__vhi"),
+        count(when(col("__v") <= col("__approx_q"), 1)).as("__rk"))
+      .select(col(groupCol), col("p"),
+        (col("__vlo") + (col("__vhi") - col("__vlo"))
+          * (col("__idx") - col("__lo").cast("double"))).as("exact_q"),
+        (abs(col("__rk").cast("double")
+          - col("p") * col("__n").cast("double"))
+          <= col("__n").cast("double") / accuracy + 1).as("within_bound"))
+  }
 }
