@@ -280,6 +280,76 @@ object Queries {
         s"${p}fin AS (SELECT vec_id, ${distList(dim, "v", s"(SELECT cs FROM ${p}c2)")} AS ds FROM $tbl)"
   }
 
+  /** Proxy enriched-fact frame for the A3–A6 mart family: the reference's
+    * post-enrichment shape (file_date, string view_ts, UF/biome/UC/TI keys)
+    * built deterministically from orders×customer×nation so the marts'
+    * sharpest semantic trap — municipality/UF keyed on
+    * `coalesce(view_ts::date, file_date)` while biome/UC/TI key on RAW
+    * file_date (SURVEY §7.5) — is oracle-pinned. view_ts exercises all
+    * three coalesce branches: unparseable ('pending' → NULL → file_date),
+    * a view date that DIFFERS from file_date (+1 day), and the agreeing
+    * case. UC/TI keys are null off their modulus to pin the null-drop. */
+  private def enrichedProxy(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(T(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderdate").cast("date").as("file_date"),
+        when(col("o_orderkey") % 7 === 0, lit("pending"))
+          .when(col("o_orderkey") % 3 === 0,
+            date_format(date_add(col("o_orderdate").cast("date"), 1),
+              "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("o_orderdate").cast("date"),
+            "yyyy-MM-dd HH:mm:ss"))
+          .as("view_ts"),
+        col("c_mktsegment").as("mun_uf"),
+        col("c_nationkey").as("cd_bioma"),
+        col("n_name").as("bioma"),
+        when(col("o_orderkey") % 5 === 0, col("o_orderkey") % 100).as("cd_cnuc"),
+        when(col("o_orderkey") % 5 === 0,
+          concat(lit("UC-"), col("o_orderkey") % 100)).as("uc_nome"),
+        when(col("o_orderkey") % 11 === 0, col("o_orderkey") % 50).as("terrai_cod"),
+        when(col("o_orderkey") % 11 === 0,
+          concat(lit("TI-"), col("o_orderkey") % 50)).as("ti_nome"))
+
+  /** DuckDB mirror of [[enrichedProxy]]. */
+  private val enrProxySql: String =
+    "SELECT CAST(o_orderdate AS DATE) AS file_date, " +
+      "CASE WHEN o_orderkey % 7 = 0 THEN 'pending' " +
+      "WHEN o_orderkey % 3 = 0 THEN strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') " +
+      "ELSE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') END AS view_ts, " +
+      "c_mktsegment AS mun_uf, c_nationkey AS cd_bioma, n_name AS bioma, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey % 100 END AS cd_cnuc, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN 'UC-' || (o_orderkey % 100) END AS uc_nome, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey % 50 END AS terrai_cod, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN 'TI-' || (o_orderkey % 50) END AS ti_nome " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey"
+
+  /** Municipality dim proxy for A9: (cd_mun, uf, integer area). Integer
+    * areas keep the rollup sum and the density ratio in exact integer
+    * arithmetic on both engines (no decimal-division scale divergence). */
+  private def municipiosProxy(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").select(col("c_custkey").as("cd_mun"),
+      col("c_mktsegment").as("uf"),
+      (col("c_custkey") % 1000 + 10).cast("long").as("area_km2"))
+
+  private def ufAreaSql(excludeBuilding: Boolean): String =
+    "SELECT c_mktsegment AS uf, CAST(sum(c_custkey % 1000 + 10) AS BIGINT) AS uf_area_km2 " +
+      "FROM customer " +
+      (if (excludeBuilding) "WHERE c_mktsegment <> 'BUILDING' " else "") +
+      "GROUP BY 1"
+
+  /** Half-up `round(100·n/area, 4)` as an exact integer at 1e-4 scale:
+    * `(2·10⁶·n + area) div (2·area)` — the same two's-complement division
+    * on both engines, immune to decimal-scale and double-rounding drift. */
+  private val densityE4 = "(2000000 * n_focos + uf_area_km2) div (2 * uf_area_km2)"
+  private val densityE4Sql = "(2000000 * n_focos + uf_area_km2) // (2 * uf_area_km2)"
+
   // ============================================================== queries ==
 
   val all: Seq[QueryDef] = Seq(
@@ -319,6 +389,87 @@ object Queries {
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
           col("l_returnflag"))
         .agg(count(lit(1)).as("n_focos"), sum("l_quantity").cast("long").as("sum_qty"))),
+
+    // A3 — daily UF mart over the REAL Marts.focosDiarioUf: day key is
+    // coalesce(view_ts::date, file_date) (20_focos_diario_uf.sql:30-43),
+    // area joined INNER (UFs without area drop — 'BUILDING' is excluded
+    // from the dim to make that drop observable). Density emitted as an
+    // exact integer at 1e-4 scale (see densityE4).
+    QueryDef("a3_daily_uf", Some(
+      s"WITH e AS ($enrProxySql), ua AS (${ufAreaSql(excludeBuilding = true)}), " +
+        "m AS (SELECT coalesce(try_cast(view_ts AS DATE), file_date) AS day, " +
+        "mun_uf AS uf, count(*) AS n_focos FROM e WHERE mun_uf IS NOT NULL GROUP BY 1,2) " +
+        s"SELECT m.day, m.uf, CAST(m.n_focos AS BIGINT) AS n_focos, ua.uf_area_km2, " +
+        s"$densityE4Sql AS density_e4 FROM m JOIN ua USING (uf) ORDER BY m.day, m.uf"),
+      (s, d) => graft.marts.Marts.focosDiarioUf(enrichedProxy(s, d),
+          graft.marts.Marts.ufAreaRollup(municipiosProxy(s, d))
+            .filter(col("uf") =!= "BUILDING"))
+        .select(col("day"), col("uf"), col("n_focos"), col("uf_area_km2"),
+          expr(densityE4).as("density_e4"))
+        .orderBy("day", "uf")),
+
+    // A3 monthly flavor (21_focos_mensal_uf.sql) — same coalesce day key
+    // truncated to month.
+    QueryDef("a3_monthly_uf", Some(
+      s"WITH e AS ($enrProxySql), ua AS (${ufAreaSql(excludeBuilding = true)}), " +
+        "m AS (SELECT CAST(date_trunc('month', coalesce(try_cast(view_ts AS DATE), file_date)) AS DATE) AS month, " +
+        "mun_uf AS uf, count(*) AS n_focos FROM e WHERE mun_uf IS NOT NULL GROUP BY 1,2) " +
+        s"SELECT m.month, m.uf, CAST(m.n_focos AS BIGINT) AS n_focos, ua.uf_area_km2, " +
+        s"$densityE4Sql AS density_e4 FROM m JOIN ua USING (uf) ORDER BY m.month, m.uf"),
+      (s, d) => graft.marts.Marts.focosMensalUf(enrichedProxy(s, d),
+          graft.marts.Marts.ufAreaRollup(municipiosProxy(s, d))
+            .filter(col("uf") =!= "BUILDING"))
+        .select(col("month"), col("uf"), col("n_focos"), col("uf_area_km2"),
+          expr(densityE4).as("density_e4"))
+        .orderBy("month", "uf")),
+
+    // A4 — biome daily mart: keyed on RAW file_date, NOT the coalesce key
+    // (40_focos_diario_bioma.sql:20-30) — the §7.5 semantic trap this row
+    // exists to pin. Label via max() as in the reference.
+    QueryDef("a4_daily_bioma", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT file_date AS day, cd_bioma, max(bioma) AS bioma, " +
+        "CAST(count(*) AS INT) AS focos FROM e WHERE cd_bioma IS NOT NULL " +
+        "GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosDiarioBioma(enrichedProxy(s, d))
+        .orderBy("day", "cd_bioma")),
+
+    // A4 monthly (41_*.sql — still file_date-keyed).
+    QueryDef("a4_monthly_bioma", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT CAST(date_trunc('month', file_date) AS DATE) AS month, cd_bioma, " +
+        "max(bioma) AS bioma, CAST(count(*) AS INT) AS focos FROM e " +
+        "WHERE cd_bioma IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosMensalBioma(enrichedProxy(s, d))
+        .orderBy("month", "cd_bioma")),
+
+    // A5 — UC daily mart (50_focos_diario_uc.sql): biome shape, file_date
+    // key, rows outside any UC (null key) dropped.
+    QueryDef("a5_daily_uc", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT file_date AS day, cd_cnuc, max(uc_nome) AS uc_nome, " +
+        "CAST(count(*) AS INT) AS focos FROM e WHERE cd_cnuc IS NOT NULL " +
+        "GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosDiarioKeyed(enrichedProxy(s, d),
+          "cd_cnuc", Seq("uc_nome"))
+        .orderBy("day", "cd_cnuc")),
+
+    // A6 — TI monthly mart (61_focos_mensal_ti.sql): file_date month key.
+    QueryDef("a6_monthly_ti", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT CAST(date_trunc('month', file_date) AS DATE) AS month, terrai_cod, " +
+        "max(ti_nome) AS ti_nome, CAST(count(*) AS INT) AS focos FROM e " +
+        "WHERE terrai_cod IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosMensalKeyed(enrichedProxy(s, d),
+          "terrai_cod", Seq("ti_nome"))
+        .orderBy("month", "terrai_cod")),
+
+    // A9 — UF area rollup (sql/ref/05_ref_uf_area.sql:10-18): the dim-side
+    // aggregate the UF marts join against.
+    QueryDef("a9_uf_area", Some(
+      ufAreaSql(excludeBuilding = false) + " ORDER BY 1"),
+      (s, d) => graft.marts.Marts.ufAreaRollup(municipiosProxy(s, d))
+        .orderBy("uf")),
 
     QueryDef("a8_fact_cube", Some(
       "SELECT CAST(l.l_shipdate AS DATE) AS day, l.l_returnflag, l.l_linestatus, " +
