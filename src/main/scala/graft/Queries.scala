@@ -2680,9 +2680,9 @@ object Queries {
         "CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rq, " +
         "CAST(row_number() OVER (ORDER BY len DESC, doc_id) AS BIGINT) AS rl, " +
         "count(*) OVER () AS n FROM t) " +
-        "SELECT doc_id, CAST((rq - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_fluency, " +
-        "CAST((rl - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_length, " +
-        "CAST(((rq - 1) * 1000000 // (n - 1) + (rl - 1) * 1000000 // (n - 1)) // 2 AS BIGINT) AS blend " +
+        "SELECT doc_id, CAST((rq - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pr_fluency, " +
+        "CAST((rl - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pr_length, " +
+        "CAST(((rq - 1) * 1000000 // greatest(n - 1, 1) + (rl - 1) * 1000000 // greatest(n - 1, 1)) // 2 AS BIGINT) AS blend " +
         "FROM r ORDER BY doc_id"
     },
       (s, d) => {

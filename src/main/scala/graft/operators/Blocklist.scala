@@ -57,24 +57,39 @@ object Blocklist {
     // Spark silently Math.min-clamps the sizing against the runtime-filter
     // session caps (default 4M items / 64M bits) — a saturated sketch would
     // keep results EXACT but send ~everything through the candidate branch,
-    // voiding the operator; raise the caps to what this sketch needs
+    // voiding the operator; raise the caps for the one aggregate job below,
+    // restoring the prior session values afterwards so later queries (and
+    // Spark's own injected runtime bloom filters) keep their intended sizing
     val conf = big.sparkSession.conf
-    def raise(key: String, need: Long): Unit =
-      if (conf.getOption(key).map(_.toLong).getOrElse(0L) < need)
-        conf.set(key, need.toString)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nKeys)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col("__bk"))),
-      Literal(nKeys), Literal(numBits), 0, 0)
-    val bloomBin = keys
-      .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nKeys,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
+    val bloomBin =
+      try {
+        capKeys.foreach { case (k, need) =>
+          if (conf.getOption(k).map(_.toLong).getOrElse(0L) < need)
+            conf.set(k, need.toString)
+        }
+        val agg = new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("__bk"))),
+          Literal(nKeys), Literal(numBits), 0, 0)
+        keys.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
     val might = ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBin, BinaryType),
       ColumnBridge.expression(xxhash64(keyCol))))
-    val clean = big.filter(!might)
-    val candidates = big.filter(might)
+    // coalesce(might, false): a NULL key hashes null-safely, but the
+    // documented contract is "EXACTLY the anti-join", which KEEPS left rows
+    // with null keys (null = anything is never true) — route any
+    // null-valued predicate to the clean branch rather than dropping the
+    // row from both
+    val clean = big.filter(!coalesce(might, lit(false)))
+    val candidates = big.filter(coalesce(might, lit(false)))
       .join(keys, keyCol === col("__bk"), "left_anti")
     clean.unionByName(candidates)
   }

@@ -182,11 +182,15 @@ object TextAnalysis {
 
   /** Percent-rank in integer micro-units — `(rank-1)·1e6 // (n-1)` under
     * the (score desc, id asc) total order — the common scale for fusing
-    * incomparable quality signals without a float boundary anywhere. */
+    * incomparable quality signals without a float boundary anywhere.
+    * `greatest(__n - 1, 1)` guards the single-row corpus, where n−1 = 0
+    * would make the division NULL (Spark) or error (an oracle's `//`):
+    * the lone row ranks 0, the same value the formula yields for every
+    * top-ranked row. */
   def percentRankMicro(df: DataFrame, idCol: String, scoreCol: String,
                        outCol: String): DataFrame =
     binnedRank(df, idCol, scoreCol)
       .withColumn(outCol,
-        expr(s"(rank - 1) * 1000000L div (__n - 1)"))
+        expr(s"(rank - 1) * 1000000L div greatest(__n - 1, 1L)"))
       .drop("rank", "__n")
 }

@@ -767,6 +767,9 @@ class OperatorQualitySpec extends AnyFunSuite {
 
   test("bloomAntiJoin is exact even when the sketch is saturated with false positives") {
     import spark.implicits._
+    val capKeys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val capsBefore = capKeys.map(k => spark.conf.getOption(k))
     val big = (0L until 2000L).map(i => (i, s"key$i")).toDF("id", "k")
     val block = (0L until 2000L by 5).map(i => s"key$i").toDF("bk") // 400 banned
     // 0.5 bits/key → nearly every probe is a bloom positive; the anti-join
@@ -786,6 +789,33 @@ class OperatorQualitySpec extends AnyFunSuite {
       .bloomAntiJoin(big, col("k"), block.filter(col("bk") === "nope"), col("bk"))
       .count()
     assert(none === 2000L, "empty blocklist must keep the full corpus")
+    // the session bloom-filter caps must come back to their prior values
+    // after the sketch job (bloomAntiJoin raises them only for itself)
+    for ((k, before) <- capKeys.zip(capsBefore))
+      assert(spark.conf.getOption(k) === before,
+        s"$k leaked out of bloomAntiJoin: ${spark.conf.getOption(k)} vs $before")
+  }
+
+  test("bloomAntiJoin keeps null-key rows, like the anti-join it implements") {
+    import spark.implicits._
+    // anti-join semantics: null = anything is never TRUE, so a left row
+    // with a null key survives — bloomAntiJoin must route it to a branch
+    // that keeps it, not drop it from both
+    val big = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("b")),
+      (4L, None: Option[String])).toDF("id", "k")
+    val block = Seq("a").toDF("bk")
+    val got = operators.Blocklist.bloomAntiJoin(big, col("k"), block, col("bk"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L, 4L), s"null-key rows must survive: $got")
+  }
+
+  test("percentRankMicro is defined (0) for a single-row corpus") {
+    import spark.implicits._
+    // n−1 = 0: an unguarded division would yield NULL; the lone row ranks 0
+    val one = Seq((7L, 0.5)).toDF("id", "q")
+    val got = operators.TextAnalysis.percentRankMicro(one, "id", "q", "pr")
+      .select("pr").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq === Seq(Some(0L)), s"single-row percent-rank: $got")
   }
 
   test("percentileGate rank equals the global-sort rank, boundary decided by integers") {
