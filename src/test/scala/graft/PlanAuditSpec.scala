@@ -119,6 +119,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing two-stage aggregation:\n$p")
   }
 
+  test("profile_table: no Expand — per-column distincts aggregate as set partials in one job") {
+    val p = plan("profile_table")
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand re-appeared (×ncols row multiplication):\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"more than the one 1-row shuffle:\n$p")
+    assert(p.contains("collect_set") || p.contains("partial_collect_set"),
+      s"set-partial aggregation missing:\n$p")
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
