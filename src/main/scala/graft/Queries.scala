@@ -2023,28 +2023,40 @@ object Queries {
 
     // PII redaction over documents. The synthetic corpus carries no real
     // PII, so deterministic PII is injected into every 7th doc (identically
-    // on both sides) to exercise actual redaction; counts are taken per
-    // class on the text with all PRIOR classes already replaced — exactly
-    // the occurrences each stage redacts.
-    // Both sides fold over TextFunctions.piiPatterns — one source of truth
-    // for patterns, tokens, AND count-column names, so adding/removing a
-    // class stays in sync by construction. clean_text on the Spark side is
-    // the library's scrubPii itself (provably equal to the staged fold).
+    // on both sides) to exercise actual redaction. ONE pass on both sides:
+    // the Spark side is the single-alternation PiiScrubExpr kernel
+    // (clean_text + all class counts from one matcher walk); the oracle
+    // rebuilds the identical pass from the SAME combined pattern — the
+    // participating capture group of each match decides its token (group
+    // order = class priority), clean_text reassembles from the split
+    // segments interleaved with tokens. Patterns, tokens and count-column
+    // names all come from TextFunctions.piiPatterns — one source of truth.
     QueryDef("text_pii_scrub", Some {
       val pats = TextFunctions.piiPatterns
-      val ctes = pats.zipWithIndex.map { case ((tok, pat), i) =>
-        s"t${i + 1} AS (SELECT *, regexp_replace(s$i, '$pat', '$tok', 'g') AS s${i + 1} FROM t$i)"
-      }
-      val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
-        s"CAST(len(regexp_extract_all(s$i, '$pat')) AS BIGINT) AS ${TextFunctions.piiCountName(tok)}"
-      }
+      val combined = graft.plans.PiiScrubKernel.combinedRegex
+      val tokCase = pats.zipWithIndex.map { case ((tok, _), i) =>
+        if (i == pats.length - 1) s"ELSE '$tok'"
+        else s"WHEN g${i + 1}[CAST(i AS INT)+1] <> '' THEN '$tok'"
+      }.mkString("CASE ", " ", " END")
+      val gCols = pats.indices.map(i =>
+        s"regexp_extract_all(s0, '$combined', ${i + 1}) AS g${i + 1}").mkString(", ")
+      val counts = pats.zipWithIndex.map { case ((tok, _), i) =>
+        s"CAST(len(list_filter(g${i + 1}, x -> x <> '')) AS BIGINT) AS " +
+          TextFunctions.piiCountName(tok)
+      }.mkString(", ")
       "WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || " +
         "' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.' || " +
         "CAST(doc_id % 256 AS VARCHAR) || '.1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242' " +
         "ELSE text END AS s0 FROM documents), " +
-        ctes.mkString(", ") +
-        s" SELECT doc_id, s${pats.length} AS clean_text, " + counts.mkString(", ") +
-        s" FROM t${pats.length} ORDER BY doc_id"
+        s"m AS (SELECT doc_id, s0, $gCols, " +
+        s"regexp_split_to_array(s0, '$combined') AS segs FROM t0), " +
+        s"tk AS (SELECT doc_id, segs, $counts, " +
+        s"list_transform(range(len(segs) - 1), i -> $tokCase) AS toks FROM m) " +
+        "SELECT doc_id, list_reduce(list_prepend(segs[1], " +
+        "list_transform(range(len(toks)), i -> toks[CAST(i AS INT)+1] || segs[CAST(i AS INT)+2])), " +
+        "(a, x) -> a || x) AS clean_text, " +
+        pats.map { case (tok, _) => TextFunctions.piiCountName(tok) }.mkString(", ") +
+        " FROM tk ORDER BY doc_id"
     },
       (s, d) => {
         val pats = TextFunctions.piiPatterns
@@ -2055,15 +2067,13 @@ object Queries {
               (col("doc_id") % 256).cast("string"),
               lit(".1 card 4111 1111 1111 1111 tel: +1 (555) 010-4242")))
             .otherwise(col("text")))
-        val staged = pats.zipWithIndex.foldLeft(base) { case (df, ((tok, pat), i)) =>
-          df.withColumn(s"s${i + 1}", regexp_replace(col(s"s$i"), pat, tok))
-        }
-        val counts = pats.zipWithIndex.map { case ((tok, pat), i) =>
-          regexp_count(col(s"s$i"), lit(pat)).cast("long")
-            .as(TextFunctions.piiCountName(tok))
-        }
-        staged.select((Seq(col("doc_id"),
-            TextFunctions.scrubPii(col("s0")).as("clean_text")) ++ counts): _*)
+        base.select(col("doc_id"),
+            TextFunctions.scrubPiiWithCounts(col("s0")).as("r"))
+          .select((col("doc_id") +: col("r.clean_text").as("clean_text") +:
+            pats.map { case (tok, _) =>
+              val n = TextFunctions.piiCountName(tok)
+              col(s"r.$n").as(n)
+            }): _*)
           .orderBy("doc_id")
       }),
 

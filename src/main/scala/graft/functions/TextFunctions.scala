@@ -184,12 +184,17 @@ object TextFunctions {
   def piiCountName(tok: String): String =
     "n_" + tok.replaceAll("[<>]", "").toLowerCase + "s"
 
-  /** Replace every PII class occurrence with its token — a pure
-    * regexp_replace fold, fully codegen'd, no UDF. */
+  /** Replace every PII class occurrence with its token, and count each
+    * class, in ONE pass: a single compiled alternation of [[piiPatterns]]
+    * walked once per document by a native codegen expression (was a
+    * 4-replace + 4-count regexp fold = 8 traversals). Returns
+    * struct(clean_text, n_emails, n_ips, n_ccs, n_phones). */
+  def scrubPiiWithCounts(text: Column): Column =
+    graft.plans.PiiScrubExpr(text)
+
+  /** Scrubbed text only — same single-pass kernel. */
   def scrubPii(text: Column): Column =
-    piiPatterns.foldLeft(text) { case (c, (tok, pat)) =>
-      regexp_replace(c, pat, tok)
-    }
+    scrubPiiWithCounts(text).getField("clean_text")
 
   // --------------------------------------------------------- fingerprinting
 

@@ -101,4 +101,25 @@ class ServeGoldenSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("scrubPiiWithCounts: per-class counts come from the same single pass") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val row = Seq("a@b.co c@d.org 1.2.3.4 4111-1111-1111-1111 (555) 010-4242")
+      .toDF("t")
+      .select(TextFunctions.scrubPiiWithCounts(col("t")).as("r"))
+      .select("r.clean_text", "r.n_emails", "r.n_ips", "r.n_ccs", "r.n_phones")
+      .head()
+    assert(row.getString(0) === "<EMAIL> <EMAIL> <IP> <CC> <PHONE>",
+      s"clean: ${row.getString(0)}")
+    assert(row.getLong(1) === 2L, s"emails: $row")
+    assert(row.getLong(2) === 1L, s"ips: $row")
+    assert(row.getLong(3) === 1L, s"ccs: $row")
+    assert(row.getLong(4) === 1L, s"phones: $row")
+    // null text → null struct, not a crash
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextFunctions.scrubPiiWithCounts(col("t")).as("r")).head()
+    assert(n.isNullAt(0), s"null text must give null struct: $n")
+  }
 }
