@@ -173,6 +173,39 @@ object Queries {
       Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
     }
 
+  /** Shared oracle closure for the CC family (dedup_clusters /
+    * dedup_summary): `rounds` unrolled rounds of min-label propagation +
+    * pointer jumping over the SAME pair predicate — each round takes the
+    * min label over {self} ∪ neighbors, then chases one pointer hop
+    * (adopts the label OF the label node), exactly Spark's
+    * connectedComponents iteration. Replaces the recursive reachability
+    * closure, which materializes id × reachable-node pairs and cannot
+    * finish in DuckDB at sf0.1 bench scale (>6 min; this unroll runs in
+    * seconds). Converges for component diameter ≲ 2^rounds; ends with
+    * `cl(doc_id, cluster_id)`. */
+  private def ccClosureSql(rounds: Int): String = {
+    // every iteration CTE is referenced twice (self-join on labels) — they
+    // MUST be MATERIALIZED or the optimizer's inlining re-evaluates the
+    // whole chain per reference (2^rounds pair-join expansions)
+    val base =
+      "w AS MATERIALIZED (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents), " +
+        "p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
+        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9), " +
+        "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
+        "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents)"
+    val iters = (0 until rounds).flatMap { t =>
+      Seq(
+        s"a$t AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl " +
+          s"FROM l$t l LEFT JOIN e ON e.src = l.id LEFT JOIN l$t nl ON nl.id = e.dst " +
+          "GROUP BY l.id, l.lbl)",
+        s"l${t + 1} AS MATERIALIZED (SELECT a.id, a2.lbl FROM a$t a JOIN a$t a2 ON a2.id = a.lbl)")
+    }
+    (base +: iters).mkString(", ") +
+      s", cl AS (SELECT id AS doc_id, lbl AS cluster_id FROM l$rounds)"
+  }
+
   /** choroCube as oracle SQL (shared by the serve_* oracles) */
   private val cubeSql =
     "SELECT CAST(o.o_orderdate AS DATE) AS day, r.r_name AS uf, " +
@@ -1424,22 +1457,15 @@ object Queries {
 
     // The dedup endgame: near-dup pairs → connected components → one
     // canonical doc per cluster (Lee et al. ACL'22 pipeline). Spark side is
-    // iterative min-label propagation + pointer jumping; the oracle computes
-    // the same fixpoint as a recursive reachability closure (UNION-dedup
-    // terminates it) over the identical pair predicate.
+    // iterative min-label propagation + pointer jumping; the oracle unrolls
+    // the SAME iteration (ccClosureSql) over the identical pair predicate —
+    // DuckDB-feasible at bench scale, unlike the former recursive
+    // reachability closure.
     QueryDef("dedup_clusters", Some(
-      "WITH RECURSIVE " +
-        "w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
-        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9), " +
-        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
-        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r) " +
-        "SELECT id AS doc_id, min(r) AS cluster_id, " +
-        "CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS is_canonical " +
-        "FROM reach GROUP BY id ORDER BY doc_id"),
+      s"WITH ${ccClosureSql(rounds = 6)} " +
+        "SELECT doc_id, cluster_id, " +
+        "CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical " +
+        "FROM cl ORDER BY doc_id"),
       (s, d) => clusterAssignments(s, d)
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
@@ -1448,16 +1474,7 @@ object Queries {
     // The user-facing dedup rollup: per language, how many docs survive
     // cluster-canonical selection and what fraction was removed.
     QueryDef("dedup_summary", Some(
-      "WITH RECURSIVE " +
-        "w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
-        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9), " +
-        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), " +
-        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
-        "cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+      s"WITH ${ccClosureSql(rounds = 6)} " +
         "SELECT d.lang, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
