@@ -2867,6 +2867,34 @@ object Queries {
         graft.operators.Multimodal.decode(media).toDF().orderBy("media_id")
       }),
 
+    // REAL image decode (javax.imageio — in the JDK, no external codecs):
+    // each doc_id becomes a solid-color PNG whose dims and RGB are pure
+    // integer functions of the id; Spark ENCODES the PNG, ships the bytes
+    // through the binary column, and decodeImages reads actual pixels back.
+    // PNG is lossless, so the oracle computes the decoded dims and the
+    // per-pixel checksum (w·h·(r+g+b)) straight from the id functions —
+    // a real codec round-trip certified by exact arithmetic.
+    QueryDef("mm_decode_image", Some(
+      "SELECT doc_id AS media_id, CAST(16 + doc_id % 16 AS INT) AS width, " +
+        "CAST(8 + doc_id % 9 AS INT) AS height, " +
+        "CAST((16 + doc_id % 16) * (8 + doc_id % 9) * " +
+        "(doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) AS BIGINT) AS pix_sum, " +
+        "TRUE AS ok FROM documents ORDER BY 1"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+            val rgb = ((id % 256).toInt << 16) |
+              (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.pngBytes(w, h, rgb),
+              "image/png", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.decodeImages(media).toDF()
+          .orderBy("media_id")
+      }),
+
     // ------------------------------------------------- incremental/streaming
 
     // As-of join: every event picks up the user's latest purchase value at

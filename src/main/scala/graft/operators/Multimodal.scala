@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata, the
-  * standard layout for multimodal training shards. The *decode* step is a
-  * STUB (this container ships no codec libraries): `decodeStub` parses a
-  * deterministic fake header so the Spark-side plumbing — schema, typed
-  * Dataset pipeline, per-partition batching, feature shape — is real and
-  * testable, and a production build swaps `decodeStub`/`extractFeatures`
-  * for a JNI/FFI codec without touching the plan shape.
+  * standard layout for multimodal training shards. IMAGE decode is REAL
+  * (`decodeImages` — `javax.imageio` is in the JDK: PNG/JPEG/BMP/GIF to
+  * actual dims + per-pixel checksum, undecodable rows quarantined, never
+  * task failures). Audio/video decode remains a STUB (no codec libraries
+  * in the JDK): `decodeStub` parses a deterministic fake header so the
+  * Spark-side plumbing — schema, typed Dataset pipeline, per-partition
+  * batching, feature shape — is real and testable, and a production build
+  * swaps `decodeStub`/`extractFeatures` for a JNI/FFI codec without
+  * touching the plan shape.
   *
   * Scale notes: media rows are large (MBs), so operators here avoid
   * wide shuffles — everything is mapPartitions-shaped (narrow), and
@@ -65,6 +68,70 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeStub))
+  }
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+                                pix_sum: Long, ok: Boolean)
+
+  /** REAL image decode — `javax.imageio` ships in the JDK, so the image
+    * half of the multimodal story needs no external codec: PNG/JPEG/BMP/GIF
+    * payloads decode to actual dimensions and a per-pixel RGB checksum
+    * (Σ r+g+b over all pixels). Undecodable payloads come back as
+    * `ok = false` zeros — quarantine rows, never task failures. Same
+    * narrow mapPartitions shape as [[decode]]; audio/video remain header
+    * stubs (no codecs in the JDK for those).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // no temp-file cache: payloads are in-memory byte arrays; per-task
+      // disk spooling would only add IO and /tmp churn
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              if (r.payload == null) Array.empty[Byte] else r.payload))
+          if (img == null) DecodedImage(r.media_id, 0, 0, 0L, ok = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(r.media_id, w, h, s, ok = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedImage(r.media_id, 0, 0, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Real PNG bytes for a solid-`rgb` w×h image (ImageIO encoder). The
+    * oracle-able fixture: PNG is lossless, so decoded dims and the pixel
+    * checksum of a solid color are pure integer functions of (w, h, rgb). */
+  def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Feature extraction stub: fixed-size float vector derived

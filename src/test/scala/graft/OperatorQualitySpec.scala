@@ -246,6 +246,22 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(math.abs(feats.feature.sum - payload.map(b => (b & 0xff) / 255.0f).sum) < 0.5f)
   }
 
+  test("decodeImages: real PNG round-trip; corrupt and null payloads quarantine as ok=false") {
+    import spark.implicits._
+    val good = Multimodal.MediaRow(1L, "image",
+      Multimodal.pngBytes(20, 10, 0x102030), "image/png", Some(20), Some(10), None)
+    val corrupt = Multimodal.MediaRow(2L, "image",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "image/png", None, None, None)
+    val empty = Multimodal.MediaRow(3L, "image", null, "image/png", None, None, None)
+    val got = Multimodal.decodeImages(Seq(good, corrupt, empty).toDS())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(1L).ok && got(1L).width == 20 && got(1L).height == 10)
+    assert(got(1L).pix_sum == 20L * 10L * (0x10 + 0x20 + 0x30),
+      s"solid-color checksum: ${got(1L)}")
+    assert(!got(2L).ok && got(2L).width == 0, s"corrupt must quarantine: ${got(2L)}")
+    assert(!got(3L).ok, s"null payload must quarantine: ${got(3L)}")
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
