@@ -3084,6 +3084,36 @@ object Queries {
       (s, d) => T(s, d, "events")
         .groupBy((floor(col("ts").cast("long") / 21600) * 21600).cast("long").as("bucket_start"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))),
+
+    // State-store observability: ACTUALLY runs the watermarked 6h windowed
+    // aggregation as a stream (AvailableNow → noop sink) and reports the
+    // final per-operator state metrics from StreamingQueryProgress. The
+    // aggregation state holds one row per (open 6h window × event_type) —
+    // deterministic for a given input, so the oracle counts the same
+    // distinct groups from the batch side; memory is environment-dependent
+    // and folds to a positivity check. This is the gauge a 100 TB streaming
+    // deployment alarms on: state rows growing without bound = a
+    // missing/ineffective watermark.
+    QueryDef("stream_state_metrics", Some(
+      "SELECT 'stateStoreSave' AS operator, CAST(count(*) AS BIGINT) AS state_rows, " +
+        "TRUE AS memory_positive FROM " +
+        "(SELECT DISTINCT floor(epoch(ts)/21600) AS w, event_type FROM events)"),
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // the sf tables are single files and the streaming file source
+        // wants a directory — stream the sf dir with a glob pinned to the
+        // events table
+        val ev = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = ev.withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        graft.streaming.StreamingJobs.stateMetrics(agg)
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -171,6 +171,44 @@ object StreamingJobs {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Per-operator state-store metrics of a streaming aggregation: run it
+    * to completion (Trigger.AvailableNow, noop sink) and read the final
+    * `StreamingQueryProgress.stateOperators` — the observability surface a
+    * production streaming pipeline alarms on. `state_rows`
+    * (= numRowsTotal, open windows × keys) is deterministic for a given
+    * input and watermark, so it is oracle-checkable; unbounded growth
+    * between runs is the signature of a missing/ineffective watermark.
+    * The byte count is environment-dependent (state-store provider,
+    * JVM), so only its positivity is reported.
+    *
+    * @return one row per stateful operator:
+    *         (operator, state_rows, memory_positive)
+    */
+  def stateMetrics(agg: DataFrame,
+                   outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = agg.sparkSession
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-metrics")
+    val q = agg.writeStream.outputMode(outputMode).format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally {
+      q.stop()
+      // best-effort checkpoint cleanup — metrics runs are one-shot
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    val prog = q.lastProgress
+    val rows =
+      if (prog == null) Seq.empty[(String, Long, Boolean)]
+      else prog.stateOperators.toSeq.map(so =>
+        (so.operatorName, so.numRowsTotal, so.memoryUsedBytes > 0))
+    rows.toDF("operator", "state_rows", "memory_positive")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
                                   first_ts: Timestamp, last_ts: Timestamp)

@@ -47,6 +47,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 4) // 3 distinct windows, one split by type
   }
 
+  test("stateMetrics: state rows equal the distinct open (window × key) groups") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state_in").toString
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "click", 1.0),
+      (2L, ts("2024-01-01 02:20:00"), "click", 2.0),
+      (3L, ts("2024-01-01 07:00:00"), "view", 3.0),
+      (4L, ts("2024-01-01 07:30:00"), "click", 4.0),
+      (5L, ts("2024-01-02 01:00:00"), "view", 5.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val agg = spark.readStream.schema(events.schema).parquet(dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val got = StreamingJobs.stateMetrics(agg).collect()
+    assert(got.length == 1, s"one stateful operator expected: ${got.toSeq}")
+    val r = got.head
+    assert(r.getString(0) == "stateStoreSave", s"operator: $r")
+    // 4 distinct (6h-window, event_type) groups, all open in Complete mode
+    assert(r.getLong(1) == 4L, s"state rows: $r")
+    assert(r.getBoolean(2), s"memory must be positive: $r")
+  }
+
   test("trending tokens: append emits exactly the watermark-closed windows, equal to batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_trend_in").toString
