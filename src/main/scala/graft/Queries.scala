@@ -1429,6 +1429,60 @@ object Queries {
           .orderBy("n_nationkey")
       }),
 
+    // ST_MakeValid analog (sqlm/marts/prereq/010/020, api geo overlay):
+    // arrangement rebuild with even-odd (linework) semantics. Three
+    // closed-form fixture classes per nation: a self-crossing bowtie (splits
+    // into 2 lobes, area w·h/2), a valid rect-with-hole (passes through
+    // unchanged), and an overlapping-parts invalid multipolygon (dissolves
+    // to the union — the geo_union shapes). Part/ring counts, rounded
+    // planar area, and bbox are all integer-exact for the oracle.
+    QueryDef("geo_makevalid", Some(
+      s"WITH c AS ($cellsSql), p AS (SELECT n_nationkey, " +
+        "CAST(10 + (n_nationkey % 5) * 4 AS DOUBLE) AS dx, min_lon AS x0, min_lat AS y0 FROM c) " +
+        "SELECT * FROM (" +
+        "SELECT n_nationkey, 'bowtie' AS kind, 2 AS n_parts, 2 AS n_rings, " +
+        "CAST(16 * dx AS BIGINT) AS area_deg2, " +
+        "x0 AS minx, y0 AS miny, x0 + 2*dx AS maxx, y0 + 16 AS maxy FROM p " +
+        "UNION ALL SELECT n_nationkey, 'rect_hole', 1, 2, CAST(84 AS BIGINT), " +
+        "x0, y0, x0 + 10, y0 + 10 FROM p " +
+        "UNION ALL SELECT n_nationkey, 'overlap_mp', 1, 1, CAST(56 * dx AS BIGINT), " +
+        "x0, y0, x0 + 3*dx, y0 + 24 FROM p) " +
+        "ORDER BY n_nationkey, kind"),
+      (s, d) => {
+        val base = cells(s, d).select(col("n_nationkey"),
+          (lit(10) + col("n_nationkey") % 5 * 4).cast("double").as("dx"),
+          col("min_lon").as("x0"), col("min_lat").as("y0"))
+        def pt(a: Column, b: Column) = array(a, b)
+        def ccwRect(x1: Column, y1: Column, x2: Column, y2: Column) =
+          array(pt(x1, y1), pt(x2, y1), pt(x2, y2), pt(x1, y2), pt(x1, y1))
+        def cwRect(x1: Column, y1: Column, x2: Column, y2: Column) =
+          array(pt(x1, y1), pt(x1, y2), pt(x2, y2), pt(x2, y1), pt(x1, y1))
+        val w = col("dx") * 2
+        val bowtie = array(array(array(
+          pt(col("x0"), col("y0")), pt(col("x0") + w, col("y0") + 16),
+          pt(col("x0") + w, col("y0")), pt(col("x0"), col("y0") + 16),
+          pt(col("x0"), col("y0")))))
+        val rectHole = array(array(
+          ccwRect(col("x0"), col("y0"), col("x0") + 10, col("y0") + 10),
+          cwRect(col("x0") + 3, col("y0") + 3, col("x0") + 7, col("y0") + 7)))
+        val overlapMp = array(
+          array(ccwRect(col("x0"), col("y0"), col("x0") + w, col("y0") + 16)),
+          array(ccwRect(col("x0") + col("dx"), col("y0") + 8,
+            col("x0") + col("dx") * 3, col("y0") + 24)))
+        val in = base.select(col("n_nationkey"), lit("bowtie").as("kind"), bowtie.as("geom"))
+          .unionByName(base.select(col("n_nationkey"), lit("rect_hole").as("kind"), rectHole.as("geom")))
+          .unionByName(base.select(col("n_nationkey"), lit("overlap_mp").as("kind"), overlapMp.as("geom")))
+        in.withColumn("fixed", GeoFunctions.makeValidUdf(col("geom")))
+          .withColumn("bb", GeoFunctions.bboxUdf(col("fixed")))
+          .select(col("n_nationkey"), col("kind"),
+            size(col("fixed")).as("n_parts"),
+            expr("aggregate(fixed, 0, (a, p) -> a + size(p))").as("n_rings"),
+            round(GeoFunctions.planarAreaDeg2Udf(col("fixed"))).cast("long").as("area_deg2"),
+            col("bb._1").as("minx"), col("bb._2").as("miny"),
+            col("bb._3").as("maxx"), col("bb._4").as("maxy"))
+          .orderBy("n_nationkey", "kind")
+      }),
+
     // ------------------------------------------------- corpus ops (dedup &c)
 
     QueryDef("dedup_exact", Some(

@@ -101,6 +101,15 @@ object GeoFunctions {
       else graft.geo.PolyUnion.union(toMP(mp))
         .map(_.map(_.map(p => Seq(p._1, p._2)))))
 
+  /** ST_MakeValid analog — arrangement rebuild of a possibly invalid
+    * (multi)polygon (even-odd / linework semantics); see
+    * [[graft.geo.PolyUnion.makeValid]]. */
+  val makeValidUdf =
+    udf((mp: MP) =>
+      if (mp == null) null
+      else graft.geo.PolyUnion.makeValid(toMP(mp))
+        .map(_.map(_.map(p => Seq(p._1, p._2)))))
+
   /** Planar shoelace area in degree² (exteriors minus holes) — exact on
     * integer-coordinate fixtures, used to oracle the union output. */
   val planarAreaDeg2Udf =
@@ -146,5 +155,6 @@ object GeoFunctions {
     spark.udf.register("geo_is_valid", isValidUdf)
     spark.udf.register("geo_parts_overlap", partsBBoxOverlapUdf)
     spark.udf.register("geo_union", polygonUnionUdf)
+    spark.udf.register("geo_make_valid", makeValidUdf)
   }
 }

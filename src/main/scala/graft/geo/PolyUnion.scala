@@ -49,8 +49,35 @@ object PolyUnion {
   def union(mp: MultiPolygon): MultiPolygon = {
     val parts = mp.filter(p => p.nonEmpty && p.head.length >= 3)
     if (parts.isEmpty) return IndexedSeq.empty
+    // single VALID part needs no arrangement; union's contract assumes
+    // valid inputs (makeValid is the entry point that never shortcuts)
     if (parts.length == 1) return IndexedSeq(parts.head)
+    rebuild(parts)
+  }
 
+  /** `ST_MakeValid` analog (sqlm/marts/prereq/010_mv_uf_geom_mainland
+    * .sql:5-9, 020_…:5, api/app/main.py:704-732): rebuild a possibly
+    * invalid (multi)polygon into a well-oriented valid one by running the
+    * same arrangement the union uses — node every self-intersection, keep
+    * the subsegments separating covered from uncovered space, re-assemble
+    * rings. Coverage is the even-odd ray-cast, so a bowtie splits into its
+    * two lobes and a doubly-wound region is excluded — the semantics of
+    * PostGIS's default (linework) method; overlapping parts of an invalid
+    * multipolygon dissolve into their union. Valid inputs pass through
+    * geometrically unchanged (rings may be renoded/reoriented). Spikes and
+    * zero-width slivers thinner than the 1e-7·scale probe offset collapse
+    * (documented divergence from GEOS's exact-rational build, as for
+    * [[union]]).
+    */
+  def makeValid(mp: MultiPolygon): MultiPolygon = {
+    val parts = mp.filter(p => p.nonEmpty && p.head.length >= 3)
+    if (parts.isEmpty) return IndexedSeq.empty
+    rebuild(parts)
+  }
+
+  /** The arrangement + boundary-filter + ring-assembly core shared by
+    * [[union]] and [[makeValid]]. */
+  private def rebuild(parts: IndexedSeq[Polygon]): MultiPolygon = {
     // ---- scale-relative tolerances
     var scale = 1.0
     parts.foreach(_.foreach(_.foreach { case (x, y) =>

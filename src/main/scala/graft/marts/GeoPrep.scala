@@ -9,6 +9,11 @@ import graft.functions.GeoFunctions
 /** The choropleth prereq chain (sqlm/marts/prereq/010-030_*.sql) as
   * DataFrame operators:
   *
+  *  - `makeValidByRow` — ST_MakeValid (010_mv_uf_geom_mainland.sql:5,
+  *    020:5): arrangement rebuild of invalid geometries
+  *    ([[graft.geo.PolyUnion.makeValid]], even-odd/linework semantics);
+  *    explicit chain step — the reference composes
+  *    `st_dump(st_makevalid(g))`, here `explodeParts(makeValidByRow(g))`
   *  - `explodeParts` — ST_Dump + ST_CollectionExtract(g, 3): one row per
   *    polygon part (010_mv_uf_geom_mainland.sql:5-9)
   *  - `mainlandByKey` — W4: rank parts by spherical area desc, keep the
@@ -23,6 +28,13 @@ import graft.functions.GeoFunctions
   * partition by the entity key so nothing ever gathers to one task.
   */
 object GeoPrep {
+
+  /** ST_MakeValid of every row's geometry (010:5, 020:5) — kept an
+    * EXPLICIT chain step (not fused into explodeParts) because rebuilding
+    * renodes rings even on valid inputs; callers with pre-validated
+    * layers skip it and keep byte-stable geometry. */
+  def makeValidByRow(geoms: DataFrame): DataFrame =
+    geoms.withColumn("geom", GeoFunctions.makeValidUdf(col("geom")))
 
   /** One row per polygon part: (keyCols…, part_idx, part) — the ST_Dump
     * analog. `part` stays a multipolygon-shaped single-polygon array so

@@ -252,4 +252,49 @@ class PolyUnionSpec extends AnyFunSuite {
       assert(a <= sum + 1e-6 && a >= mx - 1e-6, s"trial $trial area $a out of [$mx, $sum]")
     }
   }
+
+  // ------------------------------------------------------------- makeValid
+
+  test("makeValid: bowtie splits into its two lobes (even-odd / linework semantics)") {
+    // figure-8: (0,0)→(10,8)→(10,0)→(0,8) — diagonals cross at (5,4)
+    val bowtie = ring((0, 0), (10, 8), (10, 0), (0, 8), (0, 0))
+    val out = PolyUnion.makeValid(IndexedSeq(part(bowtie)))
+    assert(out.length == 2, s"expected 2 lobes, got ${out.length}: $out")
+    // each lobe is a triangle of area w·h/4 = 20; total 40
+    assert(math.abs(planarArea(out) - 40.0) < 1e-6, s"area ${planarArea(out)}")
+    assertRegionEquals(IndexedSeq(part(bowtie)), out)
+    // output must be valid: closed rings, CCW exteriors
+    out.foreach { p =>
+      assert(p.head.head == p.head.last, "ring not closed")
+      assert(Geo.ringAreaPlanarDeg2(p.head) > 0, "exterior not CCW-oriented")
+    }
+  }
+
+  test("makeValid: valid input passes through geometrically unchanged") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10), // with a hole
+      ring((3, 3), (3, 7), (7, 7), (7, 3), (3, 3)))) // CW interior ring
+    val out = PolyUnion.makeValid(in)
+    assert(out.length == 1)
+    assert(out.head.length == 2, s"hole must survive: ${out.head.length} rings")
+    assert(math.abs(planarArea(out) - 84.0) < 1e-6, s"area ${planarArea(out)}")
+    assertRegionEquals(in, out)
+  }
+
+  test("makeValid: overlapping parts of an invalid multipolygon dissolve to their union") {
+    val in: MultiPolygon = IndexedSeq(part(rect(0, 0, 10, 10)), part(rect(5, 5, 15, 15)))
+    val out = PolyUnion.makeValid(in)
+    assert(out.length == 1)
+    assert(math.abs(planarArea(out) - 175.0) < 1e-6, s"area ${planarArea(out)}")
+    assertRegionEquals(in, out)
+  }
+
+  test("makeValid: zero-width spike collapses, area preserved") {
+    // square with a degenerate spike poking out along an edge
+    val spiked = ring((0, 0), (10, 0), (10, 5), (14, 5), (10, 5), (10, 10), (0, 10), (0, 0))
+    val out = PolyUnion.makeValid(IndexedSeq(part(spiked)))
+    assert(out.length == 1, s"one part expected: $out")
+    assert(math.abs(planarArea(out) - 100.0) < 1e-6, s"area ${planarArea(out)}")
+    // the spike vertex must be gone
+    assert(!out.head.head.exists { case (x, _) => x > 10 + 1e-9 }, s"spike survived: ${out.head}")
+  }
 }
