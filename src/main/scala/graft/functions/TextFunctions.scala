@@ -127,38 +127,15 @@ object TextFunctions {
     * targets; chunk longer docs upstream).
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
-    val words = split(trim(text), "\\s+")
-    val n = size(words)
-    // Bigrams via zip_with(words, words[2..]), NOT transform-with-indexing:
-    // a free variable inside a HOF lambda (words[i+1]) is re-evaluated per
-    // ELEMENT in the interpreted HOF path — the text was being re-split
-    // per bigram, O(n²) regex work per row. zip_with binds elements only.
-    // zip_with pads the shorter side with null: the trailing (w_n, null)
-    // pair concats to "w_n", sliced off below.
-    val bgAll = zip_with(words, slice(words, lit(2), greatest(n - 1, lit(1))),
-      (a, b) => concat_ws(" ", a, b))
-    val bg = slice(bgAll, lit(1), greatest(n - 1, lit(1)))
-    // top bigram count = longest run of equal neighbors in the SORTED
-    // bigram array: one O(n log n) sort + one linear fold. (The obvious
-    // distinct×filter formulation re-evaluates the bigram array per
-    // element under codegen — cubic; it took minutes per 5k docs.)
-    // Struct field names via cast: lambda-body aliases get stripped.
-    val stT = "struct<prev:string,run:int,best:int>"
-    val topBg = aggregate(array_sort(bg),
-      struct(lit(""), lit(0), lit(0)).cast(stT),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x, run, greatest(acc.getField("best"), run)).cast(stT)
-      },
-      acc => acc.getField("best"))
+    // one primitive-typed kernel pass (word-id interning + packed-long
+    // bigram sort) — value-identical to the array-builtin formulation it
+    // replaced, see RepetitionKernel; the three getFields collapse to one
+    // kernel call under codegen subexpression elimination
+    val r = graft.plans.RepetitionStatsExpr(text)
     Seq(
-      "n_words_r" -> n.cast("long"),
-      "dup_word_ratio" -> when(n > 0,
-        round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 4))
-        .otherwise(lit(0.0)),
-      "top_bigram_share" -> when(n >= 2,
-        round(topBg.cast("double") / (n - 1), 4)).otherwise(lit(0.0)))
+      "n_words_r" -> r.getField("n_words_r"),
+      "dup_word_ratio" -> r.getField("dup_word_ratio"),
+      "top_bigram_share" -> r.getField("top_bigram_share"))
   }
 
   // --------------------------------------------------------------- PII scrub

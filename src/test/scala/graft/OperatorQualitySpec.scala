@@ -825,6 +825,23 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got === Set(2L, 3L, 4L), s"null-key rows must survive: $got")
   }
 
+  test("repetitionMetrics kernel: golden values incl. empty/single/all-same edge cases") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      // n=6, distinct {a,b,c}=3 → dup 1-3/6=0.5; bigrams: "a b","b a","a b",
+      // "b c","c c" → top "a b" ×2 / 5 = 0.4
+      "a b a b c c" -> ((6L, 0.5, 0.4)),
+      "x x x x" -> ((4L, 0.75, 1.0)),     // all-same: "x x" ×3 / 3
+      "one" -> ((1L, 0.0, 0.0)),          // single word: no bigrams
+      "" -> ((1L, 0.0, 0.0)),             // empty text = one empty word (split semantics)
+      "w1 w2 w3" -> ((3L, 0.0, 0.5)))     // unique bigrams: 1/2
+    val got = cases.map(_._1).toDF("text")
+      .select(TextFunctions.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("percentRankMicro is defined (0) for a single-row corpus") {
     import spark.implicits._
     // n−1 = 0: an unguarded division would yield NULL; the lone row ranks 0
