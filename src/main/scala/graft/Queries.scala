@@ -181,7 +181,11 @@ object Queries {
     * connectedComponents iteration. Replaces the recursive reachability
     * closure, which materializes id × reachable-node pairs and cannot
     * finish in DuckDB at sf0.1 bench scale (>6 min; this unroll runs in
-    * seconds). Converges for component diameter ≲ 2^rounds; ends with
+    * seconds). Converges for component diameter ≲ 2^rounds (8 rounds ⇒
+    * diameter ~256 — far above any near-dup chain the 0.9-Jaccard pair
+    * predicate can produce; each extra round costs two tiny label joins,
+    * so the margin is cheap). Non-convergence is loud, not silent: far
+    * nodes keep intermediate labels and the gate flags the row. Ends with
     * `cl(doc_id, cluster_id)`. */
   private def ccClosureSql(rounds: Int): String = {
     // every iteration CTE is referenced twice (self-join on labels) — they
@@ -1516,7 +1520,7 @@ object Queries {
     // DuckDB-feasible at bench scale, unlike the former recursive
     // reachability closure.
     QueryDef("dedup_clusters", Some(
-      s"WITH ${ccClosureSql(rounds = 6)} " +
+      s"WITH ${ccClosureSql(rounds = 8)} " +
         "SELECT doc_id, cluster_id, " +
         "CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical " +
         "FROM cl ORDER BY doc_id"),
@@ -1528,7 +1532,7 @@ object Queries {
     // The user-facing dedup rollup: per language, how many docs survive
     // cluster-canonical selection and what fraction was removed.
     QueryDef("dedup_summary", Some(
-      s"WITH ${ccClosureSql(rounds = 6)} " +
+      s"WITH ${ccClosureSql(rounds = 8)} " +
         "SELECT d.lang, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +

@@ -141,13 +141,17 @@ object TextFunctions {
   // --------------------------------------------------------------- PII scrub
 
   /** Redaction classes for the PII-removal pass a pre-training pipeline
-    * runs over raw text, in application order: emails first (their digit
-    * runs must not be half-eaten by later classes), then IPv4 (else the
-    * phone pattern swallows dotted quads), then credit-card digit runs,
-    * then phone-ish sequences. Patterns stay in the Java-regex ∩ RE2
-    * common subset (char classes, (?:), bounded repeats, \b — no
-    * backrefs/lookaround) so the IDENTICAL strings drive both the Spark
-    * plan and the DuckDB oracle.
+    * runs over raw text. Priority: the single-pass alternation kernel
+    * (PiiScrubExpr) takes the LEFTMOST match first and breaks same-start
+    * ties by this class order — emails before IPs before card runs before
+    * phone-ish sequences (so "1.2.3.4@x.com" redacts as one email, not an
+    * IP). Unlike the pre-round-6 staged fold, an earlier-STARTING match of
+    * a later class can consume a later-starting higher-priority one
+    * ("tel +1 192.168.0.1" is one <PHONE>, the dotted quad included) —
+    * leftmost-first is the one-pass semantics, applied identically by the
+    * Spark kernel and the DuckDB oracle. Patterns stay in the Java-regex ∩
+    * RE2 common subset (char classes, (?:), bounded repeats, \b — no
+    * backrefs/lookaround) so the IDENTICAL strings drive both engines.
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",

@@ -95,16 +95,16 @@ object Multimodal {
           if (img == null) DecodedImage(r.media_id, 0, 0, 0L, ok = false)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
+            // bulk getRGB: one ColorModel conversion for the whole image —
+            // per-pixel getRGB(x, y) pays that conversion per CALL and is
+            // ~10x slower on megapixel media rows
+            val buf = img.getRGB(0, 0, w, h, null, 0, w)
             var s = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < buf.length) {
+              val rgb = buf(i)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              i += 1
             }
             DecodedImage(r.media_id, w, h, s, ok = true)
           }

@@ -160,18 +160,26 @@ object Sketches {
     val ranked = ev.withColumn("__r", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol)).orderBy(col("__v"))).cast("long"))
+    // GK's guarantee applies to SOME rank of the returned value; with
+    // duplicates the value occupies the whole rank interval
+    // [count(<q)+1, count(<=q)], so the audit measures the distance from
+    // the target rank p·n to that interval — checking only its upper end
+    // would flag legitimate answers whenever ties straddle the quantile
     ranked.join(broadcast(tgt), groupCol)
       .groupBy(col(groupCol), col("p"), col("__n"), col("__idx"),
         col("__lo"), col("__approx_q"))
       .agg(
         max(when(col("__r") === col("__lo") + 1, col("__v"))).as("__vlo"),
         max(when(col("__r") === col("__hi") + 1, col("__v"))).as("__vhi"),
-        count(when(col("__v") <= col("__approx_q"), 1)).as("__rk"))
+        count(when(col("__v") < col("__approx_q"), 1)).as("__rkLt"),
+        count(when(col("__v") <= col("__approx_q"), 1)).as("__rkLe"))
       .select(col(groupCol), col("p"),
         (col("__vlo") + (col("__vhi") - col("__vlo"))
           * (col("__idx") - col("__lo").cast("double"))).as("exact_q"),
-        (abs(col("__rk").cast("double")
-          - col("p") * col("__n").cast("double"))
+        (greatest(
+          (col("__rkLt") + 1).cast("double") - col("p") * col("__n").cast("double"),
+          col("p") * col("__n").cast("double") - col("__rkLe").cast("double"),
+          lit(0.0))
           <= col("__n").cast("double") / accuracy + 1).as("within_bound"))
   }
 }

@@ -32,11 +32,23 @@ object RepetitionKernel {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Space-only trim — Spark's `trim()` (and DuckDB's) strip 0x20 ONLY;
+    * Java's String.trim strips every char <= U+0020 and would silently
+    * diverge on leading/trailing tabs or newlines. */
+  private def trimSpaces(t: String): String = {
+    var from = 0
+    var to = t.length
+    while (from < to && t.charAt(from) == ' ') from += 1
+    while (to > from && t.charAt(to - 1) == ' ') to -= 1
+    t.substring(from, to)
+  }
+
   /** (n_words, dup_word_ratio, top_bigram_share) — split semantics mirror
-    * `split(trim(text), "\\s+")` (limit -1; trailing empties impossible
-    * after trim, empty text yields the single empty word, n = 1). */
+    * `split(trim(text), "\\s+")` (limit -1; space-only trim, so a leading
+    * tab/newline yields a leading empty word exactly as in the column
+    * formulation; empty text yields the single empty word, n = 1). */
   def stats(s: UTF8String): InternalRow = {
-    val words = s.toString.trim.split("\\s+", -1)
+    val words = trimSpaces(s.toString).split("\\s+", -1)
     val n = words.length
     val idOf = new java.util.HashMap[String, Integer](math.max(4, n * 2))
     val ids = new Array[Int](n)

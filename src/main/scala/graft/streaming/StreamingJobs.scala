@@ -195,11 +195,9 @@ object StreamingJobs {
     try q.awaitTermination() finally {
       q.stop()
       // best-effort checkpoint cleanup — metrics runs are one-shot
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case scala.util.control.NonFatal(_) => }
+      try new scala.reflect.io.Directory(new java.io.File(ckpt.toString))
+        .deleteRecursively()
+      catch { case scala.util.control.NonFatal(_) => }
     }
     val prog = q.lastProgress
     val rows =

@@ -835,6 +835,9 @@ class OperatorQualitySpec extends AnyFunSuite {
       "x x x x" -> ((4L, 0.75, 1.0)),     // all-same: "x x" ×3 / 3
       "one" -> ((1L, 0.0, 0.0)),          // single word: no bigrams
       "" -> ((1L, 0.0, 0.0)),             // empty text = one empty word (split semantics)
+      // space-only trim: the leading TAB survives trim and splits into a
+      // leading empty word, exactly like split(trim(text), "\\s+")
+      "\ta b" -> ((3L, 0.0, 0.5)),
       "w1 w2 w3" -> ((3L, 0.0, 0.5)))     // unique bigrams: 1/2
     val got = cases.map(_._1).toDF("text")
       .select(TextFunctions.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)

@@ -81,4 +81,20 @@ class SketchesSpec extends AnyFunSuite {
         s"$t p$p: returned value at true rank $rank")
     }
   }
+
+  test("approxQuantilesAudit: heavy ties at the quantile stay within_bound (interval rank)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 1000 rows, 500 of them the SAME value straddling every quantile —
+    // count(<=q) alone would put the rank far from p*n and flag a
+    // legitimate GK answer; the interval check must pass all three p's
+    val df = ((1 to 250).map(i => ("g", i * 1.0)) ++
+      (1 to 500).map(_ => ("g", 1000.0)) ++
+      (1 to 250).map(i => ("g", 2000.0 + i))).toDF("g", "v")
+    val got = Sketches.approxQuantilesAudit(df, "g", "v", Seq(0.5, 0.9, 0.99))
+      .collect()
+    assert(got.length == 3)
+    got.foreach(r => assert(r.getBoolean(3),
+      s"tie-straddled quantile flagged out of bound: $r"))
+  }
 }
