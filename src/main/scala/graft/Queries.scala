@@ -2152,6 +2152,32 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // Deterministic epoch shuffle — the reproducible data-ORDER primitive:
+    // training recipes need "shuffle the corpus differently each epoch"
+    // without rand() (retry-idempotent, cluster-size-invariant, auditable).
+    // Key = corpus fingerprint of "<epoch>:<doc_id>"; shard = key mod 8
+    // (row-local); position = rank of the key within the shard. At 100 TB
+    // the shard IS the output file: hash-partition by shard, sort within
+    // partitions by key — no global sort anywhere, and a different epoch
+    // seed reshuffles every shard assignment and every in-shard order.
+    // Signed Spark longs order as unsigned via the xor(2^63) bijection so
+    // the HUGEINT oracle ranks identically (the dedup_minhash_lsh trick).
+    QueryDef("corpus_epoch_shuffle", Some(
+      s"WITH h AS (SELECT doc_id, ${fnvPolySql("'3:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents) " +
+        "SELECT doc_id, CAST(k % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos " +
+        "FROM h ORDER BY shard, pos"),
+      (s, d) => {
+        val k = TextFunctions.fingerprint64Udf(
+          concat(lit("3:"), col("doc_id").cast("string")))
+        val t = T(s, d, "documents").select(col("doc_id"), k.as("k"))
+        val w = Window.partitionBy(pmod(col("k"), lit(8L)))
+          .orderBy(col("k").bitwiseXOR(lit(Long.MinValue)), col("doc_id"))
+        t.select(col("doc_id"), pmod(col("k"), lit(8L)).as("shard"),
+            row_number().over(w).cast("long").as("pos"))
+          .orderBy("shard", "pos")
+      }),
+
     // Deterministic train/val/test assignment + Bernoulli sample flag, the
     // reproducible-split primitive of a training-data pipeline: bucket =
     // first 2 hex chars of a salted md5. Hex strings compare exactly like
