@@ -119,6 +119,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing two-stage aggregation:\n$p")
   }
 
+  test("a3_daily_uf: area dim broadcasts — the fact side never shuffles for the join") {
+    val p = plan("a3_daily_uf")
+    assert(p.contains("BroadcastHashJoin"), s"area join must broadcast:\n$p")
+  }
+
+  test("stats_approx_quantiles: every window is group-partitioned (no global sort funnel)") {
+    val p = plan("stats_approx_quantiles")
+    val windows = "(?s)Window .{0,400}?windowspecdefinition\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected the audit's row_number window:\n$p")
+    windows.foreach(w => assert(w.contains("event_type"),
+      s"un-partitioned window in the quantile audit:\n$w"))
+  }
+
+  test("corpus_epoch_shuffle: rank window partitioned by shard (pmod projected to _w0)") {
+    val p = plan("corpus_epoch_shuffle")
+    val specs = "windowspecdefinition\\(([^,]+),".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"expected the in-shard rank window:\n$p")
+    // a partitioned spec leads with a plain partition column; an
+    // UNpartitioned one leads with an ordering ("... ASC NULLS FIRST")
+    specs.foreach(first => assert(!first.contains("ASC") && !first.contains("DESC"),
+      s"rank window not shard-partitioned (leads with ordering $first):\n$p"))
+    assert(p.contains("pmod"), s"shard key (pmod) missing from the plan:\n$p")
+  }
+
   test("profile_table: no Expand — per-column distincts aggregate as set partials in one job") {
     val p = plan("profile_table")
     assert(!p.contains("Expand"),
