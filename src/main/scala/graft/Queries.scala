@@ -2598,6 +2598,38 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // Length-bucketed batch assembly — the padding-waste primitive of a
+    // training dataloader: docs go to the smallest power-of-two length
+    // bucket that fits, batches of 8 form within (lang, bucket) in doc_id
+    // order, and pad_tokens = bucket − tokens is the per-doc padding cost
+    // the bucketing exists to minimize. All integer arithmetic; the rank
+    // window is (lang, bucket)-partitioned — shard-parallel at any scale,
+    // same per-stream sharding story as pack_sequences.
+    QueryDef("pack_batches", Some(
+      "WITH t AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), " +
+        "b AS (SELECT doc_id, lang, tokens, CASE WHEN tokens <= 64 THEN 64 " +
+        "WHEN tokens <= 128 THEN 128 WHEN tokens <= 256 THEN 256 " +
+        "WHEN tokens <= 512 THEN 512 WHEN tokens <= 1024 THEN 1024 " +
+        "ELSE 2048 END AS bucket FROM t) " +
+        "SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST((row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx, " +
+        "CAST(bucket - tokens AS BIGINT) AS pad_tokens " +
+        "FROM b ORDER BY doc_id"),
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+        val bucket = when(col("tokens") <= 64, 64L)
+          .when(col("tokens") <= 128, 128L).when(col("tokens") <= 256, 256L)
+          .when(col("tokens") <= 512, 512L).when(col("tokens") <= 1024, 1024L)
+          .otherwise(2048L)
+        t.withColumn("bucket", bucket)
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            expr("(row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1) div 8")
+              .as("batch_idx"),
+            (col("bucket") - col("tokens")).as("pad_tokens"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("text_tokens", Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +
