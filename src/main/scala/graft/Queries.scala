@@ -46,6 +46,15 @@ object Queries {
       s"list_transform(regexp_extract_all($e, '.'), c -> unicode(c)::HUGEINT)), " +
       "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
 
+  /** Whitespace token count of the `text` column — ONE source of truth for
+    * every query that tokenizes by whitespace (pack/chunk/mix/stats/...):
+    * the Spark column and its DuckDB mirror must stay in lockstep or token
+    * counts silently drift between engines. */
+  private val tokensWs: Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+  private val tokensWsSql: String =
+    "len(string_split_regex(trim(text), '\\s+'))"
+
   /** sum of a double column, exactly, via decimal */
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
@@ -2033,7 +2042,7 @@ object Queries {
 
     QueryDef("text_quality", Some(
       "SELECT doc_id, length(text) AS n_chars_q, " +
-        "len(string_split_regex(trim(text), '\\s+')) AS n_words, " +
+        tokensWsSql + " AS n_words, " +
         "round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
         "round(CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio " +
         "FROM documents"),
@@ -2234,7 +2243,7 @@ object Queries {
     // 100 TB swap the exact window for approx_percentile — noted, not
     // silently done, because the oracle checks exactness.
     QueryDef("text_corpus_stats", Some(
-      "WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      "WITH t AS (SELECT lang, " + tokensWsSql + " AS tok FROM documents), " +
         "r AS (SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY tok) AS rn, " +
         "count(*) OVER (PARTITION BY lang) AS n FROM t) " +
         "SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens, " +
@@ -2244,7 +2253,7 @@ object Queries {
         "FROM r GROUP BY lang ORDER BY lang"),
       (s, d) => {
         val t = T(s, d, "documents").select(col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+          tokensWs.as("tok"))
         val w = Window.partitionBy("lang")
         val r = t
           .withColumn("rn", row_number().over(w.orderBy("tok")))
@@ -2579,7 +2588,7 @@ object Queries {
     // stream key is sharded (lang × shard) so each task packs one bounded
     // shard; the per-stream semantics here are exactly that per-shard step.
     QueryDef("pack_sequences", Some(
-      "WITH t AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), " +
+      "WITH t AS (SELECT doc_id, lang, " + tokensWsSql + " AS tokens FROM documents), " +
         "c AS (SELECT doc_id, lang, tokens, sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens, " +
@@ -2588,7 +2597,7 @@ object Queries {
         "FROM c ORDER BY doc_id"),
       (s, d) => {
         val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+          tokensWs.as("tokens"))
         val w = Window.partitionBy("lang").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, 0)
         t.withColumn("cum", sum("tokens").over(w))
@@ -2606,18 +2615,18 @@ object Queries {
     // window is (lang, bucket)-partitioned — shard-parallel at any scale,
     // same per-stream sharding story as pack_sequences.
     QueryDef("pack_batches", Some(
-      "WITH t AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), " +
+      "WITH t AS (SELECT doc_id, lang, " + tokensWsSql + " AS tokens FROM documents), " +
         "b AS (SELECT doc_id, lang, tokens, CASE WHEN tokens <= 64 THEN 64 " +
         "WHEN tokens <= 128 THEN 128 WHEN tokens <= 256 THEN 256 " +
         "WHEN tokens <= 512 THEN 512 WHEN tokens <= 1024 THEN 1024 " +
         "ELSE 2048 END AS bucket FROM t) " +
         "SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, " +
         "CAST((row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx, " +
-        "CAST(bucket - tokens AS BIGINT) AS pad_tokens " +
+        "CAST(greatest(bucket - tokens, 0) AS BIGINT) AS pad_tokens " +
         "FROM b ORDER BY doc_id"),
       (s, d) => {
         val t = T(s, d, "documents").select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+          tokensWs.as("tokens"))
         val bucket = when(col("tokens") <= 64, 64L)
           .when(col("tokens") <= 128, 128L).when(col("tokens") <= 256, 256L)
           .when(col("tokens") <= 512, 512L).when(col("tokens") <= 1024, 1024L)
@@ -2626,16 +2635,18 @@ object Queries {
           .select(col("doc_id"), col("lang"), col("bucket"),
             expr("(row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1) div 8")
               .as("batch_idx"),
-            (col("bucket") - col("tokens")).as("pad_tokens"))
+            // clamped: a doc longer than the largest bucket is a truncation
+            // case for doc_chunks upstream, not negative "padding savings"
+            greatest(col("bucket") - col("tokens"), lit(0L)).as("pad_tokens"))
           .orderBy("doc_id")
       }),
 
     QueryDef("text_tokens", Some(
-      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens_ws, " +
+      "SELECT doc_id, " + tokensWsSql + " AS tokens_ws, " +
         "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS tokens_bpeish " +
         "FROM documents"),
       (s, d) => T(s, d, "documents").select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens_ws"),
+        tokensWs.as("tokens_ws"),
         TextFunctions.tokenCountBpeishUdf(col("text")).as("tokens_bpeish"))),
 
     // the stopword-vote heuristic is fully deterministic (explicit langOrder
@@ -2708,7 +2719,7 @@ object Queries {
     // is the same expression over DECIMAL(38,0) (one k-row frame).
     QueryDef("corpus_mix_weights", Some(
       "WITH t AS (SELECT source, count(*) AS n_docs, " +
-        "sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens " +
+        "sum(" + tokensWsSql + ") AS n_tokens " +
         "FROM documents GROUP BY 1), " +
         "tot AS (SELECT sum(n_tokens) AS total, count(*) AS k FROM t) " +
         "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
@@ -2718,7 +2729,7 @@ object Queries {
       (s, d) => {
         val t = T(s, d, "documents").groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+            sum(tokensWs).as("n_tokens"))
         val tot = t.agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))
         t.crossJoin(broadcast(tot))
           .withColumn("weight_e8",
@@ -2738,7 +2749,7 @@ object Queries {
     // ~4.6·10¹⁰ total tokens); DECIMAL(38,0) is the 100 TB swap.
     QueryDef("corpus_interleave", Some(
       "WITH d AS (SELECT doc_id, source, " +
-        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents), " +
+        tokensWsSql + " AS n_tokens FROM documents), " +
         "t AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1), " +
         "tot AS (SELECT sum(src_tokens) AS total, count(*) AS k FROM t), " +
         "w AS (SELECT source, CAST((200000000 * total + k * src_tokens) " +
@@ -2750,7 +2761,7 @@ object Queries {
         "FROM r JOIN w USING (source) ORDER BY vt, doc_id"),
       (s, d) => {
         val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          tokensWs.as("n_tokens"))
         val t = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
         val tot = t.agg(sum("src_tokens").as("total"), count(lit(1)).as("k"))
         val wts = t.crossJoin(broadcast(tot))
@@ -2768,7 +2779,7 @@ object Queries {
     QueryDef("corpus_select_budget", Some {
       val sw = TextFunctions.stopwords("en").toSeq.sorted
         .map(w => s"'$w'").mkString("[", ",", "]")
-      "WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens, " +
+      "WITH t AS (SELECT doc_id, " + tokensWsSql + " AS tokens, " +
         "CASE WHEN len(toks) > 0 THEN " +
         s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
         "ELSE 0.0 END AS q FROM (SELECT doc_id, text, " +
@@ -2785,7 +2796,7 @@ object Queries {
         // minHashLshPairs convention; released via CacheRegistry)
         val t = CacheRegistry.register(
           T(s, d, "documents").select(col("doc_id"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+            tokensWs.as("tokens"),
             TextFunctions.stopwordRatio(col("text")).as("q"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val wAbove = Window.orderBy(col("q").desc)
@@ -2892,7 +2903,7 @@ object Queries {
         .map(w => s"'$w'").mkString("[", ",", "]")
       "WITH ded AS (SELECT doc_id, text, lang, n_chars FROM " +
         "(SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents d) WHERE rn = 1), " +
-        "t0 AS (SELECT doc_id, lang, n_chars, len(string_split_regex(trim(text), '\\s+')) AS tokens, " +
+        "t0 AS (SELECT doc_id, lang, n_chars, " + tokensWsSql + " AS tokens, " +
         "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks FROM ded), " +
         "t AS (SELECT doc_id, lang, tokens, CASE WHEN len(toks) > 0 THEN " +
         s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
@@ -2910,7 +2921,7 @@ object Queries {
         val f = CacheRegistry.register(
           ded.filter(col("n_chars") >= 100)
             .select(col("doc_id"), col("lang"),
-              size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+              tokensWs.as("tokens"),
               TextFunctions.stopwordRatio(col("text")).as("q"))
             .filter(col("q") >= 0.05)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

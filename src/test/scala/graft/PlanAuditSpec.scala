@@ -138,9 +138,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(specs.nonEmpty, s"expected the in-shard rank window:\n$p")
     // a partitioned spec leads with a plain partition column; an
     // UNpartitioned one leads with an ordering ("... ASC NULLS FIRST")
-    specs.foreach(first => assert(!first.contains("ASC") && !first.contains("DESC"),
-      s"rank window not shard-partitioned (leads with ordering $first):\n$p"))
-    assert(p.contains("pmod"), s"shard key (pmod) missing from the plan:\n$p")
+    specs.foreach { first =>
+      assert(!first.contains("ASC") && !first.contains("DESC"),
+        s"rank window not shard-partitioned (leads with ordering $first):\n$p")
+      // …and that partition attribute must be the projected SHARD key —
+      // bind the windowspec's first arg back to its pmod(...) alias so a
+      // refactor partitioning by some other column cannot sneak past
+      assert(("pmod\\([^)]*\\)[^\\n]* AS " + java.util.regex.Pattern.quote(first.trim))
+        .r.findFirstIn(p).isDefined,
+        s"window partition attr ${first.trim} is not the pmod shard key:\n$p")
+    }
   }
 
   test("profile_table: no Expand — per-column distincts aggregate as set partials in one job") {
