@@ -288,6 +288,32 @@ class PolyUnionSpec extends AnyFunSuite {
     assertRegionEquals(in, out)
   }
 
+  test("makeValid property: random self-intersecting closed polylines rebuild to the even-odd region") {
+    for (trial <- 0 until 12) {
+      val rnd = new scala.util.Random(4000 + trial)
+      // a random closed polyline — almost surely self-intersecting for
+      // n >= 5 random vertices, exercising the arrangement on bowties,
+      // multi-crossings and near-degenerate turns
+      val n = 5 + rnd.nextInt(6)
+      val pts = (0 until n).map(_ =>
+        (rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+      val in: MultiPolygon = IndexedSeq(part((pts :+ pts.head).toIndexedSeq))
+      val out = PolyUnion.makeValid(in)
+      // the output region must equal even-odd membership of the INPUT ring
+      // (assertRegionEquals probes exactly that: pointInPolygon is the
+      // even-odd ray cast)
+      assertRegionEquals(in, out, seed = 8000 + trial, n = 1500)
+      // and the output must be structurally valid: closed, oriented rings
+      out.foreach { poly =>
+        assert(poly.head.head == poly.head.last, s"trial $trial: ring not closed")
+        assert(Geo.ringAreaPlanarDeg2(poly.head) > 0,
+          s"trial $trial: exterior not CCW")
+        poly.drop(1).foreach(h =>
+          assert(Geo.ringAreaPlanarDeg2(h) < 0, s"trial $trial: hole not CW"))
+      }
+    }
+  }
+
   test("makeValid: zero-width spike collapses, area preserved") {
     // square with a degenerate spike poking out along an edge
     val spiked = ring((0, 0), (10, 0), (10, 5), (14, 5), (10, 5), (10, 10), (0, 10), (0, 0))
