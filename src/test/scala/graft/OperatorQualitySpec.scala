@@ -845,6 +845,92 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("RepetitionKernel fuzz: equals an independent naive reference on random texts") {
+    val rnd = new scala.util.Random(91)
+    val vocab = Vector("a", "bb", "ccc", "a", "zz", "q")
+    for (_ <- 0 until 300) {
+      // random word soup with occasional tabs/newlines and double spaces
+      val n = rnd.nextInt(12)
+      val seps = Vector(" ", "  ", "\t", " \n ")
+      val text = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length))) +
+        (if (rnd.nextBoolean()) " " else "")
+      // independent reference: literal column-formulation semantics
+      val trimmed = {
+        var t = text
+        while (t.startsWith(" ")) t = t.substring(1)
+        while (t.endsWith(" ")) t = t.substring(0, t.length - 1)
+        t
+      }
+      val words = trimmed.split("\\s+", -1).toSeq
+      val nn = words.length
+      val dup = BigDecimal(1.0 - words.distinct.length.toDouble / nn)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val share =
+        if (nn < 2) 0.0
+        else {
+          val bgs = words.sliding(2).map(_.mkString(" ")).toSeq
+          BigDecimal(bgs.groupBy(identity).values.map(_.size).max.toDouble / (nn - 1))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      val got = graft.plans.RepetitionKernel.stats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      assert(got.getLong(0) == nn.toLong
+        && got.getDouble(1) == dup && got.getDouble(2) == share,
+        s"kernel mismatch on ${text.replace("\n", "\\n").replace("\t", "\\t")}: " +
+          s"(${got.getLong(0)}, ${got.getDouble(1)}, ${got.getDouble(2)}) " +
+          s"vs ($nn, $dup, $share)")
+    }
+  }
+
+  test("PiiScrubKernel fuzz: equals an independent leftmost-first reference scrubber") {
+    import graft.functions.TextFunctions
+    val pats = TextFunctions.piiPatterns.map { case (tok, p) =>
+      tok -> java.util.regex.Pattern.compile(p)
+    }
+    // independent reference: probe all 4 patterns separately, repeatedly
+    // take the match with the smallest start (class order breaks ties)
+    def reference(text: String): (String, Map[String, Long]) = {
+      val sb = new StringBuilder
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      var pos = 0
+      while (pos <= text.length) {
+        val hits = pats.flatMap { case (tok, p) =>
+          val m = p.matcher(text)
+          if (m.find(pos)) Some((m.start, tok, m.end)) else None
+        }
+        if (hits.isEmpty) {
+          sb.append(text.substring(pos)); pos = text.length + 1
+        } else {
+          val (st, tok, en) = hits.minBy { case (s, t, _) =>
+            (s, pats.indexWhere(_._1 == t))
+          }
+          sb.append(text.substring(pos, st)).append(tok)
+          counts(tok) += 1
+          pos = en
+        }
+      }
+      (sb.toString, counts.toMap.withDefaultValue(0L))
+    }
+    val rnd = new scala.util.Random(47)
+    val pieces = Vector("a@b.co", "1.2.3.4", "4111 1111 1111 1111",
+      "(555) 010-4242", "plain words", "192.168.1.1@host.org", "tel +1 ",
+      "12345678901234a", "x", ".", "555-123-4567x@y.com")
+    for (_ <- 0 until 300) {
+      val text = (0 until rnd.nextInt(5))
+        .map(_ => pieces(rnd.nextInt(pieces.length))).mkString(" ")
+      val (refClean, refCounts) = reference(text)
+      val got = graft.plans.PiiScrubKernel.scrub(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val gotClean = got.getUTF8String(0).toString
+      assert(gotClean == refClean, s"clean mismatch on [$text]: [$gotClean] vs [$refClean]")
+      TextFunctions.piiPatterns.map(_._1).zipWithIndex.foreach { case (tok, i) =>
+        assert(got.getLong(i + 1) == refCounts(tok),
+          s"count($tok) mismatch on [$text]: ${got.getLong(i + 1)} vs ${refCounts(tok)}")
+      }
+    }
+  }
+
   test("percentRankMicro is defined (0) for a single-row corpus") {
     import spark.implicits._
     // n−1 = 0: an unguarded division would yield NULL; the lone row ranks 0
