@@ -418,9 +418,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockKey: Column, shingleSize: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("block", blockKey)
-      .withColumn("sh", wordShingles(col("text"), shingleSize))
+    // blockKey is evaluated against the CALLER's frame before any
+    // projection — it may reference columns other than id/text (a
+    // pre-projection would make e.g. col("lang") unresolvable)
+    val base = df.withColumn("__block", blockKey)
+      .select(col(idCol).as("id"), col("__block").as("block"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
     jaccardPrefixPairs(base, "id", "sh", col("block"), threshold)
   }
 

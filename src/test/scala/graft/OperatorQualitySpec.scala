@@ -845,6 +845,55 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("ngramJaccardPairs: shingle-level near-dups found within blocks only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy cat tonight"), // 1-word delta
+      (3L, "en", "completely different text with no shared phrases at all"),
+      (4L, "pt", "the quick brown fox jumps over the lazy dog tonight")  // other block
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        col("lang"), shingleSize = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"cross-block pair leaked (blocking broken): $pairs")
+  }
+
+  test("qualityFilter: gates on words/alpha/punct drop the junk rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a clean readable english sentence with plenty of words"),
+      (2L, "ok"),                                   // too few words
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"), // punct soup
+      (4L, "1 2 3 4 5 6 7 8 9 0 1 2 3")            // digits, no alpha
+    ).toDF("doc_id", "text")
+    val kept = operators.TextAnalysis.qualityFilter(docs, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"quality gates kept: $kept")
+  }
+
+  test("GeoPrep.makeValidByRow / dropHolesByRow: per-row chain steps") {
+    import spark.implicits._
+    // bowtie multipolygon column: [[ [ (0,0),(10,8),(10,0),(0,8),(0,0) ] ]]
+    val bowtie = Seq(Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 8.0), Seq(10.0, 0.0),
+      Seq(0.0, 8.0), Seq(0.0, 0.0))))
+    val withHole = Seq(Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0), Seq(0.0, 0.0)),
+      Seq(Seq(3.0, 3.0), Seq(3.0, 7.0), Seq(7.0, 7.0), Seq(7.0, 3.0), Seq(3.0, 3.0))))
+    val df = Seq((1L, bowtie), (2L, withHole)).toDF("id", "geom")
+    val fixed = graft.marts.GeoPrep.makeValidByRow(df)
+      .select(col("id"), size(col("geom")).as("n_parts")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fixed(1L) == 2, s"bowtie must split into 2 lobes: $fixed")
+    assert(fixed(2L) == 1, s"valid geometry must stay 1 part: $fixed")
+    val noHoles = graft.marts.GeoPrep.dropHolesByRow(df.filter(col("id") === 2))
+      .select(expr("size(geom[0])")).head().getInt(0)
+    assert(noHoles == 1, "interior ring must be dropped")
+  }
+
   test("RepetitionKernel fuzz: equals an independent naive reference on random texts") {
     val rnd = new scala.util.Random(91)
     val vocab = Vector("a", "bb", "ccc", "a", "zz", "q")
