@@ -107,9 +107,9 @@ final class Pipeline(spark: SparkSession, root: String,
     // L: idempotent append against the same file_date partition only
     val existing = readOrEmpty(s"curated/file_date=$fileDate", records.drop("file_date"))
     val existingHashes =
-      if (existing.columns.contains("event_hash")) existing.select("event_hash")
-      else records.limit(0).select("event_hash")
-    val fresh = records.join(existingHashes, Seq("event_hash"), "left_anti")
+      if (existing.columns.contains("event_hash")) existing
+      else records.limit(0)
+    val fresh = Ingest.idempotentAppend(records, existingHashes)
     fresh.write.mode("append").partitionBy("file_date").parquet(path("curated"))
     val attempted = records.count()
     val inserted = fresh.count()

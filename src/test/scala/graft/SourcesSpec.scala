@@ -93,6 +93,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(nb.head.getAs[String]("code") == "002")
   }
 
+  test("S6: TI and biome normalizers resolve their own candidate families") {
+    import spark.implicits._
+    val ti = Seq(("T1", "Terra A", "g1")).toDF("terrai_cod", "terrai_nom", "geom")
+    val nt = DimNormalizer.normalizeTi(ti)
+    assert(nt.columns.toSet == Set("dim_id", "code", "name", "geom"))
+    assert(nt.head.getAs[String]("code") == "T1"
+      && nt.head.getAs[String]("name") == "Terra A")
+    val bio = Seq(("3", "Cerrado", "g2")).toDF("cod_bioma", "nm_bioma", "wkb_geometry")
+    val nbio = DimNormalizer.normalizeBioma(bio)
+    assert(nbio.head.getAs[String]("code") == "3"
+      && nbio.head.getAs[String]("name") == "Cerrado")
+    // a frame with NO candidate for the family fails loudly, not silently
+    val err = intercept[IllegalArgumentException] {
+      DimNormalizer.normalizeBioma(Seq(("x", "g")).toDF("unrelated", "geom"))
+    }
+    assert(err.getMessage.contains("no code column"))
+  }
+
   test("JSONL source: clean rows parsed against the explicit schema, bad lines quarantined verbatim") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
