@@ -110,8 +110,13 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FS existence check, not java.io.File — the target is
+        // HDFS/S3 in production, where a local-FS probe would always be
+        // false and every replayed batch would append duplicates
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
         val fresh =
-          if (new java.io.File(targetPath).exists()) {
+          if (exists) {
             val existing = spark.read.parquet(targetPath)
               .select(keyCols.map(col): _*)
             batch.join(existing, keyCols, "left_anti")
