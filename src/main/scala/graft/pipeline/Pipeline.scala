@@ -39,7 +39,13 @@ final class Pipeline(spark: SparkSession, root: String,
                      retentionDays: Int = 45) {
 
   private def path(p: String) = s"$root/$p"
-  private def exists(p: String) = new java.io.File(p.stripPrefix("file:")).exists()
+  // Hadoop FS probe, not java.io.File: with an HDFS/S3 root a local-FS
+  // probe is always false, readOrEmpty would always come back empty, and
+  // every re-run would duplicate rows through the "idempotent" append
+  private def exists(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
 
   def readOrEmpty(p: String, like: DataFrame): DataFrame =
     if (exists(path(p))) spark.read.parquet(path(p))

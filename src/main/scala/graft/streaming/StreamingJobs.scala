@@ -90,22 +90,30 @@ object StreamingJobs {
 
   /** Idempotent streaming append sink — the streaming twin of the batch
     * K1 left-anti insert (graft.ingest idempotent append): each microbatch
-    * left-anti joins the CURRENT target table on `keyCols` before
+    * dedups on `keyCols` in-batch (the batch twin's first-row-wins step),
+    * then NULL-SAFE left-anti joins the CURRENT target table before
     * appending, so source replays, checkpoint recoveries and overlapping
-    * re-runs never duplicate a key. foreachBatch is the exactly-once
-    * seam: the anti-join + append runs once per (batch, epoch) and a
-    * recovered batch re-runs against a target that already holds its rows
-    * — the anti-join then inserts nothing (idempotence, the same
-    * delete-free re-run contract the reference's Postgres insert has).
+    * re-runs never duplicate a key — including the all-null key, which a
+    * plain anti-join would re-append forever (NULL ≠ NULL). foreachBatch
+    * is the exactly-once seam: a recovered batch re-runs against a target
+    * that already holds its rows and inserts nothing.
     *
     * Scale: the anti-join's target side reads only `keyCols` (column
-    * pruning reaches the parquet footers); at 100 TB the target is
-    * partitioned and the batch's key range prunes partitions before the
-    * join. No state store — the TABLE is the state.
+    * pruning reaches the parquet footers), and `partitionCols` (when
+    * given) partition the target so downstream readers prune; bounding
+    * the anti-join's target scan by the batch's partition range is the
+    * caller's predicate to add when keys carry a partition column. No
+    * state store — the TABLE is the state.
+    *
+    * @param trigger AvailableNow by default (drain-and-stop, the backfill
+    *                shape); pass a processing-time trigger for a live
+    *                continuous sink
     */
   def idempotentAppendSink(stream: DataFrame, targetPath: String,
                            keyCols: Seq[String],
-                           checkpoint: String): StreamingQuery =
+                           checkpoint: String,
+                           partitionCols: Seq[String] = Nil,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -115,16 +123,24 @@ object StreamingJobs {
         // false and every replayed batch would append duplicates
         val p = new org.apache.hadoop.fs.Path(targetPath)
         val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        // in-batch dedup first: one upstream file delivering a new key
+        // twice in the same microbatch must still insert it once
+        val once = batch.dropDuplicates(keyCols)
         val fresh =
           if (exists) {
             val existing = spark.read.parquet(targetPath)
               .select(keyCols.map(col): _*)
-            batch.join(existing, keyCols, "left_anti")
-          } else batch
-        fresh.write.mode("append").parquet(targetPath)
+            // null-safe equality (<=>): a null-keyed row already in the
+            // target must block its replayed twin
+            val cond = keyCols.map(k => once(k) <=> existing(k)).reduce(_ && _)
+            once.join(existing, cond, "left_anti")
+          } else once
+        val writer = fresh.write.mode("append")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(targetPath)
         ()
       }
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(trigger).start()
 
   /** Stream-static spatial enrichment: streaming point events joined to a
     * broadcast polygon dimension with the batch path's exact plan shape —

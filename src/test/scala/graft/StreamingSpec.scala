@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("idempotentAppendSink: null keys and in-batch duplicates insert exactly once") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sink_in2").toString
+    val target = Files.createTempDirectory("graft_sink_tgt2").toString + "/t"
+    val schema = Seq((Option(1L), "a")).toDF("k", "v").schema
+    def run(): Unit = {
+      val ck = Files.createTempDirectory("graft_sink_ck").toString
+      val q = StreamingJobs.idempotentAppendSink(
+        spark.readStream.schema(schema).parquet(in), target, Seq("k"), ck)
+      q.awaitTermination(); q.stop()
+    }
+    // one microbatch carrying the same NEW key twice + a null-keyed row
+    Seq((Option(5L), "x"), (Option(5L), "x2"), (None: Option[Long], "n"))
+      .toDF("k", "v").write.mode("overwrite").parquet(in)
+    run()
+    val first = spark.read.parquet(target).collect()
+    assert(first.length == 2, s"in-batch dup not collapsed: ${first.toSeq}")
+    // replay everything (fresh checkpoint): the null-keyed row must be
+    // blocked by null-safe equality, not re-appended forever
+    Seq((None: Option[Long], "n"), (Option(5L), "x")).toDF("k", "v")
+      .write.mode("append").parquet(in)
+    run()
+    val after = spark.read.parquet(target).collect()
+    assert(after.length == 2, s"replayed null/dup keys re-appended: ${after.toSeq}")
+  }
+
   test("stateMetrics: state rows equal the distinct open (window × key) groups") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state_in").toString
