@@ -1509,6 +1509,23 @@ object Queries {
         Dedup.exact(dupes, Seq("text"), "doc_id")
       }),
 
+    // C4/RefinedWeb line-level dedup: corpus-global first-occurrence-wins on
+    // 8-word text segments, documents rebuilt from survivors; the md5 column
+    // pins the rebuilt CONTENT (order included), not just counts.
+    QueryDef("dedup_lines", Some(
+      "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents), " +
+        "seg AS (SELECT doc_id, CAST(gs.g AS INT) AS seg_idx, " +
+        "array_to_string(w[(gs.g*8+1):(gs.g*8+8)], ' ') AS line FROM t, " +
+        "LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(w)/8.0) AS BIGINT)-1)) AS g) gs), " +
+        "win AS (SELECT doc_id, seg_idx, line, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, seg_idx) = 1 AS kept FROM seg) " +
+        "SELECT doc_id, count(*) AS n_lines, " +
+        "sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, " +
+        "md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY seg_idx), '')) AS kept_md5 " +
+        "FROM win GROUP BY 1"),
+      (s, d) => Dedup.lineDedup(T(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     QueryDef("dedup_jaccard_words", Some(
       "WITH w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

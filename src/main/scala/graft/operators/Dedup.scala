@@ -395,9 +395,12 @@ object Dedup {
     def side(s: String) = prefix.select(col("block"), col("tid"),
       col("id").as(s"id_$s"), col("sz").as(s"sz_$s"),
       col("mask").as(s"mask_$s"), col("ids").as(s"ids_$s"))
+    // native codegen popcount(a & b) — the HOF form (aggregate ∘ zip_with)
+    // breaks whole-stage codegen and allocates per candidate row; this step
+    // runs once per CANDIDATE, so it dominates when prefix filtering prunes
+    // poorly (low-vocabulary corpora)
     val inter = when(col("mask_a").isNotNull,
-      aggregate(zip_with(col("mask_a"), col("mask_b"),
-        (x, y) => bit_count(x.bitwiseAND(y)).cast("long")), lit(0L), (acc, x) => acc + x))
+      graft.plans.MaskIntersectCountExpr(col("mask_a"), col("mask_b")))
       .otherwise(size(array_intersect(col("ids_a"), col("ids_b"))).cast("long"))
     side("a").join(side("b"), Seq("block", "tid"))
       .filter(col("id_a") < col("id_b") &&
@@ -482,47 +485,66 @@ object Dedup {
     var prevCkpt = ckptRdd(labels)
     var iter = 0
     var converged = labels.isEmpty // no edges → nothing to iterate
-    while (!converged && iter < maxIter) {
-      // min over self + neighbors' labels. Self rows are tagged so the
-      // aggregation carries each node's PREVIOUS label alongside the new
-      // min for free (every id has exactly one self row), making the
-      // per-round change count directly observable. Convergence = first
-      // round with zero changes; unlike the sum-comparison form this needs
-      // no second round when the INITIAL labeling is already final (size-≤2
-      // components everywhere — the common near-dup case at low thresholds).
-      val fromNeighbors = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
-      val minned = labels.withColumn("self", lit(true))
-        .unionByName(fromNeighbors)
-        .groupBy("id").agg(min("label").as("label"),
-          min(when(col("self"), col("label"))).as("prev"))
-      // pointer jump: labels are always node ids, so the chain lookup is a
-      // self-equi-join on the (same-sized) label frame. (A second composed
-      // jump was measured and did NOT cut rounds on near-dup graphs — the
-      // tail of convergence is propagation-limited, not chain-limited.)
-      val jumped = minned
-        .join(minned.select(col("id").as("label"), col("label").as("label2")),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
-          col("prev"))
-      // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
-      // Observation collects the count DURING the checkpoint job — no
-      // convergence join, no extra action, no confirmation round.
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      labels = jumped
-        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
-        .select("id", "label")
-        .localCheckpoint(true)
-      // the new round is materialized — the previous round's blocks are
-      // no longer referenced by anything downstream
-      prevCkpt.foreach(_.unpersist(false))
-      prevCkpt = ckptRdd(labels)
-      val chg = obs.get("chg").asInstanceOf[Long]
-      converged = chg == 0L
-      iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
-    }
+    // AQE is pinned OFF for the loop body: each round is a handful of tiny
+    // stages over an already-partitioned label frame, and AQE's per-stage
+    // materialization + replanning (new query stages, new codegen classes
+    // per round) costs multiples of the actual work — measured 14.8 s →
+    // 22-40 s at sf0.1 with AQE on. One-shot queries elsewhere keep AQE;
+    // the conf is restored on exit. (At cluster scale the loop's joins are
+    // uniform hash joins on node ids — skew handling, AQE's main value,
+    // doesn't apply to label frames.)
+    val sess = nodes.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (!converged && iter < maxIter) {
+        // min over self + neighbors' labels. Self rows are tagged so the
+        // aggregation carries each node's PREVIOUS label alongside the new
+        // min for free (every id has exactly one self row), making the
+        // per-round change count directly observable. Convergence = first
+        // round with zero changes; unlike the sum-comparison form this needs
+        // no second round when the INITIAL labeling is already final (size-≤2
+        // components everywhere — the common near-dup case at low thresholds).
+        val fromNeighbors = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+        // checkpointed ONCE per round: the jump self-join reads it twice, and
+        // Catalyst does not dedupe common subtrees across join sides — without
+        // this the whole join+union+agg pipeline runs twice per round
+        val minned = labels.withColumn("self", lit(true))
+          .unionByName(fromNeighbors)
+          .groupBy("id").agg(min("label").as("label"),
+            min(when(col("self"), col("label"))).as("prev"))
+          .localCheckpoint(true)
+        val minnedCkpt = ckptRdd(minned)
+        // pointer jump: labels are always node ids, so the chain lookup is a
+        // self-equi-join on the (same-sized) label frame. (A second composed
+        // jump was measured and did NOT cut rounds on near-dup graphs — the
+        // tail of convergence is propagation-limited, not chain-limited.)
+        val jumped = minned
+          .join(minned.select(col("id").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
+            col("prev"))
+        // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
+        // Observation collects the count DURING the checkpoint job — no
+        // convergence join, no extra action, no confirmation round.
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+        labels = jumped
+          .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
+          .select("id", "label")
+          .localCheckpoint(true)
+        // the new round is materialized — the previous round's blocks (and
+        // this round's intermediate) are no longer referenced downstream
+        prevCkpt.foreach(_.unpersist(false))
+        minnedCkpt.foreach(_.unpersist(false))
+        prevCkpt = ckptRdd(labels)
+        val chg = obs.get("chg").asInstanceOf[Long]
+        converged = chg == 0L
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
+      }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
     if (!converged && iter > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -715,5 +737,59 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** C4/RefinedWeb-style line-level dedup: drop every occurrence of a line
+    * that appears elsewhere in the corpus EXCEPT its first occurrence
+    * (ordered by `(idCol, position)`), then rebuild each document from its
+    * surviving lines. The synthetic `documents` table has no newlines, so a
+    * "line" here is a fixed `wordsPerLine`-word chunk — a sentence proxy
+    * both engines compute identically (reference analog: the in-file
+    * first-seen-wins dedup, `src/etl/transform/inpe_focos_diario.py:116-139`,
+    * lifted from rows to corpus text segments).
+    *
+    * Output: one row per document — `n_lines`, `n_kept`, and an md5 of the
+    * newline-joined surviving text (order-preserving), so the oracle checks
+    * the rebuilt CONTENT, not just counts.
+    *
+    * Scale shape: the first-occurrence winner per line is a
+    * `groupBy(line).agg(min(struct(id, pos)))` — map-side partial
+    * aggregation absorbs boilerplate lines that occur millions of times
+    * (a `Window.partitionBy(line)` would funnel every occurrence of a hot
+    * line through one task; the agg form shrinks them to one row per
+    * partition before the shuffle). The winner set joins back on the line
+    * hash (AQE skew-split handles residual probe-side skew), and the
+    * rebuild is one `groupBy(doc)` with an ordered in-group sort — no
+    * global sort, no collect.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                wordsPerLine: Int = 8): DataFrame = {
+    val words = split(trim(col(textCol)), " ")
+    val nSeg = ceil(size(words).cast("double") / wordsPerLine).cast("int")
+    val segs = df
+      .select(col(idCol).as("id"), words.as("__w"), nSeg.as("__n"))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("__n") - 1),
+        i => array_join(slice(col("__w"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
+      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "line"))
+    // join on a 16-byte md5 of the line, not the line text: fixed-width
+    // shuffle key, and — unlike a 64-bit hash — no birthday collisions at
+    // trillion-line corpus scale (2⁶⁴-line bound for a 128-bit key)
+    val hashed = segs.withColumn("__h", unhex(md5(col("line"))))
+    val winners = hashed.groupBy("__h")
+      .agg(min(struct(col("id"), col("seg_idx"))).as("__first"))
+      .select(col("__h"), col("__first.id").as("__wid"),
+        col("__first.seg_idx").as("__wseg"))
+    hashed.join(winners, "__h")
+      .withColumn("__kept",
+        (col("id") === col("__wid")) && (col("seg_idx") === col("__wseg")))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("seg_idx"), col("line"))))),
+          s => s.getField("line")), "\n")).as("kept_md5"))
   }
 }

@@ -240,6 +240,20 @@ object ShingleKernel {
     }
     ArrayData.toArrayData(mins)
   }
+
+  /** Popcount of the pairwise AND of two long bitmasks — the PPJoin
+    * verification inner loop. Width is min(len(a), len(b)); masks built by
+    * the same tokenizer always agree on width within a block. */
+  def maskIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    s
+  }
 }
 
 /** `shingleHashes(words, n)` as a native codegen expression. */
@@ -397,4 +411,40 @@ object SignBucketExpr {
       ColumnBridge.expression(vec.cast("array<double>")),
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(nPlanes)),
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(planeOffset))))
+}
+
+/** `maskIntersectCount(a, b)` — popcount(a & b) over array<long> bitmasks,
+  * fully codegen'd. Replaces the `aggregate(zip_with(...))` HOF pair in the
+  * PPJoin verification step, which breaks whole-stage codegen and allocates
+  * an intermediate array per candidate row (the verify step runs once per
+  * CANDIDATE, not per survivor — on low-vocabulary corpora that is the
+  * single hottest expression in the dedup family).
+  */
+case class MaskIntersectCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"mask_intersect_count expects (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleKernel.maskIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.ShingleKernel.maskIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaskIntersectCountExpr {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(new MaskIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

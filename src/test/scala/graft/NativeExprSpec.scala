@@ -136,6 +136,30 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("mask_intersect_count equals the HOF popcount form, incl. nulls and width mismatch") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(0xffL, 0x0fL), Seq(0x0fL, 0xffL)),          // 4 + 4
+      (Seq(-1L), Seq(-1L)),                             // 64
+      (Seq(0L, 0L, 0L), Seq(-1L, -1L, -1L)),            // 0
+      (Seq(0x3L, 0x5L), Seq(0x1L)),                     // shorter right: min-width
+      (Seq.empty[Long], Seq(0xffL))                     // empty left
+    ).toDF("a", "b")
+    val cmp = rows
+      .withColumn("via_expr", graft.plans.MaskIntersectCountExpr(col("a"), col("b")))
+      .withColumn("via_hof", coalesce(aggregate(
+        zip_with(slice(col("a"), lit(1), least(size(col("a")), size(col("b")))),
+          slice(col("b"), lit(1), least(size(col("a")), size(col("b")))),
+          (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)))
+    assert(cmp.filter(!(col("via_expr") <=> col("via_hof"))).count() == 0)
+    // null input -> null out
+    val n = rows.limit(1)
+      .select(graft.plans.MaskIntersectCountExpr(
+        lit(null).cast("array<bigint>"), col("b")))
+    assert(n.head.isNullAt(0))
+  }
+
   test("pip_native is SQL-callable after extension registration") {
     import spark.implicits._
     GraftExtensions.register(spark)

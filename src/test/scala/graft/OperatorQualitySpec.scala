@@ -1038,4 +1038,31 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got.map(_._3).toList === List(1, 2, 3))
     assert(got.sliding(2).forall(p => p(0)._2 >= p(1)._2), "scores not descending")
   }
+
+  test("line-level dedup: corpus-global first occurrence wins, docs rebuilt in order") {
+    import spark.implicits._
+    // 2-word "lines"; doc 1 repeats doc 0's first line, doc 2 repeats its
+    // own line internally, doc 3 is untouched, doc 4 is entirely duplicate
+    val docs = Seq(
+      (0L, "a b c d"),           // lines: [a b] [c d] — all first
+      (1L, "a b x y"),           // [a b] dup of doc0 → dropped; [x y] kept
+      (2L, "p q p q"),           // [p q] kept once, second dropped
+      (3L, "fresh stuff"),       // kept
+      (4L, "a b c d")            // both lines dup → nothing kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", wordsPerLine = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0L) == ((2L, 2L, md5hex("a b\nc d"))))
+    assert(out(1L) == ((2L, 1L, md5hex("x y"))))
+    assert(out(2L) == ((2L, 1L, md5hex("p q"))))
+    assert(out(3L) == ((1L, 1L, md5hex("fresh stuff"))))
+    assert(out(4L) == ((2L, 0L, md5hex(""))))
+    // trailing partial chunk: 3 words at wordsPerLine=2 → [a b] + [c]
+    val part = Dedup.lineDedup(Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .head
+    assert(part.getLong(1) == 2L && part.getLong(2) == 2L)
+  }
 }
