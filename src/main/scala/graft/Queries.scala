@@ -3039,6 +3039,33 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // REAL audio decode (javax.sound.sampled, in the JDK) certified by a
+    // lossless fixture, the audio twin of mm_decode_image: deterministic
+    // s16le PCM WAV per doc (sample[i] = ((id·31+i·7) mod 2048) − 1024),
+    // decoded and split into 64-sample windows with integer features —
+    // the oracle recomputes every window from the same integer formula.
+    QueryDef("mm_audio_windows", Some(
+      "WITH s AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS i, " +
+        "((doc_id*31 + gs.i*7) % 2048) - 1024 AS smp FROM documents, " +
+        "LATERAL (SELECT unnest(generate_series(0, 100 + (doc_id % 5)*37 - 1)) AS i) gs) " +
+        "SELECT doc_id AS media_id, CAST(i // 64 AS INT) AS win_idx, " +
+        "CAST(count(*) AS INT) AS n_samples, CAST(sum(smp*smp) AS BIGINT) AS sum_sq, " +
+        "CAST(max(abs(smp)) AS INT) AS peak, 8000 AS sample_rate, TRUE AS ok " +
+        "FROM s GROUP BY 1, 2"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 100 + (id % 5).toInt * 37
+            val samples = Array.tabulate[Short](n)(i =>
+              (((id * 31 + i * 7) % 2048) - 1024).toShort)
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.Multimodal.wavBytes(samples, 8000),
+              "audio/wav", None, None, Some(n * 1000L / 8000))
+          })
+        graft.operators.Multimodal.audioWindows(media, 64).toDF()
+      }),
+
     // ------------------------------------------------- incremental/streaming
 
     // As-of join: every event picks up the user's latest purchase value at

@@ -149,6 +149,86 @@ object Multimodal {
     })
   }
 
+  /** Real WAV (RIFF PCM s16le mono) bytes for a sample array — the
+    * audio analog of [[pngBytes]]: PCM is lossless, so anything decoded
+    * from these bytes is a pure integer function of the sample values. */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  final case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int,
+                               sum_sq: Long, peak: Int, sample_rate: Int,
+                               ok: Boolean)
+
+  /** REAL audio decode + fixed-size windowing — `javax.sound.sampled`
+    * ships in the JDK, so PCM WAV needs no external codec. Each payload
+    * decodes to s16 mono samples, then splits into `frameSize`-sample
+    * windows with integer features (Σ s², max |s|) — the framing stage
+    * every audio pipeline (VAD, fingerprinting, feature extraction) runs
+    * first. Undecodable / non-PCM16 payloads yield one `ok = false` row —
+    * quarantine, never task failure.
+    *
+    * Scale shape: narrow mapPartitions (decode is per-row CPU work); the
+    * multi-MB payload is dropped at decode, so only fixed-width window
+    * rows ever reach a shuffle.
+    */
+  def audioWindows(media: Dataset[MediaRow], frameSize: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(
+            if (r.payload == null) Array.empty[Byte] else r.payload))
+        val fmt = in.getFormat
+        val pcm16Mono = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        if (!pcm16Mono) Iterator.single(
+          AudioWindow(r.media_id, 0, 0, 0L, 0, 0, ok = false))
+        else {
+          val bytes = in.readAllBytes()
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          val n = sb.remaining()
+          val rate = fmt.getSampleRate.toInt
+          val nWin = (n + frameSize - 1) / frameSize
+          Iterator.tabulate(nWin) { w =>
+            var i = w * frameSize
+            val end = math.min(i + frameSize, n)
+            var ss = 0L
+            var peak = 0
+            while (i < end) {
+              val s = sb.get(i).toInt
+              ss += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioWindow(r.media_id, w, end - w * frameSize, ss, peak, rate, ok = true)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Iterator.single(AudioWindow(r.media_id, 0, 0, 0L, 0, 0, ok = false))
+      }
+    })
+  }
+
   /** Frame sampling stub for video rows: emit every `stride`-th "frame"
     * index with a byte-offset — shows the explode/generator shape a real
     * frame sampler would use. */

@@ -262,6 +262,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!got(3L).ok, s"null payload must quarantine: ${got(3L)}")
   }
 
+  test("audioWindows: real WAV round-trip windows; corrupt payloads quarantine as ok=false") {
+    import spark.implicits._
+    // 150 samples at frame 64 → windows of 64, 64, 22
+    val samples = Array.tabulate[Short](150)(i => ((i * 13) % 2048 - 1024).toShort)
+    val good = Multimodal.MediaRow(1L, "audio",
+      Multimodal.wavBytes(samples, 8000), "audio/wav", None, None, None)
+    val corrupt = Multimodal.MediaRow(2L, "audio",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "audio/wav", None, None, None)
+    val got = Multimodal.audioWindows(Seq(good, corrupt).toDS(), 64)
+      .collect().groupBy(_.media_id)
+    val wins = got(1L).sortBy(_.win_idx)
+    assert(wins.map(_.n_samples).toList == List(64, 64, 22))
+    assert(wins.forall(w => w.ok && w.sample_rate == 8000))
+    // exact integer features per window vs direct computation
+    for ((w, wi) <- wins.zipWithIndex) {
+      val seg = samples.slice(wi * 64, math.min(wi * 64 + 64, 150)).map(_.toInt)
+      assert(w.sum_sq == seg.map(s => s.toLong * s).sum, s"sum_sq window $wi")
+      assert(w.peak == seg.map(math.abs).max, s"peak window $wi")
+    }
+    assert(got(2L).length == 1 && !got(2L).head.ok, "corrupt must quarantine")
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
