@@ -959,6 +959,54 @@ object Queries {
           concat(col("p_partkey").cast("string"), lit(","), col("p_size").cast("string")),
           ",", ".").cast("double").as("val"))),
 
+    // S4+P1+P2+P3+P4+P5+P6 end-to-end through a REAL file: an INPE-shaped
+    // daily CSV (';' dialect, BR decimal commas, messy mixed-case headers
+    // with padding) is written to local disk, then re-read through the
+    // sniffing readCsv + full transform; the oracle recomputes the curated
+    // rows from the same integer formulas over `events`. Poison rows pin
+    // the drop rules: lat='nan' (P4), lat out of range (P5), null-word
+    // satelite / empty bioma (P6). lat encodes event_id uniquely so the P9
+    // hash dedup can never fire (it is pinned separately by p8/p9 proxies).
+    QueryDef("ingest_csv_roundtrip", Some(
+      "WITH e AS (SELECT event_id, ts FROM events WHERE event_id % 10 = 0), " +
+        "r AS (SELECT event_id, ts, " +
+        "CASE WHEN event_id % 97 = 0 THEN 'nan' WHEN event_id % 89 = 0 THEN '95,00' " +
+        "ELSE '-' || (event_id // 10000) || ',' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') END AS lat_raw, " +
+        "'-' || (40 + event_id % 30) || ',' || lpad(CAST((event_id*7) % 100 AS VARCHAR), 2, '0') AS lon_raw FROM e) " +
+        "SELECT CAST(replace(lat_raw, ',', '.') AS DOUBLE) AS lat, " +
+        "CAST(replace(lon_raw, ',', '.') AS DOUBLE) AS lon, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS view_ts, " +
+        "CASE WHEN event_id % 11 = 0 THEN NULL ELSE 'AQUA_M-T' END AS satelite, " +
+        "'MUN ' || event_id AS municipio, 'UF' || (event_id % 27) AS uf, " +
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'BIOMA ' || (event_id % 6) END AS bioma, " +
+        "DATE '2024-01-15' AS file_date " +
+        "FROM r WHERE event_id % 97 <> 0 AND event_id % 89 <> 0"),
+      (s, d) => {
+        val dir = "/tmp/graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val raw = T(s, d, "events").filter(col("event_id") % 10 === 0).select(
+          when(col("event_id") % 97 === 0, lit("nan"))
+            .when(col("event_id") % 89 === 0, lit("95,00"))
+            .otherwise(concat(lit("-"), expr("event_id div 10000").cast("string"),
+              lit(","), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+            .as(" LATITUDE "),
+          concat(lit("-"), (col("event_id") % 30 + 40).cast("string"), lit(","),
+            lpad(((col("event_id") * 7) % 100).cast("string"), 2, "0")).as("Longitude"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("Data Hora GMT"),
+          when(col("event_id") % 11 === 0, lit("nan")).otherwise(lit("AQUA_M-T")).as("Satelite"),
+          concat(lit("MUN "), col("event_id").cast("string")).as("Municipio"),
+          concat(lit("UF"), (col("event_id") % 27).cast("string")).as("Estado"),
+          when(col("event_id") % 5 === 0, lit(""))
+            .otherwise(concat(lit("BIOMA "), (col("event_id") % 6).cast("string"))).as("Bioma"))
+        // one file per day is the S-layer's unit of arrival (a daily INPE
+        // CSV); coalesce(1) mirrors that — dims-sized data, not a fact path
+        raw.coalesce(1).write.mode("overwrite")
+          .option("sep", ";").option("header", "true").csv(dir)
+        graft.ingest.Ingest.transform(
+            graft.ingest.Ingest.readCsv(s, dir), java.sql.Date.valueOf("2024-01-15"))
+          .select("lat", "lon", "view_ts", "satelite", "municipio", "uf",
+            "bioma", "file_date")
+      }),
+
     QueryDef("p6_value_clean", Some(
       "WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 5 = 0 THEN 'nan' " +
         "WHEN p_partkey % 7 = 0 THEN '  ' WHEN p_partkey % 3 = 0 THEN 'NULL' " +
@@ -3130,6 +3178,80 @@ object Queries {
       "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1"),
       (s, d) => T(s, d, "events")
         .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))),
+
+    // §2.10 + K1 + K2 under the correctness gate: the per-day batch pipeline
+    // (ingest → idempotent load → PIP enrich → 13 marts) runs TWICE over the
+    // same INPE-shaped day into a scratch warehouse; the second run must
+    // insert 0 rows and leave every mart unchanged. The oracle needs no
+    // geometry: each valid event lands in exactly one municipality/UF/biome
+    // box by construction, so every conservation aggregate equals the valid
+    // row count n — idempotency itself is the oracle.
+    QueryDef("pipeline_idempotent", Some(
+      "WITH v AS (SELECT count(*) AS n FROM events WHERE event_id % 10 = 0 " +
+        "AND event_id % 97 <> 0 AND event_id % 89 <> 0) " +
+        "SELECT n AS attempted_1, n AS inserted_1, n AS attempted_2, " +
+        "CAST(0 AS BIGINT) AS inserted_2, n AS curated_n, n AS enriched_n, " +
+        "n AS mart_mun_sum, n AS mart_uf_sum, n AS mart_bioma_sum FROM v"),
+      (s, d) => {
+        import s.implicits._
+        val root = "/tmp/graft_pipeline_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+        def rect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): Seq[Seq[Seq[Seq[Double]]]] =
+          Seq(Seq(Seq(Seq(minLon, minLat), Seq(maxLon, minLat), Seq(maxLon, maxLat),
+            Seq(minLon, maxLat), Seq(minLon, minLat))))
+        def box(df: DataFrame, minLon: Double, minLat: Double,
+                maxLon: Double, maxLat: Double): DataFrame =
+          df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
+            .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
+            .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](
+              rect(minLon, minLat, maxLon, maxLat)))
+        // 3 municipality strips by lon, 2 biome strips by lat; box edges at
+        // x.005 so 2-decimal event coordinates are always strictly interior
+        val municipios =
+          box(Seq(("m1", "MunA", "UF1", 5000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+            -70.005, -10.005, -60.005, 0.005)
+          .unionByName(box(Seq(("m2", "MunB", "UF2", 6000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+            -60.005, -10.005, -50.005, 0.005))
+          .unionByName(box(Seq(("m3", "MunC", "UF3", 7000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+            -50.005, -10.005, -39.995, 0.005))
+        val biomas =
+          box(Seq((1L, "1", "BiomaSul")).toDF("dim_id", "cd_bioma", "bioma_nome"),
+            -70.005, -10.005, -39.995, -5.005)
+          .unionByName(box(Seq((2L, "2", "BiomaNorte")).toDF("dim_id", "cd_bioma", "bioma_nome"),
+            -70.005, -5.005, -39.995, 0.005))
+        val raw = T(s, d, "events").filter(col("event_id") % 10 === 0).select(
+          when(col("event_id") % 97 === 0, lit("nan"))
+            .when(col("event_id") % 89 === 0, lit("95,00"))
+            .otherwise(concat(lit("-"), expr("event_id div 10000").cast("string"),
+              lit(","), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+            .as("latitude"),
+          concat(lit("-"), (col("event_id") % 30 + 40).cast("string"), lit(","),
+            lpad(((col("event_id") * 7) % 100).cast("string"), 2, "0")).as("longitude"),
+          // day key pinned to the file date: this query pins idempotency;
+          // the view_ts-vs-file_date day-key split is pinned by a1-a6
+          concat(lit("2024-01-15 "), date_format(col("ts"), "HH:mm:ss")).as("data_hora_gmt"),
+          when(col("event_id") % 11 === 0, lit("nan")).otherwise(lit("AQUA_M-T")).as("satelite"),
+          lit("RAW_MUN").as("municipio"), lit("XX").as("estado"), lit("RAW_BIOMA").as("bioma"))
+        val p = new graft.pipeline.Pipeline(s, root, municipios, biomas, None, None)
+        val day = java.time.LocalDate.parse("2024-01-15")
+        // rebuild only the marts this invariant reads — the writeMarts
+        // subset seam a single-dimension backfill would use
+        val marts = Set("focos_diario_municipio", "focos_diario_uf", "focos_diario_bioma")
+        val r1 = p.runDayFrom(raw, day, marts)
+        val r2 = p.runDayFrom(raw, day, marts)
+        def martSum(name: String, c: String): Long =
+          s.read.parquet(s"$root/marts/$name").agg(sum(col(c))).head.getLong(0)
+        Seq((r1("attempted"), r1("inserted"), r2("attempted"), r2("inserted"),
+          s.read.parquet(s"$root/curated").count(),
+          s.read.parquet(s"$root/enriched").count(),
+          martSum("focos_diario_municipio", "n_focos"),
+          martSum("focos_diario_uf", "n_focos"),
+          martSum("focos_diario_bioma", "focos")))
+          .toDF("attempted_1", "inserted_1", "attempted_2", "inserted_2",
+            "curated_n", "enriched_n", "mart_mun_sum", "mart_uf_sum", "mart_bioma_sum")
+      }),
 
     // SCD2 merge (Kimball type-2 upsert) over a synthetic dimension built
     // from `customer`: every 10th key changes segment → close + reopen;

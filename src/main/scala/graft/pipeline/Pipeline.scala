@@ -103,7 +103,8 @@ final class Pipeline(spark: SparkSession, root: String,
 
   /** Same, from an already-resolved raw CSV DataFrame (the S1/S2 source
     * resolver seam — Sources.resolveDaily feeds this directly). */
-  def runDayFrom(raw: DataFrame, fileDate: LocalDate): Map[String, Long] = {
+  def runDayFrom(raw: DataFrame, fileDate: LocalDate,
+                 marts: Set[String] = allMarts.toSet): Map[String, Long] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val d = Date.valueOf(fileDate)
 
@@ -131,7 +132,7 @@ final class Pipeline(spark: SparkSession, root: String,
     val enriched = enrichDims(Enrich.enrichMunicipio(newRows, municipios))
     enriched.write.mode("append").partitionBy("file_date").parquet(path("enriched"))
 
-    writeMarts(d)
+    writeMarts(d, marts)
     records.unpersist()
     Map("attempted" -> attempted, "inserted" -> inserted)
   }
@@ -139,45 +140,50 @@ final class Pipeline(spark: SparkSession, root: String,
   /** All marts for one day (delete-day-then-insert ≡ dynamic partition
     * overwrite; the hard-coded file order 10,11,20,21,30 + dashboard layer,
     * src/etl/marts_runner.py:16-34). */
-  def writeMarts(d: Date): Unit = {
+  /** All mart names, in the reference's file order. */
+  val allMarts: Seq[String] = Seq(
+    "focos_diario_municipio", "focos_mensal_municipio",
+    "focos_diario_uf", "focos_mensal_uf",
+    "focos_diario_bioma", "focos_mensal_bioma",
+    "focos_diario_uc", "focos_mensal_uc",
+    "focos_diario_ti", "focos_mensal_ti",
+    "focos_diario_uf_trend", "mv_focos_day_dim")
+
+  /** `only`: rebuild a subset of marts — a backfill that touched one
+    * dimension doesn't pay for the other eleven tables (the reference's
+    * marts_runner applies whatever SQL files it is pointed at,
+    * src/etl/marts_runner.py:16-34). Default rebuilds everything. */
+  def writeMarts(d: Date, only: Set[String] = allMarts.toSet): Unit = {
     val enrichedAll = spark.read.parquet(path("enriched"))
-    val dayFacts = martInput(enrichedAll, d)
-    val monthFacts = monthInput(enrichedAll, d)
-    val fileDateFacts = enrichedAll.filter(col("file_date") === lit(d))
-    val monthFileFacts = enrichedAll.filter(
+    lazy val dayFacts = martInput(enrichedAll, d)
+    lazy val monthFacts = monthInput(enrichedAll, d)
+    lazy val fileDateFacts = enrichedAll.filter(col("file_date") === lit(d))
+    lazy val monthFileFacts = enrichedAll.filter(
       date_trunc("month", col("file_date")).cast("date") ===
         lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1))))
-    val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
+    lazy val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
+    def mart(name: String)(build: => DataFrame, part: String = "day"): Unit =
+      if (only(name)) Marts.writePartitioned(build, path(s"marts/$name"), part)
 
-    Marts.writePartitioned(Marts.focosDiarioMunicipio(dayFacts),
-      path("marts/focos_diario_municipio"), "day")
-    Marts.writePartitioned(Marts.focosMensalMunicipio(monthFacts),
-      path("marts/focos_mensal_municipio"), "month")
-    Marts.writePartitioned(Marts.focosDiarioUf(dayFacts, ufArea),
-      path("marts/focos_diario_uf"), "day")
-    Marts.writePartitioned(Marts.focosMensalUf(monthFacts, ufArea),
-      path("marts/focos_mensal_uf"), "month")
+    mart("focos_diario_municipio")(Marts.focosDiarioMunicipio(dayFacts))
+    mart("focos_mensal_municipio")(Marts.focosMensalMunicipio(monthFacts), "month")
+    mart("focos_diario_uf")(Marts.focosDiarioUf(dayFacts, ufArea))
+    mart("focos_mensal_uf")(Marts.focosMensalUf(monthFacts, ufArea), "month")
     // biome/UC/TI marts key on raw file_date (40/50/60_*.sql — §7.4 risk 5)
-    Marts.writePartitioned(Marts.focosDiarioBioma(fileDateFacts),
-      path("marts/focos_diario_bioma"), "day")
-    Marts.writePartitioned(Marts.focosMensalBioma(monthFileFacts),
-      path("marts/focos_mensal_bioma"), "month")
-    Marts.writePartitioned(Marts.focosDiarioKeyed(fileDateFacts, "cd_cnuc", Seq("uc_nome")),
-      path("marts/focos_diario_uc"), "day")
-    Marts.writePartitioned(Marts.focosMensalKeyed(monthFileFacts, "cd_cnuc", Seq("uc_nome")),
-      path("marts/focos_mensal_uc"), "month")
-    Marts.writePartitioned(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")),
-      path("marts/focos_diario_ti"), "day")
-    Marts.writePartitioned(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")),
-      path("marts/focos_mensal_ti"), "month")
+    mart("focos_diario_bioma")(Marts.focosDiarioBioma(fileDateFacts))
+    mart("focos_mensal_bioma")(Marts.focosMensalBioma(monthFileFacts), "month")
+    mart("focos_diario_uc")(Marts.focosDiarioKeyed(fileDateFacts, "cd_cnuc", Seq("uc_nome")))
+    mart("focos_mensal_uc")(Marts.focosMensalKeyed(monthFileFacts, "cd_cnuc", Seq("uc_nome")), "month")
+    mart("focos_diario_ti")(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")))
+    mart("focos_mensal_ti")(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")), "month")
     // trend view over the (small) daily UF mart — W1/W2 moving averages
-    Marts.focosDiarioUfTrend(spark.read.parquet(path("marts/focos_diario_uf")))
-      .write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
+    if (only("focos_diario_uf_trend"))
+      Marts.focosDiarioUfTrend(spark.read.parquet(path("marts/focos_diario_uf")))
+        .write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
     // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
     // the UF code column the reference denormalizes; our dims carry uf text
-    Marts.writePartitioned(
-      Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))),
-      path("marts/mv_focos_day_dim"), "day")
+    mart("mv_focos_day_dim")(
+      Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))))
   }
 
   /** Checked-flag read path: re-enrich only rows some dimension has not
