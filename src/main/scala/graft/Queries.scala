@@ -1557,6 +1557,36 @@ object Queries {
         Dedup.exact(dupes, Seq("text"), "doc_id")
       }),
 
+    // Snapshot diff: the post-rebuild audit (added/removed/changed/unchanged
+    // per language) between two corpus versions. Change detection compares
+    // 16-byte map-side content digests — documents never reach the join
+    // shuffle. Planted deltas: every 17th doc removed, every 13th edited,
+    // every 19th re-added under a new id.
+    QueryDef("corpus_snapshot_diff", Some(
+      "WITH o AS (SELECT doc_id, text, lang FROM documents), " +
+        "n AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, lang " +
+        "FROM documents WHERE doc_id % 17 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 19 = 0), " +
+        "j AS (SELECT coalesce(n.lang, o.lang) AS lang, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text <> n.text THEN 'changed' ELSE 'unchanged' END AS st " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "SELECT lang, CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
+        "FROM j GROUP BY 1"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id", "text", "lang")
+        val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+        graft.operators.Profile.snapshotDiff(
+          docs, newSnap, "doc_id", Seq("text"), Seq("lang"))
+      }),
+
     // C4/RefinedWeb line-level dedup: corpus-global first-occurrence-wins on
     // 8-word text segments, documents rebuilt from survivors; the md5 column
     // pins the rebuilt CONTENT (order included), not just counts.

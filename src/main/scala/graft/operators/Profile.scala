@@ -38,4 +38,42 @@ object Profile {
     wide.selectExpr(
       s"stack(${cols.length}, $stackArgs) as (col_name, n_rows, n_nulls, n_distinct)")
   }
+
+  /** Snapshot diff: what changed between two corpus versions — the audit a
+    * pipeline runs after every rebuild ("this refresh added X, dropped Y,
+    * rewrote Z") and the input to incremental re-training decisions.
+    *
+    * Rows pair on `idCol`; change detection compares a 16-byte md5 of the
+    * `contentCols` computed MAP-SIDE on each snapshot, so full content
+    * never reaches the join shuffle — at 100 TB the exchange carries
+    * (id, digest, dims), not documents. One full-outer hash join on the id,
+    * then a partial-aggregated rollup by `dimCols` (taken from whichever
+    * side has the row).
+    *
+    * Output: per dim-combination counts `n_added`, `n_removed`,
+    * `n_changed`, `n_unchanged`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+    def sided(df: DataFrame, tag: String): DataFrame =
+      df.select(
+        col(idCol).as(s"${tag}_id") +:
+          unhex(md5(concat_ws("", contentCols.map(col): _*))).as(s"${tag}_sig") +:
+          dimCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    val joined = sided(oldDf, "o")
+      .join(sided(newDf, "n"), col("o_id") === col("n_id"), "full_outer")
+    val dims = dimCols.map(c => coalesce(col(s"n_$c"), col(s"o_$c")).as(c))
+    joined
+      .select(dims :+
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_sig") =!= col("n_sig"), "changed")
+          .otherwise("unchanged").as("__st"): _*)
+      .groupBy(dimCols.map(col): _*)
+      .agg(
+        sum(when(col("__st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

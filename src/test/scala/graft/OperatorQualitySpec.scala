@@ -465,6 +465,23 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("y", 3L, 1L, 1L), ("x", 3L, 1L, 2L)))
   }
 
+  test("Profile.snapshotDiff: added/removed/changed/unchanged, null dims from either side") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "pt"), (4L, "d", "pt"))
+      .toDF("doc_id", "text", "lang")
+    val newDf = Seq((1L, "a", "en"),        // unchanged
+      (2L, "B", "en"),                      // changed
+      (4L, "d", "pt"),                      // unchanged (3 removed)
+      (9L, "z", "pt"))                      // added
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.Profile
+      .snapshotDiff(oldDf, newDf, "doc_id", Seq("text"), Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("en") == ((0L, 0L, 1L, 1L)))
+    assert(got("pt") == ((1L, 1L, 0L, 1L)))
+  }
+
   test("CacheRegistry releases operator-persisted frames; operators re-persist after") {
     val docs = corpus()
     // minHashLshPairs persists its shingle projection internally
