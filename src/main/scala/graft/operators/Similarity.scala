@@ -22,10 +22,16 @@ import graft.functions.HashFunctions
 object Similarity {
 
   /** dot(a,b) via zip_with + aggregate (double). */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.plans.DotExpr(a, b)
+
+  def l2Norm(v: Column): Column = graft.plans.L2NormExpr(v)
+
+  /** Reference HOF forms of [[dot]]/[[l2Norm]] — the fold the native
+    * kernels mirror bit-for-bit; kept for the parity tests. */
+  def dotRef(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  def l2Norm(v: Column): Column =
+  def l2NormRef(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -197,19 +203,16 @@ object Similarity {
     * source of truth for both assignment and probing, so their tie-break
     * (dist asc, cell asc) agrees BY CONSTRUCTION. */
   private def centroidDistPairs(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    // The (centroid, cell) table is ONE typedLit constant (constant-folded
-    // after the rename cast) — building it with array(...lit...) inside a
-    // lambda would re-create the k×d literal array per cell per row, k²·d
-    // evals. The lambda below touches only its element var and `vec`.
+    // k×d distance work runs in the native SqDistsExpr kernel (codegen,
+    // centroid matrix as a generated-code reference object — same ascending
+    // fold as the oracle unroll); only the k-element index zip stays a HOF.
     // Field names imposed by cast, NOT .as aliases: the analyzer strips
     // aliases inside lambda bodies when the surrounding select is rewritten
     // (e.g. by a generator such as posexplode), which breaks getField.
-    val centsLit = typedLit(centroids.zipWithIndex)
-      .cast("array<struct<c:array<double>,cell:int>>")
-    transform(centsLit, p => struct(
-      aggregate(zip_with(vec, p.getField("c"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x),
-      p.getField("cell")).cast("struct<dist:double,cell:int>"))
+    val ds = graft.plans.SqDistsExpr(vec, centroids)
+    val idxLit = typedLit(centroids.indices.toList)
+    zip_with(ds, idxLit, (dd, ii) => struct(dd, ii))
+      .cast("array<struct<dist:double,cell:int>>")
   }
 
   /** The `nProbe` nearest cells for a query vector, nearest-first (ties →
@@ -278,6 +281,13 @@ object Similarity {
                 k: Int, iters: Int): Seq[Seq[Double]] = {
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // AQE pinned off for the Lloyd loop — the connectedComponents/bpeFit
+    // rationale: one tiny aggregate action per iteration, where AQE's
+    // stage materialization costs more than the work. Restored on exit.
+    val sess = corpus.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var cents: IndexedSeq[Seq[Double]] = base.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     for (_ <- 1 to iters) {
@@ -296,6 +306,7 @@ object Similarity {
       }
     }
     cents
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
   /** IVF-restricted ANN top-k: the corpus is partitioned into centroid

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -241,6 +241,25 @@ object ShingleKernel {
     ArrayData.toArrayData(mins)
   }
 
+  /** Greedy left-to-right single-merge BPE application — byte-identical to
+    * the Column fold in Tokenizer.applyMerge: walk the token list, joining
+    * each (l, r) adjacency into m; a just-created m never re-matches l
+    * unless it literally equals it. */
+  def applyBpeMerge(toks: ArrayData, l: UTF8String, r: UTF8String,
+                    m: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[UTF8String](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (len > 0 && out(len - 1) == l && t == r) out(len - 1) = m
+      else { out(len) = t; len += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], len))
+  }
+
   /** Popcount of the pairwise AND of two long bitmasks — the PPJoin
     * verification inner loop. Width is min(len(a), len(b)); masks built by
     * the same tokenizer always agree on width within a block. */
@@ -411,6 +430,44 @@ object SignBucketExpr {
       ColumnBridge.expression(vec.cast("array<double>")),
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(nPlanes)),
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(planeOffset))))
+}
+
+/** One BPE merge rule applied to a token-list column. The (l, r, m) rule
+  * rides as generated-code REFERENCE OBJECTS, not literals — an iterative
+  * trainer (bpeFit) changes the rule every round, and literal embedding
+  * would make each round's plan text unique, recompiling a fresh Janino
+  * class per round (the dominant cost of the 10-round fit). With reference
+  * slots the generated source is round-invariant: one compile, reused.
+  */
+case class ApplyMergeExpr(child: Expression, l: UTF8String, r: UTF8String,
+                          m: UTF8String) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"apply_merge expects array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    ShingleKernel.applyBpeMerge(toks.asInstanceOf[ArrayData], l, r, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeL", l, "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeR", r, "org.apache.spark.unsafe.types.UTF8String")
+    val mRef = ctx.addReferenceObj("bpeM", m, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.ShingleKernel.applyBpeMerge($t, $lRef, $rRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ApplyMergeExpr {
+  def apply(toks: Column, l: String, r: String, m: String): Column =
+    ColumnBridge.column(new ApplyMergeExpr(ColumnBridge.expression(toks),
+      UTF8String.fromString(l), UTF8String.fromString(r), UTF8String.fromString(m)))
 }
 
 /** `maskIntersectCount(a, b)` — popcount(a & b) over array<long> bitmasks,

@@ -136,6 +136,52 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_dot / vec_norm / sq_dists match the HOF reference folds bit-for-bit on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = e.crossJoin(e.select(col("vec_id").as("id2"), col("v").as("v2")))
+      .filter(col("vec_id") < 10 && col("id2") < 10)
+      .withColumn("dot_e", graft.operators.Similarity.dot(col("v"), col("v2")))
+      .withColumn("dot_r", graft.operators.Similarity.dotRef(col("v"), col("v2")))
+      .withColumn("nrm_e", graft.operators.Similarity.l2Norm(col("v")))
+      .withColumn("nrm_r", graft.operators.Similarity.l2NormRef(col("v")))
+    assert(paired.filter(!(col("dot_e") <=> col("dot_r")) ||
+      !(col("nrm_e") <=> col("nrm_r"))).count() == 0)
+    // sq_dists: same ascending (x-c)^2 fold as the HOF composition
+    val cents = e.orderBy("vec_id").limit(3)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val centsLit = typedLit(cents.zipWithIndex)
+      .cast("array<struct<c:array<double>,cell:int>>")
+    val hof = transform(centsLit, p =>
+      aggregate(zip_with(col("v"), p.getField("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+    val cmp = e.withColumn("via_expr", graft.plans.SqDistsExpr(col("v"), cents))
+      .withColumn("via_hof", hof)
+    assert(cmp.filter(!(col("via_expr") <=> col("via_hof"))).count() == 0)
+  }
+
+  test("apply_merge equals the reference HOF fold: adjacency join, no re-match of fresh merges") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq("a", "b", "c"),            // ab c
+      Seq("a", "b", "a", "b"),       // ab ab
+      Seq("a", "a", "b", "b"),       // a ab b
+      Seq("b", "a"),                 // no match
+      Seq.empty[String],
+      Seq("a", "b", "b")             // ab b — merged ab must not re-match 'a'
+    ).toDF("t")
+    def hof(toks: org.apache.spark.sql.Column, l: String, r: String, m: String) =
+      aggregate(toks, array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+    val cmp = rows
+      .withColumn("via_expr", graft.plans.ApplyMergeExpr(col("t"), "a", "b", "ab"))
+      .withColumn("via_hof", hof(col("t"), "a", "b", "ab"))
+    assert(cmp.filter(!(col("via_expr") <=> col("via_hof"))).count() == 0)
+  }
+
   test("mask_intersect_count equals the HOF popcount form, incl. nulls and width mismatch") {
     import spark.implicits._
     val rows = Seq(
