@@ -1579,6 +1579,57 @@ object Queries {
         Dedup.exact(dupes, Seq("text"), "doc_id")
       }),
 
+    // Schema evolution across lake snapshots: batch v2 adds a `quality`
+    // column; a mergeSchema read unifies both generations (v1 rows surface
+    // it as NULL) — the capability every long-lived parquet lake leans on.
+    // Real files are written and re-read inside the query; the oracle
+    // recomputes the per-type rollup from the generation split rule.
+    QueryDef("ingest_schema_evolution", Some(
+      "SELECT event_type, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+        "CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 7 END) AS BIGINT) AS sum_quality " +
+        "FROM events GROUP BY 1"),
+      (s, d) => {
+        val dir = "/tmp/graft_schema_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val ev = T(s, d, "events")
+        ev.filter(col("event_id") % 2 === 0)
+          .select("event_id", "event_type")
+          .write.parquet(s"$dir/v1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("event_id") % 7).as("quality"))
+          .write.parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("quality")).as("n_quality"),
+            sum(col("quality")).as("sum_quality"))
+      }),
+
+    // Blocked fuzzy (Levenshtein <= 2) join: typo-tolerant catalog matching.
+    // Probes are deterministic 1-char deletions of catalog names (must
+    // match) plus ' xyzzy'-suffixed negatives (distance 6 — must not).
+    QueryDef("fuzzy_join_editdist", Some(
+      "WITH names AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY 1), " +
+        "probes AS (SELECT pid AS probe_id, substr(p_name, 1, 1) || substr(p_name, 3) AS probe FROM names " +
+        "UNION ALL SELECT pid + 100000, p_name || ' xyzzy' FROM names) " +
+        "SELECT p.probe_id, p.probe, n.pid AS matched_id, n.p_name AS matched, " +
+        "CAST(levenshtein(p.probe, n.p_name) AS INT) AS dist " +
+        "FROM probes p JOIN names n ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1) " +
+        "WHERE levenshtein(p.probe, n.p_name) <= 2"),
+      (s, d) => {
+        val names = T(s, d, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("pid"))
+        val probes = names.select(col("pid").as("probe_id"),
+            concat(substring(col("p_name"), 1, 1), expr("substr(p_name, 3)")).as("probe"))
+          .unionByName(names.select((col("pid") + 100000).as("probe_id"),
+            concat(col("p_name"), lit(" xyzzy")).as("probe")))
+        Dedup.fuzzyJoin(probes, names, "probe_id", "probe", "pid", "p_name", 2)
+      }),
+
     // Snapshot diff: the post-rebuild audit (added/removed/changed/unchanged
     // per language) between two corpus versions. Change detection compares
     // 16-byte map-side content digests — documents never reach the join

@@ -739,6 +739,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fuzzy string join: probes × catalog within Levenshtein `maxDist`,
+    * blocked on the first character — the classic blocked edit-distance
+    * join (entity resolution / typo-tolerant catalog matching). Candidates
+    * come from a hash equi-join on the block key; a length-band predicate
+    * (|len(a) − len(b)| ≤ maxDist, a provable consequence of the distance
+    * bound) prunes before the O(len²) levenshtein, which runs codegen'd
+    * only on surviving candidates. Blocking trades recall for scale as all
+    * production fuzzy joins do: a match must share its first character
+    * (compose runs over several block functions — soundex, k-prefix,
+    * reversed-prefix — to tighten the guarantee).
+    */
+  def fuzzyJoin(probes: DataFrame, catalog: DataFrame,
+                probeId: String, probeCol: String,
+                catId: String, catCol: String, maxDist: Int): DataFrame = {
+    val p = probes.select(col(probeId).as("probe_id"), col(probeCol).as("probe"),
+      substring(col(probeCol), 1, 1).as("__blk"), length(col(probeCol)).as("__pl"))
+    val c = catalog.select(col(catId).as("matched_id"), col(catCol).as("matched"),
+      substring(col(catCol), 1, 1).as("__blk"), length(col(catCol)).as("__cl"))
+    p.join(c, "__blk")
+      .filter(abs(col("__pl") - col("__cl")) <= maxDist)
+      .withColumn("dist", levenshtein(col("probe"), col("matched")))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("probe"), col("matched_id"),
+        col("matched"), col("dist").cast("int").as("dist"))
+  }
+
   /** C4/RefinedWeb-style line-level dedup: drop every occurrence of a line
     * that appears elsewhere in the corpus EXCEPT its first occurrence
     * (ordered by `(idCol, position)`), then rebuild each document from its

@@ -1104,4 +1104,28 @@ class OperatorQualitySpec extends AnyFunSuite {
       .head
     assert(part.getLong(1) == 2L && part.getLong(2) == 2L)
   }
+
+  test("fuzzyJoin: edit-distance band, length prune, first-char block semantics") {
+    import spark.implicits._
+    val catalog = Seq((1L, "chocolate"), (2L, "chartreuse"), (3L, "banana"))
+      .toDF("id", "name")
+    val probes = Seq(
+      (10L, "chocolat"),    // 1 deletion of id 1 → dist 1, match
+      (11L, "chacolata"),   // two substitutions vs chocolate → dist 2, match
+      (12L, "charteuse"),   // 1 deletion of id 2 → match
+      (13L, "chxxxxxxx"),   // same block, dist > 2 → no match
+      (14L, "xanana"),      // dist 1 vs banana BUT block 'x' ≠ 'b' → blocked out
+      (15L, "cho")          // length band |3-9|=6 > 2 → pruned before levenshtein
+    ).toDF("pid", "q")
+    val got = Dedup.fuzzyJoin(probes, catalog, "pid", "q", "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(got == Set((10L, 1L, 1), (11L, 1L, 2), (12L, 2L, 1)))
+    // a probe can match several catalog rows within the band
+    val multi = Dedup.fuzzyJoin(
+      Seq((20L, "cat")).toDF("pid", "q"),
+      Seq((1L, "cat"), (2L, "cart"), (3L, "cowl")).toDF("id", "name"),
+      "pid", "q", "id", "name", 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(multi == Set(1L, 2L))
+  }
 }
