@@ -1630,6 +1630,136 @@ object Queries {
         Dedup.fuzzyJoin(probes, names, "probe_id", "probe", "pid", "p_name", 2)
       }),
 
+    // Gap-based sessionization (30-min inactivity): lag + running-sum
+    // session numbering and the per-session rollup share ONE user-hash
+    // exchange (the (user, session) groupBy's clustering is satisfied by
+    // the window's partitioning).
+    QueryDef("sessionize_batch", Some(
+      "WITH o AS (SELECT user_id, ts, event_id, value, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "s AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), " +
+        "t AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end, " +
+        "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "FROM t GROUP BY 1, 2"),
+      (s, d) => operators.Analytics.sessionize(T(s, d, "events"),
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800)),
+
+    // Ordered funnel view → click → purchase: step k counts users whose
+    // first step-k event is at/after their step-(k-1) frontier. One lazy
+    // plan — per-step frontiers are user-keyed aggregates, no driver loop.
+    QueryDef("funnel_steps", Some(
+      "WITH f1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f1 ON e.user_id = f1.user_id " +
+        "AND e.ts >= f1.t WHERE e.event_type = 'click' GROUP BY 1), " +
+        "f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f2 ON e.user_id = f2.user_id " +
+        "AND e.ts >= f2.t WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "c AS (SELECT 1 AS step_order, 'view' AS step, (SELECT count(*) FROM f1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)) " +
+        "SELECT step_order, step, n_users, round(100.0 * n_users / " +
+        "(SELECT n_users FROM c WHERE step_order = 1), 4) AS conv_pct FROM c"),
+      (s, d) => operators.Analytics.funnel(T(s, d, "events"),
+        Seq("view", "click", "purchase"), "event_type", "user_id", "ts")),
+
+    // Weekly cohort retention: cohort = Monday week of first touch;
+    // retained at offset k = any activity in cohort+k. The (cohort,
+    // offset) matrix is weeks², so the size join broadcasts.
+    QueryDef("cohort_retention", Some(
+      "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events), " +
+        "c AS (SELECT cohort_week, CAST((w - cohort_week) // 7 AS INT) AS week_offset, " +
+        "count(*) AS n_users FROM a JOIN f USING (user_id) GROUP BY 1, 2), " +
+        "s AS (SELECT cohort_week, n_users AS cohort_size FROM c WHERE week_offset = 0) " +
+        "SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size, " +
+        "round(100.0 * c.n_users / s.cohort_size, 4) AS retention_pct " +
+        "FROM c JOIN s USING (cohort_week)"),
+      (s, d) => operators.Analytics.cohortRetention(T(s, d, "events"),
+        "user_id", "ts")),
+
+    // day × event_type pivot (explicit value list — no extra distinct
+    // job): count + exact decimal value sum per cell, ONE map-side-
+    // combined aggregate. Absent cells: count 0, sum NULL — both sides.
+    QueryDef("pivot_event_matrix", Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map { t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS ${t}_n, " +
+          s"CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') " +
+          s"AS DECIMAL(38,6)) AS ${t}_val"
+      }.mkString(", ")
+      s"SELECT CAST(ts AS DATE) AS day, $cells FROM events GROUP BY 1"
+    },
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        T(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("val"))
+          .na.fill(0L, types.map(t => s"${t}_n"))
+      }),
+
+    // Unpivot/melt: wide per-flag aggregates → tidy (key, metric, value)
+    // rows via stack() — a row-local codegen Expand, no shuffle beyond
+    // the feeding aggregate.
+    QueryDef("unpivot_metrics", Some(
+      "WITH a AS (SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price, " +
+        "CAST(count(*) AS DECIMAL(38,2)) AS n_rows FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a " +
+        "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a " +
+        "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a"),
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_price"),
+          count(lit(1)).cast(DecimalType(38, 2)).as("n_rows"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+            "'n_rows', n_rows) AS (metric, value)")),
+
+    // CUBE over (day, event_type) with a grouping-id column: all four
+    // grouping sets in ONE Expand + aggregate pass. gid derives from the
+    // grouped-out NULLs (both dims are never null in the data), the same
+    // rule on both engines.
+    QueryDef("agg_cube_gid", Some(
+      "SELECT day, event_type, " +
+        "(CASE WHEN day IS NULL THEN 2 ELSE 0 END + " +
+        "CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS gid, " +
+        "n, total_value FROM (" +
+        "SELECT day, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events) " +
+        "GROUP BY CUBE (day, event_type)) t"),
+      (s, d) => T(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        .cube(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+        .select(col("day"), col("event_type"),
+          (when(col("day").isNull, 2).otherwise(0) +
+            when(col("event_type").isNull, 1).otherwise(0)).as("gid"),
+          col("n"), col("total_value"))),
+
+    // Z-order layout audit: min/max-normalize (l_partkey, l_suppkey) into
+    // a 15-bit grid (so the code space is filled at ANY sf), Morton-
+    // interleave, split into 64 equal code ranges (the files a z-ordered
+    // write produces) and report each range's per-dimension span — the
+    // min/max footer stats that 2-D predicate skipping prunes on. The
+    // oracle recomputes the identical normalize→interleave formula.
+    QueryDef("zorder_layout", Some(
+      operators.Layout.zorderStatsSql("lineitem", "l_partkey", "l_suppkey",
+        bits = 15, bucketBits = 6)),
+      (s, d) => operators.Layout.zorderStats(T(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 15, bucketBits = 6)),
+
     // Snapshot diff: the post-rebuild audit (added/removed/changed/unchanged
     // per language) between two corpus versions. Change detection compares
     // 16-byte map-side content digests — documents never reach the join

@@ -256,6 +256,8 @@ object Marts {
     * fraction of its domain. Pure codegen bit arithmetic — no UDF. The
     * classic layout for bbox-style scans (lon/lat) and (day, key) marts at
     * 100 TB, where no single sort order serves all query dimensions.
+    * The oracle-checkable audit twin (integer-exact 2-D Morton + bucket
+    * span stats, mirrored in DuckDB SQL) is [[graft.operators.Layout]].
     */
   def writeZOrdered(df: DataFrame, path: String, parts: Int,
                     zCols: Seq[String], bits: Int = 16): Unit = {

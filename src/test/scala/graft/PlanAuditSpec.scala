@@ -437,4 +437,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.size <= 2, s"expected ≤2 hash shuffles (gram window, doc window):\n$p")
     assert(!p.contains("ScalaUDF"), s"gram hashing must stay codegen:\n$p")
   }
+
+  test("sessionize_batch: ONE exchange end to end — the (user, session) rollup " +
+    "reuses the window's user-hash partitioning") {
+    val p = plan("sessionize_batch")
+    val shuffles = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(shuffles.size == 1, s"expected exactly 1 hash exchange:\n$p")
+    assert(shuffles.head.contains("user_id"), s"exchange not on user_id:\n$p")
+    assert(!p.contains("ScalaUDF"), s"gap logic must stay codegen:\n$p")
+  }
+
+  test("agg_cube_gid: all four grouping sets in ONE Expand + one aggregation shuffle") {
+    val p = plan("agg_cube_gid")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected a single Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single aggregation shuffle:\n$p")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"cube must combine map-side:\n$p")
+  }
+
+  test("zorder_layout: stats broadcast back, Morton code is codegen (no UDF), " +
+    "one bucket-rollup shuffle") {
+    val p = plan("zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min/max stats must broadcast, not shuffle the fact side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"Morton interleave must stay codegen:\n$p")
+    val shuffles = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(shuffles.size == 1 && shuffles.head.contains("bucket"),
+      s"expected one bucket-rollup shuffle:\n$p")
+  }
+
+  test("funnel_steps: step frontiers join on the user key only — no nested loop " +
+    "against events; the final conv join broadcasts the 1-row base") {
+    val p = plan("funnel_steps")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row conv-base join may be nested-loop:\n$p")
+    assert(p.contains("event_type = view") || p.contains("event_type#"),
+      s"step filters missing:\n$p")
+  }
 }
