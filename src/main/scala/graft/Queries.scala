@@ -1760,6 +1760,133 @@ object Queries {
       (s, d) => operators.Layout.zorderStats(T(s, d, "lineitem"),
         "l_partkey", "l_suppkey", bits = 15, bucketBits = 6)),
 
+    // Salted skew join: result is EXACTLY the plain equi-join (the oracle
+    // IS the plain join) while a hot key's rows spread over 8 reducers —
+    // the plannable version of AQE's OptimizeSkewedJoin for plans where
+    // the join output must stay hash-distributed.
+    QueryDef("skew_salted_join", Some(
+      "SELECT p_brand, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"),
+      (s, d) => operators.Skew.saltedJoin(
+          T(s, d, "lineitem").select("l_partkey", "l_quantity"),
+          T(s, d, "part").select("p_partkey", "p_brand"),
+          "l_partkey", "p_partkey", salts = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_qty"))),
+
+    // Type-1 MERGE upsert: updates overwrite, inserts append, untouched
+    // rows keep — plus the merge_action audit (noop = matched but
+    // attribute-identical, the rows a writer skips). Source is derived
+    // from part by rule so both engines build the identical batch:
+    // key%3=0 → price+1 (update), key%3=1 → unchanged (noop),
+    // key%97=0 → new key (insert); key%3=2 rows are absent (keep).
+    QueryDef("merge_upsert", Some(
+      "WITH src AS (" +
+        "SELECT p_partkey, p_brand, p_retailprice + 1 AS p_retailprice FROM part WHERE p_partkey % 3 = 0 " +
+        "UNION ALL SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey % 3 = 1 " +
+        "UNION ALL SELECT p_partkey + 1000000, 'NEW', 1.0 FROM part WHERE p_partkey % 97 = 0) " +
+        "SELECT coalesce(t.p_partkey, s.p_partkey) AS p_partkey, " +
+        "CASE WHEN s.p_partkey IS NOT NULL THEN s.p_brand ELSE t.p_brand END AS p_brand, " +
+        "CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice ELSE t.p_retailprice END AS p_retailprice, " +
+        "CASE WHEN t.p_partkey IS NULL THEN 'insert' WHEN s.p_partkey IS NULL THEN 'keep' " +
+        "WHEN t.p_brand IS NOT DISTINCT FROM s.p_brand AND " +
+        "t.p_retailprice IS NOT DISTINCT FROM s.p_retailprice THEN 'noop' " +
+        "ELSE 'update' END AS merge_action " +
+        "FROM part t FULL OUTER JOIN src s ON t.p_partkey = s.p_partkey"),
+      (s, d) => {
+        val part = T(s, d, "part")
+        val src = part.filter(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey"), col("p_brand"),
+            (col("p_retailprice") + 1).as("p_retailprice"))
+          .unionByName(part.filter(col("p_partkey") % 3 === 1)
+            .select("p_partkey", "p_brand", "p_retailprice"))
+          .unionByName(part.filter(col("p_partkey") % 97 === 0)
+            .select((col("p_partkey") + 1000000).as("p_partkey"),
+              lit("NEW").as("p_brand"), lit(1.0).as("p_retailprice")))
+        operators.Scd.upsert(
+          part.select("p_partkey", "p_brand", "p_retailprice"), src,
+          Seq("p_partkey"), Seq("p_brand", "p_retailprice"))
+      }),
+
+    // Per-user event-type transition matrix (order-1 Markov): lag window
+    // on the user key, pair counts, row-normalized probabilities. The
+    // normalizing window runs on the 25-row (type × type) aggregate, not
+    // the corpus.
+    QueryDef("events_transition_matrix", Some(
+      "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM o " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p FROM c"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+      }),
+
+    // Log2-bucketed length histogram per language: the integer-exact
+    // bucket is length(bin(n)) = floor(log2(n)) + 1 — no float log, so
+    // the bucket edges are identical on every engine.
+    QueryDef("stats_length_histogram", Some(
+      "SELECT lang, length(bin(n_chars)) AS bucket_bits, count(*) AS n_docs, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY 1, 2"),
+      (s, d) => T(s, d, "documents")
+        .groupBy(col("lang"),
+          length(bin(col("n_chars"))).as("bucket_bits"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
+    // Winsorization at nearest-rank p05/p95: thresholds are ACTUAL data
+    // values (row_number pick, no float interpolation), so clip counts and
+    // the exact-decimal clipped sum are bit-identical on both engines.
+    // The rank window is per-event_type; thresholds broadcast back.
+    QueryDef("quality_winsorize", Some(
+      "WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT event_type, value, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events), " +
+        "t AS (SELECT r.event_type, " +
+        "max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN value END) AS lo, " +
+        "max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS hi " +
+        "FROM r JOIN g USING (event_type) GROUP BY 1) " +
+        "SELECT e.event_type, t.lo AS p05, t.hi AS p95, " +
+        "count(*) FILTER (WHERE value < lo) AS n_below, " +
+        "count(*) FILTER (WHERE value > hi) AS n_above, " +
+        "CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6))) " +
+        "AS DECIMAL(38,6)) AS winsorized_sum " +
+        "FROM events e JOIN t ON e.event_type = t.event_type GROUP BY 1, 2, 3"),
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val rw = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val n = Window.partitionBy("event_type")
+        val thresholds = ev
+          .withColumn("rn", row_number().over(rw))
+          .withColumn("__n", count(lit(1)).over(n))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("rn") === greatest(lit(1), ceil(lit(0.05) * col("__n"))),
+              col("value"))).as("lo"),
+            max(when(col("rn") === ceil(lit(0.95) * col("__n")),
+              col("value"))).as("hi"))
+        ev.join(broadcast(thresholds), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("lo")).as("p05"), first(col("hi")).as("p95"),
+            count(when(col("value") < col("lo"), 1)).as("n_below"),
+            count(when(col("value") > col("hi"), 1)).as("n_above"),
+            dsum(least(greatest(col("value"), col("lo")), col("hi")), 6)
+              .as("winsorized_sum"))
+      }),
+
     // Snapshot diff: the post-rebuild audit (added/removed/changed/unchanged
     // per language) between two corpus versions. Change detection compares
     // 16-byte map-side content digests — documents never reach the join

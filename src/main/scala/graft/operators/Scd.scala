@@ -63,4 +63,39 @@ object Scd {
       .unionAll(j.select(explode(branches).as("__r")).select(col("__r.*"))
         .select(outCols: _*))
   }
+
+  /** Type-1 MERGE (upsert, no history): source rows overwrite matching
+    * target rows, unmatched source rows insert, unmatched target rows pass
+    * through — `MERGE INTO t USING s ON key WHEN MATCHED THEN UPDATE WHEN
+    * NOT MATCHED THEN INSERT`, as pure DataFrame algebra over plain
+    * parquet. Emits a `merge_action` audit column
+    * (update / insert / keep / noop): `noop` = matched but every attribute
+    * already null-safe-equal, the rows a real writer would skip rewriting.
+    *
+    * Scale shape: ONE full-outer equi-join on the key, no window, no
+    * second pass; with the target bucketed by key the join runs without a
+    * target-side exchange, and the action column drives partition-level
+    * write skipping (partitions whose rows are all keep/noop need no
+    * rewrite).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+             attrCols: Seq[String]): DataFrame = {
+    val s = source.select(
+      keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__s_$a")) :+
+        lit(true).as("__s_present"): _*)
+    val t = target.select(
+      keyCols.map(col) ++ attrCols.map(col) :+ lit(true).as("__t_present"): _*)
+    val j = t.join(s, keyCols, "full_outer")
+    val same = attrCols.map(a => col(a) <=> col(s"__s_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val action =
+      when(col("__t_present").isNull, lit("insert"))
+        .when(col("__s_present").isNull, lit("keep"))
+        .when(same, lit("noop"))
+        .otherwise(lit("update"))
+    val merged = attrCols.map { a =>
+      when(col("__s_present").isNotNull, col(s"__s_$a")).otherwise(col(a)).as(a)
+    }
+    j.select(keyCols.map(col) ++ merged :+ action.as("merge_action"): _*)
+  }
 }

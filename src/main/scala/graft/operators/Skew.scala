@@ -37,4 +37,31 @@ object Skew {
       .groupBy(col(keyName))
       .agg(sum("__n").as("n"), sum("__s").as("s"))
   }
+
+  /** Salted inner equi-join: the big side gets a deterministic row-hash
+    * salt in [0, salts); the small side is replicated once per salt value;
+    * the join runs on (key, salt), so a hot key's rows spread over `salts`
+    * reducers instead of landing on one. Result is EXACTLY
+    * `big.join(small, bigKey === smallKey)` — each big row matches the one
+    * replica carrying its own salt.
+    *
+    * AQE's OptimizeSkewedJoin handles this at runtime by splitting skewed
+    * partitions, but only for sort-merge joins whose output feeds no
+    * partitioning-dependent parent; the explicit salt is the plannable
+    * version — it also keeps working under `spark.sql.adaptive.enabled=
+    * false` and when the join output must stay hash-distributed. Cost: the
+    * small side shuffles ×salts (keep `salts` modest, 8–32).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val salt = pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+      lit(salts)).cast("int")
+    val b = big.withColumn("__bsalt", salt)
+    val s = small.withColumn("__ssalt",
+      explode(array((0 until salts).map(lit): _*)))
+    b.join(s, b(bigKey) === s(smallKey) && b("__bsalt") === s("__ssalt"))
+      .drop("__bsalt", "__ssalt")
+  }
 }

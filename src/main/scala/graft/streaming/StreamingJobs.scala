@@ -142,6 +142,56 @@ object StreamingJobs {
       }
       .trigger(trigger).start()
 
+  /** Streaming type-1 MERGE sink — the streaming twin of
+    * [[graft.operators.Scd.upsert]]: each microbatch dedups on `keyCols`
+    * (last-row-wins within the batch by `orderCol`, mirroring MERGE's
+    * source-uniqueness requirement), full-outer-merges into the CURRENT
+    * target snapshot, and atomically swaps the new snapshot in (write to
+    * `targetPath.next`, then rename — plain parquet cannot overwrite its
+    * own input in place). Replayed batches are idempotent: merging the
+    * same rows twice is a `noop` classification, so the snapshot is
+    * unchanged. The merge_action audit column is dropped from the stored
+    * table.
+    *
+    * At 100 TB the snapshot rewrite is the cost — a format with
+    * row-level MERGE (Delta/Iceberg) replaces the swap with a metadata
+    * commit, but the join shape (one key-hash full-outer per batch) is
+    * identical; keep target bucketed by key to skip its exchange.
+    */
+  def upsertSink(stream: DataFrame, targetPath: String,
+                 keyCols: Seq[String], attrCols: Seq[String],
+                 orderCol: String, checkpoint: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(conf)
+        // last-row-wins in-batch dedup: max_by over the order column
+        val latest = batch
+          .groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(attrCols.map(col): _*), col(orderCol)).as("__a"))
+          .select(keyCols.map(col) ++ attrCols.map(a => col(s"__a.$a").as(a)): _*)
+        val merged =
+          if (fs.exists(target)) {
+            val current = spark.read.parquet(targetPath)
+              .select((keyCols ++ attrCols).map(col): _*)
+            graft.operators.Scd.upsert(current, latest, keyCols, attrCols)
+              .drop("merge_action")
+          } else latest
+        val next = new org.apache.hadoop.fs.Path(targetPath + ".next")
+        merged.write.mode("overwrite").parquet(next.toString)
+        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target)) fs.rename(target, old)
+        fs.rename(next, target)
+        fs.delete(old, true)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Stream-static spatial enrichment: streaming point events joined to a
     * broadcast polygon dimension with the batch path's exact plan shape —
     * cheap bbox column conjuncts evaluated before the codegen PIP predicate

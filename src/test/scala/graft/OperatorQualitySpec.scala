@@ -1105,6 +1105,50 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(part.getLong(1) == 2L && part.getLong(2) == 2L)
   }
 
+  test("saltedJoin equals the plain inner join on a pathologically hot key") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // 10k rows on ONE key + a scattering of others; small side 3 rows
+    val big = ((0 until 10000).map(i => (7L, i.toDouble)) ++
+      Seq((1L, 0.5), (2L, 1.5), (99L, 9.9))).toDF("k", "v")
+    val small = Seq((7L, "hot"), (1L, "a"), (2L, "b")).toDF("sk", "name")
+    val got = Skew.saltedJoin(big, small, "k", "sk", salts = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = big.join(small, $"k" === $"sk")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    assert(got("hot")._1 == 10000L)   // unmatched key 99 absent from both
+    assert(!got.contains("99"))
+  }
+
+  test("upsert: update/insert/keep/noop actions; null-safe attribute compare") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val target = Seq(
+      (1L, Some("a"), 10.0),  // will be updated
+      (2L, Some("b"), 20.0),  // absent from source -> keep
+      (3L, None: Option[String], 30.0), // source matches incl. null attr -> noop
+      (4L, Some("d"), 40.0)   // source flips attr to null -> update
+    ).toDF("k", "name", "price")
+    val source = Seq(
+      (1L, Some("a2"), 11.0),
+      (3L, None: Option[String], 30.0),
+      (4L, None: Option[String], 40.0),
+      (5L, Some("e"), 50.0)   // new key -> insert
+    ).toDF("k", "name", "price")
+    val got = Scd.upsert(target, source, Seq("k"), Seq("name", "price"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2), r.getString(3)))).toMap
+    assert(got(1L) == ((Some("a2"), 11.0, "update")))
+    assert(got(2L) == ((Some("b"), 20.0, "keep")))
+    assert(got(3L) == ((None, 30.0, "noop")))
+    assert(got(4L) == ((None, 40.0, "update")))
+    assert(got(5L) == ((Some("e"), 50.0, "insert")))
+    assert(got.size == 5)
+  }
+
   test("fuzzyJoin: edit-distance band, length prune, first-char block semantics") {
     import spark.implicits._
     val catalog = Seq((1L, "chocolate"), (2L, "chartreuse"), (3L, "banana"))

@@ -97,6 +97,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.length == 2, s"replayed null/dup keys re-appended: ${after.toSeq}")
   }
 
+  test("upsertSink: streaming MERGE — updates overwrite, replays are noops, last-in-batch wins") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ups_in").toString
+    val target = Files.createTempDirectory("graft_ups_tgt").toString + "/t"
+    val schema = Seq((1L, "a", 1L)).toDF("k", "v", "seq").schema
+    def run(): Unit = {
+      val ck = Files.createTempDirectory("graft_ups_ck").toString
+      val q = StreamingJobs.upsertSink(
+        spark.readStream.schema(schema).parquet(in), target,
+        Seq("k"), Seq("v"), "seq", ck)
+      q.awaitTermination(); q.stop()
+    }
+    // batch 1: two keys, plus an in-batch duplicate of k=1 (seq 2 wins)
+    Seq((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L))
+      .toDF("k", "v", "seq").write.mode("overwrite").parquet(in)
+    run()
+    val t1 = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t1 == Map(1L -> "a2", 2L -> "b"))
+    // batch 2 (full replay from fresh checkpoint + update + insert):
+    // replayed rows merge as noops, k=2 updates, k=3 inserts
+    Seq((2L, "b9", 7L), (3L, "c", 1L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(in)
+    run()
+    val t2 = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t2 == Map(1L -> "a2", 2L -> "b9", 3L -> "c"), s"got $t2")
+  }
+
   test("stateMetrics: state rows equal the distinct open (window × key) groups") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state_in").toString
