@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Dedup, Layout, Scd, Skew}
+
+/** Degenerate-input behavior of the round-7 operators: empty frames,
+  * single rows, and all-duplicate inputs must return well-formed (usually
+  * empty) results, never throw — a 100 TB pipeline hits every one of these
+  * (an empty partition day, a single-user slice, a fully-deduped batch).
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "event_id", "value")
+  }
+
+  test("sessionize/cohort/transition on empty input: empty, schema intact") {
+    val s = Analytics.sessionize(emptyEvents, "user_id", "ts", "event_id",
+      "value", 1800)
+    assert(s.count() == 0)
+    assert(s.columns.toSeq == Seq("user_id", "session_id", "n_events",
+      "session_start", "session_end", "duration_s", "total_value"))
+    assert(Analytics.cohortRetention(emptyEvents, "user_id", "ts").count() == 0)
+  }
+
+  test("funnel on empty input: all steps present with zero users, conv NULL") {
+    import spark.implicits._
+    val f = Analytics.funnel(
+      Seq.empty[(Long, String, Timestamp)].toDF("user_id", "event_type", "ts"),
+      Seq("A", "B"), "event_type", "user_id", "ts").collect()
+    assert(f.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(f.forall(_.isNullAt(3)), "0/0 conversion must be NULL, not a crash")
+  }
+
+  test("single-user single-event: one session, one cohort cell, no transitions") {
+    import spark.implicits._
+    val one = Seq((1L, ts("2024-01-01 10:00:00"), 1L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val s = Analytics.sessionize(one, "user_id", "ts", "event_id", "value", 1800)
+      .collect()
+    assert(s.length == 1 && s.head.getLong(2) == 1L && s.head.getLong(5) == 0L)
+    val c = Analytics.cohortRetention(one, "user_id", "ts").collect()
+    assert(c.length == 1 && c.head.getInt(1) == 0 && c.head.getDouble(4) == 100.0)
+  }
+
+  test("upsert: empty source keeps target verbatim; empty target inserts all") {
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("k", "v")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val kept = Scd.upsert(t, empty, Seq("k"), Seq("v")).collect()
+    assert(kept.length == 1 && kept.head.getString(2) == "keep")
+    val ins = Scd.upsert(empty, t, Seq("k"), Seq("v")).collect()
+    assert(ins.length == 1 && ins.head.getString(2) == "insert")
+    assert(Scd.upsert(empty, empty, Seq("k"), Seq("v")).count() == 0)
+  }
+
+  test("saltedJoin/fuzzyJoin on empty sides: empty result, no crash") {
+    import spark.implicits._
+    val big = Seq((1L, 1.0)).toDF("k", "v")
+    val emptyBig = Seq.empty[(Long, Double)].toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("sk", "name")
+    val emptySmall = Seq.empty[(Long, String)].toDF("sk", "name")
+    assert(Skew.saltedJoin(emptyBig, small, "k", "sk", 4).count() == 0)
+    assert(Skew.saltedJoin(big, emptySmall, "k", "sk", 4).count() == 0)
+    val probes = Seq.empty[(Long, String)].toDF("pid", "q")
+    val cat = Seq((1L, "abc")).toDF("id", "name")
+    assert(Dedup.fuzzyJoin(probes, cat, "pid", "q", "id", "name", 2).count() == 0)
+  }
+
+  test("fuzzyJoin: null probe strings never match (and never crash)") {
+    import spark.implicits._
+    val probes = Seq((1L, Option("abc")), (2L, None: Option[String]))
+      .toDF("pid", "q")
+    val cat = Seq((1L, "abd")).toDF("id", "name")
+    val got = Dedup.fuzzyJoin(probes, cat, "pid", "q", "id", "name", 2)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
+  test("zorderStats: empty input and constant columns degrade to empty / one bucket") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderStats(empty, "x", "y", 8, 4).count() == 0)
+    // constant dimensions: every row scales to cell 0 -> single bucket
+    val const = (1 to 10).map(_ => (5L, 5L)).toDF("x", "y")
+    val st = Layout.zorderStats(const, "x", "y", 8, 4).collect()
+    assert(st.length == 1 && st.head.getLong(1) == 10L)
+  }
+}
