@@ -1590,10 +1590,12 @@ object Queries {
         "CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 7 END) AS BIGINT) AS sum_quality " +
         "FROM events GROUP BY 1"),
       (s, d) => {
-        val dir = "/tmp/graft_schema_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        // unique dir per invocation: a fixed path would let a concurrent
+        // run's delete+rewrite race this run's lazy mergeSchema scan
+        val dir = "/tmp/graft_schema_evo_" + java.util.UUID.randomUUID().toString
         val hp = new org.apache.hadoop.fs.Path(dir)
         val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
-        if (fs.exists(hp)) fs.delete(hp, true)
+        fs.deleteOnExit(hp)
         val ev = T(s, d, "events")
         ev.filter(col("event_id") % 2 === 0)
           .select("event_id", "event_type")
@@ -3601,7 +3603,7 @@ object Queries {
         val r1 = p.runDayFrom(raw, day, marts)
         val r2 = p.runDayFrom(raw, day, marts)
         def martSum(name: String, c: String): Long =
-          s.read.parquet(s"$root/marts/$name").agg(sum(col(c))).head.getLong(0)
+          s.read.parquet(s"$root/marts/$name").agg(sum(col(c))).head().getLong(0)
         Seq((r1("attempted"), r1("inserted"), r2("attempted"), r2("inserted"),
           s.read.parquet(s"$root/curated").count(),
           s.read.parquet(s"$root/enriched").count(),

@@ -52,17 +52,21 @@ object Layout {
     terms.mkString(" | ")
   }
 
-  /** Floor-scale a nonnegative-range key into [0, 2^bits): the SQL `div`
-    * keeps the arithmetic integral (no double round-trip — exact for the
-    * full 64-bit key range). Formula mirrored in [[scaleSql]]. */
+  /** Floor-scale a key into [0, 2^bits): the (key − lo) × mask product is
+    * computed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it cannot
+    * overflow even for full-64-bit key spans (epoch-micros, snowflake
+    * ids, hashes — a long multiply would wrap silently with ANSI off),
+    * and `div` keeps the quotient exact-integral on both engines. Formula
+    * mirrored in [[scaleSql]]. */
   private def scaleExpr(c: String, lo: String, hi: String, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    expr(s"(($c - $lo) * ${mask}L) div greatest($hi - $lo, 1L)")
+    expr(s"((CAST($c AS DECIMAL(38,0)) - $lo) * ${mask}L) " +
+      s"div greatest(CAST($hi AS DECIMAL(38,0)) - $lo, 1)")
   }
 
   private def scaleSql(c: String, lo: String, hi: String, bits: Int): String = {
     val mask = (1L << bits) - 1
-    s"(($c - $lo) * $mask // greatest($hi - $lo, 1))"
+    s"((CAST($c AS HUGEINT) - $lo) * $mask // greatest(CAST($hi AS HUGEINT) - $lo, 1))"
   }
 
   /** Layout audit: min/max-normalize both dimensions into the `bits`-wide

@@ -71,6 +71,9 @@ object Scd {
     * parquet. Emits a `merge_action` audit column
     * (update / insert / keep / noop): `noop` = matched but every attribute
     * already null-safe-equal, the rows a real writer would skip rewriting.
+    * Key matching is null-safe (see inline note) — ANSI MERGE would leave
+    * null-keyed rows unmatched; here they merge, which is what makes the
+    * streaming sink built on this operator idempotent under replay.
     *
     * Scale shape: ONE full-outer equi-join on the key, no window, no
     * second pass; with the target bucketed by key the join runs without a
@@ -81,11 +84,18 @@ object Scd {
   def upsert(target: DataFrame, source: DataFrame, keyCols: Seq[String],
              attrCols: Seq[String]): DataFrame = {
     val s = source.select(
-      keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__s_$a")) :+
+      keyCols.map(k => col(k).as(s"__s_$k")) ++
+        attrCols.map(a => col(a).as(s"__s_$a")) :+
         lit(true).as("__s_present"): _*)
     val t = target.select(
       keyCols.map(col) ++ attrCols.map(col) :+ lit(true).as("__t_present"): _*)
-    val j = t.join(s, keyCols, "full_outer")
+    // NULL-SAFE key match (<=>), diverging deliberately from ANSI MERGE's
+    // ON-equality (which never matches NULL keys): a null-keyed target row
+    // must absorb its source twin as noop/update, not accumulate an
+    // insert per batch — the same rule the idempotent append sink applies
+    val cond = keyCols.map(k => col(k) <=> col(s"__s_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val j = t.join(s, cond, "full_outer")
     val same = attrCols.map(a => col(a) <=> col(s"__s_$a"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val action =
@@ -93,9 +103,14 @@ object Scd {
         .when(col("__s_present").isNull, lit("keep"))
         .when(same, lit("noop"))
         .otherwise(lit("update"))
+    // keys via the present flags, NOT coalesce — a matched null key must
+    // stay null rather than fall through to the other (also null) side
+    val keys = keyCols.map { k =>
+      when(col("__t_present").isNotNull, col(k)).otherwise(col(s"__s_$k")).as(k)
+    }
     val merged = attrCols.map { a =>
       when(col("__s_present").isNotNull, col(s"__s_$a")).otherwise(col(a)).as(a)
     }
-    j.select(keyCols.map(col) ++ merged :+ action.as("merge_action"): _*)
+    j.select(keys ++ merged :+ action.as("merge_action"): _*)
   }
 }

@@ -144,14 +144,24 @@ object StreamingJobs {
 
   /** Streaming type-1 MERGE sink — the streaming twin of
     * [[graft.operators.Scd.upsert]]: each microbatch dedups on `keyCols`
-    * (last-row-wins within the batch by `orderCol`, mirroring MERGE's
-    * source-uniqueness requirement), full-outer-merges into the CURRENT
-    * target snapshot, and atomically swaps the new snapshot in (write to
-    * `targetPath.next`, then rename — plain parquet cannot overwrite its
-    * own input in place). Replayed batches are idempotent: merging the
-    * same rows twice is a `noop` classification, so the snapshot is
-    * unchanged. The merge_action audit column is dropped from the stored
-    * table.
+    * (last-row-wins within the batch by `orderCol`, with the attribute
+    * struct as a total tiebreak so equal-order duplicates pick a
+    * DETERMINISTIC winner across task retries), full-outer-merges into
+    * the CURRENT target snapshot, and swaps the new snapshot in. Replayed
+    * batches are idempotent: merging the same rows twice is a `noop`
+    * classification — including null-keyed rows, which
+    * [[graft.operators.Scd.upsert]] matches null-safely. The
+    * merge_action audit column is dropped from the stored table.
+    *
+    * Crash safety of the swap (plain parquet cannot overwrite its own
+    * input, so the snapshot moves through `.next`/`.old` side paths): at
+    * every step at least one COMPLETE snapshot exists on disk, and batch
+    * start first heals any interrupted swap — `target` missing with
+    * `.old` present restores the pre-swap snapshot; `target` missing
+    * with only `.next` present installs the post-merge snapshot (it was
+    * complete: renames happen only after the write finished). Each
+    * rename's boolean result is checked so a silent FS failure aborts the
+    * batch instead of advancing the checkpoint past lost data.
     *
     * At 100 TB the snapshot rewrite is the cost — a format with
     * row-level MERGE (Delta/Iceberg) replaces the swap with a metadata
@@ -168,11 +178,21 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val conf = spark.sessionState.newHadoopConf()
         val target = new org.apache.hadoop.fs.Path(targetPath)
+        val next = new org.apache.hadoop.fs.Path(targetPath + ".next")
+        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
         val fs = target.getFileSystem(conf)
-        // last-row-wins in-batch dedup: max_by over the order column
+        def mv(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(a, b), s"rename $a -> $b failed")
+        // heal an interrupted swap BEFORE reading the snapshot
+        if (!fs.exists(target)) {
+          if (fs.exists(old)) mv(old, target)       // pre-swap state survives
+          else if (fs.exists(next)) mv(next, target) // post-merge state survives
+        }
+        // last-row-wins in-batch dedup; attribute struct breaks order ties
         val latest = batch
           .groupBy(keyCols.map(col): _*)
-          .agg(max_by(struct(attrCols.map(col): _*), col(orderCol)).as("__a"))
+          .agg(max_by(struct(attrCols.map(col): _*),
+            struct(col(orderCol) +: attrCols.map(col): _*)).as("__a"))
           .select(keyCols.map(col) ++ attrCols.map(a => col(s"__a.$a").as(a)): _*)
         val merged =
           if (fs.exists(target)) {
@@ -181,12 +201,10 @@ object StreamingJobs {
             graft.operators.Scd.upsert(current, latest, keyCols, attrCols)
               .drop("merge_action")
           } else latest
-        val next = new org.apache.hadoop.fs.Path(targetPath + ".next")
         merged.write.mode("overwrite").parquet(next.toString)
-        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(target)) fs.rename(target, old)
-        fs.rename(next, target)
+        if (fs.exists(old)) require(fs.delete(old, true), s"delete $old failed")
+        if (fs.exists(target)) mv(target, old)
+        mv(next, target)
         fs.delete(old, true)
         ()
       }

@@ -86,6 +86,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getLong(0) == 1L)
   }
 
+  test("upsert: null keys match null-safely — replays are noops, not inserts") {
+    import spark.implicits._
+    val t = Seq((Option(1L), "a"), (None: Option[Long], "n")).toDF("k", "v")
+    val replay = Seq((None: Option[Long], "n")).toDF("k", "v")
+    val got = Scd.upsert(t, replay, Seq("k"), Seq("v")).collect()
+      .map(r => Option(r.get(0)) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got.size == 2, s"null key duplicated: ${got.keySet}")
+    assert(got(None) == (("n", "noop")))
+    val updated = Scd.upsert(t, Seq((None: Option[Long], "n2")).toDF("k", "v"),
+      Seq("k"), Seq("v")).collect()
+      .map(r => Option(r.get(0)) -> r.getString(2)).toMap
+    assert(updated(None) == "update")
+  }
+
+  test("zorderStats: full-64-bit key spans don't overflow (exact decimal scaling)") {
+    import spark.implicits._
+    // span ≈ 9.2e18 — a long (c-lo)*mask multiply would wrap negative
+    val lo = Long.MinValue + 10
+    val hi = Long.MaxValue - 10
+    val df = Seq((lo, 0L), (hi, 100L), (0L, 50L), (hi / 2, 25L)).toDF("x", "y")
+    val st = Layout.zorderStats(df, "x", "y", bits = 15, bucketBits = 4).collect()
+    assert(st.map(_.getLong(1)).sum == 4L)
+    assert(st.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16),
+      s"bucket out of range: ${st.map(_.getLong(0)).toSeq}")
+    // the two extremes land in the first and last code regions
+    val bMin = st.filter(_.getLong(2) == lo).head.getLong(0)
+    val bMax = st.filter(_.getLong(3) == hi).head.getLong(0)
+    assert(bMin == 0 && bMax == 15, s"extremes at $bMin/$bMax")
+  }
+
   test("zorderStats: empty input and constant columns degrade to empty / one bucket") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")

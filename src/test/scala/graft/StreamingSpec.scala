@@ -126,6 +126,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(t2 == Map(1L -> "a2", 2L -> "b9", 3L -> "c"), s"got $t2")
   }
 
+  test("upsertSink: equal-order duplicates resolve deterministically; interrupted swap heals") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ups2_in").toString
+    val target = Files.createTempDirectory("graft_ups2_tgt").toString + "/t"
+    val schema = Seq((1L, "a", 1L)).toDF("k", "v", "seq").schema
+    def run(): Unit = {
+      val ck = Files.createTempDirectory("graft_ups2_ck").toString
+      val q = StreamingJobs.upsertSink(
+        spark.readStream.schema(schema).parquet(in), target,
+        Seq("k"), Seq("v"), "seq", ck)
+      q.awaitTermination(); q.stop()
+    }
+    // seq TIE: the attr-struct tiebreak must pick "zz" (max) every time
+    Seq((1L, "aa", 5L), (1L, "zz", 5L)).toDF("k", "v", "seq")
+      .write.mode("overwrite").parquet(in)
+    run()
+    assert(spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "zz"))
+    // simulate a crash between the two swap renames: target moved to .old,
+    // no target — the next batch must heal from .old, not lose the table
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + ".old")))
+    Seq((2L, "b", 1L)).toDF("k", "v", "seq").write.mode("append").parquet(in)
+    run()
+    val healed = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(healed == Map(1L -> "zz", 2L -> "b"), s"swap recovery lost rows: $healed")
+  }
+
   test("stateMetrics: state rows equal the distinct open (window × key) groups") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state_in").toString
