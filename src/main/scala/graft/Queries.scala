@@ -1644,12 +1644,17 @@ object Queries {
         "t AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s) " +
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
-        "count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us, " +
         "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
         "FROM t GROUP BY 1, 2"),
       (s, d) => operators.Analytics.sessionize(T(s, d, "events"),
-        "user_id", "ts", "event_id", "value", gapSeconds = 1800)),
+          "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+        // the operator emits real timestamps; the gate row ships epoch-µs
+        // BIGINTs (the asof_join precedent — engine-neutral hash compare)
+        .withColumn("start_us", unix_micros(col("session_start")))
+        .withColumn("end_us", unix_micros(col("session_end")))
+        .drop("session_start", "session_end")),
 
     // Ordered funnel view → click → purchase: step k counts users whose
     // first step-k event is at/after their step-(k-1) frontier. One lazy
@@ -1848,6 +1853,91 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
+
+    // INTERSECT / EXCEPT set semantics (distinct), tagged into one frame:
+    // both compile to hash aggregates over a union-like shuffle — no
+    // nested-loop, scale like any groupBy.
+    QueryDef("set_ops_audit", Some(
+      "SELECT 'intersect' AS op, doc_id FROM " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en' " +
+        "INTERSECT SELECT doc_id FROM documents WHERE n_chars > 300) " +
+        "UNION ALL SELECT 'except', doc_id FROM " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en' " +
+        "EXCEPT SELECT doc_id FROM documents WHERE n_chars > 300)"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val a = docs.filter(col("lang") === "en").select("doc_id")
+        val b = docs.filter(col("n_chars") > 300).select("doc_id")
+        a.intersect(b).select(lit("intersect").as("op"), col("doc_id"))
+          .unionByName(
+            a.except(b).select(lit("except").as("op"), col("doc_id")))
+      }),
+
+    // SQL window distribution functions over each event_type partition:
+    // ntile quartiles, percent_rank, cume_dist — total (value, event_id)
+    // tiebreak keeps every rank deterministic.
+    QueryDef("window_distribution", Some(
+      "SELECT event_type, event_id, " +
+        "ntile(4) OVER w AS q4, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        T(s, d, "events").select(col("event_type"), col("event_id"),
+          ntile(4).over(w).as("q4"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      }),
+
+    // Robust outlier scan: nearest-rank median and MAD (median absolute
+    // deviation) per group — both thresholds are ACTUAL data values, so
+    // the outlier counts are engine-exact; 1.4826·MAD ≈ σ under normality
+    // is the standard robust z-score scale.
+    QueryDef("stats_mad_outliers", Some(
+      "WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT event_type, value, event_id, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events), " +
+        "med AS (SELECT r.event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS med " +
+        "FROM r JOIN g USING (event_type) GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dv, e.event_id " +
+        "FROM events e JOIN med m ON e.event_type = m.event_type), " +
+        "rd AS (SELECT event_type, dv, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dv, event_id) AS rn FROM dev), " +
+        "mad AS (SELECT rd.event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN dv END) AS mad " +
+        "FROM rd JOIN g USING (event_type) GROUP BY 1) " +
+        "SELECT e.event_type, m.med, d.mad, " +
+        "count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad) AS n_outliers, " +
+        "count(*) AS n FROM events e " +
+        "JOIN med m ON e.event_type = m.event_type " +
+        "JOIN mad d ON e.event_type = d.event_type GROUP BY 1, 2, 3"),
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val nW = Window.partitionBy("event_type")
+        val rw = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val med = ev
+          .withColumn("rn", row_number().over(rw))
+          .withColumn("__n", count(lit(1)).over(nW))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === ceil(lit(0.5) * col("__n")), col("value")))
+            .as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("event_id"),
+            abs(col("value") - col("med")).as("dv"))
+        val dw = Window.partitionBy("event_type").orderBy(col("dv"), col("event_id"))
+        val mad = dev
+          .withColumn("rn", row_number().over(dw))
+          .withColumn("__n", count(lit(1)).over(nW))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === ceil(lit(0.5) * col("__n")), col("dv")))
+            .as("mad"))
+        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+            count(when(abs(col("value") - col("med")) >
+              lit(3) * lit(1.4826) * col("mad"), 1)).as("n_outliers"),
+            count(lit(1)).as("n"))
+      }),
 
     // Winsorization at nearest-rank p05/p95: thresholds are ACTUAL data
     // values (row_number pick, no float interpolation), so clip counts and

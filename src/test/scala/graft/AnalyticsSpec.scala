@@ -86,6 +86,69 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("sessionize matches a brute-force per-user fold on randomized event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val gap = 600L
+    val rows = (0 until 2000).map { i =>
+      val u = rnd.nextInt(20).toLong
+      val t = new Timestamp(1704067200000L + rnd.nextInt(200000) * 1000L)
+      (u, t, i.toLong, rnd.nextInt(100) / 10.0)
+    }
+    val got = Analytics.sessionize(rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))))
+      .toMap
+    // brute force: sort each user's events, split on gap, roll up
+    val expect = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Timestamp, Long, Double)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if (e._2.getTime - cur.head._2.getTime) <= gap * 1000 =>
+            (e :: cur) :: rest // cur.head is the session's LAST event (prepend order)
+          case _ => List(e) :: acc
+        }
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong) ->
+          ((s.size.toLong, s.head._2, s.last._2,
+            (s.last._2.getTime - s.head._2.getTime) / 1000L))
+      }
+    }
+    assert(got.size == expect.size, s"${got.size} vs ${expect.size} sessions")
+    expect.foreach { case (k, v) => assert(got(k) == v, s"session $k") }
+  }
+
+  test("funnel matches brute force on randomized step sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val steps = Seq("A", "B", "C")
+    val rows = (0 until 1500).map { i =>
+      (rnd.nextInt(60).toLong, steps(rnd.nextInt(3)),
+        new Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L), i.toLong)
+    }
+    val got = Analytics.funnel(rows.toDF("user_id", "event_type", "ts", "event_id"),
+        steps, "event_type", "user_id", "ts")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // brute force frontier walk per user
+    val byUser = rows.groupBy(_._1)
+    var frontier: Map[Long, Long] = byUser.flatMap { case (u, evs) =>
+      val as = evs.filter(_._2 == "A").map(_._3.getTime)
+      if (as.nonEmpty) Some(u -> as.min) else None
+    }
+    val counts = scala.collection.mutable.ArrayBuffer(frontier.size.toLong)
+    steps.tail.foreach { st =>
+      frontier = frontier.flatMap { case (u, t0) =>
+        val nxt = byUser.getOrElse(u, Nil)
+          .filter(e => e._2 == st && e._3.getTime >= t0).map(_._3.getTime)
+        if (nxt.nonEmpty) Some(u -> nxt.min) else None
+      }
+      counts += frontier.size.toLong
+    }
+    assert(got == counts.zipWithIndex.map { case (n, i) => (i + 1) -> n }.toMap)
+  }
+
   test("zorderCode: interleaving identities and locality ordering") {
     import spark.implicits._
     val df = Seq((5L, 0L), (0L, 5L), (3L, 3L), (7L, 7L))
