@@ -467,6 +467,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one bucket-rollup shuffle:\n$p")
   }
 
+  test("merge_upsert: exactly ONE full-outer join — no window, no second pass") {
+    val p = plan("merge_upsert")
+    assert("FullOuter".r.findAllIn(p).size == 1, s"expected one full-outer:\n$p")
+    assert("(?i)join".r.findAllIn(p).size <= 2, // the one join, maybe AQE echo
+      s"extra joins crept in:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("quality_winsorize / stats_mad_outliers: every window is event_type-partitioned " +
+    "(no global sort), thresholds broadcast back") {
+    for (q <- Seq("quality_winsorize", "stats_mad_outliers")) {
+      val p = plan(q)
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty, s"$q: expected windows:\n$p")
+      specs.foreach(w => assert(w.contains("event_type"),
+        s"$q: window not partitioned by event_type: $w"))
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"$q: thresholds should broadcast:\n$p")
+    }
+  }
+
   test("funnel_steps: step frontiers join on the user key only — no nested loop " +
     "against events; the final conv join broadcasts the 1-row base") {
     val p = plan("funnel_steps")
