@@ -59,6 +59,30 @@ object Queries {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
 
+  /** The events table's closed event-type vocabulary — ONE source of truth
+    * for queries that enumerate it (pivot columns, funnels). */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Nearest-rank per-group percentile pick: for each group, the ACTUAL
+    * data value whose row_number (ordered by `value`, `tie`) equals
+    * `greatest(1, ceil(p·n))`, one output column per (alias, p). No float
+    * interpolation — the result is an element of the data, so downstream
+    * comparisons/counts are engine-exact. Shared by winsorize and MAD. */
+  private def nearestRankPick(df: DataFrame, group: String, value: Column,
+                              tie: Column,
+                              picks: Seq[(String, Double)]): DataFrame = {
+    val rw = Window.partitionBy(group).orderBy(value, tie)
+    val nW = Window.partitionBy(group)
+    val aggs = picks.map { case (alias, p) =>
+      max(when(col("__rn") ===
+        greatest(lit(1), ceil(lit(p) * col("__n"))), value)).as(alias)
+    }
+    df.withColumn("__rn", row_number().over(rw))
+      .withColumn("__n", count(lit(1)).over(nW))
+      .groupBy(group)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One BPE merge round of the oracle unroll (shared by text_bpe_merges
     * and text_bpe_encode so their semantics cannot drift): pair counts from
     * adjacent-token zips over v{n}, lexicographic-tiebreak argmax b{n},
@@ -1693,22 +1717,18 @@ object Queries {
     // job): count + exact decimal value sum per cell, ONE map-side-
     // combined aggregate. Absent cells: count 0, sum NULL — both sides.
     QueryDef("pivot_event_matrix", Some {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val cells = types.map { t =>
+      val cells = eventTypes.map { t =>
         s"count(*) FILTER (WHERE event_type = '$t') AS ${t}_n, " +
           s"CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') " +
           s"AS DECIMAL(38,6)) AS ${t}_val"
       }.mkString(", ")
       s"SELECT CAST(ts AS DATE) AS day, $cells FROM events GROUP BY 1"
     },
-      (s, d) => {
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        T(s, d, "events")
-          .groupBy(to_date(col("ts")).as("day"))
-          .pivot("event_type", types)
-          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("val"))
-          .na.fill(0L, types.map(t => s"${t}_n"))
-      }),
+      (s, d) => T(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("val"))
+        .na.fill(0L, eventTypes.map(t => s"${t}_n"))),
 
     // Unpivot/melt: wide per-flag aggregates → tidy (key, metric, value)
     // rows via stack() — a row-local codegen Expand, no shuffle beyond
@@ -1724,10 +1744,8 @@ object Queries {
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_price"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
           count(lit(1)).cast(DecimalType(38, 2)).as("n_rows"))
         .selectExpr("l_returnflag",
           "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
@@ -1780,9 +1798,7 @@ object Queries {
           T(s, d, "part").select("p_partkey", "p_brand"),
           "l_partkey", "p_partkey", salts = 8)
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_qty"))),
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))),
 
     // Type-1 MERGE upsert: updates overwrite, inserts append, untouched
     // rows keep — plus the merge_action audit (noop = matched but
@@ -1898,44 +1914,33 @@ object Queries {
       "WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
         "r AS (SELECT event_type, value, event_id, row_number() OVER " +
         "(PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events), " +
-        "med AS (SELECT r.event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS med " +
+        "med AS (SELECT r.event_type, max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN value END) AS med " +
         "FROM r JOIN g USING (event_type) GROUP BY 1), " +
-        "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dv, e.event_id " +
+        "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dv, m.med, e.event_id " +
         "FROM events e JOIN med m ON e.event_type = m.event_type), " +
         "rd AS (SELECT event_type, dv, row_number() OVER " +
         "(PARTITION BY event_type ORDER BY dv, event_id) AS rn FROM dev), " +
-        "mad AS (SELECT rd.event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN dv END) AS mad " +
+        "mad AS (SELECT rd.event_type, max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN dv END) AS mad " +
         "FROM rd JOIN g USING (event_type) GROUP BY 1) " +
-        "SELECT e.event_type, m.med, d.mad, " +
-        "count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad) AS n_outliers, " +
-        "count(*) AS n FROM events e " +
-        "JOIN med m ON e.event_type = m.event_type " +
-        "JOIN mad d ON e.event_type = d.event_type GROUP BY 1, 2, 3"),
+        "SELECT v.event_type, v.med, d.mad, " +
+        "count(*) FILTER (WHERE v.dv > 3 * 1.4826 * d.mad) AS n_outliers, " +
+        "count(*) AS n FROM dev v " +
+        "JOIN mad d ON v.event_type = d.event_type GROUP BY 1, 2, 3"),
       (s, d) => {
         val ev = T(s, d, "events")
-        val nW = Window.partitionBy("event_type")
-        val rw = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-        val med = ev
-          .withColumn("rn", row_number().over(rw))
-          .withColumn("__n", count(lit(1)).over(nW))
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === ceil(lit(0.5) * col("__n")), col("value")))
-            .as("med"))
+        val med = nearestRankPick(ev, "event_type", col("value"),
+          col("event_id"), Seq("med" -> 0.5))
+        // dev carries med along so the final pass needs only the mad join
         val dev = ev.join(broadcast(med), "event_type")
-          .select(col("event_type"), col("event_id"),
+          .select(col("event_type"), col("event_id"), col("med"),
             abs(col("value") - col("med")).as("dv"))
-        val dw = Window.partitionBy("event_type").orderBy(col("dv"), col("event_id"))
-        val mad = dev
-          .withColumn("rn", row_number().over(dw))
-          .withColumn("__n", count(lit(1)).over(nW))
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === ceil(lit(0.5) * col("__n")), col("dv")))
-            .as("mad"))
-        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        val mad = nearestRankPick(dev, "event_type", col("dv"),
+          col("event_id"), Seq("mad" -> 0.5))
+        dev.join(broadcast(mad), "event_type")
           .groupBy("event_type")
           .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
-            count(when(abs(col("value") - col("med")) >
-              lit(3) * lit(1.4826) * col("mad"), 1)).as("n_outliers"),
+            count(when(col("dv") > lit(3) * lit(1.4826) * col("mad"), 1))
+              .as("n_outliers"),
             count(lit(1)).as("n"))
       }),
 
@@ -1949,7 +1954,7 @@ object Queries {
         "(PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events), " +
         "t AS (SELECT r.event_type, " +
         "max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN value END) AS lo, " +
-        "max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS hi " +
+        "max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN value END) AS hi " +
         "FROM r JOIN g USING (event_type) GROUP BY 1) " +
         "SELECT e.event_type, t.lo AS p05, t.hi AS p95, " +
         "count(*) FILTER (WHERE value < lo) AS n_below, " +
@@ -1959,17 +1964,8 @@ object Queries {
         "FROM events e JOIN t ON e.event_type = t.event_type GROUP BY 1, 2, 3"),
       (s, d) => {
         val ev = T(s, d, "events")
-        val rw = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-        val n = Window.partitionBy("event_type")
-        val thresholds = ev
-          .withColumn("rn", row_number().over(rw))
-          .withColumn("__n", count(lit(1)).over(n))
-          .groupBy("event_type")
-          .agg(
-            max(when(col("rn") === greatest(lit(1), ceil(lit(0.05) * col("__n"))),
-              col("value"))).as("lo"),
-            max(when(col("rn") === ceil(lit(0.95) * col("__n")),
-              col("value"))).as("hi"))
+        val thresholds = nearestRankPick(ev, "event_type", col("value"),
+          col("event_id"), Seq("lo" -> 0.05, "hi" -> 0.95))
         ev.join(broadcast(thresholds), "event_type")
           .groupBy("event_type")
           .agg(first(col("lo")).as("p05"), first(col("hi")).as("p95"),
