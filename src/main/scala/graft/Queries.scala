@@ -63,6 +63,41 @@ object Queries {
     * for queries that enumerate it (pivot columns, funnels). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** DuckDB replay of [[graft.operators.Classifier.fitHardSigmoid]] over
+    * `documents` (label: lang = 'en'; features: n_chars/1000, tokens/100,
+    * avg-word-length/10), 2 GD rounds unrolled as CTEs. Every expression
+    * mirrors the Scala operator literally — hard sigmoid, 2^-20 grid
+    * floor, LONG gradient sums, `w − 0.5·((g/2^20)/n)` updates — so the
+    * final weights and training accuracy hash-match bit-for-bit. */
+  private def classifierOracleSql: String = {
+    val xs = Seq("x0", "x1", "x2", "x3")
+    def z(ws: Seq[String]) =
+      xs.zip(ws).map { case (x, w) => s"($x * $w)" }.mkString(" + ")
+    def p(ws: Seq[String]) =
+      s"least(greatest(0.5 + (${z(ws)}) / 4.0, 0.0), 1.0)"
+    def grads(ws: Seq[String]) = xs.indices.map { i =>
+      s"CAST(sum(CAST(floor((${p(ws)} - y) * ${xs(i)} * 1048576.0) AS BIGINT)) AS BIGINT) AS g$i"
+    }.mkString(", ")
+    def update(prev: Int => String) = xs.indices.map { i =>
+      s"${prev(i)} - 4.0 * ((g$i / 1048576.0) / n) AS w$i"
+    }.mkString(", ")
+    val w1refs = xs.indices.map(i => s"w1.w$i")
+    val w2refs = xs.indices.map(i => s"w2.w$i")
+    "WITH f AS (SELECT CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y, " +
+      "1.0 AS x0, n_chars / 1000.0 - 0.3 AS x1, " +
+      s"$tokensWsSql / 100.0 - 0.5 AS x2, " +
+      s"(n_chars / greatest($tokensWsSql, 1)) / 10.0 - 0.55 AS x3 FROM documents), " +
+      s"g1 AS (SELECT ${grads(Seq.fill(4)("0.0"))}, count(*) AS n FROM f), " +
+      s"w1 AS (SELECT ${update(_ => "0.0")}, n FROM g1), " +
+      s"g2 AS (SELECT ${grads(w1refs)}, " +
+      xs.indices.map(i => s"min(w1.w$i) AS pw$i").mkString(", ") +
+      ", count(*) AS n FROM f, w1), " +
+      s"w2 AS (SELECT ${update(i => s"pw$i")}, n FROM g2) " +
+      s"SELECT ${xs.indices.map(i => s"min(w2.w$i) AS w$i").mkString(", ")}, " +
+      s"count(*) FILTER (WHERE CAST((${p(w2refs)} >= 0.5) AS DOUBLE) = y) AS n_correct, " +
+      "count(*) AS n FROM f, w2"
+  }
+
   /** Nearest-rank per-group percentile pick: for each group, the ACTUAL
     * data value whose row_number (ordered by `value`, `tie`) equals
     * `greatest(1, ceil(p·n))`, one output column per (alias, p). No float
@@ -1942,6 +1977,31 @@ object Queries {
             count(when(col("dv") > lit(3) * lit(1.4826) * col("mad"), 1))
               .as("n_outliers"),
             count(lit(1)).as("n"))
+      }),
+
+    // In-engine quality-classifier training (the CCNet/FineWeb "train a
+    // quality filter over the corpus" step, proxy-label bootstrap form:
+    // distill a rule — here length>300 — into a linear model on cheap
+    // features): 2 rounds of full-batch GD on a hard-sigmoid model, one
+    // aggregation job per round. Bit-reproducible by construction — hard
+    // sigmoid (no exp), per-row gradient terms floored onto the dyadic
+    // 2^-20 grid and summed as LONGs (fold-order-free), every double op
+    // the same literal expression in both engines. The oracle replays
+    // both training rounds in SQL and hash-matches the weights exactly.
+    QueryDef("quality_classifier_fit", Some(classifierOracleSql),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val y = when(col("n_chars") > 300, 1.0).otherwise(0.0)
+        val feats = Seq(
+          col("n_chars") / lit(1000.0) - lit(0.3),
+          tokensWs / lit(100.0) - lit(0.5),
+          (col("n_chars") / greatest(tokensWs, lit(1L))) / lit(10.0) - lit(0.55))
+        val (w, _) = operators.Classifier.fitHardSigmoid(docs, y, feats,
+          lr = 4.0, iters = 2)
+        operators.Classifier.accuracy(docs, y, feats, w)
+          .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+            lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+            col("n_correct"), col("n"))
       }),
 
     // Winsorization at nearest-rank p05/p95: thresholds are ACTUAL data

@@ -1105,6 +1105,42 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(part.getLong(1) == 2L && part.getLong(2) == 2L)
   }
 
+  test("fitHardSigmoid matches a local scalar replay exactly (grid-sum determinism)") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextDouble() * 2 - 1
+      val b = rnd.nextDouble() * 2 - 1
+      (if (a + 0.5 * b > 0.1) 1.0 else 0.0, a, b)
+    }
+    val df = rows.toDF("y", "a", "b")
+    val (w, n) = Classifier.fitHardSigmoid(df, col("y"),
+      Seq(col("a"), col("b")), lr = 2.0, iters = 4)
+    assert(n == 400)
+    // local replay with identical arithmetic
+    var wl = Array(0.0, 0.0, 0.0)
+    (0 until 4).foreach { _ =>
+      val g = Array(0L, 0L, 0L)
+      rows.foreach { case (y, a, b) =>
+        val z = 1.0 * wl(0) + a * wl(1) + b * wl(2)
+        val p = math.min(math.max(0.5 + z / 4.0, 0.0), 1.0)
+        Seq(1.0, a, b).zipWithIndex.foreach { case (x, i) =>
+          g(i) += math.floor((p - y) * x * Classifier.GridScale).toLong
+        }
+      }
+      wl = wl.zipWithIndex.map { case (wi, i) =>
+        wi - 2.0 * ((g(i).toDouble / Classifier.GridScale) / 400)
+      }
+    }
+    assert(w.toSeq == wl.toSeq, s"${w.toSeq} vs ${wl.toSeq}")
+    // and the fit actually learns: accuracy beats the base rate
+    val acc = Classifier.accuracy(df, col("y"), Seq(col("a"), col("b")), w)
+      .head()
+    val base = math.max(rows.count(_._1 == 1.0), rows.count(_._1 == 0.0))
+    assert(acc.getLong(0) > base, s"acc ${acc.getLong(0)} <= base $base")
+  }
+
   test("saltedJoin equals the plain inner join on a pathologically hot key") {
     import spark.implicits._
     import graft.operators.Skew
