@@ -69,21 +69,26 @@ object Queries {
     * mirrors the Scala operator literally — hard sigmoid, 2^-20 grid
     * floor, LONG gradient sums, `w − 0.5·((g/2^20)/n)` updates — so the
     * final weights and training accuracy hash-match bit-for-bit. */
-  private def classifierOracleSql: String = {
-    val xs = Seq("x0", "x1", "x2", "x3")
-    def z(ws: Seq[String]) =
-      xs.zip(ws).map { case (x, w) => s"($x * $w)" }.mkString(" + ")
-    def p(ws: Seq[String]) =
-      s"least(greatest(0.5 + (${z(ws)}) / 4.0, 0.0), 1.0)"
+  private val classifierXs = Seq("x0", "x1", "x2", "x3")
+
+  private def classifierP(ws: Seq[String]): String = {
+    val z = classifierXs.zip(ws).map { case (x, w) => s"($x * $w)" }
+      .mkString(" + ")
+    s"least(greatest(0.5 + ($z) / 4.0, 0.0), 1.0)"
+  }
+
+  /** The shared CTE chain replaying both GD rounds (f → g1 → w1 → g2 →
+    * w2); callers append their own final SELECT over `f, w2`. */
+  private def classifierCtes: String = {
+    val xs = classifierXs
     def grads(ws: Seq[String]) = xs.indices.map { i =>
-      s"CAST(sum(CAST(floor((${p(ws)} - y) * ${xs(i)} * 1048576.0) AS BIGINT)) AS BIGINT) AS g$i"
+      s"CAST(sum(CAST(floor((${classifierP(ws)} - y) * ${xs(i)} * 1048576.0) AS BIGINT)) AS BIGINT) AS g$i"
     }.mkString(", ")
     def update(prev: Int => String) = xs.indices.map { i =>
       s"${prev(i)} - 4.0 * ((g$i / 1048576.0) / n) AS w$i"
     }.mkString(", ")
     val w1refs = xs.indices.map(i => s"w1.w$i")
-    val w2refs = xs.indices.map(i => s"w2.w$i")
-    "WITH f AS (SELECT CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y, " +
+    "WITH f AS (SELECT doc_id, CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y, " +
       "1.0 AS x0, n_chars / 1000.0 - 0.3 AS x1, " +
       s"$tokensWsSql / 100.0 - 0.5 AS x2, " +
       s"(n_chars / greatest($tokensWsSql, 1)) / 10.0 - 0.55 AS x3 FROM documents), " +
@@ -92,11 +97,32 @@ object Queries {
       s"g2 AS (SELECT ${grads(w1refs)}, " +
       xs.indices.map(i => s"min(w1.w$i) AS pw$i").mkString(", ") +
       ", count(*) AS n FROM f, w1), " +
-      s"w2 AS (SELECT ${update(i => s"pw$i")}, n FROM g2) " +
-      s"SELECT ${xs.indices.map(i => s"min(w2.w$i) AS w$i").mkString(", ")}, " +
-      s"count(*) FILTER (WHERE CAST((${p(w2refs)} >= 0.5) AS DOUBLE) = y) AS n_correct, " +
+      s"w2 AS (SELECT ${update(i => s"pw$i")}, n FROM g2) "
+  }
+
+  private def classifierOracleSql: String = {
+    val w2refs = classifierXs.indices.map(i => s"w2.w$i")
+    classifierCtes +
+      s"SELECT ${classifierXs.indices.map(i => s"min(w2.w$i) AS w$i").mkString(", ")}, " +
+      s"count(*) FILTER (WHERE CAST((${classifierP(w2refs)} >= 0.5) AS DOUBLE) = y) AS n_correct, " +
       "count(*) AS n FROM f, w2"
   }
+
+  private def classifierGateSql: String = {
+    val w2refs = classifierXs.indices.map(i => s"w2.w$i")
+    classifierCtes +
+      s"SELECT f.doc_id, ${classifierP(w2refs)} AS score, " +
+      s"CASE WHEN ${classifierP(w2refs)} >= 0.5 THEN 1 ELSE 0 END AS kept " +
+      "FROM f, w2"
+  }
+
+  /** The Spark twins of [[classifierCtes]]'s `f` projection. */
+  private def classifierLabel: Column =
+    when(col("n_chars") > 300, 1.0).otherwise(0.0)
+  private def classifierFeats: Seq[Column] = Seq(
+    col("n_chars") / lit(1000.0) - lit(0.3),
+    tokensWs / lit(100.0) - lit(0.5),
+    (col("n_chars") / greatest(tokensWs, lit(1L))) / lit(10.0) - lit(0.55))
 
   /** Nearest-rank per-group percentile pick: for each group, the ACTUAL
     * data value whose row_number (ordered by `value`, `tie`) equals
@@ -1991,17 +2017,27 @@ object Queries {
     QueryDef("quality_classifier_fit", Some(classifierOracleSql),
       (s, d) => {
         val docs = T(s, d, "documents")
-        val y = when(col("n_chars") > 300, 1.0).otherwise(0.0)
-        val feats = Seq(
-          col("n_chars") / lit(1000.0) - lit(0.3),
-          tokensWs / lit(100.0) - lit(0.5),
-          (col("n_chars") / greatest(tokensWs, lit(1L))) / lit(10.0) - lit(0.55))
-        val (w, _) = operators.Classifier.fitHardSigmoid(docs, y, feats,
-          lr = 4.0, iters = 2)
-        operators.Classifier.accuracy(docs, y, feats, w)
+        val (w, _) = operators.Classifier.fitHardSigmoid(docs,
+          classifierLabel, classifierFeats, lr = 4.0, iters = 2)
+        operators.Classifier.accuracy(docs, classifierLabel,
+            classifierFeats, w)
           .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
             lit(w(2)).as("w2"), lit(w(3)).as("w3"),
             col("n_correct"), col("n"))
+      }),
+
+    // The apply side: train, then score EVERY document with the final
+    // weights (row-local codegen — the filter a corpus build applies at
+    // scan time). Same bit-reproducibility story: the oracle replays
+    // training and scoring, and per-doc double scores hash-match.
+    QueryDef("quality_classifier_gate", Some(classifierGateSql),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val (w, _) = operators.Classifier.fitHardSigmoid(docs,
+          classifierLabel, classifierFeats, lr = 4.0, iters = 2)
+        val score = operators.Classifier.score(classifierFeats, w)
+        docs.select(col("doc_id"), score.as("score"),
+          when(score >= 0.5, 1).otherwise(0).as("kept"))
       }),
 
     // Winsorization at nearest-rank p05/p95: thresholds are ACTUAL data

@@ -63,10 +63,15 @@ object Classifier {
     (w, n)
   }
 
+  /** Per-row model score p ∈ [0, 1] for a trained weight vector — the
+    * apply-side column (row-local codegen, no shuffle). */
+  def score(features: Seq[Column], w: Array[Double]): Column =
+    hardSigmoid(dot(lit(1.0) +: features, w))
+
   /** Training-set accuracy of a weight vector (predict 1 ⟺ p ≥ 0.5). */
   def accuracy(df: DataFrame, label: Column, features: Seq[Column],
                w: Array[Double]): DataFrame = {
-    val p = hardSigmoid(dot(lit(1.0) +: features, w))
+    val p = score(features, w)
     df.agg(
       count(when((p >= 0.5).cast("double") === label, 1)).as("n_correct"),
       count(lit(1)).as("n"))
