@@ -124,6 +124,17 @@ object Queries {
     tokensWs / lit(100.0) - lit(0.5),
     (col("n_chars") / greatest(tokensWs, lit(1L))) / lit(10.0) - lit(0.55))
 
+  // The trained quality-filter weights are ONE production artifact shared
+  // by the fit/gate queries (the bpeCache / kmeansCache convention) —
+  // train once per (session, sf-dir); evicted with the session.
+  private val classifierCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Double]]()
+  CacheRegistry.addHook(s => classifierCache.keySet.removeIf(_._1 == s))
+  private def classifierWeights(s: SparkSession, d: String): Array[Double] =
+    classifierCache.computeIfAbsent((s, d),
+      _ => operators.Classifier.fitHardSigmoid(T(s, d, "documents"),
+        classifierLabel, classifierFeats, lr = 4.0, iters = 2)._1)
+
   /** Nearest-rank per-group percentile pick: for each group, the ACTUAL
     * data value whose row_number (ordered by `value`, `tie`) equals
     * `greatest(1, ceil(p·n))`, one output column per (alias, p). No float
@@ -1736,10 +1747,12 @@ object Queries {
       (s, d) => operators.Analytics.sessionize(T(s, d, "events"),
           "user_id", "ts", "event_id", "value", gapSeconds = 1800)
         // the operator emits real timestamps; the gate row ships epoch-µs
-        // BIGINTs (the asof_join precedent — engine-neutral hash compare)
+        // BIGINTs (the asof_join precedent — engine-neutral hash compare);
+        // explicit select pins the oracle's column order
         .withColumn("start_us", unix_micros(col("session_start")))
         .withColumn("end_us", unix_micros(col("session_end")))
-        .drop("session_start", "session_end")),
+        .select("user_id", "session_id", "n_events", "start_us", "end_us",
+          "duration_s", "total_value")),
 
     // Ordered funnel view → click → purchase: step k counts users whose
     // first step-k event is at/after their step-(k-1) frontier. One lazy
@@ -1951,20 +1964,31 @@ object Queries {
       }),
 
     // SQL window distribution functions over each event_type partition:
-    // ntile quartiles, percent_rank, cume_dist — total (value, event_id)
-    // tiebreak keeps every rank deterministic.
+    // ntile quartiles plus percent_rank/cume_dist in integer MICRO-UNITS
+    // (the percentRankMicro precedent — `(rn-1)·1e6 div (n-1)`, `rn·1e6
+    // div n`; the (value, event_id) tiebreak is total, so cume_dist ≡
+    // rn/n). Integer div on both engines — no float rounding boundary.
+    // The count-over-partition window shares the ranked window's
+    // partitioning and sort prefix: one exchange, one sort.
     QueryDef("window_distribution", Some(
-      "SELECT event_type, event_id, " +
+      "WITH r AS (SELECT event_type, event_id, " +
         "ntile(4) OVER w AS q4, " +
-        "round(percent_rank() OVER w, 6) AS pr, " +
-        "round(cume_dist() OVER w, 6) AS cd " +
-        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"),
+        "row_number() OVER w AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) " +
+        "SELECT event_type, event_id, q4, " +
+        "(rn - 1) * 1000000 // greatest(n - 1, 1) AS pr_micro, " +
+        "rn * 1000000 // n AS cd_micro FROM r"),
       (s, d) => {
         val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val wn = Window.partitionBy("event_type")
         T(s, d, "events").select(col("event_type"), col("event_id"),
           ntile(4).over(w).as("q4"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          row_number().over(w).as("__rn"),
+          count(lit(1)).over(wn).as("__n"))
+          .select(col("event_type"), col("event_id"), col("q4"),
+            expr("(__rn - 1) * 1000000L div greatest(__n - 1, 1L)").as("pr_micro"),
+            expr("__rn * 1000000L div __n").as("cd_micro"))
       }),
 
     // Robust outlier scan: nearest-rank median and MAD (median absolute
@@ -2016,27 +2040,23 @@ object Queries {
     // both training rounds in SQL and hash-matches the weights exactly.
     QueryDef("quality_classifier_fit", Some(classifierOracleSql),
       (s, d) => {
-        val docs = T(s, d, "documents")
-        val (w, _) = operators.Classifier.fitHardSigmoid(docs,
-          classifierLabel, classifierFeats, lr = 4.0, iters = 2)
-        operators.Classifier.accuracy(docs, classifierLabel,
+        val w = classifierWeights(s, d)
+        operators.Classifier.accuracy(T(s, d, "documents"), classifierLabel,
             classifierFeats, w)
           .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
             lit(w(2)).as("w2"), lit(w(3)).as("w3"),
             col("n_correct"), col("n"))
       }),
 
-    // The apply side: train, then score EVERY document with the final
-    // weights (row-local codegen — the filter a corpus build applies at
-    // scan time). Same bit-reproducibility story: the oracle replays
-    // training and scoring, and per-doc double scores hash-match.
+    // The apply side: score EVERY document with the trained weights
+    // (row-local codegen — the filter a corpus build applies at scan
+    // time). Same bit-reproducibility story: the oracle replays training
+    // and scoring, and per-doc double scores hash-match.
     QueryDef("quality_classifier_gate", Some(classifierGateSql),
       (s, d) => {
-        val docs = T(s, d, "documents")
-        val (w, _) = operators.Classifier.fitHardSigmoid(docs,
-          classifierLabel, classifierFeats, lr = 4.0, iters = 2)
-        val score = operators.Classifier.score(classifierFeats, w)
-        docs.select(col("doc_id"), score.as("score"),
+        val score = operators.Classifier.score(classifierFeats,
+          classifierWeights(s, d))
+        T(s, d, "documents").select(col("doc_id"), score.as("score"),
           when(score >= 0.5, 1).otherwise(0).as("kept"))
       }),
 

@@ -56,6 +56,9 @@ object Classifier {
       }
       val row = df.agg(gs.head, (gs.tail :+ count(lit(1)).as("n")): _*).head()
       n = row.getLong(xs.size)
+      // empty frame ⇒ the gradient sums are NULL and n = 0 — fail loudly
+      // instead of NPE-ing on getLong / dividing by zero
+      require(n > 0, "fitHardSigmoid: cannot fit on an empty frame")
       w = w.zipWithIndex.map { case (wi, i) =>
         wi - lr * ((row.getLong(i).toDouble / GridScale) / n)
       }

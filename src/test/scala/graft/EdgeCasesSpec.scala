@@ -125,4 +125,14 @@ class EdgeCasesSpec extends AnyFunSuite {
     val st = Layout.zorderStats(const, "x", "y", 8, 4).collect()
     assert(st.length == 1 && st.head.getLong(1) == 10L)
   }
+
+  test("classifier fit on empty frame fails loudly (no NPE on null sums)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("y", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Classifier.fitHardSigmoid(
+        empty, col("y"), Seq(col("x")), lr = 1.0, iters = 1)
+    }
+    assert(e.getMessage.contains("empty frame"))
+  }
 }
