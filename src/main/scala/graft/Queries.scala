@@ -245,6 +245,37 @@ object Queries {
         col("embedding").cast("array<double>").as("v")),
       "vec_id", "v", k = 8, iters = 2))
 
+  // The fitted PC1 power-iteration rounds are likewise ONE trained
+  // artifact (raw per-round iterates; round k re-derives its aggregate
+  // frame lazily) shared by the pca fit/project queries.
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Array[Double]]]()
+  CacheRegistry.addHook(s => pcaCache.keySet.removeIf(_._1 == s))
+  private def pcaRounds(s: SparkSession, d: String): Seq[Array[Double]] =
+    pcaCache.computeIfAbsent((s, d), _ => operators.Pca.fitRounds(
+      T(s, d, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v")),
+      "v", dim = 64, iters = 2))
+
+  /** DuckDB replay of [[graft.operators.Pca]]'s power iteration (2 rounds
+    * from the all-ones start, 2⁻²⁰-grid LONG update sums, `(g/2²⁰)/n`
+    * iterates). `list_inner_product` is the same ascending left fold as
+    * [[graft.plans.DotExpr]], and every weight derivation is a fixed IEEE
+    * expression over exact-integer inputs, so the rounds hash-match
+    * bit-for-bit. Callers append a final SELECT over `e, g2`. */
+  private def pcaCtes: String = {
+    val ones = "[" + Seq.fill(64)("1.0").mkString(", ") + "]"
+    def round(u: String, g: String, src: String) =
+      s"$u AS (SELECT unnest(range(64)) AS pos, unnest(v) AS x, " +
+        s"list_inner_product(v, $src) AS d FROM e), " +
+        s"$g AS (SELECT pos, CAST(sum(CAST(floor(d * x * 1048576.0) AS BIGINT)) AS BIGINT) AS g, " +
+        s"count(*) AS n FROM $u GROUP BY pos)"
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      round("u1", "g1", ones) + ", " +
+      "w1 AS (SELECT list((CAST(g AS DOUBLE)/1048576.0)/n ORDER BY pos) AS w FROM g1), " +
+      round("u2", "g2", "(SELECT w FROM w1)")
+  }
+
   private def memoized(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
     dfCache.computeIfAbsent((s, d, tag), _ => {
       val df = CacheRegistry.register(
@@ -2540,6 +2571,44 @@ object Queries {
         val cents = kmeans8(s, d)
         e.select(col("vec_id"), Similarity.ivfCellId(col("v"), cents).as("cell"))
           .orderBy("vec_id")
+      }),
+
+    // Distributed PC1 fit (uncentered PCA, 2 power-iteration rounds):
+    // each round is ONE scan + ONE 64-group aggregation whose LONG grid
+    // sums are fold-order-free, so the fitted component hash-matches the
+    // oracle's replay bit-for-bit (the quality_classifier_fit story for
+    // vectors). Output = round 2's raw aggregate: (pos, g, w=(g/2²⁰)/n).
+    QueryDef("embed_pca_power", Some(
+      pcaCtes +
+        " SELECT CAST(pos AS BIGINT) AS pos, g, " +
+        "(CAST(g AS DOUBLE)/1048576.0)/n AS w FROM g2"),
+      (s, d) => {
+        val w1 = pcaRounds(s, d).head
+        operators.Pca.iterFrame(
+            T(s, d, "embeddings")
+              .select(col("embedding").cast("array<double>").as("v")),
+            "v", w1)
+          .select(col("pos"), col("g"),
+            ((col("g").cast("double") / lit(operators.Pca.GridScale)) / col("n"))
+              .as("w"))
+      }),
+
+    // The apply side: every embedding's projection onto the unit PC1 in
+    // 2⁻²⁰ fixed point — pure codegen scan (the scan-time dimensionality
+    // squash a curation pipeline applies). The oracle normalizes its
+    // replayed component with the same ascending-fold norm and floors the
+    // same dot, so per-row LONG scores hash-match.
+    QueryDef("embed_pca_project", Some(
+      pcaCtes + ", " +
+        "w2 AS (SELECT list((CAST(g AS DOUBLE)/1048576.0)/n ORDER BY pos) AS w FROM g2), " +
+        "wn AS (SELECT list_transform(w, x -> x / sqrt(list_inner_product(w, w))) AS w FROM w2) " +
+        "SELECT vec_id, label, CAST(floor(list_inner_product(v, (SELECT w FROM wn)) * 1048576.0) AS BIGINT) " +
+        "AS pc1_micro FROM e"),
+      (s, d) => {
+        val wUnit = operators.Pca.unitize(pcaRounds(s, d)(1))
+        T(s, d, "embeddings").select(col("vec_id"), col("label"),
+          operators.Pca.project(col("embedding").cast("array<double>"), wUnit)
+            .as("pc1_micro"))
       }),
 
     // product quantization (2×32-dim subspaces, 4-centroid codebooks, 2

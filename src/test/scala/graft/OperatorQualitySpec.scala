@@ -1141,6 +1141,51 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(acc.getLong(0) > base, s"acc ${acc.getLong(0)} <= base $base")
   }
 
+  test("Pca power iteration matches a local scalar replay exactly") {
+    import spark.implicits._
+    import graft.operators.Pca
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    // anisotropic cloud: dims 0/1 share a strong factor → PC1 ≈ (.8,.6,0…)
+    val rows = (0 until 300).map { _ =>
+      val t = rnd.nextDouble() * 2 - 1
+      Array.tabulate(dim) { j =>
+        val noise = (rnd.nextDouble() * 2 - 1) * 0.2
+        noise + (if (j == 0) 2.0 * t else if (j == 1) 1.5 * t else 0.0)
+      }
+    }
+    val df = rows.map(v => Tuple1(v.toSeq)).toDF("v")
+    val rounds = Pca.fitRounds(df, "v", dim, iters = 3)
+    // local replay with identical arithmetic (ascending-fold dot, grid
+    // floor, LONG sums, (g/2^20)/n updates)
+    var w = Array.fill(dim)(1.0)
+    val reps = (1 to 3).map { _ =>
+      val g = Array.fill(dim)(0L)
+      rows.foreach { x =>
+        var dsum = 0.0
+        var i = 0
+        while (i < dim) { dsum += x(i) * w(i); i += 1 }
+        var j = 0
+        while (j < dim) {
+          g(j) += math.floor(dsum * x(j) * Pca.GridScale).toLong; j += 1
+        }
+      }
+      w = g.map(gi => (gi.toDouble / Pca.GridScale) / rows.size)
+      w
+    }
+    rounds.zip(reps).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"${a.toSeq} vs ${b.toSeq}")
+    }
+    // and it actually converges toward the dominant direction
+    val u = Pca.unitize(rounds.last)
+    def rayleigh(v: Array[Double]): Double = rows.map { x =>
+      val d = x.zip(v).map { case (a, b) => a * b }.sum; d * d
+    }.sum
+    assert(rayleigh(u) > rayleigh(Pca.unitize(Array.fill(dim)(1.0))))
+    assert(math.abs(u(0)) > 0.6 && math.abs(u(1)) > 0.4,
+      s"PC1 off-axis: ${u.toSeq}")
+  }
+
   test("saltedJoin equals the plain inner join on a pathologically hot key") {
     import spark.implicits._
     import graft.operators.Skew

@@ -488,6 +488,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_pca_power: one partial-agg shuffle of 64 pos-groups — the " +
+    "update sums combine map-side, rows never shuffle") {
+    val p = plan("embed_pca_power")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"no map-side partial aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"one exchange expected:\n$p")
+    assert(!p.contains("Window") && !"(?i)join".r.findFirstIn(p).isDefined,
+      s"pure scan+agg expected:\n$p")
+  }
+
+  test("embed_pca_project: zero-exchange codegen scan — the trained " +
+    "component rides as a literal") {
+    val p = executedPlan("embed_pca_project")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"projection should be whole-stage codegen:\n$p")
+  }
+
   test("funnel_steps: step frontiers join on the user key only — no nested loop " +
     "against events; the final conv join broadcasts the 1-row base") {
     val p = plan("funnel_steps")
