@@ -28,12 +28,18 @@ object Queries {
 
   private def T(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // the events table carries TIMESTAMP(NANOS) which Spark's parquet
-      // reader rejects; read nanos as long (session conf set in
-      // SparkEntry.configure) and truncate to microseconds — exactly what
-      // DuckDB's µs timestamps do, so oracle comparisons agree.
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts has shipped as TIMESTAMP(NANOS) (read as long via the
+      // nanosAsLong session conf, truncated to µs) and as plain
+      // timestamp[us] (read as TIMESTAMP_NTZ) in different testdata
+      // generations — normalize BOTH to TimestampType so every downstream
+      // query sees one type. Session tz is UTC, so the NTZ→timestamp cast
+      // preserves the naive value DuckDB sees and oracle comparisons agree.
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** DuckDB fold for [[TextFunctions.fingerprint64]]'s polynomial
@@ -4024,16 +4030,25 @@ object Queries {
         "TRUE AS memory_positive FROM " +
         "(SELECT DISTINCT floor(epoch(ts)/21600) AS w, event_type FROM events)"),
       (s, d) => {
+        // streaming needs a fixed schema upfront — mirror whatever type the
+        // batch reader sees for ts (long nanos in older testdata
+        // generations, timestamp[us] in newer ones) and normalize the same
+        // way T() does.
+        val tsIsLong =
+          s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
         val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_id", LongType),
+          StructField("ts", if (tsIsLong) LongType else TimestampType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         // the sf tables are single files and the streaming file source
         // wants a directory — stream the sf dir with a glob pinned to the
         // events table
-        val ev = s.readStream.schema(schema)
+        val raw = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = if (tsIsLong)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
         val agg = ev.withWatermark("ts", "1 day")
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"))
