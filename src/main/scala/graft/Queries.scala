@@ -52,6 +52,40 @@ object Queries {
       s"list_transform(regexp_extract_all($e, '.'), c -> unicode(c)::HUGEINT)), " +
       "(a, x) -> (31*a + x) % 18446744073709551616::HUGEINT)"
 
+  /** The retrieval probe queries — ONE source of truth for bm25_topk and
+    * retrieval_rrf_fusion (Spark side); [[bm25RankSql]] mirrors them. */
+  private def retrievalQueries: Seq[(Long, String)] =
+    Seq(0L -> "fast table scan", 1L -> "window agg stream merge",
+      2L -> "customer order big data")
+
+  /** The BM25 ranking CTE chain (tokenize → pruned postings → idf → 6dp
+    * contributions → per-query rank frame `rk`, plus `t`/`q` reusable by
+    * downstream CTEs) — ONE source of truth shared by the bm25_topk and
+    * retrieval_rrf_fusion oracles so the fused ranking can never drift
+    * from the standalone one. */
+  private def bm25RankSql: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, w, unnest(w) AS term FROM t) GROUP BY 1, 2, 3), " +
+      "q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES " +
+      "(0, 'fast table scan'), (1, 'window agg stream merge'), " +
+      "(2, 'customer order big data')) AS qv(query_id, qtext)), " +
+      "qt AS (SELECT DISTINCT query_id, unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term FROM q), " +
+      "tl AS (SELECT DISTINCT term FROM qt), " +
+      "ptf AS (SELECT tf.* FROM tf JOIN tl USING (term)), " +
+      "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY term), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(w)) AS BIGINT) AS sumdl FROM t), " +
+      "idf AS (SELECT term, df, n, sumdl, round(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)), 8) AS idf FROM df CROSS JOIN s), " +
+      "sc AS (SELECT qt.query_id, ptf.doc_id, " +
+      "CAST(round(idf.idf * ((CAST(ptf.tf AS DOUBLE) * 2.2) / (CAST(ptf.tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * (CAST(ptf.dl AS DOUBLE) / (CAST(idf.sumdl AS DOUBLE) / CAST(idf.n AS DOUBLE)))))), 6) " +
+      "AS DECIMAL(18,6)) AS c FROM ptf JOIN idf USING (term) JOIN qt USING (term)), " +
+      "agg AS (SELECT query_id, doc_id, CAST(sum(c) * 1000000 AS BIGINT) AS score_micro " +
+      "FROM sc GROUP BY 1, 2), " +
+      "rk AS (SELECT query_id, doc_id, score_micro, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank FROM agg)"
+
   /** Whitespace token count of the `text` column — ONE source of truth for
     * every query that tokenizes by whitespace (pack/chunk/mix/stats/...):
     * the Spark column and its DuckDB mirror must stay in lockstep or token
@@ -2761,6 +2795,56 @@ object Queries {
             .as("punct_ratio"))
       }),
 
+    // Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1 —
+    // the rule set C4/MassiveText-style pipelines gate on): word count in
+    // [50, 100k], mean word length in [3, 10], ≥80% of words alphabetic,
+    // ≥2 distinct stopword hits, symbol-to-word ratio ≤ 0.1. Every rule is
+    // evaluated in PURE INTEGER form (3·nw ≤ Σlen ≤ 10·nw, 5·alpha ≥ 4·nw,
+    // 10·sym ≤ nw) so no float boundary can flip a verdict between
+    // engines; all metrics are row-local codegen — the gate runs inline in
+    // any scan at any corpus size.
+    QueryDef("quality_gopher_rules", Some(
+      "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS word_chars, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[\\p{L}]'))) AS BIGINT) AS alpha_words, " +
+        "CAST(len(list_intersect(list_distinct(w), " +
+        "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits, " +
+        "CAST(length(text) - length(replace(text, '#', '')) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols FROM t) " +
+        "SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, symbols, " +
+        "n_words BETWEEN 50 AND 100000 AS r_word_count, " +
+        "3 * n_words <= word_chars AND word_chars <= 10 * n_words AS r_mean_word_len, " +
+        "5 * alpha_words >= 4 * n_words AS r_alpha_frac, " +
+        "stop_hits >= 2 AS r_stopwords, " +
+        "10 * symbols <= n_words AS r_symbol_ratio, " +
+        "(n_words BETWEEN 50 AND 100000) AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words) " +
+        "AND (5 * alpha_words >= 4 * n_words) AND (stop_hits >= 2) AND (10 * symbols <= n_words) AS pass " +
+        "FROM m ORDER BY doc_id"),
+      (s, d) => {
+        val t = T(s, d, "documents").select(col("doc_id"), col("text"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        val m = t.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("word_chars"),
+          expr("CAST(size(filter(w, x -> x rlike '\\\\p{L}')) AS BIGINT)").as("alpha_words"),
+          expr("CAST(size(array_intersect(array_distinct(w), " +
+            "array('the','be','to','of','and','that','have','with'))) AS BIGINT)").as("stop_hits"),
+          expr("CAST(length(text) - length(replace(text, '#', '')) + " +
+            "(length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)").as("symbols"))
+        m.withColumn("r_word_count", col("n_words").between(50, 100000))
+          .withColumn("r_mean_word_len",
+            lit(3) * col("n_words") <= col("word_chars") &&
+              col("word_chars") <= lit(10) * col("n_words"))
+          .withColumn("r_alpha_frac", lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+          .withColumn("r_stopwords", col("stop_hits") >= 2)
+          .withColumn("r_symbol_ratio", lit(10) * col("symbols") <= col("n_words"))
+          .withColumn("pass",
+            col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") &&
+              col("r_stopwords") && col("r_symbol_ratio"))
+          .orderBy("doc_id")
+      }),
+
     // stopword-hit ratio (English inventory) — quality-filter signal, pure
     // built-ins on the Spark side (TextFunctions.stopwordRatio); the oracle
     // list is BUILT FROM the same inventory so the two cannot drift
@@ -3138,39 +3222,81 @@ object Queries {
           T(s, d, "documents"), "doc_id", "text", lambda = 0.7)
         .orderBy("doc_id")),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23, arXiv:2302.03169):
+    // log p_target/p_raw of each doc's hashed-bigram features, target =
+    // the English slice — the score importance resampling selects on when
+    // curating toward a target domain. Features hash to 256 buckets by the
+    // first md5 hex byte (portable — DuckDB computes the same md5); both
+    // add-1-smoothed models come from ONE 256-row conditional aggregate;
+    // per-feature log-probs round to 8dp and subtract as DECIMAL (exact),
+    // per-doc DECIMAL sums emit in 1e-8 BIGINT units — the text_lm_score
+    // determinism recipe end to end.
+    QueryDef("quality_dsir_weights", Some(
+      "WITH t AS (SELECT doc_id, lang = 'en' AS tgt, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, tgt, substr(md5(w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]), 1, 2) AS b " +
+        "FROM (SELECT doc_id, tgt, w, unnest(range(len(w) - 1)) AS i FROM t WHERE len(w) >= 2)), " +
+        "m AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, " +
+        "CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct FROM bg GROUP BY b), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM m), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "CAST(round(ln(CAST(m.ct + 1 AS DOUBLE) / CAST(tot.nt + 256 AS DOUBLE)), 8) AS DECIMAL(18,8)) - " +
+        "CAST(round(ln(CAST(m.cr + 1 AS DOUBLE) / CAST(tot.nr + 256 AS DOUBLE)), 8) AS DECIMAL(18,8)) AS s " +
+        "FROM bg JOIN m USING (b) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+        "CAST(sum(s) * 100000000 AS BIGINT) AS log_weight_1e8 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => operators.TextAnalysis.dsirLogWeights(
+          T(s, d, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
     // BM25 top-k sparse retrieval (Lucene idf form) — the inverted-index
     // complement of sim_topk_*. Scores are exact decimal sums of 6dp-rounded
     // per-term contributions emitted as 1e-6-unit BIGINTs; idf rounded 8dp.
     // Engine prunes the corpus postings with a broadcast of the distinct
     // query terms BEFORE any term-keyed shuffle.
     QueryDef("bm25_topk", Some(
-      "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, w, unnest(w) AS term FROM t) GROUP BY 1, 2, 3), " +
-        "q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES " +
-        "(0, 'fast table scan'), (1, 'window agg stream merge'), " +
-        "(2, 'customer order big data')) AS qv(query_id, qtext)), " +
-        "qt AS (SELECT DISTINCT query_id, unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term FROM q), " +
-        "tl AS (SELECT DISTINCT term FROM qt), " +
-        "ptf AS (SELECT tf.* FROM tf JOIN tl USING (term)), " +
-        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY term), " +
-        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(w)) AS BIGINT) AS sumdl FROM t), " +
-        "idf AS (SELECT term, df, n, sumdl, round(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
-        "(CAST(df AS DOUBLE) + 0.5)), 8) AS idf FROM df CROSS JOIN s), " +
-        "sc AS (SELECT qt.query_id, ptf.doc_id, " +
-        "CAST(round(idf.idf * ((CAST(ptf.tf AS DOUBLE) * 2.2) / (CAST(ptf.tf AS DOUBLE) + " +
-        "1.2 * (0.25 + 0.75 * (CAST(ptf.dl AS DOUBLE) / (CAST(idf.sumdl AS DOUBLE) / CAST(idf.n AS DOUBLE)))))), 6) " +
-        "AS DECIMAL(18,6)) AS c FROM ptf JOIN idf USING (term) JOIN qt USING (term)), " +
-        "agg AS (SELECT query_id, doc_id, CAST(sum(c) * 1000000 AS BIGINT) AS score_micro " +
-        "FROM sc GROUP BY 1, 2), " +
-        "rk AS (SELECT query_id, doc_id, score_micro, CAST(row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank FROM agg) " +
-        "SELECT query_id, doc_id, score_micro, rank FROM rk WHERE rank <= 10 " +
+      bm25RankSql +
+        " SELECT query_id, doc_id, score_micro, rank FROM rk WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
       (s, d) => Retrieval.bm25TopK(T(s, d, "documents"), "doc_id", "text",
-          Seq(0L -> "fast table scan", 1L -> "window agg stream merge",
-            2L -> "customer order big data"), k = 10)
+          retrievalQueries, k = 10)
         .orderBy("query_id", "rank")),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+    // SIGIR'09) of the BM25 ranking with a set-Jaccard ranking over the
+    // same queries — the "fuse a sparse and a second ranker, keep what
+    // they agree on" stage of hybrid corpus mining. Both input rankings
+    // are top-20-truncated, so the fusion shuffle is ranking-sized; all
+    // scores are pure integer micro units (10⁶ div (60+rank), |∩|·10⁶ div
+    // |∪|) — no float boundary anywhere. The oracle SHARES the bm25 CTE
+    // prefix with bm25_topk (one source of truth) and fuses in SQL.
+    QueryDef("retrieval_rrf_fusion", Some(
+      bm25RankSql +
+        ", r1 AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20), " +
+        "dw AS (SELECT doc_id, list_distinct(w) AS dw FROM t), " +
+        "qw AS (SELECT query_id, list_distinct(string_split_regex(lower(trim(qtext)), '\\s+')) AS qw FROM q), " +
+        "js AS (SELECT q.query_id, d.doc_id, " +
+        "CAST(len(list_intersect(d.dw, q.qw)) AS BIGINT) * 1000000 // " +
+        "CAST(len(list_distinct(list_concat(d.dw, q.qw))) AS BIGINT) AS s " +
+        "FROM dw d CROSS JOIN qw q WHERE len(list_intersect(d.dw, q.qw)) > 0), " +
+        "r2 AS (SELECT query_id, doc_id, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS INT) AS rank FROM js), " +
+        "u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 WHERE rank <= 20), " +
+        "f AS (SELECT query_id, doc_id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro, " +
+        "CAST(count(*) AS BIGINT) AS n_rankers FROM u GROUP BY 1, 2), " +
+        "rkf AS (SELECT query_id, doc_id, rrf_micro, n_rankers, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rank FROM f) " +
+        "SELECT query_id, doc_id, rrf_micro, n_rankers, rank FROM rkf " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Retrieval.rrfFuse(Seq(
+            Retrieval.bm25TopK(docs, "doc_id", "text", retrievalQueries, k = 20),
+            Retrieval.jaccardTopK(docs, "doc_id", "text", retrievalQueries, k = 20)),
+          kConst = 60, k = 10)
+          .orderBy("query_id", "rank")
+      }),
 
     // Unigram-LM quality score (the CCNet-style "how surprising is this
     // doc under the corpus language model" signal): train unigram counts

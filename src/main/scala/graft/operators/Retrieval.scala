@@ -104,4 +104,73 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank"))
   }
+
+  /** Query–document Jaccard top-k: a second, set-based lexical ranker for
+    * hybrid fusion — score = |Q∩D| / |Q∪D| over DISTINCT whitespace
+    * tokens, emitted in integer micro units (|∩|·10⁶ div |∪| — no float
+    * boundary for engines to disagree on), ties by doc id.
+    *
+    * Scale shape mirrors [[bm25TopK]]: candidates come from the exploded
+    * doc-term stream semi-pruned by the broadcast query-term list (docs
+    * sharing ≥1 distinct term — exactly the rows a corpus×queries cross
+    * join would keep, at inverted-index cost), the per-pair set math is
+    * row-local against the broadcast query arrays, and top-k rides the
+    * WindowGroupLimit rank pushdown.
+    */
+  def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: Seq[(Long, String)], k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks(c: Column): Column = array_distinct(split(lower(trim(c)), "\\s+"))
+
+    val dw = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("dw"))
+    val qf = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), toks(col("qtext")).as("qw"))
+    val qterms = qf.select(col("query_id"), explode(col("qw")).as("term")).distinct()
+
+    val cand = dw.select(col("doc_id"), explode(col("dw")).as("term"))
+      .join(broadcast(qterms), "term")
+      .select("query_id", "doc_id").distinct()
+    val scored = cand.join(dw, "doc_id").join(broadcast(qf), "query_id")
+      .withColumn("score_micro", expr(
+        "CAST(size(array_intersect(dw, qw)) AS BIGINT) * CAST(1000000 AS BIGINT)" +
+          " div CAST(size(array_union(dw, qw)) AS BIGINT)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+    * any number of (query_id, doc_id, rank) frames into one ranking by
+    * `score(d) = Σ_r 1/(kConst + rank_r(d))`, computed in exact integer
+    * micro units (`10⁶ div (kConst + rank)`) so engine float-sum order
+    * cannot leak into the result; ties by doc id.
+    *
+    * Scale shape: the inputs are already per-query top-k truncated, so the
+    * UNION is `k·rankers` rows per query — the (query, doc) fusion shuffle
+    * is ranking-sized, never corpus-sized; the final top-k rides
+    * WindowGroupLimit. Each input must have distinct (query_id, doc_id)
+    * (true of any rank frame); `n_rankers` counts how many rankers
+    * surfaced the doc — the agreement signal hybrid curation filters on.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val fused = u
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000 AS BIGINT) div CAST($kConst + rank AS BIGINT)").as("p"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("p")).as("rrf_micro"), count(lit(1)).as("n_rankers"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("n_rankers"), col("rank"))
+  }
 }

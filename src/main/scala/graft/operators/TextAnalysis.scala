@@ -193,4 +193,63 @@ object TextAnalysis {
       .withColumn(outCol,
         expr(s"(rank - 1) * 1000000L div greatest(__n - 1, 1L)"))
       .drop("rank", "__n")
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023,
+    * arXiv:2302.03169): score every document by how much more likely its
+    * hashed n-gram features are under a TARGET distribution (the corpus
+    * you wish you had more of) than under the RAW corpus — the log weight
+    * a resampling pass (e.g. [[percentileGate]] over this score) selects
+    * on.
+    *
+    * Features are whitespace-bigram OCCURRENCES hashed into 256 buckets by
+    * the first md5 hex byte — engine-portable (DuckDB computes the same
+    * md5 of the same "w₁ w₂" string), collision-tolerant by design (DSIR's
+    * whole point is that a hashed multinomial suffices). Both bucket
+    * models are add-1-smoothed over the full 256-bucket space, so no
+    * feature can be unseen and the broadcast join below never misses.
+    *
+    * Determinism: each log-probability is rounded to 8 dp and cast to
+    * DECIMAL BEFORE subtracting (two exact 8 dp values — the difference is
+    * exact), the per-doc sum is DECIMAL (fold-order-free), and the result
+    * is emitted in 1e-8 units as BIGINT — the text_lm_score recipe, so the
+    * oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: ONE pass over the bigram stream builds BOTH models as a
+    * 256-row conditional aggregate (map-side partials absorb everything);
+    * the model broadcasts back onto the stream and the per-doc sum is one
+    * map-side-combined aggregation keyed by the doc. Rows never carry
+    * anything wider than (id, 2-char bucket) through a shuffle.
+    *
+    * @param isTarget row predicate over `docs` marking the target sample
+    * @return (idCol, n_feats, log_weight_1e8), one row per doc with ≥2
+    *         tokens (docs without a bigram have no features — callers
+    *         zero-fill if they need total coverage)
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    val bg = t.filter(size(col("w")) >= 2)
+      .select(col("__id"), col("__tgt"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+      .select(col("__id"), col("__tgt"),
+        substring(md5(col("g")), 1, 2).as("b"))
+    val model = graft.CacheRegistry.register(
+      bg.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    bg.join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("s",
+        round(log((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")), 8).cast(dec) -
+          round(log((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double")), 8).cast(dec))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("s")) * 100000000L).cast("long").as("log_weight_1e8"))
+      .select(col("__id").as(idCol), col("n_feats"), col("log_weight_1e8"))
+  }
 }

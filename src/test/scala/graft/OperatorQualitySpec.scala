@@ -1253,4 +1253,53 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSet
     assert(multi == Set(1L, 2L))
   }
+
+  test("jaccardTopK: exact |∩|·10⁶ div |∪| scores over distinct token sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),   // {apple, banana}
+      (2L, "apple cherry"),         // {apple, cherry}
+      (3L, "durian elderberry")     // no overlap → absent
+    ).toDF("doc_id", "text")
+    val got = operators.Retrieval
+      .jaccardTopK(docs, "doc_id", "text", Seq(7L -> "apple banana banana"), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList.sorted
+    // query set {apple, banana}: doc1 ∩=2 ∪=2 → 1000000; doc2 ∩=1 ∪=3 → 333333
+    assert(got === List((1L, 1000000L, 1), (2L, 333333L, 2)))
+  }
+
+  test("rrfFuse: integer 10⁶ div (k+rank) sums, agreement count, doc-id ties") {
+    import spark.implicits._
+    val r1 = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((0L, 11L, 1), (0L, 13L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = operators.Retrieval.rrfFuse(Seq(r1, r2), kConst = 60, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toList.sortBy(_._4)
+    val f = (r: Int) => 1000000L / (60 + r)
+    // doc11: both rankers (ranks 2, 1) → top; doc10: rank1 only; doc13 vs
+    // doc12: 16129 vs 15873
+    assert(got === List(
+      (11L, f(2) + f(1), 2L, 1),
+      (10L, f(1), 1L, 2),
+      (13L, f(2), 1L, 3),
+      (12L, f(3), 1L, 4)))
+  }
+
+  test("dsirLogWeights: target-like docs score higher; weights sum per-feature log ratios") {
+    import spark.implicits._
+    // target rows are pure "a b" bigrams; raw side adds "x y" noise — docs
+    // made of target bigrams must out-score docs of raw-only bigrams
+    val docs = (0 until 20).map(i => (i.toLong, "a b a b a b", true)) ++
+      (20 until 40).map(i => (i.toLong, "x y x y x y", false)) ++
+      Seq((40L, "a b a b a b", false), (41L, "x y x y x y", false))
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val got = operators.TextAnalysis
+      .dsirLogWeights(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 42)
+    assert(got.values.forall(_._1 === 5L), "5 bigram occurrences per doc")
+    assert(got(40L)._2 > got(41L)._2,
+      s"target-like doc must out-score raw-only doc: ${got(40L)} vs ${got(41L)}")
+    // identical texts get identical weights regardless of their own label
+    assert(got(40L)._2 === got(0L)._2)
+  }
 }
