@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: times flagship operators on the sf tables at 1×
+  * and N× (default 10×) and prints one JSON line of
+  * `{op: {t1, tN, ratio}}` — empirical evidence that the operator shapes
+  * hold as data grows, to go with the plan-shape pins in PlanAuditSpec.
+  *
+  * The N× input is generated in-memory (explode over a replica index), so
+  * both measurements flow through the same generation path and the delta
+  * isolates operator compute. Replicas are VOCAB-SALTED (every word gets a
+  * per-replica suffix): each replica reproduces the original's near-dup /
+  * vocabulary structure against itself and shares nothing across replicas,
+  * so a scale-linear operator must cost ~N× — naive duplication would
+  * instead create mult-sized duplicate groups and quadratic pair output,
+  * measuring the adversarial input rather than scaling.
+  *
+  * Run: `SPARK_GRAFT_SCALE=10 sbt 'runMain graft.ScaleProbe'`
+  */
+object ScaleProbe {
+  private def time(f: => Long): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // replicate a frame k times: long id columns offset by 10^9 per replica
+    // (disjoint key spaces), text words suffixed "_rI" (disjoint vocab)
+    def scaled(df: DataFrame, k: Int, idCols: Seq[String], textCols: Seq[String]): DataFrame = {
+      val rep = df.select(col("*"),
+        explode(sequence(lit(0), lit(k - 1))).as("__rep"))
+      val withIds = idCols.foldLeft(rep)((d, c) =>
+        d.withColumn(c, col(c) + col("__rep").cast("long") * 1000000000L))
+      textCols.foldLeft(withIds)((d, c) =>
+        d.withColumn(c, when(col("__rep") === 0, col(c)).otherwise(
+          concat_ws(" ", expr(s"transform(split($c, ' '), w -> concat(w, '_r', __rep))")))))
+        .drop("__rep")
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    def probes(k: Int): Seq[(String, () => Long)] = {
+      val d = scaled(docs, k, Seq("doc_id"), Seq("text"))
+      val e = scaled(events, k, Seq("event_id", "user_id"), Nil)
+      val l = scaled(li, k, Seq("l_orderkey"), Nil)
+      Seq(
+        "dedup_exact" -> (() => consume(
+          operators.Dedup.exact(d.withColumn("__digest", md5(col("text"))),
+            Seq("__digest"), "doc_id"))),
+        "dedup_minhash_lsh" -> (() => consume(
+          operators.Dedup.minHashLshPairs(d, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5))),
+        "bm25_topk" -> (() => consume(
+          operators.Retrieval.bm25TopK(d, "doc_id", "text",
+            Seq(0L -> "fast table scan", 1L -> "window agg stream merge"), k = 10))),
+        "bigram_lm" -> (() => consume(
+          operators.TextAnalysis.bigramLmScore(d, "doc_id", "text"))),
+        "asof_join" -> (() => consume {
+          val ev = e.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+          val ver = ev.filter(col("event_type") === "purchase")
+            .groupBy("user_id", "us").agg(max("value").as("v"))
+          operators.TemporalJoins.asofJoin(
+            ev.select("event_id", "user_id", "us"), "us", ver, "us",
+            Seq("user_id"), Seq("v"))
+        }),
+        "pricing_agg" -> (() => consume(
+          l.groupBy("l_returnflag", "l_linestatus").agg(
+            sum("l_quantity").as("sq"), sum("l_extendedprice").as("sp"),
+            avg("l_discount").as("ad"), count(lit(1)).as("n"))))
+      )
+    }
+
+    // warm the JVM/codegen on the 1× shapes before timing anything
+    probes(1).foreach { case (_, f) => try f() catch { case _: Throwable => } }
+    val t1 = probes(1).map { case (n, f) => n -> time(f()) }.toMap
+    val tn = probes(mult).map { case (n, f) => n -> time(f()) }
+    val parts = tn.map { case (n, t) =>
+      val base = t1(n)
+      f""""$n":{"t1":$base%.2f,"t$mult":$t%.2f,"ratio":${t / base}%.1f}"""
+    }
+    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","ops":${parts.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}
