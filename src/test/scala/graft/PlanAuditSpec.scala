@@ -515,4 +515,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("event_type = view") || p.contains("event_type#"),
       s"step filters missing:\n$p")
   }
+
+  test("retrieval_rrf_fusion: both rankers group-limit-pushed, fusion shuffle is " +
+    "ranking-sized, no cartesian candidate generation") {
+    val p = plan("retrieval_rrf_fusion")
+    // the two input rank windows AND the fused top-k all truncate map-side
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"a rank filter lost its group-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"jaccard candidates must come from the pruned postings join:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("quality_dsir_weights: the 256-bucket model broadcasts back; the only wide " +
+    "shuffles are bucket counts and the per-doc sum") {
+    val p = plan("quality_dsir_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket model must broadcast, not shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in this plan:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("quality_gopher_rules: row-local codegen — no shuffle before the output sort, no UDF") {
+    val p = executedPlan("quality_gopher_rules")
+    // the only exchange is the final global orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a row-local gate must not hash-shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    // codegen'd operators print with the *(stageId) marker
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+  }
 }
