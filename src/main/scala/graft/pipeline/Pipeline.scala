@@ -108,18 +108,27 @@ final class Pipeline(spark: SparkSession, root: String,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val d = Date.valueOf(fileDate)
 
-    // E+T: CSV → curated records
-    val records = Ingest.transform(raw, d).cache()
+    // E+T: CSV → curated records. Both load counts ride the write job as
+    // Observations — `attempted` on the pre-cache transform output,
+    // `inserted` on the anti-joined frame — so the K3 accounting costs
+    // ZERO extra passes: counting `fresh` with a separate action would
+    // re-run the left-anti join over the batch, a whole second scan at
+    // production scale.
+    val obsAttempted = org.apache.spark.sql.Observation()
+    val records = Ingest.transform(raw, d)
+      .observe(obsAttempted, count(lit(1)).as("n")).cache()
 
     // L: idempotent append against the same file_date partition only
     val existing = readOrEmpty(s"curated/file_date=$fileDate", records.drop("file_date"))
     val existingHashes =
       if (existing.columns.contains("event_hash")) existing
       else records.limit(0)
+    val obsInserted = org.apache.spark.sql.Observation()
     val fresh = Ingest.idempotentAppend(records, existingHashes)
+      .observe(obsInserted, count(lit(1)).as("n"))
     fresh.write.mode("append").partitionBy("file_date").parquet(path("curated"))
-    val attempted = records.count()
-    val inserted = fresh.count()
+    val attempted = obsAttempted.get("n").asInstanceOf[Long]
+    val inserted = obsInserted.get("n").asInstanceOf[Long]
 
     // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI
     val curatedDay = spark.read.parquet(path("curated"))
@@ -155,15 +164,23 @@ final class Pipeline(spark: SparkSession, root: String,
     * src/etl/marts_runner.py:16-34). Default rebuilds everything. */
   def writeMarts(d: Date, only: Set[String] = allMarts.toSet): Unit = {
     val enrichedAll = spark.read.parquet(path("enriched"))
-    lazy val dayFacts = martInput(enrichedAll, d)
-    lazy val monthFacts = monthInput(enrichedAll, d)
-    lazy val fileDateFacts = enrichedAll.filter(col("file_date") === lit(d))
-    lazy val monthFileFacts = enrichedAll.filter(
+    // each slice feeds ~3 mart aggregates — cache for the duration of the
+    // rebuild so the enriched partitions are scanned once per slice, not
+    // once per mart. Slices are partition-bounded (one day / one month of
+    // facts), so the cache is O(batch), never O(history); released before
+    // returning. Lazy: a subset rebuild materializes only what it reads.
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def slice(df: DataFrame): DataFrame = { val c = df.cache(); cached += c; c }
+    lazy val dayFacts = slice(martInput(enrichedAll, d))
+    lazy val monthFacts = slice(monthInput(enrichedAll, d))
+    lazy val fileDateFacts = slice(enrichedAll.filter(col("file_date") === lit(d)))
+    lazy val monthFileFacts = slice(enrichedAll.filter(
       date_trunc("month", col("file_date")).cast("date") ===
-        lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1))))
+        lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1)))))
     lazy val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
     def mart(name: String)(build: => DataFrame, part: String = "day"): Unit =
       if (only(name)) Marts.writePartitioned(build, path(s"marts/$name"), part)
+    try {
 
     mart("focos_diario_municipio")(Marts.focosDiarioMunicipio(dayFacts))
     mart("focos_mensal_municipio")(Marts.focosMensalMunicipio(monthFacts), "month")
@@ -184,6 +201,7 @@ final class Pipeline(spark: SparkSession, root: String,
     // the UF code column the reference denormalizes; our dims carry uf text
     mart("mv_focos_day_dim")(
       Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))))
+    } finally cached.foreach(_.unpersist(false))
   }
 
   /** Checked-flag read path: re-enrich only rows some dimension has not
