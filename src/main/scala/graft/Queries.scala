@@ -3567,6 +3567,45 @@ object Queries {
           .orderBy("source")
       }),
 
+    // Temperature-scaled source sampling (α-sampling, Conneau & Lample
+    // arXiv:1901.07291 §3.1; the mT5/XLM-R multilingual recipe): sampling
+    // share qᵢ ∝ pᵢ^α with α=0.3 up-weights small sources without
+    // swamping large ones. Determinism across engines: p^α is computed as
+    // exp(α·ln p) with 8dp rounding after BOTH libm calls (the idf
+    // ulp-drift recipe), shares are decimal-cast before the final integer
+    // emit, and the Σpᵢ^α normalizer is an exact DECIMAL sum over the
+    // (≤ sources) tiny frame. Two source-keyed aggregates, everything
+    // else broadcasts — nothing here ever sees a document row twice.
+    QueryDef("corpus_temperature_mix", Some(
+      "WITH t AS (SELECT source, CAST(sum(" + tokensWsSql + ") AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t), " +
+        s"s AS (SELECT source, n_tokens, " +
+        "CAST(round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 8) AS DECIMAL(18,8)) AS p8, " +
+        s"CAST(round(exp(${0.3} * round(ln(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 8)), 8) AS DECIMAL(18,8)) AS su " +
+        "FROM t, tot), " +
+        "st AS (SELECT sum(su) AS stot FROM s) " +
+        "SELECT source, n_tokens, CAST(p8 * 100000000 AS BIGINT) AS share_e8, " +
+        "CAST(CAST(round(CAST(su AS DOUBLE) / CAST(stot AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS temp_share_e8 " +
+        "FROM s, st ORDER BY source"),
+      (s, d) => {
+        val dec8 = DecimalType(18, 8)
+        val t = T(s, d, "documents").groupBy("source")
+          .agg(sum(tokensWs).as("n_tokens"))
+        val tot = t.agg(sum("n_tokens").as("total"))
+        val p = col("n_tokens").cast("double") / col("total").cast("double")
+        val sf = t.crossJoin(broadcast(tot))
+          .withColumn("p8", round(p, 8).cast(dec8))
+          .withColumn("su", round(exp(lit(0.3) * round(log(p), 8)), 8).cast(dec8))
+        val st = sf.agg(sum("su").as("stot"))
+        sf.crossJoin(broadcast(st))
+          .select(col("source"), col("n_tokens"),
+            (col("p8") * 100000000L).cast("long").as("share_e8"),
+            round(col("su").cast("double") / col("stot").cast("double"), 8)
+              .cast(dec8).multiply(100000000L).cast("long").as("temp_share_e8"))
+          .orderBy("source")
+      }),
+
     // training-order interleaving by stride scheduling (Waldspurger &
     // Weihl OSDI'94, applied to source mixing): doc #i of source s gets
     // virtual time i/w_s, so reading in vt order interleaves sources
