@@ -2401,6 +2401,29 @@ object Queries {
     // polynomial per position (HUGEINT mod-2^64 wrap), per-window rightmost
     // min (len - list_position(list_reverse(...)) gives the rightmost tie),
     // gram join on the substrings themselves.
+    // Directed containment near-dups (Broder '97 C(A,B) = |∩|/|S(A)|):
+    // catches small-doc-inside-big-doc duplication that symmetric Jaccard
+    // dilutes. Spark joins 64-bit shingle HASHES (codegen, 8-byte
+    // payloads); the oracle joins the 5-gram STRINGS — equal counts absent
+    // 2⁻⁶⁴ collisions, the dedup_jaccard_words equivalence. Threshold is
+    // the integer form 2·inter ≥ sz_a (C ≥ 0.5) — no float boundary.
+    QueryDef("dedup_containment", Some(
+      "WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "s AS (SELECT doc_id, lang, list_distinct(list_transform(range(len(w) - 4), " +
+        "i -> list_aggregate(list_slice(w, CAST(i AS INT) + 1, CAST(i AS INT) + 5), 'string_agg', ' '))) AS sh " +
+        "FROM t WHERE len(w) >= 5), " +
+        "sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM s), " +
+        "e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM e a JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, inter, sz.sz AS sz_a, inter * 1000000 // sz.sz AS cont_micro " +
+        "FROM pr JOIN sz ON sz.doc_id = pr.id_a WHERE 2 * inter >= sz.sz " +
+        "ORDER BY id_a, id_b"),
+      (s, d) => operators.Dedup.containmentPairs(
+          T(s, d, "documents"), "doc_id", "text", col("lang"),
+          shingleSize = 5, num = 1, den = 2)
+        .orderBy("id_a", "id_b")),
+
     QueryDef("dedup_winnow", Some(
       "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), " +
         "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nrm FROM documents), " +

@@ -716,6 +716,47 @@ object Dedup {
     * pair join, bounding any single bucket's contribution to maxDf².
     * n_shared counts distinct shared fingerprints per pair.
     */
+  /** Directed shingle-containment near-dup pairs (Broder '97:
+    * C(A, B) = |S(A)∩S(B)| / |S(A)|): flags documents mostly CONTAINED in
+    * another — quotes, expansions, boilerplate-wrapped copies — which the
+    * symmetric Jaccard score dilutes below threshold whenever |B| ≫ |A|.
+    * Emits one directed row per (contained, container) pair with
+    * containment ≥ num/den.
+    *
+    * Shape: one inverted-index self-join over the distinct shingle-hash
+    * sets (codegen ShingleHashesExpr — 8-byte join payloads) restricted to
+    * `blockKey`; the shared-shingle count from the (id_a, id_b) groupBy IS
+    * both candidate generation and exact verification — no second pass
+    * over documents, no all-pairs stage. The threshold is the integer form
+    * `den·inter ≥ num·sz` — no float boundary. Skew note: a shingle seen
+    * in d docs contributes d² pair rows; corpora with heavy boilerplate
+    * should pre-drop hot shingles ([[winnowPairs]]' maxDf cap) or route
+    * through [[minHashLshPairs]] — this operator is the exact-verdict tier.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockKey: Column, shingleSize: Int = 5,
+                       num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    // persisted: both self-join sides read the shingled frame
+    val base = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"), blockKey.as("block"),
+          shingleHashes(col(textCol), shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sz", size(col("sh")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val probe = base.select(col("id").as("id_a"), col("block"),
+      col("sz").as("sz_a"), explode(col("sh")).as("g"))
+    val index = base.select(col("id").as("id_b"), col("block"),
+      explode(col("sh")).as("g"))
+    probe.join(index, Seq("block", "g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("sz_a").as("sz_a"), count(lit(1)).as("inter"))
+      .filter(col("inter") * den >= col("sz_a") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        expr("inter * 1000000L div sz_a").as("cont_micro"))
+  }
+
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 24, w: Int = 12, maxDf: Long = 0L): DataFrame = {
     // persisted: the gram frame feeds BOTH self-join sides (and the maxDf

@@ -1254,6 +1254,23 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(multi == Set(1L, 2L))
   }
 
+  test("containmentPairs: a quoted small doc flags directed, not symmetric") {
+    import spark.implicits._
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, quote),                                              // 8 words → 4 shingles
+      (2L, s"intro words here then $quote and a long tail " +
+        "november oscar papa quebec romeo sierra tango uniform victor whiskey"),
+      (3L, "completely different content with no shared runs at all here okay")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", lit(1), shingleSize = 5, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toList.sorted
+    // all 4 of doc1's shingles appear in doc2 → C(1,2) = 1.0; doc2 has far
+    // more shingles than the shared 4 → C(2,1) < 0.5; doc3 shares nothing
+    assert(got === List((1L, 2L, 1000000L)), s"got $got")
+  }
+
   test("jaccardTopK: exact |∩|·10⁶ div |∪| scores over distinct token sets") {
     import spark.implicits._
     val docs = Seq(
