@@ -2409,9 +2409,12 @@ object Queries {
     // the integer form 2·inter ≥ sz_a (C ≥ 0.5) — no float boundary.
     QueryDef("dedup_containment", Some(
       "WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "s AS (SELECT doc_id, lang, list_distinct(list_transform(range(len(w) - 4), " +
-        "i -> list_aggregate(list_slice(w, CAST(i AS INT) + 1, CAST(i AS INT) + 5), 'string_agg', ' '))) AS sh " +
-        "FROM t WHERE len(w) >= 5), " +
+        // <5-word docs fall back to ONE whole-doc gram — the ShingleKernel
+        // semantic text_decontaminate's oracle also mirrors
+        "s AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(w) >= 5 " +
+        "THEN list_transform(range(len(w) - 4), " +
+        "i -> list_aggregate(list_slice(w, CAST(i AS INT) + 1, CAST(i AS INT) + 5), 'string_agg', ' ')) " +
+        "ELSE [array_to_string(w, ' ')] END) AS sh FROM t), " +
         "sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM s), " +
         "e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s), " +
         "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter " +

@@ -135,4 +135,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty frame"))
   }
+
+  test("containmentPairs: empty corpus and sub-shingle docs yield empty, schema intact") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(empty, "doc_id", "text", lit(1))
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("id_a", "id_b", "inter", "sz_a", "cont_micro"))
+    // 4-word docs fall back to one whole-doc gram (the ShingleKernel
+    // semantic): identical short docs are full mutual containment dups
+    val short = Seq((1L, "only four words here"), (2L, "only four words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(short, "doc_id", "text", lit(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toList.sorted
+    assert(pairs == List((1L, 2L, 1000000L), (2L, 1L, 1000000L)))
+  }
+
+  test("rrfFuse with a single ranker reproduces its ranking order") {
+    import spark.implicits._
+    val r1 = Seq((0L, 5L, 1), (0L, 9L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.operators.Retrieval.rrfFuse(Seq(r1), kConst = 60, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(4))).toList
+    assert(got == List((5L, 1), (9L, 2)))
+  }
+
+  test("dsirLogWeights: empty target slice still yields finite weights (add-1 smoothing)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .dsirLogWeights(docs, "doc_id", "text", lit(false))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 2)
+    // with no target rows every bucket has ct=0: log(1/256) − log((cr+1)/(nr+256))
+    // is finite and NEGATIVE for observed features
+    assert(got.forall(_._2 < 0L), s"weights must be finite negatives: ${got.toList}")
+  }
 }
