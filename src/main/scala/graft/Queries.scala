@@ -2260,6 +2260,35 @@ object Queries {
               count(lit(1)), 2).as("pct_dropped"))
           .orderBy("lang")),
 
+    // Quality-aware canonical selection: within each near-dup cluster keep
+    // the doc with the MOST tokens (the C4/RefinedWeb "keep the longest
+    // variant" heuristic — a truncated copy should never shadow the full
+    // text), ties to the lowest id. Reuses the materialized cluster mart;
+    // the pick is a cluster-PARTITIONED row_number window (hash-
+    // distributed by cluster — no global sort), the integer token count is
+    // the shared tokensWs source of truth.
+    QueryDef("dedup_keep_best", Some(
+      s"WITH ${ccClosureSql(rounds = 8)}, " +
+        "q AS (SELECT doc_id, " + tokensWsSql + " AS tok FROM documents), " +
+        "j AS (SELECT cl.cluster_id, cl.doc_id, q.tok, " +
+        "CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n_members, " +
+        "row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.tok DESC, cl.doc_id ASC) AS rn " +
+        "FROM cl JOIN q USING (doc_id)) " +
+        "SELECT cluster_id, n_members, doc_id AS kept_doc_id, CAST(tok AS BIGINT) AS kept_tokens " +
+        "FROM j WHERE rn = 1 ORDER BY cluster_id"),
+      (s, d) => {
+        val j = clusterAssignments(s, d)
+          .join(T(s, d, "documents").select(col("doc_id"), tokensWs.as("tok")), "doc_id")
+        val byCluster = Window.partitionBy("cluster_id")
+        j.withColumn("n_members", count(lit(1)).over(byCluster))
+          .withColumn("rn", row_number().over(
+            byCluster.orderBy(col("tok").desc, col("doc_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("n_members"),
+            col("doc_id").as("kept_doc_id"), col("tok").as("kept_tokens"))
+          .orderBy("cluster_id")
+      }),
+
     // MinHash-LSH IS oracle-able: every stage is wrap-arithmetic DuckDB can
     // reproduce in HUGEINT mod-2^64 (FNV-1a word hashes, rolling shingle
     // hashes, the universal-hash signature mins via a 32-bit-split mulmod),
