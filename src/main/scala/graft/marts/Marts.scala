@@ -179,6 +179,27 @@ object Marts {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bloom-filtered parquet write: per-column bloom filters in the file
+    * footer, for point-lookup row-group skipping on HIGH-CARDINALITY keys
+    * (hashes, uuids, event ids) where min/max footer stats cannot prune —
+    * every file spans the whole key space, so [[writeSorted]]'s range
+    * trick does nothing, but a bloom probe rejects absent keys at the
+    * footer. This is the read-side complement of the runtime
+    * BloomFilterAggregate in `Blocklist`: that one prunes a JOIN's probe
+    * side at execution time, this one prunes the SCAN at storage time.
+    *
+    * @param ndv expected distinct values per file — sizes the filter
+    *            (parquet default caps at 1 MiB/filter when overshot)
+    */
+  def writeBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                 ndv: Long = 100000L): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * ~`targetFileBytes` (by on-disk input size, a good proxy after
     * re-encoding at matching compression). Incremental per-day mart

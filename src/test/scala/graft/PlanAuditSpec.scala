@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audits: the properties that decide 100 TB behavior, pinned
@@ -230,6 +232,43 @@ class PlanAuditSpec extends AnyFunSuite {
       case _ =>
     }
     assert(spark.read.parquet(out).count() == 4000)
+  }
+
+  test("writeBloom: footers carry a bloom filter for the key column, and it prunes") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/b"
+    val df = (1 to 5000).map(i => (s"key_$i", i.toLong)).toDF("k", "v")
+    graft.marts.Marts.writeBloom(df.repartition(1), out, Seq("k"), ndv = 5000L)
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.getPath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val chunk = rg.getColumns.asScala.find(_.getPath.toDotString == "k").get
+      val bloom = reader.readBloomFilter(chunk)
+      assert(bloom != null, "no bloom filter written for column k")
+      // present keys MUST hit; absent keys should overwhelmingly miss
+      def probe(s: String): Boolean = {
+        val b = org.apache.parquet.io.api.Binary.fromString(s)
+        bloom.findHash(bloom.hash(b))
+      }
+      assert(probe("key_1") && probe("key_4999"), "present key missed — broken filter")
+      val falsePos = (1 to 1000).count(i => probe(s"absent_$i"))
+      assert(falsePos < 100, s"bloom rejects nothing: $falsePos/1000 false positives")
+    } finally reader.close()
+    // v has no filter configured — footer must not pay for one
+    val vchunk = {
+      val r2 = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val c = r2.getFooter.getBlocks.get(0).getColumns.asScala
+          .find(_.getPath.toDotString == "v").get
+        r2.readBloomFilter(c)
+      } finally r2.close()
+    }
+    assert(vchunk == null, "unconfigured column got a bloom filter")
   }
 
   test("compactTo: many fragments collapse to the computed file budget without a shuffle") {
