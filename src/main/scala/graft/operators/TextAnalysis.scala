@@ -230,16 +230,19 @@ object TextAnalysis {
                      isTarget: Column): DataFrame = {
     val t = docs.select(col(idCol).as("__id"), isTarget.as("__tgt"),
       split(lower(trim(col(textCol))), "\\s+").as("w"))
-    val bg = t.filter(size(col("w")) >= 2)
-      .select(col("__id"), col("__tgt"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
-      .select(col("__id"), col("__tgt"),
-        substring(md5(col("g")), 1, 2).as("b"))
-    val model = graft.CacheRegistry.register(
-      bg.groupBy("b").agg(
-          count(lit(1)).as("cr"),
-          sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    // persisted: the model aggregation AND the scoring join both read the
+    // hashed-bigram stream — without this the tokenize+explode+md5 runs
+    // twice over the corpus (released via CacheRegistry)
+    val bg = graft.CacheRegistry.register(
+      t.filter(size(col("w")) >= 2)
+        .select(col("__id"), col("__tgt"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+        .select(col("__id"), col("__tgt"),
+          substring(md5(col("g")), 1, 2).as("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = bg.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
     val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     bg.join(broadcast(model), "b")
