@@ -371,6 +371,48 @@ object Queries {
       Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9)
     }
 
+  /** Unigram-LM per-doc NLL scores — a materialized mart in production
+    * (scored once per corpus build, read by every fluency consumer), so
+    * text_lm_score and quality_ccnet_buckets share one memoized build. */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "lmScores") {
+      val docs = T(s, d, "documents")
+      // the unigram-count aggregate and the scoring join both read the
+      // token stream — persist so the corpus tokenizes once
+      val toks = CacheRegistry.register(
+        docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^\\p{L}]+"),
+            x => length(x) > 0)).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").as("n"))
+      val agg = toks.join(cnt, "w").crossJoin(broadcast(tot))
+        .withColumn("lp", round(-log(col("c").cast("double") / col("n")), 8)
+          .cast(DecimalType(18, 8)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          (sum(col("lp")) * 100000000L).cast("long").as("nll_e8"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("nll_e8"), lit(0L)).as("nll_e8"))
+    }
+
+  /** [[lmScores]]' oracle CTE chain, ending in `lmsc(doc_id, n_toks,
+    * nll_e8)` — ONE source of truth for the text_lm_score and
+    * quality_ccnet_buckets oracles. */
+  private def lmNllSql: String =
+    "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
+      "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
+      "cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w), " +
+      "tot AS (SELECT sum(c) AS n FROM cnt), " +
+      "sc AS (SELECT t.doc_id, CAST(round(-ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(18, 8)) AS lp " +
+      "FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tot), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+      "CAST(sum(lp) * 100000000 AS BIGINT) AS nll_e8 FROM sc GROUP BY doc_id), " +
+      "lmsc AS (SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, " +
+      "coalesce(a.nll_e8, 0) AS nll_e8 " +
+      "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)"
+
   /** Shared oracle closure for the CC family (dedup_clusters /
     * dedup_summary): `rounds` unrolled rounds of min-label propagation +
     * pointer jumping over the SAME pair predicate — each round takes the
@@ -3363,36 +3405,43 @@ object Queries {
     // (vocabulary-sized — never broadcast); only the 1-row total
     // broadcasts.
     QueryDef("text_lm_score", Some(
-      "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), " +
-        "'[^\\p{L}]+'), x -> len(x) > 0)) AS w FROM documents), " +
-        "cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w), " +
-        "tot AS (SELECT sum(c) AS n FROM cnt), " +
-        "sc AS (SELECT t.doc_id, CAST(round(-ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(18, 8)) AS lp " +
-        "FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tot), " +
-        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
-        "CAST(sum(lp) * 100000000 AS BIGINT) AS nll_e8 FROM sc GROUP BY doc_id) " +
-        "SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, coalesce(a.nll_e8, 0) AS nll_e8 " +
-        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"),
+      "WITH " + lmNllSql +
+        " SELECT doc_id, n_toks, nll_e8 FROM lmsc ORDER BY doc_id"),
+      (s, d) => lmScores(s, d).orderBy("doc_id")),
+
+    // CCNet perplexity buckets (Wenzek et al. LREC'20, arXiv:1911.00359
+    // §4.3): split the corpus into head/middle/tail TERCILES of
+    // per-token LM score — CCNet's downstream recipe trains on head+middle
+    // and drops tail. Composes the materialized LM-score mart with the
+    // binned percent-rank (no global corpus sort — the only total window
+    // runs on the distinct-score bin frame); the bucket boundary is the
+    // integer form 3·pr < 10⁶ — no float cutoff. Per-token normalization
+    // (nll_e8 div n_toks) keeps long docs from sinking on length alone.
+    QueryDef("quality_ccnet_buckets", Some(
+      "WITH " + lmNllSql + ", " +
+        "npt AS (SELECT doc_id, nll_e8 // greatest(n_toks, 1) AS nll_per_tok_e8 FROM lmsc), " +
+        "r AS (SELECT doc_id, nll_per_tok_e8, " +
+        "CAST(row_number() OVER (ORDER BY nll_per_tok_e8 ASC, doc_id ASC) AS BIGINT) AS rn, " +
+        "count(*) OVER () AS n FROM npt) " +
+        "SELECT doc_id, nll_per_tok_e8, " +
+        "CAST((rn - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pr_fluency, " +
+        "CASE WHEN 3 * ((rn - 1) * 1000000 // greatest(n - 1, 1)) < 1000000 THEN 'head' " +
+        "WHEN 3 * ((rn - 1) * 1000000 // greatest(n - 1, 1)) < 2000000 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket " +
+        "FROM r ORDER BY doc_id"),
       (s, d) => {
-        val docs = T(s, d, "documents")
-        // the unigram-count aggregate and the scoring join both read the
-        // token stream — persist so the corpus tokenizes once
-        val toks = CacheRegistry.register(
-          docs.select(col("doc_id"),
-            explode(filter(split(lower(col("text")), "[^\\p{L}]+"),
-              x => length(x) > 0)).as("w"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
-        val tot = cnt.agg(sum("c").as("n"))
-        val agg = toks.join(cnt, "w").crossJoin(broadcast(tot))
-          .withColumn("lp", round(-log(col("c").cast("double") / col("n")), 8)
-            .cast(DecimalType(18, 8)))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_toks"),
-            (sum(col("lp")) * 100000000L).cast("long").as("nll_e8"))
-        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-            coalesce(col("nll_e8"), lit(0L)).as("nll_e8"))
+        val t = lmScores(s, d)
+          .withColumn("nll_per_tok_e8", expr("nll_e8 div greatest(n_toks, 1L)"))
+          // percentRankMicro ranks (score DESC, id ASC): negate so the
+          // most fluent (lowest per-token NLL) doc ranks first
+          .withColumn("__s", -col("nll_per_tok_e8"))
+          .select("doc_id", "nll_per_tok_e8", "__s")
+        operators.TextAnalysis.percentRankMicro(t, "doc_id", "__s", "pr_fluency")
+          .withColumn("bucket",
+            when(expr("3 * pr_fluency < 1000000"), "head")
+              .when(expr("3 * pr_fluency < 2000000"), "middle")
+              .otherwise("tail"))
+          .select("doc_id", "nll_per_tok_e8", "pr_fluency", "bucket")
           .orderBy("doc_id")
       }),
 
