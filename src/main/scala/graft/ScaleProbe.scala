@@ -83,14 +83,28 @@ object ScaleProbe {
         "pricing_agg" -> (() => consume(
           l.groupBy("l_returnflag", "l_linestatus").agg(
             sum("l_quantity").as("sq"), sum("l_extendedprice").as("sp"),
-            avg("l_discount").as("ad"), count(lit(1)).as("n"))))
+            avg("l_discount").as("ad"), count(lit(1)).as("n")))),
+        "dedup_containment" -> (() => consume(
+          operators.Dedup.containmentPairs(d, "doc_id", "text",
+            col("lang"), shingleSize = 5, num = 1, den = 2))),
+        "dsir_weights" -> (() => consume(
+          operators.TextAnalysis.dsirLogWeights(d, "doc_id", "text",
+            col("lang") === "en")))
       )
     }
 
+    // operator-internal persists accumulate across probes (CacheRegistry
+    // is session-scoped) — release after every measurement so each op is
+    // timed in isolation, not under the previous ops' storage pressure
+    def timed(f: () => Long): Double =
+      try time(f()) finally graft.CacheRegistry.unpersistAll(spark, blocking = true)
     // warm the JVM/codegen on the 1× shapes before timing anything
-    probes(1).foreach { case (_, f) => try f() catch { case _: Throwable => } }
-    val t1 = probes(1).map { case (n, f) => n -> time(f()) }.toMap
-    val tn = probes(mult).map { case (n, f) => n -> time(f()) }
+    probes(1).foreach { case (_, f) =>
+      try f() catch { case _: Throwable => }
+      graft.CacheRegistry.unpersistAll(spark, blocking = true)
+    }
+    val t1 = probes(1).map { case (n, f) => n -> timed(f) }.toMap
+    val tn = probes(mult).map { case (n, f) => n -> timed(f) }
     val parts = tn.map { case (n, t) =>
       val base = t1(n)
       f""""$n":{"t1":$base%.2f,"t$mult":$t%.2f,"ratio":${t / base}%.1f}"""
