@@ -576,6 +576,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("dedup_containment: inverted-index self-join — no cartesian, no UDF; " +
+    "verification is the pair groupBy itself") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must candidate via the (block, shingle) equi-join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"shingling must be the codegen kernel:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("dedup_keep_best: the pick is a cluster-partitioned window — the only global " +
+    "sort is the output orderBy") {
+    val p = plan("dedup_keep_best")
+    assert("Window .*cluster_id".r.findFirstIn(p).isDefined ||
+      p.contains("windowspecdefinition(cluster_id"),
+      s"keep-best window must partition by cluster:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_ccnet_buckets: no corpus-wide global sort — the total window runs " +
+    "on the distinct-score bin frame only") {
+    val p = plan("quality_ccnet_buckets")
+    // binnedRank's global window follows the score-bin aggregate; a corpus
+    // window would show a Sort+Window directly over the scored rows with no
+    // intervening aggregate. The bin aggregate must be present.
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("quality_gopher_rules: row-local codegen — no shuffle before the output sort, no UDF") {
     val p = executedPlan("quality_gopher_rules")
     // the only exchange is the final global orderBy's range partitioning
