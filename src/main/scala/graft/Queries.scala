@@ -2918,29 +2918,10 @@ object Queries {
         "(n_words BETWEEN 50 AND 100000) AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words) " +
         "AND (5 * alpha_words >= 4 * n_words) AND (stop_hits >= 2) AND (10 * symbols <= n_words) AS pass " +
         "FROM m ORDER BY doc_id"),
-      (s, d) => {
-        val t = T(s, d, "documents").select(col("doc_id"), col("text"),
-          split(lower(trim(col("text"))), "\\s+").as("w"))
-        val m = t.select(col("doc_id"),
-          size(col("w")).cast("long").as("n_words"),
-          expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("word_chars"),
-          expr("CAST(size(filter(w, x -> x rlike '\\\\p{L}')) AS BIGINT)").as("alpha_words"),
-          expr("CAST(size(array_intersect(array_distinct(w), " +
-            "array('the','be','to','of','and','that','have','with'))) AS BIGINT)").as("stop_hits"),
-          expr("CAST(length(text) - length(replace(text, '#', '')) + " +
-            "(length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)").as("symbols"))
-        m.withColumn("r_word_count", col("n_words").between(50, 100000))
-          .withColumn("r_mean_word_len",
-            lit(3) * col("n_words") <= col("word_chars") &&
-              col("word_chars") <= lit(10) * col("n_words"))
-          .withColumn("r_alpha_frac", lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
-          .withColumn("r_stopwords", col("stop_hits") >= 2)
-          .withColumn("r_symbol_ratio", lit(10) * col("symbols") <= col("n_words"))
-          .withColumn("pass",
-            col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") &&
-              col("r_stopwords") && col("r_symbol_ratio"))
-          .orderBy("doc_id")
-      }),
+      (s, d) => operators.TextAnalysis
+        .gopherRules(T(s, d, "documents").select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")),
 
     // stopword-hit ratio (English inventory) — quality-filter signal, pure
     // built-ins on the Spark side (TextFunctions.stopwordRatio); the oracle

@@ -194,6 +194,41 @@ object TextAnalysis {
         expr(s"(rank - 1) * 1000000L div greatest(__n - 1, 1L)"))
       .drop("rank", "__n")
 
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1):
+    * word count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * alphabetic, ≥2 distinct stopword hits, symbol-to-word ratio ≤ 0.1.
+    * Every rule is evaluated in PURE INTEGER form (3·nw ≤ Σlen ≤ 10·nw,
+    * 5·alpha ≥ 4·nw, 10·sym ≤ nw) so no float boundary can flip a verdict
+    * between engines; all metrics are row-local codegen — the gate runs
+    * inline in any scan at any corpus size, and is STREAMING-SAFE (no
+    * shuffle, no state): apply it to a readStream frame unchanged
+    * (StreamingSpec pins streaming ≡ batch).
+    *
+    * Appends the metric, per-rule, and `pass` columns to `df`. */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__w", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("word_chars", expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("alpha_words",
+        expr("CAST(size(filter(__w, x -> x rlike '\\\\p{L}')) AS BIGINT)"))
+      .withColumn("stop_hits",
+        expr("CAST(size(array_intersect(array_distinct(__w), " +
+          "array('the','be','to','of','and','that','have','with'))) AS BIGINT)"))
+      .withColumn("symbols",
+        expr(s"CAST(length($textCol) - length(replace($textCol, '#', '')) + " +
+          s"(length($textCol) - length(replace($textCol, '...', ''))) div 3 AS BIGINT)"))
+      .drop("__w")
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_alpha_frac", lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("r_stopwords", col("stop_hits") >= 2)
+      .withColumn("r_symbol_ratio", lit(10) * col("symbols") <= col("n_words"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") &&
+          col("r_stopwords") && col("r_symbol_ratio"))
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023,
     * arXiv:2302.03169): score every document by how much more likely its

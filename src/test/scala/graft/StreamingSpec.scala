@@ -235,6 +235,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("h1", "h2", "h3"))
   }
 
+  test("gopherRules on a stream: row-local gate, streaming output equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ("the data of " * 20).trim),          // wordy, ≥2 distinct stopwords
+      (2L, "of and the"),                        // too short
+      (3L, ("supercalifragilistic " * 60).trim)) // long words, no stopwords
+    val in = MemoryStream[(Long, String)]
+    val q = operators.TextAnalysis
+      .gopherRules(in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gopher_stream").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gopher_stream")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    val batch = operators.TextAnalysis
+      .gopherRules(rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("admitStream: history dups rejected, in-stream replays collapse, fresh docs admitted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
