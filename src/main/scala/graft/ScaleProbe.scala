@@ -89,7 +89,17 @@ object ScaleProbe {
             col("lang"), shingleSize = 5, num = 1, den = 2))),
         "dsir_weights" -> (() => consume(
           operators.TextAnalysis.dsirLogWeights(d, "doc_id", "text",
-            col("lang") === "en")))
+            col("lang") === "en"))),
+        // fixed-diameter component graph (runs of ≤3 consecutive ids →
+        // components of ≤4 nodes): edge count scales with the corpus,
+        // iteration rounds stay constant — CC cost must scale with the
+        // EDGES, not super-linearly with rounds
+        "connected_components" -> (() => consume {
+          val nodes = d.select("doc_id")
+          val edges = d.filter(col("doc_id") % 10 < 3)
+            .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+          operators.Dedup.connectedComponents(nodes, "doc_id", edges, "id_a", "id_b")
+        })
       )
     }
 
