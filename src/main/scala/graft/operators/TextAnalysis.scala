@@ -118,10 +118,14 @@ object TextAnalysis {
           "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS v, w[i + 1] AS wd))")).as("p"))
         .select(col("__id"), col("p.v").as("v"), col("p.wd").as("wd"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // decorate the DISTINCT-bigram frame with both unigram counts FIRST:
+    // c2 is vocabulary-sized (distinct (v,wd) pairs), so the cv/cw joins
+    // run on it instead of dragging the corpus-sized occurrence stream
+    // through three shuffle joins — bg shuffles ONCE, on (v, wd)
     val c2 = bg.groupBy("v", "wd").agg(count(lit(1)).as("c2"))
-    bg.join(c2, Seq("v", "wd"))
       .join(uni.select(col("tok").as("v"), col("c").as("cv")), "v")
       .join(uni.select(col("tok").as("wd"), col("c").as("cw")), "wd")
+    bg.join(c2, Seq("v", "wd"))
       .crossJoin(broadcast(totals))
       .withColumn("s", round(-log(
         lit(lambda) * (col("c2").cast("double") / col("cv").cast("double")) +
