@@ -1178,6 +1178,27 @@ object Queries {
           .unionAll(T(s, d, "lineitem").agg(count(lit(1)).as("n"))
             .select(lit("lineitem").as("tbl"), col("n")))),
 
+    // ORC source/sink round-trip: the fact slice writes as ORC (Spark's
+    // second columnar format — orc-core is a stock Spark dependency, no
+    // extra jars) and reads back through the ORC vectorized reader; the
+    // aggregate must equal the same aggregate computed off parquet, which
+    // is exactly what the oracle does. l_quantity is integer-valued, so
+    // the BIGINT casts are exact on both engines.
+    QueryDef("ingest_orc_roundtrip", Some(
+      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, d) => {
+        val dir = "/tmp/graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        T(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
     // ------------------------------------------- projections / filters (P*)
 
     QueryDef("p3_locale_cast", Some(
