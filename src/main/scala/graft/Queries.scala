@@ -468,14 +468,22 @@ object Queries {
         .when(col("doc_id") % 3 === 1, "audio/wav").otherwise("video/mp4").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** rectangle multipolygon column from bbox columns (GeoJSON nesting) */
-  private def rectGeom: Column = {
+  /** rectangle ring (single closed ring, GeoJSON point nesting) from bbox
+    * columns. Kept 2-deep: the former build-4-deep-multipolygon-then-
+    * `element_at(element_at(...))` destructure generated Java that Janino
+    * rejected ("project_isNull_N is not an rvalue") and silently fell back
+    * to interpreted projection — see GeoCodegenSpec, which runs this family
+    * with codegen.fallback=false so a regression fails loud. */
+  private def rectRing: Column = {
     def p(a: Column, b: Column) = array(a, b)
-    array(array(array(
+    array(
       p(col("min_lon"), col("min_lat")), p(col("max_lon"), col("min_lat")),
       p(col("max_lon"), col("max_lat")), p(col("min_lon"), col("max_lat")),
-      p(col("min_lon"), col("min_lat")))))
+      p(col("min_lon"), col("min_lat")))
   }
+
+  /** rectangle multipolygon column from bbox columns (GeoJSON nesting) */
+  private def rectGeom: Column = array(array(rectRing))
 
   /** two-part multipolygon: left rect 24° wide, right rect 48° wide */
   private def twoPartGeom: Column = {
@@ -633,16 +641,20 @@ object Queries {
 
     // ---------------------------------------------------- aggregations (A*)
 
+    // exact decimal sums internally, fixed-point BIGINT at the boundary —
+    // a DECIMAL(38,x) FINAL column stringifies differently per engine
+    // under the gate's canonicalization ('513.00' vs '513.0')
     QueryDef("q1_pricing_summary", Some(
       "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base, " +
-        "CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_e2, " +
+        "CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_e4, " +
         "round(avg(l_quantity),4) AS avg_qty, count(*) AS n " +
         "FROM lineitem GROUP BY 1,2"),
       (s, d) => T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
         sum("l_quantity").cast("long").as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc"),
+        (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("sum_base_e2"),
+        (dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) * 10000)
+          .cast("long").as("sum_disc_e4"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("n"))),
 
@@ -1654,10 +1666,10 @@ object Queries {
         "(72.0/180.0*pi())*((2 + sin(min_lat/180.0*pi()) + sin(min_lat/180.0*pi()))) + " +
         "(-72.0/180.0*pi())*((2 + sin(max_lat/180.0*pi()) + sin(max_lat/180.0*pi())))" +
         ") * 6371000.0 * 6371000.0 / 2, 0) AS BIGINT) AS area_m2 FROM c"),
-      (s, d) => cells(s, d).withColumn("geom", rectGeom)
+      (s, d) => cells(s, d)
         .select(col("n_nationkey"),
-          round(GeoFunctions.ringAreaSqMetersUdf(
-            element_at(element_at(col("geom"), 1), 1)), 0).cast("long").as("area_m2"))),
+          round(GeoFunctions.ringAreaSqMetersUdf(rectRing), 0)
+            .cast("long").as("area_m2"))),
 
     // ST_Dump / mainland / dissolve — the choropleth prereq chain
     // (sqlm/marts/prereq/010-030_*.sql) over synthetic two-part nation
@@ -1876,17 +1888,20 @@ object Queries {
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
         "count(*) AS n_events, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us, " +
         "(epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_e6 " +
         "FROM t GROUP BY 1, 2"),
       (s, d) => operators.Analytics.sessionize(T(s, d, "events"),
           "user_id", "ts", "event_id", "value", gapSeconds = 1800)
-        // the operator emits real timestamps; the gate row ships epoch-µs
-        // BIGINTs (the asof_join precedent — engine-neutral hash compare);
-        // explicit select pins the oracle's column order
+        // the operator emits real timestamps + an exact decimal total; the
+        // gate row ships epoch-µs / 1e-6-unit BIGINTs (the asof_join /
+        // skew_salted_agg precedent — engine-neutral hash compare, no
+        // DECIMAL in a FINAL schema); explicit select pins column order
         .withColumn("start_us", unix_micros(col("session_start")))
         .withColumn("end_us", unix_micros(col("session_end")))
+        .withColumn("total_value_e6",
+          (col("total_value") * 1000000).cast("long"))
         .select("user_id", "session_id", "n_events", "start_us", "end_us",
-          "duration_s", "total_value")),
+          "duration_s", "total_value_e6")),
 
     // Ordered funnel view → click → purchase: step k counts users whose
     // first step-k event is at/after their step-(k-1) frontier. One lazy
@@ -1928,7 +1943,7 @@ object Queries {
       val cells = eventTypes.map { t =>
         s"count(*) FILTER (WHERE event_type = '$t') AS ${t}_n, " +
           s"CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') " +
-          s"AS DECIMAL(38,6)) AS ${t}_val"
+          s"* 1000000 AS BIGINT) AS ${t}_val_e6"
       }.mkString(", ")
       s"SELECT CAST(ts AS DATE) AS day, $cells FROM events GROUP BY 1"
     },
@@ -1936,28 +1951,35 @@ object Queries {
         .groupBy(to_date(col("ts")).as("day"))
         .pivot("event_type", eventTypes)
         .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("val"))
-        .na.fill(0L, eventTypes.map(t => s"${t}_n"))),
+        .na.fill(0L, eventTypes.map(t => s"${t}_n"))
+        // exact decimal sums leave the agg; the FINAL schema ships
+        // 1e-6-unit BIGINTs (absent cells stay NULL on both sides)
+        .select(col("day") +: eventTypes.flatMap(t => Seq(
+          col(s"${t}_n"),
+          (col(s"${t}_val") * 1000000).cast("long").as(s"${t}_val_e6"))): _*)),
 
     // Unpivot/melt: wide per-flag aggregates → tidy (key, metric, value)
     // rows via stack() — a row-local codegen Expand, no shuffle beyond
     // the feeding aggregate.
     QueryDef("unpivot_metrics", Some(
       "WITH a AS (SELECT l_returnflag, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price, " +
-        "CAST(count(*) AS DECIMAL(38,2)) AS n_rows FROM lineitem GROUP BY 1) " +
-        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price, " +
+        "CAST(count(*) * 100 AS BIGINT) AS n_rows FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value_e2 FROM a " +
         "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a " +
         "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a"),
+      // melted value is a 1e-2-unit BIGINT (exact via decimal sums) so the
+      // mixed-metric column needs no DECIMAL in the FINAL schema
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          dsum(col("l_quantity"), 2).as("sum_qty"),
-          dsum(col("l_extendedprice"), 2).as("sum_price"),
-          count(lit(1)).cast(DecimalType(38, 2)).as("n_rows"))
+          (dsum(col("l_quantity"), 2) * 100).cast("long").as("sum_qty"),
+          (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("sum_price"),
+          (count(lit(1)) * 100).as("n_rows"))
         .selectExpr("l_returnflag",
           "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
-            "'n_rows', n_rows) AS (metric, value)")),
+            "'n_rows', n_rows) AS (metric, value_e2)")),
 
     // CUBE over (day, event_type) with a grouping-id column: all four
     // grouping sets in ONE Expand + aggregate pass. gid derives from the
@@ -1967,9 +1989,9 @@ object Queries {
       "SELECT day, event_type, " +
         "(CASE WHEN day IS NULL THEN 2 ELSE 0 END + " +
         "CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS gid, " +
-        "n, total_value FROM (" +
+        "n, total_value_e6 FROM (" +
         "SELECT day, event_type, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_e6 " +
         "FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events) " +
         "GROUP BY CUBE (day, event_type)) t"),
       (s, d) => T(s, d, "events")
@@ -1979,7 +2001,8 @@ object Queries {
         .select(col("day"), col("event_type"),
           (when(col("day").isNull, 2).otherwise(0) +
             when(col("event_type").isNull, 1).otherwise(0)).as("gid"),
-          col("n"), col("total_value"))),
+          col("n"),
+          (col("total_value") * 1000000).cast("long").as("total_value_e6"))),
 
     // Z-order layout audit: min/max-normalize (l_partkey, l_suppkey) into
     // a 15-bit grid (so the code space is filled at ANY sf), Morton-
@@ -1999,14 +2022,17 @@ object Queries {
     // the join output must stay hash-distributed.
     QueryDef("skew_salted_join", Some(
       "SELECT p_brand, count(*) AS n, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_e2 " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"),
       (s, d) => operators.Skew.saltedJoin(
           T(s, d, "lineitem").select("l_partkey", "l_quantity"),
           T(s, d, "part").select("p_partkey", "p_brand"),
           "l_partkey", "p_partkey", salts = 8)
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))),
+        .agg(count(lit(1)).as("n"),
+          // exact decimal sum, 1e-2-unit BIGINT at the boundary (the
+          // skew_salted_agg recipe — no DECIMAL in a FINAL schema)
+          (dsum(col("l_quantity"), 2) * 100).cast("long").as("sum_qty_e2"))),
 
     // Type-1 MERGE upsert: updates overwrite, inserts append, untouched
     // rows keep — plus the merge_action audit (noop = matched but
@@ -2210,7 +2236,7 @@ object Queries {
         "count(*) FILTER (WHERE value < lo) AS n_below, " +
         "count(*) FILTER (WHERE value > hi) AS n_above, " +
         "CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6))) " +
-        "AS DECIMAL(38,6)) AS winsorized_sum " +
+        "* 1000000 AS BIGINT) AS winsorized_sum_e6 " +
         "FROM events e JOIN t ON e.event_type = t.event_type GROUP BY 1, 2, 3"),
       (s, d) => {
         val ev = T(s, d, "events")
@@ -2221,8 +2247,9 @@ object Queries {
           .agg(first(col("lo")).as("p05"), first(col("hi")).as("p95"),
             count(when(col("value") < col("lo"), 1)).as("n_below"),
             count(when(col("value") > col("hi"), 1)).as("n_above"),
-            dsum(least(greatest(col("value"), col("lo")), col("hi")), 6)
-              .as("winsorized_sum"))
+            // exact decimal clipped sum → 1e-6-unit BIGINT boundary
+            (dsum(least(greatest(col("value"), col("lo")), col("hi")), 6)
+              * 1000000).cast("long").as("winsorized_sum_e6"))
       }),
 
     // Snapshot diff: the post-rebuild audit (added/removed/changed/unchanged
@@ -2266,7 +2293,7 @@ object Queries {
         "win AS (SELECT doc_id, seg_idx, line, " +
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, seg_idx) = 1 AS kept FROM seg) " +
         "SELECT doc_id, count(*) AS n_lines, " +
-        "sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY seg_idx), '')) AS kept_md5 " +
         "FROM win GROUP BY 1"),
       (s, d) => Dedup.lineDedup(T(s, d, "documents"), "doc_id", "text")

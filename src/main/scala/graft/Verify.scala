@@ -22,7 +22,20 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // Boundary-type guard: a DECIMAL in a FINAL schema stringifies
+        // differently per engine under the gate's pandas canonicalization
+        // (DuckDB DECIMAL/HUGEINT → float64 '513.0' vs Spark Decimal
+        // '513.00') and hash-mismatches even when every cell is equal.
+        // The repo-wide recipe is DOUBLE or fixed-point BIGINT finals —
+        // fail loud here so a new query can't regress it to a red row.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decCols.isEmpty,
+          s"$name emits DecimalType final column(s) ${decCols.mkString(",")} — " +
+            "cast to DOUBLE or fixed-point BIGINT (see q1_pricing_summary)")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>

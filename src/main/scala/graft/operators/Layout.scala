@@ -105,7 +105,9 @@ object Layout {
       scaleSql(yCol, "ylo", "yhi", bits), bits)
     s"WITH st AS (SELECT CAST(min($xCol) AS BIGINT) AS xlo, CAST(max($xCol) AS BIGINT) AS xhi, " +
       s"CAST(min($yCol) AS BIGINT) AS ylo, CAST(max($yCol) AS BIGINT) AS yhi FROM $table) " +
-      s"SELECT (($inter) >> ${2 * bits - bucketBits}) AS bucket, count(*) AS n_rows, " +
+      // the HUGEINT scale arithmetic must not leak into the FINAL schema
+      // (the gate canonicalizes HUGEINT to float64; Spark ships int64)
+      s"SELECT CAST((($inter) >> ${2 * bits - bucketBits}) AS BIGINT) AS bucket, count(*) AS n_rows, " +
       s"min($xCol) AS min_$xCol, max($xCol) AS max_$xCol, " +
       s"min($yCol) AS min_$yCol, max($yCol) AS max_$yCol " +
       s"FROM $table, st GROUP BY 1"
