@@ -26,7 +26,7 @@ final case class QueryDef(name: String, oracle: Option[String],
 
 object Queries {
 
-  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def T(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as TIMESTAMP(NANOS) (read as long via the
       // nanosAsLong session conf, truncated to µs) and as plain
@@ -743,6 +743,17 @@ object Queries {
           "cd_cnuc", Seq("uc_nome"))
         .orderBy("day", "cd_cnuc")),
 
+    // A5 monthly (51_focos_mensal_uc.sql:24-35): same shared keyed-mart
+    // path, file_date month key — oracle row closes the UC family 2/2.
+    QueryDef("a5_monthly_uc", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT CAST(date_trunc('month', file_date) AS DATE) AS month, cd_cnuc, " +
+        "max(uc_nome) AS uc_nome, CAST(count(*) AS INT) AS focos FROM e " +
+        "WHERE cd_cnuc IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosMensalKeyed(enrichedProxy(s, d),
+          "cd_cnuc", Seq("uc_nome"))
+        .orderBy("month", "cd_cnuc")),
+
     // A6 — TI monthly mart (61_focos_mensal_ti.sql): file_date month key.
     QueryDef("a6_monthly_ti", Some(
       s"WITH e AS ($enrProxySql) " +
@@ -752,6 +763,19 @@ object Queries {
       (s, d) => graft.marts.Marts.focosMensalKeyed(enrichedProxy(s, d),
           "terrai_cod", Seq("ti_nome"))
         .orderBy("month", "terrai_cod")),
+
+    // A6 daily (60_focos_diario_ti.sql:20-31): raw file_date key — oracle
+    // row closes the TI family 2/2 (the round-5 day-key-trap lesson:
+    // shared code paths stay honest only when each variant has its own
+    // oracle pin).
+    QueryDef("a6_daily_ti", Some(
+      s"WITH e AS ($enrProxySql) " +
+        "SELECT file_date AS day, terrai_cod, max(ti_nome) AS ti_nome, " +
+        "CAST(count(*) AS INT) AS focos FROM e WHERE terrai_cod IS NOT NULL " +
+        "GROUP BY 1,2 ORDER BY 1,2"),
+      (s, d) => graft.marts.Marts.focosDiarioKeyed(enrichedProxy(s, d),
+          "terrai_cod", Seq("ti_nome"))
+        .orderBy("day", "terrai_cod")),
 
     // A9 — UF area rollup (sql/ref/05_ref_uf_area.sql:10-18): the dim-side
     // aggregate the UF marts join against.
@@ -3442,15 +3466,21 @@ object Queries {
     // §4.3): split the corpus into head/middle/tail TERCILES of
     // per-token LM score — CCNet's downstream recipe trains on head+middle
     // and drops tail. Composes the materialized LM-score mart with the
-    // binned percent-rank (no global corpus sort — the only total window
-    // runs on the distinct-score bin frame); the bucket boundary is the
-    // integer form 3·pr < 10⁶ — no float cutoff. Per-token normalization
+    // binned percent-rank; RANKING runs on the score quantized to
+    // per-token MILLI-nat bins (nll_per_tok_e8 div 1e5 — a few thousand
+    // distinct values at any corpus size), because percentRankMicro's
+    // binnedRank core needs a bounded-cardinality score: ranking the raw
+    // e8 value (essentially unique per doc) would make the bin frame
+    // corpus-sized and degrade the no-global-sort plan into a corpus-wide
+    // sort + broadcast. Total order = (milli-nat bin asc, doc_id asc),
+    // identical on both engines; the bucket boundary is the integer form
+    // 3·pr < 10⁶ — no float cutoff. Per-token normalization
     // (nll_e8 div n_toks) keeps long docs from sinking on length alone.
     QueryDef("quality_ccnet_buckets", Some(
       "WITH " + lmNllSql + ", " +
         "npt AS (SELECT doc_id, nll_e8 // greatest(n_toks, 1) AS nll_per_tok_e8 FROM lmsc), " +
         "r AS (SELECT doc_id, nll_per_tok_e8, " +
-        "CAST(row_number() OVER (ORDER BY nll_per_tok_e8 ASC, doc_id ASC) AS BIGINT) AS rn, " +
+        "CAST(row_number() OVER (ORDER BY nll_per_tok_e8 // 100000 ASC, doc_id ASC) AS BIGINT) AS rn, " +
         "count(*) OVER () AS n FROM npt) " +
         "SELECT doc_id, nll_per_tok_e8, " +
         "CAST((rn - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pr_fluency, " +
@@ -3461,9 +3491,11 @@ object Queries {
       (s, d) => {
         val t = lmScores(s, d)
           .withColumn("nll_per_tok_e8", expr("nll_e8 div greatest(n_toks, 1L)"))
-          // percentRankMicro ranks (score DESC, id ASC): negate so the
-          // most fluent (lowest per-token NLL) doc ranks first
-          .withColumn("__s", -col("nll_per_tok_e8"))
+          // percentRankMicro ranks (score DESC, id ASC): quantize to the
+          // bounded milli-nat bin FIRST (floor-div before negation — they
+          // don't commute), then negate so the most fluent (lowest
+          // per-token NLL) doc ranks first
+          .withColumn("__s", -expr("nll_per_tok_e8 div 100000L"))
           .select("doc_id", "nll_per_tok_e8", "__s")
         operators.TextAnalysis.percentRankMicro(t, "doc_id", "__s", "pr_fluency")
           .withColumn("bucket",

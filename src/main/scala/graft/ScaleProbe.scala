@@ -35,6 +35,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
+    SparkEntry.configure(spark) // ANSI off, UTC, nanosAsLong (old testdata)
     spark.sparkContext.setLogLevel("WARN")
 
     // replicate a frame k times: long id columns offset by 10^9 per replica
@@ -51,8 +52,11 @@ object ScaleProbe {
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", col("ts").cast("timestamp"))
+    // events MUST go through Queries.T: a raw cast("timestamp") on the
+    // older TIMESTAMP(NANOS) generation (read as long via nanosAsLong)
+    // would interpret nanoseconds as SECONDS and the asof probe would
+    // time garbage timestamps
+    val events = Queries.T(spark, sfDir, "events")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
     def probes(k: Int): Seq[(String, () => Long)] = {

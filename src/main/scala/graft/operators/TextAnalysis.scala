@@ -218,9 +218,15 @@ object TextAnalysis {
       .withColumn("stop_hits",
         expr("CAST(size(array_intersect(array_distinct(__w), " +
           "array('the','be','to','of','and','that','have','with'))) AS BIGINT)"))
-      .withColumn("symbols",
-        expr(s"CAST(length($textCol) - length(replace($textCol, '#', '')) + " +
-          s"(length($textCol) - length(replace($textCol, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("symbols", {
+        // Column expressions, not spliced SQL text: a column name needing
+        // backticks (dots/spaces) would parse wrong — and a crafted name
+        // would be interpreted as SQL
+        val t = col(textCol)
+        val hashes = length(t) - length(replace(t, lit("#")))
+        val ellipses = (length(t) - length(replace(t, lit("...")))).cast("long")
+        (hashes.cast("long") + floor(ellipses / lit(3))).cast("long")
+      })
       .drop("__w")
       .withColumn("r_word_count", col("n_words").between(50, 100000))
       .withColumn("r_mean_word_len",

@@ -604,6 +604,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("quality_ccnet_buckets: ranking score is quantized — the bin frame stays " +
+    "bounded (not one bin per doc)") {
+    // the plan pin above cannot catch cardinality: a raw e8 score still
+    // produces a HashAggregate, just a corpus-sized one. Pin the contract
+    // numerically — milli-nat bins must collapse docs by orders of
+    // magnitude (at sf0.001: 500 docs → a few dozen bins).
+    import org.apache.spark.sql.functions._
+    val docs = SparkEntry.queries("text_lm_score")(spark, sf)
+    val nDocs = docs.count()
+    val nBins = docs
+      .select(expr("(nll_e8 div greatest(n_toks, 1L)) div 100000L").as("b"))
+      .distinct().count()
+    assert(nBins * 4 <= nDocs,
+      s"quantized score has $nBins bins for $nDocs docs — not bounded")
+  }
+
   test("quality_gopher_rules: row-local codegen — no shuffle before the output sort, no UDF") {
     val p = executedPlan("quality_gopher_rules")
     // the only exchange is the final global orderBy's range partitioning
