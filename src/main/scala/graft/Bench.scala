@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietKnownBenign()
     // JVM/codegen/file-listing warmup so the first timed query isn't charged
     // for session startup (round-2 bench showed 3.8 s vs 0.15 s steady-state)
     SparkEntry.queries.get("q1_pricing_summary")

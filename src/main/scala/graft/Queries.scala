@@ -103,6 +103,29 @@ object Queries {
     * for queries that enumerate it (pivot columns, funnels). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** DuckDB replay of [[operators.TextAnalysis.gopherRules]] — ONE source
+    * of truth for the batch (quality_gopher_rules) and streaming
+    * (stream_gopher_gate) oracle rows: the gate is the same row-local
+    * expression tree in both execution modes, so it gets one oracle. */
+  private val gopherRulesOracleSql: String =
+    "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+      "CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS word_chars, " +
+      "CAST(len(list_filter(w, x -> regexp_matches(x, '[\\p{L}]'))) AS BIGINT) AS alpha_words, " +
+      "CAST(len(list_intersect(list_distinct(w), " +
+      "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits, " +
+      "CAST(length(text) - length(replace(text, '#', '')) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols FROM t) " +
+      "SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, symbols, " +
+      "n_words BETWEEN 50 AND 100000 AS r_word_count, " +
+      "3 * n_words <= word_chars AND word_chars <= 10 * n_words AS r_mean_word_len, " +
+      "5 * alpha_words >= 4 * n_words AS r_alpha_frac, " +
+      "stop_hits >= 2 AS r_stopwords, " +
+      "10 * symbols <= n_words AS r_symbol_ratio, " +
+      "(n_words BETWEEN 50 AND 100000) AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words) " +
+      "AND (5 * alpha_words >= 4 * n_words) AND (stop_hits >= 2) AND (10 * symbols <= n_words) AS pass " +
+      "FROM m ORDER BY doc_id"
+
   /** DuckDB replay of [[graft.operators.Classifier.fitHardSigmoid]] over
     * `documents` (label: lang = 'en'; features: n_chars/1000, tokens/100,
     * avg-word-length/10), 2 GD rounds unrolled as CTEs. Every expression
@@ -2972,24 +2995,7 @@ object Queries {
     // 10·sym ≤ nw) so no float boundary can flip a verdict between
     // engines; all metrics are row-local codegen — the gate runs inline in
     // any scan at any corpus size.
-    QueryDef("quality_gopher_rules", Some(
-      "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
-        "CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS word_chars, " +
-        "CAST(len(list_filter(w, x -> regexp_matches(x, '[\\p{L}]'))) AS BIGINT) AS alpha_words, " +
-        "CAST(len(list_intersect(list_distinct(w), " +
-        "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits, " +
-        "CAST(length(text) - length(replace(text, '#', '')) + " +
-        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols FROM t) " +
-        "SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, symbols, " +
-        "n_words BETWEEN 50 AND 100000 AS r_word_count, " +
-        "3 * n_words <= word_chars AND word_chars <= 10 * n_words AS r_mean_word_len, " +
-        "5 * alpha_words >= 4 * n_words AS r_alpha_frac, " +
-        "stop_hits >= 2 AS r_stopwords, " +
-        "10 * symbols <= n_words AS r_symbol_ratio, " +
-        "(n_words BETWEEN 50 AND 100000) AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words) " +
-        "AND (5 * alpha_words >= 4 * n_words) AND (stop_hits >= 2) AND (10 * symbols <= n_words) AS pass " +
-        "FROM m ORDER BY doc_id"),
+    QueryDef("quality_gopher_rules", Some(gopherRulesOracleSql),
       (s, d) => operators.TextAnalysis
         .gopherRules(T(s, d, "documents").select("doc_id", "text"), "text")
         .drop("text")
@@ -4383,6 +4389,27 @@ object Queries {
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         graft.streaming.StreamingJobs.stateMetrics(agg)
+      }),
+
+    // Streaming Gopher gate run AS A STREAM end-to-end (readStream →
+    // row-local rules → append memory sink, AvailableNow drain) — the
+    // 100 TB ingest-gate shape: stateless, zero state store, throughput
+    // bounded by source read. The oracle is the SAME rule replay as the
+    // batch row (one source of truth), so this row pins the full
+    // streaming lifecycle — not just the expression tree — against batch
+    // semantics.
+    QueryDef("stream_gopher_gate", Some(gopherRulesOracleSql),
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select("doc_id", "text")
+        graft.streaming.StreamingJobs.gopherGate(docs, "text")
+          .drop("text")
+          .orderBy("doc_id")
       }),
   )
 

@@ -25,6 +25,11 @@ object ScaleProbe {
   }
   private def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+  /** One probe measurement: seconds at 1× and at `mult`×. */
+  final case class Timing(op: String, t1: Double, tN: Double) {
+    def ratio: Double = tN / t1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -37,6 +42,18 @@ object ScaleProbe {
       .getOrCreate()
     SparkEntry.configure(spark) // ANSI off, UTC, nanosAsLong (old testdata)
     spark.sparkContext.setLogLevel("WARN")
+    val timings = run(spark, sfDir, mult)
+    val parts = timings.map { t =>
+      f""""${t.op}":{"t1":${t.t1}%.2f,"t$mult":${t.tN}%.2f,"ratio":${t.ratio}%.1f}"""
+    }
+    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","ops":${parts.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+
+  /** Warm up, then time every probe at 1× and `mult`× on `spark`.
+    * Callable from CI (ScaleProbeSpec pins ratio ceilings) and from the
+    * [[main]] evidence run at sf0.1. */
+  def run(spark: SparkSession, sfDir: String, mult: Int): Seq[Timing] = {
 
     // replicate a frame k times: long id columns offset by 10^9 per replica
     // (disjoint key spaces), text words suffixed "_rI" (disjoint vocab)
@@ -119,11 +136,6 @@ object ScaleProbe {
     }
     val t1 = probes(1).map { case (n, f) => n -> timed(f) }.toMap
     val tn = probes(mult).map { case (n, f) => n -> timed(f) }
-    val parts = tn.map { case (n, t) =>
-      val base = t1(n)
-      f""""$n":{"t1":$base%.2f,"t$mult":$t%.2f,"ratio":${t / base}%.1f}"""
-    }
-    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","ops":${parts.mkString("{", ",", "}")}}""")
-    spark.stop()
+    tn.map { case (n, t) => Timing(n, t1(n), t) }
   }
 }

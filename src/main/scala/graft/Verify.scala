@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietKnownBenign()
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for local iteration (unset in CI)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -329,6 +329,28 @@ object StreamingJobs {
     rows.toDF("operator", "state_rows", "memory_positive")
   }
 
+  private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming Gopher gate: the row-local rule set applied to an ARRIVING
+    * corpus. [[graft.operators.TextAnalysis.gopherRules]] is stateless (no
+    * shuffle, no watermark needed), so append mode emits each verdict
+    * exactly once as its microbatch commits — the shape a 100 TB ingest
+    * gate runs in: rules evaluate inline in the scan, throughput bounded
+    * by source read speed, zero state-store footprint. Drains the source
+    * with AvailableNow into a memory sink and returns the gated table
+    * (per-call query name: memory-sink names must be unique per session).
+    */
+  def gopherGate(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val name = s"gopher_gate_${gateRuns.incrementAndGet()}"
+    val q = graft.operators.TextAnalysis.gopherRules(docs, textCol)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
                                   first_ts: Timestamp, last_ts: Timestamp)

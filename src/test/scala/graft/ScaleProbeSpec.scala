@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI ratio assertions over [[ScaleProbe]] — the 10×-scale evidence used to
+  * live only in README notes and commit messages; here a scale regression
+  * (an accidental all-pairs join, a window that went corpus-global, a
+  * driver-side loop that grew with the input) fails a test, not a vibe.
+  *
+  * Runs at sf0.001 where a 10× replication is cheap. Ceilings are set for
+  * signal, not precision: at this scale fixed overhead dominates, so a
+  * scale-linear operator lands well under 13× (typically 2–8×) while a
+  * quadratic regression does ~100× the work and blows far past it.
+  * Connected components is pinned tighter: the probe graph has fixed
+  * diameter, so rounds stay constant and cost must track edges (~linear,
+  * measured 1.2× at sf0.1) — a ceiling of 4× leaves noise headroom while
+  * still catching a rounds-grow-with-n or state-not-shrinking regression.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val timings: Map[String, ScaleProbe.Timing] =
+    ScaleProbe.run(spark, sf, mult = 10).map(t => t.op -> t).toMap
+
+  private val linearCeiling = 13.0
+  private val ccCeiling = 4.0
+
+  test("scale probe: flagship operators stay ~linear at 10x (ceiling 13x)") {
+    val linear = timings.keySet - "connected_components"
+    val over = linear.filter(op => timings(op).ratio > linearCeiling)
+    assert(over.isEmpty, over.map { op =>
+      val t = timings(op)
+      f"$op: ${t.t1}%.2fs -> ${t.tN}%.2fs (${t.ratio}%.1fx)"
+    }.mkString("; "))
+  }
+
+  test("scale probe: connected components cost tracks edges, not rounds " +
+    "(fixed-diameter graph, ceiling 4x)") {
+    val t = timings("connected_components")
+    assert(t.ratio <= ccCeiling,
+      f"CC: ${t.t1}%.2fs -> ${t.tN}%.2fs (${t.ratio}%.1fx) exceeds $ccCeiling%.1fx")
+  }
+}
