@@ -3994,14 +3994,46 @@ object Queries {
         "round(avg(octet_length(payload)), 2) AS avg_bytes FROM m GROUP BY 1, 2 ORDER BY kind, mime"),
       (s, d) => graft.operators.Multimodal.profile(mediaFromDocs(s, d)).orderBy("kind", "mime")),
 
+    // REAL video frame indexing, certified like mm_decode_image: each
+    // video doc becomes an actual RIFF/AVI container (aviBytes — frame
+    // count/sizes/dims are integer functions of the id), Spark ships the
+    // bytes through the binary column, and aviFrameIndex walks the REAL
+    // container structure back into frame offsets. The container layout is
+    // deterministic, so the oracle computes every offset by closed-form
+    // prefix sums: frame i's data starts at 224 (RIFF+hdrl header span) +
+    // Σ_{j<i}(8 + size_j) + 8. Parsing bugs — a miscounted header byte, a
+    // missed pad rule — shift every offset and hash-fail.
     QueryDef("mm_frames", Some(
-      "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents " +
-        "WHERE doc_id % 3 = 2) " +
-        "SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f*1024 AS INT) AS byte_offset " +
-        "FROM m, UNNEST(range(0, len//1024 + 1, 2)) AS t(f)"),
-      (s, d) => graft.operators.Multimodal.sampleFrames(mediaFromDocs(s, d), stride = 2)
-        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
-          col("byte_offset").cast("int").as("byte_offset"))),
+      "WITH v AS (SELECT doc_id, 3 + doc_id % 4 AS nf, " +
+        "160 + (doc_id % 4) * 16 AS w, 120 + (doc_id % 3) * 8 AS h " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT doc_id, nf, w, h, CAST(gs.i AS BIGINT) AS i, " +
+        "64 + ((doc_id + gs.i * 7) % 8) * 8 AS sz FROM v, " +
+        "LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) gs), " +
+        "o AS (SELECT doc_id, nf, w, h, i, sz, " +
+        "224 + coalesce(sum(8 + sz) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 8 AS data_off FROM f) " +
+        "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, " +
+        "CAST(data_off AS BIGINT) AS byte_offset, CAST(sz AS INT) AS frame_bytes, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(nf AS INT) AS n_frames, TRUE AS ok " +
+        "FROM o ORDER BY media_id, frame_idx"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id").as[Long]
+          .filter((id: Long) => id % 3 == 2)
+          .mapPartitions(_.map { id =>
+            val nf = 3 + (id % 4).toInt
+            val w = 160 + (id % 4).toInt * 16
+            val h = 120 + (id % 3).toInt * 8
+            val sizes = Array.tabulate(nf)(i => 64 + ((id + i * 7) % 8).toInt * 8)
+            graft.operators.Multimodal.MediaRow(id, "video",
+              graft.operators.Multimodal.aviBytes(sizes, w, h, 33333),
+              "video/avi", Some(w), Some(h), Some(nf * 33333L / 1000))
+          })
+        graft.operators.Multimodal.aviFrameIndex(media).toDF()
+          .orderBy("media_id", "frame_idx")
+      }),
 
     // the decode stub is pure byte arithmetic (BE32 header ints, frame
     // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)

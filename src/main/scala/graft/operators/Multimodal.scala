@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * standard layout for multimodal training shards. IMAGE decode is REAL
   * (`decodeImages` — `javax.imageio` is in the JDK: PNG/JPEG/BMP/GIF to
   * actual dims + per-pixel checksum, undecodable rows quarantined, never
-  * task failures). Audio/video decode remains a STUB (no codec libraries
-  * in the JDK): `decodeStub` parses a deterministic fake header so the
-  * Spark-side plumbing — schema, typed Dataset pipeline, per-partition
-  * batching, feature shape — is real and testable, and a production build
-  * swaps `decodeStub`/`extractFeatures` for a JNI/FFI codec without
+  * task failures). AUDIO decode is REAL for PCM WAV (`audioWindows` —
+  * `javax.sound.sampled` is in the JDK). VIDEO frame indexing is REAL
+  * (`aviFrameIndex` — a pure-Scala RIFF/AVI header walk yielding actual
+  * frame offsets/sizes/dims); only pixel decode of the video frames
+  * remains out of scope (no video codec in the JDK). `decodeStub` keeps
+  * the deterministic fake-header path so the generic typed-pipeline shape
+  * stays testable independent of any container format, and a production
+  * build swaps `decodeStub`/`extractFeatures` for a JNI/FFI codec without
   * touching the plan shape.
   *
   * Scale notes: media rows are large (MBs), so operators here avoid
@@ -229,15 +232,123 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling stub for video rows: emit every `stride`-th "frame"
-    * index with a byte-offset — shows the explode/generator shape a real
-    * frame sampler would use. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.filter(col("kind") === "video")
-      .withColumn("n_frames", (coalesce(length(col("payload")), lit(0)) / 1024 + 1).cast("int"))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
-      .select(col("media_id"), col("frame_idx"), (col("frame_idx") * 1024).as("byte_offset"))
+  /** Real minimal RIFF/AVI container bytes: `LIST hdrl` (avih + one
+    * `vids/MJPG` strl) followed by `LIST movi` holding one `00dc` chunk per
+    * entry of `frameSizes` (deterministic filler payload). The video analog
+    * of [[pngBytes]]/[[wavBytes]]: the container layout is a pure integer
+    * function of the frame sizes, so frame byte-offsets parsed back from
+    * these bytes are oracle-checkable by closed-form prefix sums.
+    * Frame sizes must be even (RIFF pads odd chunks; even sizes keep the
+    * offset arithmetic SQL-replayable). */
+  def aviBytes(frameSizes: Array[Int], width: Int, height: Int,
+               usecPerFrame: Int): Array[Byte] = {
+    require(frameSizes.forall(s => s >= 0 && s % 2 == 0), "frame sizes must be even")
+    val strlContent = 4 + (8 + 56) + (8 + 40)        // 'strl' + strh + strf
+    val hdrlContent = 4 + (8 + 56) + (8 + strlContent) // 'hdrl' + avih + LIST strl
+    val moviContent = 4 + frameSizes.map(8 + _).sum
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffContent)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); buf.putInt(riffContent); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlContent); fcc("hdrl")
+    fcc("avih"); buf.putInt(56)
+    buf.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frameSizes.length)                     // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)       // dwReserved[4]
+    fcc("LIST"); buf.putInt(strlContent); fcc("strl")
+    fcc("strh"); buf.putInt(56)
+    fcc("vids"); fcc("MJPG")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(usecPerFrame).putInt(1000000)          // dwScale / dwRate
+      .putInt(0).putInt(frameSizes.length)           // dwStart / dwLength
+      .putInt(0).putInt(-1).putInt(0)                // sugg / quality / sampleSize
+    buf.putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+    fcc("MJPG")
+    buf.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(moviContent); fcc("movi")
+    frameSizes.zipWithIndex.foreach { case (sz, i) =>
+      fcc("00dc"); buf.putInt(sz)
+      var j = 0
+      while (j < sz) { buf.put(((i * 31 + j * 7) % 251).toByte); j += 1 }
+    }
+    buf.array()
+  }
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
+                              frame_bytes: Int, width: Int, height: Int,
+                              n_frames: Int, ok: Boolean)
+
+  /** REAL video frame indexing — a pure-Scala RIFF walk (header parsing,
+    * no codec needed): validates `RIFF`/`AVI `, reads dims + frame count
+    * from `avih`, and enumerates the `movi` list's `##dc`/`##db` chunks
+    * into (frame_idx, byte_offset, frame_bytes) rows — the seek index a
+    * frame sampler needs before any pixel decode. Replaces the former
+    * payload-length stub: offsets/counts now come from the actual
+    * container bytes (pixel decode of the frames themselves would still
+    * need a codec the JDK doesn't ship). Malformed payloads yield one
+    * `ok = false` row — quarantine, never task failure. Same narrow
+    * mapPartitions shape as [[decode]]; only fixed-width index rows ever
+    * reach a shuffle. */
+  def aviFrameIndex(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def u32(off: Int): Long =
+        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+      def fcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+      def bad = Iterator.single(
+        VideoFrame(r.media_id, 0, 0L, 0, 0, 0, 0, ok = false))
+      try {
+        if (p.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") bad
+        else {
+          var width = 0; var height = 0; var nFrames = 0
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          val end = math.min(p.length.toLong, 8L + u32(4)).toInt
+          var off = 12
+          while (off + 8 <= end) {
+            val id = fcc(off)
+            val sz = u32(off + 4).toInt
+            if (id == "LIST" && off + 12 <= end) {
+              fcc(off + 8) match {
+                case "movi" =>
+                  var fo = off + 12
+                  val lend = math.min(off + 8L + sz, end.toLong).toInt
+                  while (fo + 8 <= lend) {
+                    val cid = fcc(fo)
+                    val csz = u32(fo + 4).toInt
+                    if (cid.endsWith("dc") || cid.endsWith("db"))
+                      frames += ((fo + 8L, csz))
+                    fo += 8 + csz + (csz & 1)
+                  }
+                  off += 8 + sz + (sz & 1)
+                case "hdrl" | "strl" => off += 12 // descend
+                case _ => off += 8 + sz + (sz & 1)
+              }
+            } else {
+              if (id == "avih" && off + 8 + 56 <= end) {
+                nFrames = u32(off + 8 + 16).toInt
+                width = u32(off + 8 + 32).toInt
+                height = u32(off + 8 + 36).toInt
+              }
+              off += 8 + sz + (sz & 1)
+            }
+          }
+          if (frames.isEmpty) bad
+          else frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+            VideoFrame(r.media_id, i, o, sz, width, height, nFrames, ok = true)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => bad }
+    })
+  }
 
   /** Metadata-only profile: drops the payload before the shuffle. */
   def profile(media: DataFrame): DataFrame =

@@ -284,6 +284,36 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(2L).length == 1 && !got(2L).head.ok, "corrupt must quarantine")
   }
 
+  test("aviFrameIndex: real AVI container round-trip — offsets/sizes/dims " +
+    "parsed back from bytes; corrupt payloads quarantine as ok=false") {
+    import spark.implicits._
+    val sizes = Array(64, 128, 72)
+    val good = Multimodal.MediaRow(1L, "video",
+      Multimodal.aviBytes(sizes, 320, 240, 33333), "video/avi", None, None, None)
+    val corrupt = Multimodal.MediaRow(2L, "video",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "video/avi", None, None, None)
+    val empty = Multimodal.MediaRow(3L, "video", null, "video/avi", None, None, None)
+    val got = Multimodal.aviFrameIndex(Seq(good, corrupt, empty).toDS())
+      .collect().groupBy(_.media_id)
+    val fr = got(1L).sortBy(_.frame_idx)
+    assert(fr.length == 3 && fr.forall(f => f.ok && f.width == 320 &&
+      f.height == 240 && f.n_frames == 3), fr.mkString(";"))
+    assert(fr.map(_.frame_bytes).toList == sizes.toList)
+    // closed-form layout: movi data starts at 224; frame i data offset =
+    // 224 + Σ_{j<i}(8 + size_j) + 8
+    val expected = sizes.scanLeft(0)((a, s) => a + 8 + s).init
+      .map(pre => 224L + pre + 8)
+    assert(fr.map(_.byte_offset).toList == expected.toList,
+      s"${fr.map(_.byte_offset).toList} vs $expected")
+    // the parsed offsets really do address the frame payload bytes
+    val payload = good.payload
+    for ((f, i) <- fr.zipWithIndex; j <- Seq(0, f.frame_bytes - 1))
+      assert(payload(f.byte_offset.toInt + j) == ((i * 31 + j * 7) % 251).toByte,
+        s"frame $i byte $j")
+    assert(got(2L).length == 1 && !got(2L).head.ok, "corrupt must quarantine")
+    assert(got(3L).length == 1 && !got(3L).head.ok, "null must quarantine")
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
