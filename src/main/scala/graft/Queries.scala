@@ -4423,6 +4423,39 @@ object Queries {
         graft.streaming.StreamingJobs.stateMetrics(agg)
       }),
 
+    // Streaming exact dedup run AS A STREAM end-to-end, absorbing a
+    // simulated source REPLAY: the events stream unioned with itself
+    // (every event arrives twice) flows through
+    // dropDuplicatesWithinWatermark, and exactly the original events
+    // survive — the at-least-once-source → exactly-once-output contract a
+    // 100 TB ingest line relies on. Both replay copies carry identical
+    // payloads, so the survivor set is deterministic and the oracle is
+    // simply the events table. State is watermark-bounded (1 day).
+    QueryDef("stream_dedup_replay", Some(
+      "SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value " +
+        "FROM events ORDER BY event_id"),
+      (s, d) => {
+        val tsIsLong =
+          s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", if (tsIsLong) LongType else TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        def src: DataFrame = {
+          val raw = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+          if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val replayed = src.union(src).withColumn("event_hash", col("event_id"))
+        graft.streaming.StreamingJobs.drainToMemory(
+            graft.streaming.StreamingJobs.dedupStream(replayed), "stream_dedup")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      }),
+
     // Streaming Gopher gate run AS A STREAM end-to-end (readStream →
     // row-local rules → append memory sink, AvailableNow drain) — the
     // 100 TB ingest-gate shape: stateless, zero state store, throughput

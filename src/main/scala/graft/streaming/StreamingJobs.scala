@@ -329,27 +329,32 @@ object StreamingJobs {
     rows.toDF("operator", "state_rows", "memory_positive")
   }
 
-  private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val memRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drain a streaming frame to completion (AvailableNow) into an
+    * append-mode memory sink and return the materialized table — the
+    * run-a-real-stream seam the `stream_*` oracle rows share. Per-call
+    * query name: memory-sink names must be unique per session. */
+  def drainToMemory(stream: DataFrame, prefix: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"${prefix}_${memRuns.incrementAndGet()}"
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
 
   /** Streaming Gopher gate: the row-local rule set applied to an ARRIVING
     * corpus. [[graft.operators.TextAnalysis.gopherRules]] is stateless (no
     * shuffle, no watermark needed), so append mode emits each verdict
     * exactly once as its microbatch commits — the shape a 100 TB ingest
     * gate runs in: rules evaluate inline in the scan, throughput bounded
-    * by source read speed, zero state-store footprint. Drains the source
-    * with AvailableNow into a memory sink and returns the gated table
-    * (per-call query name: memory-sink names must be unique per session).
+    * by source read speed, zero state-store footprint.
     */
-  def gopherGate(docs: DataFrame, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val name = s"gopher_gate_${gateRuns.incrementAndGet()}"
-    val q = graft.operators.TextAnalysis.gopherRules(docs, textCol)
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    spark.table(name)
-  }
+  def gopherGate(docs: DataFrame, textCol: String): DataFrame =
+    drainToMemory(
+      graft.operators.TextAnalysis.gopherRules(docs, textCol), "gopher_gate")
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
