@@ -4456,6 +4456,41 @@ object Queries {
           .orderBy("event_id")
       }),
 
+    // Streaming corpus admission vs a static history index, run AS A
+    // STREAM: even-id docs form the already-ingested digest history
+    // (static side, no state store — re-planned per microbatch); the full
+    // corpus streams in, and a doc is admitted only if its digest is
+    // absent from history AND unseen in-stream (watermark-bounded dedup
+    // absorbs in-stream duplicate texts). Which doc_id survives an
+    // in-stream duplicate group depends on partition arrival order, so
+    // the row emits the admitted DIGEST SET — deterministic by
+    // construction — and the oracle recomputes it as odd-id distinct
+    // digests minus the even-id digest set (DuckDB md5 == Spark md5).
+    QueryDef("stream_admit_history", Some(
+      "SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 1 " +
+        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0) " +
+        "ORDER BY digest"),
+      (s, d) => {
+        val hist = T(s, d, "documents").filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("digest"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 2 === 1)
+          // event time synthesized from the id (one doc per hour) — the
+          // watermark column the in-stream dedup state is bounded by
+          .withColumn("ts", timestamp_seconds(col("doc_id") * 3600))
+          .select("doc_id", "text", "ts")
+        graft.streaming.StreamingJobs.drainToMemory(
+            graft.streaming.StreamingJobs.admitStream(src, hist), "stream_admit")
+          .select(md5(col("text")).as("digest"))
+          .distinct()
+          .orderBy("digest")
+      }),
+
     // Streaming Gopher gate run AS A STREAM end-to-end (readStream →
     // row-local rules → append memory sink, AvailableNow drain) — the
     // 100 TB ingest-gate shape: stateless, zero state store, throughput
