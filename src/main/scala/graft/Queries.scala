@@ -4456,6 +4456,101 @@ object Queries {
           .orderBy("event_id")
       }),
 
+    // Idempotent streaming append sink (K1's streaming twin) run
+    // end-to-end TWICE: the events stream appends into an empty target;
+    // the second drain (fresh checkpoint — a full source replay)
+    // left-anti joins the CURRENT target and must insert 0 rows. The
+    // final target therefore holds each event exactly once and the
+    // oracle is simply the events table — a duplicate-appending replay
+    // would double the row count and fail rows_match.
+    QueryDef("stream_append_idempotent", Some(
+      "SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value " +
+        "FROM events ORDER BY event_id"),
+      (s, d) => {
+        val root = "/tmp/graft_append_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val target = s"$root/target"
+        val tsIsLong =
+          s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", if (tsIsLong) LongType else TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        def src: DataFrame = {
+          val raw = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+          val ev = if (tsIsLong)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+          ev.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        }
+        for (run <- 1 to 2) {
+          val q = graft.streaming.StreamingJobs.idempotentAppendSink(src, target,
+            keyCols = Seq("event_id"), checkpoint = s"$root/ckpt$run")
+          q.awaitTermination()
+        }
+        s.read.parquet(target).orderBy("event_id")
+      }),
+
+    // Streaming type-1 MERGE sink run end-to-end TWICE: the part table
+    // seeds the target snapshot, the merge_upsert-shaped batch streams in
+    // and full-outer-merges via the crash-safe snapshot swap, then a
+    // SECOND drain (fresh checkpoint — a replay) re-merges the same rows
+    // and must classify everything noop, leaving the snapshot unchanged.
+    // The final target is the type-1 merge result, so the oracle is
+    // merge_upsert's SQL minus the audit column. Pins the sink lifecycle
+    // (foreachBatch merge, .next/.old swap, replay idempotence) in the
+    // gate, not just unit tests.
+    QueryDef("stream_upsert_snapshot", Some(
+      "WITH src AS (" +
+        "SELECT p_partkey, p_brand, p_retailprice + 1 AS p_retailprice FROM part WHERE p_partkey % 3 = 0 " +
+        "UNION ALL SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey % 3 = 1 " +
+        "UNION ALL SELECT p_partkey + 1000000, 'NEW', 1.0 FROM part WHERE p_partkey % 97 = 0) " +
+        "SELECT coalesce(t.p_partkey, s.p_partkey) AS p_partkey, " +
+        "CASE WHEN s.p_partkey IS NOT NULL THEN s.p_brand ELSE t.p_brand END AS p_brand, " +
+        "CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice ELSE t.p_retailprice END AS p_retailprice " +
+        "FROM part t FULL OUTER JOIN src s ON t.p_partkey = s.p_partkey ORDER BY p_partkey"),
+      (s, d) => {
+        val root = "/tmp/graft_upsert_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val target = s"$root/target"
+        T(s, d, "part").select("p_partkey", "p_brand", "p_retailprice")
+          .write.parquet(target)
+        val schema = StructType(Seq(
+          StructField("p_partkey", LongType), StructField("p_name", StringType),
+          StructField("p_brand", StringType), StructField("p_type", StringType),
+          StructField("p_size", IntegerType),
+          StructField("p_retailprice", DoubleType)))
+        def srcStream: DataFrame = {
+          val raw = s.readStream.schema(schema)
+            .option("pathGlobFilter", "part.parquet").parquet(d)
+          raw.filter(col("p_partkey") % 3 === 0)
+            .select(col("p_partkey"), col("p_brand"),
+              (col("p_retailprice") + 1).as("p_retailprice"))
+            .unionByName(raw.filter(col("p_partkey") % 3 === 1)
+              .select("p_partkey", "p_brand", "p_retailprice"))
+            .unionByName(raw.filter(col("p_partkey") % 97 === 0)
+              .select((col("p_partkey") + 1000000).as("p_partkey"),
+                lit("NEW").as("p_brand"), lit(1.0).as("p_retailprice")))
+        }
+        // first drain merges; second drain (fresh checkpoint = a replay)
+        // must be all-noop — a non-idempotent merge would double-apply
+        // the +1 update and hash-fail the price column
+        for (run <- 1 to 2) {
+          val q = graft.streaming.StreamingJobs.upsertSink(srcStream, target,
+            keyCols = Seq("p_partkey"), attrCols = Seq("p_brand", "p_retailprice"),
+            orderCol = "p_retailprice", checkpoint = s"$root/ckpt$run")
+          q.awaitTermination()
+        }
+        s.read.parquet(target).orderBy("p_partkey")
+      }),
+
     // Streaming corpus admission vs a static history index, run AS A
     // STREAM: even-id docs form the already-ingested digest history
     // (static side, no state store — re-planned per microbatch); the full
