@@ -103,6 +103,67 @@ object Queries {
     * for queries that enumerate it (pivot columns, funnels). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Fresh scratch warehouse under /tmp, keyed by query family + sf dir,
+    * wiped on entry — shared by the integration-style rows that write real
+    * files (pipeline, source-chain, format round-trips). */
+  private def scratchDir(s: SparkSession, family: String, d: String): String = {
+    val root = s"/tmp/${family}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(hp)) fs.delete(hp, true)
+    root
+  }
+
+  /** Rectangle municipality/biome dims for the pipeline integration rows:
+    * 3 municipality strips by lon, 2 biome strips by lat; box edges at
+    * x.005 so 2-decimal event coordinates are always strictly interior —
+    * every valid event lands in exactly ONE box of each dim, which is what
+    * lets the oracles reduce conservation sums to plain row counts. */
+  private def pipelineDims(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    def rect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): Seq[Seq[Seq[Seq[Double]]]] =
+      Seq(Seq(Seq(Seq(minLon, minLat), Seq(maxLon, minLat), Seq(maxLon, maxLat),
+        Seq(minLon, maxLat), Seq(minLon, minLat))))
+    def box(df: DataFrame, minLon: Double, minLat: Double,
+            maxLon: Double, maxLat: Double): DataFrame =
+      df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
+        .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
+        .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](
+          rect(minLon, minLat, maxLon, maxLat)))
+    val municipios =
+      box(Seq(("m1", "MunA", "UF1", 5000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+        -70.005, -10.005, -60.005, 0.005)
+      .unionByName(box(Seq(("m2", "MunB", "UF2", 6000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+        -60.005, -10.005, -50.005, 0.005))
+      .unionByName(box(Seq(("m3", "MunC", "UF3", 7000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
+        -50.005, -10.005, -39.995, 0.005))
+    val biomas =
+      box(Seq((1L, "1", "BiomaSul")).toDF("dim_id", "cd_bioma", "bioma_nome"),
+        -70.005, -10.005, -39.995, -5.005)
+      .unionByName(box(Seq((2L, "2", "BiomaNorte")).toDF("dim_id", "cd_bioma", "bioma_nome"),
+        -70.005, -5.005, -39.995, 0.005))
+    (municipios, biomas)
+  }
+
+  /** INPE-shaped raw CSV frame from a pre-filtered events slice, day key
+    * pinned to `dayStr`: lat encodes event_id uniquely (so the in-batch
+    * hash dedup can never fire), poison rows pin the drop rules — lat 'nan'
+    * (%97 → P4), lat out of range (%89 → P5) — and %11 sends a null-word
+    * satelite (cleaned, not dropped). Valid-row count is therefore the
+    * closed-form `¬%97 ∧ ¬%89` predicate the pipeline oracles replay. */
+  private def pipelineRawCsv(ev: DataFrame, dayStr: String): DataFrame =
+    ev.select(
+      when(col("event_id") % 97 === 0, lit("nan"))
+        .when(col("event_id") % 89 === 0, lit("95,00"))
+        .otherwise(concat(lit("-"), expr("event_id div 10000").cast("string"),
+          lit(","), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+        .as("latitude"),
+      concat(lit("-"), (col("event_id") % 30 + 40).cast("string"), lit(","),
+        lpad(((col("event_id") * 7) % 100).cast("string"), 2, "0")).as("longitude"),
+      concat(lit(s"$dayStr "), date_format(col("ts"), "HH:mm:ss")).as("data_hora_gmt"),
+      when(col("event_id") % 11 === 0, lit("nan")).otherwise(lit("AQUA_M-T")).as("satelite"),
+      lit("RAW_MUN").as("municipio"), lit("XX").as("estado"), lit("RAW_BIOMA").as("bioma"))
+
   /** DuckDB replay of [[operators.TextAnalysis.gopherRules]] — ONE source
     * of truth for the batch (quality_gopher_rules) and streaming
     * (stream_gopher_gate) oracle rows: the gate is the same row-local
@@ -1316,6 +1377,65 @@ object Queries {
             graft.ingest.Ingest.readCsv(s, dir), java.sql.Date.valueOf("2024-01-15"))
           .select("lat", "lon", "view_ts", "satelite", "municipio", "uf",
             "bioma", "file_date")
+      }),
+
+    // S1+S2+S3 under the gate: the full source-selection chain through REAL
+    // files (reference download_daily_csv, inpe_focos_diario.py:257-311).
+    // 60 days of rows split into two monthly archives (Jan carries BR
+    // dd/MM/yyyy timestamps, Feb ISO — both regex branches of the S3 date
+    // extractor); daily files exist for two probe days only and carry one
+    // extra sentinel row, so the row COUNT proves which source was read:
+    //  - 2024-01-05 old + daily present → monthly preferred (count=base,
+    //    NOT base+1: the retention cutoff really did route around the file)
+    //  - 2024-01-06 old + daily absent  → monthly
+    //  - 2024-02-10 recent + daily present → daily (count=base+1)
+    //  - 2024-02-11 recent + daily absent  → monthly 404-fallback
+    QueryDef("source_fallback_chain", Some(
+      "WITH probe(idx) AS (VALUES (4), (5), (40), (41)), " +
+        "e AS (SELECT CAST(event_id // 10 % 60 AS INT) AS idx FROM events " +
+        "WHERE event_id % 10 = 0), " +
+        "c AS (SELECT idx, count(*) AS n FROM e WHERE idx IN (4, 5, 40, 41) GROUP BY 1) " +
+        "SELECT DATE '2024-01-01' + p.idx AS day, " +
+        "CASE WHEN p.idx = 40 THEN 'daily' ELSE 'monthly' END AS source, " +
+        "coalesce(c.n, 0) + CASE WHEN p.idx = 40 THEN 1 ELSE 0 END AS n_rows " +
+        "FROM probe p LEFT JOIN c USING (idx) ORDER BY day"),
+      (s, d) => {
+        import s.implicits._
+        val dir = scratchDir(s, "graft_source_chain", d)
+        val today = java.time.LocalDate.parse("2024-03-01") // cutoff 2024-01-16
+        val jan1 = java.time.LocalDate.parse("2024-01-01")
+        val rows = T(s, d, "events").filter(col("event_id") % 10 === 0)
+          .select(expr("CAST(event_id div 10 % 60 AS INT)").as("idx"),
+            col("event_id"))
+          .withColumn("day", date_add(lit(java.sql.Date.valueOf(jan1)), col("idx")))
+        def writeCsv(df: DataFrame, path: String): Unit =
+          df.coalesce(1).write.mode("overwrite")
+            .option("sep", ";").option("header", "true").csv(path)
+        def stamped(df: DataFrame, fmt: String): DataFrame =
+          df.select(concat(date_format(col("day"), fmt), lit(" 00:30:00"))
+            .as("Data Hora GMT"), col("event_id").cast("string").as("valor"))
+        writeCsv(stamped(rows.filter(month(col("day")) === 1), "dd/MM/yyyy"),
+          s"$dir/monthly_2024-01")
+        writeCsv(stamped(rows.filter(month(col("day")) === 2), "yyyy-MM-dd"),
+          s"$dir/monthly_2024-02")
+        for (idx <- Seq(4, 40)) {
+          val dayStr = jan1.plusDays(idx.toLong).toString
+          writeCsv(stamped(rows.filter(col("idx") === idx), "yyyy-MM-dd")
+            .unionByName(Seq(("sentinel", "-1")).toDF("Data Hora GMT", "valor")),
+            s"$dir/daily_$dayStr")
+        }
+        val daily: java.time.LocalDate => Option[String] = dt =>
+          Option(s"$dir/daily_$dt").filter(_ => Seq(4L, 40L).contains(
+            java.time.temporal.ChronoUnit.DAYS.between(jan1, dt)))
+        val monthly: java.time.YearMonth => Option[String] =
+          ym => Some(s"$dir/monthly_$ym")
+        // 4 bounded driver-side resolves: each models one ARRIVING day — the
+        // production unit of work — not a distributed scan
+        Seq(4, 5, 40, 41).map { idx =>
+          val dt = jan1.plusDays(idx.toLong)
+          val r = graft.sources.Sources.resolveDaily(s, dt, daily, monthly, today)
+          (java.sql.Date.valueOf(dt), r.source.split(":")(0), r.df.count())
+        }.toDF("day", "source", "n_rows").orderBy("day")
       }),
 
     QueryDef("p6_value_clean", Some(
@@ -4200,46 +4320,12 @@ object Queries {
         "n AS mart_mun_sum, n AS mart_uf_sum, n AS mart_bioma_sum FROM v"),
       (s, d) => {
         import s.implicits._
-        val root = "/tmp/graft_pipeline_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
-        val hp = new org.apache.hadoop.fs.Path(root)
-        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
-        if (fs.exists(hp)) fs.delete(hp, true)
-        def rect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): Seq[Seq[Seq[Seq[Double]]]] =
-          Seq(Seq(Seq(Seq(minLon, minLat), Seq(maxLon, minLat), Seq(maxLon, maxLat),
-            Seq(minLon, maxLat), Seq(minLon, minLat))))
-        def box(df: DataFrame, minLon: Double, minLat: Double,
-                maxLon: Double, maxLat: Double): DataFrame =
-          df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
-            .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
-            .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](
-              rect(minLon, minLat, maxLon, maxLat)))
-        // 3 municipality strips by lon, 2 biome strips by lat; box edges at
-        // x.005 so 2-decimal event coordinates are always strictly interior
-        val municipios =
-          box(Seq(("m1", "MunA", "UF1", 5000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
-            -70.005, -10.005, -60.005, 0.005)
-          .unionByName(box(Seq(("m2", "MunB", "UF2", 6000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
-            -60.005, -10.005, -50.005, 0.005))
-          .unionByName(box(Seq(("m3", "MunC", "UF3", 7000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
-            -50.005, -10.005, -39.995, 0.005))
-        val biomas =
-          box(Seq((1L, "1", "BiomaSul")).toDF("dim_id", "cd_bioma", "bioma_nome"),
-            -70.005, -10.005, -39.995, -5.005)
-          .unionByName(box(Seq((2L, "2", "BiomaNorte")).toDF("dim_id", "cd_bioma", "bioma_nome"),
-            -70.005, -5.005, -39.995, 0.005))
-        val raw = T(s, d, "events").filter(col("event_id") % 10 === 0).select(
-          when(col("event_id") % 97 === 0, lit("nan"))
-            .when(col("event_id") % 89 === 0, lit("95,00"))
-            .otherwise(concat(lit("-"), expr("event_id div 10000").cast("string"),
-              lit(","), lpad((col("event_id") % 10000).cast("string"), 4, "0")))
-            .as("latitude"),
-          concat(lit("-"), (col("event_id") % 30 + 40).cast("string"), lit(","),
-            lpad(((col("event_id") * 7) % 100).cast("string"), 2, "0")).as("longitude"),
-          // day key pinned to the file date: this query pins idempotency;
-          // the view_ts-vs-file_date day-key split is pinned by a1-a6
-          concat(lit("2024-01-15 "), date_format(col("ts"), "HH:mm:ss")).as("data_hora_gmt"),
-          when(col("event_id") % 11 === 0, lit("nan")).otherwise(lit("AQUA_M-T")).as("satelite"),
-          lit("RAW_MUN").as("municipio"), lit("XX").as("estado"), lit("RAW_BIOMA").as("bioma"))
+        val root = scratchDir(s, "graft_pipeline_q", d)
+        val (municipios, biomas) = pipelineDims(s)
+        // day key pinned to the file date: this query pins idempotency;
+        // the view_ts-vs-file_date day-key split is pinned by a1-a6
+        val raw = pipelineRawCsv(
+          T(s, d, "events").filter(col("event_id") % 10 === 0), "2024-01-15")
         val p = new graft.pipeline.Pipeline(s, root, municipios, biomas, None, None)
         val day = java.time.LocalDate.parse("2024-01-15")
         // rebuild only the marts this invariant reads — the writeMarts
@@ -4257,6 +4343,64 @@ object Queries {
           martSum("focos_diario_bioma", "focos")))
           .toDF("attempted_1", "inserted_1", "attempted_2", "inserted_2",
             "curated_n", "enriched_n", "mart_mun_sum", "mart_uf_sum", "mart_bioma_sum")
+      }),
+
+    // §2.10 EP2 under the gate: resumable range backfill with the atomic
+    // state file (reference src/etl/backfill.py:63-66 + runner loop).
+    // Two days split by (event_id div 10) % 2; the day-2 source THROWS on
+    // the first pass (a transient 404), so pass 1 completes day 1 and
+    // persists last_completed=day1; the resumed pass heals the source and
+    // must run day 2 ONLY. n_fetches proves it (1,2): a resume that re-ran
+    // the completed day would fetch it twice — and re-inserting is already
+    // pinned as a 0 by pipeline_idempotent. Inserted counts come from the
+    // curated store's file_date partitions, so the oracle is the
+    // closed-form valid-row count per day slice.
+    QueryDef("pipeline_backfill_resume", Some(
+      "WITH v AS (SELECT CAST(event_id // 10 % 2 AS INT) AS idx FROM events " +
+        "WHERE event_id % 10 = 0 AND event_id % 97 <> 0 AND event_id % 89 <> 0), " +
+        "c AS (SELECT idx, count(*) AS inserted FROM v GROUP BY 1) " +
+        "SELECT DATE '2024-02-01' + idx AS day, inserted, " +
+        "CAST(idx + 1 AS INT) AS pass, CAST(idx + 1 AS BIGINT) AS n_fetches " +
+        "FROM c ORDER BY day"),
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir(s, "graft_backfill_q", d)
+        val (municipios, biomas) = pipelineDims(s)
+        val p = new graft.pipeline.Pipeline(s, root, municipios, biomas, None, None)
+        val day1 = java.time.LocalDate.parse("2024-02-01")
+        val day2 = day1.plusDays(1)
+        val ev = T(s, d, "events").filter(col("event_id") % 10 === 0)
+        val fetches = scala.collection.mutable.Map[java.time.LocalDate, Long]()
+          .withDefaultValue(0L)
+        def csvFor(poisonDay2: Boolean)(dt: java.time.LocalDate): DataFrame = {
+          fetches(dt) += 1
+          if (poisonDay2 && dt == day2)
+            throw new java.io.FileNotFoundException(s"transient 404 for $dt")
+          pipelineRawCsv(
+            ev.filter(expr("event_id div 10 % 2") ===
+              java.time.temporal.ChronoUnit.DAYS.between(day1, dt)),
+            dt.toString)
+        }
+        // no mart rebuilds: this row pins RESUME semantics (state file,
+        // skip-completed, per-day inserts); mart content is pinned by
+        // pipeline_idempotent — an empty subset keeps the row's cost at
+        // the ingest+enrich chain it actually asserts
+        val marts = Set.empty[String]
+        // pass 1 dies on day 2 (its done-list is lost with the throw; the
+        // state file survives — that is the point), pass 2 resumes
+        require(scala.util.Try(
+          p.backfill(day1, day2, csvFor(poisonDay2 = true),
+            checks = false, marts = marts)).isFailure, "day-2 poison must throw")
+        val pass2 = p.backfill(day1, day2, csvFor(poisonDay2 = false),
+          resume = true, checks = false, marts = marts)
+        val meta = Seq(day1, day2).map { dt =>
+          (java.sql.Date.valueOf(dt), if (pass2.contains(dt)) 2 else 1, fetches(dt))
+        }.toDF("day", "pass", "n_fetches")
+        s.read.parquet(s"$root/curated")
+          .groupBy(col("file_date").as("day")).agg(count(lit(1)).as("inserted"))
+          .join(broadcast(meta), Seq("day"))
+          .select("day", "inserted", "pass", "n_fetches")
+          .orderBy("day")
       }),
 
     // SCD2 merge (Kimball type-2 upsert) over a synthetic dimension built

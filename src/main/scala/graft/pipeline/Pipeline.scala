@@ -279,12 +279,13 @@ final class Pipeline(spark: SparkSession, root: String,
     *               tests inject local fixtures)
     */
   def backfill(start: LocalDate, end: LocalDate, csvFor: LocalDate => DataFrame,
-               resume: Boolean = false, checks: Boolean = true): Seq[LocalDate] = {
+               resume: Boolean = false, checks: Boolean = true,
+               marts: Set[String] = allMarts.toSet): Seq[LocalDate] = {
     val from = if (resume) readState().map(_.plusDays(1)).getOrElse(start) else start
     val done = scala.collection.mutable.Buffer[LocalDate]()
     var cur = from
     while (!cur.isAfter(end)) {
-      runDayFrom(csvFor(cur), cur)
+      runDayFrom(csvFor(cur), cur, marts)
       if (checks) {
         val errs = checkDay(cur)
         require(errs.isEmpty, s"invariants failed for $cur: ${errs.mkString("; ")}")
