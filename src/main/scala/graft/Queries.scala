@@ -103,6 +103,62 @@ object Queries {
     * for queries that enumerate it (pivot columns, funnels). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Messy URL synthesized from doc_id arithmetic — ONE source of truth
+    * with [[urlOracleCtes]]: scheme case (%4), WWW prefix (%3), cdn
+    * subdomain (%2), tld incl. two-label suffix (%5), default/non-default
+    * ports (%6), trailing path slash (%7), utm tracking params (%8),
+    * fragment (%9). */
+  private def syntheticUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 4 === 0, "http").when(id % 4 === 1, "HTTP")
+      .when(id % 4 === 2, "https").otherwise("HTTPS")
+    val www = when(id % 3 === 0, "WWW.").otherwise("")
+    val hostcore = concat(
+      when(id % 2 === 0, "cdn.site").otherwise("site"), (id % 40).cast("string"))
+    val tld = when(id % 5 === 0, ".com").when(id % 5 === 1, ".COM")
+      .when(id % 5 === 2, ".org").when(id % 5 === 3, ".co.br").otherwise(".net")
+    val port = when(id % 6 === 0, ":80").when(id % 6 === 1, ":443")
+      .when(id % 6 === 2, ":8080").otherwise("")
+    val path = concat(lit("/docs/"), (id % 20).cast("string"),
+      when(id % 7 === 0, "/").otherwise(""))
+    val query = when(id % 8 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 10).cast("string")))
+      .when(id % 8 === 1,
+        concat(lit("?id="), (id % 10).cast("string"), lit("&utm_campaign=mail")))
+      .when(id % 8 === 2, "?utm_medium=em").otherwise("")
+    val frag = when(id % 9 === 0, "#sec2").otherwise("")
+    concat(scheme, lit("://"), www, hostcore, tld, port, path, query, frag)
+  }
+
+  /** DuckDB twin of [[syntheticUrl]] plus the CLOSED-FORM canonical
+    * derivation (`canon` CTE: doc_id, url_raw, url_canon, host,
+    * reg_domain) — the oracle derives what the normalizer must produce
+    * from the arithmetic directly, never from the raw string. */
+  private def urlOracleCtes: String =
+    "WITH u AS (SELECT doc_id, " +
+      "CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END AS www, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'cdn.site' ELSE 'site' END || CAST(doc_id % 40 AS VARCHAR) AS hostcore, " +
+      "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.net' END AS tld, " +
+      "CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END AS port, " +
+      "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END AS path, " +
+      "CASE doc_id % 8 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) " +
+      "WHEN 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=mail' " +
+      "WHEN 2 THEN '?utm_medium=em' ELSE '' END AS query, " +
+      "CASE WHEN doc_id % 9 = 0 THEN '#sec2' ELSE '' END AS frag " +
+      "FROM documents), " +
+      "canon AS (SELECT doc_id, " +
+      "scheme || '://' || www || hostcore || tld || port || path || query || frag AS url_raw, " +
+      "CASE WHEN doc_id % 4 <= 1 THEN 'http' ELSE 'https' END || '://' || hostcore || lower(tld) || " +
+      "CASE WHEN doc_id % 6 = 0 AND doc_id % 4 >= 2 THEN ':80' " +
+      "WHEN doc_id % 6 = 1 AND doc_id % 4 <= 1 THEN ':443' " +
+      "WHEN doc_id % 6 = 2 THEN ':8080' ELSE '' END || " +
+      "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 8 <= 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END AS url_canon, " +
+      "hostcore || lower(tld) AS host, " +
+      "'site' || CAST(doc_id % 40 AS VARCHAR) || lower(tld) AS reg_domain " +
+      "FROM u)"
+
   /** Fresh scratch warehouse under /tmp, keyed by query family + sf dir,
     * wiped on entry — shared by the integration-style rows that write real
     * files (pipeline, source-chain, format round-trips). */
@@ -941,6 +997,32 @@ object Queries {
           .select("event_id", "event_type", "value", "z")
           .limit(20)
       }),
+
+    // Two-sample KS drift audit between the view/purchase value
+    // distributions — the shift check a pipeline runs before admitting a
+    // new batch. Exact integers end-to-end: 1e-2 value bins (floor, an
+    // IEEE-deterministic op both engines share), ONE hash aggregate counts
+    // both groups, and the ECDF-gap window runs on the BIN frame
+    // (value-range-bounded cardinality — never corpus-sized). The
+    // supremum row ships |cumA·nB − cumB·nA| exactly plus the derived
+    // 1e-6-unit KS statistic.
+    QueryDef("stats_ks_drift", Some(
+      "WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS bin, " +
+        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib " +
+        "FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL), " +
+        "c AS (SELECT bin, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb " +
+        "FROM b GROUP BY 1), " +
+        "w AS (SELECT bin, sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_a, sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum_b, sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b FROM c) " +
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_num, bin AS bin_at_max, " +
+        "CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_e6 " +
+        "FROM w ORDER BY ks_num DESC, bin_at_max LIMIT 1"),
+      (s, d) => operators.Profile.ksDrift(T(s, d, "events"),
+          "value", "event_type", "view", "purchase", binsPerUnit = 100)
+        .select("n_a", "n_b", "ks_num", "bin_at_max", "ks_e6")),
 
     // Count-min heavy hitters: tokens whose exact corpus count >= 500 next
     // to their CMS estimate (d=4, w=1024, Kirsch–Mitzenmacher buckets over
@@ -3803,6 +3885,51 @@ object Queries {
         TextFunctions.detectLanguageUdf(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // ------------------------------------------------------------ web ops
+    //
+    // URL canonicalization — the key of crawl-level dedup (C4/RefinedWeb
+    // count pages once per URL *after* normalization). Messy URLs are
+    // SYNTHESIZED from doc_id arithmetic (scheme case, WWW prefix, default
+    // and non-default ports, utm_* tracking params, fragments, trailing
+    // slashes, two-label public suffixes); the engine runs the generic
+    // regex normalizer (operators/Web.scala — row-local codegen'd string
+    // expressions, no shuffle, no UDF) while the ORACLE derives the
+    // canonical form CLOSED-FORM from the same arithmetic — an independent
+    // derivation, not a regex replay, so a normalizer bug cannot cancel
+    // itself out of the compare.
+    QueryDef("web_url_canonical", Some(
+      urlOracleCtes +
+        " SELECT doc_id, url_raw, url_canon, host, reg_domain FROM canon ORDER BY doc_id"),
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), syntheticUrl.as("url_raw"))
+        .select(col("doc_id"), col("url_raw"),
+          operators.Web.canonicalUrl(col("url_raw")).as("url_canon"),
+          operators.Web.urlHost(col("url_raw")).as("host"))
+        .withColumn("reg_domain", operators.Web.registeredDomain(col("host")))
+        .orderBy("doc_id")),
+
+    // Registered-domain rollup over the canonical keys: docs per domain,
+    // DISTINCT canonical URLs per domain (the crawl-dedup denominator) —
+    // one hash aggregate after the row-local canonicalization scan.
+    QueryDef("web_host_stats", Some(
+      urlOracleCtes +
+        " SELECT reg_domain, count(*) AS n_docs, " +
+        "CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls, " +
+        "min(doc_id) AS min_doc FROM canon GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val u = T(s, d, "documents")
+          .select(col("doc_id"), syntheticUrl.as("url_raw"))
+          .select(col("doc_id"),
+            operators.Web.canonicalUrl(col("url_raw")).as("url_canon"),
+            operators.Web.registeredDomain(
+              operators.Web.urlHost(col("url_raw"))).as("reg_domain"))
+        u.groupBy("reg_domain").agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("url_canon")).as("n_urls"),
+            min("doc_id").as("min_doc"))
+          .orderBy("reg_domain")
+      }),
+
     // the 31-based polynomial hash is exactly expressible in DuckDB via
     // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for
     // BMP text), so the fingerprint gets a real value-level oracle
@@ -3820,6 +3947,36 @@ object Queries {
         "ORDER BY doc_id"),
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         TextFunctions.fingerprint64Udf(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Character-entropy quality score — the classic gibberish/spam filter
+    // (low entropy = repeated chars/boilerplate; high = encoded noise).
+    // The engine computes the codepoint histogram ROW-LOCALLY inside a
+    // native codegen kernel (plans/CharLnSumE8Expr: one codepoint walk +
+    // one alphabet-sized table pass — no explode, no shuffle: the
+    // corpus-sized groupBy(doc, char) the oracle runs is exactly what a
+    // 100 TB pipeline must avoid; the HOF formulation was interpreted and
+    // O(distinct·len), 9× slower). Determinism: the only float op is
+    // round(ln(c)·1e8) per distinct COUNT value (both engines round the
+    // same IEEE double); the per-doc sum then runs in exact LONG units, so
+    // fold order can't drift. entropy_e6 = (n·ln(n) − Σ cᵢ·ln(cᵢ)) / n in
+    // 1e-6 nat units, derived with pure integer arithmetic from those sums.
+    QueryDef("text_char_entropy", Some(
+      "WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents), " +
+        "g AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, CAST(sum(cnt * CAST(round(ln(cnt) * 100000000) AS BIGINT)) AS BIGINT) AS s_e8, " +
+        "CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY 1) " +
+        "SELECT doc_id, n AS n_chars, s_e8, " +
+        "CAST((CAST(round(ln(n) * 100000000) AS BIGINT) * n - s_e8) // (n * 100) AS BIGINT) AS entropy_e6 " +
+        "FROM s ORDER BY doc_id"),
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          // length() counts codepoints on both engines
+          length(col("text")).cast("long").as("n_chars"),
+          graft.plans.CharLnSumE8Expr(col("text")).as("s_e8"))
+        .withColumn("entropy_e6",
+          expr("(CAST(round(ln(n_chars) * 100000000) AS BIGINT) * n_chars - s_e8) " +
+            "div (n_chars * 100)"))
         .orderBy("doc_id")),
 
     // Token-budget corpus selection: greedily take the highest-quality docs

@@ -76,4 +76,50 @@ object Profile {
         sum(when(col("__st") === "changed", 1L).otherwise(0L)).as("n_changed"),
         sum(when(col("__st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the `valueCol`
+    * distributions of two groups — the batch-vs-batch distribution-shift
+    * audit a training pipeline runs before admitting a new data drop.
+    *
+    * Exact integer arithmetic end-to-end: values are quantized to
+    * `binsPerUnit` bins (floor, an IEEE-deterministic op both engines
+    * share), both groups are counted in ONE hash aggregate (single
+    * shuffle), and the ECDF gap is computed as `|cumA·nB − cumB·nA|` over
+    * the BIN frame — whose cardinality is bounded by value-range ×
+    * binsPerUnit, so the one total-order window is ranking-sized, never
+    * corpus-sized (the quality_ccnet_buckets discipline). The supremum row
+    * ships as exact integers plus a derived 1e-6-unit KS statistic;
+    * `ks_e6 = |cumA·nB − cumB·nA| · 10⁶ / (nA·nB)` stays inside BIGINT for
+    * nA·nB ≤ 9.2e12 — past that, flip the final division to DOUBLE (the
+    * integer numerator is the part that must stay exact).
+    *
+    * Output (1 row): n_a, n_b, ks_num, bin_at_max (lowest bin attaining
+    * the supremum), ks_e6.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              groupA: String, groupB: String, binsPerUnit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"),
+        col(groupCol).as("__g"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(col("bin"),
+        sum("ca").over(cum).as("cum_a"), sum("cb").over(cum).as("cum_b"),
+        sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("ks_num"),
+        col("bin").as("bin_at_max"))
+      .orderBy(col("ks_num").desc, col("bin_at_max").asc)
+      .limit(1)
+      .withColumn("ks_e6",
+        expr("ks_num * 1000000 div (n_a * n_b)"))
+  }
 }

@@ -273,6 +273,47 @@ object ShingleKernel {
     }
     s
   }
+
+  /** Σ count·round(ln(count)·10⁸) over the codepoint histogram of `s`.
+    * Math.round(x) (floor(x+0.5)) equals round-half-away for the positive
+    * ln values here, matching Spark's and DuckDB's round(double). ASCII
+    * fast path: UTF-8 bytes < 0x80 ARE the codepoints, counted in a
+    * 128-slot array; any high byte falls back to a codepoint walk. */
+  def charLnSumE8(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    val ascii = new Array[Int](128)
+    var i = 0
+    var isAscii = true
+    while (i < nb && isAscii) {
+      val b = s.getByte(i)
+      if ((b & 0x80) != 0) isAscii = false
+      else { ascii(b) += 1; i += 1 }
+    }
+    var sum = 0L
+    if (isAscii) {
+      i = 0
+      while (i < 128) {
+        val c = ascii(i)
+        if (c > 0) sum += c.toLong * Math.round(Math.log(c.toDouble) * 1e8)
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      val counts = new java.util.HashMap[Integer, Integer]()
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        j += Character.charCount(cp)
+        counts.merge(cp, 1, (a, b) => a + b)
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        sum += c.toLong * Math.round(Math.log(c.toDouble) * 1e8)
+      }
+    }
+    sum
+  }
 }
 
 /** `shingleHashes(words, n)` as a native codegen expression. */
@@ -504,4 +545,38 @@ object MaskIntersectCountExpr {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(new MaskIntersectCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `charLnSumE8(text)` = Σ over distinct codepoints of
+  * count·round(ln(count)·10⁸) — the exact-integer core of the per-doc
+  * character-entropy score (entropy = ln(n) − S/(n·10⁸) nats). A native
+  * kernel because the HOF formulation (`transform(array_distinct(...),
+  * ch -> size(filter(...)))`) is interpreted AND O(distinct·len) per row;
+  * this is one codepoint walk + one pass over the (≤ alphabet-sized)
+  * count table, inside whole-stage codegen. Counts CODEPOINTS (like
+  * DuckDB's `regexp_extract_all(text, '(?s).')` oracle walk), with an
+  * ASCII fast path over the UTF-8 bytes.
+  */
+case class CharLnSumE8Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_ln_sum_e8 expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleKernel.charLnSumE8(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.ShingleKernel.charLnSumE8($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharLnSumE8Expr {
+  def apply(text: Column): Column =
+    ColumnBridge.column(new CharLnSumE8Expr(ColumnBridge.expression(text)))
 }

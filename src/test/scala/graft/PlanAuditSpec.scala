@@ -629,4 +629,34 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen'd operators print with the *(stageId) marker
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
   }
+
+  test("web_url_canonical: row-local codegen'd string normalization — no shuffle " +
+    "before the output sort, no UDF") {
+    val p = executedPlan("web_url_canonical")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"canonicalization must stay a scan-stage projection:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("text_char_entropy: row-local histogram — no corpus explode, no " +
+    "hash shuffle before the output sort") {
+    val p = executedPlan("text_char_entropy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the per-doc char histogram must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("generate"), // explode would print Generate
+      s"entropy must not explode the corpus:\n$p")
+  }
+
+  test("stats_ks_drift: ONE corpus hash aggregate; windows run on the bin frame") {
+    // count only the AQE final-plan section (toString repeats the
+    // exchanges in its "Initial Plan" appendix)
+    val p = executedPlan("stats_ks_drift").split("== Initial Plan ==").head
+    // corpus → bin counts is the only hash exchange; the single-partition
+    // window exchange operates on the aggregated bin frame (bounded by
+    // value-range × binsPerUnit), and the top-1 is a TakeOrdered merge
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"sup must be a top-1 merge:\n$p")
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Profile, Web}
+
+/** Hand-computable cases for URL canonicalization and the KS drift
+  * statistic. */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(Web.canonicalUrl(col("u"))).collect().map(_.getString(0)).toSeq
+  }
+
+  test("canonicalUrl: scheme/host case, www, default ports") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/a",
+      "https://example.com:443/a",
+      "https://example.com:80/a", // :80 NOT default for https — kept
+      "http://example.com:8080/a",
+      "http://cdn.example.com/a") == Seq(
+      "http://example.com/a",
+      "https://example.com/a",
+      "https://example.com:80/a",
+      "http://example.com:8080/a",
+      "http://cdn.example.com/a"))
+  }
+
+  test("canonicalUrl: fragments, utm params, separator repair") {
+    assert(canon(
+      "http://e.com/p#frag",
+      "http://e.com/p?utm_source=x",
+      "http://e.com/p?utm_source=x&id=5",
+      "http://e.com/p?id=5&utm_campaign=y",
+      "http://e.com/p?a=1&utm_medium=z&b=2",
+      "http://e.com/p?id=5#frag") == Seq(
+      "http://e.com/p",
+      "http://e.com/p",
+      "http://e.com/p?id=5",
+      "http://e.com/p?id=5",
+      "http://e.com/p?a=1&b=2",
+      "http://e.com/p?id=5"))
+  }
+
+  test("canonicalUrl: trailing slashes and empty paths") {
+    assert(canon(
+      "http://e.com",
+      "http://e.com/",
+      "http://e.com/a/b/",
+      "http://e.com/a//",
+      "http://e.com/?id=1") == Seq(
+      "http://e.com/",
+      "http://e.com/",
+      "http://e.com/a/b",
+      "http://e.com/a",
+      "http://e.com/?id=1"))
+  }
+
+  test("registeredDomain: two-label public suffixes") {
+    import spark.implicits._
+    val got = Seq("a.b.site.com", "cdn.site.co.br", "site.co.uk", "x.site.org")
+      .toDF("h").select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("site.com", "site.co.br", "site.co.uk", "site.org"))
+  }
+
+  test("ksDrift: hand-computed two-sample statistic") {
+    import spark.implicits._
+    // A = {0.10, 0.20, 0.30}, B = {0.30, 0.40} at 10 bins/unit:
+    // bins 1,2,3 vs 3,4. ECDF gaps (×nA·nB=6): bin1 |1·2−0·3|=2,
+    // bin2 |2·2−0·3|=4, bin3 |3·2−1·3|=3, bin4 |3·2−2·3|=0 → sup 4 at bin 2.
+    val df = Seq(("a", 0.10), ("a", 0.20), ("a", 0.30), ("b", 0.30), ("b", 0.40))
+      .toDF("g", "v")
+    val r = Profile.ksDrift(df, "v", "g", "a", "b", binsPerUnit = 10).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("n_a"), row.getAs[Long]("n_b")) == ((3L, 2L)))
+    assert(row.getAs[Long]("ks_num") == 4L)
+    assert(row.getAs[Long]("bin_at_max") == 2L)
+    assert(row.getAs[Long]("ks_e6") == 666666L) // 4e6 // 6
+  }
+
+  test("charLnSumE8 kernel: matches the reference histogram fold (ASCII + unicode)") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.codePoints().toArray.groupBy(identity).values
+        .map(g => g.length.toLong * Math.round(Math.log(g.length.toDouble) * 1e8))
+        .sum
+    val cases = Seq("", "a", "aaaa", "abab", "hello world",
+      "the quick brown fox jumps over the lazy dog",
+      "acentuação çãõ üé", "日本語テキスト 日本", "mixed ascii ação 日本")
+    val got = cases.toDF("t")
+      .select(graft.plans.CharLnSumE8Expr(col("t"))).collect().map(_.getLong(0))
+    assert(got.toSeq == cases.map(ref),
+      s"kernel/reference divergence: ${cases.zip(got).zip(cases.map(ref))}")
+    // single-char docs: n·ln(n) − S is exactly 0 (entropy 0, no drift from
+    // the quantization)
+    assert(ref("aaaa") == 4L * Math.round(Math.log(4.0) * 1e8))
+  }
+
+  test("ksDrift: identical samples have zero drift") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r = Profile.ksDrift(df, "v", "g", "a", "b", binsPerUnit = 100).collect().head
+    assert(r.getAs[Long]("ks_num") == 0L)
+    assert(r.getAs[Long]("ks_e6") == 0L)
+  }
+}
