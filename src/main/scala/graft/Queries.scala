@@ -1520,6 +1520,108 @@ object Queries {
         }.toDF("day", "source", "n_rows").orderBy("day")
       }),
 
+    // S1 under the gate: the download cache's skip-if-present contract
+    // (reference "extract cache hit", inpe_focos_diario.py:224-233). A
+    // counting fetcher serves a CSV built from one day's events slice: the
+    // first call fetches, the second must hit the cache (fetch count stays
+    // 1), force=true refetches, and a None fetcher (HTTP 404) resolves to
+    // nothing without touching the cache. n_rows reads the cached file
+    // back through the sniffing CSV reader, so the byte round-trip is
+    // checked too. The tiny collect models the DOWNLOAD seam — inherently
+    // driver-side, bounded by one day's file.
+    QueryDef("source_cache_fetch", Some(
+      "WITH e AS (SELECT count(*) AS n FROM events " +
+        "WHERE event_id % 10 = 0 AND event_id // 10 % 60 = 4) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_fetches, " +
+        "CAST(1 AS BIGINT) AS n_404_probes, true AS second_call_hit FROM e"),
+      (s, d) => {
+        import s.implicits._
+        val dir = scratchDir(s, "graft_source_cache", d)
+        val cache = java.nio.file.Paths.get(dir, "cache")
+        val ids = T(s, d, "events")
+          .filter(col("event_id") % 10 === 0 && expr("event_id div 10 % 60") === 4)
+          .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+        val csv = ("valor" +: ids.map(_.toString)).mkString("\n").getBytes("UTF-8")
+        var nFetch = 0L
+        val fetch = () => { nFetch += 1; Some(csv) }
+        val p1 = graft.sources.Sources.cachedFetch(cache, "d.csv", fetch)
+        val p2 = graft.sources.Sources.cachedFetch(cache, "d.csv", fetch)
+        val secondHit = p2.isDefined && nFetch == 1
+        graft.sources.Sources.cachedFetch(cache, "d.csv", fetch, force = true)
+        var n404 = 0L
+        val gone = graft.sources.Sources.cachedFetch(cache, "missing.csv",
+          () => { n404 += 1; None })
+        val nRows = graft.ingest.Ingest.readCsv(s, p1.get.toString).count()
+        Seq((nRows, nFetch, n404, secondHit && gone.isEmpty))
+          .toDF("n_rows", "n_fetches", "n_404_probes", "second_call_hit")
+      }),
+
+    // S6 under the gate: the candidate-column dimension normalizer
+    // (reference 00_build_ref_core.sql:88-122). A messy UC-shaped source is
+    // synthesized from `nation`: the preferred code column exists but is
+    // BLANK for ⅓ of rows (must fall through to uc_id), the preferred name
+    // is NULL for ¼ (falls through to `name`), values carry padding, and
+    // the geometry hides under the fallback name `geometry`. The oracle
+    // replays coalesce(nullif(trim(..))) + the code-ordered surrogate id.
+    QueryDef("dim_normalize_uc", Some(
+      "WITH src AS (SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey % 3 = 0 THEN '  ' ELSE 'C' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') END AS cd_cnuc, " +
+        "'U' || CAST(n_nationkey AS VARCHAR) AS uc_id, " +
+        "CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE '  ' || n_name || '  ' END AS nome_uc, " +
+        "n_name || '_ALT' AS name, 'G' || CAST(n_nationkey AS VARCHAR) AS geometry FROM nation), " +
+        "norm AS (SELECT coalesce(nullif(trim(cd_cnuc), ''), nullif(trim(uc_id), '')) AS code, " +
+        "coalesce(nullif(trim(nome_uc), ''), nullif(trim(name), '')) AS name, geometry AS geom FROM src) " +
+        "SELECT code, name, geom, CAST(row_number() OVER (ORDER BY code) AS INT) AS dim_id " +
+        "FROM norm ORDER BY code"),
+      (s, d) => {
+        val src = T(s, d, "nation").select(
+          when(col("n_nationkey") % 3 === 0, "  ")
+            .otherwise(concat(lit("C"), lpad(col("n_nationkey").cast("string"), 3, "0")))
+            .as("cd_cnuc"),
+          concat(lit("U"), col("n_nationkey").cast("string")).as("uc_id"),
+          when(col("n_nationkey") % 4 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("  "), col("n_name"), lit("  "))).as("nome_uc"),
+          concat(col("n_name"), lit("_ALT")).as("name"),
+          concat(lit("G"), col("n_nationkey").cast("string")).as("geometry"))
+        graft.sources.DimNormalizer.normalizeUc(src)
+          .select("code", "name", "geom", "dim_id")
+          .orderBy("code")
+      }),
+
+    // §2.8 mojibake repair under the gate (reference api/app/main.py:
+    // 628-657): clean labels are double-encoded DRIVER-SIDE into their
+    // utf8-read-as-latin1 mojibake form ('São'→'SÃ£o'), crossed onto
+    // `nation` rows, and the engine must recover the ORIGINAL string —
+    // which is exactly what the oracle emits closed-form, so the repair
+    // can't be trivially self-consistent. Pool covers: repairable BR
+    // accents, an unrepairable lone 'Â' (invalid utf-8 → must stay
+    // as-is), and a plain ascii pass-through (suspicion gate must not
+    // touch it).
+    QueryDef("serve_label_repair", Some(
+      "SELECT n_nationkey, CASE n_nationkey % 6 " +
+        "WHEN 0 THEN 'São Paulo' WHEN 1 THEN 'Paraná' WHEN 2 THEN 'Rondônia' " +
+        "WHEN 3 THEN 'coração' WHEN 4 THEN 'Â' ELSE 'Plain Label' END AS label " +
+        "FROM nation ORDER BY n_nationkey"),
+      (s, d) => {
+        val pool = Seq("São Paulo", "Paraná", "Rondônia", "coração", "Â", "Plain Label")
+        def garble(x: String): String =
+          new String(x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+        // 'Â' garbles to 'Ã' whose utf8 re-read is valid ('Â') — to
+        // pin the KEEP-ORIGINAL branch it must arrive ungarbled (a lone
+        // 0xC2 byte is an invalid utf-8 run, so repair is rejected);
+        // 'Plain Label' is not suspicious and must pass through untouched
+        val raw = pool.zipWithIndex.map { case (p, i) =>
+          if (i == 4 || i == 5) p else garble(p)
+        }
+        val labelRaw = raw.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (r, i)) => when(col("n_nationkey") % 6 === i, lit(r)).otherwise(acc)
+        }
+        T(s, d, "nation").select(col("n_nationkey"),
+          TextFunctions.cleanLabelUdf(labelRaw).as("label"))
+          .orderBy("n_nationkey")
+      }),
+
     QueryDef("p6_value_clean", Some(
       "WITH t AS (SELECT p_partkey, CASE WHEN p_partkey % 5 = 0 THEN 'nan' " +
         "WHEN p_partkey % 7 = 0 THEN '  ' WHEN p_partkey % 3 = 0 THEN 'NULL' " +
