@@ -175,17 +175,25 @@ object Queries {
     * x.005 so 2-decimal event coordinates are always strictly interior —
     * every valid event lands in exactly ONE box of each dim, which is what
     * lets the oracles reduce conservation sums to plain row counts. */
-  private def pipelineDims(s: SparkSession): (DataFrame, DataFrame) = {
-    import s.implicits._
-    def rect(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): Seq[Seq[Seq[Seq[Double]]]] =
+  /** Rectangle dim row: attach bbox columns + the matching multipolygon
+    * geom to a dim-attribute frame (shared by the pipeline integration
+    * dims and the late-arriving-UC fixture). Edges sit at x.005 so
+    * 2-decimal event coordinates are never ON a boundary. */
+  private def dimBox(df: DataFrame, minLon: Double, minLat: Double,
+                     maxLon: Double, maxLat: Double): DataFrame = {
+    val rect: Seq[Seq[Seq[Seq[Double]]]] =
       Seq(Seq(Seq(Seq(minLon, minLat), Seq(maxLon, minLat), Seq(maxLon, maxLat),
         Seq(minLon, maxLat), Seq(minLon, minLat))))
+    df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
+      .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
+      .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](rect))
+  }
+
+  private def pipelineDims(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
     def box(df: DataFrame, minLon: Double, minLat: Double,
             maxLon: Double, maxLat: Double): DataFrame =
-      df.withColumn("min_lon", lit(minLon)).withColumn("min_lat", lit(minLat))
-        .withColumn("max_lon", lit(maxLon)).withColumn("max_lat", lit(maxLat))
-        .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](
-          rect(minLon, minLat, maxLon, maxLat)))
+      dimBox(df, minLon, minLat, maxLon, maxLat)
     val municipios =
       box(Seq(("m1", "MunA", "UF1", 5000.0)).toDF("cd_mun", "nm_mun", "uf", "area_km2"),
         -70.005, -10.005, -60.005, 0.005)
@@ -4660,6 +4668,52 @@ object Queries {
           .join(broadcast(meta), Seq("day"))
           .select("day", "inserted", "pass", "n_fetches")
           .orderBy("day")
+      }),
+
+    // §2.10 checked-flags re-enrichment under the gate (reference
+    // `where not bioma_checked`, 21_enrich_biomas_ucs_tis.sql:17-27): a day
+    // is enriched WITH a UC dimension, then its UC outputs are nulled and
+    // uc_checked cleared (the store state a late-arriving dimension leaves
+    // behind); reenrichDay must pick up exactly the unchecked rows, restore
+    // cd_cnuc for the rows inside the UC polygon, and leave no clear flags.
+    // The UC box is municipality strip 1 (lon ∈ [-70.005, -60.005]), so
+    // n_restored has a closed form over the synthesized coordinates.
+    QueryDef("pipeline_reenrich_flags", Some(
+      "WITH v AS (SELECT event_id FROM events WHERE event_id % 10 = 0 " +
+        "AND event_id % 97 <> 0 AND event_id % 89 <> 0) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_unchecked, " +
+        "CAST(sum(CASE WHEN event_id % 30 >= 21 " +
+        "OR (event_id % 30 = 20 AND (event_id * 7) % 100 <> 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_restored, " +
+        "CAST(0 AS BIGINT) AS n_flags_clear, CAST(count(*) AS BIGINT) AS n_rows FROM v"),
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir(s, "graft_reenrich_q", d)
+        val (municipios, biomas) = pipelineDims(s)
+        val ucDim = dimBox(Seq((10L, "42", "UC Parque")).toDF("dim_id", "cd_cnuc", "nome_uc"),
+          -70.005, -10.005, -60.005, 0.005)
+        val p = new graft.pipeline.Pipeline(s, root, municipios, biomas, Some(ucDim), None)
+        val day = java.time.LocalDate.parse("2024-01-15")
+        val dlit = lit(java.sql.Date.valueOf(day))
+        p.runDayFrom(pipelineRawCsv(
+          T(s, d, "events").filter(col("event_id") % 10 === 0), day.toString),
+          day, Set.empty)
+        // doctor the partition into the "UC arrived late" state
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val doctored = s.read.parquet(s"$root/enriched")
+          .filter(col("file_date") === dlit)
+          .withColumn("uc_checked", lit(false))
+          .withColumn("cd_cnuc", lit(null).cast("string"))
+          .withColumn("uc_nome", lit(null).cast("string"))
+        doctored.write.mode("overwrite").parquet(s"$root/doctored")
+        s.read.parquet(s"$root/doctored").withColumn("file_date", dlit)
+          .write.mode("overwrite").partitionBy("file_date").parquet(s"$root/enriched")
+        val nUnchecked = p.reenrichDay(day)
+        val after = s.read.parquet(s"$root/enriched")
+        Seq((nUnchecked,
+            after.filter(col("cd_cnuc").isNotNull).count(),
+            after.filter(!col("uc_checked")).count(),
+            after.count()))
+          .toDF("n_unchecked", "n_restored", "n_flags_clear", "n_rows")
       }),
 
     // SCD2 merge (Kimball type-2 upsert) over a synthetic dimension built
