@@ -1596,6 +1596,62 @@ object Queries {
           .orderBy("code")
       }),
 
+    // S5 under the gate: the GeoJSON FeatureCollection dimension reader
+    // (the engine contract for the reference's ogr2ogr'd shapefiles,
+    // SURVEY §2.1). A real .geojson file is WRITTEN from nation arithmetic
+    // — alternating Polygon (promoted to 1-part multipolygon; every 4th
+    // carries a hole ring) and 2-part MultiPolygon features, with the
+    // `name` property MISSING on every 5th feature (property-union null
+    // preservation) — then parsed back; part/ring counts and the bbox
+    // columns have closed forms. Coordinates use binary-exact fractions
+    // (.5/.25/.125) so JSON parse and SQL arithmetic yield identical
+    // doubles.
+    QueryDef("geojson_dim_source", Some(
+      "SELECT 'M' || CAST(n_nationkey AS VARCHAR) AS cd_mun, " +
+        "CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE 'Mun ' || CAST(n_nationkey AS VARCHAR) END AS name, " +
+        "CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS n_parts, " +
+        "CAST(CASE WHEN n_nationkey % 4 = 0 THEN 2 WHEN n_nationkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS n_rings, " +
+        "CAST(n_nationkey AS DOUBLE) AS min_lon, CAST(0 AS DOUBLE) AS min_lat, " +
+        "CAST(n_nationkey AS DOUBLE) + CASE WHEN n_nationkey % 2 = 0 THEN 0.5 ELSE 1.25 END AS max_lon, " +
+        "CASE WHEN n_nationkey % 2 = 0 THEN 0.5 ELSE 1.25 END AS max_lat " +
+        "FROM nation ORDER BY cd_mun"),
+      (s, d) => {
+        val dir = scratchDir(s, "graft_geojson_src", d)
+        // dim-file builds are inherently driver-side (the reference runs
+        // ogr2ogr on a downloaded zip); nation is 25 rows
+        val keys = T(s, d, "nation").select("n_nationkey")
+          .orderBy("n_nationkey").collect()
+          .map(_.get(0).asInstanceOf[Number].longValue())
+        def sq(x0: Double, y0: Double, side: Double): String = {
+          val (x1, y1) = (x0 + side, y0 + side)
+          s"[[$x0,$y0],[$x1,$y0],[$x1,$y1],[$x0,$y1],[$x0,$y0]]"
+        }
+        val feats = keys.map { k =>
+          val props =
+            if (k % 5 == 0) s"""{"cd_mun":"M$k"}"""
+            else s"""{"cd_mun":"M$k","name":"Mun $k"}"""
+          val geom =
+            if (k % 2 == 0) {
+              val rings =
+                if (k % 4 == 0) s"[${sq(k.toDouble, 0.0, 0.5)},${sq(k + 0.125, 0.125, 0.125)}]"
+                else s"[${sq(k.toDouble, 0.0, 0.5)}]"
+              s"""{"type":"Polygon","coordinates":$rings}"""
+            } else
+              s"""{"type":"MultiPolygon","coordinates":[[${sq(k.toDouble, 0.0, 0.5)}],[${sq(k + 1.0, 1.0, 0.25)}]]}"""
+          s"""{"type":"Feature","properties":$props,"geometry":$geom}"""
+        }
+        val file = java.nio.file.Paths.get(dir, "dims.geojson")
+        java.nio.file.Files.createDirectories(file.getParent)
+        java.nio.file.Files.writeString(file,
+          s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
+        graft.sources.GeoJsonDims.readFeatureCollection(s, file.toString)
+          .select(col("cd_mun"), col("name"),
+            size(col("geom")).as("n_parts"),
+            expr("aggregate(geom, 0, (a, p) -> a + size(p))").as("n_rings"),
+            col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+          .orderBy("cd_mun")
+      }),
+
     // §2.8 mojibake repair under the gate (reference api/app/main.py:
     // 628-657): clean labels are double-encoded DRIVER-SIDE into their
     // utf8-read-as-latin1 mojibake form ('São'→'SÃ£o'), crossed onto
