@@ -679,6 +679,30 @@ object Queries {
       d2.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")).limit(40),
       "id_a", "id_b"))
     run(operators.TextAnalysis.bigramLmScore(d2, "doc_id", "text"))
+    // one-shot timings must measure execution, not first-use Janino/JIT:
+    // these families each compile their own codegen classes (winnow kernel,
+    // gram-key windows, inverted-index chains, PQ slice folds, DSIR
+    // bucket aggs, the KS bin windows) — a cold full-bench run showed
+    // 2-3x first-execution penalties on exactly these shapes
+    run(Dedup.winnowPairs(d2, "doc_id", "text", k = 8, w = 4))
+    run(Dedup.substringSpans(d2, "doc_id", "text"))
+    run(Dedup.containmentPairs(d2, "doc_id", "text", lit(1)))
+    run(Dedup.lineDedup(d2, "doc_id", "text"))
+    // the real 3-query probe set: the per-query pivoted chains compile
+    // query-count-shaped classes
+    run(Retrieval.bm25TopK(d2, "doc_id", "text", retrievalQueries, k = 3))
+    run(Retrieval.rrfFuse(Seq(
+      Retrieval.bm25TopK(d2, "doc_id", "text", retrievalQueries, k = 3),
+      Retrieval.jaccardTopK(d2, "doc_id", "text", retrievalQueries, k = 3)), k = 3))
+    run(operators.TextAnalysis.dsirLogWeights(d2, "doc_id", "text",
+      col("doc_id") % 2 === 0))
+    val pqE = T(spark, dir, "embeddings").limit(40)
+    val pqBooks = Similarity.pqFit(pqE, "vec_id", "embedding", dims = 64,
+      m = 2, k = 4, iters = 1)
+    run(Similarity.pqTopK(pqE, pqE.limit(2), "vec_id", "embedding", 3,
+      pqBooks, dims = 64))
+    run(operators.Profile.ksDrift(T(spark, dir, "events").limit(200),
+      "value", "event_type", "view", "purchase", binsPerUnit = 100))
   }
 
   /** DuckDB SQL builders for the unrolled deterministic k-means oracle
@@ -3523,6 +3547,54 @@ object Queries {
             .otherwise("test").as("split"),
           (col("hsmp") < "1a").cast("int").as("in_sample"))
         .orderBy("doc_id")),
+
+    // Cluster-aware train/val/test split + leakage audit: eval integrity
+    // requires DUPLICATES of a training doc to never land in val/test, so
+    // the split key must be the dedup CLUSTER's canonical id, not the doc
+    // id. Corpus = documents ∪ exact copies shifted by 999 999 (a non-
+    // multiple of 10, so a NAIVE doc_id%10 split provably leaks every
+    // copy-pair). clustered_violations must be 0 by construction;
+    // naive_violations counts the clusters the per-doc split would have
+    // torn across buckets — the audit a pipeline runs before training.
+    // One digest shuffle + canon-keyed aggs; the 1-row audit cross-joins.
+    QueryDef("split_cluster_aware", Some(
+      "WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 999999, text FROM documents), " +
+        "m AS (SELECT doc_id, md5(text) AS dg FROM u), " +
+        "c AS (SELECT dg, min(doc_id) AS canon FROM m GROUP BY 1), " +
+        "j AS (SELECT m.doc_id, c.canon, " +
+        "substr(md5('split:' || CAST(c.canon AS VARCHAR)), 1, 2) AS hspl FROM m JOIN c USING (dg)), " +
+        "w AS (SELECT doc_id, canon, CASE WHEN hspl < 'cc' THEN 'train' " +
+        "WHEN hspl < 'e6' THEN 'val' ELSE 'test' END AS split, doc_id % 10 AS naive FROM j), " +
+        "pc AS (SELECT canon, count(DISTINCT split) AS ns, count(DISTINCT naive) AS nn FROM w GROUP BY 1), " +
+        "v AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS clustered_violations, " +
+        "CAST(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_violations FROM pc) " +
+        "SELECT split, count(*) AS n_docs, CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters, " +
+        "v.clustered_violations, v.naive_violations FROM w CROSS JOIN v " +
+        "GROUP BY split, v.clustered_violations, v.naive_violations ORDER BY split"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val dup = docs.unionByName(
+          docs.select((col("doc_id") + 999999).as("doc_id"), col("text")))
+        val withDg = dup.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+        val canon = withDg.groupBy("dg").agg(min("doc_id").as("canon"))
+        val withSplit = withDg.join(canon, "dg")
+          .withColumn("hspl", substring(md5(concat(lit("split:"),
+            col("canon").cast("string")).cast("binary")), 1, 2))
+          .withColumn("split", when(col("hspl") < "cc", "train")
+            .when(col("hspl") < "e6", "val").otherwise("test"))
+          .withColumn("naive", col("doc_id") % 10)
+        val audit = withSplit.groupBy("canon")
+          .agg(countDistinct("split").as("ns"), countDistinct("naive").as("nn"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("clustered_violations"),
+            sum(when(col("nn") > 1, 1L).otherwise(0L)).as("naive_violations"))
+        withSplit.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), countDistinct("canon").as("n_clusters"))
+          .crossJoin(broadcast(audit))
+          .select("split", "n_docs", "n_clusters",
+            "clustered_violations", "naive_violations")
+          .orderBy("split")
+      }),
 
     // Balanced per-stratum sampling: exactly min(quota, count) docs per
     // language, chosen as the quota lowest salted-hash docs — a
