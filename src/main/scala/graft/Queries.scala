@@ -4550,6 +4550,45 @@ object Queries {
           .orderBy("media_id", "frame_idx")
       }),
 
+    // REAL video PIXEL decode: uncompressed DIB (BI_RGB) AVI frames are
+    // raw bottom-up BGR24 rows — no codec needed, so a JDK-only engine can
+    // decode them honestly. Widths 5..8 make the 4-byte row stride carry
+    // 0..3 PADDING bytes, and the oracle's top-row/first-pixel features
+    // are computed from the filler pattern at the LAST stored row
+    // (bottom-up order) SKIPPING the padding — a payload-sum stub cannot
+    // reproduce them. Compressed codecs remain out of scope (documented).
+    QueryDef("mm_decode_video", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 5 + doc_id % 4 AS w, " +
+        "4 + doc_id % 3 AS h FROM documents WHERE doc_id % 3 = 2), " +
+        "s AS (SELECT doc_id, nf, w, h, ((w * 3 + 3) // 4) * 4 AS stride FROM v), " +
+        "f AS (SELECT doc_id, w, h, stride, stride * h AS sz, CAST(gs.i AS BIGINT) AS i " +
+        "FROM s, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) gs) " +
+        "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(sz AS INT) AS frame_bytes, " +
+        "CAST(list_sum(list_transform(range(sz), j -> (i*31 + j*7) % 251)) AS BIGINT) AS sum_bytes, " +
+        "CAST(list_sum(list_transform(range(w*3), j -> (i*31 + (sz - stride + j)*7) % 251)) AS BIGINT) AS top_row_sum, " +
+        "CAST(((i*31 + (sz - stride + 2)*7) % 251) * 65536 + " +
+        "((i*31 + (sz - stride + 1)*7) % 251) * 256 + " +
+        "((i*31 + (sz - stride)*7) % 251) AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM f ORDER BY media_id, frame_idx"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id").as[Long]
+          .filter((id: Long) => id % 3 == 2)
+          .mapPartitions(_.map { id =>
+            val nf = 2 + (id % 3).toInt
+            val w = 5 + (id % 4).toInt
+            val h = 4 + (id % 3).toInt
+            val stride = (w * 3 + 3) & ~3
+            graft.operators.Multimodal.MediaRow(id, "video",
+              graft.operators.Multimodal.aviBytes(
+                Array.fill(nf)(stride * h), w, h, 40000, "DIB "),
+              "video/avi", Some(w), Some(h), Some(nf * 40L))
+          })
+        graft.operators.Multimodal.aviDecodeDib(media).toDF()
+          .orderBy("media_id", "frame_idx")
+      }),
+
     // the decode stub is pure byte arithmetic (BE32 header ints, frame
     // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)
     QueryDef("mm_decode", Some(

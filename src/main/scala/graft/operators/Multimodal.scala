@@ -241,8 +241,10 @@ object Multimodal {
     * Frame sizes must be even (RIFF pads odd chunks; even sizes keep the
     * offset arithmetic SQL-replayable). */
   def aviBytes(frameSizes: Array[Int], width: Int, height: Int,
-               usecPerFrame: Int): Array[Byte] = {
+               usecPerFrame: Int, fourcc: String = "MJPG"): Array[Byte] = {
     require(frameSizes.forall(s => s >= 0 && s % 2 == 0), "frame sizes must be even")
+    require(fourcc.length == 4, s"fourcc must be 4 chars, got '$fourcc'")
+    val uncompressed = fourcc == "DIB " // BI_RGB: raw bottom-up BGR24 rows
     val strlContent = 4 + (8 + 56) + (8 + 40)        // 'strl' + strh + strf
     val hdrlContent = 4 + (8 + 56) + (8 + strlContent) // 'hdrl' + avih + LIST strl
     val moviContent = 4 + frameSizes.map(8 + _).sum
@@ -260,7 +262,7 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0).putInt(0)       // dwReserved[4]
     fcc("LIST"); buf.putInt(strlContent); fcc("strl")
     fcc("strh"); buf.putInt(56)
-    fcc("vids"); fcc("MJPG")
+    fcc("vids"); fcc(fourcc)
     buf.putInt(0).putInt(0).putInt(0)
       .putInt(usecPerFrame).putInt(1000000)          // dwScale / dwRate
       .putInt(0).putInt(frameSizes.length)           // dwStart / dwLength
@@ -270,11 +272,11 @@ object Multimodal {
     fcc("strf"); buf.putInt(40)
     buf.putInt(40).putInt(width).putInt(height)
       .putShort(1).putShort(24)
-    fcc("MJPG")
+    if (uncompressed) buf.putInt(0) else fcc(fourcc) // biCompression: 0 = BI_RGB
     buf.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
     fcc("LIST"); buf.putInt(moviContent); fcc("movi")
     frameSizes.zipWithIndex.foreach { case (sz, i) =>
-      fcc("00dc"); buf.putInt(sz)
+      fcc(if (uncompressed) "00db" else "00dc"); buf.putInt(sz)
       var j = 0
       while (j < sz) { buf.put(((i * 31 + j * 7) % 251).toByte); j += 1 }
     }
@@ -344,6 +346,91 @@ object Multimodal {
           if (frames.isEmpty) bad
           else frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
             VideoFrame(r.media_id, i, o, sz, width, height, nFrames, ok = true)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => bad }
+    })
+  }
+
+  final case class VideoPixels(media_id: Long, frame_idx: Int, width: Int,
+                               height: Int, frame_bytes: Int, sum_bytes: Long,
+                               top_row_sum: Long, first_pixel: Int, ok: Boolean)
+
+  /** REAL video PIXEL decode for uncompressed (`DIB `/BI_RGB) AVI — raw
+    * bottom-up BGR24 rows with 4-byte-aligned stride need no codec, just
+    * byte parsing: the codec-less subset a JDK-only engine can decode
+    * honestly (compressed codecs need a native lib and stay out of
+    * scope). Per frame: full byte checksum, the TOP image row's pixel sum
+    * (= the LAST stored row, skipping stride padding — bottom-up row
+    * order and alignment are decode steps a payload-sum stub cannot
+    * fake), and the packed top-left pixel as r·2¹⁶+g·2⁸+b. A frame whose
+    * chunk size disagrees with stride×height quarantines as ok=false.
+    * Same narrow mapPartitions shape as [[decode]]: payloads never reach
+    * a shuffle. */
+  def aviDecodeDib(media: Dataset[MediaRow]): Dataset[VideoPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def u32(off: Int): Long =
+        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+      def fcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+      def bad = Iterator.single(
+        VideoPixels(r.media_id, 0, 0, 0, 0, 0L, 0L, 0, ok = false))
+      try {
+        if (p.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") bad
+        else {
+          var width = 0; var height = 0
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          val end = math.min(p.length.toLong, 8L + u32(4)).toInt
+          var off = 12
+          while (off + 8 <= end) {
+            val id = fcc(off)
+            val sz = u32(off + 4).toInt
+            if (id == "LIST" && off + 12 <= end) {
+              fcc(off + 8) match {
+                case "movi" =>
+                  var fo = off + 12
+                  val lend = math.min(off + 8L + sz, end.toLong).toInt
+                  while (fo + 8 <= lend) {
+                    val cid = fcc(fo)
+                    val csz = u32(fo + 4).toInt
+                    if (cid.endsWith("dc") || cid.endsWith("db"))
+                      frames += ((fo + 8L, csz))
+                    fo += 8 + csz + (csz & 1)
+                  }
+                  off += 8 + sz + (sz & 1)
+                case "hdrl" | "strl" => off += 12
+                case _ => off += 8 + sz + (sz & 1)
+              }
+            } else {
+              if (id == "avih" && off + 8 + 56 <= end) {
+                width = u32(off + 8 + 32).toInt
+                height = u32(off + 8 + 36).toInt
+              }
+              off += 8 + sz + (sz & 1)
+            }
+          }
+          val stride = (width * 3 + 3) & ~3
+          if (frames.isEmpty || stride <= 0 || height <= 0) bad
+          else frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+            if (sz != stride * height || o + sz > p.length)
+              VideoPixels(r.media_id, i, width, height, sz, 0L, 0L, 0, ok = false)
+            else {
+              val base = o.toInt
+              var sum = 0L
+              var j = 0
+              while (j < sz) { sum += p(base + j) & 0xff; j += 1 }
+              val rowBase = base + sz - stride // last stored row = top image row
+              var topSum = 0L
+              j = 0
+              while (j < width * 3) { topSum += p(rowBase + j) & 0xff; j += 1 }
+              val b = p(rowBase) & 0xff
+              val g = p(rowBase + 1) & 0xff
+              val rr = p(rowBase + 2) & 0xff
+              VideoPixels(r.media_id, i, width, height, sz, sum, topSum,
+                rr * 65536 + g * 256 + b, ok = true)
+            }
           }
         }
       } catch { case scala.util.control.NonFatal(_) => bad }

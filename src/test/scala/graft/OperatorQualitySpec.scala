@@ -314,6 +314,36 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(3L).length == 1 && !got(3L).head.ok, "null must quarantine")
   }
 
+  test("aviDecodeDib: bottom-up BGR24 pixel decode with stride padding; " +
+    "size-mismatched frames quarantine per-frame") {
+    import spark.implicits._
+    // width 5 → 15 pixel bytes/row, stride 16 (1 padding byte per row)
+    val (w, h) = (5, 3)
+    val stride = (w * 3 + 3) & ~3
+    val sizes = Array(stride * h, stride * h)
+    val good = Multimodal.MediaRow(1L, "video",
+      Multimodal.aviBytes(sizes, w, h, 40000, "DIB "), "video/avi", None, None, None)
+    // frame size disagrees with stride×height → that frame is ok=false
+    val badSize = Multimodal.MediaRow(2L, "video",
+      Multimodal.aviBytes(Array(stride * h - 16), w, h, 40000, "DIB "),
+      "video/avi", None, None, None)
+    val got = Multimodal.aviDecodeDib(Seq(good, badSize).toDS())
+      .collect().groupBy(_.media_id)
+    def pat(i: Int, j: Int) = (i * 31 + j * 7) % 251
+    val fr = got(1L).sortBy(_.frame_idx)
+    assert(fr.length == 2 && fr.forall(f => f.ok && f.width == w && f.height == h))
+    for ((f, i) <- fr.zipWithIndex) {
+      val sz = stride * h
+      assert(f.sum_bytes == (0 until sz).map(pat(i, _)).sum, s"sum frame $i")
+      // top image row = LAST stored row, padding byte excluded
+      assert(f.top_row_sum ==
+        (0 until w * 3).map(j => pat(i, sz - stride + j)).sum, s"toprow frame $i")
+      assert(f.first_pixel == pat(i, sz - stride + 2) * 65536 +
+        pat(i, sz - stride + 1) * 256 + pat(i, sz - stride), s"px frame $i")
+    }
+    assert(got(2L).length == 1 && !got(2L).head.ok, "size mismatch must quarantine")
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
