@@ -2738,6 +2738,30 @@ object Queries {
       (s, d) => Dedup.lineDedup(T(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // IN-DOCUMENT repeated-line removal (RefinedWeb's line-wise correction;
+    // dedup_lines above is the cross-corpus sibling): each doc's text is
+    // doubled so every 8-word chunk of the first copy repeats (exactly when
+    // the word count divides 8; straddled otherwise — both cases pinned),
+    // then first-occurrence chunks are kept ROW-LOCALLY by a codegen
+    // kernel (plans/DedupWordChunksExpr: one pass + hash set — the
+    // interpreted HOF form is O(chunks²) via array_position). No shuffle;
+    // the oracle replays the rule with DuckDB's indexed list_filter.
+    QueryDef("dedup_lines_indoc", Some(
+      "WITH t AS (SELECT doc_id, string_split(trim(text || ' ' || text), ' ') AS w FROM documents), " +
+        "c AS (SELECT doc_id, list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), " +
+        "g -> array_to_string(w[CAST(g*8+1 AS INT):CAST(g*8+8 AS INT)], ' ')) AS chunks FROM t), " +
+        "k AS (SELECT doc_id, chunks, list_filter(chunks, (ch, i) -> list_position(chunks, ch) = i) AS kept FROM c) " +
+        "SELECT doc_id, CAST(len(chunks) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept, " +
+        "md5(array_to_string(kept, ' ')) AS content_md5 FROM k ORDER BY doc_id"),
+      (s, d) => T(s, d, "documents")
+        .withColumn("__w", split(trim(concat_ws(" ", col("text"), col("text"))), " "))
+        .withColumn("__kept", graft.plans.DedupWordChunksExpr(col("__w"), 8))
+        .select(col("doc_id"),
+          ceil(size(col("__w")) / 8.0).cast("int").as("n_lines"),
+          size(col("__kept")).as("n_kept"),
+          md5(array_join(col("__kept"), " ").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")),
+
     QueryDef("dedup_jaccard_words", Some(
       "WITH w AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

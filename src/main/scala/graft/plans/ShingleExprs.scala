@@ -274,6 +274,32 @@ object ShingleKernel {
     s
   }
 
+  /** First-occurrence-preserving dedup of fixed-width word chunks — the
+    * IN-DOCUMENT repeated-line removal rule (RefinedWeb §"line-wise
+    * corrections"; dedup_lines is its cross-corpus sibling). One pass over
+    * the words; a hash set of seen chunks; O(n) vs the O(chunks²)
+    * interpreted HOF formulation (`array_position` per element). */
+  def dedupWordChunks(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    val kept = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val hi = math.min(i + k, n)
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        if (!words.isNullAt(j)) sb.append(words.getUTF8String(j).toString)
+        j += 1
+      }
+      val chunk = sb.toString
+      if (seen.add(chunk)) kept += UTF8String.fromString(chunk)
+      i += k
+    }
+    ArrayData.toArrayData(kept.toArray[AnyRef])
+  }
+
   /** Σ count·round(ln(count)·10⁸) over the codepoint histogram of `s`.
     * Math.round(x) (floor(x+0.5)) equals round-half-away for the positive
     * ln values here, matching Spark's and DuckDB's round(double). ASCII
@@ -579,4 +605,32 @@ case class CharLnSumE8Expr(child: Expression) extends UnaryExpression {
 object CharLnSumE8Expr {
   def apply(text: Column): Column =
     ColumnBridge.column(new CharLnSumE8Expr(ColumnBridge.expression(text)))
+}
+
+/** `dedupWordChunks(words, k)` — first-occurrence-preserving dedup of
+  * k-word chunks as a native codegen expression (see
+  * [[ShingleKernel.dedupWordChunks]]). `k` rides as a generated-code
+  * literal (it is a stable config, not per-round like the BPE rule). */
+case class DedupWordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"dedup_word_chunks expects array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(words: Any): Any =
+    ShingleKernel.dedupWordChunks(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.ShingleKernel.dedupWordChunks($t, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DedupWordChunksExpr {
+  def apply(words: Column, k: Int): Column =
+    ColumnBridge.column(new DedupWordChunksExpr(ColumnBridge.expression(words), k))
 }

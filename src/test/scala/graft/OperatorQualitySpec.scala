@@ -344,6 +344,26 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(2L).length == 1 && !got(2L).head.ok, "size mismatch must quarantine")
   }
 
+  test("dedupWordChunks kernel: first-occurrence order, short tail chunk, " +
+    "exact-repeat vs straddled-repeat") {
+    import spark.implicits._
+    def run(words: Seq[String], k: Int): Seq[String] =
+      Seq(Tuple1(words)).toDF("w")
+        .select(graft.plans.DedupWordChunksExpr(org.apache.spark.sql.functions.col("w"), k))
+        .collect().head.getSeq[String](0).toSeq
+    // 2-word chunks: (a b)(a b)(c d)(e) — the repeat drops, the short
+    // tail survives, first-occurrence order is preserved
+    assert(run(Seq("a", "b", "a", "b", "c", "d", "e"), 2) ==
+      Seq("a b", "c d", "e"))
+    // doubled text with word count divisible by k: second copy vanishes
+    val doc = Seq("w1", "w2", "w3", "w4")
+    assert(run(doc ++ doc, 2) == Seq("w1 w2", "w3 w4"))
+    // doubled text NOT divisible by k: chunks straddle the seam and differ
+    val odd = Seq("x", "y", "z")
+    assert(run(odd ++ odd, 2) == Seq("x y", "z x", "y z"))
+    assert(run(Seq.empty, 2) == Seq.empty)
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
