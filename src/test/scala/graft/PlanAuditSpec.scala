@@ -648,6 +648,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"entropy must not explode the corpus:\n$p")
   }
 
+  test("dedup_lines_indoc: row-local kernel — no shuffle before the output " +
+    "sort, no UDF, codegen projection") {
+    val p = executedPlan("dedup_lines_indoc")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"in-doc line dedup must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("split_cluster_aware: digest-keyed shuffles only — the corpus text " +
+    "never reaches a join payload twice, audit joins as a broadcast") {
+    val p = executedPlan("split_cluster_aware")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row audit must broadcast:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("stats_ks_drift: ONE corpus hash aggregate; windows run on the bin frame") {
     // count only the AQE final-plan section (toString repeats the
     // exchanges in its "Initial Plan" appendix)
