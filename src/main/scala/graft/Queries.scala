@@ -170,11 +170,6 @@ object Queries {
     root
   }
 
-  /** Rectangle municipality/biome dims for the pipeline integration rows:
-    * 3 municipality strips by lon, 2 biome strips by lat; box edges at
-    * x.005 so 2-decimal event coordinates are always strictly interior —
-    * every valid event lands in exactly ONE box of each dim, which is what
-    * lets the oracles reduce conservation sums to plain row counts. */
   /** Rectangle dim row: attach bbox columns + the matching multipolygon
     * geom to a dim-attribute frame (shared by the pipeline integration
     * dims and the late-arriving-UC fixture). Edges sit at x.005 so
@@ -189,6 +184,10 @@ object Queries {
       .withColumn("geom", typedLit[Seq[Seq[Seq[Seq[Double]]]]](rect))
   }
 
+  /** Rectangle municipality/biome dims for the pipeline integration rows:
+    * 3 municipality strips by lon, 2 biome strips by lat — every valid
+    * event lands in exactly ONE box of each dim, which is what lets the
+    * oracles reduce conservation sums to plain row counts. */
   private def pipelineDims(s: SparkSession): (DataFrame, DataFrame) = {
     import s.implicits._
     def box(df: DataFrame, minLon: Double, minLat: Double,
@@ -1050,11 +1049,12 @@ object Queries {
         "PRECEDING AND CURRENT ROW) AS cum_b, sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b FROM c) " +
         "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
         "CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_num, bin AS bin_at_max, " +
-        "CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_e6 " +
+        "CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_e6, " +
+        "n_a > 0 AND n_b > 0 AS valid " +
         "FROM w ORDER BY ks_num DESC, bin_at_max LIMIT 1"),
       (s, d) => operators.Profile.ksDrift(T(s, d, "events"),
           "value", "event_type", "view", "purchase", binsPerUnit = 100)
-        .select("n_a", "n_b", "ks_num", "bin_at_max", "ks_e6")),
+        .select("n_a", "n_b", "ks_num", "bin_at_max", "ks_e6", "valid")),
 
     // Count-min heavy hitters: tokens whose exact corpus count >= 500 next
     // to their CMS estimate (d=4, w=1024, Kirsch–Mitzenmacher buckets over

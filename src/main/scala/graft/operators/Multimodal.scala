@@ -298,57 +298,75 @@ object Multimodal {
     * `ok = false` row — quarantine, never task failure. Same narrow
     * mapPartitions shape as [[decode]]; only fixed-width index rows ever
     * reach a shuffle. */
+  /** Parsed AVI container layout: dims + declared frame count from `avih`,
+    * plus the movi chunks' (byte_offset, size). None for anything that is
+    * not a well-formed RIFF/AVI payload — including NEGATIVE chunk sizes,
+    * which would otherwise make the walk advance by zero and stall the
+    * task forever (quarantine must never hang an executor). */
+  private[graft] final case class AviLayout(
+      width: Int, height: Int, nFrames: Int, frames: Vector[(Long, Int)])
+
+  private[graft] def parseAvi(p: Array[Byte]): Option[AviLayout] = {
+    def u32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def fcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+    try {
+      if (p.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+      var width = 0; var height = 0; var nFrames = 0
+      val frames = Vector.newBuilder[(Long, Int)]
+      var n = 0
+      val end = math.min(p.length.toLong, 8L + u32(4)).toInt
+      var off = 12
+      while (off + 8 <= end) {
+        val id = fcc(off)
+        val sz = u32(off + 4).toInt
+        if (sz < 0) return None // corrupt size — zero-progress guard
+        if (id == "LIST" && off + 12 <= end) {
+          fcc(off + 8) match {
+            case "movi" =>
+              var fo = off + 12
+              val lend = math.min(off + 8L + sz, end.toLong).toInt
+              while (fo + 8 <= lend) {
+                val cid = fcc(fo)
+                val csz = u32(fo + 4).toInt
+                if (csz < 0) return None // corrupt size — zero-progress guard
+                if (cid.endsWith("dc") || cid.endsWith("db")) {
+                  frames += ((fo + 8L, csz)); n += 1
+                }
+                fo += 8 + csz + (csz & 1)
+              }
+              off += 8 + sz + (sz & 1)
+            case "hdrl" | "strl" => off += 12 // descend
+            case _ => off += 8 + sz + (sz & 1)
+          }
+        } else {
+          if (id == "avih" && off + 8 + 56 <= end) {
+            nFrames = u32(off + 8 + 16).toInt
+            width = u32(off + 8 + 32).toInt
+            height = u32(off + 8 + 36).toInt
+          }
+          off += 8 + sz + (sz & 1)
+        }
+      }
+      if (n == 0) None
+      else Some(AviLayout(width, height, nFrames, frames.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def aviFrameIndex(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
-      def u32(off: Int): Long =
-        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
-          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
-      def fcc(off: Int): String = new String(p, off, 4, "US-ASCII")
-      def bad = Iterator.single(
-        VideoFrame(r.media_id, 0, 0L, 0, 0, 0, 0, ok = false))
-      try {
-        if (p.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") bad
-        else {
-          var width = 0; var height = 0; var nFrames = 0
-          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-          val end = math.min(p.length.toLong, 8L + u32(4)).toInt
-          var off = 12
-          while (off + 8 <= end) {
-            val id = fcc(off)
-            val sz = u32(off + 4).toInt
-            if (id == "LIST" && off + 12 <= end) {
-              fcc(off + 8) match {
-                case "movi" =>
-                  var fo = off + 12
-                  val lend = math.min(off + 8L + sz, end.toLong).toInt
-                  while (fo + 8 <= lend) {
-                    val cid = fcc(fo)
-                    val csz = u32(fo + 4).toInt
-                    if (cid.endsWith("dc") || cid.endsWith("db"))
-                      frames += ((fo + 8L, csz))
-                    fo += 8 + csz + (csz & 1)
-                  }
-                  off += 8 + sz + (sz & 1)
-                case "hdrl" | "strl" => off += 12 // descend
-                case _ => off += 8 + sz + (sz & 1)
-              }
-            } else {
-              if (id == "avih" && off + 8 + 56 <= end) {
-                nFrames = u32(off + 8 + 16).toInt
-                width = u32(off + 8 + 32).toInt
-                height = u32(off + 8 + 36).toInt
-              }
-              off += 8 + sz + (sz & 1)
-            }
+      parseAvi(p) match {
+        case None => Iterator.single(
+          VideoFrame(r.media_id, 0, 0L, 0, 0, 0, 0, ok = false))
+        case Some(av) =>
+          av.frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+            VideoFrame(r.media_id, i, o, sz, av.width, av.height,
+              av.nFrames, ok = true)
           }
-          if (frames.isEmpty) bad
-          else frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
-            VideoFrame(r.media_id, i, o, sz, width, height, nFrames, ok = true)
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => bad }
+      }
     })
   }
 
@@ -371,49 +389,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
-      def u32(off: Int): Long =
-        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
-          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
-      def fcc(off: Int): String = new String(p, off, 4, "US-ASCII")
       def bad = Iterator.single(
         VideoPixels(r.media_id, 0, 0, 0, 0, 0L, 0L, 0, ok = false))
-      try {
-        if (p.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") bad
-        else {
-          var width = 0; var height = 0
-          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-          val end = math.min(p.length.toLong, 8L + u32(4)).toInt
-          var off = 12
-          while (off + 8 <= end) {
-            val id = fcc(off)
-            val sz = u32(off + 4).toInt
-            if (id == "LIST" && off + 12 <= end) {
-              fcc(off + 8) match {
-                case "movi" =>
-                  var fo = off + 12
-                  val lend = math.min(off + 8L + sz, end.toLong).toInt
-                  while (fo + 8 <= lend) {
-                    val cid = fcc(fo)
-                    val csz = u32(fo + 4).toInt
-                    if (cid.endsWith("dc") || cid.endsWith("db"))
-                      frames += ((fo + 8L, csz))
-                    fo += 8 + csz + (csz & 1)
-                  }
-                  off += 8 + sz + (sz & 1)
-                case "hdrl" | "strl" => off += 12
-                case _ => off += 8 + sz + (sz & 1)
-              }
-            } else {
-              if (id == "avih" && off + 8 + 56 <= end) {
-                width = u32(off + 8 + 32).toInt
-                height = u32(off + 8 + 36).toInt
-              }
-              off += 8 + sz + (sz & 1)
-            }
-          }
+      parseAvi(p) match {
+        case None => bad
+        case Some(av) =>
+          val (width, height) = (av.width, av.height)
           val stride = (width * 3 + 3) & ~3
-          if (frames.isEmpty || stride <= 0 || height <= 0) bad
-          else frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+          if (stride <= 0 || height <= 0) bad
+          else av.frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
             if (sz != stride * height || o + sz > p.length)
               VideoPixels(r.media_id, i, width, height, sz, 0L, 0L, 0, ok = false)
             else {
@@ -432,8 +416,7 @@ object Multimodal {
                 rr * 65536 + g * 256 + b, ok = true)
             }
           }
-        }
-      } catch { case scala.util.control.NonFatal(_) => bad }
+      }
     })
   }
 

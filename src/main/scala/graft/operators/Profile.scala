@@ -94,7 +94,11 @@ object Profile {
     * integer numerator is the part that must stay exact).
     *
     * Output (1 row): n_a, n_b, ks_num, bin_at_max (lowest bin attaining
-    * the supremum), ks_e6.
+    * the supremum), ks_e6, valid. `valid` is false when either group has
+    * ZERO rows — there ks_num degenerates to 0 ("no drift") and ks_e6 to
+    * NULL, which is exactly the batch an admission gate must NOT wave
+    * through on the ks columns alone (a missing comparison sample is the
+    * most suspicious input there is, not the least).
     */
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
               groupA: String, groupB: String, binsPerUnit: Int): DataFrame = {
@@ -121,5 +125,6 @@ object Profile {
       .limit(1)
       .withColumn("ks_e6",
         expr("ks_num * 1000000 div (n_a * n_b)"))
+      .withColumn("valid", col("n_a") > 0 && col("n_b") > 0)
   }
 }

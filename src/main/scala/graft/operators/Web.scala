@@ -58,28 +58,31 @@ object Web {
 
   /** The full canonical URL (rules 1–5 above). */
   def canonicalUrl(u: Column): Column = {
-    // 1+2: fragment, then utm params (each pair takes its trailing '&'
-    // with it; a dangling '?'/'&' left at the end is repaired)
     val noFrag = regexp_replace(u, "#.*", "")
-    val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[A-Za-z0-9_]*=[^&#]*&?", ""),
-      "[?&]+$", "")
-    val scheme = urlScheme(noUtm)
-    val rest = afterScheme(noUtm)
-    val hostport = regexp_extract(rest, "^([^/?#]+)", 1)
-    val tail = afterPrefix(rest, hostport)
-    val host = regexp_replace(lower(hostport), "^www\\.|:[0-9]+$", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val scheme = urlScheme(noFrag)
+    val host = urlHost(noFrag)
+    val port = urlPort(noFrag)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val portSuffix = when(keepPort, concat(lit(":"), port)).otherwise("")
+    val tail = afterPrefix(afterScheme(noFrag),
+      regexp_extract(afterScheme(noFrag), "^([^/?#]+)", 1))
     val path = regexp_extract(tail, "^([^?]*)", 1)
-    val query = afterPrefix(tail, path)
     val canonPath = {
       val trimmed = regexp_replace(path, "/+$", "")
       when(trimmed === "", "/").otherwise(trimmed)
     }
+    // rule 2 runs on the QUERY STRING ONLY — a path segment or a param
+    // whose NAME merely contains "utm_" (xutm_source) must survive. Each
+    // removed param takes its LEADING separator; if the first surviving
+    // param then dangles after '&', it is promoted back to '?'.
+    val rawQuery = afterPrefix(tail, path)
+    val stripped = regexp_replace(rawQuery, "(?i)[?&]utm_[A-Za-z0-9_]*=[^&]*", "")
+    val query = when(stripped === "", "")
+      .when(stripped.startsWith("&"),
+        concat(lit("?"), stripped.substr(lit(2), length(stripped))))
+      .otherwise(stripped)
     concat(scheme, lit("://"), host, portSuffix, canonPath, query)
   }
 

@@ -344,6 +344,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(2L).length == 1 && !got(2L).head.ok, "size mismatch must quarantine")
   }
 
+  test("parseAvi: a NEGATIVE chunk size quarantines instead of stalling " +
+    "the walk (zero-progress guard)") {
+    import spark.implicits._
+    val base = Multimodal.aviBytes(Array(64, 64), 4, 4, 40000)
+    // movi data starts at 224: first frame chunk id at 224, size at 228 —
+    // patch the size to 0xFFFFFFF8 (-8), which would advance the walk by 0
+    val corrupt = base.clone()
+    corrupt(228) = 0xF8.toByte; corrupt(229) = 0xFF.toByte
+    corrupt(230) = 0xFF.toByte; corrupt(231) = 0xFF.toByte
+    assert(Multimodal.parseAvi(corrupt).isEmpty)
+    // same guard on the outer LIST walk: patch the hdrl LIST size
+    val corrupt2 = base.clone()
+    corrupt2(16) = 0xF8.toByte; corrupt2(17) = 0xFF.toByte
+    corrupt2(18) = 0xFF.toByte; corrupt2(19) = 0xFF.toByte
+    assert(Multimodal.parseAvi(corrupt2).isEmpty)
+    // and both operators surface it as a quarantine row, not a hang
+    val rows = Multimodal.aviFrameIndex(Seq(
+      Multimodal.MediaRow(9L, "video", corrupt, "video/avi", None, None, None)).toDS())
+      .collect()
+    assert(rows.length == 1 && !rows.head.ok)
+  }
+
   test("dedupWordChunks kernel: first-occurrence order, short tail chunk, " +
     "exact-repeat vs straddled-repeat") {
     import spark.implicits._

@@ -45,6 +45,21 @@ class WebSpec extends AnyFunSuite {
       "http://e.com/p?id=5"))
   }
 
+  test("canonicalUrl: utm removal is case-insensitive, boundary-anchored, " +
+    "and never touches the path") {
+    assert(canon(
+      "http://e.com/p?UTM_SOURCE=feed",        // upper-case tracking param
+      "http://e.com/p?id=5&Utm_Campaign=y",    // mixed-case, non-leading
+      "http://e.com/p?xutm_source=1",          // param NAME merely contains utm_
+      "http://e.com/utm_guide=intro/start",    // utm_ inside a PATH segment
+      "http://e.com/p?autumn_sale=1") == Seq(  // near-miss param name
+      "http://e.com/p",
+      "http://e.com/p?id=5",
+      "http://e.com/p?xutm_source=1",
+      "http://e.com/utm_guide=intro/start",
+      "http://e.com/p?autumn_sale=1"))
+  }
+
   test("canonicalUrl: trailing slashes and empty paths") {
     assert(canon(
       "http://e.com",
@@ -80,6 +95,17 @@ class WebSpec extends AnyFunSuite {
     assert(row.getAs[Long]("ks_num") == 4L)
     assert(row.getAs[Long]("bin_at_max") == 2L)
     assert(row.getAs[Long]("ks_e6") == 666666L) // 4e6 // 6
+    assert(row.getAs[Boolean]("valid"))
+  }
+
+  test("ksDrift: a missing comparison group flags valid=false instead of " +
+    "reading as zero drift") {
+    import spark.implicits._
+    val df = Seq(("a", 0.10), ("a", 0.20)).toDF("g", "v") // no 'b' rows at all
+    val r = Profile.ksDrift(df, "v", "g", "a", "b", binsPerUnit = 10).collect().head
+    assert(!r.getAs[Boolean]("valid"))
+    assert(r.getAs[Long]("ks_num") == 0L) // the degenerate value a gate must not trust
+    assert(r.isNullAt(r.fieldIndex("ks_e6"))) // 0-division → NULL, not 0
   }
 
   test("charLnSumE8 kernel: matches the reference histogram fold (ASCII + unicode)") {

@@ -98,6 +98,9 @@ def main(sfdir, outdir, only):
                           f"spark='{bad[1]}' duck='{bad[2]}'")
         else:
             results[q] = f"OK ({len(srows)} rows)"
+    if not results:
+        print("no matching queries")
+        return 1
     width = max(len(k) for k in results)
     n_ok = 0
     for k in sorted(results):
