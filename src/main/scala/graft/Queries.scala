@@ -1552,6 +1552,43 @@ object Queries {
         }.toDF("day", "source", "n_rows").orderBy("day")
       }),
 
+    // The JSONL corpus source under the gate: a REAL .jsonl file with
+    // planted malformed lines (every 97th slot) is read back through
+    // readJsonl's PERMISSIVE + _corrupt_record path. Clean rows must parse
+    // with exact field values (id sum), corrupt lines must be quarantined
+    // VERBATIM (their ids are re-extracted from the raw lines — a reader
+    // that dropped or truncated them could not reproduce the sum).
+    QueryDef("ingest_jsonl_quarantine", Some(
+      "WITH e AS (SELECT event_id FROM events WHERE event_id % 10 = 0) " +
+        "SELECT CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean, " +
+        "CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, " +
+        "CAST(sum(CASE WHEN event_id % 97 <> 0 THEN event_id END) AS BIGINT) AS sum_id_clean, " +
+        "CAST(coalesce(sum(CASE WHEN event_id % 97 = 0 THEN event_id END), 0) AS BIGINT) AS sum_id_corrupt " +
+        "FROM e"),
+      (s, d) => {
+        val dir = scratchDir(s, "graft_jsonl_q", d)
+        val ev = T(s, d, "events").filter(col("event_id") % 10 === 0)
+        ev.select(
+            when(col("event_id") % 97 === 0,
+              concat(lit("NOT{JSON line for id "), col("event_id").cast("string")))
+            .otherwise(to_json(struct(col("event_id"), col("event_type"))))
+            .as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$dir/docs.jsonl")
+        val r = graft.sources.Sources.readJsonl(s, s"$dir/docs.jsonl",
+          StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType))))
+        val clean = r.clean.agg(
+          count(lit(1)).as("n_clean"),
+          sum("event_id").as("sum_id_clean"))
+        val corrupt = r.corrupt.agg(
+          count(lit(1)).as("n_corrupt"),
+          coalesce(sum(regexp_extract(col("raw_line"), "([0-9]+)$", 1)
+            .cast("long")), lit(0L)).as("sum_id_corrupt"))
+        clean.crossJoin(corrupt)
+          .select("n_clean", "n_corrupt", "sum_id_clean", "sum_id_corrupt")
+      }),
+
     // S1 under the gate: the download cache's skip-if-present contract
     // (reference "extract cache hit", inpe_focos_diario.py:224-233). A
     // counting fetcher serves a CSV built from one day's events slice: the
