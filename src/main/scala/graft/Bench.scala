@@ -14,7 +14,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // static conf: the default 100-entry generated-class cache thrashes on
       // a 70-query session — compiled classes must survive the whole run
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.quietKnownBenign()
