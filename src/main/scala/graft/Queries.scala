@@ -4596,8 +4596,10 @@ object Queries {
         "FROM o ORDER BY media_id, frame_idx"),
       (s, d) => {
         import s.implicits._
-        val media = T(s, d, "documents").select("doc_id").as[Long]
-          .filter((id: Long) => id % 3 == 2)
+        // Catalyst predicate BEFORE the typed boundary: a Scala lambda
+        // filter is opaque to pushdown/codegen and deserializes every row
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 3 === 2).select("doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val nf = 3 + (id % 4).toInt
             val w = 160 + (id % 4).toInt * 16
@@ -4634,8 +4636,10 @@ object Queries {
         "FROM f ORDER BY media_id, frame_idx"),
       (s, d) => {
         import s.implicits._
-        val media = T(s, d, "documents").select("doc_id").as[Long]
-          .filter((id: Long) => id % 3 == 2)
+        // Catalyst predicate BEFORE the typed boundary: a Scala lambda
+        // filter is opaque to pushdown/codegen and deserializes every row
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 3 === 2).select("doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val nf = 2 + (id % 3).toInt
             val w = 5 + (id % 4).toInt

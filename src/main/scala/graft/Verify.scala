@@ -30,8 +30,17 @@ object Verify {
         // '513.00') and hash-mismatches even when every cell is equal.
         // The repo-wide recipe is DOUBLE or fixed-point BIGINT finals —
         // fail loud here so a new query can't regress it to a red row.
+        // recurse into struct/array/map: a nested Decimal stringifies just
+        // as divergently as a top-level one
+        def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+          case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case _ => false
+        }
         val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          case f if hasDecimal(f.dataType) => f.name
         }
         require(decCols.isEmpty,
           s"$name emits DecimalType final column(s) ${decCols.mkString(",")} — " +

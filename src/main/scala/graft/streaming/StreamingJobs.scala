@@ -330,11 +330,17 @@ object StreamingJobs {
   }
 
   private val memRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastMemTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drain a streaming frame to completion (AvailableNow) into an
     * append-mode memory sink and return the materialized table — the
     * run-a-real-stream seam the `stream_*` oracle rows share. Per-call
-    * query name: memory-sink names must be unique per session. */
+    * query name: memory-sink names must be unique per session. The
+    * PREVIOUS drain of the same prefix is dropped here, so a repeated
+    * bench (SPARK_GRAFT_REPEAT=N) holds at most one corpus-sized result
+    * per stream row instead of N — the sink's rows live only while the
+    * catalog references them. */
   def drainToMemory(stream: DataFrame, prefix: String): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_${memRuns.incrementAndGet()}"
@@ -342,6 +348,8 @@ object StreamingJobs {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
+    val prev = lastMemTable.put(prefix, name)
+    if (prev != null) spark.catalog.dropTempView(prev)
     spark.table(name)
   }
 

@@ -29,8 +29,10 @@ class GeoCodegenSpec extends AnyFunSuite {
     try {
       for (q <- geoQueries) {
         val df = SparkEntry.queries(q)(spark, sf)
-        // force real execution (collect would also work; count is cheaper)
-        val n = df.count()
+        // execute the query's OWN physical plan: df.count() rewrites to
+        // Aggregate(count(1)) and column-prunes the deterministic geometry
+        // projections — the very expressions this guard must compile
+        val n = df.queryExecution.toRdd.count()
         assert(n > 0, s"$q returned no rows")
       }
     } finally {

@@ -21,7 +21,11 @@ class ScaleProbeSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val timings: Map[String, ScaleProbe.Timing] =
-    ScaleProbe.run(spark, sf, mult = 10).map(t => t.op -> t).toMap
+    // configure() sets nanosAsLong — without it a TIMESTAMP(NANOS)
+    // testdata generation fails the events scan (order-dependently, when
+    // no earlier suite has configured the shared session)
+    ScaleProbe.run(SparkEntry.configure(spark), sf, mult = 10)
+      .map(t => t.op -> t).toMap
 
   private val linearCeiling = 13.0
   private val ccCeiling = 4.0
