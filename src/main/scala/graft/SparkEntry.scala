@@ -20,6 +20,14 @@ object SparkEntry {
     // events.parquet stores TIMESTAMP(NANOS); map to long nanos instead of
     // failing the scan (converted back to µs timestamps in the reader).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // v2 file-output commit: task outputs move to the destination at task
+    // commit instead of a second serial job-commit rename pass — the
+    // many-small-writes pipeline rows are commit-bound, and the v1 pass
+    // buys nothing on a non-atomic-rename filesystem anyway (the engine's
+    // idempotent left-anti/overwrite semantics, not commit atomicity, are
+    // what make re-runs safe — pipeline_idempotent pins that).
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     spark
   }
 
