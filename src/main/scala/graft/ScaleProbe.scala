@@ -111,6 +111,26 @@ object ScaleProbe {
         "dsir_weights" -> (() => consume(
           operators.TextAnalysis.dsirLogWeights(d, "doc_id", "text",
             col("lang") === "en"))),
+        // round-7 row-local/one-shuffle families: URL canonicalization +
+        // domain rollup, the char-entropy codegen kernel, in-doc line
+        // dedup, and the KS bin aggregate — all must scale ~linearly
+        "url_canonical" -> (() => consume {
+          val u = concat(lit("HTTP://WWW.site"), (col("doc_id") % 40).cast("string"),
+            lit(".COM:80/docs/"), (col("doc_id") % 20).cast("string"),
+            lit("/?utm_source=x&id=5#f"))
+          d.select(operators.Web.canonicalUrl(u).as("cu"),
+              operators.Web.registeredDomain(operators.Web.urlHost(u)).as("rd"))
+            .groupBy("rd").agg(count(lit(1)), countDistinct("cu"))
+        }),
+        "char_entropy" -> (() => consume(
+          d.select(col("doc_id"), length(col("text")),
+            graft.plans.CharLnSumE8Expr(col("text"))))),
+        "dedup_lines_indoc" -> (() => consume(
+          d.select(col("doc_id"), size(graft.plans.DedupWordChunksExpr(
+            split(trim(col("text")), " "), 8))))),
+        "ks_drift" -> (() => consume(
+          operators.Profile.ksDrift(e, "value", "event_type",
+            "view", "purchase", binsPerUnit = 100))),
         // fixed-diameter component graph (runs of ≤3 consecutive ids →
         // components of ≤4 nodes): edge count scales with the corpus,
         // iteration rounds stay constant — CC cost must scale with the
