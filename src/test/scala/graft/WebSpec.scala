@@ -74,6 +74,26 @@ class WebSpec extends AnyFunSuite {
       "http://e.com/?id=1"))
   }
 
+  test("canonicalUrl is idempotent over the messy-URL space (a canonical " +
+    "key that re-canonicalizes differently breaks incremental dedup)") {
+    import spark.implicits._
+    // the full cross product of the synthesis dimensions, plus hand edges
+    val urls = (for {
+      scheme <- Seq("http", "HTTPS")
+      www <- Seq("", "WWW.")
+      port <- Seq("", ":80", ":443", ":8080")
+      path <- Seq("", "/", "/docs/3", "/docs/3/")
+      query <- Seq("", "?utm_source=x", "?id=5&utm_campaign=y", "?a=1&b=2")
+      frag <- Seq("", "#sec")
+    } yield s"$scheme://${www}site.co.br$port$path$query$frag") ++
+      Seq("http://e.com/p?xutm_source=1", "http://e.com/utm_guide=x/y")
+    val once = urls.toDF("u").select(Web.canonicalUrl(col("u")).as("c"))
+    val twice = once.select(col("c"), Web.canonicalUrl(col("c")).as("cc"))
+      .filter(col("c") =!= col("cc")).collect()
+    assert(twice.isEmpty,
+      s"non-idempotent: ${twice.take(5).map(r => r.getString(0) + " -> " + r.getString(1)).mkString("; ")}")
+  }
+
   test("registeredDomain: two-label public suffixes") {
     import spark.implicits._
     val got = Seq("a.b.site.com", "cdn.site.co.br", "site.co.uk", "x.site.org")
