@@ -3646,7 +3646,12 @@ object Queries {
             .when(col("hspl") < "e6", "val").otherwise("test"))
           .withColumn("naive", col("doc_id") % 10)
         val audit = withSplit.groupBy("canon")
-          .agg(countDistinct("split").as("ns"), countDistinct("naive").as("nn"))
+          // two countDistincts in ONE agg would rewrite through an Expand
+          // that doubles the corpus-sized member stream before the shuffle;
+          // collect_set partials carry each cluster's ≤3 splits / ≤10 naive
+          // buckets instead (the Profile.profile discipline)
+          .agg(size(collect_set(col("split"))).as("ns"),
+            size(collect_set(col("naive"))).as("nn"))
           .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("clustered_violations"),
             sum(when(col("nn") > 1, 1L).otherwise(0L)).as("naive_violations"))
         withSplit.groupBy("split")

@@ -658,11 +658,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("split_cluster_aware: digest-keyed shuffles only — the corpus text " +
-    "never reaches a join payload twice, audit joins as a broadcast") {
+    "never reaches a join payload twice, audit joins as a broadcast, and " +
+    "the per-cluster distincts don't Expand the member stream") {
     val p = executedPlan("split_cluster_aware")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"1-row audit must broadcast:\n$p")
     assert(p.contains("HashAggregate"), p)
+    // two countDistincts in one agg would rewrite through Expand —
+    // collect_set partials keep the member stream single-width
+    assert(!p.contains("Expand"), s"member stream must not Expand:\n$p")
   }
 
   test("stats_ks_drift: ONE corpus hash aggregate; windows run on the bin frame") {
