@@ -639,6 +639,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
   }
 
+  test("web_host_stats: single distinct aggregate plans two-phase without " +
+    "an Expand of the canonicalized stream") {
+    val p = executedPlan("web_host_stats")
+    assert(!p.contains("Expand"), s"host rollup must not Expand:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("text_char_entropy: row-local histogram — no corpus explode, no " +
     "hash shuffle before the output sort") {
     val p = executedPlan("text_char_entropy")
