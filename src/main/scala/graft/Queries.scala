@@ -1056,6 +1056,39 @@ object Queries {
           "value", "event_type", "view", "purchase", binsPerUnit = 100)
         .select("n_a", "n_b", "ks_num", "bin_at_max", "ks_e6", "valid")),
 
+    // The MONITOR form of drift: every 6h window of the purchase stream
+    // gets an exact-integer L1 (total-variation) distance against the view
+    // reference distribution — the dashboard line a pipeline alarms on
+    // when an arriving source shifts. Reference-only bins fold in closed
+    // form ((refTot − Σ matched ref)·winTot), so no outer join
+    // materializes the bin union; after the ONE corpus aggregate to
+    // (window, bin) counts, everything runs on that bounded frame.
+    QueryDef("stats_drift_windows", Some(
+      "WITH r AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin, count(*) AS ref_n " +
+        "FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1), " +
+        "rt AS (SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot FROM r), " +
+        "w AS (SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS win_start, " +
+        "CAST(floor(value * 10) AS BIGINT) AS bin, count(*) AS cnt " +
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT win_start, CAST(sum(cnt) AS BIGINT) AS win_tot FROM w GROUP BY 1), " +
+        "j AS (SELECT w.win_start, w.cnt, coalesce(r.ref_n, 0) AS ref_n, t.win_tot, rt.ref_tot " +
+        "FROM w LEFT JOIN r USING (bin) JOIN t USING (win_start) CROSS JOIN rt), " +
+        "a AS (SELECT win_start, CAST(max(win_tot) AS BIGINT) AS n, " +
+        "CAST(max(ref_tot) AS BIGINT) AS rt2, " +
+        "CAST(sum(abs(cnt * ref_tot - ref_n * win_tot)) AS BIGINT) AS mabs, " +
+        "CAST(sum(ref_n) AS BIGINT) AS mref FROM j GROUP BY 1) " +
+        "SELECT win_start, n, CAST(mabs + (rt2 - mref) * n AS BIGINT) AS drift_num, " +
+        "CAST((mabs + (rt2 - mref) * n) * 1000000 // (2 * n * rt2) AS BIGINT) AS tv_e6 " +
+        "FROM a ORDER BY win_start"),
+      (s, d) => {
+        val ev = T(s, d, "events")
+        operators.Profile.histDriftWindows(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            "value", "ts", windowSeconds = 21600, binsPerUnit = 10)
+          .orderBy("win_start")
+      }),
+
     // Count-min heavy hitters: tokens whose exact corpus count >= 500 next
     // to their CMS estimate (d=4, w=1024, Kirsch–Mitzenmacher buckets over
     // the corpus fingerprint polynomial). The oracle recomputes the SKETCH

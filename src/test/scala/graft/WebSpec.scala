@@ -118,6 +118,27 @@ class WebSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("valid"))
   }
 
+  test("histDriftWindows: hand-computed total-variation per window, " +
+    "reference-only bins folded closed-form") {
+    import spark.implicits._
+    // reference: bins 1:1, 2:2, 3:1 (refTot 4)
+    val ref = Seq(0.1, 0.2, 0.2, 0.3).map(v => ("r", v)).toDF("g", "v")
+    // window 0: all mass on bin 1 → TV vs ref = 0.75;
+    // window 100: all mass on bin 9 (disjoint) → TV = 1.0
+    val mon = Seq((10L, 0.1), (20L, 0.1), (150L, 0.9))
+      .toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Profile.histDriftWindows(mon, ref, "v", "ts",
+        windowSeconds = 100, binsPerUnit = 10)
+      .orderBy("win_start").collect()
+    assert(got.length == 2)
+    assert((got(0).getAs[Long]("win_start"), got(0).getAs[Long]("n"),
+      got(0).getAs[Long]("drift_num"), got(0).getAs[Long]("tv_e6")) ==
+      ((0L, 2L, 12L, 750000L)))
+    assert((got(1).getAs[Long]("win_start"), got(1).getAs[Long]("n"),
+      got(1).getAs[Long]("drift_num"), got(1).getAs[Long]("tv_e6")) ==
+      ((100L, 1L, 8L, 1000000L)))
+  }
+
   test("ksDrift: a missing comparison group flags valid=false instead of " +
     "reading as zero drift") {
     import spark.implicits._
