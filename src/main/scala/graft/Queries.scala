@@ -3487,6 +3487,51 @@ object Queries {
         .drop("text")
         .orderBy("doc_id")),
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) — the canonical web-text
+    // filter set next to the Gopher gate. Suffixes planted by doc_id slot
+    // make every rule FIRE somewhere (placeholder text, code braces,
+    // javascript mentions, cookie/privacy boilerplate, 1-sentence docs
+    // below the ≥3 threshold) AND pass somewhere (slots 6-8 carry three
+    // terminal-punctuated sentences — the synthetic corpus itself has no
+    // sentence punctuation, so without them the gate would be vacuously
+    // false). The oracle replays the identical string predicates.
+    QueryDef("quality_c4_rules", Some(
+      "WITH t AS (SELECT doc_id, trim(text) || CASE doc_id % 9 " +
+        "WHEN 0 THEN ' {code}' WHEN 1 THEN ' See our cookie policy' " +
+        "WHEN 2 THEN ' please enable JavaScript' WHEN 3 THEN ' Lorem Ipsum!' " +
+        "WHEN 4 THEN '.' WHEN 5 THEN '?' " +
+        "ELSE '. Second sentence here. And a third one.' END AS t2 FROM documents), " +
+        "r AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(t2, '\\s+')) AS BIGINT) AS n_words, " +
+        "CAST(length(t2) - length(regexp_replace(t2, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences, " +
+        "regexp_matches(t2, '[.!?\"]$') AS r_terminal_punct, " +
+        "strpos(lower(t2), 'lorem ipsum') = 0 AS r_no_lorem, " +
+        "strpos(t2, '{') = 0 AS r_no_curly, " +
+        "strpos(lower(t2), 'javascript') = 0 AS r_no_js, " +
+        "(strpos(lower(t2), 'cookie policy') = 0 AND strpos(lower(t2), 'privacy policy') = 0 " +
+        "AND strpos(lower(t2), 'terms of use') = 0) AS r_no_policy " +
+        "FROM t) " +
+        "SELECT doc_id, n_words, n_sentences, r_terminal_punct, r_no_lorem, " +
+        "r_no_curly, r_no_js, r_no_policy, n_words >= 5 AS r_min_words, " +
+        "n_sentences >= 3 AS r_min_sentences, " +
+        "(r_terminal_punct AND r_no_lorem AND r_no_curly AND r_no_js AND " +
+        "r_no_policy AND n_words >= 5 AND n_sentences >= 3) AS pass " +
+        "FROM r ORDER BY doc_id"),
+      (s, d) => {
+        val t2 = concat(trim(col("text")),
+          when(col("doc_id") % 9 === 0, " {code}")
+            .when(col("doc_id") % 9 === 1, " See our cookie policy")
+            .when(col("doc_id") % 9 === 2, " please enable JavaScript")
+            .when(col("doc_id") % 9 === 3, " Lorem Ipsum!")
+            .when(col("doc_id") % 9 === 4, ".")
+            .when(col("doc_id") % 9 === 5, "?")
+            .otherwise(". Second sentence here. And a third one."))
+        operators.TextAnalysis.c4Rules(
+            T(s, d, "documents").select(col("doc_id"), t2.as("__t2")), "__t2")
+          .drop("__t2")
+          .orderBy("doc_id")
+      }),
+
     // stopword-hit ratio (English inventory) — quality-filter signal, pure
     // built-ins on the Spark side (TextFunctions.stopwordRatio); the oracle
     // list is BUILT FROM the same inventory so the two cannot drift

@@ -239,6 +239,34 @@ object TextAnalysis {
         col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") &&
           col("r_stopwords") && col("r_symbol_ratio"))
 
+  /** C4 cleaning rules (Raffel et al. 2020, §2.2 — the canonical web-text
+    * filter set, complementing [[gopherRules]]): terminal punctuation,
+    * no "lorem ipsum" placeholder, no curly brace (code), no javascript
+    * mention, no cookie/privacy/terms boilerplate, minimum word and
+    * sentence counts. Every predicate is a row-local string/integer
+    * Column expression (no spliced SQL, no UDF) — stateless, so the gate
+    * runs identically inline in a batch scan or a streaming pipeline. */
+  def c4Rules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val low = lower(t)
+    df.withColumn("n_words", size(split(t, "\\s+")).cast("long"))
+      .withColumn("n_sentences",
+        (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast("long"))
+      .withColumn("r_terminal_punct", t.rlike("[.!?\"]$"))
+      .withColumn("r_no_lorem", !low.contains("lorem ipsum"))
+      .withColumn("r_no_curly", !t.contains("{"))
+      .withColumn("r_no_js", !low.contains("javascript"))
+      .withColumn("r_no_policy",
+        !(low.contains("cookie policy") || low.contains("privacy policy") ||
+          low.contains("terms of use")))
+      .withColumn("r_min_words", col("n_words") >= 5)
+      .withColumn("r_min_sentences", col("n_sentences") >= 3)
+      .withColumn("pass",
+        col("r_terminal_punct") && col("r_no_lorem") && col("r_no_curly") &&
+          col("r_no_js") && col("r_no_policy") && col("r_min_words") &&
+          col("r_min_sentences"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023,
     * arXiv:2302.03169): score every document by how much more likely its
