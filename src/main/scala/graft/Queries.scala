@@ -1078,7 +1078,8 @@ object Queries {
         "CAST(sum(abs(cnt * ref_tot - ref_n * win_tot)) AS BIGINT) AS mabs, " +
         "CAST(sum(ref_n) AS BIGINT) AS mref FROM j GROUP BY 1) " +
         "SELECT win_start, n, CAST(mabs + (rt2 - mref) * n AS BIGINT) AS drift_num, " +
-        "CAST((mabs + (rt2 - mref) * n) * 1000000 // (2 * n * rt2) AS BIGINT) AS tv_e6 " +
+        "CAST((mabs + (rt2 - mref) * n) * 1000000 // (2 * n * rt2) AS BIGINT) AS tv_e6, " +
+        "rt2 > 0 AND n > 0 AS valid " +
         "FROM a ORDER BY win_start"),
       (s, d) => {
         val ev = T(s, d, "events")
@@ -3503,7 +3504,7 @@ object Queries {
         "ELSE '. Second sentence here. And a third one.' END AS t2 FROM documents), " +
         "r AS (SELECT doc_id, " +
         "CAST(len(string_split_regex(t2, '\\s+')) AS BIGINT) AS n_words, " +
-        "CAST(length(t2) - length(regexp_replace(t2, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences, " +
+        "CAST(length(t2) - length(regexp_replace(t2, '[.!?]', '', 'g')) AS BIGINT) AS n_sentence_marks, " +
         "regexp_matches(t2, '[.!?\"]$') AS r_terminal_punct, " +
         "strpos(lower(t2), 'lorem ipsum') = 0 AS r_no_lorem, " +
         "strpos(t2, '{') = 0 AS r_no_curly, " +
@@ -3511,11 +3512,11 @@ object Queries {
         "(strpos(lower(t2), 'cookie policy') = 0 AND strpos(lower(t2), 'privacy policy') = 0 " +
         "AND strpos(lower(t2), 'terms of use') = 0) AS r_no_policy " +
         "FROM t) " +
-        "SELECT doc_id, n_words, n_sentences, r_terminal_punct, r_no_lorem, " +
+        "SELECT doc_id, n_words, n_sentence_marks, r_terminal_punct, r_no_lorem, " +
         "r_no_curly, r_no_js, r_no_policy, n_words >= 5 AS r_min_words, " +
-        "n_sentences >= 3 AS r_min_sentences, " +
+        "n_sentence_marks >= 3 AS r_min_sentences, " +
         "(r_terminal_punct AND r_no_lorem AND r_no_curly AND r_no_js AND " +
-        "r_no_policy AND n_words >= 5 AND n_sentences >= 3) AS pass " +
+        "r_no_policy AND n_words >= 5 AND n_sentence_marks >= 3) AS pass " +
         "FROM r ORDER BY doc_id"),
       (s, d) => {
         val t2 = concat(trim(col("text")),

@@ -77,6 +77,12 @@ object Profile {
         sum(when(col("__st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
   }
 
+  /** The drift operators' shared quantization — floor is IEEE-deterministic
+    * and both engines (and both operators' DuckDB oracles) must stay on
+    * the SAME expression or bin keys silently desynchronize. */
+  private def valueBin(valueCol: String, binsPerUnit: Int) =
+    floor(col(valueCol) * binsPerUnit).cast("long")
+
   /** Two-sample Kolmogorov–Smirnov drift statistic between the `valueCol`
     * distributions of two groups — the batch-vs-batch distribution-shift
     * audit a training pipeline runs before admitting a new data drop.
@@ -105,7 +111,7 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val binned = df
       .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
-      .select(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"),
+      .select(valueBin(valueCol, binsPerUnit).as("bin"),
         col(groupCol).as("__g"))
     val counts = binned.groupBy("bin").agg(
       sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("ca"),
@@ -140,6 +146,9 @@ object Profile {
     * over the UNION of bins — bins present only in the reference are
     * folded in closed form ((refTot − Σ_matched ref)·winTot), so no outer
     * join materializes the bin union. tv_e6 = driftNum·10⁶/(2·winTot·refTot)
+    * stays inside BIGINT while winTot·refTot ≤ 4.6e12 (driftNum ≤
+    * 2·winTot·refTot) — past that, flip the final division to DOUBLE;
+    * the integer numerator is the part that must stay exact.
     * ∈ [0, 10⁶] is the total-variation distance in 1e-6 units.
     *
     * Scale shape: ONE corpus aggregate to (window, bin) counts; everything
@@ -152,7 +161,7 @@ object Profile {
                        valueCol: String, tsCol: String,
                        windowSeconds: Int, binsPerUnit: Int): DataFrame = {
     val refBins = reference.filter(col(valueCol).isNotNull)
-      .groupBy(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
+      .groupBy(valueBin(valueCol, binsPerUnit).as("bin"))
       .agg(count(lit(1)).as("ref_n"))
     // 1-row total, carried onto the bounded bin frames as a literal-free
     // broadcast (cheaper than threading a scalar subquery through codegen)
@@ -161,14 +170,18 @@ object Profile {
       .groupBy(
         (floor(col(tsCol).cast("long") / windowSeconds) * windowSeconds)
           .cast("long").as("win_start"),
-        floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
+        valueBin(valueCol, binsPerUnit).as("bin"))
       .agg(count(lit(1)).as("cnt"))
-    val winTots = winBin.groupBy("win_start").agg(sum("cnt").as("win_tot"))
+    // win_tot via a win_start-PARTITIONED window over the already-aggregated
+    // bin frame — not a second aggregate of winBin, whose deduplication
+    // would otherwise hinge on ReuseExchange firing (and scan the corpus
+    // twice when it doesn't)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("win_start")
     winBin
       .join(broadcast(refBins), Seq("bin"), "left")
       .na.fill(0L, Seq("ref_n"))
-      .join(winTots, Seq("win_start"))
       .crossJoin(broadcast(refTotDf))
+      .withColumn("win_tot", sum("cnt").over(wTot))
       .groupBy("win_start")
       .agg(
         first("win_tot").as("n"),
@@ -181,6 +194,10 @@ object Profile {
           (col("__rt") - col("__matched_ref")) * col("n")).as("drift_num"),
         col("__rt"))
       .withColumn("tv_e6", expr("drift_num * 1000000 div (2 * n * __rt)"))
+      // an empty/all-null reference yields NULL __rt → NULL drift columns;
+      // the flag keeps the degenerate case loud (the ksDrift lesson: a
+      // missing comparison sample must never read as "no drift")
+      .withColumn("valid", col("__rt").isNotNull && col("__rt") > 0 && col("n") > 0)
       .drop("__rt")
   }
 }

@@ -250,7 +250,10 @@ object TextAnalysis {
     val t = col(textCol)
     val low = lower(t)
     df.withColumn("n_words", size(split(t, "\\s+")).cast("long"))
-      .withColumn("n_sentences",
+      // sentence COUNT is approximated by terminal-mark count (the C4
+      // heuristic granularity — ellipses/abbreviations overcount; proper
+      // splitting is a tokenizer concern), hence the honest column name
+      .withColumn("n_sentence_marks",
         (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast("long"))
       .withColumn("r_terminal_punct", t.rlike("[.!?\"]$"))
       .withColumn("r_no_lorem", !low.contains("lorem ipsum"))
@@ -260,7 +263,7 @@ object TextAnalysis {
         !(low.contains("cookie policy") || low.contains("privacy policy") ||
           low.contains("terms of use")))
       .withColumn("r_min_words", col("n_words") >= 5)
-      .withColumn("r_min_sentences", col("n_sentences") >= 3)
+      .withColumn("r_min_sentences", col("n_sentence_marks") >= 3)
       .withColumn("pass",
         col("r_terminal_punct") && col("r_no_lorem") && col("r_no_curly") &&
           col("r_no_js") && col("r_no_policy") && col("r_min_words") &&

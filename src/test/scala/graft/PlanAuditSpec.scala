@@ -676,6 +676,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"member stream must not Expand:\n$p")
   }
 
+  test("stats_drift_windows: the monitored corpus is aggregated ONCE — " +
+    "win_tot comes from a partitioned window over the bin frame, not a " +
+    "second corpus aggregate") {
+    val p = executedPlan("stats_drift_windows").split("== Initial Plan ==").head
+    // partial+final pairs for (monitored bins, reference bins, refTot,
+    // final drift) plus AQE stage splits — the bound catches a REPEATED
+    // corpus aggregate (which would add a pair + its exchange)
+    assert("HashAggregate".r.findAllIn(p).size <= 10,
+      s"unexpected aggregate count:\n$p")
+    assert(p.contains("Window"), s"win_tot must be a window, not a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(bin"),
+      s"no bin-keyed re-shuffle expected:\n$p")
+  }
+
   test("stats_ks_drift: ONE corpus hash aggregate; windows run on the bin frame") {
     // count only the AQE final-plan section (toString repeats the
     // exchanges in its "Initial Plan" appendix)

@@ -137,6 +137,19 @@ class WebSpec extends AnyFunSuite {
     assert((got(1).getAs[Long]("win_start"), got(1).getAs[Long]("n"),
       got(1).getAs[Long]("drift_num"), got(1).getAs[Long]("tv_e6")) ==
       ((100L, 1L, 8L, 1000000L)))
+    assert(got.forall(_.getAs[Boolean]("valid")))
+  }
+
+  test("histDriftWindows: an empty reference flags valid=false instead of " +
+    "going silently blind") {
+    import spark.implicits._
+    val mon = Seq((10L, 0.1)).toDF("ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val emptyRef = Seq.empty[(String, Double)].toDF("g", "v")
+    val r = Profile.histDriftWindows(mon, emptyRef, "v", "ts", 100, 10)
+      .collect().head
+    assert(!r.getAs[Boolean]("valid"))
+    assert(r.isNullAt(r.fieldIndex("drift_num"))) // NULL, never a fake 0
   }
 
   test("ksDrift: a missing comparison group flags valid=false instead of " +
