@@ -4344,8 +4344,13 @@ object Queries {
     // same IEEE double); the per-doc sum then runs in exact LONG units, so
     // fold order can't drift. entropy_e6 = (n·ln(n) − Σ cᵢ·ln(cᵢ)) / n in
     // 1e-6 nat units, derived with pure integer arithmetic from those sums.
+    // Empty docs are filtered EXPLICITLY on both sides: the unnest oracle
+    // would drop a zero-char doc implicitly while the row-local engine side
+    // would emit (0, NULL) — aligning the row sets by construction instead
+    // of by the current corpus happening to have no empty text.
     QueryDef("text_char_entropy", Some(
-      "WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents), " +
+      "WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch " +
+        "FROM documents WHERE length(text) > 0), " +
         "g AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, CAST(sum(cnt * CAST(round(ln(cnt) * 100000000) AS BIGINT)) AS BIGINT) AS s_e8, " +
         "CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY 1) " +
@@ -4353,6 +4358,7 @@ object Queries {
         "CAST((CAST(round(ln(n) * 100000000) AS BIGINT) * n - s_e8) // (n * 100) AS BIGINT) AS entropy_e6 " +
         "FROM s ORDER BY doc_id"),
       (s, d) => T(s, d, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           // length() counts codepoints on both engines
           length(col("text")).cast("long").as("n_chars"),

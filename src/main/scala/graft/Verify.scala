@@ -1,28 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    LogHygiene.quietKnownBenign()
-    new java.io.File(outDir).mkdirs()
-    // optional comma-separated filter for local iteration (unset in CI)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+  /** Run each query once (retrying a failure once with a fresh plan) and
+    * write its result under `outDir/<name>`. Returns the terminal failures
+    * (query → error). Factored out of [[main]] so a poison-injection test
+    * can prove a failing query surfaces in the artifact instead of
+    * vanishing (the round-7 `dedup_clusters` incident).
+    */
+  private[graft] def runQueries(
+      spark: SparkSession,
+      selected: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, outDir: String): Map[String, String] = {
+    // terminal (post-retry) failures, written to failures.json — an absent
+    // parquet dir must surface as an artifact the driver can see, never as
+    // a silently shorter correctness file
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      // one retry with a freshly built plan: a transient Spark-side failure
+      // (e.g. a racing async block release) must not cost the round a row
+      def attempt(remaining: Int): Unit = try {
         val df = fn(spark, sfDir)
         // Boundary-type guard: a DECIMAL in a FINAL schema stringifies
         // differently per engine under the gate's pandas canonicalization
@@ -49,24 +49,71 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (remaining > 0) {
+          System.err.println(s"[verify] $name failed (${e.getMessage}) — retrying once")
+          attempt(remaining - 1)
+        } else {
+          System.err.println(s"[verify] $name FAILED after retry: ${e.getMessage}")
+          failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        }
       }
+      attempt(1)
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
+    failures.toMap
+  }
+
+  /** Names in `selected` with no committed parquet output under `outDir`. */
+  private[graft] def census(outDir: String, names: Seq[String]): Seq[String] =
+    names.filterNot(n => Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    case c => c.toString
+  } + "\""
+
+  private[graft] def writeJsonMap(path: String, m: Iterable[(String, String)]): Unit =
+    Files.writeString(Paths.get(path),
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietKnownBenign()
+    new java.io.File(outDir).mkdirs()
+    // optional comma-separated filter for local iteration (unset in CI)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failures = runQueries(spark, selected, sfDir, outDir)
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    writeJsonMap(s"$outDir/failures.json", failures)
     spark.stop()
+    // Census: every selected query must have produced a parquet dir — a
+    // missing output can otherwise read as "not run" downstream. Checked
+    // AFTER oracle_sql.json/failures.json are written so a failing census
+    // still leaves the artifacts, and surfaced as a non-zero exit.
+    val missing = census(outDir, selected.map(_._1))
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"[verify] CENSUS FAILURE: ${missing.size}/${selected.size} query " +
+          s"output(s) missing: ${missing.mkString(", ")}")
+      sys.exit(1)
+    }
+    System.err.println(s"[verify] census ok: ${selected.size}/${selected.size} outputs present")
   }
 }

@@ -475,14 +475,23 @@ object Dedup {
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
-    // Checkpoint blocks of superseded rounds are released EAGERLY — the
+    // Checkpoint blocks of superseded rounds are released by the loop — the
     // ContextCleaner only frees them on driver GC, so an iterative job
     // would otherwise hold O(rounds) copies of the label frame in storage.
+    // The release is deferred ONE FULL ROUND (round t-2's blocks freed when
+    // round t materializes): `unpersist(false)` is asynchronous, and a
+    // same-round release can race an in-flight reader of the just-superseded
+    // blocks, whose lineage a localCheckpoint by definition cannot recompute
+    // ("block ... cannot be recomputed after unpersisting"). After a whole
+    // extra round every job that could reference the blocks has completed,
+    // so the deferred release can never strand a reader; storage still holds
+    // only O(1) rounds (at most two supersededs in flight).
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
     var prevCkpt = ckptRdd(labels)
+    var deferredRelease: List[org.apache.spark.rdd.RDD[_]] = Nil
     var iter = 0
     var converged = labels.isEmpty // no edges → nothing to iterate
     // AQE is pinned OFF for the loop body: each round is a handful of tiny
@@ -533,10 +542,12 @@ object Dedup {
           .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
           .select("id", "label")
           .localCheckpoint(true)
-        // the new round is materialized — the previous round's blocks (and
-        // this round's intermediate) are no longer referenced downstream
-        prevCkpt.foreach(_.unpersist(false))
-        minnedCkpt.foreach(_.unpersist(false))
+        // round t is materialized: free the blocks deferred at round t-1
+        // (i.e. round t-2's label frame and intermediate — nothing can
+        // reference them any more), then defer round t-1's own superseded
+        // blocks until round t+1 lands
+        deferredRelease.foreach(_.unpersist(false))
+        deferredRelease = prevCkpt.toList ++ minnedCkpt.toList
         prevCkpt = ckptRdd(labels)
         val chg = obs.get("chg").asInstanceOf[Long]
         converged = chg == 0L
@@ -544,7 +555,15 @@ object Dedup {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
       }
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      // loop done: the still-deferred blocks are ≥1 materialized round
+      // stale and every loop job has completed — safe to free now. The
+      // FINAL round's checkpoint (prevCkpt) is what the returned frame
+      // reads; it stays persisted for the session (ContextCleaner scope).
+      deferredRelease.foreach(_.unpersist(false))
+      deferredRelease = Nil
+    }
     if (!converged && iter > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

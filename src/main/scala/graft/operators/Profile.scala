@@ -99,12 +99,15 @@ object Profile {
     * nA·nB ≤ 9.2e12 — past that, flip the final division to DOUBLE (the
     * integer numerator is the part that must stay exact).
     *
-    * Output (1 row): n_a, n_b, ks_num, bin_at_max (lowest bin attaining
-    * the supremum), ks_e6, valid. `valid` is false when either group has
-    * ZERO rows — there ks_num degenerates to 0 ("no drift") and ks_e6 to
-    * NULL, which is exactly the batch an admission gate must NOT wave
-    * through on the ks columns alone (a missing comparison sample is the
-    * most suspicious input there is, not the least).
+    * Output (EXACTLY 1 row, even on empty input): n_a, n_b, ks_num,
+    * bin_at_max (lowest bin attaining the supremum), ks_e6, valid. `valid`
+    * is false when either group has ZERO rows — there ks_num degenerates
+    * to 0 ("no drift") and ks_e6 to NULL, which is exactly the batch an
+    * admission gate must NOT wave through on the ks columns alone (a
+    * missing comparison sample is the most suspicious input there is, not
+    * the least). When BOTH groups are absent the bin frame itself is empty;
+    * a constant `valid=false` fallback row is unioned in so a gate reading
+    * the flag always has a row to read.
     */
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
               groupA: String, groupB: String, binsPerUnit: Int): DataFrame = {
@@ -120,7 +123,7 @@ object Profile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    val top = counts
       .select(col("bin"),
         sum("ca").over(cum).as("cum_a"), sum("cb").over(cum).as("cum_b"),
         sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
@@ -132,6 +135,16 @@ object Profile {
       .withColumn("ks_e6",
         expr("ks_num * 1000000 div (n_a * n_b)"))
       .withColumn("valid", col("n_a") > 0 && col("n_b") > 0)
+    // degenerate-input guard: empty bin frame → 0 rows upstream; union a
+    // constant invalid row and keep the real row (when present) via a
+    // 2-row marker sort — no driver-side isEmpty probe, no extra job
+    val fallback = df.sparkSession.range(1).select(
+      lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("ks_num"),
+      lit(null).cast("long").as("bin_at_max"),
+      lit(null).cast("long").as("ks_e6"), lit(false).as("valid"))
+    top.withColumn("__real", lit(1))
+      .unionByName(fallback.withColumn("__real", lit(0)))
+      .orderBy(col("__real").desc).limit(1).drop("__real")
   }
 
   /** Per-time-window histogram drift vs a REFERENCE distribution — the

@@ -615,10 +615,15 @@ case class DedupWordChunksExpr(child: Expression, k: Int) extends UnaryExpressio
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"dedup_word_chunks expects array<string>, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      // guard at PLAN time: the kernel advances by `i += k`, so k <= 0
+      // would spin an executor forever inside codegen instead of failing
+      TypeCheckResult.TypeCheckFailure(s"dedup_word_chunks chunk width must be >= 1, got $k")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"dedup_word_chunks expects array<string>, got $t")
+    }
 
   override protected def nullSafeEval(words: Any): Any =
     ShingleKernel.dedupWordChunks(words.asInstanceOf[ArrayData], k)

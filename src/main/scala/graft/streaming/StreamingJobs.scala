@@ -330,17 +330,19 @@ object StreamingJobs {
   }
 
   private val memRuns = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val lastMemTable =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drain a streaming frame to completion (AvailableNow) into an
     * append-mode memory sink and return the materialized table — the
     * run-a-real-stream seam the `stream_*` oracle rows share. Per-call
     * query name: memory-sink names must be unique per session. The
-    * PREVIOUS drain of the same prefix is dropped here, so a repeated
-    * bench (SPARK_GRAFT_REPEAT=N) holds at most one corpus-sized result
-    * per stream row instead of N — the sink's rows live only while the
-    * catalog references them. */
+    * returned frame is SELF-CONTAINED: it is checkpointed off the sink and
+    * the temp view is dropped immediately, so (a) a caller can lazily
+    * re-execute it at any later time — no unresolved-relation trap if
+    * another drain of the same prefix ran in between — and (b) the sink's
+    * in-memory batches are unreferenced as soon as this call returns; the
+    * checkpoint blocks themselves are freed by the ContextCleaner once the
+    * caller drops the frame, so a repeated bench (SPARK_GRAFT_REPEAT=N)
+    * holds only reachable results. */
   def drainToMemory(stream: DataFrame, prefix: String): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_${memRuns.incrementAndGet()}"
@@ -348,9 +350,9 @@ object StreamingJobs {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    val prev = lastMemTable.put(prefix, name)
-    if (prev != null) spark.catalog.dropTempView(prev)
-    spark.table(name)
+    val out = spark.table(name).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming Gopher gate: the row-local rule set applied to an ARRIVING

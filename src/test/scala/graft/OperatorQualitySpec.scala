@@ -384,6 +384,15 @@ class OperatorQualitySpec extends AnyFunSuite {
     val odd = Seq("x", "y", "z")
     assert(run(odd ++ odd, 2) == Seq("x y", "z x", "y z"))
     assert(run(Seq.empty, 2) == Seq.empty)
+    // k <= 0 must fail at PLAN time (`i += k` would otherwise spin an
+    // executor forever inside generated code)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq("a", "b"))).toDF("w")
+        .select(graft.plans.DedupWordChunksExpr(
+          org.apache.spark.sql.functions.col("w"), 0))
+        .collect()
+    }
+    assert(bad.getMessage.contains("chunk width"))
   }
 
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {

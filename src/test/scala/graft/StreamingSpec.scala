@@ -491,4 +491,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) == ((2, 3.5)))
     assert(got(2L) == ((1, 4.0)))
   }
+
+  test("drainToMemory: an earlier drain's frame is still re-executable after " +
+    "a later drain of the SAME prefix (self-contained, no temp-view dependency)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in1 = MemoryStream[Long]
+    in1.addData(1L, 2L, 3L)
+    val first = StreamingJobs.drainToMemory(in1.toDF().toDF("v"), "drain_spec")
+    assert(first.count() == 3)
+    val in2 = MemoryStream[Long]
+    in2.addData(10L, 20L)
+    val second = StreamingJobs.drainToMemory(in2.toDF().toDF("v"), "drain_spec")
+    // lazy re-execution of the FIRST frame after the second drain must not
+    // throw unresolved-relation (the pre-fix trap) and must see its own rows
+    assert(first.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(second.as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+  }
 }

@@ -187,4 +187,22 @@ class WebSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ks_num") == 0L)
     assert(r.getAs[Long]("ks_e6") == 0L)
   }
+
+  test("ksDrift: BOTH groups absent still yields exactly one valid=false row " +
+    "(admission gates always have a flag to read)") {
+    import spark.implicits._
+    val df = Seq(("x", 1.0), ("y", 2.0)).toDF("g", "v") // neither 'a' nor 'b'
+    val rows = Profile.ksDrift(df, "v", "g", "a", "b", binsPerUnit = 10).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(!r.getAs[Boolean]("valid"))
+    assert(r.getAs[Long]("n_a") == 0L && r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ks_e6")))
+    // and the fallback never shadows a real row
+    val real = Profile.ksDrift(
+      Seq(("a", 1.0), ("b", 5.0)).toDF("g", "v"), "v", "g", "a", "b", 10)
+      .collect()
+    assert(real.length == 1 && real.head.getAs[Boolean]("valid"))
+    assert(real.head.getAs[Long]("ks_num") == 1L)
+  }
 }

@@ -1,0 +1,58 @@
+"""Shared CC-closure materialization for the local checker sweeps.
+
+The connected-components oracle family (dedup_clusters / dedup_summary /
+dedup_keep_best, plus any future consumer) each embed the SAME unrolled
+min-label-propagation closure (`Queries.ccClosureSql`) as a WITH chain and
+re-run it from scratch — 60-75 s per consumer at sf0.1, which dominated the
+local sweep wall-time. The closure is deterministic in (corpus, rounds), so
+a sweep only ever needs to run it ONCE: this helper finds the closure chain
+inside the oracle SQL, materializes it into a temp table, and rewrites every
+consumer to read `cl` from that table instead. Verdicts are unchanged — the
+rewritten SQL computes the identical `cl(doc_id, cluster_id)` relation.
+
+Used by check_oracle.py and check_gate.py; the driver's own gate is NOT
+affected (it runs the original oracle_sql.json verbatim).
+"""
+
+# The closure chain always ends with this CTE (rounds baked into the lN
+# table name); matching on it keeps the rewrite robust to new consumers.
+_CC_MARK = "cl AS (SELECT id AS doc_id, lbl AS cluster_id FROM l"
+
+
+def materialize_cc(con, oracle, names=None):
+    """Rewrite CC-closure consumers in `oracle` to read a temp table.
+
+    Returns (rewritten_oracle, n_rewritten). On the first closure found,
+    executes it once into temp table __cc_cl; every SQL containing the
+    identical chain then gets it replaced by `cl AS (SELECT * FROM __cc_cl)`.
+    `names` (optional) limits the scan to the queries a subset sweep will
+    actually run — fewer than 2 closure consumers selected means the
+    materialization would cost more than it saves, so it is skipped.
+    """
+    sqls = [s for q, s in oracle.items() if names is None or q in names]
+    if sum(_CC_MARK in s for s in sqls) < 2:
+        return oracle, 0
+    chain = None
+    for sql in sqls:
+        i = sql.find(_CC_MARK)
+        if i < 0:
+            continue
+        j = sql.find(")", i)
+        w = sql.find("WITH ")
+        if j < 0 or w < 0 or w > i:
+            continue
+        # full CTE list from after "WITH " through the closing paren of `cl`
+        chain = sql[w + 5:j + 1]
+        break
+    if chain is None:
+        return oracle, 0
+    con.execute(f"CREATE TEMP TABLE __cc_cl AS WITH {chain} SELECT * FROM cl")
+    out = {}
+    n = 0
+    for q, sql in oracle.items():
+        if chain in sql:
+            out[q] = sql.replace(chain, "cl AS (SELECT * FROM __cc_cl)")
+            n += 1
+        else:
+            out[q] = sql
+    return out, n

@@ -58,6 +58,11 @@ def main(sfdir, outdir, only):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # run the shared CC closure once per sweep instead of once per consumer
+    import cc_cache
+    oracle, n_cc = cc_cache.materialize_cc(con, oracle, names=only or None)
+    if n_cc:
+        print(f"[cc_cache] closure materialized once, reused by {n_cc} queries")
     qdirs = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     if only:
