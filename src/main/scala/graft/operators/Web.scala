@@ -47,14 +47,29 @@ object Web {
   def urlPort(u: Column): Column =
     regexp_extract(afterScheme(u), "^[^/?#]*?:([0-9]+)(?:[/?#]|$)", 1)
 
-  /** Registered domain via a public-suffix-lite rule: the last two host
-    * labels, or three when the suffix is itself two labels (`co.br`,
-    * `com.br`, `co.uk` — the forms in our corpus; a production deployment
-    * swaps in the full public-suffix list as a broadcast map). */
-  def registeredDomain(host: Column): Column =
-    when(host.rlike("\\.(co|com)\\.(br|uk)$"),
-      regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  /** Two-label public suffixes (publicsuffix.org form): the fixture slice
+    * a crawl of this corpus exercises plus the common Latin-web entries.
+    * Production swap: replace this seed with the full public-suffix list —
+    * the lookup in [[registeredDomain]] is a set MEMBERSHIP over the
+    * candidate suffix, which Catalyst compiles to an `InSet` O(1) hash-set
+    * probe inside codegen at any list size (the set ships to executors
+    * inside the generated class, the codegen analog of a broadcast map —
+    * no join, no shuffle, still row-local in the scan stage). */
+  val publicSuffixes2: Seq[String] = Seq(
+    "co.br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "co.jp", "co.in", "com.mx")
+
+  /** Registered domain under the public-suffix rule: the suffix plus one
+    * more label — three host labels when the last two are a listed public
+    * suffix, two otherwise. A host that IS a bare two-label suffix (no
+    * third label to take) falls back to itself, and a single-label host
+    * yields '' (no registered domain), both matching the prior behavior. */
+  def registeredDomain(host: Column, suffixes2: Seq[String] = publicSuffixes2): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(suffixes2: _*) && last3 =!= "", last3).otherwise(last2)
+  }
 
   /** The full canonical URL (rules 1–5 above). */
   def canonicalUrl(u: Column): Column = {

@@ -94,11 +94,22 @@ class WebSpec extends AnyFunSuite {
       s"non-idempotent: ${twice.take(5).map(r => r.getString(0) + " -> " + r.getString(1)).mkString("; ")}")
   }
 
-  test("registeredDomain: two-label public suffixes") {
+  test("registeredDomain: two-label public suffixes from the fixture list") {
     import spark.implicits._
-    val got = Seq("a.b.site.com", "cdn.site.co.br", "site.co.uk", "x.site.org")
+    val got = Seq("a.b.site.com", "cdn.site.co.br", "site.co.uk", "x.site.org",
+      "shop.example.com.au", "news.example.co.jp", "gov.uk", "localhost")
       .toDF("h").select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
-    assert(got.toSeq == Seq("site.com", "site.co.br", "site.co.uk", "site.org"))
+    assert(got.toSeq == Seq("site.com", "site.co.br", "site.co.uk", "site.org",
+      "example.com.au", "example.co.jp",
+      // bare suffix host: no third label to take — falls back to itself
+      "gov.uk",
+      // single-label host: no registered domain
+      ""))
+    // a custom suffix list overrides the default fixture
+    val custom = Seq("cdn.site.co.br").toDF("h")
+      .select(Web.registeredDomain(col("h"), suffixes2 = Seq("x.y")))
+      .collect().map(_.getString(0))
+    assert(custom.toSeq == Seq("co.br"))
   }
 
   test("ksDrift: hand-computed two-sample statistic") {
