@@ -5385,6 +5385,48 @@ object Queries {
           .drop("text")
           .orderBy("doc_id")
       }),
+
+    // Stream-static spatial enrichment run AS A STREAM end-to-end: the
+    // synthetic customer points arrive on a stream (self-unioned, so every
+    // event_hash is replayed once), PIP-join against the broadcast rect-cell
+    // dim — the batch path's exact bbox-prefilter + codegen-PIP plan, no
+    // state for the static side — and watermark-bounded dedup absorbs the
+    // replay to exactly-once output. The oracle is the BATCH j2-style PIP
+    // join over the same closed-form synthesis (the cells are disjoint and
+    // the .x5-offset points never touch a border, so the stream's
+    // first-joined-row survivor rule is deterministic here). Pins the last
+    // streaming behavior (enrichPoints) that had only unit coverage.
+    QueryDef("stream_enrich_points", Some(
+      s"WITH p AS ($ptsSql), c AS ($cellsSql) " +
+        "SELECT CAST(p.c_custkey AS VARCHAR) AS event_hash, p.lon, p.lat, c.n_name " +
+        "FROM p LEFT JOIN c ON p.lon > c.min_lon AND p.lon < c.max_lon " +
+        "AND p.lat > c.min_lat AND p.lat < c.max_lat " +
+        "ORDER BY p.c_custkey"),
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType)))
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "customer.parquet").parquet(d)
+          .select(col("c_custkey"),
+            ((col("c_custkey") * 7919 % 3600) / 10.0 - 179.95).as("lon"),
+            ((col("c_custkey") * 104729 % 1700) / 10.0 - 84.95).as("lat"))
+          .withColumn("event_hash", col("c_custkey").cast("string"))
+          // event time from the id — the watermark column bounding the
+          // replay-dedup state. Base epoch 1e9 (2001): key 0 at epoch 0
+          // would sit exactly ON the initial watermark and be dropped late
+          .withColumn("ts", timestamp_seconds(col("c_custkey") * 60 + 1000000000L))
+          .select("event_hash", "ts", "lon", "lat", "c_custkey")
+        val replayed = src.unionByName(src) // every event arrives twice
+        val dim = cells(s, d).withColumn("geom", rectGeom)
+        graft.streaming.StreamingJobs.drainToMemory(
+            graft.streaming.StreamingJobs.enrichPoints(replayed, dim),
+            "stream_enrich")
+          .select("event_hash", "lon", "lat", "n_name", "c_custkey")
+          .orderBy("c_custkey")
+          .drop("c_custkey")
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
