@@ -723,6 +723,8 @@ object Queries {
       pqBooks, dims = 64))
     run(operators.Profile.ksDrift(T(spark, wdir, "events"),
       "value", "event_type", "view", "purchase", binsPerUnit = 100))
+    run(operators.TextAnalysis.repetitionRules(
+      docs.select(col("doc_id"), col("text").as("__m")), "__m"))
     // The ~100-row slices above compile the BROADCAST variants of every
     // join; at bench scale AQE can leave the vocabulary-keyed joins of the
     // LM/retrieval family as shuffled joins, whose generated classes
@@ -3570,6 +3572,68 @@ object Queries {
         operators.TextAnalysis.c4Rules(
             T(s, d, "documents").select(col("doc_id"), t2.as("__t2")), "__t2")
           .drop("__t2")
+          .orderBy("doc_id")
+      }),
+
+    // Gopher REPETITION screens (Rae et al. Table A1 — the duplicate-line /
+    // dominant-n-gram half of the Gopher set; complements the word-level
+    // dup/bigram METRICS of text_repetition with line-level metrics,
+    // char-fraction forms, the top-3-gram, and the integer-form VERDICTS a
+    // gate actually filters on). Docs with id%10==0 get their text DOUBLED,
+    // so the duplicate-line rules provably fire on exactly that slice
+    // (branch-distinguishing); "lines" are 8-word chunks (the dedup_lines
+    // convention). The ENGINE computes every metric row-locally in two
+    // codegen kernels (DedupWordChunksExpr distinct-chunks,
+    // TopNgramCharsExpr single-pass argmax) — no shuffle, no explode; the
+    // ORACLE replays the metrics the naive way (unnest n-grams + per-doc
+    // window argmax with the same (count desc, gram asc) tiebreak), an
+    // independent derivation. All rules pure-integer.
+    QueryDef("quality_repetition_rules", Some(
+      "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text " +
+        "ELSE text END AS m FROM documents), " +
+        "wt AS (SELECT doc_id, string_split_regex(trim(m), '\\s+') AS w FROM t), " +
+        "ck AS (SELECT doc_id, w, list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), " +
+        "g -> array_to_string(w[CAST(g*8+1 AS INT):CAST(g*8+8 AS INT)], ' ')) AS chunks FROM wt), " +
+        "kp AS (SELECT doc_id, w, chunks, " +
+        "list_filter(chunks, (ch, i) -> list_position(chunks, ch) = i) AS kept FROM ck), " +
+        "base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a, b) -> a + b) AS BIGINT) AS word_chars, " +
+        "CAST(len(chunks) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "CAST(list_reduce(list_prepend(0, list_transform(kept, x -> len(x))), (a, b) -> a + b) AS BIGINT) AS kept_chars " +
+        "FROM kp), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1), " +
+        "i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS g FROM wt), " +
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "t2 AS (SELECT doc_id, CAST(c * len(g) AS BIGINT) AS top2_chars FROM " +
+        "(SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2), " +
+        "i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3])) AS g FROM wt), " +
+        "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "t3 AS (SELECT doc_id, CAST(c * len(g) AS BIGINT) AS top3_chars FROM " +
+        "(SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1), " +
+        "f AS (SELECT b.doc_id, b.n_lines, b.n_kept, " +
+        "b.word_chars + b.n_words - b.n_lines AS line_chars, " +
+        "b.word_chars + b.n_words - b.n_lines - b.kept_chars AS dup_line_chars, " +
+        "b.word_chars, coalesce(t2.top2_chars, 0) AS top2_chars, " +
+        "coalesce(t3.top3_chars, 0) AS top3_chars " +
+        "FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)) " +
+        "SELECT doc_id, n_lines, n_kept, line_chars, dup_line_chars, word_chars, " +
+        "top2_chars, top3_chars, " +
+        "(n_lines - n_kept) * 10 <= n_lines * 3 AS r_dup_lines, " +
+        "dup_line_chars * 5 <= line_chars AS r_dup_line_chars, " +
+        "top2_chars * 5 <= word_chars AS r_top2, " +
+        "top3_chars * 50 <= word_chars * 9 AS r_top3, " +
+        "((n_lines - n_kept) * 10 <= n_lines * 3 AND dup_line_chars * 5 <= line_chars " +
+        "AND top2_chars * 5 <= word_chars AND top3_chars * 50 <= word_chars * 9) AS pass " +
+        "FROM f ORDER BY doc_id"),
+      (s, d) => {
+        val m = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+        operators.TextAnalysis.repetitionRules(
+            T(s, d, "documents").select(col("doc_id"), m.as("__m")), "__m")
+          .select("doc_id", "n_lines", "n_kept", "line_chars", "dup_line_chars",
+            "word_chars", "top2_chars", "top3_chars",
+            "r_dup_lines", "r_dup_line_chars", "r_top2", "r_top3", "pass")
           .orderBy("doc_id")
       }),
 

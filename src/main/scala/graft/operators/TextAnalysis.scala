@@ -282,6 +282,53 @@ object TextAnalysis {
           col("r_min_sentences"))
   }
 
+  /** Gopher REPETITION screens (Rae et al. 2021, arXiv:2112.11446 Table
+    * A1 — the half of the Gopher filter set [[gopherRules]] doesn't
+    * cover): a document dominated by repeated lines or by one n-gram is
+    * boilerplate/spam regardless of its other quality stats.
+    *
+    * "Lines" are `chunkWords`-word chunks (the dedup_lines convention —
+    * this corpus carries no newlines); both line metrics come from the
+    * [[graft.plans.DedupWordChunksExpr]] first-occurrence kernel (distinct
+    * chunks == kept chunks), and the top-2/3-gram numerators from the
+    * [[graft.plans.TopNgramCharsExpr]] single-pass kernel — every metric
+    * is row-local codegen, NO shuffle/explode (the corpus-sized
+    * explode+groupBy the naive form needs is what a 100 TB gate must
+    * avoid), stateless and therefore streaming-safe.
+    *
+    * Rules in pure integer form (no float boundary can flip a verdict
+    * between engines):
+    *   duplicate-line fraction  ≤ 0.30 ⟺ 10·(n_lines−n_kept) ≤ 3·n_lines
+    *   duplicate-line char frac ≤ 0.20 ⟺ 5·dup_line_chars ≤ line_chars
+    *   top-2-gram char fraction ≤ 0.20 ⟺ 5·top2_chars ≤ word_chars
+    *   top-3-gram char fraction ≤ 0.18 ⟺ 50·top3_chars ≤ 9·word_chars
+    * where line_chars counts every chunk's codepoints (word chars + the
+    * in-chunk separators: word_chars + n_words − n_lines).
+    */
+  def repetitionRules(df: DataFrame, textCol: String,
+                      chunkWords: Int = 8): DataFrame =
+    df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("word_chars", expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__kept", graft.plans.DedupWordChunksExpr(col("__w"), chunkWords))
+      .withColumn("n_lines",
+        expr(s"CAST(ceil(size(__w) / $chunkWords.0) AS BIGINT)"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("kept_chars", expr("aggregate(__kept, 0L, (a, x) -> a + length(x))"))
+      .withColumn("line_chars", col("word_chars") + col("n_words") - col("n_lines"))
+      .withColumn("dup_line_chars", col("line_chars") - col("kept_chars"))
+      .withColumn("top2_chars", graft.plans.TopNgramCharsExpr(col("__w"), 2))
+      .withColumn("top3_chars", graft.plans.TopNgramCharsExpr(col("__w"), 3))
+      .withColumn("r_dup_lines",
+        (col("n_lines") - col("n_kept")) * 10 <= col("n_lines") * 3)
+      .withColumn("r_dup_line_chars", col("dup_line_chars") * 5 <= col("line_chars"))
+      .withColumn("r_top2", col("top2_chars") * 5 <= col("word_chars"))
+      .withColumn("r_top3", col("top3_chars") * 50 <= col("word_chars") * 9)
+      .withColumn("pass",
+        col("r_dup_lines") && col("r_dup_line_chars") &&
+          col("r_top2") && col("r_top3"))
+      .drop("__w", "__kept")
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023,
     * arXiv:2302.03169): score every document by how much more likely its

@@ -300,6 +300,40 @@ object ShingleKernel {
     ArrayData.toArrayData(kept.toArray[AnyRef])
   }
 
+  /** Codepoints claimed by the most frequent word n-gram: occurrences ×
+    * codepoint length of the space-joined gram; ties → smallest gram in
+    * UTF-16 code-unit order. One pass + a hash map of grams — O(words·n)
+    * time, vocabulary-of-the-doc space. 0 when fewer than n words. */
+  def topNgramChars(words: ArrayData, n: Int): Long = {
+    val m = words.numElements()
+    if (m < n) return 0L
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        if (!words.isNullAt(j)) sb.append(words.getUTF8String(j).toString)
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var bestG: String = null
+    var bestC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+        bestC = c
+        bestG = e.getKey
+      }
+    }
+    bestC.toLong * bestG.codePointCount(0, bestG.length)
+  }
+
   /** Σ count·round(ln(count)·10⁸) over the codepoint histogram of `s`.
     * Math.round(x) (floor(x+0.5)) equals round-half-away for the positive
     * ln values here, matching Spark's and DuckDB's round(double). ASCII
@@ -638,4 +672,38 @@ case class DedupWordChunksExpr(child: Expression, k: Int) extends UnaryExpressio
 object DedupWordChunksExpr {
   def apply(words: Column, k: Int): Column =
     ColumnBridge.column(new DedupWordChunksExpr(ColumnBridge.expression(words), k))
+}
+
+/** `topNgramChars(words, n)` — codepoint count claimed by the most frequent
+  * word n-gram (occurrences × codepoints of the space-joined gram); ties →
+  * the code-unit-lexicographically smallest gram (== byte order for the
+  * ASCII corpora both engines compare on). 0 when the doc has < n words.
+  * The Gopher repetition screens' numerator (Rae et al. 2021 Table A1),
+  * O(words) row-local — the corpus-sized explode+groupBy the naive form
+  * needs is exactly what a 100 TB gate must avoid. */
+case class TopNgramCharsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"top_ngram_chars width must be >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"top_ngram_chars expects array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(words: Any): Any =
+    ShingleKernel.topNgramChars(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.ShingleKernel.topNgramChars($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopNgramCharsExpr {
+  def apply(words: Column, n: Int): Column =
+    ColumnBridge.column(new TopNgramCharsExpr(ColumnBridge.expression(words), n))
 }

@@ -395,6 +395,52 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(bad.getMessage.contains("chunk width"))
   }
 
+  test("topNgramChars kernel: argmax count, lexicographic tie, short docs, codepoints") {
+    import spark.implicits._
+    def run(words: Seq[String], n: Int): Long =
+      Seq(Tuple1(words)).toDF("w")
+        .select(graft.plans.TopNgramCharsExpr(org.apache.spark.sql.functions.col("w"), n))
+        .collect().head.getLong(0)
+    // "a b" occurs twice (5 words: a b a b c → bigrams: "a b","b a","a b","b c")
+    assert(run(Seq("a", "b", "a", "b", "c"), 2) == 2L * 3)
+    // all bigrams unique → count 1; tie broken to the smallest gram
+    // ("x yy" vs "yy zzz" → "x yy", 4 chars)
+    assert(run(Seq("x", "yy", "zzz"), 2) == 1L * 4)
+    // fewer than n words → 0
+    assert(run(Seq("only"), 2) == 0L)
+    assert(run(Seq.empty, 2) == 0L)
+    // unigrams: "aa" twice beats "b" twice? equal counts → smallest gram
+    // "aa" < "b" lexicographically; 2 occurrences × 2 chars
+    assert(run(Seq("aa", "b", "aa", "b"), 1) == 2L * 2)
+    // codepoints, not UTF-16 units: "日本" is 2 codepoints
+    assert(run(Seq("日本", "日本"), 1) == 2L * 2)
+    // n < 1 fails at plan time
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq("a"))).toDF("w")
+        .select(graft.plans.TopNgramCharsExpr(
+          org.apache.spark.sql.functions.col("w"), 0)).collect()
+    }
+    assert(bad.getMessage.contains("width"))
+  }
+
+  test("repetitionRules: doubled text fails the duplicate-line rules, a one-gram-" +
+    "dominated doc fails the top-ngram rules, normal text passes") {
+    import spark.implicits._
+    val normal = (1 to 64).map(i => s"w$i").mkString(" ") // 64 distinct words
+    val doubled = normal + " " + normal                   // every 8-chunk repeats
+    val spam = Seq.fill(40)("buy now").mkString(" ")      // one bigram dominates
+    val df = Seq((1L, normal), (2L, doubled), (3L, spam)).toDF("doc_id", "t")
+    val r = operators.TextAnalysis.repetitionRules(df, "t")
+      .select("doc_id", "r_dup_lines", "r_dup_line_chars", "r_top2", "pass")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((true, true, true, true)))
+    // doubled: 16 lines, 8 kept → dup fraction 0.5 > 0.30, chars 0.5 > 0.20
+    assert(r(2L)._1 == false && r(2L)._2 == false && r(2L)._4 == false)
+    // spam: "now buy"/"buy now" dominate → top-2-gram share ≫ 0.20
+    assert(r(3L)._3 == false && r(3L)._4 == false)
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")

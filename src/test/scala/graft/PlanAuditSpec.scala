@@ -655,6 +655,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"entropy must not explode the corpus:\n$p")
   }
 
+  test("quality_repetition_rules: all metrics row-local kernels — no shuffle " +
+    "before the output sort, no explode, no UDF") {
+    val p = executedPlan("quality_repetition_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition screens must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("generate"), // explode would print Generate
+      s"repetition screens must not explode the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("dedup_lines_indoc: row-local kernel — no shuffle before the output " +
     "sort, no UDF, codegen projection") {
     val p = executedPlan("dedup_lines_indoc")
