@@ -1461,6 +1461,60 @@ object Queries {
         .filter(col("rn") === 1)
         .select("user_id", "event_id", "event_type")),
 
+    // Time-series gap fill (last observation carried forward): the daily
+    // per-type metric joined onto a complete day×type scaffold, missing
+    // days filled from the most recent observed day — the dashboard/
+    // feature-store densification every reporting pipeline needs. Gaps are
+    // synthesized CELL-wise ((day-of-month + len(type)) % 3 = 0 drops the
+    // whole cell), so ~⅓ of the scaffold is unobserved at ANY scale — a
+    // row-sampled gap would close up as the corpus grows and the fill
+    // branch would silently stop being exercised. Determinism: the daily
+    // value is the (ts, event_id)-max row's value (same pick both
+    // engines); micro-rounding happens once, AFTER the fill. Scale shape:
+    // one (type, day)-keyed partial agg; the scaffold is bounded
+    // (days × types) and the LOCF window partitions by type — key-parallel
+    // for real key cardinalities; only the 1-row bounds frame broadcasts.
+    QueryDef("ts_fill_forward", Some(
+      "WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value " +
+        "FROM events WHERE value IS NOT NULL " +
+        "AND (day(CAST(ts AS DATE)) + len(event_type)) % 3 <> 0), " +
+        "dly AS (SELECT event_type, day, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY event_type, day " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
+        "b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events), " +
+        "days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "ty AS (SELECT DISTINCT event_type FROM events), " +
+        "sc AS (SELECT event_type, day FROM ty CROSS JOIN days), " +
+        "j AS (SELECT sc.event_type, sc.day, dly.value, " +
+        "dly.value IS NOT NULL AS observed FROM sc LEFT JOIN dly USING (event_type, day)), " +
+        "f AS (SELECT event_type, day, observed, " +
+        "last_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv FROM j) " +
+        "SELECT event_type, day, observed, " +
+        "CAST(round(fv * 1000000) AS BIGINT) AS value_filled_micro " +
+        "FROM f ORDER BY event_type, day"),
+      (s, d) => {
+        val evAll = T(s, d, "events")
+        val ev = evAll.filter(col("value").isNotNull)
+          .withColumn("day", col("ts").cast("date"))
+          .filter((dayofmonth(col("day")) + length(col("event_type"))) % 3 =!= 0)
+        val daily = ev.groupBy("event_type", "day")
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+        val days = evAll
+          .agg(min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val scaffold = evAll.select("event_type").distinct()
+          .crossJoin(broadcast(days))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scaffold.join(daily, Seq("event_type", "day"), "left")
+          .withColumn("observed", col("v").isNotNull)
+          .withColumn("value_filled_micro",
+            round(last(col("v"), ignoreNulls = true).over(w) * 1000000).cast("long"))
+          .select("event_type", "day", "observed", "value_filled_micro")
+          .orderBy("event_type", "day")
+      }),
+
     // ------------------------------------------------------ sort/limit (T*)
 
     QueryDef("t1_topn", Some(
