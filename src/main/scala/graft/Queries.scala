@@ -1623,6 +1623,36 @@ object Queries {
             "bioma", "file_date")
       }),
 
+    // ORC round-trip: the curated slice written as a PARTITIONED ORC table
+    // (the other columnar format a lakehouse interops with — Spark-native,
+    // no extra dependency) and read back through a partition-pruning +
+    // pushed-predicate scan, then aggregated. The oracle recomputes the
+    // aggregate from `events` directly, so the compare proves the
+    // write→read round-trip is lossless (types, partition-column
+    // reconstruction, predicate semantics) — not just that a file
+    // appeared. Plan-pinned: the ORC scan prunes to the two selected
+    // partitions and pushes the value predicate down.
+    QueryDef("ingest_orc_roundtrip", Some(
+      "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli " +
+        "FROM events WHERE value IS NOT NULL " +
+        "AND event_type IN ('view', 'purchase') AND round(value * 1000) >= 500 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, d) => {
+        val dir = scratchDir(s, "graft_orc_roundtrip", d)
+        T(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"),
+            round(col("value") * 1000).cast("long").as("value_milli"),
+            col("ts").cast("date").as("day"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").orc(dir)
+        s.read.orc(dir)
+          .filter(col("event_type").isin("view", "purchase") &&
+            col("value_milli") >= 500)
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum("value_milli").as("sum_milli"))
+          .orderBy("event_type", "day")
+      }),
+
     // S1+S2+S3 under the gate: the full source-selection chain through REAL
     // files (reference download_daily_csv, inpe_focos_diario.py:257-311).
     // 60 days of rows split into two monthly archives (Jan carries BR

@@ -32,6 +32,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!read.contains("props"), s"props column not pruned: $read")
   }
 
+  test("ingest_orc_roundtrip: ORC scan prunes partitions and pushes the value " +
+    "predicate down") {
+    val p = plan("ingest_orc_roundtrip")
+    assert(p.contains("Format: ORC"), s"not an ORC scan:\n$p")
+    // partition-column filter prunes directories, never reads rows
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type not a partition filter:\n$p")
+    // value predicate reaches the ORC reader
+    assert("PushedFilters: \\[[^\\]]*value_milli".r.findFirstIn(p).isDefined,
+      s"value predicate not pushed into the ORC scan:\n$p")
+  }
+
   test("a8_fact_cube: shuffle join + partial/final hash aggregation") {
     val p = plan("a8_fact_cube")
     assert(p.contains("HashAggregate"), p)
