@@ -3858,6 +3858,34 @@ object Queries {
     // string comparisons — portable to any engine, no hex parsing. Salted
     // independently per decision so split and sample never correlate.
     // Row-local (no shuffle) → embarrassingly parallel at any scale.
+    // Stratified downsampling: at most K docs per language stratum, chosen
+    // as the K smallest salted md5 ranks — the "cap the dominant
+    // languages" rebalancing step of corpus curation, deterministic under
+    // any partitioning (pure function of doc_id) and engine-portable
+    // (DuckDB computes the same md5). Scale shape: ONE per-stratum
+    // row_number window, hash-partitioned by lang; Spark's WindowGroupLimit
+    // truncates each map partition to K before the shuffle, so no reducer
+    // ever materializes a full stratum — the same rank-pushdown shape
+    // t1_topn pins globally, here per group.
+    QueryDef("sample_stratified", Some(
+      "WITH h AS (SELECT doc_id, lang, md5('strat:' || CAST(doc_id AS VARCHAR)) AS hs " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, lang, hs, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY hs ASC, doc_id ASC) AS INT) AS rk FROM h) " +
+        "SELECT doc_id, lang, rk FROM r WHERE rk <= 40 ORDER BY lang, rk"),
+      (s, d) => {
+        val k = 40
+        val w = Window.partitionBy("lang")
+          .orderBy(col("hs").asc, col("doc_id").asc)
+        T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary")).as("hs"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select("doc_id", "lang", "rk")
+          .orderBy("lang", "rk")
+      }),
+
     QueryDef("sample_split", Some(
       "WITH h AS (SELECT doc_id, lang, " +
         "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hspl, " +

@@ -32,6 +32,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!read.contains("props"), s"props column not pruned: $read")
   }
 
+  test("sample_stratified: per-stratum top-k rides the WindowGroupLimit rank " +
+    "pushdown — no reducer materializes a full stratum") {
+    val p = plan("sample_stratified")
+    assert(p.contains("WindowGroupLimit"),
+      s"stratum cap not pushed into a group limit:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("ingest_orc_roundtrip: ORC scan prunes partitions and pushes the value " +
     "predicate down") {
     val p = plan("ingest_orc_roundtrip")
