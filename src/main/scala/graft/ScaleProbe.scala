@@ -131,6 +131,12 @@ object ScaleProbe {
         "ks_drift" -> (() => consume(
           operators.Profile.ksDrift(e, "value", "event_type",
             "view", "purchase", binsPerUnit = 100))),
+        // round-8 row-local kernels: the Gopher repetition screens
+        // (distinct-chunk + top-n-gram argmax kernels) must scale with the
+        // corpus, never with any per-doc quadratic
+        "repetition_rules" -> (() => consume(
+          operators.TextAnalysis.repetitionRules(
+            d.select(col("doc_id"), col("text").as("__m")), "__m"))),
         // fixed-diameter component graph (runs of ≤3 consecutive ids →
         // components of ≤4 nodes): edge count scales with the corpus,
         // iteration rounds stay constant — CC cost must scale with the
