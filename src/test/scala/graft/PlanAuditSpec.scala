@@ -440,7 +440,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("bm25_topk: query-term pruning precedes the postings shuffle, top-k rank is " +
     "group-limit-pushed, pruned postings cached for the df and scoring subtrees") {
-    val p = plan("bm25_topk")
+    // audit the OPERATOR plan: the gate query now reads the shared
+    // bm25Rank20 mart, whose cache scan hides the build plan from toString
+    val p = operators.Retrieval.bm25TopK(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        Seq(0L -> "fast table scan", 1L -> "window agg stream merge"), k = 10)
+      .queryExecution.executedPlan.toString
     // Spark 3.5+ WindowGroupLimit truncates each map partition to k before
     // the query-keyed shuffle — no reducer sorts a full candidate list
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into a group limit:\n$p")
