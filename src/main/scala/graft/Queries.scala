@@ -463,13 +463,27 @@ object Queries {
       round("u2", "g2", "(SELECT w FROM w1)")
   }
 
-  private def memoized(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
-    dfCache.computeIfAbsent((s, d, tag), _ => {
-      val df = CacheRegistry.register(
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def memoized(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    val key = (s, d, tag)
+    val existing = dfCache.get(key)
+    if (existing != null) return existing
+    // Build OUTSIDE any map lock. The former computeIfAbsent form threw
+    // "IllegalStateException: Recursive update" whenever a NESTED memoized
+    // build (clusterAssignments → jaccardPairs) re-entered the map and the
+    // two keys happened to share a hash bin — bin layout depends on the
+    // sessions' identity hashes, so the failure was per-JVM FLAKY (the
+    // round-7/8 dedup_clusters disappearances). putIfAbsent keeps
+    // first-wins semantics; a racing loser unpersists its (still lazy,
+    // unmaterialized) frame and adopts the winner.
+    val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = dfCache.putIfAbsent(key, df)
+    if (prev != null) { df.unpersist(false); prev }
+    else {
+      CacheRegistry.register(df)
       df.count() // materialize eagerly so no single query is charged the build
       df
-    })
+    }
+  }
 
   /** fact-cube analog for the serving routes: nation plays municipality,
     * region plays UF (day, uf, cd_mun, mun_nm_mun, n_focos) */
@@ -1633,7 +1647,8 @@ object Queries {
             "bioma", "file_date")
       }),
 
-    // ORC round-trip: the curated slice written as a PARTITIONED ORC table
+    // ORC PARTITIONED sink + pruned scan (complements the plain
+    // ingest_orc_roundtrip above): the curated slice written as a partitioned ORC table
     // (the other columnar format a lakehouse interops with — Spark-native,
     // no extra dependency) and read back through a partition-pruning +
     // pushed-predicate scan, then aggregated. The oracle recomputes the
@@ -1642,14 +1657,14 @@ object Queries {
     // reconstruction, predicate semantics) — not just that a file
     // appeared. Plan-pinned: the ORC scan prunes to the two selected
     // partitions and pushes the value predicate down.
-    QueryDef("ingest_orc_roundtrip", Some(
+    QueryDef("ingest_orc_partitioned", Some(
       "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli " +
         "FROM events WHERE value IS NOT NULL " +
         "AND event_type IN ('view', 'purchase') AND round(value * 1000) >= 500 " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
       (s, d) => {
-        val dir = scratchDir(s, "graft_orc_roundtrip", d)
+        val dir = scratchDir(s, "graft_orc_partitioned", d)
         T(s, d, "events").filter(col("value").isNotNull)
           .select(col("event_id"),
             round(col("value") * 1000).cast("long").as("value_milli"),

@@ -40,9 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
-  test("ingest_orc_roundtrip: ORC scan prunes partitions and pushes the value " +
+  test("ingest_orc_partitioned: ORC scan prunes partitions and pushes the value " +
     "predicate down") {
-    val p = plan("ingest_orc_roundtrip")
+    val p = plan("ingest_orc_partitioned")
     assert(p.contains("Format: ORC"), s"not an ORC scan:\n$p")
     // partition-column filter prunes directories, never reads rows
     assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
