@@ -62,9 +62,14 @@ object ScaleProbe {
         explode(sequence(lit(0), lit(k - 1))).as("__rep"))
       val withIds = idCols.foldLeft(rep)((d, c) =>
         d.withColumn(c, col(c) + col("__rep").cast("long") * 1000000000L))
+      // replica 0 is salted TOO (a bijective vocab rename — identical
+      // within-replica structure): if the 1× side skipped the word-level
+      // transform, the 10× side would pay per-row GENERATION cost the 1×
+      // side never does, inflating the ratio of every cheap row-local
+      // kernel (measured 25× on char_entropy at sf0.1 purely from this)
       textCols.foldLeft(withIds)((d, c) =>
-        d.withColumn(c, when(col("__rep") === 0, col(c)).otherwise(
-          concat_ws(" ", expr(s"transform(split($c, ' '), w -> concat(w, '_r', __rep))")))))
+        d.withColumn(c,
+          concat_ws(" ", expr(s"transform(split($c, ' '), w -> concat(w, '_r', __rep))"))))
         .drop("__rep")
     }
 

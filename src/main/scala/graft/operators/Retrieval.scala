@@ -89,10 +89,32 @@ object Retrieval {
     // stores all columns either way
     prunedTf.count()
     val df = prunedTf.groupBy("term").agg(count(lit(1)).as("df"))
-    val statsRow = obs.get
-    val stats = spark.range(1).select(
-      lit(statsRow("n").asInstanceOf[Long]).as("n"),
-      lit(Option(statsRow("sumdl")).fold(0L)(_.asInstanceOf[Long])).as("sumdl"))
+    // metrics arrive asynchronously after the action; poll the raw metrics
+    // ROW with a deadline rather than calling obs.get, which (a) blocks
+    // FOREVER when a repeated invocation's postings subtree is served from
+    // the plan cache (the cached plan hides this call's CollectMetrics
+    // node) and (b) NPEs on the schema-less metrics Row some execution
+    // paths deliver. Fields are read positionally — (n, sumdl) is the
+    // observe() expression order. On timeout fall back to the explicit
+    // stats aggregate: one extra corpus scan, identical values (the
+    // repeated-invocation case only).
+    var statsRow = org.apache.spark.sql.graftbridge.ObservationBridge.rowOrEmpty(obs)
+    val deadline = System.nanoTime() + 2000000000L
+    while (statsRow.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      statsRow = org.apache.spark.sql.graftbridge.ObservationBridge.rowOrEmpty(obs)
+    }
+    // a cache-served execution resolves the promise with a ZERO-LENGTH row
+    // — same meaning as no row: this call's metrics never computed
+    val stats = statsRow.filter(_.length >= 2) match {
+      case Some(r) =>
+        spark.range(1).select(
+          lit(r.getLong(0)).as("n"),
+          lit(if (r.isNullAt(1)) 0L else r.getLong(1)).as("sumdl"))
+      case _ =>
+        docToks.agg(count(lit(1)).as("n"),
+          sum(size(col("w")).cast("long")).as("sumdl"))
+    }
 
     // identical IEEE evaluation order on both engines: every operand cast
     // to double explicitly, parenthesization mirrored in the oracle SQL
