@@ -698,10 +698,11 @@ object Queries {
     Seq("documents" -> 120, "embeddings" -> 64, "events" -> 200).foreach {
       case (t, n) =>
         val p = new org.apache.hadoop.fs.Path(s"$wdir/$t.parquet")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(p))
-          spark.read.parquet(s"$dir/$t.parquet").limit(n)
-            .write.mode("overwrite").parquet(p.toString)
+        // always overwrite: a stale snapshot left under /tmp after the source
+        // corpus is regenerated with a different schema would crash (or
+        // mis-shape) every later warmup; the ~100-row write is cheap
+        spark.read.parquet(s"$dir/$t.parquet").limit(n)
+          .write.mode("overwrite").parquet(p.toString)
     }
     val docs = T(spark, wdir, "documents")
     val w = docs.select(col("doc_id"), col("lang"),

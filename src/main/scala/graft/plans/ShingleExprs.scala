@@ -302,25 +302,35 @@ object ShingleKernel {
 
   /** Codepoints claimed by the most frequent word n-gram: occurrences ×
     * codepoint length of the space-joined gram; ties → smallest gram in
-    * UTF-16 code-unit order. One pass + a hash map of grams — O(words·n)
-    * time, vocabulary-of-the-doc space. 0 when fewer than n words. */
+    * UTF-8 BYTE order (UTF8String's binary comparator), matching DuckDB's
+    * collation — UTF-16 code-unit order would diverge on text mixing
+    * U+E000..U+FFFF with supplementary-plane codepoints. One pass + a hash
+    * map of grams — O(words·n) time, vocabulary-of-the-doc space. 0 when
+    * fewer than n words. */
   def topNgramChars(words: ArrayData, n: Int): Long = {
     val m = words.numElements()
     if (m < n) return 0L
-    val counts = new java.util.HashMap[String, Integer]()
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i + n <= m) {
-      val sb = new java.lang.StringBuilder()
-      var j = i
-      while (j < i + n) {
-        if (j > i) sb.append(' ')
-        if (!words.isNullAt(j)) sb.append(words.getUTF8String(j).toString)
+      var j = 0
+      while (j < n) {
+        // EMPTY (not null) for null words: concatWs SKIPS null inputs —
+        // separator included — while the gram semantics keep the slot
+        parts(j) =
+          if (words.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else words.getUTF8String(i + j)
         j += 1
       }
-      counts.merge(sb.toString, 1, (a, b) => Integer.valueOf(a + b))
+      // concatWs copies bytes into a fresh UTF8String, so the key does not
+      // alias the (reusable) row buffer backing `words`
+      counts.merge(UTF8String.concatWs(sep, parts: _*), 1,
+        (a, b) => Integer.valueOf(a + b))
       i += 1
     }
-    var bestG: String = null
+    var bestG: UTF8String = null
     var bestC = 0
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
@@ -331,7 +341,7 @@ object ShingleKernel {
         bestG = e.getKey
       }
     }
-    bestC.toLong * bestG.codePointCount(0, bestG.length)
+    bestC.toLong * bestG.numChars()
   }
 
   /** Σ count·round(ln(count)·10⁸) over the codepoint histogram of `s`.

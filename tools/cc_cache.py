@@ -51,8 +51,20 @@ def materialize_cc(con, oracle, names=None):
     n = 0
     for q, sql in oracle.items():
         if chain in sql:
-            out[q] = sql.replace(chain, "cl AS (SELECT * FROM __cc_cl)")
-            n += 1
+            rewritten = sql.replace(chain, "cl AS (SELECT * FROM __cc_cl)")
+            # The wholesale substring swap assumes no consumer references the
+            # closure's internal CTEs (w/p/e/lN) after `cl` and defines no CTEs
+            # of its own before the closure. Verify the rewrite still PLANS
+            # (views are registered before this call); a consumer that breaks
+            # the convention falls back to its original, slower-but-correct SQL.
+            try:
+                con.execute("EXPLAIN " + rewritten)
+                out[q] = rewritten
+                n += 1
+            except Exception as e:
+                print(f"[cc_cache] rewrite of {q} does not plan "
+                      f"({type(e).__name__}); keeping original SQL")
+                out[q] = sql
         else:
             out[q] = sql
     return out, n
