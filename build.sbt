@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 196-query Bench/Verify accumulates the shared
+  // memoized marts plus per-operator caches; at 8g the run was visibly
+  // GC-bound (executorRunTime − executorCpuTime gaps, ±0.15 s jitter on
+  // identical queries). The bench box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

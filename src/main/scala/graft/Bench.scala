@@ -18,6 +18,17 @@ object Bench {
       // to ≥ one partition per core restores the parallelism the same plan
       // gets at cluster scale.
       .config("spark.sql.files.minPartitionNum", cpus)
+      // same artifact post-shuffle: AQE's coalescer targets its 1 MiB
+      // minPartitionSize floor, which packs a sf0.1-sized shuffle (~2-3 MiB)
+      // into 1-3 partitions and serializes the CPU-heavy stage after it
+      // (tokenize/window/agg ran 0.5-0.9 s on one core of 32, measured via
+      // SPARK_GRAFT_DEBUG_JOBS=2). At cluster scale partitions are far above
+      // any floor, so only the local bench needs it lowered.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // see Queries.fanOut: repartition ahead of CPU-heavy per-row stages to
+      // undo the one-row-group/one-task local scan artifact; never set on a
+      // real cluster, where scans already split
+      .config("spark.graft.fanOutInputs", "true")
       // let AQE coalesce the output partitioning of persisted frames: an
       // operator-internal mart (pruned postings, bigram streams) otherwise
       // caches at spark.sql.shuffle.partitions partitions however tiny it
@@ -82,7 +93,17 @@ object Bench {
     // per-query timings comparable across rounds
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_EXPLAIN=1: print each selected query's formatted physical
+    // plan (pre-execution, so AQE final shapes still show as initial) to
+    // stderr before timing — the .explain feedback loop for plan iteration
+    val doExplain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     val results = selected.map { case (name, fn) =>
+      if (doExplain) {
+        System.err.println(s"==== EXPLAIN $name ====")
+        try System.err.println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => System.err.println(s"explain failed: $e") }
+      }
       if (dbg) { jobC.set(0); stageC.set(0); taskC.set(0); taskMs.set(0) }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

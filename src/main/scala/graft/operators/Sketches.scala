@@ -125,6 +125,156 @@ object Sketches {
       .agg(percentile_approx(col(valCol),
         typedLit(probabilities), lit(accuracy)).as("quantiles"))
 
+  /** Exact per-group order statistics WITHOUT a corpus-wide rank window:
+    * sketch-bracketed two-pass selection.
+    *
+    * The naive exact pick — `row_number() OVER (PARTITION BY g ORDER BY v)`
+    * then filter `rn = k` — buffers and ranks EVERY row of every group
+    * (WindowExec measured 0.7-2.1 s/query at sf0.1, and at 100 TB it is a
+    * full per-group sort). Selection only needs the value at ONE rank, so:
+    *
+    *  1. one aggregation pass builds a Greenwald–Khanna summary per group
+    *     and evaluates it on a fixed `G`-point percentile grid (grid points
+    *     are constants, so ONE `percentile_approx` call serves every group
+    *     and every pick);
+    *  2. per group, pure column arithmetic turns the target rank `k` into
+    *     grid brackets `[lo, hi]` guaranteed to straddle the rank-`k` value:
+    *     with rank-error `E ≤ max(1, n/accuracy)` and margin
+    *     `m = ceil(n/accuracy) + 3 ≥ E + 2`, grid index `floor((k−m)·G/n)`
+    *     has rank `≤ k − m + (E+1) ≤ k − 1` and `ceil((k+m)·G/n)` has rank
+    *     `≥ k + m − (E+1) ≥ k + 1` (clamped ends hit the summary's exact
+    *     min/max);
+    *  3. a second pass counts `cb = |v < lo|` per group and ranks only the
+    *     in-bracket slice — `O(n·(1/G + 1/accuracy))` rows per group, the
+    *     value at slice-rank `k − cb` IS the exact rank-`k` value.
+    *
+    * Both passes are plain map-side-combined aggregations plus a window
+    * over the tiny slice — shard-parallel at any corpus size, no global
+    * per-group sort ever materializes. The picked value is EXACT (the
+    * sketch only steers the bracket), so oracles that compute the same
+    * order statistic by full ranking agree bit-for-bit.
+    *
+    * `picks`: (output alias, rank-from-group-size). Rank must be in
+    * `[1, n]`. Null values are excluded (both from `n` and from ranking) —
+    * callers with nullable columns must decide null placement themselves.
+    * Ties: the rank-`k` VALUE is invariant to tie order, so no tiebreak
+    * column is needed even when the source frame orders by (value, id).
+    *
+    * `auditPs`: extra percentiles evaluated on the SAME summary, returned
+    * as `__ap_<j>` with exact counts `__lt_<j> = |v < ap|`,
+    * `__le_<j> = |v ≤ ap|` (for sketch-certification consumers). Output:
+    * one row per group — groupCol, `__n`, pick aliases, audit columns. */
+  def rankSelect(df: DataFrame, groupCol: String, value: Column,
+                 picks: Seq[(String, Column => Column)],
+                 accuracy: Int = 10000,
+                 auditPs: Seq[Double] = Nil): DataFrame = {
+    require(picks.nonEmpty, "rankSelect needs at least one pick")
+    val G = 256
+    val grid = (0 to G).map(_.toDouble / G)
+    val ev = df.filter(value.isNotNull)
+      .select(col(groupCol).as("__g"), value.as("__v"))
+    val nD = col("__n").cast("double")
+    def gridAt(idx: Column): Column =
+      element_at(col("__q"),
+        (greatest(lit(0L), least(lit(G.toLong), idx)) + 1).cast("int"))
+    var br = ev.groupBy(col("__g")).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("__v"), typedLit(grid ++ auditPs), lit(accuracy))
+        .as("__q"))
+      .withColumn("__m", ceil(nD / accuracy).cast("long") + 3)
+    picks.zipWithIndex.foreach { case ((_, kFn), i) =>
+      br = br.withColumn(s"__k_$i", kFn(col("__n")).cast("long"))
+        .withColumn(s"__lo_$i",
+          gridAt(floor((col(s"__k_$i") - col("__m")).cast("double") * G / nD)
+            .cast("long")))
+        .withColumn(s"__hi_$i",
+          gridAt(ceil((col(s"__k_$i") + col("__m")).cast("double") * G / nD)
+            .cast("long")))
+    }
+    auditPs.indices.foreach { j =>
+      br = br.withColumn(s"__ap_$j", element_at(col("__q"), G + 2 + j))
+    }
+    // group-count-sized frames consumed by several downstream subtrees —
+    // persisted so the sketch aggregation (a full pass when `df` is an
+    // unpersisted subplan) runs ONCE, not once per consumer
+    br = graft.CacheRegistry.register(br.drop("__q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the bracket table broadcasts back onto the stream; the two consumers
+    // below are the only full passes over the data
+    val j0 = ev.join(broadcast(br), Seq("__g"))
+    val cbAggs: Seq[Column] =
+      picks.indices.map(i =>
+        count(when(col("__v") < col(s"__lo_$i"), 1)).as(s"__cb_$i")) ++
+        auditPs.indices.flatMap(j => Seq(
+          count(when(col("__v") < col(s"__ap_$j"), 1)).as(s"__lt_$j"),
+          count(when(col("__v") <= col(s"__ap_$j"), 1)).as(s"__le_$j")))
+    val cb = graft.CacheRegistry.register(
+      j0.groupBy(col("__g")).agg(cbAggs.head, cbAggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // slice pass: a row can sit inside several picks' brackets — explode
+    // one copy per containing bracket, rank within (group, pick)
+    val pickId = explode(array(picks.indices.map(i =>
+      when(col("__v") >= col(s"__lo_$i") && col("__v") <= col(s"__hi_$i"),
+        lit(i))): _*)).as("__pick")
+    val targetRn = picks.indices.foldLeft(lit(null).cast("long")) {
+      (acc, i) =>
+        when(col("__pick") === i, col(s"__k_$i") - col(s"__cb_$i"))
+          .otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__pick")).orderBy(col("__v"))
+    val picked = j0.select(col("*"), pickId)
+      .filter(col("__pick").isNotNull)
+      .join(broadcast(cb), Seq("__g"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === targetRn)
+    val pivotAggs = picks.zipWithIndex.map { case ((alias, _), i) =>
+      max(when(col("__pick") === i, col("__v"))).as(alias)
+    }
+    val brKeep: Seq[Column] = Seq(col("__g"), col("__n")) ++
+      auditPs.indices.map(j => col(s"__ap_$j"))
+    val base = picked.groupBy(col("__g")).agg(pivotAggs.head, pivotAggs.tail: _*)
+      .join(broadcast(br.select(brKeep: _*)), Seq("__g"))
+    val withAudit =
+      if (auditPs.isEmpty) base
+      else base.join(broadcast(cb.select(
+        (col("__g") +: auditPs.indices.flatMap(j =>
+          Seq(col(s"__lt_$j"), col(s"__le_$j")))): _*)), Seq("__g"))
+    withAudit.withColumnRenamed("__g", groupCol)
+  }
+
+  /** Per-group values at explicit ranks over a pre-aggregated
+    * (group, value, count) frame — the zero-extra-pass exact selection for
+    * DISCRETIZED metrics (2-dp scores, integer lengths, rounded ratios):
+    * when distinct values are bounded, ONE map-side-combined aggregation
+    * collapses the corpus and every rank question becomes arithmetic on
+    * the vocabulary-sized frame. `[[rankSelect]]` is the companion for
+    * genuinely continuous values, where no such collapse exists.
+    *
+    * The running-sum window orders the count frame per group — tiny by the
+    * boundedness assumption — and the rank-`k` value is the unique row
+    * whose cumulative interval `(cum − c, cum]` contains `k`.
+    *
+    * `picks`: (output alias, rank-from-group-size); rank must fall in
+    * `[1, n]`, where `n` is the per-group total count. */
+  def countFramePicks(counts: DataFrame, groupCol: String, valueCol: String,
+                      countCol: String,
+                      picks: Seq[(String, Column => Column)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cc = counts
+      .withColumn("__cum", sum(col(countCol)).over(w))
+      .withColumn("__n", sum(col(countCol)).over(wAll))
+    val aggs = picks.map { case (alias, kFn) =>
+      val k = kFn(col("__n")).cast("long")
+      max(when(col("__cum") - col(countCol) < k && k <= col("__cum"),
+        col(valueCol))).as(alias)
+    }
+    cc.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Certification query for [[approxQuantiles]]: one row per (group, p)
     * with the EXACT interpolated quantile and a GK rank-error verdict.
     *
@@ -138,12 +288,14 @@ object Sketches {
     * into `within_bound` (the +1 absorbs rank discreteness).
     *
     * Scale shape: the sketch side is the mergeable one-pass aggregate; the
-    * exact side (row_number per group) is the audit's cost and exists only
-    * to certify — production code calls [[approxQuantiles]]. */
+    * exact side is a (group, value, count) collapse plus windowing over
+    * that bounded frame, and exists only to certify — production code
+    * calls [[approxQuantiles]]. */
   def approxQuantilesAudit(df: DataFrame, groupCol: String, valCol: String,
                            probabilities: Seq[Double],
                            accuracy: Int = 10000): DataFrame = {
     val ev = df.select(col(groupCol), col(valCol).as("__v"))
+    // the audited artifact: the GK sketch, one mergeable aggregation pass
     val grp = ev.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__n"),
       percentile_approx(col("__v"), typedLit(probabilities), lit(accuracy))
@@ -157,22 +309,33 @@ object Sketches {
       .withColumn("__idx", (col("__n") - 1).cast("double") * col("p"))
       .withColumn("__lo", floor(col("__idx")).cast("long"))
       .withColumn("__hi", ceil(col("__idx")).cast("long"))
-    val ranked = ev.withColumn("__r", row_number().over(
+    // the exact side rides a (group, value, count) collapse — one more
+    // map-side-combined pass — instead of ranking every row: the anchor at
+    // rank k is the count-frame row whose cumulative interval contains k,
+    // and the rank of the sketch's answer is a weighted sum. Assumes
+    // bounded distinct values (see [[countFramePicks]]); use
+    // [[rankSelect]] to audit over genuinely continuous metrics.
+    val c = ev.groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val cc = c.withColumn("__cum", sum(col("__c")).over(
       org.apache.spark.sql.expressions.Window
-        .partitionBy(col(groupCol)).orderBy(col("__v"))).cast("long"))
+        .partitionBy(col(groupCol)).orderBy(col("__v"))))
     // GK's guarantee applies to SOME rank of the returned value; with
     // duplicates the value occupies the whole rank interval
     // [count(<q)+1, count(<=q)], so the audit measures the distance from
     // the target rank p·n to that interval — checking only its upper end
     // would flag legitimate answers whenever ties straddle the quantile
-    ranked.join(broadcast(tgt), groupCol)
+    cc.join(broadcast(tgt), groupCol)
       .groupBy(col(groupCol), col("p"), col("__n"), col("__idx"),
         col("__lo"), col("__approx_q"))
       .agg(
-        max(when(col("__r") === col("__lo") + 1, col("__v"))).as("__vlo"),
-        max(when(col("__r") === col("__hi") + 1, col("__v"))).as("__vhi"),
-        count(when(col("__v") < col("__approx_q"), 1)).as("__rkLt"),
-        count(when(col("__v") <= col("__approx_q"), 1)).as("__rkLe"))
+        max(when(col("__cum") - col("__c") < col("__lo") + 1 &&
+          col("__lo") + 1 <= col("__cum"), col("__v"))).as("__vlo"),
+        max(when(col("__cum") - col("__c") < col("__hi") + 1 &&
+          col("__hi") + 1 <= col("__cum"), col("__v"))).as("__vhi"),
+        sum(when(col("__v") < col("__approx_q"), col("__c"))
+          .otherwise(0L)).as("__rkLt"),
+        sum(when(col("__v") <= col("__approx_q"), col("__c"))
+          .otherwise(0L)).as("__rkLe"))
       .select(col(groupCol), col("p"),
         (col("__vlo") + (col("__vhi") - col("__vlo"))
           * (col("__idx") - col("__lo").cast("double"))).as("exact_q"),

@@ -109,7 +109,7 @@ object TextAnalysis {
     // derive from this frame, so the corpus is scanned + regex-split a
     // single time (released via CacheRegistry)
     val t = graft.CacheRegistry.register(
-      docs.select(col(idCol).as("__id"),
+      graft.Queries.fanOut(docs).select(col(idCol).as("__id"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val uni = graft.CacheRegistry.register(
@@ -363,8 +363,9 @@ object TextAnalysis {
     */
   def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
                      isTarget: Column): DataFrame = {
-    val t = docs.select(col(idCol).as("__id"), isTarget.as("__tgt"),
-      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    val t = graft.Queries.fanOut(docs)
+      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
     // persisted: the model aggregation AND the scoring join both read the
     // hashed-bigram stream — without this the tokenize+explode+md5 runs
     // twice over the corpus (released via CacheRegistry)
