@@ -97,4 +97,107 @@ class SketchesSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getBoolean(3),
       s"tie-straddled quantile flagged out of bound: $r"))
   }
+
+  // ---- exact selection operators (countFramePicks / rankSelect) --------
+  // reference: the naive full rank window both operators replace
+
+  private def refPicks(rows: Seq[(String, Double)],
+                       ps: Seq[Double]): Map[(String, Double), Double] =
+    rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      ps.map { p =>
+        val k = math.max(1L, math.ceil(p * sorted.size).toLong)
+        (g, p) -> sorted((k - 1).toInt)
+      }
+    }
+
+  /** Adversarial group shapes: singleton, pair, all-equal, heavy central
+    * tie, dense duplicates, smooth, skewed sizes. */
+  private def shapeRows: Seq[(String, Double)] = {
+    var seed = 42L
+    def nextDouble(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble) * 100.0
+    }
+    Seq(("single", Seq(7.5)),
+      ("pair", Seq(1.0, 2.0)),
+      ("allequal", Seq.fill(200)(3.25)),
+      ("centraltie", (1 to 100).map(_ * 1.0) ++ Seq.fill(300)(50.0) ++
+        (1 to 100).map(900.0 + _)),
+      ("dups2dp", (1 to 2000).map(_ => math.floor(nextDouble() * 4) / 4)),
+      ("smooth", (1 to 5000).map(_ => nextDouble())),
+      ("tiny", Seq(9.0, 1.0, 5.0))
+    ).flatMap { case (g, vs) => vs.map(v => (g, v)) }
+  }
+
+  test("countFramePicks equals the full-rank-window reference on every shape") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = shapeRows
+    val ps = Seq(0.05, 0.5, 0.95, 1.0)
+    val expected = refPicks(rows, ps)
+    val counts = rows.toDF("g", "v")
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val got = Sketches.countFramePicks(counts, "g", "v", "c",
+      ps.map(p => (s"p$p", (n: org.apache.spark.sql.Column) =>
+        greatest(lit(1L), ceil(lit(p) * n)))))
+      .collect()
+    assert(got.length == rows.map(_._1).distinct.size)
+    got.foreach { r =>
+      val g = r.getString(0)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        assert(r.getDouble(i + 1) == expected((g, p)),
+          s"countFramePicks($g, p=$p): got ${r.getDouble(i + 1)}, " +
+            s"want ${expected((g, p))}")
+      }
+    }
+  }
+
+  test("rankSelect equals the reference on every shape, even with a coarse sketch") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = shapeRows
+    val ps = Seq(0.05, 0.5, 0.95, 1.0)
+    val expected = refPicks(rows, ps)
+    // accuracy 50 on 5000-row groups: rank error up to ~100, so the grid
+    // brackets (not sketch exactness) must carry correctness
+    for (accuracy <- Seq(50, 10000)) {
+      val got = Sketches.rankSelect(rows.toDF("g", "v"), "g", col("v"),
+        ps.map(p => (s"p$p", (n: org.apache.spark.sql.Column) =>
+          greatest(lit(1L), ceil(lit(p) * n)))),
+        accuracy = accuracy)
+        .collect()
+      assert(got.length == rows.map(_._1).distinct.size)
+      got.foreach { r =>
+        val g = r.getString(0)
+        ps.zipWithIndex.foreach { case (p, i) =>
+          assert(r.getDouble(i + 1) == expected((g, p)),
+            s"rankSelect($g, p=$p, accuracy=$accuracy): " +
+              s"got ${r.getDouble(i + 1)}, want ${expected((g, p))}")
+        }
+      }
+      graft.CacheRegistry.unpersistAll(spark)
+    }
+  }
+
+  test("rankSelect audit columns: __lt/__le bracket the sketch value's true rank interval") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = shapeRows.filter(_._1 == "centraltie")
+    val got = Sketches.rankSelect(rows.toDF("g", "v"), "g", col("v"),
+      Seq(("med", (n: org.apache.spark.sql.Column) =>
+        greatest(lit(1L), ceil(lit(0.5) * n)))),
+      accuracy = 10000, auditPs = Seq(0.5)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val ap = r.getAs[Double]("__ap_0")
+    val lt = rows.count(_._2 < ap).toLong
+    val le = rows.count(_._2 <= ap).toLong
+    assert(r.getAs[Long]("__lt_0") == lt && r.getAs[Long]("__le_0") == le)
+    // GK bound: target rank n/2 must fall within errors of [lt+1, le]
+    val n = rows.size
+    assert(lt + 1 <= n / 2.0 + n / 10000.0 + 1 &&
+      n / 2.0 - n / 10000.0 - 1 <= le)
+    graft.CacheRegistry.unpersistAll(spark)
+  }
 }
