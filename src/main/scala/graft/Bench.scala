@@ -56,7 +56,12 @@ object Bench {
     try Queries.warmupPlans(spark, sfDir) catch { case _: Throwable => }
     // optional comma-separated filter for local iteration (unset in CI)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // default 2: "queries" stays the ONE-SHOT (first-run) timing — fully
+    // comparable with earlier rounds — and the second run puts the
+    // steady-state decomposition (what a warm service pays once shared
+    // marts/Janino are amortized) into the driver's own artifact instead
+    // of only the README. Costs ~one extra minute per full run.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     // diagnostic listener (SPARK_GRAFT_DEBUG_JOBS=1): per-query job/stage/
     // task counts + summed task wall-time, to split scheduler/plan fixed
     // cost from actual execution when a small-SF one-shot number looks slow
@@ -117,27 +122,23 @@ object Bench {
       }
       // a failed iteration must never masquerade as a (fast) timing; if
       // every iteration failed, report -1 so the JSON is loud too
-      val best = times.min
       if (dbg) System.err.println(
         f"[bench-dbg] $name jobs=${jobC.get} stages=${stageC.get} " +
-          f"tasks=${taskC.get} taskTime=${taskMs.get / 1000.0}%.1fs wall=$best%.2fs")
+          f"tasks=${taskC.get} taskTime=${taskMs.get / 1000.0}%.1fs " +
+          f"wall=${times.head}%.2fs")
       def clean(v: Double) = if (v.isInfinity) -1.0 else v
-      // first run vs best-of-rest splits per-plan fixed cost (Janino, mart
-      // materialization, driver latency) from steady-state execution —
-      // populated only under SPARK_GRAFT_REPEAT>1 so the driver's one-shot
-      // contract is untouched
-      (name, clean(best), clean(times.head),
+      // "queries"/"value" are the FIRST run — the one-shot contract every
+      // round has reported; best-of-rest is the steady-state split
+      (name, clean(times.head),
         if (times.size > 1) clean(times.tail.min) else -1.0)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val steadySuffix = if (repeat > 1) {
-      val fs = results.map { case (k, _, f, _) => s"\"" + k + "\":" + f }
+      val ss = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
         .mkString("{", ",", "}")
-      val ss = results.map { case (k, _, _, s) => s"\"" + k + "\":" + s }
-        .mkString("{", ",", "}")
-      s""","first":$fs,"steady":$ss"""
+      s""","steady":$ss"""
     } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
     spark.stop()
