@@ -150,7 +150,13 @@ object ScaleProbe {
           val nodes = d.select("doc_id")
           val edges = d.filter(col("doc_id") % 10 < 3)
             .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-          operators.Dedup.connectedComponents(nodes, "doc_id", edges, "id_a", "id_b")
+          // pin the DISTRIBUTED min-label loop: the probe exists to bound
+          // the iterative path's scaling, which the small-graph driver
+          // fast path would otherwise bypass at probe sizes
+          val sess = nodes.sparkSession
+          sess.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+          try operators.Dedup.connectedComponents(nodes, "doc_id", edges, "id_a", "id_b")
+          finally sess.conf.unset("spark.graft.cc.localEdgeThreshold")
         })
       )
     }

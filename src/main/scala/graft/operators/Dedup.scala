@@ -458,23 +458,105 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    val sess = nodes.sparkSession
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).na.drop()
+    val idType = p0.schema("src").dataType
+    val idIsIntegral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    // Small-active-subgraph fast path (the GraphFrames/GraphX "broadcast
+    // threshold" practice): min-label propagation pays ~0.25 s of driver
+    // fixed cost PER ROUND (plan analysis, two eager localCheckpoints,
+    // job round-trips, the Observation read) regardless of data size. When
+    // the pair list — never the corpus; singletons don't appear in it —
+    // fits comfortably on the driver, a single collect + path-compressed
+    // union-find computes the identical min-label fixpoint in milliseconds
+    // with no symmetrization, no distinct, no persisted edge frame and no
+    // iteration at all. 2M pairs ≈ 32 MB collected, far below any driver
+    // heap; a corpus whose near-dup pair list exceeds the threshold takes
+    // the unchanged distributed loop. Taken only when `pairs` is already
+    // persisted (the materialized-pair-mart production shape) so the
+    // sizing count never executes an expensive pair subplan twice; long/
+    // int ids only (the dedup family's shape). Conf-overridable so
+    // ScaleProbe and the distributed-path tests can pin the iterative
+    // implementation (threshold 0) regardless of size.
+    val localThreshold = sess.conf.getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(2000000L)
+    val pairsCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (idIsIntegral && pairsCached && localThreshold > 0 &&
+        p0.count() <= localThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      p0.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // min root wins — exactly the min-label fixpoint
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      import scala.jdk.CollectionConverters._
+      val labelRows = parent.keySet().asScala.toSeq
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType)))
+      val labelsLocal = sess.createDataFrame(
+        sess.sparkContext.parallelize(labelRows, 1), schema)
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label"))
+      return nodes.select(col(idCol).as("id")).na.drop().distinct()
+        .join(broadcast(labelsLocal), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+    }
     // symmetrized edge list, reused every round (released via CacheRegistry)
     val edges = graft.CacheRegistry.register(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .na.drop()
+      p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Iterate over the ACTIVE subgraph only — nodes touching ≥1 edge. In a
     // dedup corpus the overwhelming majority of docs are singletons; they
     // skip the loop entirely and re-enter via the final left join. This is
     // what keeps the iteration state ≪ corpus at 100 TB.
+    // AQE is pinned OFF for the init + loop body (see the block comment
+    // below) and the loop runs at STATE-SIZED parallelism (the GraphX
+    // practice): every round otherwise shuffles the label frame into the
+    // full spark.sql.shuffle.partitions — 3 exchanges × 32 near-empty
+    // tasks per round is pure scheduler overhead when the active subgraph
+    // is small. One partition per ~50k edges, clamped to the session
+    // setting, leaves cluster-scale graphs at exactly the configured
+    // parallelism. (edges is persisted; count() doubles as its
+    // materialization.)
+    val edgeCount = edges.count()
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufPrev = sess.conf.get("spark.sql.shuffle.partitions")
+    val nParts = math.max(1L, math.min(shufPrev.toLong,
+      edgeCount / 50000L + 1L)).toString
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", nParts)
     // init one propagation step ahead: label₀ = min(self, neighbors) is
     // exactly what round 1 would compute from identity labels, for the
     // price of a single groupBy instead of a join+union+groupBy+jump round
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint(true)
+    var labels =
+      try edges.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+        .localCheckpoint(true)
+      catch { case e: Throwable =>
+        sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+        sess.conf.set("spark.sql.shuffle.partitions", shufPrev)
+        throw e
+      }
     // Checkpoint blocks of superseded rounds are released by the loop — the
     // ContextCleaner only frees them on driver GC, so an iterative job
     // would otherwise hold O(rounds) copies of the label frame in storage.
@@ -494,17 +576,14 @@ object Dedup {
     var deferredRelease: List[org.apache.spark.rdd.RDD[_]] = Nil
     var iter = 0
     var converged = labels.isEmpty // no edges → nothing to iterate
-    // AQE is pinned OFF for the loop body: each round is a handful of tiny
-    // stages over an already-partitioned label frame, and AQE's per-stage
+    // Why AQE is pinned OFF here: each round is a handful of tiny stages
+    // over an already-partitioned label frame, and AQE's per-stage
     // materialization + replanning (new query stages, new codegen classes
     // per round) costs multiples of the actual work — measured 14.8 s →
     // 22-40 s at sf0.1 with AQE on. One-shot queries elsewhere keep AQE;
     // the conf is restored on exit. (At cluster scale the loop's joins are
     // uniform hash joins on node ids — skew handling, AQE's main value,
     // doesn't apply to label frames.)
-    val sess = nodes.sparkSession
-    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       while (!converged && iter < maxIter) {
         // min over self + neighbors' labels. Self rows are tagged so the
@@ -557,6 +636,7 @@ object Dedup {
       }
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      sess.conf.set("spark.sql.shuffle.partitions", shufPrev)
       // loop done: the still-deferred blocks are ≥1 materialized round
       // stale and every loop job has completed — safe to free now. The
       // FINAL round's checkpoint (prevCkpt) is what the returned frame

@@ -441,23 +441,36 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(r(3L)._3 == false && r(3L)._4 == false)
   }
 
+  /** Run `body` under both CC implementations: the small-graph driver
+    * fast path (default threshold) and the distributed min-label loop
+    * (threshold pinned to 0). */
+  private def bothCcPaths(body: => Unit): Unit = {
+    body // driver fast path (tiny test graphs sit under the threshold)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try body // distributed loop
+    finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connectedComponents: chains, multiple components, singletons, min-id labels") {
     import spark.implicits._
     val nodes = (1L to 12L).toDF("id")
     // a 6-node path (tests multi-round propagation + pointer jumping),
     // a triangle, a pair, and singletons 11, 12
+    // persisted: the driver fast path only engages for cached pair marts
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // path 1-…-6
       (7L, 8L), (8L, 9L), (7L, 9L),                     // triangle
       (10L, 4L)                                         // joins the path
-    ).toDF("a", "b")
-    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expect = Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L,
-      7L -> 7L, 8L -> 7L, 9L -> 7L,
-      11L -> 11L, 12L -> 12L)
-    assert(got == expect)
+    ).toDF("a", "b").persist()
+    bothCcPaths {
+      val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L,
+        7L -> 7L, 8L -> 7L, 9L -> 7L,
+        11L -> 11L, 12L -> 12L)
+      assert(got == expect)
+    }
   }
 
   test("wordShingles: window edges, short-doc fallback, dedup, case folding") {
@@ -493,20 +506,26 @@ class OperatorQualitySpec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = nodes.map(i => i -> find(i)).toMap
-      val got = Dedup.connectedComponents(nodes.toDF("id"), "id",
-          pairs.toDF("a", "b"), "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"trial $trial (n=$n) diverged from union-find")
+      val pairsDf = pairs.toDF("a", "b").persist()
+      bothCcPaths {
+        val got = Dedup.connectedComponents(nodes.toDF("id"), "id",
+            pairsDf, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (n=$n) diverged from union-find")
+      }
+      pairsDf.unpersist()
     }
   }
 
   test("connectedComponents: empty pair set yields all-singleton clusters") {
     import spark.implicits._
     val nodes = (1L to 5L).toDF("id")
-    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
-    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (1L to 5L).map(i => i -> i).toMap)
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b").persist()
+    bothCcPaths {
+      val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 5L).map(i => i -> i).toMap)
+    }
   }
 
   test("connectedComponents: long chain converges via pointer jumping; tiny maxIter throws") {
@@ -514,13 +533,17 @@ class OperatorQualitySpec extends AnyFunSuite {
     val n = 64
     val nodes = (1L to n.toLong).toDF("id")
     val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
-    // O(log d) rounds: a 64-node path must close well within 10 rounds
-    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 10)
-      .collect()
-    assert(got.forall(_.getLong(1) == 1L))
-    assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 1).collect()
-    }
+    // maxIter semantics belong to the distributed loop — pin it on
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      // O(log d) rounds: a 64-node path must close well within 10 rounds
+      val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 10)
+        .collect()
+      assert(got.forall(_.getLong(1) == 1L))
+      assertThrows[IllegalStateException] {
+        Dedup.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 1).collect()
+      }
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
   test("saltedCountSum equals the direct aggregate on a pathologically skewed key") {
