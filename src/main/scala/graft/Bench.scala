@@ -29,6 +29,14 @@ object Bench {
       // undo the one-row-group/one-task local scan artifact; never set on a
       // real cluster, where scans already split
       .config("spark.graft.fanOutInputs", "true")
+      // bench micro-streams carry a few thousand rows; 32 state-store
+      // partitions per microbatch is per-task overhead, not parallelism
+      // (see StreamingJobs.withDrainParallelism)
+      .config("spark.graft.streamDrainPartitions", "8")
+      // throwaway sink/checkpoint scratch on tmpfs: the lifecycle rows
+      // (pipeline_*, stream_*, ingest roundtrips) are bounded by local-disk
+      // fsync latency, which is bench-box environment, not engine cost
+      .config("spark.graft.scratchRoot", "/dev/shm/graft_bench")
       // let AQE coalesce the output partitioning of persisted frames: an
       // operator-internal mart (pruned postings, bigram streams) otherwise
       // caches at spark.sql.shuffle.partitions partitions however tiny it

@@ -203,8 +203,14 @@ object Queries {
   /** Fresh scratch warehouse under /tmp, keyed by query family + sf dir,
     * wiped on entry — shared by the integration-style rows that write real
     * files (pipeline, source-chain, format round-trips). */
+  /** Throwaway-artifact root: `/tmp` unless `spark.graft.scratchRoot`
+    * points somewhere faster (the bench session uses tmpfs — sink/
+    * checkpoint fsync latency is environment, not engine, cost). */
+  private[graft] def scratchRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.scratchRoot").getOrElse("/tmp")
+
   private def scratchDir(s: SparkSession, family: String, d: String): String = {
-    val root = s"/tmp/${family}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${scratchRoot(s)}/${family}_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val hp = new org.apache.hadoop.fs.Path(root)
     val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(hp)) fs.delete(hp, true)
@@ -721,7 +727,7 @@ object Queries {
     * scan of a different path compiles to byte-identical source. */
   def warmupPlans(spark: SparkSession, dir: String): Unit = {
     def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
-    val wdir = s"/tmp/graft_warmup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val wdir = s"${scratchRoot(spark)}/graft_warmup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     Seq("documents" -> 120, "embeddings" -> 64, "events" -> 200).foreach {
       case (t, n) =>
         val p = new org.apache.hadoop.fs.Path(s"$wdir/$t.parquet")
@@ -1615,7 +1621,7 @@ object Queries {
         "CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
       (s, d) => {
-        val dir = "/tmp/graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = scratchRoot(s) + "/graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
         T(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
           .write.mode("overwrite").orc(dir)
         s.read.orc(dir)
@@ -1660,7 +1666,7 @@ object Queries {
         "DATE '2024-01-15' AS file_date " +
         "FROM r WHERE event_id % 97 <> 0 AND event_id % 89 <> 0"),
       (s, d) => {
-        val dir = "/tmp/graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = scratchRoot(s) + "/graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9]", "_")
         val raw = T(s, d, "events").filter(col("event_id") % 10 === 0).select(
           when(col("event_id") % 97 === 0, lit("nan"))
             .when(col("event_id") % 89 === 0, lit("95,00"))
@@ -2533,7 +2539,7 @@ object Queries {
       (s, d) => {
         // unique dir per invocation: a fixed path would let a concurrent
         // run's delete+rewrite race this run's lazy mergeSchema scan
-        val dir = "/tmp/graft_schema_evo_" + java.util.UUID.randomUUID().toString
+        val dir = scratchRoot(s) + "/graft_schema_evo_" + java.util.UUID.randomUUID().toString
         val hp = new org.apache.hadoop.fs.Path(dir)
         val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
         fs.deleteOnExit(hp)
@@ -5547,7 +5553,7 @@ object Queries {
       "SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value " +
         "FROM events ORDER BY event_id"),
       (s, d) => {
-        val root = "/tmp/graft_append_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = scratchRoot(s) + "/graft_append_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
         val hp = new org.apache.hadoop.fs.Path(root)
         val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
         if (fs.exists(hp)) fs.delete(hp, true)
@@ -5568,10 +5574,12 @@ object Queries {
           ev.select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
         }
-        for (run <- 1 to 2) {
-          val q = graft.streaming.StreamingJobs.idempotentAppendSink(src, target,
-            keyCols = Seq("event_id"), checkpoint = s"$root/ckpt$run")
-          q.awaitTermination()
+        graft.streaming.StreamingJobs.withDrainParallelism(s) {
+          for (run <- 1 to 2) {
+            val q = graft.streaming.StreamingJobs.idempotentAppendSink(src, target,
+              keyCols = Seq("event_id"), checkpoint = s"$root/ckpt$run")
+            q.awaitTermination()
+          }
         }
         s.read.parquet(target).orderBy("event_id")
       }),
@@ -5595,7 +5603,7 @@ object Queries {
         "CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice ELSE t.p_retailprice END AS p_retailprice " +
         "FROM part t FULL OUTER JOIN src s ON t.p_partkey = s.p_partkey ORDER BY p_partkey"),
       (s, d) => {
-        val root = "/tmp/graft_upsert_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = scratchRoot(s) + "/graft_upsert_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
         val hp = new org.apache.hadoop.fs.Path(root)
         val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
         if (fs.exists(hp)) fs.delete(hp, true)
@@ -5622,11 +5630,13 @@ object Queries {
         // first drain merges; second drain (fresh checkpoint = a replay)
         // must be all-noop — a non-idempotent merge would double-apply
         // the +1 update and hash-fail the price column
-        for (run <- 1 to 2) {
-          val q = graft.streaming.StreamingJobs.upsertSink(srcStream, target,
-            keyCols = Seq("p_partkey"), attrCols = Seq("p_brand", "p_retailprice"),
-            orderCol = "p_retailprice", checkpoint = s"$root/ckpt$run")
-          q.awaitTermination()
+        graft.streaming.StreamingJobs.withDrainParallelism(s) {
+          for (run <- 1 to 2) {
+            val q = graft.streaming.StreamingJobs.upsertSink(srcStream, target,
+              keyCols = Seq("p_partkey"), attrCols = Seq("p_brand", "p_retailprice"),
+              orderCol = "p_retailprice", checkpoint = s"$root/ckpt$run")
+            q.awaitTermination()
+          }
         }
         s.read.parquet(target).orderBy("p_partkey")
       }),

@@ -343,16 +343,51 @@ object StreamingJobs {
     * checkpoint blocks themselves are freed by the ContextCleaner once the
     * caller drops the frame, so a repeated bench (SPARK_GRAFT_REPEAT=N)
     * holds only reachable results. */
+  /** Run `body` under `spark.graft.streamDrainPartitions` shuffle/state
+    * partitions when that conf is set (it is NOT by default): a
+    * bench/test micro-stream otherwise plans every stateful microbatch at
+    * the session's full `spark.sql.shuffle.partitions` — 32 state-store
+    * tasks per batch for a few thousand rows is pure per-task overhead
+    * (store init + commit per partition per batch). Production streams
+    * size state partitioning to load and leave this unset. The conf is
+    * read at query START (state layout) and during foreachBatch planning,
+    * so the wrap must cover the whole drain lifecycle. */
+  def withDrainParallelism[T](spark: SparkSession)(body: => T): T =
+    spark.conf.getOption("spark.graft.streamDrainPartitions") match {
+      case None => body
+      case Some(p) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+  /** Drain an append-mode stream to completion and return its full output
+    * as a SELF-CONTAINED frame (re-executable regardless of later drains).
+    *
+    * The sink is a parquet file sink under a per-drain scratch dir — not
+    * the memory sink: memory funnels every output row through a driver
+    * collect and then needs an eager localCheckpoint copy to survive the
+    * temp-view drop, which for a 100k-row drain is two serial driver-side
+    * passes. The file sink writes output partition-parallel, the returned
+    * reader frame is naturally self-contained, and an explicit schema
+    * covers the zero-row drain (no parquet footer to infer from). */
   def drainToMemory(stream: DataFrame, prefix: String): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_${memRuns.incrementAndGet()}"
-    val q = stream.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    val out = spark.table(name).localCheckpoint(eager = true)
-    spark.catalog.dropTempView(name)
-    out
+    val root = spark.conf.getOption("spark.graft.scratchRoot").getOrElse("/tmp")
+    val dir = s"$root/graft_drain_$name"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) fs.delete(hp, true)
+    val outSchema = withDrainParallelism(spark) {
+      val q = stream.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      stream.schema
+    }
+    spark.read.schema(outSchema).parquet(s"$dir/out")
   }
 
   /** Streaming Gopher gate: the row-local rule set applied to an ARRIVING
