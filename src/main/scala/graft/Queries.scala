@@ -5419,6 +5419,63 @@ object Queries {
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start_us")),
 
+    // The SAME gap sessions via flatMapGroupsWithState custom state — run
+    // as a REAL stream (file source → keyed open-session state →
+    // event-time-timeout emission → file-sink drain). A sentinel event far
+    // past every session close advances the final watermark so the
+    // trailing no-data microbatch flushes all state; which batch emits a
+    // session cannot change WHAT is emitted (interval coalescing in
+    // sessionizeByGap), so the output matches the gaps-and-islands closed
+    // form — the identical oracle stream_sessionize uses, pinning the two
+    // sessionizers to each other transitively.
+    QueryDef("stream_sessionize_fmgws", Some(
+      "WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
+        "x AS (SELECT user_id, us, value, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) > 28800000000 THEN 1 ELSE 0 END AS brk FROM ev), " +
+        "s AS (SELECT user_id, us, value, sum(brk) OVER (PARTITION BY user_id ORDER BY us " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+        "SELECT user_id, min(us) AS session_start_us, max(us) + 28800000000 AS session_end_us, " +
+        "count(*) AS n_events, round(sum(value), 4) AS total_value " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir(s, "graft_fmgws_q", d)
+        val gapUs = 28800000000L
+        val tsIsLong =
+          s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
+        // sentinel: one far-future event whose watermark closes every real
+        // session; its own (never-emitted) session is filtered out below
+        val maxTs = T(s, d, "events").agg(max(unix_micros(col("ts")))).head.getLong(0)
+        s.range(1).select(lit(-1L).as("user_id"),
+            timestamp_micros(lit(maxTs + 2 * gapUs)).as("ts"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"))
+          .write.parquet(s"$root/sentinel")
+        val evSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", if (tsIsLong) LongType else TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.readStream.schema(evSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val evStream = (if (tsIsLong)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw)
+          .select("user_id", "ts", "event_type", "value")
+        val sentinelSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("ts", TimestampType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        val src = evStream.unionByName(
+            s.readStream.schema(sentinelSchema).parquet(s"$root/sentinel"))
+          .as[graft.streaming.StreamingJobs.Event]
+        graft.streaming.StreamingJobs.drainToMemory(
+            graft.streaming.StreamingJobs.sessionizeByGap(src, gapUs).toDF(),
+            "fmgws_sessions")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+            col("n_events"), round(col("total_value"), 4).as("total_value"))
+          .orderBy("user_id", "session_start_us")
+      }),
+
     // stream-stream interval join (purchase→view attribution within 1h per
     // user) run in batch — the identical expression tree is the streaming
     // job (StreamingJobs.correlateStreams; watermarks are no-ops in batch);

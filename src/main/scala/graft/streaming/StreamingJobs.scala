@@ -435,4 +435,85 @@ object StreamingJobs {
           }
       }
   }
+
+  /** One closed gap-session: `session_end_us = last event + gap`, the
+    * `session_window` convention, so both sessionizers share one oracle. */
+  final case class SessionRow(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              total_value: Double)
+  final case class SessionAgg(start_us: Long, last_us: Long, n: Long,
+                              sum_value: Double)
+  final case class SessionizerState(sessions: List[SessionAgg])
+
+  /** EVENT-TIME gap sessionization via `flatMapGroupsWithState` — the
+    * custom-state twin of the `session_window` aggregate (gate row
+    * `stream_sessionize`), with per-user open-session state instead of the
+    * built-in session store. Deterministic by construction:
+    *
+    *  - each batch's events merge into the group's open sessions by
+    *    interval COALESCING (sorted by a total key, adjacent intervals
+    *    within `gapUs` fuse), so arrival order and batch boundaries cannot
+    *    change the final session set;
+    *  - a session is emitted only once the event-time watermark passes
+    *    `last_us + gap` — either in the batch that advanced the watermark
+    *    or via `EventTimeTimeout`; which batch emits it cannot change WHAT
+    *    is emitted;
+    *  - in BATCH execution (no watermark exists) the input is by
+    *    definition complete, so every session is emitted — making the
+    *    operator the drop-in batch/streaming pair the other jobs follow.
+    *
+    * A caller that needs every session flushed from a FINITE stream
+    * appends a sentinel event far past the last real session (see the
+    * stream_sessionize_fmgws gate row); Spark's trailing no-data
+    * microbatch then fires the event-time timeouts.
+    *
+    * State is per-user OPEN sessions only — closed sessions leave state
+    * immediately, so state size is bounded by concurrently-open sessions,
+    * not history (the 100 TB requirement for keyed streaming state). */
+  def sessionizeByGap(events: Dataset[Event],
+                      gapUs: Long = 28800000000L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionizerState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionizerState]) =>
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = rows.map(e =>
+            SessionAgg(us(e.ts), us(e.ts), 1L, e.value)).toList
+          // total sort key (sum_value breaks equal-timestamp ties) → the
+          // fold order, hence n/sum accumulation, is arrival-independent
+          val all = (existing ++ incoming).sortBy(a =>
+            (a.start_us, a.last_us, a.n, a.sum_value))
+          val coalesced = all.foldLeft(List.empty[SessionAgg]) { (acc, s) =>
+            acc match {
+              case h :: t if s.start_us - h.last_us <= gapUs =>
+                SessionAgg(h.start_us, math.max(h.last_us, s.last_us),
+                  h.n + s.n, h.sum_value + s.sum_value) :: t
+              case _ => s :: acc
+            }
+          }.reverse
+          def row(a: SessionAgg) = SessionRow(uid, a.start_us,
+            a.last_us + gapUs, a.n, a.sum_value)
+          // batch mode has no watermark: the input is complete — emit all
+          val wmUs = try Some(state.getCurrentWatermarkMs() * 1000L)
+            catch { case _: UnsupportedOperationException => None }
+          wmUs match {
+            case None => coalesced.iterator.map(row)
+            case Some(w) =>
+              val (closed, open) = coalesced.partition(_.last_us + gapUs <= w)
+              if (open.isEmpty) { if (state.exists) state.remove() }
+              else {
+                state.update(SessionizerState(open))
+                // ceil to ms + 1 so the timeout is strictly beyond the
+                // current watermark (Spark rejects timeout <= watermark)
+                state.setTimeoutTimestamp(
+                  (open.map(_.last_us).min + gapUs) / 1000L + 1L)
+              }
+              closed.iterator.map(row)
+          }
+      }
+  }
 }

@@ -492,6 +492,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((1, 4.0)))
   }
 
+  test("sessionizeByGap: streaming (multi-batch, sentinel-flushed) equals batch " +
+    "fMGWS equals the session_window aggregate") {
+    import spark.implicits._
+    val gapUs = 3600000000L // 1 hour
+    val evs = Seq(
+      // user 1: two sessions (90-min gap between the pairs)
+      StreamingJobs.Event(1L, ts("2024-01-01 00:00:00"), "click", 1.5),
+      StreamingJobs.Event(1L, ts("2024-01-01 00:30:00"), "view", 2.0),
+      StreamingJobs.Event(1L, ts("2024-01-01 02:00:00"), "click", 3.25),
+      StreamingJobs.Event(1L, ts("2024-01-01 02:10:00"), "click", 0.5),
+      // user 2: one session; equal-timestamp events exercise the tie key
+      StreamingJobs.Event(2L, ts("2024-01-01 01:00:00"), "view", 7.0),
+      StreamingJobs.Event(2L, ts("2024-01-01 01:00:00"), "view", 1.0),
+      // user 3: events SPLIT ACROSS BATCHES bridge into one session
+      StreamingJobs.Event(3L, ts("2024-01-01 03:00:00"), "view", 1.0),
+      StreamingJobs.Event(3L, ts("2024-01-01 03:40:00"), "view", 2.0))
+    // batch execution: complete input, everything emitted
+    val batch = StreamingJobs.sessionizeByGap(evs.toDS(), gapUs)
+      .collect().map(r => (r.user_id, r.session_start_us, r.session_end_us,
+        r.n_events, math.round(r.total_value * 10000) / 10000.0)).toSet
+    // reference: the built-in session_window aggregate over the same rows
+    val ref = evs.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("tv"))
+      .select(col("user_id"), unix_micros(col("sw.start")),
+        unix_micros(col("sw.end")), col("n"), round(col("tv"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch == ref)
+    // streaming: first batch splits user 3's session start from its
+    // continuation; sentinel (user -1, far future) closes every session
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingJobs.Event]
+    val out = StreamingJobs.sessionizeByGap(in.toDS(), gapUs)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fmgws_spec").start()
+    try {
+      in.addData(evs.take(7))
+      q.processAllAvailable()
+      in.addData(evs.drop(7)) // user 3's second event arrives in batch 2
+      q.processAllAvailable()
+      in.addData(StreamingJobs.Event(-1L, ts("2024-02-01 00:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      // the flush rides the trailing no-data microbatch — poll for it
+      val deadline = System.nanoTime() + 30000000000L
+      def emitted() = spark.table("fmgws_spec").count()
+      while (emitted() < batch.size && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val streamed = spark.table("fmgws_spec")
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), math.round(r.getDouble(4) * 10000) / 10000.0)).toSet
+      assert(streamed == batch,
+        s"streaming fMGWS diverged:\n  streamed=$streamed\n  batch=$batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("fmgws_spec")
+    }
+  }
+
   test("drainToMemory: an earlier drain's frame is still re-executable after " +
     "a later drain of the SAME prefix (self-contained, no temp-view dependency)") {
     import spark.implicits._
