@@ -156,8 +156,10 @@ object Queries {
     val www = when(id % 3 === 0, "WWW.").otherwise("")
     val hostcore = concat(
       when(id % 2 === 0, "cdn.site").otherwise("site"), (id % 40).cast("string"))
+    // two DIFFERENT listed two-label suffixes (.co.br, .co.uk) so the
+    // suffix-set probe is exercised on more than one entry of the snapshot
     val tld = when(id % 5 === 0, ".com").when(id % 5 === 1, ".COM")
-      .when(id % 5 === 2, ".org").when(id % 5 === 3, ".co.br").otherwise(".net")
+      .when(id % 5 === 2, ".org").when(id % 5 === 3, ".co.br").otherwise(".co.uk")
     val port = when(id % 6 === 0, ":80").when(id % 6 === 1, ":443")
       .when(id % 6 === 2, ":8080").otherwise("")
     val path = concat(lit("/docs/"), (id % 20).cast("string"),
@@ -180,7 +182,7 @@ object Queries {
       "CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END AS www, " +
       "CASE WHEN doc_id % 2 = 0 THEN 'cdn.site' ELSE 'site' END || CAST(doc_id % 40 AS VARCHAR) AS hostcore, " +
-      "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.net' END AS tld, " +
+      "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.co.uk' END AS tld, " +
       "CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END AS port, " +
       "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END AS path, " +
       "CASE doc_id % 8 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) " +

@@ -47,18 +47,27 @@ object Web {
   def urlPort(u: Column): Column =
     regexp_extract(afterScheme(u), "^[^/?#]*?:([0-9]+)(?:[/?#]|$)", 1)
 
-  /** Two-label public suffixes (publicsuffix.org form): the fixture slice
-    * a crawl of this corpus exercises plus the common Latin-web entries.
-    * Production swap: replace this seed with the full public-suffix list —
-    * the lookup in [[registeredDomain]] is a set MEMBERSHIP over the
-    * candidate suffix, which Catalyst compiles to an `InSet` O(1) hash-set
-    * probe inside codegen at any list size (the set ships to executors
-    * inside the generated class, the codegen analog of a broadcast map —
-    * no join, no shuffle, still row-local in the scan stage). */
-  val publicSuffixes2: Seq[String] = Seq(
-    "co.br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "co.jp", "co.in", "com.mx")
+  /** Two-label public suffixes (publicsuffix.org ICANN-section form),
+    * loaded at plan-build time from the bundled snapshot resource
+    * `graft/public_suffix_2label.txt` (~700 curated rules across ~80
+    * ccTLDs, plus the fixture entries this corpus's synthetic URLs
+    * exercise). The lookup in [[registeredDomain]] is a set MEMBERSHIP
+    * over the candidate suffix, which Catalyst compiles to an `InSet`
+    * O(1) hash-set probe inside codegen at any list size (the set ships
+    * to executors inside the generated class, the codegen analog of a
+    * broadcast map — no join, no shuffle, still row-local in the scan
+    * stage). Scope: exactly-two-label ICANN rules; 3+-label rules
+    * (`pvt.k12.ma.us`-style state trees) and the PSL private section
+    * (`github.io`-style) are out of scope — a host under one of those
+    * resolves by the generic two-label rule instead. Refreshing the
+    * snapshot = replacing the resource file; no code changes. */
+  val publicSuffixes2: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_2label.txt")
+    require(in != null, "missing resource graft/public_suffix_2label.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    finally in.close()
+  }
 
   /** Registered domain under the public-suffix rule: the suffix plus one
     * more label — three host labels when the last two are a listed public
