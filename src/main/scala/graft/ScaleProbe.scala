@@ -25,9 +25,19 @@ object ScaleProbe {
   }
   private def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-  /** One probe measurement: seconds at 1× and at `mult`×. */
-  final case class Timing(op: String, t1: Double, tN: Double) {
+  /** One probe measurement: seconds, peak memory footprint (cached
+    * storage bytes + the largest single task's peak execution memory) and
+    * spilled bytes, at 1× and at `mult`×. Memory and spill catch the
+    * regression timing alone cannot: an operator that stays time-linear
+    * by caching corpus-sized state or by spilling it to disk. */
+  final case class Timing(op: String, t1: Double, tN: Double,
+                          mem1: Long, memN: Long,
+                          spill1: Long, spillN: Long) {
     def ratio: Double = tN / t1
+    /** Memory growth with a 1 MiB floor on the 1× side: tiny-footprint
+      * probes would otherwise produce huge ratios from noise bytes. */
+    def memRatio: Double =
+      memN.toDouble / math.max(mem1, 1L << 20).toDouble
   }
 
   def main(args: Array[String]): Unit = {
@@ -44,7 +54,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val timings = run(spark, sfDir, mult)
     val parts = timings.map { t =>
-      f""""${t.op}":{"t1":${t.t1}%.2f,"t$mult":${t.tN}%.2f,"ratio":${t.ratio}%.1f}"""
+      f""""${t.op}":{"t1":${t.t1}%.2f,"t$mult":${t.tN}%.2f,"ratio":${t.ratio}%.1f,""" +
+        f""""mem1":${t.mem1},"mem$mult":${t.memN},"memRatio":${t.memRatio}%.1f,""" +
+        f""""spill$mult":${t.spillN}}"""
     }
     println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","ops":${parts.mkString("{", ",", "}")}}""")
     spark.stop()
@@ -161,18 +173,53 @@ object ScaleProbe {
       )
     }
 
+    // per-probe task-level counters: the largest single task's peak
+    // execution memory (a task accumulating corpus-sized state shows up
+    // here regardless of wall time) and total spilled bytes (time-linear-
+    // by-spilling shows up here); drained via ListenerBridge.flush before
+    // each read — listener delivery is asynchronous
+    val taskPeak = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          taskPeak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    final case class Measured(t: Double, mem: Long, spill: Long)
     // operator-internal persists accumulate across probes (CacheRegistry
     // is session-scoped) — release after every measurement so each op is
-    // timed in isolation, not under the previous ops' storage pressure
-    def timed(f: () => Long): Double =
-      try time(f()) finally graft.CacheRegistry.unpersistAll(spark, blocking = true)
-    // warm the JVM/codegen on the 1× shapes before timing anything
-    probes(1).foreach { case (_, f) =>
-      try f() catch { case _: Throwable => }
-      graft.CacheRegistry.unpersistAll(spark, blocking = true)
-    }
-    val t1 = probes(1).map { case (n, f) => n -> timed(f) }.toMap
-    val tn = probes(mult).map { case (n, f) => n -> timed(f) }
-    tn.map { case (n, t) => Timing(n, t1(n), t) }
+    // timed in isolation, not under the previous ops' storage pressure.
+    // Cached-storage bytes are read BEFORE that release, while the probe's
+    // persisted frames are still alive.
+    def timed(f: () => Long): Measured =
+      try {
+        taskPeak.set(0); spillBytes.set(0)
+        val t = time(f())
+        val cached = spark.sparkContext.getRDDStorageInfo
+          .map(_.memSize).sum
+        org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
+        Measured(t, cached + taskPeak.get, spillBytes.get)
+      } finally graft.CacheRegistry.unpersistAll(spark, blocking = true)
+    try {
+      // warm the JVM/codegen on the 1× shapes before timing anything
+      probes(1).foreach { case (_, f) =>
+        try f() catch { case _: Throwable => }
+        graft.CacheRegistry.unpersistAll(spark, blocking = true)
+      }
+      val t1 = probes(1).map { case (n, f) => n -> timed(f) }.toMap
+      val tn = probes(mult).map { case (n, f) => n -> timed(f) }
+      tn.map { case (n, m) =>
+        val m1 = t1(n)
+        Timing(n, m1.t, m.t, m1.mem, m.mem, m1.spill, m.spill)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

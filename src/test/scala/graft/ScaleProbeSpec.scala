@@ -45,4 +45,25 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t.ratio <= ccCeiling,
       f"CC: ${t.t1}%.2fs -> ${t.tN}%.2fs (${t.ratio}%.1fx) exceeds $ccCeiling%.1fx")
   }
+
+  test("scale probe: memory footprint scales like the data, not worse " +
+    "(CC + LSH, ceiling 13x over a 1 MiB floor)") {
+    // the regression time alone can't see: an operator that stays
+    // time-linear by CACHING corpus-super-linear state. State for both of
+    // these is data-proportional by design (active subgraph / banded
+    // shingle projections), so 10x data may cost ~10x memory — never ~100x
+    for (op <- Seq("connected_components", "dedup_minhash_lsh")) {
+      val t = timings(op)
+      assert(t.memRatio <= linearCeiling,
+        f"$op memory: ${t.mem1} -> ${t.memN} bytes " +
+          f"(${t.memRatio}%.1fx) exceeds $linearCeiling%.1fx")
+    }
+  }
+
+  test("scale probe: no operator spills at 10x (state mis-sizing shows as " +
+    "spill long before it shows as wall time)") {
+    val spilled = timings.values.filter(_.spillN > 0)
+    assert(spilled.isEmpty, spilled.map(t =>
+      s"${t.op}: ${t.spillN} bytes spilled").mkString("; "))
+  }
 }
