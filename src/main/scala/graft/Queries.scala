@@ -730,7 +730,8 @@ object Queries {
   def warmupPlans(spark: SparkSession, dir: String): Unit = {
     def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
     val wdir = s"${scratchRoot(spark)}/graft_warmup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    Seq("documents" -> 120, "embeddings" -> 64, "events" -> 200).foreach {
+    Seq("documents" -> 120, "embeddings" -> 64, "events" -> 200,
+      "lineitem" -> 300, "orders" -> 200, "part" -> 200).foreach {
       case (t, n) =>
         val p = new org.apache.hadoop.fs.Path(s"$wdir/$t.parquet")
         // always overwrite: a stale snapshot left under /tmp after the source
@@ -798,7 +799,9 @@ object Queries {
     // are pure aggregations with no scratch side effects, so their twins
     // can simply be the REAL query functions over the snapshot dir —
     // byte-identical plan shape by construction
-    Seq("stats_mad_outliers", "quality_winsorize", "stats_approx_quantiles")
+    Seq("stats_mad_outliers", "quality_winsorize", "stats_approx_quantiles",
+      "a8_fact_cube", "skew_salted_join", "stats_hll_distinct",
+      "zorder_layout", "text_tfidf_top_terms", "quality_repetition_rules")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -3806,7 +3809,7 @@ object Queries {
         val m = when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
         operators.TextAnalysis.repetitionRules(
-            T(s, d, "documents").select(col("doc_id"), m.as("__m")), "__m")
+            fanOut(T(s, d, "documents")).select(col("doc_id"), m.as("__m")), "__m")
           .select("doc_id", "n_lines", "n_kept", "line_chars", "dup_line_chars",
             "word_chars", "top2_chars", "top3_chars",
             "r_dup_lines", "r_dup_line_chars", "r_top2", "r_top3", "pass")
@@ -4172,7 +4175,7 @@ object Queries {
         "SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk"),
       (s, d) => {
         val docs = T(s, d, "documents")
-        val tok = docs.select(col("doc_id"),
+        val tok = fanOut(docs).select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

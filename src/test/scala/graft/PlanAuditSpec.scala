@@ -154,6 +154,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"un-partitioned window in the quantile audit:\n$w"))
   }
 
+  test("stats_mad_outliers: rank logic rides the (type, value) count collapse — " +
+    "the corpus hash-aggregates, every window is group-partitioned and bounded") {
+    val p = plan("stats_mad_outliers")
+    assert("keys=\\[event_type#\\d+, value#\\d+\\]".r.findFirstIn(p).nonEmpty,
+      s"expected the (event_type, value) count collapse:\n$p")
+    val windows = "(?s)Window .{0,400}?windowspecdefinition\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected the cumulative count windows:\n$p")
+    windows.foreach(w => assert(w.contains("event_type"),
+      s"un-partitioned window in the MAD pipeline:\n$w"))
+  }
+
+  test("quality_winsorize: thresholds and the clipped sum ride the same count " +
+    "collapse (one corpus aggregation, no full-rank window)") {
+    val p = plan("quality_winsorize")
+    assert("keys=\\[event_type#\\d+, value#\\d+\\]".r.findFirstIn(p).nonEmpty,
+      s"expected the (event_type, value) count collapse:\n$p")
+    val windows = "(?s)Window .{0,400}?windowspecdefinition\\([^\\)]*\\)".r.findAllIn(p).toList
+    windows.foreach(w => assert(w.contains("event_type"),
+      s"un-partitioned window in winsorize:\n$w"))
+  }
+
   test("corpus_epoch_shuffle: rank window partitioned by shard (pmod projected to _w0)") {
     val p = plan("corpus_epoch_shuffle")
     val specs = "windowspecdefinition\\(([^,]+),".r.findAllMatchIn(p).map(_.group(1)).toList
