@@ -479,6 +479,18 @@ object Queries {
         .select(col("embedding").cast("array<double>").as("v")),
       "v", dim = 64, iters = 2))
 
+  // The trained PQ codebooks (per-subspace k-means) are likewise ONE
+  // artifact shared by embed_pq_codes / sim_topk_pq — in production the
+  // quantizer is fitted once and persisted next to the code index.
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Seq[Double]]]]()
+  CacheRegistry.addHook(s => pqCache.keySet.removeIf(_._1 == s))
+  private def pqBooks2x4(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    pqCache.computeIfAbsent((s, d), _ => operators.Similarity.pqFit(
+      T(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", dims = 64, m = 2, k = 4, iters = 2))
+
   /** DuckDB replay of [[graft.operators.Pca]]'s power iteration (2 rounds
     * from the all-ones start, 2⁻²⁰-grid LONG update sums, `(g/2²⁰)/n`
     * iterates). `list_inner_product` is the same ascending left fold as
@@ -3573,7 +3585,7 @@ object Queries {
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val books = Similarity.pqFit(e, "vec_id", "v", dims = 64, m = 2, k = 4, iters = 2)
+        val books = pqBooks2x4(s, d)
         Similarity.pqEncode(e, "vec_id", "v", books, dims = 64)
           .orderBy("vec_id")
       }),
@@ -3605,7 +3617,7 @@ object Queries {
       (s, d) => {
         val e = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val books = Similarity.pqFit(e, "vec_id", "v", dims = 64, m = 2, k = 4, iters = 2)
+        val books = pqBooks2x4(s, d)
         Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "v", 10,
             books, dims = 64)
           .orderBy("query_id", "rank")
