@@ -812,6 +812,7 @@ object Queries {
     // can simply be the REAL query functions over the snapshot dir —
     // byte-identical plan shape by construction
     Seq("stats_mad_outliers", "quality_winsorize", "stats_approx_quantiles",
+      "stats_exact_quantiles_continuous",
       "a8_fact_cube", "skew_salted_join", "stats_hll_distinct",
       "zorder_layout", "text_tfidf_top_terms", "quality_repetition_rules")
       .foreach(q => run(queries(q)(spark, wdir)))
@@ -1248,6 +1249,39 @@ object Queries {
       (s, d) => operators.Sketches.hllDistinctAudit(T(s, d, "events"),
           "event_type", "user_id")
         .orderBy("event_type")),
+
+    // EXACT per-group order statistics over a genuinely CONTINUOUS metric
+    // (value + event_id/1e7 — unique per row, so no count-frame collapse
+    // exists) via Sketches.rankSelect: GK grid brackets + two aggregation
+    // passes + a window over only the in-bracket slice, never a per-group
+    // full ranking. The 2dp-metric rows (stats_mad_outliers / winsorize)
+    // use the count-frame collapse instead; this row pins the
+    // continuous-values path under the gate. Selection returns actual data
+    // values and both engines derive the metric with the identical double
+    // expression, so the quantiles hash-check with no rounding.
+    QueryDef("stats_exact_quantiles_continuous", Some(
+      "WITH ev AS (SELECT event_type, value + event_id / 10000000.0 AS v FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1), " +
+        "r AS (SELECT event_type, v, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY v) AS rn FROM ev) " +
+        "SELECT r.event_type, " +
+        "max(CASE WHEN rn = greatest(1, ceil(0.50 * n)) THEN v END) AS q50, " +
+        "max(CASE WHEN rn = greatest(1, ceil(0.90 * n)) THEN v END) AS q90, " +
+        "max(CASE WHEN rn = greatest(1, ceil(0.99 * n)) THEN v END) AS q99 " +
+        "FROM r JOIN g USING (event_type) GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val ev = CacheRegistry.register(
+          fanOut(T(s, d, "events")
+            .select(col("event_type"),
+              (col("value") + col("event_id") / 10000000.0).as("v")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        def k(p: Double) = (n: Column) => greatest(lit(1L), ceil(lit(p) * n))
+        operators.Sketches.rankSelect(ev, "event_type", col("v"),
+            Seq("q50" -> k(0.50), "q90" -> k(0.90), "q99" -> k(0.99)),
+            accuracy = 1000)
+          .drop("__n")
+          .orderBy("event_type")
+      }),
 
     // Greenwald–Khanna approximate quantiles per group, certified: one row
     // per (event_type, p) with the exact interpolated quantile — assembled
