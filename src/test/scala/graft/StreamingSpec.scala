@@ -552,6 +552,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("drainToMemory: a ZERO-ROW drain returns an empty frame with the " +
+    "stream's schema (no footer-inference failure on the file sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    // no addData: the AvailableNow drain commits nothing
+    val out = StreamingJobs.drainToMemory(
+      in.toDS().toDF("v").filter(col("v") > 100), "drain_empty_spec")
+    assert(out.schema.fieldNames.toSeq == Seq("v"))
+    assert(out.count() == 0)
+  }
+
   test("drainToMemory: an earlier drain's frame is still re-executable after " +
     "a later drain of the SAME prefix (self-contained, no temp-view dependency)") {
     import spark.implicits._
