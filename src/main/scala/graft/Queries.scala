@@ -3389,7 +3389,8 @@ object Queries {
         "SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end, " +
         "CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
         "FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"),
-      (s, d) => Dedup.substringSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+      (s, d) => Dedup.substringSpans(fanOut(T(s, d, "documents")),
+          "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")),
 
     // two-level bucket (label, 3 axis-aligned hyperplane sign bits): the
