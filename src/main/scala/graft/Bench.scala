@@ -148,7 +148,17 @@ object Bench {
         .mkString("{", ",", "}")
       s""","steady":$ss"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
+    // the artifact documents its own timing contract so downstream parsers
+    // can't misread the r9 schema change (value/queries switched from
+    // best-of-N to first-run) or read memoized-mart rows as independent
+    val contract = "value and queries are FIRST-RUN one-shot timings; " +
+      s"steady is best-of-remaining (repeat=$repeat); queries run in name " +
+      "order and rows sharing a memoized mart (e.g. embed_pq_codes and " +
+      "sim_topk_pq share the PQ codebooks; bm25_topk and " +
+      "retrieval_rrf_fusion share the ranking mart) charge the build to " +
+      "the alphabetically first consumer, so such one-shot rows are not " +
+      "independent measurements"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

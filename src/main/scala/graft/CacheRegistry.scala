@@ -24,10 +24,16 @@ object CacheRegistry {
   private val hooks = mutable.ListBuffer.empty[SparkSession => Unit]
   private val lock = new Object
 
-  /** Track a frame the caller just persisted; returns it unchanged. */
-  private[graft] def register(df: DataFrame): DataFrame = {
+  /** Track a frame the caller just persisted; returns it unchanged.
+    * `owner` keys the frame under a session other than `df.sparkSession` —
+    * used when an operator persists on a call-scoped cloned session (CC's
+    * loop session) but the host only ever calls unpersistAll on the
+    * original: the frame must be released from the session the host knows.
+    */
+  private[graft] def register(df: DataFrame, owner: SparkSession = null): DataFrame = {
+    val key = if (owner != null) owner else df.sparkSession
     lock.synchronized {
-      frames.getOrElseUpdate(df.sparkSession, mutable.ListBuffer.empty) += df
+      frames.getOrElseUpdate(key, mutable.ListBuffer.empty) += df
     }
     df
   }

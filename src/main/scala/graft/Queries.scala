@@ -28,22 +28,36 @@ object Queries {
 
   // file schema per (dir, table): every spark.read.parquet without a
   // user-supplied schema runs a footer-inference JOB — ~30-80 ms of driver
-  // latency PER TABLE PER QUERY across a 196-query run. The files are
-  // immutable for a session's lifetime, so infer once and replay.
+  // latency PER TABLE PER QUERY across a 196-query run. Entries are
+  // VALIDATED against the path's modification time (a local stat, ~µs, no
+  // Spark job): a corpus regenerated at the same path mid-session with a
+  // different schema re-infers instead of silently miscasting through a
+  // stale explicit schema. Non-local URIs stat as 0 on both put and get —
+  // consistently, i.e. cache-for-the-session, the pre-mtime behavior.
   // (Plain get/put, NOT computeIfAbsent — a mapping fn that can re-enter
   // the map deadlocks per the round-7/8 memoization incident.)
   private val fileSchemas =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, org.apache.spark.sql.types.StructType)]
+
+  private def tableMtime(dir: String, name: String): Long = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    // a parquet DIRECTORY rewrite lands new part files (dir mtime moves);
+    // a single-file rewrite moves the file mtime — cover both, one level
+    val kids = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+               else Array.empty[java.io.File]
+    (f.lastModified +: kids.map(_.lastModified).toSeq).max
+  }
 
   private[graft] def T(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = (dir, name)
+    val mtime = tableMtime(dir, name)
     val cached = fileSchemas.get(key)
     val raw =
-      if (cached != null)
-        spark.read.schema(cached).parquet(s"$dir/$name.parquet")
+      if (cached != null && cached._1 == mtime)
+        spark.read.schema(cached._2).parquet(s"$dir/$name.parquet")
       else {
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        fileSchemas.put(key, df.schema)
+        fileSchemas.put(key, (mtime, df.schema))
         df
       }
     if (name == "events") {

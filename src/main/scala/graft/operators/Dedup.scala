@@ -474,16 +474,24 @@ object Dedup {
     // fits comfortably on the driver, a single collect + path-compressed
     // union-find computes the identical min-label fixpoint in milliseconds
     // with no symmetrization, no distinct, no persisted edge frame and no
-    // iteration at all. 2M pairs ≈ 32 MB collected, far below any driver
-    // heap; a corpus whose near-dup pair list exceeds the threshold takes
+    // iteration at all. The collected footprint at the default threshold
+    // is BOUNDED AT ~32 MB BY CONSTRUCTION, not implied: the fast path is
+    // only ever taken for integral ids (the guard below), each edge is
+    // collected as exactly two longs (the select casts int ids up), so
+    // 2M edges × 16 B = 32 MB plus the O(#distinct ids ≤ 2·edges) HashMap
+    // ≈ 190 MB worst case transient — <2% of any driver heap this module
+    // targets (CI runs 4g; Bench 24g). Wider/non-integral id schemas can
+    // never widen the per-edge footprint because they take the distributed
+    // loop. A corpus whose near-dup pair list exceeds the threshold takes
     // the unchanged distributed loop. Taken only when `pairs` is already
     // persisted (the materialized-pair-mart production shape) so the
     // sizing count never executes an expensive pair subplan twice; long/
     // int ids only (the dedup family's shape). Conf-overridable so
     // ScaleProbe and the distributed-path tests can pin the iterative
-    // implementation (threshold 0) regardless of size.
+    // implementation (threshold 0) regardless of size; a non-numeric
+    // override is ignored (default kept) rather than thrown.
     val localThreshold = sess.conf.getOption("spark.graft.cc.localEdgeThreshold")
-      .map(_.toLong).getOrElse(2000000L)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(2000000L)
     val pairsCached =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (idIsIntegral && pairsCached && localThreshold > 0 &&
@@ -520,11 +528,27 @@ object Dedup {
         .select(col("id").as(idCol),
           coalesce(col("label"), col("id")).as("cluster_id"))
     }
-    // symmetrized edge list, reused every round (released via CacheRegistry)
+    // The loop plans on a CLONED session (same SparkContext — so the same
+    // block manager the localCheckpoints and the persisted edge cache live
+    // in — but its own SQLConf): the loop wants AQE off and state-sized
+    // shuffle parallelism, and setting those on the caller's session conf
+    // would silently re-plan ANY query planned concurrently on that session
+    // (a parallel test suite, an in-flight streaming microbatch, a
+    // multi-threaded driver host) at the loop's tiny partition count. The
+    // overrides below are invisible outside this call and need no
+    // restore-on-exit. p0.rdd → createDataFrame is the public way to
+    // rebind the edge frame to the clone; the Row conversion is paid once,
+    // ahead of the distinct shuffle that fills the persisted edge cache.
+    val loopSess = sess.newSession()
+    val p0loop = loopSess.createDataFrame(p0.rdd, p0.schema)
+    // symmetrized edge list, reused every round (released via
+    // CacheRegistry — registered under the CALLER's session so a host's
+    // unpersistAll(sess) still finds it; the clone is call-scoped)
     val edges = graft.CacheRegistry.register(
-      p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
+      p0loop.unionByName(p0loop.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      owner = sess)
     // Iterate over the ACTIVE subgraph only — nodes touching ≥1 edge. In a
     // dedup corpus the overwhelming majority of docs are singletons; they
     // skip the loop entirely and re-enter via the final left join. This is
@@ -539,24 +563,22 @@ object Dedup {
     // parallelism. (edges is persisted; count() doubles as its
     // materialization.)
     val edgeCount = edges.count()
-    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufPrev = sess.conf.get("spark.sql.shuffle.partitions")
-    val nParts = math.max(1L, math.min(shufPrev.toLong,
+    // clamp loop parallelism to the CALLER's configured setting (parse
+    // guarded — a non-numeric conf falls back to the context default)
+    val shufBase = scala.util.Try(
+      sess.conf.get("spark.sql.shuffle.partitions").toLong)
+      .getOrElse(sess.sparkContext.defaultParallelism.toLong)
+    val nParts = math.max(1L, math.min(shufBase,
       edgeCount / 50000L + 1L)).toString
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", nParts)
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSess.conf.set("spark.sql.shuffle.partitions", nParts)
     // init one propagation step ahead: label₀ = min(self, neighbors) is
     // exactly what round 1 would compute from identity labels, for the
     // price of a single groupBy instead of a join+union+groupBy+jump round
     var labels =
-      try edges.groupBy("src").agg(min("dst").as("mn"))
+      edges.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
         .localCheckpoint(true)
-      catch { case e: Throwable =>
-        sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
-        sess.conf.set("spark.sql.shuffle.partitions", shufPrev)
-        throw e
-      }
     // Checkpoint blocks of superseded rounds are released by the loop — the
     // ContextCleaner only frees them on driver GC, so an iterative job
     // would otherwise hold O(rounds) copies of the label frame in storage.
@@ -581,7 +603,8 @@ object Dedup {
     // materialization + replanning (new query stages, new codegen classes
     // per round) costs multiples of the actual work — measured 14.8 s →
     // 22-40 s at sf0.1 with AQE on. One-shot queries elsewhere keep AQE;
-    // the conf is restored on exit. (At cluster scale the loop's joins are
+    // the override lives only on the call-scoped cloned session. (At
+    // cluster scale the loop's joins are
     // uniform hash joins on node ids — skew handling, AQE's main value,
     // doesn't apply to label frames.)
     try {
@@ -635,8 +658,6 @@ object Dedup {
           System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
       }
     } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
-      sess.conf.set("spark.sql.shuffle.partitions", shufPrev)
       // loop done: the still-deferred blocks are ≥1 materialized round
       // stale and every loop job has completed — safe to free now. The
       // FINAL round's checkpoint (prevCkpt) is what the returned frame

@@ -89,21 +89,27 @@ object Retrieval {
     // stores all columns either way
     prunedTf.count()
     val df = prunedTf.groupBy("term").agg(count(lit(1)).as("df"))
-    // metrics arrive asynchronously after the action; poll the raw metrics
-    // ROW with a deadline rather than calling obs.get, which (a) blocks
-    // FOREVER when a repeated invocation's postings subtree is served from
-    // the plan cache (the cached plan hides this call's CollectMetrics
-    // node) and (b) NPEs on the schema-less metrics Row some execution
-    // paths deliver. Fields are read positionally — (n, sumdl) is the
-    // observe() expression order. On timeout fall back to the explicit
-    // stats aggregate: one extra corpus scan, identical values (the
+    // metrics arrive asynchronously after the action; AWAIT the
+    // observation's completion future with a deadline rather than calling
+    // obs.get, which (a) blocks FOREVER when a repeated invocation's
+    // postings subtree is served from the plan cache (the cached plan
+    // hides this call's CollectMetrics node, so the promise never
+    // completes) and (b) NPEs on the schema-less metrics Row some
+    // execution paths deliver. Await parks on the promise — no sleep-poll
+    // inside the timed region, zero added latency once the listener fires.
+    // Fields are read positionally — (n, sumdl) is the observe()
+    // expression order. On timeout fall back to the explicit stats
+    // aggregate: one extra corpus scan, identical values (the
     // repeated-invocation case only).
-    var statsRow = org.apache.spark.sql.graftbridge.ObservationBridge.rowOrEmpty(obs)
-    val deadline = System.nanoTime() + 2000000000L
-    while (statsRow.isEmpty && System.nanoTime() < deadline) {
-      Thread.sleep(10)
-      statsRow = org.apache.spark.sql.graftbridge.ObservationBridge.rowOrEmpty(obs)
-    }
+    val statsRow: Option[org.apache.spark.sql.Row] =
+      try {
+        scala.concurrent.Await.ready(
+          obs.future, scala.concurrent.duration.Duration(2, "s"))
+        obs.future.value.flatMap(_.toOption)
+      } catch {
+        case _: java.util.concurrent.TimeoutException => None
+        case _: InterruptedException => Thread.currentThread().interrupt(); None
+      }
     // a cache-served execution resolves the promise with a ZERO-LENGTH row
     // — same meaning as no row: this call's metrics never computed
     val stats = statsRow.filter(_.length >= 2) match {

@@ -331,6 +331,28 @@ object StreamingJobs {
 
   private val memRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // Scratch dirs written by drainToMemory, per session. Without cleanup a
+  // long repeat-N bench session pointing scratchRoot at tmpfs accumulates
+  // every drain's sink output AND state checkpoint in RAM for the whole
+  // run. Deleted when the host calls CacheRegistry.unpersistAll — its
+  // declared quiescent point, where drain frames are by contract no longer
+  // held (they cannot re-drain; deleting their backing files is the same
+  // class of invalidation as unpersisting an operator mart) — and, as a
+  // backstop for hosts that never quiesce, at JVM exit via Hadoop's
+  // deleteOnExit.
+  private val drainDirs =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[String]]()
+  graft.CacheRegistry.addHook { s =>
+    Option(drainDirs.remove(s)).foreach { q =>
+      val it = q.iterator()
+      while (it.hasNext) {
+        val hp = new org.apache.hadoop.fs.Path(it.next())
+        try { hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true); () }
+        catch { case _: Throwable => () } // best-effort scratch cleanup
+      }
+    }
+  }
+
   /** Drain a streaming frame to completion (AvailableNow) into an
     * append-mode memory sink and return the materialized table — the
     * run-a-real-stream seam the `stream_*` oracle rows share. Per-call
@@ -379,6 +401,9 @@ object StreamingJobs {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(hp)) fs.delete(hp, true)
+    fs.deleteOnExit(hp)
+    drainDirs.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(dir)
     val outSchema = withDrainParallelism(spark) {
       val q = stream.writeStream.outputMode(OutputMode.Append())
         .format("parquet").option("path", s"$dir/out")

@@ -6,7 +6,7 @@ import org.apache.spark.SparkContext
   * drain the asynchronous listener queue so per-measurement metric
   * captures (task spill counters, peak memory) are complete before the
   * measurement window closes. Same thin-accessor pattern as
-  * `org.apache.spark.sql.graftbridge.ObservationBridge`.
+  * `org.apache.spark.sql.graftbridge.ColumnBridge`.
   */
 object ListenerBridge {
   /** Block until every queued listener event has been delivered (or the

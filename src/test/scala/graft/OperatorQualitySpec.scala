@@ -528,6 +528,51 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: fast-path/iterative equivalence exactly at the " +
+    "localEdgeThreshold boundary") {
+    import spark.implicits._
+    // edge count sits EXACTLY on the threshold: count <= threshold takes
+    // the driver union-find; threshold-1 forces the distributed loop on
+    // the same graph. Both must emit identical labels — this pins the
+    // boundary the conf gate switches on, not just the two extremes.
+    val nodes = (1L to 20L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // path
+      (5L, 6L), (6L, 7L), (5L, 7L),          // triangle
+      (8L, 9L), (10L, 11L), (12L, 13L),      // pairs
+      (14L, 15L))                            // 10 edges; 16-20 singletons
+    val pairs = edges.toDF("a", "b").persist()
+    val nEdges = edges.size.toLong
+    def run(threshold: Long): Map[Long, Long] = {
+      spark.conf.set("spark.graft.cc.localEdgeThreshold", threshold.toString)
+      try Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    }
+    val atBoundary = run(nEdges)      // count == threshold → fast path
+    val justBelow = run(nEdges - 1)   // count > threshold → iterative loop
+    assert(atBoundary == justBelow,
+      "fast path at threshold == count diverged from the iterative loop")
+    assert(atBoundary(4L) == 1L && atBoundary(7L) == 5L && atBoundary(16L) == 16L)
+    pairs.unpersist()
+  }
+
+  test("connectedComponents: non-numeric localEdgeThreshold falls back to " +
+    "the default instead of throwing") {
+    import spark.implicits._
+    val nodes = (1L to 3L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("a", "b").persist()
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "not-a-number")
+    try {
+      val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    } finally {
+      spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+      pairs.unpersist()
+    }
+  }
+
   test("connectedComponents: long chain converges via pointer jumping; tiny maxIter throws") {
     import spark.implicits._
     val n = 64
