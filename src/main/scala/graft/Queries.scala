@@ -1260,7 +1260,8 @@ object Queries {
     QueryDef("stats_hll_distinct", Some(
       "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +
         "TRUE AS within_bound FROM events GROUP BY 1"),
-      (s, d) => operators.Sketches.hllDistinctAudit(T(s, d, "events"),
+      (s, d) => operators.Sketches.hllDistinctAudit(
+          T(s, d, "events").select("event_type", "user_id"),
           "event_type", "user_id")
         .orderBy("event_type")),
 

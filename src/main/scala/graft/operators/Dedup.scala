@@ -274,19 +274,39 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sig", coalesce(graft.plans.SimHash64Expr(col("tokens")), lit(0L)))
+    // (id, sig) computed ONCE and persisted: tokenization + per-token FNV
+    // hashing + 64 bit-votes dominate the operator, and the banded
+    // self-join below otherwise recomputes them on BOTH join inputs
+    // (Catalyst does not dedupe common subtrees across join sides).
+    // 16 bytes/row cached; released via CacheRegistry like the other
+    // dedup-family projections.
+    val withSig = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"),
+          coalesce(graft.plans.SimHash64Expr(
+            split(lower(trim(col(textCol))), "\\s+")), lit(0L)).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunked = withSig.select(
       col("id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val", expr("shiftrightunsigned(sig, chunk * 16) & 65535"))
     val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // A qualifying pair can match in SEVERAL of the 4 chunks; keep the row
+    // only when the joined chunk is the FIRST matching one. That is a pure
+    // row-local predicate over the two sigs the row already carries, so
+    // duplicate elimination costs zero shuffle (a dropDuplicates(id_a,id_b)
+    // here reshuffled every candidate pair).
+    val earlierChunkMatches = (0 to 2).map { c =>
+      (col("chunk") > c) &&
+        (shiftrightunsigned(col("sig_a"), 16 * c).bitwiseAND(lit(65535L)) ===
+          shiftrightunsigned(col("sig_b"), 16 * c).bitwiseAND(lit(65535L)))
+    }.reduce(_ || _)
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", graft.functions.HashFunctions.hamming64Udf(col("sig_a"), col("sig_b")))
+      .filter(!earlierChunkMatches)
+      // codegen popcount of the xor — no UDF in the verify hot path
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -61,7 +61,14 @@ object Skew {
     val b = big.withColumn("__bsalt", salt)
     val s = small.withColumn("__ssalt",
       explode(array((0 until salts).map(lit): _*)))
-    b.join(s, b(bigKey) === s(smallKey) && b("__bsalt") === s("__ssalt"))
+    // SHUFFLE_HASH on the replicated small side: it is the natural build
+    // side (per-partition build = |small|·salts/numPartitions, bounded by
+    // construction), and hashing it skips the per-partition SORT of the
+    // big side a sort-merge join would pay — the big side is exactly the
+    // thing salting is protecting. A pure planner hint: join semantics
+    // and the (key, salt) distribution are unchanged.
+    b.join(s.hint("SHUFFLE_HASH"),
+        b(bigKey) === s(smallKey) && b("__bsalt") === s("__ssalt"))
       .drop("__bsalt", "__ssalt")
   }
 }
