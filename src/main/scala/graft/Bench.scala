@@ -32,7 +32,10 @@ object Bench {
       // bench micro-streams carry a few thousand rows; 32 state-store
       // partitions per microbatch is per-task overhead, not parallelism
       // (see StreamingJobs.withDrainParallelism)
-      .config("spark.graft.streamDrainPartitions", "8")
+      // 16 measured mildly better than 8 and clearly better than 32 on
+      // the four heaviest drains (round-10 paired sweep)
+      .config("spark.graft.streamDrainPartitions",
+        sys.env.getOrElse("SPARK_GRAFT_DRAINP", "16"))
       // throwaway sink/checkpoint scratch on tmpfs: the lifecycle rows
       // (pipeline_*, stream_*, ingest roundtrips) are bounded by local-disk
       // fsync latency, which is bench-box environment, not engine cost
@@ -90,7 +93,10 @@ object Bench {
             f"[stage-dbg] ${i.stageId}%4d tasks=${i.numTasks}%3d " +
               f"run=${ms.executorRunTime / 1000.0}%.2fs " +
               f"cpu=${ms.executorCpuTime / 1e9}%.2fs " +
-              f"deser=${ms.executorDeserializeTime / 1000.0}%.2fs ${i.name.take(90)}")
+              f"deser=${ms.executorDeserializeTime / 1000.0}%.2fs " +
+              f"gc=${ms.jvmGCTime / 1000.0}%.2fs " +
+              f"fetchWait=${ms.shuffleReadMetrics.fetchWaitTime / 1000.0}%.2fs " +
+              f"writeT=${ms.shuffleWriteMetrics.writeTime / 1e9}%.2fs ${i.name.take(90)}")
         }
         ()
       }

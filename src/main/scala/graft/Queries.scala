@@ -171,8 +171,15 @@ object Queries {
     val hostcore = concat(
       when(id % 2 === 0, "cdn.site").otherwise("site"), (id % 40).cast("string"))
     // two DIFFERENT listed two-label suffixes (.co.br, .co.uk) so the
-    // suffix-set probe is exercised on more than one entry of the snapshot
-    val tld = when(id % 5 === 0, ".com").when(id % 5 === 1, ".COM")
+    // suffix-set probe is exercised on more than one entry of the snapshot;
+    // the %11 overrides exercise every other PSL rule class — the *.ck and
+    // *.kawasaki.jp wildcards and their !www.ck / !city.kawasaki.jp
+    // exceptions
+    val tld = when(id % 11 === 0, ".foo.ck")
+      .when(id % 11 === 1, ".www.ck")
+      .when(id % 11 === 2, ".x.kawasaki.jp")
+      .when(id % 11 === 3, ".city.kawasaki.jp")
+      .when(id % 5 === 0, ".com").when(id % 5 === 1, ".COM")
       .when(id % 5 === 2, ".org").when(id % 5 === 3, ".co.br").otherwise(".co.uk")
     val port = when(id % 6 === 0, ":80").when(id % 6 === 1, ":443")
       .when(id % 6 === 2, ":8080").otherwise("")
@@ -196,7 +203,9 @@ object Queries {
       "CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END AS www, " +
       "CASE WHEN doc_id % 2 = 0 THEN 'cdn.site' ELSE 'site' END || CAST(doc_id % 40 AS VARCHAR) AS hostcore, " +
-      "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.co.uk' END AS tld, " +
+      "CASE WHEN doc_id % 11 = 0 THEN '.foo.ck' WHEN doc_id % 11 = 1 THEN '.www.ck' " +
+      "WHEN doc_id % 11 = 2 THEN '.x.kawasaki.jp' WHEN doc_id % 11 = 3 THEN '.city.kawasaki.jp' " +
+      "ELSE CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.co.uk' END END AS tld, " +
       "CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END AS port, " +
       "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END AS path, " +
       "CASE doc_id % 8 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) " +
@@ -213,7 +222,11 @@ object Queries {
       "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || " +
       "CASE WHEN doc_id % 8 <= 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END AS url_canon, " +
       "hostcore || lower(tld) AS host, " +
-      "'site' || CAST(doc_id % 40 AS VARCHAR) || lower(tld) AS reg_domain " +
+      // PSL closed forms: wildcard-suffix hosts keep the generic
+      // site<N>+suffix shape; exception hosts collapse to the exception
+      // rule itself (it IS the registered domain)
+      "CASE WHEN doc_id % 11 = 1 THEN 'www.ck' WHEN doc_id % 11 = 3 THEN 'city.kawasaki.jp' " +
+      "ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || lower(tld) END AS reg_domain " +
       "FROM u)"
 
   /** Fresh scratch warehouse under /tmp, keyed by query family + sf dir,
@@ -841,6 +854,49 @@ object Queries {
         col("lang") === "en"))
       run(operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcPrev)
+    // Lifecycle twins — the pipeline chain (locale CSV transform → hash
+    // anti-join append → PIP/KNN enrich → dynamic-partition-overwrite mart
+    // writes) and the streaming micro-batch engine (file-source metadata
+    // log, state store, watermark bookkeeping, flatMapGroupsWithState,
+    // foreachBatch sink) each load + compile large class families on FIRST
+    // use; without twins that cost lands inside whichever lifecycle row
+    // runs first (measured ~2-3 s of executor deserialize + driver Janino
+    // on pipeline_idempotent / the first stream_* drain).
+    try {
+      val (mun, bio) = pipelineDims(spark)
+      val pl = new graft.pipeline.Pipeline(spark, s"$wdir/pl_warm", mun, bio, None, None)
+      pl.runDayFrom(
+        pipelineRawCsv(T(spark, wdir, "events"), "2024-01-15"),
+        java.time.LocalDate.parse("2024-01-15"),
+        Set("focos_diario_municipio", "focos_diario_uf", "focos_diario_bioma"))
+      ()
+    } catch { case _: Throwable => () }
+    try {
+      import spark.implicits._
+      val src = s"$wdir/stream_warm_src"
+      T(spark, wdir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .limit(50).write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def stream = spark.readStream.schema(schema).parquet(src)
+      // stateful windowed agg through the file-sink drain
+      run(graft.streaming.StreamingJobs.drainToMemory(
+        stream.withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n")), "warm_agg"))
+      // keyed custom state (flatMapGroupsWithState) drain
+      run(graft.streaming.StreamingJobs.drainToMemory(
+        graft.streaming.StreamingJobs.sessionizeByGap(
+          stream.as[graft.streaming.StreamingJobs.Event], 28800000000L).toDF(),
+        "warm_fmgws"))
+      // foreachBatch idempotent-append sink
+      graft.streaming.StreamingJobs.withDrainParallelism(spark) {
+        val q = graft.streaming.StreamingJobs.idempotentAppendSink(
+          stream, s"$wdir/stream_warm_target", Seq("user_id"),
+          s"$wdir/stream_warm_ckpt")
+        q.awaitTermination()
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** DuckDB SQL builders for the unrolled deterministic k-means oracle

@@ -47,37 +47,89 @@ object Web {
   def urlPort(u: Column): Column =
     regexp_extract(afterScheme(u), "^[^/?#]*?:([0-9]+)(?:[/?#]|$)", 1)
 
-  /** Two-label public suffixes (publicsuffix.org ICANN-section form),
-    * loaded at plan-build time from the bundled snapshot resource
-    * `graft/public_suffix_2label.txt` (~700 curated rules across ~80
-    * ccTLDs, plus the fixture entries this corpus's synthetic URLs
-    * exercise). The lookup in [[registeredDomain]] is a set MEMBERSHIP
-    * over the candidate suffix, which Catalyst compiles to an `InSet`
-    * O(1) hash-set probe inside codegen at any list size (the set ships
-    * to executors inside the generated class, the codegen analog of a
+  /** The parsed public-suffix snapshot, by PSL rule class.
+    *
+    * @param lit2  two-label literal rules (`co.uk`)
+    * @param lit3  three-label literal rules (`k12.ma.us`)
+    * @param wild2 TLDs of `*.X` rules (stores `X`, e.g. `ck`)
+    * @param wild3 bases of `*.Y.X` rules (stores `Y.X`, e.g. `kawasaki.jp`)
+    * @param exc2  two-label exception hosts (`www.ck` from `!www.ck`)
+    * @param exc3  three-label exception hosts (`city.kawasaki.jp`)
+    */
+  final case class PslRules(lit2: Seq[String], lit3: Seq[String],
+                            wild2: Seq[String], wild3: Seq[String],
+                            exc2: Seq[String], exc3: Seq[String])
+
+  /** Public-suffix rules (publicsuffix.org ICANN-section syntax), loaded
+    * at plan-build time from the bundled snapshot resource
+    * `graft/public_suffix_snapshot.txt` (~900 rules: two-label literals
+    * across ~80 ccTLDs, the US `k12/cc/lib.<state>.us` three-label trees,
+    * the `*.bd`-family wildcard ccTLDs, the Japanese ordinance-city
+    * `*.<city>.jp` wildcards, and the `!www.ck` / `!city.<city>.jp`
+    * exceptions). Every lookup in [[registeredDomain]] is a set MEMBERSHIP
+    * over a candidate suffix, which Catalyst compiles to an `InSet` O(1)
+    * hash-set probe inside codegen at any list size (the sets ship to
+    * executors inside the generated class, the codegen analog of a
     * broadcast map — no join, no shuffle, still row-local in the scan
-    * stage). Scope: exactly-two-label ICANN rules; 3+-label rules
-    * (`pvt.k12.ma.us`-style state trees) and the PSL private section
-    * (`github.io`-style) are out of scope — a host under one of those
-    * resolves by the generic two-label rule instead. Refreshing the
-    * snapshot = replacing the resource file; no code changes. */
-  val publicSuffixes2: Seq[String] = {
-    val in = getClass.getResourceAsStream("/graft/public_suffix_2label.txt")
-    require(in != null, "missing resource graft/public_suffix_2label.txt")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
-    finally in.close()
+    * stage). Out of scope, by documented choice: 4+-label rules
+    * (`pvt.k12.ma.us`-style) and the PSL private section (`github.io`) —
+    * hosts under those resolve by the longest in-scope rule instead.
+    * Refreshing the snapshot = replacing the resource file; rule classes
+    * are recognized from the syntax, no code changes. */
+  val publicSuffixRules: PslRules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
+    require(in != null, "missing resource graft/public_suffix_snapshot.txt")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally in.close()
+    def labels(s: String) = s.count(_ == '.') + 1
+    val (excLines, rest) = lines.partition(_.startsWith("!"))
+    val (wildLines, litLines) = rest.partition(_.startsWith("*."))
+    val exc = excLines.map(_.stripPrefix("!"))
+    val wild = wildLines.map(_.stripPrefix("*."))
+    PslRules(
+      lit2 = litLines.filter(labels(_) == 2),
+      lit3 = litLines.filter(labels(_) == 3),
+      wild2 = wild.filter(labels(_) == 1),
+      wild3 = wild.filter(labels(_) == 2),
+      exc2 = exc.filter(labels(_) == 2),
+      exc3 = exc.filter(labels(_) == 3))
   }
 
-  /** Registered domain under the public-suffix rule: the suffix plus one
-    * more label — three host labels when the last two are a listed public
-    * suffix, two otherwise. A host that IS a bare two-label suffix (no
-    * third label to take) falls back to itself, and a single-label host
-    * yields '' (no registered domain), both matching the prior behavior. */
-  def registeredDomain(host: Column, suffixes2: Seq[String] = publicSuffixes2): Column = {
+  /** Two-label literal suffixes — kept for callers/tests that probe the
+    * snapshot's literal layer directly. */
+  def publicSuffixes2: Seq[String] = publicSuffixRules.lit2
+
+  /** Registered domain under the PSL algorithm: the public suffix of the
+    * prevailing rule plus one more label. Precedence follows the PSL spec
+    * — an exception rule beats everything (its suffix is the rule minus
+    * the leading label, so the exception host itself IS the registered
+    * domain), otherwise the longest matching rule wins (three-label
+    * literal / `*.Y.X` wildcard before two-label literal / `*.X` wildcard
+    * before the default `X` rule). A host that IS a bare suffix (no extra
+    * label to take) falls back to itself, and a single-label host yields
+    * '' — both matching the prior behavior. Pure row-local codegen: four
+    * anchored regexp_extracts + InSet probes, no shuffle, no Expand. */
+  def registeredDomain(host: Column, rules: PslRules = publicSuffixRules): Column = {
+    def inSet(c: Column, s: Seq[String]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s: _*)
+    val last1 = regexp_extract(host, "([^.]+)$", 1)
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(last2.isin(suffixes2: _*) && last3 =!= "", last3).otherwise(last2)
+    val last4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(inSet(last3, rules.exc3), last3)
+      .when(inSet(last2, rules.exc2), last2)
+      // wild3 needs last3 non-empty: a bare 2-label host equal to a
+      // `*.Y.X` BASE (host = kawasaki.jp itself) is not matched by the
+      // wildcard (the rule is longer than the host) and falls through to
+      // the default rule
+      .when(inSet(last3, rules.lit3) ||
+          (inSet(last2, rules.wild3) && last3 =!= ""),
+        when(last4 =!= "", last4).otherwise(last3))
+      .when(inSet(last2, rules.lit2) || inSet(last1, rules.wild2),
+        when(last3 =!= "", last3).otherwise(last2))
+      .otherwise(last2)
   }
 
   /** The full canonical URL (rules 1–5 above). */

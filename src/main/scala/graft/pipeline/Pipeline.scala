@@ -163,6 +163,11 @@ final class Pipeline(spark: SparkSession, root: String,
     * marts_runner applies whatever SQL files it is pointed at,
     * src/etl/marts_runner.py:16-34). Default rebuilds everything. */
   def writeMarts(d: Date, only: Set[String] = allMarts.toSet): Unit = {
+    // Mart aggregates are day/month slices — a few thousand rows whatever
+    // the corpus size. AQE's partition coalescing keeps their exchanges
+    // task-efficient at any session parallelism (measured: pinning a
+    // smaller shuffle-partition count here was indistinguishable from
+    // letting AQE coalesce, so no knob).
     val enrichedAll = spark.read.parquet(path("enriched"))
     // each slice feeds ~3 mart aggregates — cache for the duration of the
     // rebuild so the enriched partitions are scanned once per slice, not

@@ -105,11 +105,57 @@ class WebSpec extends AnyFunSuite {
       "gov.uk",
       // single-label host: no registered domain
       ""))
-    // a custom suffix list overrides the default fixture
+    // a custom rule set overrides the default snapshot
     val custom = Seq("cdn.site.co.br").toDF("h")
-      .select(Web.registeredDomain(col("h"), suffixes2 = Seq("x.y")))
+      .select(Web.registeredDomain(col("h"),
+        Web.PslRules(Seq("x.y"), Nil, Nil, Nil, Nil, Nil)))
       .collect().map(_.getString(0))
     assert(custom.toSeq == Seq("co.br"))
+  }
+
+  test("registeredDomain: PSL wildcard and exception rule semantics") {
+    import spark.implicits._
+    val cases = Seq(
+      // *.ck: any 2-label name under ck is a public suffix
+      "a.b.foo.ck" -> "b.foo.ck",
+      "b.foo.ck" -> "b.foo.ck",
+      // bare wildcard-made suffix: falls back to itself
+      "foo.ck" -> "foo.ck",
+      // !www.ck beats *.ck: www.ck IS the registered domain
+      "www.ck" -> "www.ck",
+      "a.www.ck" -> "www.ck",
+      "a.b.www.ck" -> "www.ck",
+      // *.kawasaki.jp: 3-label wildcard
+      "a.ward.kawasaki.jp" -> "a.ward.kawasaki.jp",
+      "deep.a.ward.kawasaki.jp" -> "a.ward.kawasaki.jp",
+      "ward.kawasaki.jp" -> "ward.kawasaki.jp", // bare suffix → itself
+      // !city.kawasaki.jp beats the wildcard
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // host equal to a wildcard BASE is not matched by the wildcard —
+      // default rule applies
+      "kawasaki.jp" -> "kawasaki.jp",
+      // 3-label literal rules: the US state trees
+      "school.k12.ma.us" -> "school.k12.ma.us",
+      "www.school.k12.ma.us" -> "school.k12.ma.us",
+      "k12.ma.us" -> "k12.ma.us", // bare literal suffix → itself
+      // single-label hosts under a *.X TLD have no registered domain
+      "ck" -> "")
+    val got = cases.map(_._1).toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (h, want)) =>
+      assert(g == want, s"host $h: got $g, want $want")
+    }
+  }
+
+  test("registeredDomain plan stays Expand-free and UDF-free") {
+    import spark.implicits._
+    val plan = Seq("a.b.c").toDF("h")
+      .select(Web.registeredDomain(col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "PSL lookup must not Expand")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "PSL lookup must stay codegen")
   }
 
   test("ksDrift: hand-computed two-sample statistic") {
