@@ -2843,6 +2843,57 @@ object Queries {
       (s, d) => operators.Layout.zorderStats(T(s, d, "lineitem"),
         "l_partkey", "l_suppkey", bits = 15, bucketBits = 6)),
 
+    // Write-path technique under the gate: two fact tables bucketed on the
+    // join key at write time, then joined WITHOUT any exchange — the
+    // 100 TB pattern for repeated big×big joins where neither side
+    // broadcasts (the write-time shuffle is amortized over every later
+    // join). The plan pin lives IN the row: join_exchange_free is computed
+    // from the joined frame's physical plan (MERGE-hinted so the pin is
+    // deterministic at every scale — broadcast would also be exchange-ish)
+    // and must come back TRUE against the oracle's constant; the aggregate
+    // values prove the bucketed artifacts hold exactly the source rows.
+    QueryDef("mart_bucketed_join", Some(
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_e2, " +
+        "TRUE AS join_exchange_free " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+        val (lt, ot) = (s"graft_bkt_lineitem_$sfx", s"graft_bkt_orders_$sfx")
+        // a previous JVM's warehouse dir survives while the in-memory
+        // catalog does not — saveAsTable then refuses the orphan location;
+        // drop BOTH the catalog entry and the leftover dir
+        Seq(lt, ot).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val hp = new org.apache.hadoop.fs.Path(
+            s"${s.conf.get("spark.sql.warehouse.dir")}/$t")
+          val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(hp)) fs.delete(hp, true)
+        }
+        // fanOut: the bucketed write is parquet decode+encode CPU and the
+        // local one-row-group scans otherwise feed it one core
+        marts.Marts.writeBucketed(
+          fanOut(T(s, d, "lineitem").select("l_orderkey", "l_quantity")),
+          lt, 8, Seq("l_orderkey"))
+        marts.Marts.writeBucketed(
+          fanOut(T(s, d, "orders").select("o_orderkey", "o_orderpriority")),
+          ot, 8, Seq("o_orderkey"))
+        val joined = s.table(lt).hint("MERGE")
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        // the pin: sort-merge join straight off the bucket scans, ZERO
+        // Exchange nodes (AQE appendix split per the plan-audit rule)
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val exchangeFree =
+          plan.contains("SortMergeJoin") && !plan.contains("Exchange")
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            (dsum(col("l_quantity"), 2) * 100).cast("long").as("sum_qty_e2"))
+          .withColumn("join_exchange_free", lit(exchangeFree))
+          .orderBy("o_orderpriority")
+      }),
+
     // Salted skew join: result is EXACTLY the plain equi-join (the oracle
     // IS the plain join) while a hot key's rows spread over 8 reducers —
     // the plannable version of AQE's OptimizeSkewedJoin for plans where

@@ -259,7 +259,13 @@ object Marts {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     bucketCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket hash FIRST (same Murmur3-pmod as the
+    // bucket id), so each task owns exactly one bucket and writes ONE file
+    // per bucket — without it every input task writes a sliver of every
+    // bucket (tasks × buckets small files, the classic bucketed-write
+    // defect at scale). This is the advertised write-time shuffle.
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
