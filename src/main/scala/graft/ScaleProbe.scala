@@ -58,7 +58,10 @@ object ScaleProbe {
         f""""mem1":${t.mem1},"mem$mult":${t.memN},"memRatio":${t.memRatio}%.1f,""" +
         f""""spill$mult":${t.spillN}}"""
     }
-    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","ops":${parts.mkString("{", ",", "}")}}""")
+    val (tOne, tMany) = scanLayout(spark, sfDir)
+    val layout = f""""scan_layout":{"t_single_file":$tOne%.2f,""" +
+      f""""t_multi_file":$tMany%.2f,"speedup":${tOne / tMany}%.1f}"""
+    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir",$layout,"ops":${parts.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 
@@ -221,5 +224,48 @@ object ScaleProbe {
         Timing(n, m1.t, m.t, m1.mem, m.mem, m1.spill, m.spill)
       }
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Scan-layout probe: the SAME rows written as one single-row-group
+    * parquet file vs `files` files, timed through the same scan-dominated
+    * aggregation (q1's shape). A single-row-group file is the local
+    * test-corpus artifact README documents — however many byte-range
+    * splits `files.maxPartitionBytes` makes, every row lives in the split
+    * holding the row group's midpoint, so the scan+partial-agg stage runs
+    * on ONE core. A real corpus is many files/row groups; this probe turns
+    * the "it parallelizes on real layouts" claim into a measured ratio.
+    * Returns (tSingleFile, tMultiFile), each best-of-3 on warm plans.
+    */
+  def scanLayout(spark: SparkSession, sfDir: String,
+                 files: Int = 16, targetRows: Long = 1200000L): (Double, Double) = {
+    val scratch = spark.conf.getOption("spark.graft.scratchRoot")
+      .getOrElse("/tmp") + "/graft_scanlayout"
+    // documents.text included: a short-string + numeric projection decodes
+    // so fast the ~0.2 s job floor hides the parallelism; the text column
+    // makes the scan stage genuinely CPU-bound, the shape of every
+    // text-corpus row this engine runs
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val replicas = math.max(1L, targetRows / math.max(base.count(), 1L))
+    val big = base.crossJoin(
+      spark.range(replicas).select(col("id").as("__rep"))).drop("__rep")
+    val one = s"$scratch/one"; val many = s"$scratch/many"
+    big.coalesce(1).write.mode("overwrite").parquet(one)
+    big.repartition(files).write.mode("overwrite").parquet(many)
+    def q(p: String): DataFrame =
+      spark.read.parquet(p).groupBy("lang")
+        .agg(sum(length(col("text"))).as("s_len"),
+          sum(crc32(col("text"))).as("s_crc"),
+          sum("doc_id").as("s_id"), count(lit(1)).as("n"))
+    def best(p: String): Double = {
+      consume(q(p)) // plan/codegen warm
+      (1 to 3).map(_ => time(consume(q(p)))).min
+    }
+    try (best(one), best(many))
+    finally {
+      val hp = new org.apache.hadoop.fs.Path(scratch)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(hp, true); ()
+    }
   }
 }

@@ -229,24 +229,49 @@ object Dedup {
     * @return one row per batch doc: (idCol, dup_exact, dup_near, admitted)
     *         with admitted = neither signal fired
     */
+  /** The standing history-side projection incremental dedup probes against
+    * — (id, md5 digest, shingle hashes, minhash signature), persisted. A
+    * production deployment keeps THIS materialized between batches
+    * (appending each admitted batch's rows), so per-batch cost never
+    * re-pays history tokenization OR minhashing; [[incrementalDedup]]
+    * builds it inline for one-shot use, [[incrementalDedupPrepped]] takes
+    * it pre-built. (At extreme corpus sizes the banded postings derived
+    * from `sig` would additionally live in a table bucketed by
+    * (band, band_key) so a batch probes buckets instead of scanning the
+    * posting set — the join shape is unchanged.) */
+  def dedupHistoryMart(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"),
+        shingleHashes(col(textCol), shingleSize).as("shingles"))
+        .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def incrementalDedup(history: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, shingleSize: Int = 3,
                        numHashes: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupPrepped(
+      dedupHistoryMart(history, idCol, textCol, shingleSize, numHashes),
+      batch, idCol, textCol, shingleSize, numHashes, bands, threshold)
+
+  /** [[incrementalDedup]] against a pre-built [[dedupHistoryMart]] — the
+    * production per-batch entry point: everything timed here is batch-
+    * sized or a probe into the standing mart. */
+  def incrementalDedupPrepped(historyMart: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16,
+                              threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // both sides are read by a digest join, a banding subtree and a verify
-    // join — persist the hashed projection once each (cf. minHashLshPairs)
-    def prep(df: DataFrame): DataFrame = graft.CacheRegistry.register(
-      df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"),
-        shingleHashes(col(textCol), shingleSize).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val h = prep(history)
-    val b = prep(batch)
+    val h = historyMart
+    val b = dedupHistoryMart(batch, idCol, textCol, shingleSize, numHashes)
+    // signatures come FROM the marts (computed once at mart build), so a
+    // standing history's per-batch cost is the banding explode + joins,
+    // never a re-minhash of the corpus
     def postings(side: DataFrame): DataFrame = bandKeys(
-      side.select(col("id"),
-        minhashSignature(col("shingles"), numHashes).as("sig")),
-      bands, rowsPerBand)
+      side.select(col("id"), col("sig")), bands, rowsPerBand)
     val cand = postings(b).withColumnRenamed("id", "bid")
       .join(postings(h).withColumnRenamed("id", "hid"), Seq("band", "band_key"))
       .select("bid", "hid").dropDuplicates("bid", "hid")
@@ -475,6 +500,12 @@ object Dedup {
     *         component — deterministic, so the canonical representative is
     *         simply the row with id == cluster_id
     */
+  /** Diagnostic: min-label rounds the last [[connectedComponents]] call on
+    * this JVM ran (0 = driver fast path / already-converged init; -1 =
+    * never ran). Read by the scale probes to pin the O(log diameter)
+    * round-count claim; not part of the operator contract. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
@@ -543,6 +574,7 @@ object Dedup {
         sess.sparkContext.parallelize(labelRows, 1), schema)
         .select(col("id").cast(idType).as("id"),
           col("label").cast(idType).as("label"))
+      lastCcRounds.set(0)
       return nodes.select(col(idCol).as("id")).na.drop().distinct()
         .join(broadcast(labelsLocal), Seq("id"), "left")
         .select(col("id").as(idCol),
@@ -689,6 +721,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (components with diameter > 2^maxIter are beyond it)")
+    lastCcRounds.set(iter)
     // singletons come back with label = own id
     nodes.select(col(idCol).as("id")).na.drop().distinct()
       .join(labels, Seq("id"), "left")

@@ -60,6 +60,92 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("100x-shaped probes: CC rounds stay O(log d) at 100x edges; " +
+    "incremental-dedup batch cost is history-size-independent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // --- CC: fixed-diameter graph (disjoint 4-node chains) at 1x and
+    // 100x the edge count. Rounds must NOT grow (that is the O(log d)
+    // claim — d is fixed), and cost must stay far from edge-linear's
+    // worst case at this fixed-overhead-dominated scale.
+    def ccRun(nChains: Int): (Double, Int) = {
+      val nodes = spark.range(1, nChains * 4L + 1).toDF("id")
+      val pairs = spark.range(0, nChains.toLong).select(col("id").as("k"))
+        .select(col("k"), explode(array(lit(1L), lit(2L), lit(3L))).as("o"))
+        .select((col("k") * 4 + col("o")).as("a"),
+          (col("k") * 4 + col("o") + 1).as("b"))
+      spark.conf.set("spark.graft.cc.localEdgeThreshold", "0") // iterative path
+      try {
+        val t = time(consume(
+          Dedup.connectedComponents(nodes, "id", pairs, "a", "b")))
+        (t, Dedup.lastCcRounds.get)
+      } finally {
+        spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+        CacheRegistry.unpersistAll(spark, blocking = true); ()
+      }
+    }
+    ccRun(30) // warm the loop's plan shapes
+    val (tCc1, r1) = ccRun(300)      //    900 edges
+    val (tCc100, r100) = ccRun(30000) // 90,000 edges
+    assert(r100 <= r1 && r100 <= 4,
+      s"CC rounds grew with edges on a fixed-diameter graph: $r1 -> $r100")
+    assert(tCc100 / tCc1 <= 8.0,
+      f"CC at 100x edges cost ${tCc100 / tCc1}%.1fx " +
+        f"($tCc1%.2fs -> $tCc100%.2fs, rounds $r1 -> $r100)")
+
+    // --- incremental dedup: the SAME 50-doc batch admitted against a
+    // standing history mart at 1x and 100x docs (vocab-salted replicas, so
+    // near-dup structure is per-replica and posting lists stay realistic).
+    // The mart (digests + shingles + signatures) is materialized OUTSIDE
+    // the timed region — the production standing artifact — so the timing
+    // is the per-batch probe cost the 100 TB claim is about.
+    def salted(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("__rep"))
+        .select((col("doc_id") + col("__rep").cast("long") * 1000000000L).as("doc_id"),
+          concat_ws(" ",
+            expr("transform(split(text, ' '), w -> concat(w, '_r', __rep))")).as("text"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // half the batch duplicates replica-0 history rows (exact digests hit
+    // at BOTH scales), half is fresh
+    val batch = salted(docs.limit(50), 1)
+      .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+    def admitTime(k: Int): Double = {
+      val mart = Dedup.dedupHistoryMart(salted(docs, k), "doc_id", "text")
+      consume(mart) // standing artifact: built+cached outside the timing
+      consume(Dedup.incrementalDedupPrepped(mart, batch, "doc_id", "text")) // warm
+      val t = (1 to 3).map(_ => time(consume(
+        Dedup.incrementalDedupPrepped(mart, batch, "doc_id", "text")))).min
+      CacheRegistry.unpersistAll(spark, blocking = true)
+      t
+    }
+    val tInc1 = admitTime(1)
+    val tInc100 = admitTime(100)
+    assert(tInc100 / tInc1 <= 8.0,
+      f"incremental-dedup batch admit at 100x history cost " +
+        f"${tInc100 / tInc1}%.1fx ($tInc1%.2fs -> $tInc100%.2fs)")
+  }
+
+  test("scan layout: a multi-file parquet layout parallelizes the " +
+    "scan stage the single-row-group local artifact serializes") {
+    val (tOne, tMany) = ScaleProbe.scanLayout(spark, sf)
+    // ideal speedup is bounded by the session's core count: the shared
+    // test session runs local[4] (~3-3.5x real), the sf0.1 evidence run
+    // (ScaleProbe main, local[32]) documents the >=4x form in the README
+    val cores = spark.sparkContext.defaultParallelism
+    val floor = if (cores >= 16) 4.0 else 2.0
+    assert(tOne / tMany >= floor,
+      f"single-file $tOne%.2fs vs $tMany%.2fs multi-file — " +
+        f"expected >= $floor%.1fx on $cores cores")
+  }
+
   test("scale probe: no operator spills at 10x (state mis-sizing shows as " +
     "spill long before it shows as wall time)") {
     // zero-spill is only an ENGINE claim when the box has the memory to
