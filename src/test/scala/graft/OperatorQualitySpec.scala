@@ -528,6 +528,23 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: the iterative loop never mutates the caller " +
+    "session's conf (plans on a call-scoped clone)") {
+    import spark.implicits._
+    val nodes = (1L to 64L).toDF("id")
+    val pairs = (1 until 64).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0") // force the loop
+    try {
+      val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b").collect()
+      assert(got.forall(_.getLong(1) == 1L))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == shufBefore &&
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+        "CC loop leaked conf overrides into the caller session")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connectedComponents: fast-path/iterative equivalence exactly at the " +
     "localEdgeThreshold boundary") {
     import spark.implicits._

@@ -47,6 +47,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 4) // 3 distinct windows, one split by type
   }
 
+  test("drainToMemory scratch dirs are deleted at CacheRegistry.unpersistAll") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drain_clean_in").toString
+    Seq((1L, ts("2024-01-01 00:10:00"), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val drained = StreamingJobs.drainToMemory(
+      spark.readStream.schema(schema).parquet(dir), "clean_probe")
+    assert(drained.count() == 1)
+    // the drain's sink+checkpoint live under scratchRoot until the host's
+    // quiescent point; unpersistAll must remove them (ADVICE r10: a long
+    // tmpfs bench session otherwise accumulates them in RAM)
+    val root = spark.conf.getOption("spark.graft.scratchRoot").getOrElse("/tmp")
+    val before = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("graft_drain_clean_probe")).toSeq
+    assert(before.nonEmpty, s"expected a drain scratch dir under $root")
+    CacheRegistry.unpersistAll(spark, blocking = true)
+    val after = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("graft_drain_clean_probe")).toSeq
+    assert(after.isEmpty,
+      s"drain dirs survived unpersistAll: ${after.map(_.getName).mkString(",")}")
+  }
+
   test("idempotentAppendSink: replayed batches insert nothing (K1 streaming twin)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_sink_in").toString

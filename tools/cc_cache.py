@@ -47,6 +47,16 @@ def materialize_cc(con, oracle, names=None):
     if chain is None:
         return oracle, 0
     con.execute(f"CREATE TEMP TABLE __cc_cl AS WITH {chain} SELECT * FROM cl")
+    # shape check: the materialized closure must be the (doc_id, cluster_id)
+    # relation every consumer expects — a chain that captured extra
+    # consumer-specific CTEs, or a changed closure output, aborts the
+    # rewrite LOUDLY instead of feeding consumers a malformed cl table
+    cols = [r[0] for r in con.execute("DESCRIBE __cc_cl").fetchall()]
+    if cols != ["doc_id", "cluster_id"]:
+        print(f"[cc_cache] materialized closure has unexpected shape {cols}; "
+              "skipping the rewrite (all consumers keep their original SQL)")
+        con.execute("DROP TABLE __cc_cl")
+        return oracle, 0
     out = {}
     n = 0
     for q, sql in oracle.items():
@@ -67,4 +77,15 @@ def materialize_cc(con, oracle, names=None):
                 out[q] = sql
         else:
             out[q] = sql
+    # a consumer that CONTAINS a closure (the marker) but whose chain text
+    # diverged from the materialized one silently kept its slow original
+    # before — report it so a convention change in a future consumer is
+    # visible in the sweep log, not just a mysteriously slower run
+    diverged = sorted(q for q, sql in oracle.items()
+                      if _CC_MARK in sql and chain not in sql
+                      and (names is None or q in names))
+    if diverged:
+        print(f"[cc_cache] {len(diverged)} closure consumer(s) did not match "
+              f"the materialized chain, keeping original SQL: "
+              f"{', '.join(diverged)}")
     return out, n
