@@ -71,11 +71,13 @@ object Web {
     * hash-set probe inside codegen at any list size (the sets ship to
     * executors inside the generated class, the codegen analog of a
     * broadcast map — no join, no shuffle, still row-local in the scan
-    * stage). Out of scope, by documented choice: 4+-label rules
-    * (`pvt.k12.ma.us`-style) and the PSL private section (`github.io`) —
-    * hosts under those resolve by the longest in-scope rule instead.
-    * Refreshing the snapshot = replacing the resource file; rule classes
-    * are recognized from the syntax, no code changes. */
+    * stage). The snapshot also carries a curated PRIVATE-section block
+    * (`github.io`-style hosting platforms — plain literal rules, no code
+    * path of their own). Out of scope, by documented choice: 4+-label
+    * rules (`pvt.k12.ma.us`-style) — hosts under those resolve by the
+    * longest in-scope rule instead. Refreshing the snapshot = replacing
+    * the resource file; rule classes are recognized from the syntax, no
+    * code changes. */
   val publicSuffixRules: PslRules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
     require(in != null, "missing resource graft/public_suffix_snapshot.txt")
@@ -96,10 +98,6 @@ object Web {
       exc2 = exc.filter(labels(_) == 2),
       exc3 = exc.filter(labels(_) == 3))
   }
-
-  /** Two-label literal suffixes — kept for callers/tests that probe the
-    * snapshot's literal layer directly. */
-  def publicSuffixes2: Seq[String] = publicSuffixRules.lit2
 
   /** Registered domain under the PSL algorithm: the public suffix of the
     * prevailing rule plus one more label. Precedence follows the PSL spec

@@ -103,6 +103,22 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(expected.size >= 100, "fixture sanity: most planted dups stay within hamming 3")
   }
 
+  test("simHashPairs emits each qualifying pair EXACTLY once (a pair " +
+    "matching several chunks collapses via the row-local first-chunk rule)") {
+    import spark.implicits._
+    // identical texts → identical sigs → every pair matches ALL 4 chunks;
+    // the pre-r10 dropDuplicates shuffle is gone, so uniqueness now rests
+    // on the first-matching-chunk predicate — pin it on the worst case
+    val docs = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simHashPairs(docs, "doc_id", "text").collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.size == pairs.distinct.size,
+      "a multi-chunk match emitted duplicate pair rows")
+    assert(pairs.size == 40 * 39 / 2, s"expected all pairs, got ${pairs.size}")
+    assert(rows.forall(_.getInt(2) == 0))
+  }
+
   /** Deterministic embeddings: 100 corpus vectors in 16d + 10 queries that
     * are tiny perturbations of known corpus vectors (their true nearest
     * neighbor by construction). */

@@ -140,7 +140,11 @@ class WebSpec extends AnyFunSuite {
       "www.school.k12.ma.us" -> "school.k12.ma.us",
       "k12.ma.us" -> "k12.ma.us", // bare literal suffix → itself
       // single-label hosts under a *.X TLD have no registered domain
-      "ck" -> "")
+      "ck" -> "",
+      // private-section literal rules resolve like any 2-label rule
+      "user.github.io" -> "user.github.io",
+      "deep.user.github.io" -> "user.github.io",
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com")
     val got = cases.map(_._1).toDF("h")
       .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
     got.zip(cases).foreach { case (g, (h, want)) =>
