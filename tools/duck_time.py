@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Per-oracle DuckDB timing sweep — the baseline side of the bench ratio.
+
+Times every oracle SQL from a Verify dump against the sf dir's parquet
+tables (DuckDB, all cores), with the shared CC closure materialized ONCE
+via cc_cache (its cost reported separately, exactly how the per-round
+ratio is computed). Prints one JSON line:
+
+  {"cc_closure_sec": s, "total_sec": s, "queries": {name: sec, ...}}
+
+Usage: duck_time.py <sfdir> <verify_out> [query ...]
+
+Pair with a Bench run on the same sf dir to get per-query Spark/DuckDB
+ratios:
+
+  python3 tools/duck_time.py /root/testdata/sf0.1 /tmp/verify_out > /tmp/duck.json
+  # then join "queries" against the bench JSON's "queries"/"steady"
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sfdir, outdir, names):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    import cc_cache
+    t0 = time.time()
+    oracle, n_cc = cc_cache.materialize_cc(con, oracle,
+                                           set(names) if names else None)
+    cc_sec = time.time() - t0 if n_cc else 0.0
+    times = {}
+    for q in sorted(oracle):
+        if names and q not in names:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(oracle[q]).fetchall()
+            times[q] = round(time.time() - t0, 4)
+        except Exception as e:
+            print(f"[duck_time] {q} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            times[q] = -1.0
+    print(json.dumps({
+        "cc_closure_sec": round(cc_sec, 2),
+        "total_sec": round(sum(v for v in times.values() if v > 0), 2),
+        "queries": times}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2], sys.argv[3:])
