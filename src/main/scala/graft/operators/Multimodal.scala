@@ -241,7 +241,24 @@ object Multimodal {
     * Frame sizes must be even (RIFF pads odd chunks; even sizes keep the
     * offset arithmetic SQL-replayable). */
   def aviBytes(frameSizes: Array[Int], width: Int, height: Int,
-               usecPerFrame: Int, fourcc: String = "MJPG"): Array[Byte] = {
+               usecPerFrame: Int, fourcc: String = "MJPG"): Array[Byte] =
+    aviContainer(frameSizes, width, height, usecPerFrame, fourcc) {
+      (buf, i, sz) =>
+        var j = 0
+        while (j < sz) { buf.put(((i * 31 + j * 7) % 251).toByte); j += 1 }
+    }
+
+  /** [[aviBytes]] with caller-supplied frame payloads (e.g. RLE8-encoded
+    * frames) instead of the deterministic filler. */
+  def aviBytesFrames(frames: Array[Array[Byte]], width: Int, height: Int,
+                     usecPerFrame: Int, fourcc: String): Array[Byte] =
+    aviContainer(frames.map(_.length), width, height, usecPerFrame, fourcc) {
+      (buf, i, _) => buf.put(frames(i)); ()
+    }
+
+  private def aviContainer(frameSizes: Array[Int], width: Int, height: Int,
+                           usecPerFrame: Int, fourcc: String)(
+                           writeFrame: (java.nio.ByteBuffer, Int, Int) => Unit): Array[Byte] = {
     require(frameSizes.forall(s => s >= 0 && s % 2 == 0), "frame sizes must be even")
     require(fourcc.length == 4, s"fourcc must be 4 chars, got '$fourcc'")
     val uncompressed = fourcc == "DIB " // BI_RGB: raw bottom-up BGR24 rows
@@ -277,8 +294,7 @@ object Multimodal {
     fcc("LIST"); buf.putInt(moviContent); fcc("movi")
     frameSizes.zipWithIndex.foreach { case (sz, i) =>
       fcc(if (uncompressed) "00db" else "00dc"); buf.putInt(sz)
-      var j = 0
-      while (j < sz) { buf.put(((i * 31 + j * 7) % 251).toByte); j += 1 }
+      writeFrame(buf, i, sz)
     }
     buf.array()
   }
@@ -414,6 +430,118 @@ object Multimodal {
               val rr = p(rowBase + 2) & 0xff
               VideoPixels(r.media_id, i, width, height, sz, sum, topSum,
                 rr * 65536 + g * 256 + b, ok = true)
+            }
+          }
+      }
+    })
+  }
+
+  /** RLE8-encode decode-order pixel rows (Microsoft BMP/AVI 'MRLE',
+    * biCompression = BI_RLE8 — the lossless run-length codec of the BMP
+    * spec). Rows where `absolute(y)` holds are written in ABSOLUTE mode
+    * (escape `00 n` + n literal bytes, padded to a word boundary); other
+    * rows as (count, value) runs. Every row ends with the EOL escape
+    * `00 00`, the frame with EOB `00 01` — so a fixture built with a
+    * mixed predicate exercises every code path of [[rle8Decode]].
+    * Fixture-side helper (the mm_* synthesis seam); rows must be ≤255
+    * wide for single-escape absolute encoding. */
+  def rle8EncodeRows(rows: Array[Array[Byte]],
+                     absolute: Int => Boolean): Array[Byte] = {
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    rows.zipWithIndex.foreach { case (row, y) =>
+      require(row.length <= 255, "absolute escape encodes <=255 pixels")
+      if (absolute(y) && row.length >= 3) {
+        bb += 0; bb += row.length.toByte
+        row.foreach(bb += _)
+        if ((row.length & 1) == 1) bb += 0 // pad to word boundary
+      } else {
+        var x = 0
+        while (x < row.length) {
+          var run = 1
+          while (x + run < row.length && row(x + run) == row(x) && run < 255)
+            run += 1
+          bb += run.toByte; bb += row(x)
+          x += run
+        }
+      }
+      bb += 0; bb += 0 // EOL
+    }
+    bb += 0; bb += 1 // EOB
+    bb.toArray
+  }
+
+  /** Decode one RLE8 frame into its w×h pixel grid (decode order: row 0 =
+    * BOTTOM image row, the DIB convention). Supports all four escapes of
+    * the BMP spec: runs, EOL, EOB, absolute mode, and the `00 02 dx dy`
+    * delta (cursor move; skipped pixels keep the 0 background, as decoders
+    * conventionally leave them). Returns None on any malformed input —
+    * truncated escape, run past the row end, cursor off the grid. */
+  private[graft] def rle8Decode(p: Array[Byte], off: Int, sz: Int,
+                                w: Int, h: Int): Option[Array[Byte]] = {
+    if (w <= 0 || h <= 0 || off < 0 || off.toLong + sz > p.length) return None
+    val out = new Array[Byte](w * h)
+    var x = 0; var y = 0
+    var i = off
+    val end = off + sz
+    var done = false
+    while (!done) {
+      if (i + 2 > end) return None // truncated stream (no EOB)
+      val b0 = p(i) & 0xff; val b1 = p(i + 1) & 0xff
+      i += 2
+      if (b0 > 0) { // run of b0 copies of b1
+        if (y >= h || x + b0 > w) return None
+        var k = 0
+        while (k < b0) { out(y * w + x) = b1.toByte; x += 1; k += 1 }
+      } else b1 match {
+        case 0 => x = 0; y += 1 // EOL
+        case 1 => done = true // EOB
+        case 2 => // delta — move the cursor
+          if (i + 2 > end) return None
+          x += p(i) & 0xff; y += p(i + 1) & 0xff
+          i += 2
+          if (x > w || y > h) return None
+        case n => // absolute mode: n literal pixels + word padding
+          val pad = n & 1
+          if (i + n + pad > end || y >= h || x + n > w) return None
+          var k = 0
+          while (k < n) { out(y * w + x) = p(i + k); x += 1; k += 1 }
+          i += n + pad
+      }
+    }
+    Some(out)
+  }
+
+  /** REAL compressed-codec video decode: BMP/AVI RLE8 ('MRLE') frames
+    * decompressed by [[rle8Decode]] into pixel grids — a genuine (if
+    * simple) lossless codec implemented from the public BMP spec in pure
+    * Scala, closing the "no codec in the JDK" boundary for the RLE
+    * family (DCT-family codecs remain out of scope, documented). Output
+    * features per frame: decoded pixel sum, the TOP image row's sum (=
+    * the LAST decoded row — bottom-up row order is a decode step a
+    * compressed-byte-sum stub cannot fake), and the top-left pixel's
+    * palette index. Malformed frames quarantine as ok=false. Same narrow
+    * mapPartitions shape as [[decode]]: payloads never reach a shuffle. */
+  def aviDecodeRle8(media: Dataset[MediaRow]): Dataset[VideoPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def bad = Iterator.single(
+        VideoPixels(r.media_id, 0, 0, 0, 0, 0L, 0L, 0, ok = false))
+      parseAvi(p) match {
+        case None => bad
+        case Some(av) =>
+          av.frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+            rle8Decode(p, o.toInt, sz, av.width, av.height) match {
+              case None =>
+                VideoPixels(r.media_id, i, av.width, av.height, sz, 0L, 0L, 0, ok = false)
+              case Some(img) =>
+                var sum = 0L; var j = 0
+                while (j < img.length) { sum += img(j) & 0xff; j += 1 }
+                val top = (av.height - 1) * av.width
+                var topSum = 0L; j = 0
+                while (j < av.width) { topSum += img(top + j) & 0xff; j += 1 }
+                VideoPixels(r.media_id, i, av.width, av.height, sz, sum,
+                  topSum, img(top) & 0xff, ok = true)
             }
           }
       }

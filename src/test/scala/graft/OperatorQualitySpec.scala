@@ -360,6 +360,61 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got(2L).length == 1 && !got(2L).head.ok, "size mismatch must quarantine")
   }
 
+  test("rle8: encode/decode roundtrip across run, absolute, EOL, EOB and " +
+    "delta escapes; malformed frames quarantine") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val w = 3 + rnd.nextInt(12); val h = 1 + rnd.nextInt(6)
+      // runs of random length via small value alphabet
+      val rows = Array.fill(h)(Array.fill(w)((rnd.nextInt(4) * 40).toByte))
+      val enc = Multimodal.rle8EncodeRows(rows, _ % 2 == 1)
+      val dec = Multimodal.rle8Decode(enc, 0, enc.length, w, h)
+      assert(dec.isDefined, s"decode failed for w=$w h=$h")
+      assert(dec.get.toSeq == rows.flatten.toSeq, s"roundtrip diverged w=$w h=$h")
+    }
+    // delta escape: move 2 right / 1 up from (0,0), then one 3-run of 9s
+    val withDelta = Array[Byte](0, 2, 2, 1, 3, 9, 0, 0, 0, 1)
+    val img = Multimodal.rle8Decode(withDelta, 0, withDelta.length, 6, 2).get
+    assert(img.toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0, 9, 9, 9, 0))
+    // malformed: truncated (no EOB), run past row end, cursor off grid
+    assert(Multimodal.rle8Decode(Array[Byte](3, 5), 0, 2, 4, 2).isEmpty)
+    assert(Multimodal.rle8Decode(Array[Byte](5, 1, 0, 1), 0, 4, 4, 1).isEmpty)
+    assert(Multimodal.rle8Decode(Array[Byte](0, 2, 9, 9, 0, 1), 0, 6, 4, 2).isEmpty)
+  }
+
+  test("aviDecodeRle8: compressed frames decode to the planted pixel grid; " +
+    "a corrupted frame quarantines per-frame") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val (w, h, nf) = (9, 4, 3)
+    def pix(i: Int, y: Int, x: Int): Int = (i * 31 + y * 13 + (x / 4) * 7) % 251
+    val frames = Array.tabulate(nf) { i =>
+      val rows = Array.tabulate(h)(y => Array.tabulate(w)(x => pix(i, y, x).toByte))
+      Multimodal.rle8EncodeRows(rows, _ % 2 == 1)
+    }
+    val good = Multimodal.MediaRow(1L, "video",
+      Multimodal.aviBytesFrames(frames, w, h, 40000, "MRLE"),
+      "video/avi", None, None, None)
+    // corrupt SECOND frame: clobber its EOB so the stream truncates
+    val corruptFrames = frames.map(_.clone())
+    corruptFrames(1)(corruptFrames(1).length - 1) = 77
+    val bad = Multimodal.MediaRow(2L, "video",
+      Multimodal.aviBytesFrames(corruptFrames, w, h, 40000, "MRLE"),
+      "video/avi", None, None, None)
+    val got = Multimodal.aviDecodeRle8(Seq(good, bad).toDS())
+      .collect().map(v => (v.media_id, v.frame_idx) -> v).toMap
+    for (i <- 0 until nf) {
+      val v = got((1L, i))
+      assert(v.ok && v.width == w && v.height == h)
+      assert(v.sum_bytes == (for (y <- 0 until h; x <- 0 until w) yield pix(i, y, x)).sum)
+      assert(v.top_row_sum == (0 until w).map(x => pix(i, h - 1, x)).sum)
+      assert(v.first_pixel == pix(i, h - 1, 0))
+    }
+    assert(!got((2L, 1)).ok, "corrupted frame must quarantine")
+    assert(got((2L, 0)).ok && got((2L, 2)).ok, "quarantine is per-frame")
+  }
+
   test("parseAvi: a NEGATIVE chunk size quarantines instead of stalling " +
     "the walk (zero-progress guard)") {
     import spark.implicits._
