@@ -2894,6 +2894,90 @@ object Queries {
           .orderBy("o_orderpriority")
       }),
 
+    // Partition-pruned scan under the gate: events written date-partitioned
+    // (the 100 TB layout for time-scoped queries — at scale, a day
+    // predicate must resolve to directory listing, never a data read of
+    // the other days), read back with a single-day filter. The pin lives
+    // IN the row: partition_pruned is TRUE only when the physical scan
+    // carries the day predicate as a PartitionFilter — metadata-level
+    // pruning, 1 of 30 directories survives the listing — so a plan that
+    // scans all partitions and filters rows after the fact fails the
+    // oracle's constant. The aggregate proves the partitioned artifact
+    // holds exactly the source rows.
+    QueryDef("layout_partition_prune", Some(
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6, " +
+        "TRUE AS partition_pruned " +
+        "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val dir = scratchDir(s, "graft_part_prune", d)
+        // fanOut: the partitioned write is parquet decode+encode CPU and
+        // the local one-row-group scan otherwise feeds it one core
+        fanOut(T(s, d, "events")).withColumn("day", to_date(col("ts")))
+          .write.partitionBy("day").parquet(dir)
+        val read = s.read.parquet(dir)
+          .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+        // the pin: the day predicate sits in the scan's PartitionFilters
+        // (directory-level), NOT as a post-scan row filter over all days
+        val plan = read.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val pruned =
+          """PartitionFilters: \[[^\]]*day""".r.findFirstIn(plan).isDefined &&
+            !plan.contains("Filter (")
+        read.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (dsum(col("value"), 6) * 1000000).cast("long").as("sum_value_e6"))
+          .withColumn("partition_pruned", lit(pruned))
+          .orderBy("event_type")
+      }),
+
+    // Small-file compaction under the gate: a fragmented date-partitioned
+    // write (round-robin parallel tasks → every task writes every day →
+    // tasks×days files, the shape a streaming ingest or over-parallel job
+    // leaves behind; at 100 TB the resulting tiny-file listing and
+    // per-file open cost dominate readers) rewritten by repartitioning ON
+    // the partition column so each day lands in exactly one task = one
+    // file (at scale: repartition(day) + AQE-coalesced shuffle, or add a
+    // within-day bucket term to the key for >task-sized days). The pin
+    // lives IN the row: was_fragmented proves the precondition (>1 file in
+    // some day dir before), compacted_single_file that every day dir holds
+    // exactly one data file after; the aggregate over the COMPACTED
+    // artifact proves the rewrite preserved exactly the source rows.
+    QueryDef("layout_compact_files", Some(
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6, " +
+        "TRUE AS was_fragmented, TRUE AS compacted_single_file " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val fragDir = scratchDir(s, "graft_compact_frag", d)
+        val outDir = scratchDir(s, "graft_compact_out", d)
+        T(s, d, "events").withColumn("day", to_date(col("ts")))
+          .repartition(8) // round-robin: every task holds every day
+          .write.partitionBy("day").parquet(fragDir)
+        def filesPerDay(dir: String): Seq[Int] = {
+          val hp = new org.apache.hadoop.fs.Path(dir)
+          val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+          fs.listStatus(hp).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+            .map(st => fs.listStatus(st.getPath)
+              .count(f => f.getPath.getName.startsWith("part-")))
+        }
+        val fragCounts = filesPerDay(fragDir)
+        s.read.parquet(fragDir)
+          .repartition(col("day")) // one task per day => one file per day
+          .write.partitionBy("day").parquet(outDir)
+        val outCounts = filesPerDay(outDir)
+        s.read.parquet(outDir).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (dsum(col("value"), 6) * 1000000).cast("long").as("sum_value_e6"))
+          .withColumn("was_fragmented",
+            lit(fragCounts.nonEmpty && fragCounts.max > 1))
+          .withColumn("compacted_single_file",
+            lit(outCounts.nonEmpty && outCounts.forall(_ == 1)))
+          .orderBy("event_type")
+      }),
+
     // Salted skew join: result is EXACTLY the plain equi-join (the oracle
     // IS the plain join) while a hot key's rows spread over 8 reducers —
     // the plannable version of AQE's OptimizeSkewedJoin for plans where
