@@ -2912,9 +2912,13 @@ object Queries {
         "GROUP BY 1 ORDER BY 1"),
       (s, d) => {
         val dir = scratchDir(s, "graft_part_prune", d)
-        // fanOut: the partitioned write is parquet decode+encode CPU and
-        // the local one-row-group scan otherwise feeds it one core
-        fanOut(T(s, d, "events")).withColumn("day", to_date(col("ts")))
+        // narrow fact projection (the layout pin is column-set independent;
+        // no reason to re-encode the props JSON blob), written repartitioned
+        // ON the day so each partition dir is exactly one file — the layout
+        // best practice the compaction row below repairs retroactively
+        T(s, d, "events").select("event_id", "ts", "event_type", "value")
+          .withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
           .write.partitionBy("day").parquet(dir)
         val read = s.read.parquet(dir)
           .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
@@ -2952,8 +2956,11 @@ object Queries {
       (s, d) => {
         val fragDir = scratchDir(s, "graft_compact_frag", d)
         val outDir = scratchDir(s, "graft_compact_out", d)
-        T(s, d, "events").withColumn("day", to_date(col("ts")))
-          .repartition(8) // round-robin: every task holds every day
+        // narrow fact projection (file-count pins are column-set independent;
+        // day subsumes ts once derived)
+        T(s, d, "events").select("event_id", "ts", "event_type", "value")
+          .withColumn("day", to_date(col("ts"))).drop("ts")
+          .repartition(4) // round-robin: every task holds every day
           .write.partitionBy("day").parquet(fragDir)
         def filesPerDay(dir: String): Seq[Int] = {
           val hp = new org.apache.hadoop.fs.Path(dir)
