@@ -4885,6 +4885,47 @@ object Queries {
           .orderBy("reg_domain")
       }),
 
+    // PageRank over a link graph (Web.pageRankE9): the canonical iterative
+    // join+aggregate of web-scale corpora — crawl prioritization / quality
+    // priors for training-data selection. Links are formula-derived from
+    // doc_id (contiguous 0..N-1 in this corpus): node i emits 1+(i%4)
+    // out-edges to (i·a+c) mod N for the first k of four (a,c) pairs, so
+    // out-degree VARIES and the odeg join is exercised. Exact integer e9
+    // arithmetic end-to-end (BIGINT sums are fold-order-invariant; see the
+    // operator's scaladoc for the 100 TB shape) makes the 3 unrolled
+    // iterations bit-reproducible by the SQL oracle.
+    QueryDef("web_pagerank", Some(
+      "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents), " +
+        "ids AS (SELECT doc_id AS id FROM documents), " +
+        "edges AS (" +
+        "SELECT doc_id AS src, (doc_id*17+1) % cnt AS dst FROM documents, nn " +
+        "UNION ALL SELECT doc_id, (doc_id*101+7) % cnt FROM documents, nn WHERE doc_id % 4 >= 1 " +
+        "UNION ALL SELECT doc_id, (doc_id*31+13) % cnt FROM documents, nn WHERE doc_id % 4 >= 2 " +
+        "UNION ALL SELECT doc_id, (doc_id*59+3) % cnt FROM documents, nn WHERE doc_id % 4 >= 3), " +
+        "ew AS (SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS odeg FROM edges), " +
+        "r0 AS (SELECT id, 1000000000 // cnt AS r FROM ids, nn), " +
+        "i1 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r0 r ON ew.src = r.id GROUP BY 1), " +
+        "r1 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * COALESCE(i1.f, 0)) // 100 AS r FROM ids LEFT JOIN i1 ON ids.id = i1.id, nn), " +
+        "i2 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r1 r ON ew.src = r.id GROUP BY 1), " +
+        "r2 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * COALESCE(i2.f, 0)) // 100 AS r FROM ids LEFT JOIN i2 ON ids.id = i2.id, nn), " +
+        "i3 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r2 r ON ew.src = r.id GROUP BY 1), " +
+        "r3 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * COALESCE(i3.f, 0)) // 100 AS r FROM ids LEFT JOIN i3 ON ids.id = i3.id, nn) " +
+        "SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e9 FROM r3 ORDER BY doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id")
+        val nCnt = docs.count()
+        val linkDefs = Seq((17L, 1L), (101L, 7L), (31L, 13L), (59L, 3L))
+        val edges = linkDefs.zipWithIndex.map { case ((a, c), i) =>
+          docs.filter(col("doc_id") % 4 >= i)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") * a + c) % nCnt).as("dst"))
+        }.reduce(_ unionByName _)
+        operators.Web.pageRankE9(edges, docs.select(col("doc_id").as("id")),
+            iterations = 3)
+          .select(col("id").as("doc_id"), col("rank_e9"))
+          .orderBy("doc_id")
+      }),
+
     // the 31-based polynomial hash is exactly expressible in DuckDB via
     // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for
     // BMP text), so the fingerprint gets a real value-level oracle

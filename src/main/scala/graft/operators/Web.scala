@@ -162,6 +162,62 @@ object Web {
 
   /** `s` minus its `prefix` (both columns; prefix is always a true
     * prefix of s here). */
+  /** PageRank power iteration in exact integer micro-units — link-graph
+    * authority scoring, the canonical iterative join+aggregate of web-scale
+    * corpora (crawl frontier prioritization, quality priors for training-
+    * data selection).
+    *
+    * All arithmetic is BIGINT in 1e-9 units with integer division, so the
+    * result is bit-identical under ANY partitioning/fold order (BIGINT sums
+    * commute exactly; doubles would drift by partition count) and exactly
+    * replayable by an unrolled SQL oracle. Per iteration, each node sends
+    * `rank_e9 div out_degree` along every out-edge and re-forms as
+    * `(15·base + 85·inflow) div 100` (damping 0.85, teleport base =
+    * 1e9 div N); mass from dangling nodes leaks (the documented variant —
+    * no dense teleport redistribution term), nodes with no in-edges keep
+    * the teleport term via the left join.
+    *
+    * Scale shape: the edge list (src, dst, odeg) is the standing structure
+    * — built ONCE (one groupBy + one join) and persisted; every iteration
+    * is then exactly one join shuffled on src=id and one aggregate shuffled
+    * on dst, both O(E), no driver-side state beyond the node count. On a
+    * cluster the edge table would be written bucketed by src so the
+    * per-iteration join reuses its partitioning (the mart_bucketed_join
+    * technique); hot dsts (popular pages) are plain aggregate skew, which
+    * AQE splits. Iteration count is a fixed small constant (rank deltas
+    * shrink geometrically), so total cost is k·O(E) — no convergence scan.
+    *
+    * @param edges (src, dst) BIGINT pairs; multi-edges count multiply
+    * @param nodes one `id` BIGINT column, the rank domain
+    * @return (id, rank_e9) — Σ rank_e9 ≤ 1e9, < only by leak/rounding
+    */
+  def pageRankE9(edges: org.apache.spark.sql.DataFrame,
+                 nodes: org.apache.spark.sql.DataFrame,
+                 iterations: Int): org.apache.spark.sql.DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val base = 1000000000L / n
+    // standing edge structure: out-degree attached once, persisted for the
+    // k iteration joins (released via CacheRegistry like the dedup marts)
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val edgesW = graft.CacheRegistry.register(
+      edges.join(odeg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ids = nodes.select(col("id"))
+    var ranks = ids.withColumn("rank_e9", lit(base))
+    (1 to iterations).foreach { _ =>
+      val inflow = edgesW.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("rank_e9 div odeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = ids.join(inflow, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"(${15L * base} + 85 * coalesce(inflow, 0)) div 100")
+            .as("rank_e9"))
+    }
+    ranks
+  }
+
   private def afterPrefix(s: Column, prefix: Column): Column =
     s.substr(length(prefix) + 1, length(s))
 }

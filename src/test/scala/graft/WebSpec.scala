@@ -266,4 +266,45 @@ class WebSpec extends AnyFunSuite {
     assert(real.length == 1 && real.head.getAs[Boolean]("valid"))
     assert(real.head.getAs[Long]("ks_num") == 1L)
   }
+
+  private def ranksOf(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      iters: Int, parts: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    Web.pageRankE9(
+        edges.toDF("src", "dst").repartition(parts),
+        nodes.toDF("id").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRankE9: 2-cycle is the uniform fixpoint at every iteration count") {
+    // each node's inflow == its own rank, so (15b + 85b)/100 == b exactly
+    val edges = Seq(0L -> 1L, 1L -> 0L)
+    (1 to 3).foreach { k =>
+      assert(ranksOf(edges, Seq(0L, 1L), k) ==
+        Map(0L -> 500000000L, 1L -> 500000000L), s"iterations=$k")
+    }
+  }
+
+  test("pageRankE9: hand-computed asymmetric graph, one iteration") {
+    // nodes {0,1,2}; edges 0→1, 0→2 (odeg 2), 1→2, 2→0; base = 333333333
+    // inflow: 0←333333333, 1←166666666, 2←166666666+333333333
+    // rank' = (15·base + 85·inflow) div 100
+    val got = ranksOf(Seq(0L -> 1L, 0L -> 2L, 1L -> 2L, 2L -> 0L), Seq(0L, 1L, 2L), 1)
+    assert(got == Map(0L -> 333333333L, 1L -> 191666666L, 2L -> 474999999L))
+  }
+
+  test("pageRankE9: partition-count invariant (exact integer arithmetic) " +
+    "and teleport floor for no-in-edge nodes") {
+    // chain 0→1→2 plus isolated-in node 3 (out-edge only: 3→0)
+    val edges = Seq(0L -> 1L, 1L -> 2L, 3L -> 0L)
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val a = ranksOf(edges, nodes, 3, parts = 1)
+    val b = ranksOf(edges, nodes, 3, parts = 7)
+    assert(a == b)
+    // node 3 has no in-edges: rank settles at the pure teleport term
+    val base = 1000000000L / 4
+    assert(a(3L) == 15L * base / 100L)
+    // total mass never exceeds the initial 1e9 (leak/rounding only shrink)
+    assert(a.values.sum <= 1000000000L)
+  }
 }
