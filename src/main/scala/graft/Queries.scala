@@ -4885,6 +4885,35 @@ object Queries {
           .orderBy("reg_domain")
       }),
 
+    // Per-domain quota (the C4/RefinedWeb host-cap step): keep at most K
+    // docs per registered domain, preferring longer docs (n_chars as the
+    // quality proxy) with doc_id tiebreak — the anti-boilerplate guard that
+    // stops one template site from dominating a crawl corpus. Shape: ONE
+    // row_number window per domain partition — no join, no driver state.
+    // At 100 TB the hot-domain partition is the skew concern; with a small
+    // K the scale-safe form is two-phase top-K (per-map-task partial top-K
+    // before the domain shuffle, the same trick as TakeOrdered), which this
+    // composes to without semantic change.
+    QueryDef("web_domain_cap", Some(
+      urlOracleCtes +
+        ", ranked AS (SELECT c.doc_id, c.reg_domain, CAST(row_number() OVER " +
+        "(PARTITION BY c.reg_domain ORDER BY d.n_chars DESC, c.doc_id) AS BIGINT) AS rk " +
+        "FROM canon c JOIN documents d ON c.doc_id = d.doc_id) " +
+        "SELECT doc_id, reg_domain, rk FROM ranked WHERE rk <= 3 " +
+        "ORDER BY reg_domain, rk"),
+      (s, d) => {
+        val w = Window.partitionBy("reg_domain")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        T(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            operators.Web.registeredDomain(
+              operators.Web.urlHost(syntheticUrl)).as("reg_domain"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "reg_domain", "rk")
+          .orderBy("reg_domain", "rk")
+      }),
+
     // PageRank over a link graph (Web.pageRankE9): the canonical iterative
     // join+aggregate of web-scale corpora — crawl prioritization / quality
     // priors for training-data selection. Links are formula-derived from
@@ -5459,6 +5488,37 @@ object Queries {
               "image/png", Some(w), Some(h), None)
           })
         graft.operators.Multimodal.decodeImages(media).toDF()
+          .orderBy("media_id")
+      }),
+
+    // REAL image resize (thumbnailing): gray-GRADIENT PNGs (pixel value a
+    // position formula — a solid color would mask wrong-pixel sampling),
+    // decoded and nearest-neighbor-resampled to 8×6 with the integer
+    // mapping src = (dst·srcDim) div dstDim. The oracle replays exactly
+    // which source pixels survive, so an off-by-one in the sampling grid
+    // hash-fails; gray = (seed + 3x + 7y) mod 256 summed over 3 channels.
+    QueryDef("mm_resize_image", Some(
+      "WITH p AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 9 AS h " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, w, h, x2.i AS x2, y2.i AS y2 FROM p, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2, " +
+        "LATERAL (SELECT unnest(generate_series(0, 5)) AS i) y2), " +
+        "s AS (SELECT doc_id, w, h, " +
+        "3 * ((doc_id % 97 + 3 * ((x2 * w) // 8) + 7 * ((y2 * h) // 6)) % 256) AS v FROM g) " +
+        "SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h, " +
+        "CAST(sum(v) AS BIGINT) AS pix_sum, TRUE AS ok " +
+        "FROM s GROUP BY doc_id, w, h ORDER BY 1"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.pngGradientBytes(w, h, (id % 97).toInt),
+              "image/png", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.resizeImages(media, outW = 8, outH = 6).toDF()
           .orderBy("media_id")
       }),
 

@@ -157,6 +157,17 @@ object ScaleProbe {
         "repetition_rules" -> (() => consume(
           operators.TextAnalysis.repetitionRules(
             d.select(col("doc_id"), col("text").as("__m")), "__m"))),
+        // iterative link-graph scoring: 3 power-iteration rounds over a
+        // constant-out-degree edge list (offset links keep in-degree
+        // bounded) — cost must track E per round, k·O(E) total, with no
+        // super-linear term from the iteration joins
+        "pagerank" -> (() => consume {
+          val edges = Seq(1L, 17L, 101L).map(o =>
+              d.select(col("doc_id").as("src"), (col("doc_id") + o).as("dst")))
+            .reduce(_ unionByName _)
+          operators.Web.pageRankE9(edges, d.select(col("doc_id").as("id")),
+            iterations = 3)
+        }),
         // fixed-diameter component graph (runs of ≤3 consecutive ids →
         // components of ≤4 nodes): edge count scales with the corpus,
         // iteration rounds stay constant — CC cost must scale with the

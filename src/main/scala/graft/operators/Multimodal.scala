@@ -137,6 +137,79 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Real PNG bytes for a w×h GRAY GRADIENT image: pixel (x, y) has gray
+    * level `(seed + 3x + 7y) mod 256` in all three channels. Lossless like
+    * [[pngBytes]], but position-dependent — a resample that picks the
+    * wrong source pixels changes the checksum, which a solid color would
+    * mask. */
+  def pngGradientBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (seed + 3 * x + 7 * y) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class ResizedImage(media_id: Long, width: Int, height: Int,
+                                out_w: Int, out_h: Int, pix_sum: Long,
+                                ok: Boolean)
+
+  /** REAL image resize (thumbnailing, the standard multimodal prep step):
+    * decode via ImageIO, nearest-neighbor resample to `outW`×`outH` with
+    * the integer mapping src = (dst · srcDim) div dstDim, and emit the
+    * resized grid's RGB checksum. The mapping is pure integer arithmetic,
+    * so a SQL oracle replays WHICH source pixels survive exactly — an
+    * off-by-one in the sampling grid hash-fails. Same narrow mapPartitions
+    * shape as [[decodeImages]]: payloads stay inside the map task, only
+    * 40ish bytes of features ever reach a shuffle; undecodable rows
+    * quarantine as ok=false. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              if (r.payload == null) Array.empty[Byte] else r.payload))
+          if (img == null) ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val buf = img.getRGB(0, 0, w, h, null, 0, w)
+            var s = 0L
+            var y2 = 0
+            while (y2 < outH) {
+              val sy = y2 * h / outH
+              var x2 = 0
+              while (x2 < outW) {
+                val rgb = buf(sy * w + x2 * w / outW)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x2 += 1
+              }
+              y2 += 1
+            }
+            ResizedImage(r.media_id, w, h, outW, outH, s, ok = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** Feature extraction stub: fixed-size float vector derived
     * deterministically from the payload (real build: model inference here).
     * Batch shape: one vector per row, dims = `dims`.
