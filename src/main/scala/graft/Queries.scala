@@ -5499,7 +5499,7 @@ object Queries {
     // hash-fails; gray = (seed + 3x + 7y) mod 256 summed over 3 channels.
     QueryDef("mm_resize_image", Some(
       "WITH p AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 9 AS h " +
-        "FROM documents), " +
+        "FROM documents WHERE doc_id % 3 = 1), " +
         "g AS (SELECT doc_id, w, h, x2.i AS x2, y2.i AS y2 FROM p, " +
         "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2, " +
         "LATERAL (SELECT unnest(generate_series(0, 5)) AS i) y2), " +
@@ -5511,7 +5511,11 @@ object Queries {
         "FROM s GROUP BY doc_id, w, h ORDER BY 1"),
       (s, d) => {
         import s.implicits._
-        val media = T(s, d, "documents").select("doc_id").as[Long]
+        // Catalyst predicate BEFORE the typed boundary (mm_frames recipe):
+        // the fixture's imageio encode+decode is the row's real cost, and
+        // a third of the corpus certifies the sampling grid just as well
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 3 === 1).select("doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
             graft.operators.Multimodal.MediaRow(id, "image",
