@@ -940,7 +940,16 @@ object Queries {
     * three coalesce branches: unparseable ('pending' → NULL → file_date),
     * a view date that DIFFERS from file_date (+1 day), and the agreeing
     * case. UC/TI keys are null off their modulus to pin the null-drop. */
+  // Memoized like the other standing marts (CC closure, bm25 ranking, PQ
+  // codebooks): in the reference pipeline the enriched fact IS a persisted
+  // table every mart reads, not a join each mart re-runs — eight mart/cube
+  // rows consume this frame, and re-paying the orders⋈customer⋈nation
+  // shuffle per row measured ~0.3-0.5s each at sf0.1. Charged to the
+  // alphabetically first consumer per the bench timing contract.
   private def enrichedProxy(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "enrichedProxy")(enrichedProxyUncached(s, d))
+
+  private def enrichedProxyUncached(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
       .join(T(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
