@@ -841,7 +841,11 @@ object Queries {
     Seq("stats_mad_outliers", "quality_winsorize", "stats_approx_quantiles",
       "stats_exact_quantiles_continuous",
       "a8_fact_cube", "skew_salted_join", "stats_hll_distinct",
-      "zorder_layout", "text_tfidf_top_terms", "quality_repetition_rules")
+      "zorder_layout", "text_tfidf_top_terms", "quality_repetition_rules",
+      // round-10 additions: the pagerank iteration join/agg chain, the
+      // domain-cap window-over-InSet projection and the imageio resize
+      // encoder each compile their own codegen/typed-encoder classes
+      "web_pagerank", "web_domain_cap", "mm_resize_image")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
