@@ -278,6 +278,30 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!got(3L).ok, s"null payload must quarantine: ${got(3L)}")
   }
 
+  test("resizeImages: identity dims reproduce the full checksum; downsample " +
+    "picks exactly the mapped source pixels; corrupt payloads quarantine") {
+    import spark.implicits._
+    val (w, h, seed) = (10, 6, 5)
+    val good = Multimodal.MediaRow(1L, "image",
+      Multimodal.pngGradientBytes(w, h, seed), "image/png", Some(w), Some(h), None)
+    val corrupt = Multimodal.MediaRow(2L, "image",
+      Array.tabulate[Byte](48)(i => (i * 41).toByte), "image/png", None, None, None)
+    def gray(x: Int, y: Int) = (seed + 3 * x + 7 * y) % 256
+    // identity resize: every source pixel sampled exactly once
+    val full = Multimodal.resizeImages(Seq(good).toDS(), w, h).collect().head
+    val fullSum = (for (y <- 0 until h; x <- 0 until w) yield 3L * gray(x, y)).sum
+    assert(full.ok && full.pix_sum == fullSum, s"identity resize: $full")
+    // downsample to 4x3: src = (dst * srcDim) div dstDim
+    val got = Multimodal.resizeImages(Seq(good, corrupt).toDS(), 4, 3)
+      .collect().map(r => r.media_id -> r).toMap
+    val sampSum = (for (y2 <- 0 until 3; x2 <- 0 until 4)
+      yield 3L * gray(x2 * w / 4, y2 * h / 3)).sum
+    assert(got(1L).ok && got(1L).width == w && got(1L).height == h &&
+      got(1L).out_w == 4 && got(1L).out_h == 3)
+    assert(got(1L).pix_sum == sampSum, s"sampling grid: ${got(1L)}")
+    assert(!got(2L).ok, s"corrupt must quarantine: ${got(2L)}")
+  }
+
   test("audioWindows: real WAV round-trip windows; corrupt payloads quarantine as ok=false") {
     import spark.implicits._
     // 150 samples at frame 64 → windows of 64, 64, 22
