@@ -5446,6 +5446,50 @@ object Queries {
           .orderBy("media_id", "frame_idx")
       }),
 
+    // Frame SAMPLING (decode every 2nd frame): the cost-control step before
+    // per-frame feature extraction — unsampled frames are skipped BEFORE
+    // the RLE decode, so decode CPU tracks sampled frames while the
+    // container index walk stays O(frames). Same fixture as
+    // mm_decode_video_rle; the oracle keeps only even frame indices, so a
+    // sampler that decodes (or emits) the wrong frames hash-fails.
+    QueryDef("mm_frame_sample", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 4 AS w, " +
+        "4 + doc_id % 3 AS h FROM documents WHERE doc_id % 3 = 1), " +
+        "sz AS (SELECT doc_id, nf, w, h, " +
+        "((h+1)//2) * (2 * ((w+3)//4)) + (h//2) * (2 + w + w%2) + h*2 + 2 AS fb FROM v), " +
+        "f AS (SELECT doc_id, w, h, fb, CAST(gs.i AS BIGINT) AS i " +
+        "FROM sz, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) gs " +
+        "WHERE gs.i % 2 = 0) " +
+        "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(fb AS INT) AS frame_bytes, " +
+        "CAST(list_sum(list_transform(range(w*h), j -> " +
+        "(i*31 + (j//w)*13 + ((j%w)//4)*7) % 251)) AS BIGINT) AS decoded_sum, " +
+        "CAST(list_sum(list_transform(range(w), x -> " +
+        "(i*31 + (h-1)*13 + (x//4)*7) % 251)) AS BIGINT) AS top_row_sum, " +
+        "CAST((i*31 + (h-1)*13) % 251 AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM f ORDER BY media_id, frame_idx"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 3 === 1).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 2 + (id % 3).toInt
+            val w = 8 + (id % 4).toInt
+            val h = 4 + (id % 3).toInt
+            val frames = Array.tabulate(nf) { i =>
+              val rows = Array.tabulate(h)(y => Array.tabulate(w)(x =>
+                ((i * 31 + y * 13 + (x / 4) * 7) % 251).toByte))
+              graft.operators.Multimodal.rle8EncodeRows(rows, _ % 2 == 1)
+            }
+            graft.operators.Multimodal.MediaRow(id, "video",
+              graft.operators.Multimodal.aviBytesFrames(frames, w, h, 40000, "MRLE"),
+              "video/avi", Some(w), Some(h), Some(nf * 40L))
+          })
+        graft.operators.Multimodal.aviDecodeRle8(media, every = 2).toDF()
+          .withColumnRenamed("sum_bytes", "decoded_sum")
+          .orderBy("media_id", "frame_idx")
+      }),
+
     // the decode stub is pure byte arithmetic (BE32 header ints, frame
     // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)
     QueryDef("mm_decode", Some(

@@ -594,7 +594,15 @@ object Multimodal {
     * compressed-byte-sum stub cannot fake), and the top-left pixel's
     * palette index. Malformed frames quarantine as ok=false. Same narrow
     * mapPartitions shape as [[decode]]: payloads never reach a shuffle. */
-  def aviDecodeRle8(media: Dataset[MediaRow]): Dataset[VideoPixels] = {
+  /** @param every decode every `every`-th frame (frame sampling — the
+    *               standard cost-control step before per-frame feature
+    *               extraction). Unsampled frames are SKIPPED before the
+    *               RLE decode, so decode CPU is proportional to sampled
+    *               frames, not container frames; the index walk that finds
+    *               them stays O(container). */
+  def aviDecodeRle8(media: Dataset[MediaRow],
+                    every: Int = 1): Dataset[VideoPixels] = {
+    require(every >= 1, "every must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -603,7 +611,8 @@ object Multimodal {
       parseAvi(p) match {
         case None => bad
         case Some(av) =>
-          av.frames.iterator.zipWithIndex.map { case ((o, sz), i) =>
+          av.frames.iterator.zipWithIndex
+            .filter(_._2 % every == 0).map { case ((o, sz), i) =>
             rle8Decode(p, o.toInt, sz, av.width, av.height) match {
               case None =>
                 VideoPixels(r.media_id, i, av.width, av.height, sz, 0L, 0L, 0, ok = false)
