@@ -276,10 +276,12 @@ class WebSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("pageRankE9: 2-cycle is the uniform fixpoint at every iteration count") {
-    // each node's inflow == its own rank, so (15b + 85b)/100 == b exactly
+  test("pageRankE9: 2-cycle is the uniform fixpoint at every iteration count " +
+    "(10 iterations crosses the lineage-truncation boundary)") {
+    // each node's inflow == its own rank, so (15b + 85b)/100 == b exactly;
+    // k=10 exercises the every-8-rounds localCheckpoint path
     val edges = Seq(0L -> 1L, 1L -> 0L)
-    (1 to 3).foreach { k =>
+    Seq(1, 3, 10).foreach { k =>
       assert(ranksOf(edges, Seq(0L, 1L), k) ==
         Map(0L -> 500000000L, 1L -> 500000000L), s"iterations=$k")
     }
