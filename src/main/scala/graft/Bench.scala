@@ -161,7 +161,8 @@ object Bench {
       s"steady is best-of-remaining (repeat=$repeat); queries run in name " +
       "order and rows sharing a memoized mart (e.g. embed_pq_codes and " +
       "sim_topk_pq share the PQ codebooks; bm25_topk and " +
-      "retrieval_rrf_fusion share the ranking mart) charge the build to " +
+      "retrieval_rrf_fusion share the ranking mart; the a3-a9 mart family " +
+      "shares the enriched-fact proxy) charge the build to " +
       "the alphabetically first consumer, so such one-shot rows are not " +
       "independent measurements"
     println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
