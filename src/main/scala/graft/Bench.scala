@@ -5,9 +5,36 @@ object Bench {
     * Catalyst prune all projected columns and time only the scan). */
   private def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+  /** Host-health canary: a FIXED pure-JVM single-thread workload (integer
+    * polynomial fold + a small allocation churn), timed and recorded as
+    * `host_probe_sec` in the bench JSON. Identical code across rounds, so
+    * the field separates machine-state drift from engine changes — the
+    * round-10/11 adjudication problem (stream_admit_history 13.2 s vs
+    * 1.33 s on a bit-identical commit) becomes machine-readable: a probe
+    * far above its historical band marks the whole artifact as taken on a
+    * degraded host. ~0.3 s on a healthy box. */
+  private def hostProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var h = 1125899906842597L
+    var i = 0
+    while (i < 150000000) { h = h * 31 + i; i += 1 }
+    val arr = new Array[Long](1 << 20)
+    var j = 0
+    while (j < arr.length) { arr(j) = h + j; j += 1 }
+    var s = 0L
+    j = 0
+    while (j < arr.length) { s ^= arr(j); j += 1 }
+    // fold the results into a visible side effect so the JIT cannot elide
+    if ((h ^ s) == 42L) System.err.println("host-probe collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // probe BEFORE the Spark session spins up (clean JVM, no competing
+    // executor threads) — the value reflects the host, not the workload
+    val hostProbe = hostProbeSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -165,7 +192,7 @@ object Bench {
       "shares the enriched-fact proxy) charge the build to " +
       "the alphabetically first consumer, so such one-shot rows are not " +
       "independent measurements"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"host_probe_sec":$hostProbe,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -174,11 +174,14 @@ object Queries {
     // suffix-set probe is exercised on more than one entry of the snapshot;
     // the %11 overrides exercise every other PSL rule class — the *.ck and
     // *.kawasaki.jp wildcards and their !www.ck / !city.kawasaki.jp
-    // exceptions
+    // exceptions, the pvt.k12.ma.us 4-label literal, and the
+    // *.compute.amazonaws.com 4-label wildcard
     val tld = when(id % 11 === 0, ".foo.ck")
       .when(id % 11 === 1, ".www.ck")
       .when(id % 11 === 2, ".x.kawasaki.jp")
       .when(id % 11 === 3, ".city.kawasaki.jp")
+      .when(id % 11 === 4, ".pvt.k12.ma.us")
+      .when(id % 11 === 5, ".s3e.compute.amazonaws.com")
       .when(id % 5 === 0, ".com").when(id % 5 === 1, ".COM")
       .when(id % 5 === 2, ".org").when(id % 5 === 3, ".co.br").otherwise(".co.uk")
     val port = when(id % 6 === 0, ":80").when(id % 6 === 1, ":443")
@@ -205,6 +208,7 @@ object Queries {
       "CASE WHEN doc_id % 2 = 0 THEN 'cdn.site' ELSE 'site' END || CAST(doc_id % 40 AS VARCHAR) AS hostcore, " +
       "CASE WHEN doc_id % 11 = 0 THEN '.foo.ck' WHEN doc_id % 11 = 1 THEN '.www.ck' " +
       "WHEN doc_id % 11 = 2 THEN '.x.kawasaki.jp' WHEN doc_id % 11 = 3 THEN '.city.kawasaki.jp' " +
+      "WHEN doc_id % 11 = 4 THEN '.pvt.k12.ma.us' WHEN doc_id % 11 = 5 THEN '.s3e.compute.amazonaws.com' " +
       "ELSE CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.COM' WHEN 2 THEN '.org' WHEN 3 THEN '.co.br' ELSE '.co.uk' END END AS tld, " +
       "CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END AS port, " +
       "'/docs/' || CAST(doc_id % 20 AS VARCHAR) || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END AS path, " +
@@ -4868,7 +4872,7 @@ object Queries {
     QueryDef("web_url_canonical", Some(
       urlOracleCtes +
         " SELECT doc_id, url_raw, url_canon, host, reg_domain FROM canon ORDER BY doc_id"),
-      (s, d) => T(s, d, "documents")
+      (s, d) => fanOut(T(s, d, "documents").select("doc_id"))
         .select(col("doc_id"), syntheticUrl.as("url_raw"))
         .select(col("doc_id"), col("url_raw"),
           operators.Web.canonicalUrl(col("url_raw")).as("url_canon"),
@@ -4885,7 +4889,7 @@ object Queries {
         "CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls, " +
         "min(doc_id) AS min_doc FROM canon GROUP BY 1 ORDER BY 1"),
       (s, d) => {
-        val u = T(s, d, "documents")
+        val u = T(s, d, "documents").select("doc_id")
           .select(col("doc_id"), syntheticUrl.as("url_raw"))
           .select(col("doc_id"),
             operators.Web.canonicalUrl(col("url_raw")).as("url_canon"),
@@ -4917,7 +4921,7 @@ object Queries {
       (s, d) => {
         val w = Window.partitionBy("reg_domain")
           .orderBy(col("n_chars").desc, col("doc_id").asc)
-        T(s, d, "documents")
+        T(s, d, "documents").select("doc_id", "n_chars")
           .select(col("doc_id"), col("n_chars"),
             operators.Web.registeredDomain(
               operators.Web.urlHost(syntheticUrl)).as("reg_domain"))

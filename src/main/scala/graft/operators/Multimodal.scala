@@ -593,8 +593,9 @@ object Multimodal {
     * the LAST decoded row — bottom-up row order is a decode step a
     * compressed-byte-sum stub cannot fake), and the top-left pixel's
     * palette index. Malformed frames quarantine as ok=false. Same narrow
-    * mapPartitions shape as [[decode]]: payloads never reach a shuffle. */
-  /** @param every decode every `every`-th frame (frame sampling — the
+    * mapPartitions shape as [[decode]]: payloads never reach a shuffle.
+    *
+    * @param every decode every `every`-th frame (frame sampling — the
     *               standard cost-control step before per-frame feature
     *               extraction). Unsampled frames are SKIPPED before the
     *               RLE decode, so decode CPU is proportional to sampled

@@ -353,18 +353,6 @@ object StreamingJobs {
     }
   }
 
-  /** Drain a streaming frame to completion (AvailableNow) into an
-    * append-mode memory sink and return the materialized table — the
-    * run-a-real-stream seam the `stream_*` oracle rows share. Per-call
-    * query name: memory-sink names must be unique per session. The
-    * returned frame is SELF-CONTAINED: it is checkpointed off the sink and
-    * the temp view is dropped immediately, so (a) a caller can lazily
-    * re-execute it at any later time — no unresolved-relation trap if
-    * another drain of the same prefix ran in between — and (b) the sink's
-    * in-memory batches are unreferenced as soon as this call returns; the
-    * checkpoint blocks themselves are freed by the ContextCleaner once the
-    * caller drops the frame, so a repeated bench (SPARK_GRAFT_REPEAT=N)
-    * holds only reachable results. */
   /** Run `body` under `spark.graft.streamDrainPartitions` shuffle/state
     * partitions when that conf is set (it is NOT by default): a
     * bench/test micro-stream otherwise plans every stateful microbatch at

@@ -152,6 +152,33 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomain: 4-label literal and wildcard rules (pvt.k12.ma.us, " +
+    "*.compute.amazonaws.com) beat the shorter rules") {
+    import spark.implicits._
+    val cases = Seq(
+      // pvt.k12.ma.us is a 4-label LITERAL rule — it must win over the
+      // 3-label k12.ma.us rule that is also in the snapshot
+      "school.pvt.k12.ma.us" -> "school.pvt.k12.ma.us",
+      "www.school.pvt.k12.ma.us" -> "school.pvt.k12.ma.us",
+      "pvt.k12.ma.us" -> "pvt.k12.ma.us", // bare literal suffix → itself
+      // a k12.ma.us host NOT under pvt. still resolves by the 3-label rule
+      "other.k12.ma.us" -> "other.k12.ma.us",
+      // *.compute.amazonaws.com: any 4-label name under the base is a
+      // public suffix; registered domain is 5 labels
+      "vm.eu1.compute.amazonaws.com" -> "vm.eu1.compute.amazonaws.com",
+      "x.vm.eu1.compute.amazonaws.com" -> "vm.eu1.compute.amazonaws.com",
+      // bare wildcard-made suffix: falls back to itself
+      "eu1.compute.amazonaws.com" -> "eu1.compute.amazonaws.com",
+      // host equal to the wildcard BASE is not matched by the wildcard —
+      // default 'com' rule applies
+      "compute.amazonaws.com" -> "amazonaws.com")
+    val got = cases.map(_._1).toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (h, want)) =>
+      assert(g == want, s"host $h: got $g, want $want")
+    }
+  }
+
   test("registeredDomain plan stays Expand-free and UDF-free") {
     import spark.implicits._
     val plan = Seq("a.b.c").toDF("h")
@@ -308,5 +335,50 @@ class WebSpec extends AnyFunSuite {
     assert(a(3L) == 15L * base / 100L)
     // total mass never exceeds the initial 1e9 (leak/rounding only shrink)
     assert(a.values.sum <= 1000000000L)
+  }
+
+  test("teleportBaseE9: guards the n >= 1e9 silent-zero regime") {
+    assert(Web.teleportBaseE9(4L) == 250000000L)
+    assert(Web.teleportBaseE9(999999999L) == 1L)
+    intercept[IllegalArgumentException](Web.teleportBaseE9(1000000000L))
+    intercept[IllegalArgumentException](Web.teleportBaseE9(0L))
+  }
+
+  test("pageRankE9: dangling-mass redistribution, hand-computed, conserves " +
+    "total mass up to rounding") {
+    import spark.implicits._
+    // nodes {0,1}, edge 0→1 only; node 1 is dangling. base = 5e8.
+    // leak variant:   rank0' = 15·5e8/100 = 75,000,000
+    //                 rank1' = (15·5e8 + 85·5e8)/100 = 500,000,000
+    // redistribution: dangling mass 5e8, share 5e8 div 2 = 2.5e8
+    //                 rank0' = (7.5e9 + 85·2.5e8) div 100 = 287,500,000
+    //                 rank1' = (7.5e9 + 85·(5e8+2.5e8)) div 100 = 712,500,000
+    def run(redistribute: Boolean) = Web.pageRankE9(
+        Seq(0L -> 1L).toDF("src", "dst"), Seq(0L, 1L).toDF("id"), 1,
+        redistributeDangling = redistribute)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(false) == Map(0L -> 75000000L, 1L -> 500000000L))
+    val re = run(true)
+    assert(re == Map(0L -> 287500000L, 1L -> 712500000L))
+    assert(re.values.sum == 1000000000L) // no leak
+  }
+
+  test("pageRankE9: Observation-based early stop — a fixpoint graph stops " +
+    "after one iteration with the fixpoint values (iterations is a cap)") {
+    import spark.implicits._
+    // 2-cycle: delta after iteration 1 is exactly 0, so the loop must stop
+    // there; a 50-iteration cap that actually ran 50 eager localCheckpoint
+    // rounds would take ~minutes — bound wall-clock as the stop signal
+    val t0 = System.nanoTime()
+    val got = Web.pageRankE9(
+        Seq(0L -> 1L, 1L -> 0L).toDF("src", "dst"), Seq(0L, 1L).toDF("id"),
+        iterations = 50, convergeDeltaE9 = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got == Map(0L -> 500000000L, 1L -> 500000000L))
+    assert(sec < 60.0, s"early stop did not engage (took $sec s)")
+    // and the converged result matches the lazy fixed-k plan
+    val lazyRun = ranksOf(Seq(0L -> 1L, 1L -> 0L), Seq(0L, 1L), 3)
+    assert(got == lazyRun)
   }
 }
