@@ -2939,18 +2939,26 @@ object Queries {
           .write.partitionBy("day").parquet(dir)
         val read = s.read.parquet(dir)
           .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
-        // the pin: the day predicate sits in the scan's PartitionFilters
-        // (directory-level), NOT as a post-scan row filter over all days
-        val plan = read.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==").head
-        val pruned =
-          """PartitionFilters: \[[^\]]*day""".r.findFirstIn(plan).isDefined &&
-            !plan.contains("Filter (")
-        read.groupBy("event_type")
+        val agg = read.groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             (dsum(col("value"), 6) * 1000000).cast("long").as("sum_value_e6"))
-          .withColumn("partition_pruned", lit(pruned))
           .orderBy("event_type")
+        // the pin: the day predicate sits in the scan's PartitionFilters
+        // (directory-level), NOT as a post-scan row filter over all days.
+        // Derived STRUCTURALLY from the aggregate's own physical plan (the
+        // one the returned frame executes, modulo the appended literal
+        // column) — not a substring match on a standalone side plan, which
+        // could silently diverge from what actually runs (round-11 ADVICE).
+        val plan = agg.queryExecution.sparkPlan
+        val scans = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        val pruned = scans.nonEmpty &&
+          scans.forall(_.partitionFilters.exists(
+            _.references.exists(_.name == "day"))) &&
+          plan.collect {
+            case f: org.apache.spark.sql.execution.FilterExec => f }
+            .forall(!_.condition.references.exists(_.name == "day"))
+        agg.withColumn("partition_pruned", lit(pruned))
       }),
 
     // Small-file compaction under the gate: a fragmented date-partitioned
@@ -2988,6 +2996,13 @@ object Queries {
               .count(f => f.getPath.getName.startsWith("part-")))
         }
         val fragCounts = filesPerDay(fragDir)
+        // tiny-corpus guard (round-11 ADVICE): when NO day holds 2+ rows,
+        // round-robin tasks cannot produce a multi-file day — one file per
+        // day is already the compacted shape, so the fragmentation
+        // precondition is VACUOUSLY satisfied rather than failed. On any
+        // fragmentable corpus the strict >1 check still gates.
+        val fragmentable = s.read.parquet(fragDir).groupBy("day")
+          .agg(count(lit(1)).as("nd")).agg(max("nd")).head.getLong(0) > 1
         s.read.parquet(fragDir)
           .repartition(col("day")) // one task per day => one file per day
           .write.partitionBy("day").parquet(outDir)
@@ -2996,7 +3011,7 @@ object Queries {
           .agg(count(lit(1)).as("n"),
             (dsum(col("value"), 6) * 1000000).cast("long").as("sum_value_e6"))
           .withColumn("was_fragmented",
-            lit(fragCounts.nonEmpty && fragCounts.max > 1))
+            lit(fragCounts.nonEmpty && (fragCounts.max > 1 || !fragmentable)))
           .withColumn("compacted_single_file",
             lit(outCounts.nonEmpty && outCounts.forall(_ == 1)))
           .orderBy("event_type")

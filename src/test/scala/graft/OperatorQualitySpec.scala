@@ -1656,4 +1656,59 @@ class OperatorQualitySpec extends AnyFunSuite {
     // identical texts get identical weights regardless of their own label
     assert(got(40L)._2 === got(0L)._2)
   }
+
+  test("Queries.T: the file-schema cache re-infers after an in-session " +
+    "rewrite with a changed schema (mtime invalidation)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_cache").toString
+    Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").parquet(s"$dir/tbl.parquet")
+    assert(Queries.T(spark, dir, "tbl").schema.fieldNames.toSeq == Seq("a", "b"))
+    // rewrite the SAME path with a different schema; bump a part file's
+    // mtime explicitly so filesystem timestamp granularity can't mask the
+    // change on a fast test box
+    Seq((1L, "x", 3.0)).toDF("a", "c", "d").write.mode("overwrite")
+      .parquet(s"$dir/tbl.parquet")
+    val f = new java.io.File(s"$dir/tbl.parquet")
+    val newest = f.listFiles().maxBy(_.lastModified)
+    assert(newest.setLastModified(System.currentTimeMillis() + 10000))
+    val again = Queries.T(spark, dir, "tbl").schema.fieldNames.toSeq
+    assert(again == Seq("a", "c", "d"),
+      s"stale cached schema served after rewrite: $again")
+  }
+
+  /** Deliberately tiny events corpus (round-11 ADVICE: the layout gate
+    * rows must hold on inputs too small to fragment): three days, ONE row
+    * each — includes the 2024-01-15 day the prune row filters. */
+  private def tinyEventsDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny_events").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-14 10:00:00"), "view", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 11:00:00"), "click", 2.5),
+      (3L, java.sql.Timestamp.valueOf("2024-01-16 12:00:00"), "view", 3.5))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("layout_compact_files: was_fragmented is vacuously TRUE on a corpus " +
+    "too tiny to fragment (1 row per day), and the compaction still holds") {
+    val rows = Queries.queries("layout_compact_files")(spark, tinyEventsDir())
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("was_fragmented")),
+      "tiny-corpus precondition must be vacuous, not failed")
+    assert(rows.forall(_.getAs[Boolean]("compacted_single_file")))
+    assert(rows.map(_.getAs[Long]("n")).sum == 3L)
+  }
+
+  test("layout_partition_prune: the structural PartitionFilters pin holds " +
+    "on a tiny corpus and the day filter prunes to one row") {
+    val rows = Queries.queries("layout_partition_prune")(spark, tinyEventsDir())
+      .collect()
+    assert(rows.length == 1) // only the 2024-01-15 day survives
+    assert(rows.head.getAs[String]("event_type") == "click")
+    assert(rows.head.getAs[Boolean]("partition_pruned"),
+      "day predicate must reach the scan's PartitionFilters")
+  }
 }
