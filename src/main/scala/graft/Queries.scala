@@ -6085,8 +6085,11 @@ object Queries {
           else raw
         }
         val replayed = src.union(src).withColumn("event_hash", col("event_id"))
+        // no final watermark flush: dedup survivors emit in the batch that
+        // carries them; the trailing empty batch would only evict state
         graft.streaming.StreamingJobs.drainToMemory(
-            graft.streaming.StreamingJobs.dedupStream(replayed), "stream_dedup")
+            graft.streaming.StreamingJobs.dedupStream(replayed), "stream_dedup",
+            finalWatermarkFlush = false)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
           .orderBy("event_id")
@@ -6219,8 +6222,11 @@ object Queries {
           // watermark column the in-stream dedup state is bounded by
           .withColumn("ts", timestamp_seconds(col("doc_id") * 3600))
           .select("doc_id", "text", "ts")
+        // admission = dedup + stream-static anti join — both emit in the
+        // carrying batch; skip the trailing watermark-only batch
         graft.streaming.StreamingJobs.drainToMemory(
-            graft.streaming.StreamingJobs.admitStream(src, hist), "stream_admit")
+            graft.streaming.StreamingJobs.admitStream(src, hist), "stream_admit",
+            finalWatermarkFlush = false)
           .select(md5(col("text")).as("digest"))
           .distinct()
           .orderBy("digest")
@@ -6281,9 +6287,11 @@ object Queries {
           .select("event_hash", "ts", "lon", "lat", "c_custkey")
         val replayed = src.unionByName(src) // every event arrives twice
         val dim = cells(s, d).withColumn("geom", rectGeom)
+        // broadcast PIP join + replay dedup both emit in the carrying
+        // batch; skip the trailing watermark-only batch
         graft.streaming.StreamingJobs.drainToMemory(
             graft.streaming.StreamingJobs.enrichPoints(replayed, dim),
-            "stream_enrich")
+            "stream_enrich", finalWatermarkFlush = false)
           .select("event_hash", "lon", "lat", "n_name", "c_custkey")
           .orderBy("c_custkey")
           .drop("c_custkey")

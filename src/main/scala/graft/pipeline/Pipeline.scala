@@ -39,6 +39,26 @@ final class Pipeline(spark: SparkSession, root: String,
                      retentionDays: Int = 45) {
 
   private def path(p: String) = s"$root/$p"
+
+  // Schemas of the warehouse stores this instance reads back: every
+  // schema-less spark.read.parquet runs a footer-inference JOB first
+  // (~50-100 ms of driver latency), and one runDay re-reads curated /
+  // enriched / mart stores several times. Store schemas are stable for the
+  // life of a Pipeline (the writers in this class define them), so the
+  // first read of each store infers once and later reads reuse it. Keyed
+  // by relative path — a backfill touching many partitions shares the
+  // parent-store entries. (At cluster scale the catalog serves this role.)
+  private val tableSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  private def readTable(p: String): DataFrame =
+    Option(tableSchemas.get(p)) match {
+      case Some(sc) => spark.read.schema(sc).parquet(path(p))
+      case None =>
+        val df = spark.read.parquet(path(p))
+        tableSchemas.put(p, df.schema)
+        df
+    }
   // Hadoop FS probe, not java.io.File: with an HDFS/S3 root a local-FS
   // probe is always false, readOrEmpty would always come back empty, and
   // every re-run would duplicate rows through the "idempotent" append
@@ -48,7 +68,7 @@ final class Pipeline(spark: SparkSession, root: String,
   }
 
   def readOrEmpty(p: String, like: DataFrame): DataFrame =
-    if (exists(path(p))) spark.read.parquet(path(p))
+    if (exists(path(p))) readTable(p)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
 
   /** biome + UC + TI first-match enrichment, lowest-id tiebreak
@@ -131,7 +151,7 @@ final class Pipeline(spark: SparkSession, root: String,
     val inserted = obsInserted.get("n").asInstanceOf[Long]
 
     // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI
-    val curatedDay = spark.read.parquet(path("curated"))
+    val curatedDay = readTable("curated")
       .filter(col("file_date") === lit(d))
     val already = readOrEmpty("enriched", curatedDay)
     val newRows =
@@ -168,7 +188,7 @@ final class Pipeline(spark: SparkSession, root: String,
     // task-efficient at any session parallelism (measured: pinning a
     // smaller shuffle-partition count here was indistinguishable from
     // letting AQE coalesce, so no knob).
-    val enrichedAll = spark.read.parquet(path("enriched"))
+    val enrichedAll = readTable("enriched")
     // each slice feeds ~3 mart aggregates — cache for the duration of the
     // rebuild so the enriched partitions are scanned once per slice, not
     // once per mart. Slices are partition-bounded (one day / one month of
@@ -200,7 +220,7 @@ final class Pipeline(spark: SparkSession, root: String,
     mart("focos_mensal_ti")(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")), "month")
     // trend view over the (small) daily UF mart — W1/W2 moving averages
     if (only("focos_diario_uf_trend"))
-      Marts.focosDiarioUfTrend(spark.read.parquet(path("marts/focos_diario_uf")))
+      Marts.focosDiarioUfTrend(readTable("marts/focos_diario_uf"))
         .write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
     // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
     // the UF code column the reference denormalizes; our dims carry uf text
@@ -216,7 +236,7 @@ final class Pipeline(spark: SparkSession, root: String,
   def reenrichDay(fileDate: LocalDate): Long = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val d = Date.valueOf(fileDate)
-    val day = spark.read.parquet(path("enriched")).filter(col("file_date") === lit(d))
+    val day = readTable("enriched").filter(col("file_date") === lit(d))
     val unchecked = day.filter(
       !col("bioma_checked") || !col("uc_checked") || !col("ti_checked"))
     val n = unchecked.count()
@@ -243,13 +263,13 @@ final class Pipeline(spark: SparkSession, root: String,
   def checkDay(fileDate: LocalDate): Seq[String] = {
     val d = Date.valueOf(fileDate)
     val errs = scala.collection.mutable.Buffer[String]()
-    val curated = spark.read.parquet(path("curated")).filter(col("file_date") === lit(d))
-    val enriched = spark.read.parquet(path("enriched")).filter(col("file_date") === lit(d))
+    val curated = readTable("curated").filter(col("file_date") === lit(d))
+    val enriched = readTable("enriched").filter(col("file_date") === lit(d))
     val nCur = curated.count(); val nEnr = enriched.count()
     if (nCur != nEnr) errs += s"curated($nCur) != enriched($nEnr) for $fileDate"
     val withMun = enriched.filter(col("mun_cd_mun").isNotNull && Marts.dayKey === lit(d)).count()
     def martSum(mart: String, valueCol: String): Long =
-      spark.read.parquet(path(s"marts/$mart")).filter(col("day") === lit(d))
+      readTable(s"marts/$mart").filter(col("day") === lit(d))
         .agg(coalesce(sum(valueCol), lit(0L))).head().getLong(0)
     val munSum = martSum("focos_diario_municipio", "n_focos")
     if (withMun != munSum) errs += s"mun mart sum($munSum) != enriched with mun($withMun) for $fileDate"

@@ -310,16 +310,30 @@ object StreamingJobs {
                    outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = agg.sparkSession
     import spark.implicits._
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-metrics")
-    val q = agg.writeStream.outputMode(outputMode).format("noop")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally {
-      q.stop()
-      // best-effort checkpoint cleanup — metrics runs are one-shot
-      try new scala.reflect.io.Directory(new java.io.File(ckpt.toString))
-        .deleteRecursively()
-      catch { case scala.util.control.NonFatal(_) => }
+    // checkpoint on the scratch root (tmpfs in the bench session): the WAL
+    // and per-partition state commits of this one-shot run are throwaway,
+    // so their fsync latency is environment, not engine, cost — same
+    // contract as drainToMemory. numRowsTotal is partition-count
+    // independent, so the drain-parallelism wrap is metric-safe.
+    val root = spark.conf.getOption("spark.graft.scratchRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val ckpt = s"$root/graft_state_metrics_${memRuns.incrementAndGet()}"
+    // the wrap covers the WHOLE drain: the stream thread reads the
+    // shuffle-partition conf while planning each batch
+    val q = withDrainParallelism(spark) {
+      val query = agg.writeStream.outputMode(outputMode).format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try query.awaitTermination() finally {
+        query.stop()
+        // best-effort checkpoint cleanup — metrics runs are one-shot
+        try {
+          val hp = new org.apache.hadoop.fs.Path(ckpt)
+          hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+          ()
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+      query
     }
     val prog = q.lastProgress
     val rows =
@@ -371,6 +385,25 @@ object StreamingJobs {
         try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** Run `body` with Spark's trailing no-data microbatch disabled. An
+    * AvailableNow drain always appends one empty batch after the data
+    * batches purely to advance the watermark — needed ONLY when emission
+    * itself waits on watermark passage (event-time-timeout state flush,
+    * append-mode windowed aggregates). The dedup/admission/enrich drains
+    * emit every row in the batch that carries it; their no-data batch only
+    * evicts state that the drain is about to discard anyway — measured
+    * 0.45-0.77 s of pure per-drain overhead (triggerExecution of an empty
+    * batch: planning + 16 state-store commits + WAL writes). */
+  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Drain an append-mode stream to completion and return its full output
     * as a SELF-CONTAINED frame (re-executable regardless of later drains).
     *
@@ -380,8 +413,17 @@ object StreamingJobs {
     * temp-view drop, which for a 100k-row drain is two serial driver-side
     * passes. The file sink writes output partition-parallel, the returned
     * reader frame is naturally self-contained, and an explicit schema
-    * covers the zero-row drain (no parquet footer to infer from). */
-  def drainToMemory(stream: DataFrame, prefix: String): DataFrame = {
+    * covers the zero-row drain (no parquet footer to infer from).
+    *
+    * @param finalWatermarkFlush keep the trailing no-data microbatch
+    *        (default). Pass `false` ONLY for pipelines whose every output
+    *        row is emitted by the batch that carries it (stateless gates,
+    *        dropDuplicates* dedup, stream-static joins): the empty batch
+    *        then does nothing but evict about-to-be-discarded state.
+    *        Pipelines that EMIT on watermark passage (event-time timeout
+    *        flush, append-mode windowed aggregation) need the default. */
+  def drainToMemory(stream: DataFrame, prefix: String,
+                    finalWatermarkFlush: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_${memRuns.incrementAndGet()}"
     val root = spark.conf.getOption("spark.graft.scratchRoot").getOrElse("/tmp")
@@ -392,7 +434,7 @@ object StreamingJobs {
     fs.deleteOnExit(hp)
     drainDirs.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(dir)
-    val outSchema = withDrainParallelism(spark) {
+    def runDrain(): StructType = {
       val q = stream.writeStream.outputMode(OutputMode.Append())
         .format("parquet").option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
@@ -409,6 +451,10 @@ object StreamingJobs {
         }
       stream.schema
     }
+    val outSchema = withDrainParallelism(spark) {
+      if (finalWatermarkFlush) runDrain()
+      else withoutNoDataBatches(spark)(runDrain())
+    }
     spark.read.schema(outSchema).parquet(s"$dir/out")
   }
 
@@ -421,7 +467,9 @@ object StreamingJobs {
     */
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     drainToMemory(
-      graft.operators.TextAnalysis.gopherRules(docs, textCol), "gopher_gate")
+      graft.operators.TextAnalysis.gopherRules(docs, textCol), "gopher_gate",
+      // stateless row-local rules: nothing waits on a watermark
+      finalWatermarkFlush = false)
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double,
