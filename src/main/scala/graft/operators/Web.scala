@@ -192,7 +192,12 @@ object Web {
     val tail = afterPrefix(rest, hostPort)
     val path = substring_index(tail, "?", 1)
     val canonPath = {
-      val trimmed = rtrim(path, "/")
+      // StringTrimRight built directly: the two-arg rtrim FUNCTION form is
+      // deprecated in Spark 4 and warns on every plan build
+      val trimmed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.StringTrimRight(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(path),
+          Some(org.apache.spark.sql.catalyst.expressions.Literal("/"))))
       when(trimmed === "", "/").otherwise(trimmed)
     }
     // rule 2 runs on the QUERY STRING ONLY — a path segment or a param
