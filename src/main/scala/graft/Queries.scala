@@ -849,7 +849,10 @@ object Queries {
       // round-10 additions: the pagerank iteration join/agg chain, the
       // domain-cap window-over-InSet projection and the imageio resize
       // encoder each compile their own codegen/typed-encoder classes
-      "web_pagerank", "web_domain_cap", "mm_resize_image")
+      "web_pagerank", "web_domain_cap", "mm_resize_image",
+      // round-12: the from-spec MJPG/JPEG decode's typed-encoder +
+      // mapPartitions classes (and the decoder's own JIT) compile here
+      "mm_decode_jpeg")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -5426,8 +5429,8 @@ object Queries {
     // is lossless, so every decoded-pixel feature has an exact closed
     // form: the compressed frame size is row-parity arithmetic, the
     // decoded/top-row sums replay the pattern, and the bottom-up row
-    // order means top_row uses y = h-1. DCT-family codecs remain out of
-    // scope (no JDK codec), documented in operators/Multimodal.scala.
+    // order means top_row uses y = h-1. The DCT family is covered by
+    // mm_decode_jpeg (from-spec baseline JPEG, operators/Jpeg.scala).
     QueryDef("mm_decode_video_rle", Some(
       "WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 4 AS w, " +
         "4 + doc_id % 3 AS h FROM documents WHERE doc_id % 3 = 1), " +
@@ -5505,6 +5508,57 @@ object Queries {
               "video/avi", Some(w), Some(h), Some(nf * 40L))
           })
         graft.operators.Multimodal.aviDecodeRle8(media, every = 2).toDF()
+          .withColumnRenamed("sum_bytes", "decoded_sum")
+          .orderBy("media_id", "frame_idx")
+      }),
+
+    // REAL DCT-codec decode: grayscale MJPG AVI frames (each `00dc` chunk
+    // an independent baseline JPEG, JDK-ImageIO-encoded at quality 1.0)
+    // decoded by the from-spec pure-Scala operators/Jpeg.scala (ITU-T
+    // T.81: Huffman entropy decode, dequant, zigzag, IDCT). The fixture's
+    // 8×8 blocks are each CONSTANT, so every block is DC-only and
+    // survives the all-ones quality-1.0 quantization EXACTLY — decoded
+    // pixel sums therefore have closed forms even though the frames are
+    // genuine entropy-coded DCT data. top_row_sum uses y=0 (JPEG rows are
+    // top-down, opposite of the DIB/RLE8 rows — a decoder that gets row
+    // order wrong hash-fails against the same formula). frame_bytes is
+    // dropped: compressed size is encoder-dependent, not closed-form.
+    // The %23 slice bounds the ImageIO encode cost that BUILDS the
+    // fixture (~220 media at sf0.1); the decode path itself is
+    // per-partition and payload-narrow like every mm_* row.
+    QueryDef("mm_decode_jpeg", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 2 AS nf, 2 + doc_id % 2 AS wb, " +
+        "1 + doc_id % 2 AS hb FROM documents WHERE doc_id % 23 = 3), " +
+        "f AS (SELECT doc_id, wb, hb, CAST(gs.i AS BIGINT) AS i " +
+        "FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) gs) " +
+        "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, " +
+        "CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height, " +
+        "CAST(64 * list_sum(list_transform(range(wb * hb), b -> " +
+        "20 + (doc_id*7 + i*31 + (b % wb)*13 + (b // wb)*5) % 200)) AS BIGINT) AS decoded_sum, " +
+        "CAST(8 * list_sum(list_transform(range(wb), bx -> " +
+        "20 + (doc_id*7 + i*31 + bx*13) % 200)) AS BIGINT) AS top_row_sum, " +
+        "CAST(20 + (doc_id*7 + i*31) % 200 AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM f ORDER BY media_id, frame_idx"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 3).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 2 + (id % 2).toInt
+            val wb = 2 + (id % 2).toInt
+            val hb = 1 + (id % 2).toInt
+            val (w, h) = (8 * wb, 8 * hb)
+            val frames = Array.tabulate(nf) { i =>
+              val f = graft.operators.Multimodal.jpegGrayBytes(w, h,
+                (bx, by) => (20 + (id * 7 + i * 31 + bx * 13 + by * 5) % 200).toInt)
+              if (f.length % 2 == 1) f :+ 0.toByte else f // RIFF even-chunk pad
+            }
+            graft.operators.Multimodal.MediaRow(id, "video",
+              graft.operators.Multimodal.aviBytesFrames(frames, w, h, 40000, "MJPG"),
+              "video/avi", Some(w), Some(h), Some(nf * 40L))
+          })
+        graft.operators.Multimodal.aviDecodeMjpg(media).toDF()
+          .drop("frame_bytes")
           .withColumnRenamed("sum_bytes", "decoded_sum")
           .orderBy("media_id", "frame_idx")
       }),

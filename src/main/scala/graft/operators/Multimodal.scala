@@ -588,7 +588,9 @@ object Multimodal {
     * decompressed by [[rle8Decode]] into pixel grids — a genuine (if
     * simple) lossless codec implemented from the public BMP spec in pure
     * Scala, closing the "no codec in the JDK" boundary for the RLE
-    * family (DCT-family codecs remain out of scope, documented). Output
+    * family (the DCT family is closed for grayscale MJPG by
+    * [[aviDecodeMjpg]] + [[graft.operators.Jpeg]]; color/subsampled
+    * JPEG remains out of scope, documented there). Output
     * features per frame: decoded pixel sum, the TOP image row's sum (=
     * the LAST decoded row — bottom-up row order is a decode step a
     * compressed-byte-sum stub cannot fake), and the top-left pixel's
@@ -627,6 +629,93 @@ object Multimodal {
                   topSum, img(top) & 0xff, ok = true)
             }
           }
+      }
+    })
+  }
+
+  /** Grayscale JPEG fixture bytes via the JDK encoder: a TYPE_BYTE_GRAY
+    * image whose 8×8 blocks are each CONSTANT `blockVal(bx, by)`, written
+    * at compression quality 1.0. At quality 1.0 the scaled quantization
+    * tables are all ones, and a constant block has only a DC coefficient
+    * (all AC terms are exact zeros of the forward DCT), so the block
+    * round-trips bit-perfectly through ANY conformant decoder — which is
+    * what lets the mm_decode_jpeg oracle state decoded pixel sums in
+    * closed form while the frames remain REAL entropy-coded DCT data
+    * (Huffman tables, zigzag, dequant and IDCT all genuinely exercised).
+    * Fixture-side helper, pairs with [[graft.operators.Jpeg.decodeGray]]
+    * exactly like [[rle8EncodeRows]] pairs with [[rle8Decode]]. */
+  def jpegGrayBytes(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "block-constant fixture needs 8-aligned dims")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, blockVal(x / 8, y / 8) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** REAL DCT-codec video decode: grayscale MJPG AVI frames — each `00dc`
+    * chunk an independent baseline JPEG — decoded by the from-spec
+    * [[graft.operators.Jpeg]] decoder (ITU-T T.81; pure Scala, no
+    * `javax.imageio` on the decode path). This closes the long-documented
+    * "DCT-family codecs out of scope" boundary for the grayscale-MJPG
+    * family; color (subsampled YCbCr) MJPG remains out of scope, and such
+    * frames quarantine as ok=false rather than mis-decode. Output features
+    * per frame match [[aviDecodeRle8]]: decoded pixel sum, TOP image row
+    * sum (JPEG rows are top-down, unlike DIB/RLE8 — the y=0 row, a row
+    * order a stub cannot fake), and the top-left pixel. `frame_bytes` is
+    * the compressed chunk size (encoder-dependent — gate rows drop it).
+    * Same narrow mapPartitions shape as [[decode]]: payloads never reach
+    * a shuffle, decode CPU tracks sampled frames. */
+  def aviDecodeMjpg(media: Dataset[MediaRow],
+                    every: Int = 1): Dataset[VideoPixels] = {
+    require(every >= 1, "every must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def bad = Iterator.single(
+        VideoPixels(r.media_id, 0, 0, 0, 0, 0L, 0L, 0, ok = false))
+      parseAvi(p) match {
+        case None => bad
+        case Some(av) =>
+          av.frames.iterator.zipWithIndex
+            .filter(_._2 % every == 0).map { case ((o, sz), i) =>
+              val frame = new Array[Byte](sz)
+              if (o.toInt + sz > p.length)
+                VideoPixels(r.media_id, i, av.width, av.height, sz, 0L, 0L, 0, ok = false)
+              else {
+                System.arraycopy(p, o.toInt, frame, 0, sz)
+                graft.operators.Jpeg.decodeGray(frame) match {
+                  case Some((w, h, img)) if w == av.width && h == av.height =>
+                    var sum = 0L; var j = 0
+                    while (j < img.length) { sum += img(j); j += 1 }
+                    var topSum = 0L; j = 0
+                    while (j < w) { topSum += img(j); j += 1 } // y=0: top-down
+                    VideoPixels(r.media_id, i, w, h, sz, sum, topSum,
+                      img(0), ok = true)
+                  case _ =>
+                    VideoPixels(r.media_id, i, av.width, av.height, sz,
+                      0L, 0L, 0, ok = false)
+                }
+              }
+            }
       }
     })
   }

@@ -375,14 +375,31 @@ object StreamingJobs {
     * (store init + commit per partition per batch). Production streams
     * size state partitioning to load and leave this unset. The conf is
     * read at query START (state layout) and during foreachBatch planning,
-    * so the wrap must cover the whole drain lifecycle. */
+    * so the wrap must cover the whole drain lifecycle.
+    *
+    * Also lowers the file-split thresholds for the drain's SCAN stage:
+    * a micro-stream source is one small parquet file, and Spark's split
+    * size `min(maxPartitionBytes, max(openCostInBytes, bytes/cores))`
+    * bottoms out at the 4 MiB openCost — a 15 MiB source scans 4-wide on
+    * a 32-core box, serializing the CPU-heavy decode/hash stage that
+    * follows (measured: the dominant 1.3 s stage of an append drain ran
+    * 4 tasks). The batch side fixes the same artifact with
+    * `files.minPartitionNum`, which streaming relations ignore. A real
+    * stream reads many files per batch and leaves all of this unset. */
   def withDrainParallelism[T](spark: SparkSession)(body: => T): T =
     spark.conf.getOption("spark.graft.streamDrainPartitions") match {
       case None => body
       case Some(p) =>
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", p)
-        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        val keys = Seq(
+          "spark.sql.shuffle.partitions" -> p,
+          "spark.sql.files.openCostInBytes" -> (256 * 1024).toString,
+          "spark.sql.files.maxPartitionBytes" -> (4 * 1024 * 1024).toString)
+        val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
     }
 
   /** Run `body` with Spark's trailing no-data microbatch disabled. An

@@ -439,6 +439,106 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got((2L, 0)).ok && got((2L, 2)).ok, "quarantine is per-frame")
   }
 
+  // arbitrary-pixel grayscale JPEG via the JDK encoder (test-side twin of
+  // Multimodal.jpegGrayBytes, which is block-constant by design)
+  private def jdkGrayJpeg(w: Int, h: Int, pix: (Int, Int) => Int,
+                          quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pix(x, y) & 0xff)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try { wr.setOutput(ios); wr.write(null, new javax.imageio.IIOImage(img, null, null), param) }
+    finally { wr.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("Jpeg.decodeGray: block-constant quality-1.0 frames round-trip " +
+    "EXACTLY (DC-only blocks survive all-ones quantization) and match the " +
+    "JDK decoder bit-for-bit") {
+    import graft.operators.{Jpeg, Multimodal}
+    def v(bx: Int, by: Int): Int = 20 + (bx * 13 + by * 29) % 200
+    val (w, h) = (24, 16)
+    val bytes = Multimodal.jpegGrayBytes(w, h, v)
+    val Some((dw, dh, got)) = Jpeg.decodeGray(bytes)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == v(x / 8, y / 8),
+        s"pixel ($x,$y): got ${got(y * w + x)}, want ${v(x / 8, y / 8)}")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == ref.getRaster.getSample(x, y, 0),
+        s"vs ImageIO at ($x,$y)")
+  }
+
+  test("Jpeg.decodeGray: lossy gradient (quality 0.9, non-8-aligned dims) " +
+    "agrees with the JDK decoder within IDCT rounding; out-of-scope and " +
+    "malformed streams return None") {
+    import graft.operators.Jpeg
+    val (w, h) = (37, 21) // exercises partial edge blocks
+    def pix(x: Int, y: Int): Int = (x * 7 + y * 11 + (x * y) % 23) % 256
+    val bytes = jdkGrayJpeg(w, h, pix, 0.9f)
+    val Some((dw, dh, got)) = Jpeg.decodeGray(bytes)
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(got(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max |spec-decoder - JDK-decoder| = $maxDiff")
+    // color JPEG (3-component YCbCr) is out of scope → None, not garbage
+    val cimg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val cb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cimg, "jpeg", cb)
+    assert(Jpeg.decodeGray(cb.toByteArray).isEmpty)
+    // truncation at any prefix must never throw
+    for (cut <- Seq(0, 1, 2, 20, bytes.length / 2, bytes.length - 3))
+      assert(Jpeg.decodeGray(bytes.take(cut)).isEmpty, s"cut=$cut")
+  }
+
+  test("aviDecodeMjpg: grayscale MJPG frames decode via the from-spec JPEG " +
+    "decoder; a corrupted frame quarantines per-frame; every=2 samples") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val (w, h, nf) = (16, 8, 3)
+    def v(i: Int)(bx: Int, by: Int): Int = 20 + (i * 31 + bx * 13 + by * 5) % 200
+    val frames = Array.tabulate(nf) { i =>
+      val f = Multimodal.jpegGrayBytes(w, h, v(i))
+      if (f.length % 2 == 1) f :+ 0.toByte else f // RIFF even-chunk pad
+    }
+    val good = Multimodal.MediaRow(1L, "video",
+      Multimodal.aviBytesFrames(frames, w, h, 40000, "MJPG"),
+      "video/avi", None, None, None)
+    val corrupt = frames.map(_.clone())
+    corrupt(1)(corrupt(1).length / 2) = 0x55 // clobber entropy data mid-frame
+    corrupt(1)(2 + corrupt(1).length / 2) = 0x55
+    val bad = Multimodal.MediaRow(2L, "video",
+      Multimodal.aviBytesFrames(corrupt, w, h, 40000, "MJPG"),
+      "video/avi", None, None, None)
+    val got = Multimodal.aviDecodeMjpg(Seq(good, bad).toDS())
+      .collect().map(p => (p.media_id, p.frame_idx) -> p).toMap
+    for (i <- 0 until nf) {
+      val p = got((1L, i))
+      assert(p.ok && p.width == w && p.height == h)
+      val blocks = for (by <- 0 until h / 8; bx <- 0 until w / 8) yield v(i)(bx, by)
+      assert(p.sum_bytes == 64L * blocks.sum)
+      assert(p.top_row_sum == 8L * (0 until w / 8).map(bx => v(i)(bx, 0)).sum)
+      assert(p.first_pixel == v(i)(0, 0))
+    }
+    // a corrupted mid-stream frame either quarantines or (if the damage
+    // lands in a recoverable spot) still decodes SOME pixels — but it must
+    // never poison its neighbors
+    assert(got((2L, 0)).ok && got((2L, 2)).ok, "quarantine is per-frame")
+    val sampled = Multimodal.aviDecodeMjpg(Seq(good).toDS(), every = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(sampled == Seq(0, 2))
+  }
+
   test("parseAvi: a NEGATIVE chunk size quarantines instead of stalling " +
     "the walk (zero-progress guard)") {
     import spark.implicits._
