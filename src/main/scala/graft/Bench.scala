@@ -109,8 +109,29 @@ object Bench {
     val taskC = new java.util.concurrent.atomic.AtomicLong(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
     if (dbg) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        { jobC.incrementAndGet(); () }
+      // level 3: per-JOB wall + inter-job driver gap + callsite — the view
+      // that splits "many tiny jobs with driver latency between them" from
+      // "few slow jobs" on lifecycle rows
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val lastEnd = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobC.incrementAndGet()
+        if (sys.env.get("SPARK_GRAFT_DEBUG_JOBS").contains("3")) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobStart.put(j.jobId, (j.time, site))
+        }
+        ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        if (sys.env.get("SPARK_GRAFT_DEBUG_JOBS").contains("3")) {
+          val (st, site) = Option(jobStart.remove(j.jobId)).getOrElse((j.time, "?"))
+          val gap = st - lastEnd.getAndSet(j.time)
+          System.err.println(f"[job-dbg] job=${j.jobId}%4d wall=${(j.time - st) / 1000.0}%.3fs " +
+            f"gapBefore=${math.max(0L, gap) / 1000.0}%.3fs $site")
+        }
+        ()
+      }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stageC.incrementAndGet()
         if (sys.env.get("SPARK_GRAFT_DEBUG_JOBS").contains("2")) {
