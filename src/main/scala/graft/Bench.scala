@@ -29,12 +29,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Same arithmetic split across every core: the round-12 r11→r12 bench
+    * comparison showed a degradation mode the SERIAL probe is blind to —
+    * single-thread compute normal (0.16 s) while every Spark row inflated
+    * ~1.65× uniformly, i.e. the host lost effective PARALLEL capacity
+    * (noisy neighbor / scheduler throttling), not scalar speed. The pair
+    * (serial, parallel) separates the two: parallel ≈ serial/cores means
+    * a healthy box; parallel ≫ serial/cores with serial normal means
+    * cross-core contention — compare BOTH before reading row deltas. */
+  private def hostProbeParSec(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until cores).map { t =>
+      new Thread(() => {
+        var h = 1125899906842597L + t
+        var i = 0
+        while (i < 150000000) { h = h * 31 + i; i += 1 }
+        if (h == 42L) System.err.println("host-probe collision")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // probe BEFORE the Spark session spins up (clean JVM, no competing
     // executor threads) — the value reflects the host, not the workload
     val hostProbe = hostProbeSec()
+    val hostProbePar = hostProbeParSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,9 +142,10 @@ object Bench {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobC.incrementAndGet()
         if (sys.env.get("SPARK_GRAFT_DEBUG_JOBS").contains("3")) {
-          val site = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-          jobStart.put(j.jobId, (j.time, site))
+          val exec = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))).getOrElse("-")
+          val site = j.stageInfos.lastOption.map(_.name.take(70)).getOrElse("?")
+          jobStart.put(j.jobId, (j.time, s"exec=$exec $site"))
         }
         ()
       }
@@ -213,7 +239,7 @@ object Bench {
       "shares the enriched-fact proxy) charge the build to " +
       "the alphabetically first consumer, so such one-shot rows are not " +
       "independent measurements"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"host_probe_sec":$hostProbe,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"host_probe_sec":$hostProbe,"host_probe_par_sec":$hostProbePar,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
