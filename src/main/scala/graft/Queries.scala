@@ -852,7 +852,7 @@ object Queries {
       "web_pagerank", "web_domain_cap", "mm_resize_image",
       // round-12: the from-spec MJPG/JPEG decode's typed-encoder +
       // mapPartitions classes (and the decoder's own JIT) compile here
-      "mm_decode_jpeg")
+      "mm_decode_jpeg", "mm_decode_jpeg_color")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -5561,6 +5561,47 @@ object Queries {
           .drop("frame_bytes")
           .withColumnRenamed("sum_bytes", "decoded_sum")
           .orderBy("media_id", "frame_idx")
+      }),
+
+    // REAL COLOR JPEG decode: 3-component interleaved baseline YCbCr
+    // (4:2:0 — the JDK encoder's invariable choice) through the from-spec
+    // operators/Jpeg.scala MCU walk, chroma upsample and BT.601 color
+    // convert. The fixture's 16×16 macroblocks are constant NEUTRAL GRAY
+    // (R=G=B=v): the encoder's fixed-point luma constants sum to exactly
+    // 2^16 so Y=v and Cb=Cr=128, subsampling averages constants, every
+    // block is DC-only under quality-1.0 all-ones quantization, and the
+    // inverse transform's chroma terms vanish — per-channel pixel sums
+    // are closed-form while the stream is genuine interleaved DCT data.
+    // Chroma-dependent arithmetic (colored macroblocks vs the JDK
+    // decoder) is CI-pinned in OperatorQualitySpec, not oracled.
+    QueryDef("mm_decode_jpeg_color", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 2 AS wb, 1 + doc_id % 2 AS hb " +
+        "FROM documents WHERE doc_id % 23 = 7), " +
+        "s AS (SELECT doc_id, wb, hb, list_sum(list_transform(range(wb * hb), b -> " +
+        "20 + (doc_id*7 + (b % wb)*13 + (b // wb)*5) % 200)) AS vs, " +
+        "20 + (doc_id*7) % 200 AS v0 FROM v) " +
+        "SELECT doc_id AS media_id, CAST(wb * 16 AS INT) AS width, " +
+        "CAST(hb * 16 AS INT) AS height, " +
+        "CAST(256 * vs AS BIGINT) AS sum_r, CAST(256 * vs AS BIGINT) AS sum_g, " +
+        "CAST(256 * vs AS BIGINT) AS sum_b, " +
+        "CAST(v0 * 65536 + v0 * 256 + v0 AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM s ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 7).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val wb = 2 + (id % 2).toInt
+            val hb = 1 + (id % 2).toInt
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.jpegRgbBytes(16 * wb, 16 * hb, (mx, my) => {
+                val v = (20 + (id * 7 + mx * 13 + my * 5) % 200).toInt
+                (v << 16) | (v << 8) | v
+              }),
+              "image/jpeg", Some(16 * wb), Some(16 * hb), None)
+          })
+        graft.operators.Multimodal.decodeJpegRgb(media).toDF()
+          .orderBy("media_id")
       }),
 
     // the decode stub is pure byte arithmetic (BE32 header ints, frame

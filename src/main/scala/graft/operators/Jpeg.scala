@@ -1,32 +1,41 @@
 package graft.operators
 
-/** Baseline-sequential JPEG decoder for single-component (grayscale)
-  * images, implemented in pure Scala from the public ITU-T T.81 spec —
-  * the DCT-family analog of [[Multimodal.rle8Decode]]'s from-spec RLE8:
-  * it closes the "no DCT codec in the JDK for video frames" boundary for
-  * grayscale MJPG (each AVI `00dc` chunk is an independent JPEG, decoded
-  * here without touching `javax.imageio`, which cannot be handed an
-  * in-container frame slice without a per-frame stream copy anyway).
+/** Baseline-sequential JPEG decoder implemented in pure Scala from the
+  * public ITU-T T.81 spec — the DCT-family analog of
+  * [[Multimodal.rle8Decode]]'s from-spec RLE8. It closes the "no DCT
+  * codec in the JDK for video frames" boundary for MJPG (each AVI `00dc`
+  * chunk is an independent JPEG, decoded here without touching
+  * `javax.imageio`, which cannot be handed an in-container frame slice
+  * without a per-frame stream copy anyway).
   *
-  * Scope (documented, spec-cited): baseline sequential DCT (SOF0),
-  * 8-bit precision, ONE component, standard or optimized Huffman
-  * tables, restart intervals. Progressive (SOF2), arithmetic coding,
-  * hierarchical, and multi-component color (subsampled YCbCr) are out of
-  * scope and return None → callers quarantine (`ok=false`), never
-  * mis-decode.
+  * Scope (documented, spec-cited): baseline sequential DCT (SOF0), 8-bit
+  * precision, one-component grayscale AND three-component interleaved
+  * YCbCr color with arbitrary sampling factors ≤4 (4:4:4, 4:2:0 — the
+  * JDK encoder's invariable choice — and 4:2:2 all fall out of the
+  * general MCU walk), standard or optimized Huffman tables, restart
+  * intervals. Progressive (SOF2), arithmetic coding, hierarchical, and
+  * other component counts return None → callers quarantine (`ok=false`),
+  * never mis-decode.
   *
   * Decode pipeline per T.81: marker parse (DQT §B.2.4.1, DHT §B.2.4.2,
   * SOF0 §B.2.2, DRI §B.2.4.4, SOS §B.2.3) → entropy-coded segment with
-  * byte stuffing (§B.1.1.5) and RSTn handling (§E.1.4) → per-block
-  * Huffman DC diff + AC run/size decode (§F.2.2) → dequantize →
-  * inverse zigzag → 2-D IDCT (§A.3.3, double-precision separable) →
-  * level shift + clamp.
+  * byte stuffing (§B.1.1.5) and RSTn handling (§E.1.4) → per-MCU
+  * interleaved block order (§A.2.3) → per-block Huffman DC diff + AC
+  * run/size decode (§F.2.2) → dequantize → inverse zigzag → 2-D IDCT
+  * (§A.3.3, double-precision separable) → level shift + clamp →
+  * replication chroma upsample → JFIF BT.601 YCbCr→RGB.
   *
-  * Purity of the arithmetic: the double IDCT is deterministic (strict
-  * IEEE on the JVM) and, for the block-constant fixtures the gate row
-  * uses, EXACT — a constant block has only a DC coefficient, which
-  * survives quality-1.0 quantization (all-ones tables) bit-perfectly, so
-  * decoded pixel sums have closed forms a SQL oracle can replay.
+  * Exactness story for the oracle fixtures: a constant 8×8 block has
+  * only a DC coefficient, which survives quality-1.0 quantization
+  * (all-ones tables) bit-perfectly under ANY conformant codec; and for
+  * NEUTRAL-GRAY color (R=G=B=v) the encoder's fixed-point luma constants
+  * sum to exactly 2¹⁶ so Y=v and Cb=Cr=128 exactly, chroma subsampling
+  * averages a constant (exact), and the inverse transform's chroma terms
+  * vanish — so neutral-gray macroblock fixtures round-trip the ENTIRE
+  * 3-component interleaved pipeline bit-perfectly, giving closed-form
+  * pixel sums while the stream stays real entropy-coded DCT data.
+  * Chroma-dependent arithmetic is CI-pinned against the JDK decoder on
+  * colored fixtures instead (rounding-tolerance bounds).
   */
 object Jpeg {
 
@@ -52,10 +61,8 @@ object Jpeg {
     t
   }
 
-  /** Canonical Huffman table: flat (code-length, symbol) lookup decoded
-    * bit-serially — at most 16 steps per symbol, plenty for fixture-scale
-    * frames and branch-predictable. mincode/maxcode per length per
-    * T.81 §F.2.2.3 DECODE. */
+  /** Canonical Huffman table decoded bit-serially — at most 16 steps per
+    * symbol. mincode/maxcode per length per T.81 §F.2.2.3 DECODE. */
   private final class Huff(counts: Array[Int], symbols: Array[Byte]) {
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17) // -1 = no codes of this length
@@ -89,8 +96,8 @@ object Jpeg {
     }
   }
 
-  /** Entropy-segment bit reader: un-stuffs 0xFF00, stops AT any other
-    * marker (restart handling is the caller's). */
+  /** Entropy-segment bit reader: un-stuffs 0xFF00, treats any other
+    * marker mid-read as truncation (restart handling is the caller's). */
   private final class BitReader(p: Array[Byte], var pos: Int) {
     private var buf = 0
     private var cnt = 0
@@ -101,11 +108,8 @@ object Jpeg {
         pos += 1
         if (b == 0xff) {
           if (pos >= p.length) throw new IllegalArgumentException("eof")
-          val n = p(pos) & 0xff
-          if (n == 0x00) pos += 1 // stuffed byte
-          else { // real marker mid-segment — treat as truncation
-            throw new IllegalArgumentException("marker in segment")
-          }
+          if ((p(pos) & 0xff) == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalArgumentException("marker in segment")
           b = 0xff
         }
         buf = b
@@ -127,13 +131,41 @@ object Jpeg {
   private def extend(v: Int, n: Int): Int =
     if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
 
-  /** Decode `bytes` as a baseline-sequential grayscale JPEG.
-    * Returns (width, height, row-major pixels 0-255), or None for
-    * anything outside the documented scope or malformed. */
+  // one frame component: sampling factors, tables, and its decoded plane
+  private final class Comp(val h: Int, val v: Int, val qId: Int) {
+    var dcId = 0
+    var acId = 0
+    var pred = 0
+    var planeW = 0 // in pixels, = blocks across * 8
+    var planeH = 0
+    var plane: Array[Int] = null
+  }
+
+  /** Decoded image: `px` is gray values for nComp==1, packed 0xRRGGBB
+    * for nComp==3; row-major, length width*height. */
+  final case class JpegImage(width: Int, height: Int, nComp: Int, px: Array[Int])
+
+  /** Decode `bytes` as a baseline-sequential GRAYSCALE JPEG. Returns
+    * (width, height, row-major pixels 0-255); None for color streams —
+    * the grayscale-MJPG contract of [[Multimodal.aviDecodeMjpg]] wants
+    * color frames quarantined, not silently luma-flattened. */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeImage(bytes) match {
+      case Some(img) if img.nComp == 1 => Some((img.width, img.height, img.px))
+      case _ => None
+    }
+
+  /** Decode grayscale OR color; color arrives packed 0xRRGGBB. */
+  def decodeRgb(bytes: Array[Byte]): Option[JpegImage] =
+    decodeImage(bytes).map { img =>
+      if (img.nComp == 3) img
+      else img.copy(px = img.px.map(g => (g << 16) | (g << 8) | g))
+    }
+
+  private def decodeImage(bytes: Array[Byte]): Option[JpegImage] =
     try decode0(bytes) catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decode0(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private def decode0(p: Array[Byte]): Option[JpegImage] = {
     var pos = 0
     def u8(): Int = { val v = p(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff); pos += 2; v }
@@ -144,9 +176,8 @@ object Jpeg {
     val acTabs = new Array[Huff](4)
     var width = 0
     var height = 0
-    var qId = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
-    var sawSof = false
 
     while (pos + 4 <= p.length) {
       var m = u8()
@@ -159,13 +190,16 @@ object Jpeg {
           if (u8() != 8) return None // precision
           height = u16(); width = u16()
           val nc = u8()
-          if (nc != 1) return None // grayscale scope
-          u8() // component id
-          val hv = u8()
-          if (hv != 0x11) return None // no subsampling for 1 component
-          qId = u8()
+          if (nc != 1 && nc != 3) return None
+          comps = Array.fill(nc) {
+            u8() // component id (JFIF order assumed: Y, Cb, Cr)
+            val hv = u8()
+            val q = u8()
+            val c = new Comp(hv >> 4, hv & 0xf, q)
+            if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4) return None
+            c
+          }
           pos = end
-          sawSof = true
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return None // extended/progressive/lossless/arithmetic — out of scope
@@ -196,18 +230,25 @@ object Jpeg {
         case 0xdd => // DRI
           u16(); restartInterval = u16()
         case 0xda => // SOS
-          if (!sawSof) return None
+          if (comps == null) return None
           val len = u16(); val end = pos + len - 2
           val ns = u8()
-          if (ns != 1) return None
-          u8() // component selector
-          val tdTa = u8()
+          // baseline single-scan only: Ns must cover the frame exactly
+          // (1-component frames non-interleaved, 3-component interleaved)
+          if (ns != comps.length) return None
+          var i = 0
+          while (i < ns) {
+            u8() // component selector — JFIF order assumed
+            val tdTa = u8()
+            comps(i).dcId = tdTa >> 4
+            comps(i).acId = tdTa & 0xf
+            i += 1
+          }
           pos = end // skip Ss/Se/Ah/Al (fixed for baseline)
-          val dcT = dcTabs(tdTa >> 4)
-          val acT = acTabs(tdTa & 0xf)
-          val qt = qtabs(qId)
-          if (dcT == null || acT == null || qt == null) return None
-          return decodeScan(p, pos, width, height, dcT, acT, qt, restartInterval)
+          if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null ||
+            qtabs(c.qId) == null)) return None
+          return decodeScan(p, pos, width, height, comps, qtabs, dcTabs, acTabs,
+            restartInterval)
         case _ => // APPn / COM / anything with a length — skip
           val len = u16()
           pos += len - 2
@@ -217,39 +258,36 @@ object Jpeg {
   }
 
   private def decodeScan(p: Array[Byte], start: Int, width: Int, height: Int,
-                         dcT: Huff, acT: Huff, qt: Array[Int],
-                         ri: Int): Option[(Int, Int, Array[Int])] = {
-    if (width <= 0 || height <= 0 || width * height > (1 << 26)) return None
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val out = new Array[Int](width * height)
+                         comps: Array[Comp], qtabs: Array[Array[Int]],
+                         dcTabs: Array[Huff], acTabs: Array[Huff],
+                         ri: Int): Option[JpegImage] = {
+    if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.pred = 0
+    }
     val br = new BitReader(p, start)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    var pred = 0
-    var blk = 0
-    val nBlk = bw * bh
-    while (blk < nBlk) {
-      if (ri > 0 && blk > 0 && blk % ri == 0) {
-        // RSTn: byte-align, consume the marker, reset the DC predictor
-        br.reset()
-        var q = br.pos
-        while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
-          ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
-        if (q + 1 >= p.length) return None
-        br.pos = q + 2
-        pred = 0
-      }
+
+    // decode one 8×8 block of component `c` whose top-left pixel (in the
+    // component's own plane resolution) is (px0, py0)
+    def block(c: Comp, px0: Int, py0: Int): Unit = {
+      val qt = qtabs(c.qId)
       java.util.Arrays.fill(coef, 0)
-      // DC (§F.2.2.1)
-      val t = dcT.decode(br)
-      pred += extend(br.receive(t), t)
-      coef(0) = pred * qt(0)
-      // AC (§F.2.2.2)
-      var k = 1
+      val t = dcTabs(c.dcId).decode(br) // DC (§F.2.2.1)
+      c.pred += extend(br.receive(t), t)
+      coef(0) = c.pred * qt(0)
+      var k = 1 // AC (§F.2.2.2)
       var done = false
       while (k < 64 && !done) {
-        val rs = acT.decode(br)
+        val rs = acTabs(c.acId).decode(br)
         val r = rs >> 4
         val s = rs & 0xf
         if (s == 0) {
@@ -257,14 +295,12 @@ object Jpeg {
           else done = true // EOB
         } else {
           k += r
-          if (k > 63) return None
+          if (k > 63) throw new IllegalArgumentException("AC overrun")
           coef(ZIGZAG(k)) = extend(br.receive(s), s) * qt(k)
           k += 1
         }
       }
-      // zigzag note: coef is indexed in NATURAL order via ZIGZAG(k); DC at 0
-      // IDCT, separable: rows then columns (§A.3.3)
-      var y = 0
+      var y = 0 // separable IDCT (§A.3.3)
       while (y < 8) {
         var x = 0
         while (x < 8) {
@@ -284,26 +320,105 @@ object Jpeg {
         }
         y += 1
       }
-      val bx = blk % bw
-      val by = blk / bw
       var yy = 0
       while (yy < 8) {
-        val py = by * 8 + yy
-        if (py < height) {
-          var xx = 0
-          while (xx < 8) {
-            val px = bx * 8 + xx
-            if (px < width) {
-              val v = math.round(tmp(yy * 8 + xx)).toInt + 128
-              out(py * width + px) = if (v < 0) 0 else if (v > 255) 255 else v
-            }
-            xx += 1
-          }
+        val py = py0 + yy
+        var xx = 0
+        while (xx < 8) {
+          val v = math.round(tmp(yy * 8 + xx)).toInt + 128
+          c.plane((py * c.planeW) + px0 + xx) =
+            if (v < 0) 0 else if (v > 255) 255 else v
+          xx += 1
         }
         yy += 1
       }
-      blk += 1
     }
-    Some((width, height, out))
+
+    def restart(): Unit = {
+      // RSTn: byte-align, consume the marker, reset every DC predictor
+      br.reset()
+      var q = br.pos
+      while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
+        ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
+      if (q + 1 >= p.length) throw new IllegalArgumentException("missing RST")
+      br.pos = q + 2
+      comps.foreach(_.pred = 0)
+    }
+
+    if (comps.length == 1) {
+      // non-interleaved: the MCU is one block, over the component's own
+      // full block grid (§A.2.2)
+      val c = comps(0)
+      val bw = (width + 7) / 8
+      val bh = (height + 7) / 8
+      // plane sized by the MCU math above can be smaller than the block
+      // grid here (hMax==h==1): resize to the non-interleaved grid
+      c.planeW = bw * 8
+      c.planeH = bh * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var blk = 0
+      val nBlk = bw * bh
+      while (blk < nBlk) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) restart()
+        block(c, (blk % bw) * 8, (blk / bw) * 8)
+        blk += 1
+      }
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out(y * width + x) = c.plane(y * c.planeW + x); x += 1 }
+        y += 1
+      }
+      Some(JpegImage(width, height, 1, out))
+    } else {
+      // interleaved MCUs (§A.2.3): per MCU, each component contributes
+      // its h×v blocks in raster order
+      var mcu = 0
+      val nMcu = mcusX * mcusY
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) restart()
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var bv = 0
+          while (bv < c.v) {
+            var bh = 0
+            while (bh < c.h) {
+              block(c, (mx * c.h + bh) * 8, (my * c.v + bv) * 8)
+              bh += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      // replication upsample + JFIF BT.601 YCbCr→RGB (CCIR 601 per the
+      // JFIF spec; chroma-constant fixtures are exact under ANY upsample)
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
+          val pb = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
+          val pr = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
+          var r = math.round(yy + 1.402 * pr).toInt
+          var g = math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt
+          var b = math.round(yy + 1.772 * pb).toInt
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (b < 0) b = 0 else if (b > 255) b = 255
+          out(y * width + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      Some(JpegImage(width, height, 3, out))
+    }
   }
 }

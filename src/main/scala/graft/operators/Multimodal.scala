@@ -588,9 +588,9 @@ object Multimodal {
     * decompressed by [[rle8Decode]] into pixel grids — a genuine (if
     * simple) lossless codec implemented from the public BMP spec in pure
     * Scala, closing the "no codec in the JDK" boundary for the RLE
-    * family (the DCT family is closed for grayscale MJPG by
-    * [[aviDecodeMjpg]] + [[graft.operators.Jpeg]]; color/subsampled
-    * JPEG remains out of scope, documented there). Output
+    * family (the DCT family is closed by [[graft.operators.Jpeg]]:
+    * grayscale MJPG via [[aviDecodeMjpg]], color via
+    * [[decodeJpegRgb]]). Output
     * features per frame: decoded pixel sum, the TOP image row's sum (=
     * the LAST decoded row — bottom-up row order is a decode step a
     * compressed-byte-sum stub cannot fake), and the top-left pixel's
@@ -671,13 +671,84 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Color JPEG fixture bytes via the JDK encoder: a TYPE_3BYTE_BGR image
+    * whose 16×16 MACROBLOCKS (the 4:2:0 MCU the JDK encoder always emits)
+    * are each a CONSTANT color `rgbVal(mx, my)`, written at quality 1.0.
+    * For NEUTRAL-GRAY colors (R=G=B=v) the pipeline is exact end-to-end:
+    * the encoder's fixed-point luma constants sum to exactly 2¹⁶ so Y=v
+    * and Cb=Cr=128, subsampling averages constants, every block is
+    * DC-only under all-ones quantization, and the inverse transform's
+    * chroma terms vanish — closed-form oracles for the FULL 3-component
+    * interleaved decode path. Colored macroblocks stay constant-chroma
+    * (upsample-exact) but pick up ±1-2 color-convert rounding — those are
+    * CI-pinned against the JDK decoder, not oracled. */
+  def jpegRgbBytes(w: Int, h: Int, rgbVal: (Int, Int) => Int): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "macroblock-constant fixture needs 16-aligned dims")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rgbVal(x / 16, y / 16) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  final case class DecodedRgb(media_id: Long, width: Int, height: Int,
+                              sum_r: Long, sum_g: Long, sum_b: Long,
+                              first_pixel: Int, ok: Boolean)
+
+  /** REAL color-JPEG image decode via the from-spec [[graft.operators.Jpeg]]
+    * decoder (no `javax.imageio` on the decode path): 3-component
+    * interleaved baseline YCbCr with the encoder's sampling choice
+    * (4:2:0 from the JDK; 4:4:4/4:2:2 handled by the same MCU walk),
+    * emitting per-channel pixel sums + the packed top-left pixel —
+    * channel sums force the YCbCr→RGB conversion to actually run, and
+    * the top-left pixel pins MCU/block placement. Undecodable payloads
+    * quarantine. Same narrow mapPartitions shape as [[decode]]. */
+  def decodeJpegRgb(media: Dataset[MediaRow]): Dataset[DecodedRgb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      graft.operators.Jpeg.decodeRgb(p) match {
+        case Some(img) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var j = 0
+          while (j < img.px.length) {
+            val v = img.px(j)
+            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+            j += 1
+          }
+          DecodedRgb(r.media_id, img.width, img.height, sr, sg, sb,
+            img.px(0), ok = true)
+        case None => DecodedRgb(r.media_id, 0, 0, 0L, 0L, 0L, 0, ok = false)
+      }
+    })
+  }
+
   /** REAL DCT-codec video decode: grayscale MJPG AVI frames — each `00dc`
     * chunk an independent baseline JPEG — decoded by the from-spec
     * [[graft.operators.Jpeg]] decoder (ITU-T T.81; pure Scala, no
     * `javax.imageio` on the decode path). This closes the long-documented
     * "DCT-family codecs out of scope" boundary for the grayscale-MJPG
-    * family; color (subsampled YCbCr) MJPG remains out of scope, and such
-    * frames quarantine as ok=false rather than mis-decode. Output features
+    * family. COLOR frames quarantine as ok=false here BY FEATURE CONTRACT
+    * (this operator's features are single-plane pixel sums); the decoder
+    * itself handles 3-component color — [[decodeJpegRgb]] is the color
+    * path with per-channel sums. Output features
     * per frame match [[aviDecodeRle8]]: decoded pixel sum, TOP image row
     * sum (JPEG rows are top-down, unlike DIB/RLE8 — the y=0 row, a row
     * order a stub cannot fake), and the top-left pixel. `frame_bytes` is

@@ -501,6 +501,78 @@ class OperatorQualitySpec extends AnyFunSuite {
       assert(Jpeg.decodeGray(bytes.take(cut)).isEmpty, s"cut=$cut")
   }
 
+  test("Jpeg.decodeRgb: 3-component 4:2:0 interleaved color — neutral-gray " +
+    "macroblocks round-trip EXACTLY (fixed-point luma constants sum to 2^16, " +
+    "chroma constant 128) and match the JDK decoder bit-for-bit; colored " +
+    "constant-chroma macroblocks within color-convert rounding of the JDK") {
+    import graft.operators.{Jpeg, Multimodal}
+    // neutral gray: every channel must equal the planted luma exactly
+    def gv(mx: Int, my: Int): Int = { val v = 20 + (mx * 37 + my * 11) % 200; (v << 16) | (v << 8) | v }
+    val (w, h) = (48, 32)
+    val bytes = Multimodal.jpegRgbBytes(w, h, gv)
+    val Some(img) = Jpeg.decodeRgb(bytes)
+    assert((img.width, img.height, img.nComp) == (w, h, 3))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.px(y * w + x) == gv(x / 16, y / 16),
+        f"neutral-gray pixel ($x,$y): got ${img.px(y * w + x)}%06x want ${gv(x / 16, y / 16)}%06x")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.px(y * w + x) == (ref.getRGB(x, y) & 0xffffff), s"vs ImageIO at ($x,$y)")
+    // colored macroblocks: chroma constant per chroma block (upsample-exact
+    // under ANY upsampler) — only color-convert rounding differs from libjpeg
+    def cv(mx: Int, my: Int): Int = {
+      val r = 30 + (mx * 53) % 190; val g = 40 + (my * 71) % 180; val b = 50 + ((mx + my) * 31) % 170
+      (r << 16) | (g << 8) | b
+    }
+    val cbytes = Multimodal.jpegRgbBytes(w, h, cv)
+    val Some(cimg) = Jpeg.decodeRgb(cbytes)
+    val cref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    // libjpeg's DECODER applies triangular ("fancy") chroma upsampling,
+    // which blends ACROSS macroblock boundaries; this decoder replicates.
+    // Both reconstruct the planted constant exactly in the interior (any
+    // upsampler is exact over a locally-constant chroma field), so
+    // bit-compare interior pixels (chroma-neighborhood fully inside one
+    // macroblock: x%16, y%16 in 2..13) and bound the boundary band by the
+    // worst planted inter-macroblock chroma step instead
+    var maxIn = 0
+    var maxEdge = 0
+    for (y <- 0 until h; x <- 0 until w; sh <- Seq(16, 8, 0)) {
+      val a = (cimg.px(y * w + x) >> sh) & 0xff
+      val b = (cref.getRGB(x, y) >> sh) & 0xff
+      val interior = (x % 16 >= 2 && x % 16 <= 13) && (y % 16 >= 2 && y % 16 <= 13)
+      if (interior) maxIn = math.max(maxIn, math.abs(a - b))
+      else maxEdge = math.max(maxEdge, math.abs(a - b))
+    }
+    assert(maxIn <= 2, s"interior max per-channel |spec - JDK| = $maxIn")
+    // 3/4·1/4 triangular blend of neighbor chroma bounds the band by ~1/4
+    // of the worst chroma step (+ convert rounding); planted steps < 190
+    assert(maxEdge <= 60, s"boundary-band max diff = $maxEdge (upsampler choice)")
+    // decodeGray still refuses color (the MJPG quarantine contract)
+    assert(Jpeg.decodeGray(cbytes).isEmpty)
+  }
+
+  test("Multimodal.decodeJpegRgb: channel sums + first pixel over the " +
+    "neutral-gray fixture; malformed payloads quarantine") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def gv(id: Long)(mx: Int, my: Int): Int = {
+      val v = 20 + ((id * 7 + mx * 13 + my * 5) % 200).toInt; (v << 16) | (v << 8) | v
+    }
+    val rows = Seq(1L, 2L).map { id =>
+      Multimodal.MediaRow(id, "image", Multimodal.jpegRgbBytes(32, 16, gv(id)),
+        "image/jpeg", Some(32), Some(16), None)
+    } :+ Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3), "image/jpeg", None, None, None)
+    val got = Multimodal.decodeJpegRgb(rows.toDS()).collect().map(r => r.media_id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = got(id)
+      assert(r.ok && r.width == 32 && r.height == 16)
+      val vs = for (my <- 0 until 1; mx <- 0 until 2) yield (gv(id)(mx, my) & 0xff).toLong
+      assert(r.sum_r == 256L * vs.sum && r.sum_g == r.sum_r && r.sum_b == r.sum_r)
+      assert(r.first_pixel == gv(id)(0, 0))
+    }
+    assert(!got(3L).ok)
+  }
+
   test("aviDecodeMjpg: grayscale MJPG frames decode via the from-spec JPEG " +
     "decoder; a corrupted frame quarantines per-frame; every=2 samples") {
     import spark.implicits._
