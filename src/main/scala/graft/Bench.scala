@@ -84,10 +84,14 @@ object Bench {
       // bench micro-streams carry a few thousand rows; 32 state-store
       // partitions per microbatch is per-task overhead, not parallelism
       // (see StreamingJobs.withDrainParallelism)
-      // 16 measured mildly better than 8 and clearly better than 32 on
-      // the four heaviest drains (round-10 paired sweep)
+      // round-10 sweep picked 16; re-swept in round 12 AFTER the
+      // finalWatermarkFlush skip landed and 8 now wins on both row
+      // classes (flush-keeping rows -17%, flush-skipping rows -6%): the
+      // skip removed the fixed no-data batch whose cost was partition-
+      // independent, leaving per-partition state-store open/commit as
+      // the dominant term
       .config("spark.graft.streamDrainPartitions",
-        sys.env.getOrElse("SPARK_GRAFT_DRAINP", "16"))
+        sys.env.getOrElse("SPARK_GRAFT_DRAINP", "8"))
       // throwaway sink/checkpoint scratch on tmpfs: the lifecycle rows
       // (pipeline_*, stream_*, ingest roundtrips) are bounded by local-disk
       // fsync latency, which is bench-box environment, not engine cost

@@ -501,6 +501,108 @@ class OperatorQualitySpec extends AnyFunSuite {
       assert(Jpeg.decodeGray(bytes.take(cut)).isEmpty, s"cut=$cut")
   }
 
+  // Minimal from-spec grayscale JPEG ENCODER for DC-only (block-constant)
+  // images, using the T.81 Annex K.3.3.1 standard Huffman tables and an
+  // all-ones quantization table — exists to exercise decoder paths the JDK
+  // encoder never emits (DRI/RSTn restart markers, standard-vs-optimized
+  // tables). Output is a legal baseline JPEG: the same bytes are also
+  // decoded by ImageIO as a cross-check that the ENCODER is conformant.
+  private def encodeGrayDcOnly(w: Int, h: Int, blockVal: (Int, Int) => Int,
+                               ri: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = { out += v.toByte; () }
+    def b2(v: Int): Unit = { b(v >> 8); b(v & 0xff) }
+    b2(0xffd8) // SOI
+    b2(0xffdb); b2(67); b(0) // DQT: Pq=0 Tq=0, all ones
+    for (_ <- 0 until 64) b(1)
+    b2(0xffc0); b2(11); b(8); b2(h); b2(w); b(1); b(1); b(0x11); b(0) // SOF0
+    // DHT DC luminance (Annex K.3.3.1): BITS then HUFFVAL 0..11
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    b2(0xffc4); b2(2 + 1 + 16 + 12); b(0x00)
+    dcBits.foreach(b); (0 to 11).foreach(b)
+    // DHT AC luminance: only EOB (code 1010) is ever emitted, but ship the
+    // REAL standard table so the stream is fully conformant
+    val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    b2(0xffc4); b2(2 + 1 + 16 + acVals.length); b(0x10)
+    acBits.foreach(b); acVals.foreach(b)
+    if (ri > 0) { b2(0xffdd); b2(4); b2(ri) } // DRI
+    b2(0xffda); b2(8); b(1); b(1); b(0x00); b(0); b(63); b(0) // SOS
+    // canonical codes for the DC table: category -> (code, len)
+    val dcCodes = {
+      val codes = new Array[(Int, Int)](12)
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        for (_ <- 0 until dcBits(l - 1)) { codes(k) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      codes
+    }
+    val eob = (0x0a, 4) // the standard AC table's code for RS=0x00
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b(byte); if (byte == 0xff) b(0x00) // stuffing
+        nb -= 8
+      }
+    }
+    def flush(): Unit = { if (nb > 0) { putBits((1 << (8 - nb)) - 1, 8 - nb) } } // pad with 1s
+    val bw = w / 8; val bh = h / 8
+    var pred = 0; var rst = 0
+    for (blk <- 0 until bw * bh) {
+      if (ri > 0 && blk > 0 && blk % ri == 0) {
+        flush(); b2(0xffd0 + rst); rst = (rst + 1) % 8; pred = 0
+      }
+      val dc = (blockVal(blk % bw, blk / bw) - 128) * 8
+      val diff = dc - pred; pred = dc
+      val mag = math.abs(diff)
+      val s = if (mag == 0) 0 else 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, l) = dcCodes(s)
+      putBits(c, l)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(eob._1, eob._2)
+    }
+    flush()
+    b2(0xffd9) // EOI
+    out.toArray
+  }
+
+  test("Jpeg.decodeGray: restart markers (DRI/RSTn) and standard Huffman " +
+    "tables — a from-spec DC-only encoder's stream decodes exactly, and " +
+    "ImageIO accepts the same bytes (encoder conformance cross-check)") {
+    import graft.operators.Jpeg
+    def v(bx: Int, by: Int): Int = 16 + (bx * 41 + by * 23) % 220
+    val (w, h) = (40, 24) // 5x3 blocks; ri=4 puts RSTs mid-row and at row ends
+    for (ri <- Seq(0, 1, 4, 7)) {
+      val bytes = encodeGrayDcOnly(w, h, v, ri)
+      val Some((dw, dh, got)) = Jpeg.decodeGray(bytes)
+      assert((dw, dh) == (w, h), s"ri=$ri")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == v(x / 8, y / 8), s"ri=$ri pixel ($x,$y)")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"ri=$ri ImageIO reject")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ref.getRaster.getSample(x, y, 0) == v(x / 8, y / 8), s"ri=$ri vs ImageIO ($x,$y)")
+    }
+  }
+
   test("Jpeg.decodeRgb: 3-component 4:2:0 interleaved color — neutral-gray " +
     "macroblocks round-trip EXACTLY (fixed-point luma constants sum to 2^16, " +
     "chroma constant 128) and match the JDK decoder bit-for-bit; colored " +
