@@ -604,4 +604,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(second.as[Long].collect().sorted.toSeq == Seq(10L, 20L))
   }
+
+  test("withDrainParallelism: applies shuffle/split confs only while the " +
+    "drain runs and restores the previous values even when the body throws") {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.files.openCostInBytes", "spark.sql.files.maxPartitionBytes")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.graft.streamDrainPartitions", "8")
+    try {
+      var inside: Seq[String] = Nil
+      StreamingJobs.withDrainParallelism(spark) {
+        inside = keys.map(spark.conf.get(_, "?"))
+      }
+      assert(inside.head == "8", "shuffle partitions not applied in the wrap")
+      intercept[RuntimeException] {
+        StreamingJobs.withDrainParallelism(spark) { throw new RuntimeException("boom") }
+      }
+      val after = keys.map(k => k -> spark.conf.getOption(k))
+      assert(after == before, s"confs not restored: $after vs $before")
+    } finally spark.conf.unset("spark.graft.streamDrainPartitions")
+  }
 }
