@@ -563,6 +563,25 @@ object Queries {
     }
   }
 
+  /** The Q1 pricing-summary aggregate as a shared memoized mart: the
+    * production shape is ONE lineitem scan feeding every report that
+    * rolls up from (returnflag, linestatus) grain — q1_pricing_summary
+    * serves it directly and unpivot_metrics re-aggregates the 6-row mart
+    * (exact: all three melted metrics are integer sums — quantity is
+    * integral, prices are e2-cent BIGINTs — so the coarser rollup equals
+    * the direct scan bit-for-bit). Charged to q1 (alphabetically first
+    * consumer) per the bench timing contract. */
+  private def pricingSummary(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "pricingSummary") {
+      T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("sum_base_e2"),
+        (dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) * 10000)
+          .cast("long").as("sum_disc_e4"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+    }
+
   /** fact-cube analog for the serving routes: nation plays municipality,
     * region plays UF (day, uf, cd_mun, mun_nm_mun, n_focos) */
   private def choroCube(s: SparkSession, d: String): DataFrame =
@@ -1036,13 +1055,7 @@ object Queries {
         "CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_e4, " +
         "round(avg(l_quantity),4) AS avg_qty, count(*) AS n " +
         "FROM lineitem GROUP BY 1,2"),
-      (s, d) => T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
-        sum("l_quantity").cast("long").as("sum_qty"),
-        (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("sum_base_e2"),
-        (dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) * 10000)
-          .cast("long").as("sum_disc_e4"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        count(lit(1)).as("n"))),
+      (s, d) => pricingSummary(s, d)),
 
     QueryDef("a1_daily_mart", Some(
       "SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag, count(*) AS n_focos, " +
@@ -2817,13 +2830,17 @@ object Queries {
         "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a " +
         "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a"),
       // melted value is a 1e-2-unit BIGINT (exact via decimal sums) so the
-      // mixed-metric column needs no DECIMAL in the FINAL schema
-      (s, d) => T(s, d, "lineitem")
+      // mixed-metric column needs no DECIMAL in the FINAL schema.
+      // Rolls up the shared pricingSummary mart instead of re-scanning
+      // lineitem: sum_qty is an integral-quantity sum and sum_price is
+      // already e2 cents in the mart, so the coarser-grain re-aggregate
+      // is bit-exact vs the direct scan the oracle runs
+      (s, d) => pricingSummary(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          (dsum(col("l_quantity"), 2) * 100).cast("long").as("sum_qty"),
-          (dsum(col("l_extendedprice"), 2) * 100).cast("long").as("sum_price"),
-          (count(lit(1)) * 100).as("n_rows"))
+          (sum(col("sum_qty")) * 100).cast("long").as("sum_qty"),
+          sum(col("sum_base_e2")).cast("long").as("sum_price"),
+          (sum(col("n")) * 100).cast("long").as("n_rows"))
         .selectExpr("l_returnflag",
           "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
             "'n_rows', n_rows) AS (metric, value_e2)")),
