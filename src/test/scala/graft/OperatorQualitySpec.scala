@@ -603,6 +603,58 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("Jpeg.decodeGray: 16-bit DQT (Pq=1) decodes; progressive (SOF2) " +
+    "returns None; byte-mutation fuzz never throws or hangs") {
+    import graft.operators.Jpeg
+    def v(bx: Int, by: Int): Int = 16 + (bx * 41 + by * 23) % 220
+    // Pq=1: rewrite the test encoder's 8-bit DQT as a 16-bit one in place
+    val base = encodeGrayDcOnly(24, 16, v, 0)
+    val dqtAt = {
+      var i = 2
+      while (!((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xdb)) i += 1
+      i
+    }
+    val wide = new scala.collection.mutable.ArrayBuffer[Byte]()
+    wide ++= base.take(dqtAt) // SOI (DQT is the first segment the encoder writes)
+    wide += 0xff.toByte; wide += 0xdb.toByte
+    wide += 0x00; wide += (2 + 1 + 128).toByte // len = 131
+    wide += 0x10 // Pq=1 Tq=0
+    for (_ <- 0 until 64) { wide += 0x00; wide += 0x01 } // all ones, 16-bit
+    wide ++= base.drop(dqtAt + 2 + 67) // skip the original 8-bit DQT segment
+    val Some((dw, dh, got)) = Jpeg.decodeGray(wide.toArray)
+    assert((dw, dh) == (24, 16))
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(got(y * 24 + x) == v(x / 8, y / 8), s"Pq=1 pixel ($x,$y)")
+    // progressive: JDK encoder with MODE_DEFAULT progression emits SOF2
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val pp = wr.getDefaultWriteParam
+    pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try { wr.setOutput(ios); wr.write(null, new javax.imageio.IIOImage(img, null, null), pp) }
+    finally { wr.dispose(); ios.close() }
+    val prog = baos.toByteArray
+    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "fixture is not actually progressive")
+    assert(Jpeg.decodeGray(prog).isEmpty, "progressive must quarantine")
+    // fuzz: single-byte mutations of a valid stream + pure-random bytes
+    // must return (None or Some) without throwing — the quarantine path's
+    // whole contract
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Jpeg.decodeGray(m) // must not throw
+    }
+    for (_ <- 1 to 100) {
+      val r = Array.fill(2 + rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      r(0) = 0xff.toByte; r(1) = 0xd8.toByte // plausible SOI prefix
+      Jpeg.decodeGray(r)
+    }
+  }
+
   test("Jpeg.decodeRgb: 3-component 4:2:0 interleaved color — neutral-gray " +
     "macroblocks round-trip EXACTLY (fixed-point luma constants sum to 2^16, " +
     "chroma constant 128) and match the JDK decoder bit-for-bit; colored " +
