@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
   * task failures). AUDIO decode is REAL for PCM WAV (`audioWindows` —
   * `javax.sound.sampled` is in the JDK). VIDEO frame indexing is REAL
   * (`aviFrameIndex` — a pure-Scala RIFF/AVI header walk yielding actual
-  * frame offsets/sizes/dims); only pixel decode of the video frames
-  * remains out of scope (no video codec in the JDK). `decodeStub` keeps
+  * frame offsets/sizes/dims), and so is frame PIXEL decode: uncompressed
+  * DIB ([[aviDecodeDib]]), RLE8 ([[aviDecodeRle8]], from the BMP spec)
+  * and MJPG ([[aviDecodeMjpg]] via the from-spec T.81 decoder in
+  * [[graft.operators.Jpeg]], which also handles 3-component color —
+  * [[decodeJpegRgb]]); only progressive/arithmetic JPEG and non-MJPG
+  * DCT video codecs quarantine. `decodeStub` keeps
   * the deterministic fake-header path so the generic typed-pipeline shape
   * stays testable independent of any container format, and a production
   * build swaps `decodeStub`/`extractFeatures` for a JNI/FFI codec without
