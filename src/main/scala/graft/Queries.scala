@@ -871,7 +871,7 @@ object Queries {
       "web_pagerank", "web_domain_cap", "mm_resize_image",
       // round-12: the from-spec MJPG/JPEG decode's typed-encoder +
       // mapPartitions classes (and the decoder's own JIT) compile here
-      "mm_decode_jpeg", "mm_decode_jpeg_color")
+      "mm_decode_jpeg", "mm_decode_jpeg_color", "mm_decode_adpcm")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -5578,6 +5578,59 @@ object Queries {
           .drop("frame_bytes")
           .withColumnRenamed("sum_bytes", "decoded_sum")
           .orderBy("media_id", "frame_idx")
+      }),
+
+    // REAL compressed-AUDIO decode: IMA ADPCM (WAV format 0x11 / RFC 3551
+    // DVI4 kernel) — a STATEFUL adaptive integer recurrence, decoded by
+    // the from-spec pure-Scala operators/Multimodal.adpcmDecode. The
+    // oracle replays the ENTIRE state machine in SQL: a recursive CTE
+    // steps (predictor, step-index) through the same planted nibble
+    // stream with the same step/index tables, clamps included — so every
+    // adaptive transition is value-checked, not just aggregate shapes.
+    QueryDef("mm_decode_adpcm", Some {
+      val stepTable = Seq(
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767).mkString(",")
+      "WITH RECURSIVE v AS (SELECT doc_id, CAST(48 + doc_id % 4 * 16 AS INT) AS n " +
+        "FROM documents WHERE doc_id % 23 = 11), " +
+        "r AS (" +
+        "SELECT doc_id, n, 0 AS i, 0 AS pred, 0 AS idx, CAST(0 AS BIGINT) AS s, " +
+        "32767 AS mn, CAST(-32768 AS INT) AS mx, 0 AS last FROM v " +
+        "UNION ALL " +
+        "SELECT doc_id, n, i + 1, np, ni, s + np, " +
+        "CAST(least(mn, np) AS INT), CAST(greatest(mx, np) AS INT), np FROM (" +
+        "SELECT doc_id, n, i, s, mn, mx, " +
+        "CAST(greatest(-32768, least(32767, " +
+        "pred + CASE WHEN nib >= 8 THEN -d ELSE d END)) AS INT) AS np, " +
+        "CAST(greatest(0, least(88, idx + it)) AS INT) AS ni FROM (" +
+        "SELECT *, (step // 8) + CASE WHEN (nib & 1) = 1 THEN step // 4 ELSE 0 END " +
+        "+ CASE WHEN (nib & 2) = 2 THEN step // 2 ELSE 0 END " +
+        "+ CASE WHEN (nib & 4) = 4 THEN step ELSE 0 END AS d, " +
+        "list_extract([-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8], nib + 1) AS it " +
+        "FROM (SELECT *, CAST((doc_id*13 + i*7) % 16 AS INT) AS nib, " +
+        s"list_extract([$stepTable], idx + 1) AS step " +
+        "FROM r WHERE i < n)))) " +
+        "SELECT doc_id AS media_id, n AS n_samples, CAST(s AS BIGINT) AS sum_pcm, " +
+        "mn AS min_pcm, mx AS max_pcm, last AS last_pcm, TRUE AS ok " +
+        "FROM r WHERE i = n ORDER BY media_id"
+    },
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 11).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 48 + (id % 4).toInt * 16
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              Array.tabulate(n)(i => ((id * 13 + i * 7) % 16).toByte),
+              "audio/adpcm", None, None, Some(n.toLong))
+          })
+        graft.operators.Multimodal.adpcmFeatures(media).toDF()
+          .orderBy("media_id")
       }),
 
     // REAL COLOR JPEG decode: 3-component interleaved baseline YCbCr

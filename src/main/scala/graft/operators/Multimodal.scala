@@ -309,6 +309,115 @@ object Multimodal {
     })
   }
 
+  // IMA/DVI ADPCM tables (public spec: IMA "Recommended Practices for
+  // Enhancing Digital Audio Compatibility", rev 3.00 — the same tables in
+  // RFC 3551 §4.5.1 and the WAV format-0x11 codec)
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode an IMA ADPCM nibble stream (one 4-bit code per input byte's
+    * low nibble) into s16 PCM, from the initial (predictor=0, index=0)
+    * state — the codec KERNEL of WAV format 0x11 / RFC 3551 DVI4, pure
+    * integer and fully deterministic. Returns the decoded samples. */
+  def adpcmDecode(nibbles: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](nibbles.length)
+    var pred = 0
+    var idx = 0
+    var i = 0
+    while (i < nibbles.length) {
+      val nib = nibbles(i) & 0x0f
+      val step = AdpcmStep(idx)
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx += AdpcmIndex(nib)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      out(i) = pred
+      i += 1
+    }
+    out
+  }
+
+  /** Test/fixture-side IMA ADPCM ENCODER (same spec section): greedy
+    * nibble choice against the shared step table. decode(encode(pcm))
+    * tracks the input within the local step size — the codec's designed
+    * error bound, asserted in CI. */
+  def adpcmEncode(pcm: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](pcm.length)
+    var pred = 0
+    var idx = 0
+    var i = 0
+    while (i < pcm.length) {
+      val step = AdpcmStep(idx)
+      var delta = pcm(i) - pred
+      var nib = 0
+      if (delta < 0) { nib = 8; delta = -delta }
+      if (delta >= step) { nib |= 4; delta -= step }
+      if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) { nib |= 1 }
+      // replay the decoder's reconstruction so the states stay in lockstep
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx += AdpcmIndex(nib)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      out(i) = nib.toByte
+      i += 1
+    }
+    out
+  }
+
+  final case class AdpcmPcm(media_id: Long, n_samples: Int, sum_pcm: Long,
+                            min_pcm: Int, max_pcm: Int, last_pcm: Int,
+                            ok: Boolean)
+
+  /** REAL compressed-AUDIO decode: IMA ADPCM nibble payloads decoded by
+    * [[adpcmDecode]] into s16 PCM, emitting integer stream features
+    * (sample sum / min / max / final predictor). Completes the
+    * compressed-codec triad (RLE8 video, baseline JPEG image, ADPCM
+    * audio), all from public specs in pure Scala. The decode is a
+    * STATEFUL integer recurrence — the gate row's DuckDB oracle replays
+    * it exactly with a recursive CTE over the same step/index tables,
+    * so every adaptive state transition is value-checked, not just
+    * aggregate shapes. Malformed (empty) payloads quarantine. Same
+    * narrow mapPartitions shape as [[decode]]. */
+  def adpcmFeatures(media: Dataset[MediaRow]): Dataset[AdpcmPcm] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      if (p.isEmpty) AdpcmPcm(r.media_id, 0, 0L, 0, 0, 0, ok = false)
+      else {
+        val pcm = adpcmDecode(p)
+        var s = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i < pcm.length) {
+          val v = pcm(i)
+          s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        AdpcmPcm(r.media_id, pcm.length, s, mn, mx, pcm(pcm.length - 1), ok = true)
+      }
+    })
+  }
+
   /** Real minimal RIFF/AVI container bytes: `LIST hdrl` (avih + one
     * `vids/MJPG` strl) followed by `LIST movi` holding one `00dc` chunk per
     * entry of `frameSizes` (deterministic filler payload). The video analog

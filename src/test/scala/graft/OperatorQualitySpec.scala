@@ -655,6 +655,45 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("adpcm: hand-checked first transitions, saturation clamps at both " +
+    "rails, encoder round-trip tracks a smooth signal, operator features " +
+    "match a direct decode; empty payloads quarantine") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // hand check from (pred=0, idx=0, step=7): nib=0 -> +0 (diff=step>>3=0),
+    // idx-1 clamps to 0; nib=7 -> 0+7+3+1=11? no: diff = 0(>>3=0)+1(>>2=1)
+    // + 3(>>1=3) + 7 = 11... compute: step=7: >>3=0, &1:>>2=1, &2:>>1=3,
+    // &4:step=7 -> diff=0+1+3+7=11, pred=11, idx+=8 -> 8
+    assert(Multimodal.adpcmDecode(Array[Byte](0)).toSeq == Seq(0))
+    assert(Multimodal.adpcmDecode(Array[Byte](7)).toSeq == Seq(11))
+    // step after idx=8 is 16: nib=15 -> diff=2+4+8+16=30, pred=11-30=-19
+    assert(Multimodal.adpcmDecode(Array[Byte](7, 15)).toSeq == Seq(11, -19))
+    // saturation: max-positive nibbles forever must clamp at 32767 (and
+    // the mirrored stream at -32768) without overflow
+    val up = Multimodal.adpcmDecode(Array.fill(200)(7.toByte))
+    assert(up.last == 32767 && up.max == 32767)
+    val down = Multimodal.adpcmDecode(Array.fill(200)(15.toByte))
+    assert(down.last == -32768 && down.min == -32768)
+    // encoder round-trip on a smooth signal: reconstruction tracks input
+    val pcm = Array.tabulate(2000)(i =>
+      (8000 * math.sin(i / 40.0) + 3000 * math.sin(i / 7.0)).toInt)
+    val dec = Multimodal.adpcmDecode(Multimodal.adpcmEncode(pcm))
+    val errs = pcm.indices.map(i => math.abs(dec(i) - pcm(i)))
+    assert(errs.max <= 2500, s"max reconstruction error ${errs.max}")
+    assert(errs.sum / errs.length <= 250, s"mean error ${errs.sum / errs.length}")
+    // operator features == direct decode
+    val nibbles = Array.tabulate(64)(i => ((i * 7) % 16).toByte)
+    val direct = Multimodal.adpcmDecode(nibbles)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", nibbles, "audio/adpcm", None, None, Some(64L)),
+      Multimodal.MediaRow(2L, "audio", Array.empty[Byte], "audio/adpcm", None, None, None))
+    val got = Multimodal.adpcmFeatures(rows.toDS()).collect().map(r => r.media_id -> r).toMap
+    val g = got(1L)
+    assert(g.ok && g.n_samples == 64 && g.sum_pcm == direct.map(_.toLong).sum &&
+      g.min_pcm == direct.min && g.max_pcm == direct.max && g.last_pcm == direct.last)
+    assert(!got(2L).ok)
+  }
+
   test("Jpeg.decodeRgb: 3-component 4:2:0 interleaved color — neutral-gray " +
     "macroblocks round-trip EXACTLY (fixed-point luma constants sum to 2^16, " +
     "chroma constant 128) and match the JDK decoder bit-for-bit; colored " +
