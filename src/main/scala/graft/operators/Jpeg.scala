@@ -187,6 +187,7 @@ object Jpeg {
         case 0xd9 => return None // EOI before SOS
         case 0xc0 => // SOF0 baseline
           val len = u16(); val end = pos + len - 2
+          if (end < pos) return None // len < 2: malformed, never rewind
           if (u8() != 8) return None // precision
           height = u16(); width = u16()
           val nc = u8()
@@ -232,6 +233,7 @@ object Jpeg {
         case 0xda => // SOS
           if (comps == null) return None
           val len = u16(); val end = pos + len - 2
+          if (end < pos) return None
           val ns = u8()
           // baseline single-scan only: Ns must cover the frame exactly
           // (1-component frames non-interleaved, 3-component interleaved)
@@ -251,6 +253,7 @@ object Jpeg {
             restartInterval)
         case _ => // APPn / COM / anything with a length — skip
           val len = u16()
+          if (len < 2) return None // a backward skip would loop forever
           pos += len - 2
       }
     }

@@ -881,10 +881,12 @@ object Multimodal {
         case Some(av) =>
           av.frames.iterator.zipWithIndex
             .filter(_._2 % every == 0).map { case ((o, sz), i) =>
-              val frame = new Array[Byte](sz)
-              if (o.toInt + sz > p.length)
+              // bounds-check BEFORE allocating: a malformed index entry
+              // declaring a huge chunk size must quarantine, not OOM
+              if (sz < 0 || o.toInt + sz > p.length)
                 VideoPixels(r.media_id, i, av.width, av.height, sz, 0L, 0L, 0, ok = false)
               else {
+                val frame = new Array[Byte](sz)
                 System.arraycopy(p, o.toInt, frame, 0, sz)
                 graft.operators.Jpeg.decodeGray(frame) match {
                   case Some((w, h, img)) if w == av.width && h == av.height =>

@@ -653,6 +653,40 @@ class OperatorQualitySpec extends AnyFunSuite {
       r(0) = 0xff.toByte; r(1) = 0xd8.toByte // plausible SOI prefix
       Jpeg.decodeGray(r)
     }
+    // a zero-length APPn segment must return None promptly, not rewind
+    // the parser into an infinite loop
+    val loopy = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe5.toByte, 0x00, 0x00) ++ base.drop(2)
+    assert(Jpeg.decodeGray(loopy).isEmpty)
+  }
+
+  test("aviDecodeMjpg: a frame whose index entry declares a huge chunk size " +
+    "quarantines instead of attempting the allocation") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val frame = {
+      val f = Multimodal.jpegGrayBytes(16, 8, (_, _) => 100)
+      if (f.length % 2 == 1) f :+ 0.toByte else f
+    }
+    val avi = Multimodal.aviBytesFrames(Array(frame, frame), 16, 8, 40000, "MJPG")
+    // find the SECOND 00dc chunk header and declare a ~2 GB size
+    var at = -1; var seen = 0; var i = 0
+    while (at < 0 && i < avi.length - 8) {
+      if (avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' && avi(i + 3) == 'c') {
+        seen += 1; if (seen == 2) at = i
+      }
+      i += 1
+    }
+    assert(at > 0, "fixture should contain two 00dc chunks")
+    avi(at + 4) = 0xff.toByte; avi(at + 5) = 0xff.toByte
+    avi(at + 6) = 0xff.toByte; avi(at + 7) = 0x7f.toByte
+    val rows = Multimodal.aviDecodeMjpg(Seq(
+      Multimodal.MediaRow(1L, "video", avi, "video/avi", None, None, None)).toDS())
+      .collect()
+    // either the container walk rejects the whole payload (one bad row) or
+    // the oversize frame quarantines individually — both are fine; what is
+    // NOT fine is an OOM-sized allocation attempt (would fail the test JVM)
+    assert(rows.exists(!_.ok))
   }
 
   test("adpcm: hand-checked first transitions, saturation clamps at both " +
