@@ -665,6 +665,10 @@ object Multimodal {
   private[graft] def rle8Decode(p: Array[Byte], off: Int, sz: Int,
                                 w: Int, h: Int): Option[Array[Byte]] = {
     if (w <= 0 || h <= 0 || off < 0 || off.toLong + sz > p.length) return None
+    // header-declared dims: bound the pixel buffer BEFORE allocating so a
+    // malformed 50000x50000 header quarantines instead of overflowing
+    // w*h into a negative size or attempting a multi-GB allocation
+    if (w.toLong * h > (1L << 26)) return None
     val out = new Array[Byte](w * h)
     var x = 0; var y = 0
     var i = off
