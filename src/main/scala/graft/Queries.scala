@@ -871,7 +871,8 @@ object Queries {
       "web_pagerank", "web_domain_cap", "mm_resize_image",
       // round-12: the from-spec MJPG/JPEG decode's typed-encoder +
       // mapPartitions classes (and the decoder's own JIT) compile here
-      "mm_decode_jpeg", "mm_decode_jpeg_color", "mm_decode_adpcm")
+      "mm_decode_jpeg", "mm_decode_jpeg_color", "mm_decode_adpcm",
+      "mm_decode_adpcm_wav")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -5631,6 +5632,67 @@ object Queries {
           })
         graft.operators.Multimodal.adpcmFeatures(media).toDF()
           .orderBy("media_id")
+      }),
+
+    // The same codec through its REAL CONTAINER: WAV format 0x11 blocks,
+    // each seeded from its own 4-byte state header (initial predictor +
+    // step index, planted per block) with nibbles packed two per byte.
+    // The oracle seeds the recursive CTE at each block's planted state —
+    // so container parsing (fmt extension, blockAlign walk, header-seeded
+    // block decode, header-sample-0 rule) is value-checked per block.
+    QueryDef("mm_decode_adpcm_wav", Some {
+      val stepTable = Seq(
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767).mkString(",")
+      "WITH RECURSIVE v AS (SELECT doc_id, CAST(gs.b AS INT) AS b, " +
+        "CAST((doc_id*31 + gs.b*17) % 1000 - 500 AS INT) AS p0, " +
+        "CAST((doc_id*7 + gs.b*3) % 89 AS INT) AS i0 " +
+        "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 2 AS BIGINT))) AS b) gs " +
+        "WHERE doc_id % 23 = 15), " +
+        "r AS (" +
+        "SELECT doc_id, b, 0 AS i, p0 AS pred, i0 AS idx, CAST(p0 AS BIGINT) AS s, " +
+        "p0 AS mn, p0 AS mx, p0 AS last FROM v " +
+        "UNION ALL " +
+        "SELECT doc_id, b, i + 1, np, ni, s + np, " +
+        "CAST(least(mn, np) AS INT), CAST(greatest(mx, np) AS INT), np FROM (" +
+        "SELECT doc_id, b, i, s, mn, mx, " +
+        "CAST(greatest(-32768, least(32767, " +
+        "pred + CASE WHEN nib >= 8 THEN -d ELSE d END)) AS INT) AS np, " +
+        "CAST(greatest(0, least(88, idx + it)) AS INT) AS ni FROM (" +
+        "SELECT *, (step // 8) + CASE WHEN (nib & 1) = 1 THEN step // 4 ELSE 0 END " +
+        "+ CASE WHEN (nib & 2) = 2 THEN step // 2 ELSE 0 END " +
+        "+ CASE WHEN (nib & 4) = 4 THEN step ELSE 0 END AS d, " +
+        "list_extract([-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8], nib + 1) AS it " +
+        "FROM (SELECT *, CAST((doc_id*13 + b*5 + i*7) % 16 AS INT) AS nib, " +
+        s"list_extract([$stepTable], idx + 1) AS step " +
+        "FROM r WHERE i < 32)))) " +
+        "SELECT doc_id AS media_id, b AS block_idx, 33 AS n_samples, " +
+        "CAST(s AS BIGINT) AS sum_pcm, mn AS min_pcm, mx AS max_pcm, " +
+        "last AS last_pcm, TRUE AS ok " +
+        "FROM r WHERE i = 32 ORDER BY media_id, block_idx"
+    },
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 15).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val nb = 1 + (id % 2).toInt
+            val blocks = Array.tabulate(nb) { b =>
+              val p0 = ((id * 31 + b * 17) % 1000).toInt - 500
+              val i0 = ((id * 7 + b * 3) % 89).toInt
+              (p0, i0, Array.tabulate(32)(j => ((id * 13 + b * 5 + j * 7) % 16).toByte))
+            }
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.Multimodal.adpcmWavBytes(8000, blocks),
+              "audio/x-adpcm-wav", None, None, Some(nb * 33L))
+          })
+        graft.operators.Multimodal.adpcmFromWav(media).toDF()
+          .orderBy("media_id", "block_idx")
       }),
 
     // REAL COLOR JPEG decode: 3-component interleaved baseline YCbCr

@@ -327,13 +327,21 @@ object Multimodal {
     * low nibble) into s16 PCM, from the initial (predictor=0, index=0)
     * state — the codec KERNEL of WAV format 0x11 / RFC 3551 DVI4, pure
     * integer and fully deterministic. Returns the decoded samples. */
-  def adpcmDecode(nibbles: Array[Byte]): Array[Int] = {
-    val out = new Array[Int](nibbles.length)
-    var pred = 0
-    var idx = 0
+  def adpcmDecode(nibbles: Array[Byte]): Array[Int] =
+    adpcmDecodeFrom(nibbles, 0, nibbles.length, 0, 0)
+
+  /** Same kernel from an explicit (predictor, step-index) seed over a
+    * byte-range of low nibbles — the per-block entry the WAV format-0x11
+    * container path needs (each block header carries its own seed). */
+  private[operators] def adpcmDecodeFrom(nibbles: Array[Byte], off: Int,
+                                         len: Int, pred0: Int,
+                                         idx0: Int): Array[Int] = {
+    val out = new Array[Int](len)
+    var pred = pred0
+    var idx = math.max(0, math.min(88, idx0))
     var i = 0
-    while (i < nibbles.length) {
-      val nib = nibbles(i) & 0x0f
+    while (i < len) {
+      val nib = nibbles(off + i) & 0x0f
       val step = AdpcmStep(idx)
       var diff = step >> 3
       if ((nib & 1) != 0) diff += step >> 2
@@ -379,6 +387,125 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** Minimal WAV format-0x11 (IMA ADPCM) container bytes: RIFF/WAVE with
+    * a 20-byte `fmt ` chunk (tag 0x11, mono, 4-bit, cbSize=2 carrying
+    * samplesPerBlock) and one `data` block per entry — each block the
+    * standard 4-byte state header (initial predictor s16 LE, step index
+    * u8, reserved u8) followed by nibble PAIRS (low nibble first). All
+    * blocks must share one nibble count (blockAlign is a single fmt
+    * field). Fixture-side helper, pairs with [[adpcmFromWav]] the way
+    * [[wavBytes]] pairs with [[audioWindows]]. */
+  def adpcmWavBytes(sampleRate: Int,
+                    blocks: Array[(Int, Int, Array[Byte])]): Array[Byte] = {
+    require(blocks.nonEmpty && blocks.map(_._3.length).distinct.length == 1,
+      "uniform nibble count per block")
+    val nNib = blocks(0)._3.length
+    require(nNib % 2 == 0, "nibbles pack two per byte")
+    val blockAlign = 4 + nNib / 2
+    val samplesPerBlock = 1 + nNib
+    val dataSz = blocks.length * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 20 + 8 + dataSz)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock)
+      .putShort(blockAlign.toShort).putShort(4).putShort(2)
+      .putShort(samplesPerBlock.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSz)
+    blocks.foreach { case (pred0, idx0, nibs) =>
+      bb.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte)
+      var j = 0
+      while (j < nNib) {
+        bb.put((((nibs(j + 1) & 0xf) << 4) | (nibs(j) & 0xf)).toByte)
+        j += 2
+      }
+    }
+    bb.array()
+  }
+
+  final case class AdpcmBlock(media_id: Long, block_idx: Int, n_samples: Int,
+                              sum_pcm: Long, min_pcm: Int, max_pcm: Int,
+                              last_pcm: Int, ok: Boolean)
+
+  /** REAL compressed-audio CONTAINER decode: WAV format 0x11 (IMA ADPCM)
+    * parsed from the RIFF chunks — fmt tag/mono check, blockAlign +
+    * samplesPerBlock from the fmt extension, then per-block decode seeded
+    * from each block's own 4-byte state header (the header predictor IS
+    * sample 0, per the format spec). Per-block integer features; a
+    * payload that is not mono IMA-ADPCM WAV quarantines as one ok=false
+    * row. Narrow mapPartitions; payloads never reach a shuffle. */
+  def adpcmFromWav(media: Dataset[MediaRow]): Dataset[AdpcmBlock] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def bad = Iterator.single(AdpcmBlock(r.media_id, 0, 0, 0L, 0, 0, 0, ok = false))
+      try {
+        val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (p.length < 12 || bb.getInt(0) != 0x46464952 /* RIFF */ ||
+          bb.getInt(8) != 0x45564157 /* WAVE */) bad
+        else {
+          var off = 12
+          var blockAlign = -1
+          var samplesPerBlock = -1
+          var dataOff = -1
+          var dataLen = -1
+          while (off + 8 <= p.length) {
+            val id = bb.getInt(off)
+            val sz = bb.getInt(off + 4)
+            if (sz < 0 || off + 8 + sz > p.length) { off = p.length }
+            else {
+              if (id == 0x20746d66 /* fmt */ && sz >= 20 &&
+                bb.getShort(off + 8) == 0x11 && bb.getShort(off + 10) == 1) {
+                blockAlign = bb.getShort(off + 20) & 0xffff
+                samplesPerBlock = bb.getShort(off + 26) & 0xffff
+              } else if (id == 0x61746164 /* data */) {
+                dataOff = off + 8; dataLen = sz
+              }
+              off += 8 + sz + (sz & 1)
+            }
+          }
+          val nNib = samplesPerBlock - 1
+          if (blockAlign < 5 || samplesPerBlock < 2 || dataOff < 0 ||
+            nNib != (blockAlign - 4) * 2) bad
+          else {
+            val nBlocks = dataLen / blockAlign
+            Iterator.tabulate(nBlocks) { b =>
+              val base = dataOff + b * blockAlign
+              val pred0 = bb.getShort(base).toInt
+              val idx0 = p(base + 2) & 0xff
+              if (idx0 > 88) AdpcmBlock(r.media_id, b, 0, 0L, 0, 0, 0, ok = false)
+              else {
+                val nibs = new Array[Byte](nNib)
+                var j = 0
+                while (j < nNib) {
+                  val byte = p(base + 4 + j / 2) & 0xff
+                  nibs(j) = (if (j % 2 == 0) byte & 0xf else byte >> 4).toByte
+                  j += 1
+                }
+                val dec = adpcmDecodeFrom(nibs, 0, nNib, pred0, idx0)
+                var s = pred0.toLong
+                var mn = pred0
+                var mx = pred0
+                var i = 0
+                while (i < dec.length) {
+                  val v = dec(i)
+                  s += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                AdpcmBlock(r.media_id, b, samplesPerBlock, s, mn, mx,
+                  if (dec.isEmpty) pred0 else dec(dec.length - 1), ok = true)
+              }
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => bad }
+    })
   }
 
   final case class AdpcmPcm(media_id: Long, n_samples: Int, sum_pcm: Long,

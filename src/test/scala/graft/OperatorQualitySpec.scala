@@ -728,6 +728,58 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!got(2L).ok)
   }
 
+  test("adpcmFromWav: WAV format-0x11 blocks decode seeded from their own " +
+    "state headers (header predictor = sample 0); non-ADPCM WAV and " +
+    "bad-index blocks quarantine") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val blocks = Array.tabulate(2) { b =>
+      (100 * b - 50, 10 + b * 20, Array.tabulate(32)(j => ((b * 5 + j * 7) % 16).toByte))
+    }
+    val wav = Multimodal.adpcmWavBytes(8000, blocks)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "audio/x-adpcm-wav", None, None, None),
+      // a PCM WAV (format 1) payload must quarantine in the ADPCM parser
+      Multimodal.MediaRow(2L, "audio", Multimodal.wavBytes(
+        Array.tabulate(64)(i => (100 * math.sin(i / 5.0)).toShort), 8000),
+        "audio/wav", None, None, None))
+    val got = Multimodal.adpcmFromWav(rows.toDS()).collect()
+      .map(r => (r.media_id, r.block_idx) -> r).toMap
+    for (b <- 0 to 1) {
+      val r = got((1L, b))
+      val (p0, i0, nibs) = blocks(b)
+      assert(r.ok && r.n_samples == 33)
+      // independent reference: run the kernel from the planted seed
+      val ref = {
+        var pred = p0; var idx = i0
+        val out = nibs.map { nb =>
+          val step = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+            28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+            130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+            449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+            1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+            4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+            11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+            27086, 29794, 32767)(idx)
+          var diff = step >> 3
+          if ((nb & 1) != 0) diff += step >> 2
+          if ((nb & 2) != 0) diff += step >> 1
+          if ((nb & 4) != 0) diff += step
+          pred = if ((nb & 8) != 0) pred - diff else pred + diff
+          pred = math.max(-32768, math.min(32767, pred))
+          idx = math.max(0, math.min(88, idx +
+            Seq(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)(nb)))
+          pred
+        }
+        out
+      }
+      assert(r.sum_pcm == p0.toLong + ref.map(_.toLong).sum, s"block $b sum")
+      assert(r.last_pcm == ref.last && r.min_pcm == (p0 +: ref.toSeq).min &&
+        r.max_pcm == (p0 +: ref.toSeq).max, s"block $b features")
+    }
+    assert(got.contains((2L, 0)) && !got((2L, 0)).ok)
+  }
+
   test("Jpeg.decodeRgb: 3-component 4:2:0 interleaved color — neutral-gray " +
     "macroblocks round-trip EXACTLY (fixed-point luma constants sum to 2^16, " +
     "chroma constant 128) and match the JDK decoder bit-for-bit; colored " +
