@@ -4941,12 +4941,13 @@ object Queries {
     // Per-domain quota (the C4/RefinedWeb host-cap step): keep at most K
     // docs per registered domain, preferring longer docs (n_chars as the
     // quality proxy) with doc_id tiebreak — the anti-boilerplate guard that
-    // stops one template site from dominating a crawl corpus. Shape: ONE
-    // row_number window per domain partition — no join, no driver state.
-    // At 100 TB the hot-domain partition is the skew concern; with a small
-    // K the scale-safe form is two-phase top-K (per-map-task partial top-K
-    // before the domain shuffle, the same trick as TakeOrdered), which this
-    // composes to without semantic change.
+    // stops one template site from dominating a crawl corpus. Shape: the
+    // TWO-PHASE top-K of Skew.topKPerKey — per-(domain, salt) partial
+    // top-K before the per-domain rank, so a hot template domain (the
+    // skew concern at 100 TB: one reducer would otherwise receive the
+    // whole domain) never sends more than k·salts rows to one reducer.
+    // Result identical to a direct row_number window (total order via the
+    // doc_id tiebreak); the oracle ranks directly.
     QueryDef("web_domain_cap", Some(
       urlOracleCtes +
         ", ranked AS (SELECT c.doc_id, c.reg_domain, CAST(row_number() OVER " +
@@ -4955,15 +4956,13 @@ object Queries {
         "SELECT doc_id, reg_domain, rk FROM ranked WHERE rk <= 3 " +
         "ORDER BY reg_domain, rk"),
       (s, d) => {
-        val w = Window.partitionBy("reg_domain")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        T(s, d, "documents").select("doc_id", "n_chars")
+        val keyed = T(s, d, "documents").select("doc_id", "n_chars")
           .select(col("doc_id"), col("n_chars"),
             operators.Web.registeredDomain(
               operators.Web.urlHost(syntheticUrl)).as("reg_domain"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("doc_id", "reg_domain", "rk")
+        operators.Skew.topKPerKey(keyed, Seq("reg_domain"),
+            Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+          .select(col("doc_id"), col("reg_domain"), col("rk").cast("long").as("rk"))
           .orderBy("reg_domain", "rk")
       }),
 

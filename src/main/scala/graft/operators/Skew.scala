@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators.
@@ -70,5 +71,42 @@ object Skew {
     b.join(s.hint("SHUFFLE_HASH"),
         b(bigKey) === s(smallKey) && b("__bsalt") === s("__ssalt"))
       .drop("__bsalt", "__ssalt")
+  }
+
+  /** Two-phase per-key top-K: `row_number() ≤ k` over each key by a TOTAL
+    * order, skew-safe. A single `row_number` window sends EVERY row of a
+    * hot key to one reducer — the C4/RefinedWeb per-domain cap meets
+    * exactly that key distribution (one template site can own a large
+    * fraction of a crawl). Phase 1 ranks within (key, salt) — a hot key's
+    * rows spread over `salts` reducers, each keeping its local top-k —
+    * then phase 2 ranks the ≤ k·salts survivors per key. Result is
+    * IDENTICAL to the direct window: every global top-k row is in the
+    * top-k of its salt bucket (the order is total), so phase 1 never
+    * drops a winner, and phase 2 assigns the same ranks because every row
+    * ordered before a top-k row also survives. The salt is a
+    * deterministic row hash (same idempotence argument as
+    * [[saltedCountSum]]).
+    *
+    * @param order a TOTAL order (include a unique tiebreak column —
+    *              row_number over a partial order is nondeterministic in
+    *              the direct window too, but here it could also change
+    *              WHICH rows survive phase 1)
+    * @return input columns + `rankName` (int, 1-based), rows with rank ≤ k
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                 k: Int, rankName: String = "rk", salts: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(salts >= 1, "salts must be >= 1")
+    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(salts)).cast("int")
+    val w1 = Window.partitionBy(keys.map(col) :+ col("__tksalt"): _*)
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__tksalt", salt)
+      .withColumn("__tkrn", row_number().over(w1))
+      .filter(col("__tkrn") <= k)
+      .drop("__tksalt", "__tkrn")
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    pruned.withColumn(rankName, row_number().over(w2))
+      .filter(col(rankName) <= k)
   }
 }

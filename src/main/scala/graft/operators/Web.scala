@@ -126,48 +126,29 @@ object Web {
     * literal / `*.Z.Y.X` wildcard before three-label literal / `*.Y.X`
     * wildcard before two-label literal / `*.X` wildcard before the
     * default `X` rule). A host that IS a bare suffix (no extra label to
-    * take) falls back to itself, and a single-label host yields '' —
-    * both matching the prior behavior. Pure row-local codegen, no
-    * shuffle, no Expand: the label suffixes are extracted ONCE by
-    * `substring_index` byte scans (guarded by a dot count so a too-short
-    * host yields '' exactly like the old anchored regexes) and feed every
-    * InSet probe — no per-row regex at all. */
-  def registeredDomain(host: Column, rules: PslRules = publicSuffixRules): Column = {
-    // build the set probe DIRECTLY as a Catalyst InSet node: `isin` expands
-    // to In(c, N literal children), and the analyzer/optimizer walk those
-    // ~900 child nodes on EVERY execution before folding them back to the
-    // very same InSet — measured ~0.2 s of per-query driver fixed cost on
-    // the web rows. Runtime semantics and codegen are identical.
-    def inSet(c: Column, s: Seq[String]): Column =
-      if (s.isEmpty) lit(false)
-      else org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
-          s.map(org.apache.spark.unsafe.types.UTF8String.fromString).toSet))
-    val nDots = length(host) - length(replace(host, lit("."), lit("")))
-    val last1 = substring_index(host, ".", -1)
-    def lastK(k: Int): Column =
-      when(nDots >= k - 1, substring_index(host, ".", -k)).otherwise("")
-    val last2 = lastK(2)
-    val last3 = lastK(3)
-    val last4 = lastK(4)
-    val last5 = lastK(5)
-    when(inSet(last3, rules.exc3), last3)
-      .when(inSet(last2, rules.exc2), last2)
-      // wildN needs lastN non-empty: a bare (N-1)-label host equal to a
-      // wildcard BASE (host = kawasaki.jp itself under *.kawasaki.jp) is
-      // not matched by the wildcard (the rule is longer than the host)
-      // and falls through to a shorter rule
-      .when(inSet(last4, rules.lit4) ||
-          (inSet(last3, rules.wild4) && last4 =!= ""),
-        when(last5 =!= "", last5).otherwise(last4))
-      .when(inSet(last3, rules.lit3) ||
-          (inSet(last2, rules.wild3) && last3 =!= ""),
-        when(last4 =!= "", last4).otherwise(last3))
-      .when(inSet(last2, rules.lit2) || inSet(last1, rules.wild2),
-        when(last3 =!= "", last3).otherwise(last2))
-      .otherwise(last2)
-  }
+    * take) falls back to itself, and a single-label host yields ''.
+    *
+    * Compiled to ONE codegen expression node
+    * ([[graft.plans.RegisteredDomainExpr]]): one backward scan extracts
+    * every label suffix, at most eight O(1) hash-set probes decide the
+    * rule — no per-row regex, no shuffle, no Expand. The earlier `when`
+    * chain over `substring_index`+InSet had the same RUNTIME shape but
+    * substituted the host subtree ~25× into the plan, and the analyzer/
+    * optimizer re-walk of that tree cost ~1 s of driver time per
+    * `web_domain_cap` build (round-12 regression); the opaque node keeps
+    * the tree at host+1. */
+  def registeredDomain(host: Column, rules: PslRules = publicSuffixRules): Column =
+    graft.plans.RegisteredDomainExpr(host,
+      if (rules eq publicSuffixRules) defaultPslSets else toSets(rules))
+
+  private def toSets(r: PslRules): graft.plans.UrlKernel.PslSets =
+    graft.plans.UrlKernel.pslSets(r.lit2, r.lit3, r.lit4,
+      r.wild2, r.wild3, r.wild4, r.exc2, r.exc3)
+
+  /** Shared sets instance for the default snapshot, so every plan using
+    * the default rules references ONE object (and expression equality /
+    * subexpression elimination see identical nodes). */
+  private lazy val defaultPslSets = toSets(publicSuffixRules)
 
   /** The full canonical URL (rules 1–5 above). Regex appears exactly four
     * times per row — the scheme strip, the host www/port strip, the port

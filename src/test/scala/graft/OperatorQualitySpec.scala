@@ -1172,6 +1172,31 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(one == direct)
   }
 
+  test("topKPerKey equals the direct row_number window on a pathologically hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 10k rows, 95% on one key; (score, id) is a total order (id unique)
+    val df = (1 to 10000).map { i =>
+      (if (i % 20 == 0) s"k${i % 7}" else "HOT", (i * 37) % 100, i.toLong)
+    }.toDF("k", "score", "id")
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val direct = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val twoPhase = graft.operators.Skew.topKPerKey(df, Seq("k"),
+        Seq(col("score").desc, col("id").asc), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(twoPhase == direct)
+    // degenerate salts=1 still correct; k larger than any group returns all
+    val one = graft.operators.Skew.topKPerKey(df, Seq("k"),
+        Seq(col("score").desc, col("id").asc), k = 5, salts = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(one == direct)
+    val all = graft.operators.Skew.topKPerKey(df.filter(col("k") =!= "HOT"),
+        Seq("k"), Seq(col("id").asc), k = 100000)
+    assert(all.count() == df.filter(col("k") =!= "HOT").count())
+  }
+
   test("roundHalfAwayAtMicro matches the oracle engine's round(double, 6) on boundary doubles") {
     // ground truth probed directly from DuckDB: the scale-by-1e6 multiply's
     // own fp rounding is part of the contract (5e-07's double scales to

@@ -141,6 +141,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing two-stage aggregation:\n$p")
   }
 
+  test("web_domain_cap: two-phase top-K — salted partial rank precedes the per-domain " +
+    "rank, and WindowGroupLimit prunes both phases") {
+    val p = plan("web_domain_cap")
+    // phase-1 exchange must carry the salt so a hot template domain spreads
+    // over salts reducers; phase 2 re-keys on the domain alone
+    val exs = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(p).toList
+    assert(exs.exists(e => e.contains("__tksalt") && e.contains("reg_domain")),
+      s"no salted phase-1 exchange — a hot domain funnels to one reducer:\n$p")
+    assert(exs.exists(e => e.contains("reg_domain") && !e.contains("__tksalt")),
+      s"missing phase-2 per-domain exchange:\n$p")
+    assert("Window ".r.findAllIn(p).size >= 2, s"expected both rank windows:\n$p")
+    // rank<=k is a WindowGroupLimit in both phases: each reducer keeps k
+    // rows per group while sorting, instead of ranking everything
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filter did not fuse into WindowGroupLimit:\n$p")
+    // the PSL lookup is one opaque codegen node — no Expand, no UDF
+    assert(!p.contains("Expand") && !p.contains("ScalaUDF"),
+      s"registered-domain lookup must stay a single codegen node:\n$p")
+  }
+
   test("a3_daily_uf: area dim broadcasts — the fact side never shuffles for the join") {
     val p = plan("a3_daily_uf")
     assert(p.contains("BroadcastHashJoin"), s"area join must broadcast:\n$p")

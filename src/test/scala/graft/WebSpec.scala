@@ -179,6 +179,45 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL snapshot provenance: every rule family is populated and resolves " +
+    "per the published PSL algorithm (snapshot edits cannot silently drop a family)") {
+    import spark.implicits._
+    val r = Web.publicSuffixRules
+    // one representative rule per family, taken FROM the parsed snapshot
+    // (not hard-coded hosts), so the test follows snapshot refreshes: a
+    // family that parses empty, or whose rules stop resolving, fails here
+    // with the family name
+    val families: Seq[(String, Seq[String], String => (String, String))] = Seq(
+      // literal rule S: host x.S → registered domain x.S
+      ("lit2", r.lit2, s => (s"example.$s", s"example.$s")),
+      ("lit3", r.lit3, s => (s"example.$s", s"example.$s")),
+      ("lit4", r.lit4, s => (s"example.$s", s"example.$s")),
+      // wildcard *.B: host x.y.B → suffix is y.B, registered domain x.y.B
+      ("wild2", r.wild2, b => (s"example.sub.$b", s"example.sub.$b")),
+      ("wild3", r.wild3, b => (s"example.sub.$b", s"example.sub.$b")),
+      ("wild4", r.wild4, b => (s"example.sub.$b", s"example.sub.$b")),
+      // exception !E under a sibling wildcard: any host under E → E itself
+      ("exc2", r.exc2, e => (s"deep.$e", e)),
+      ("exc3", r.exc3, e => (s"deep.$e", e)))
+    families.foreach { case (name, rules, mk) =>
+      assert(rules.nonEmpty, s"snapshot family $name parsed EMPTY")
+      val (host, want) = mk(rules.head)
+      val got = Seq(host).toDF("h")
+        .select(Web.registeredDomain(col("h"))).collect().head.getString(0)
+      assert(got == want, s"family $name (rule '${rules.head}'): " +
+        s"host $host resolved to '$got', want '$want'")
+      // and the family's suffix is a true public suffix: the bare
+      // registrable form one label up resolves to itself
+      val bare = want.split("\\.", 2) match { case Array(_, rest) => rest case _ => want }
+      if (bare.contains('.')) {
+        val gotBare = Seq(want).toDF("h")
+          .select(Web.registeredDomain(col("h"))).collect().head.getString(0)
+        assert(gotBare == want,
+          s"family $name: registrable '$want' must be its own registered domain, got '$gotBare'")
+      }
+    }
+  }
+
   test("registeredDomain plan stays Expand-free and UDF-free") {
     import spark.implicits._
     val plan = Seq("a.b.c").toDF("h")
