@@ -33,6 +33,20 @@ object Enrich {
     * nearest municipality within `knnMaxMeters` (geography distance to the
     * polygon boundary), matching 20_enrich_municipio.sql:43-74.
     *
+    * Shape: ONE linear pipeline — PIP left-join → per-event argmin window
+    * → KNN left-join (candidates attach only to still-unmatched rows via
+    * the join predicate itself) → per-event argmin window → accept-or-null.
+    * The earlier matched/unmatched branch-and-union form re-executed the
+    * PIP join once per branch and re-built the whole KNN candidate subtree
+    * a second time inside a broadcast anti-join (Spark does not
+    * materialize shared subtrees) — at 100 TB that is the expensive
+    * point-in-polygon kernel run TWICE over the day's facts. The linear
+    * form evaluates PIP once and the distance kernel once, and both
+    * windows key on `event_hash`, so the broadcast joins preserve the
+    * first window's partitioning and the whole chain costs ONE shuffle —
+    * of the day's batch only (enrichment is per-day incremental), never
+    * history.
+    *
     * @param facts must carry `event_hash`, `lon`, `lat`
     * @param municipios dim with cd_mun, nm_mun, uf, area_km2 + geom/bbox
     */
@@ -46,9 +60,7 @@ object Enrich {
     // exactly one assignment per event even when a boundary point falls in
     // two overlapping municipality polygons — mirrors the reference UPDATE
     // (one row per fact, lowest code wins), and keeps Pipeline.checkDay's
-    // curated==enriched conservation invariant intact. The window shuffles
-    // only the DAY's batch (enrichment is per-day incremental), never
-    // history — at 100 TB that is one day of facts, not the fact table.
+    // curated==enriched conservation invariant intact.
     val exact = facts.join(broadcast(dim),
         bboxPre(col("lon"), col("lat")) && pip(col("lon"), col("lat")), "left")
       .drop("geom", "min_lon", "min_lat", "max_lon", "max_lat")
@@ -56,38 +68,35 @@ object Enrich {
         Window.partitionBy("event_hash").orderBy(col("mun_cd_mun").asc_nulls_last)))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val matched = exact.filter(col("mun_cd_mun").isNotNull)
-    val unmatched = exact.filter(col("mun_cd_mun").isNull)
-      .drop("mun_cd_mun", "mun_nm_mun", "mun_uf", "mun_area_km2")
-
     // KNN fallback: candidate municipalities whose bbox expanded by ~2 km
     // contains the point; argmin by boundary distance; accept ≤ cutoff.
+    // `mun_cd_mun IS NULL` inside the join predicate keeps exact-matched
+    // rows candidate-free (they ride through the left join as one row).
     val padDeg = knnMaxMeters / 111000.0 * 1.5
-    val cand = unmatched.join(broadcast(dim),
-      col("lon") >= col("min_lon") - padDeg && col("lon") <= col("max_lon") + padDeg &&
-        col("lat") >= col("min_lat") - padDeg && col("lat") <= col("max_lat") + padDeg)
+    val knnDim = municipios.select(
+      col("cd_mun").as("knn_cd_mun"), col("nm_mun").as("knn_nm_mun"),
+      col("uf").as("knn_uf"), col("area_km2").as("knn_area_km2"),
+      col("geom"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    val accept = col("dist_m") <= knnMaxMeters // null dist (no candidate) → false
+    exact.join(broadcast(knnDim),
+        col("mun_cd_mun").isNull &&
+          col("lon") >= col("min_lon") - padDeg && col("lon") <= col("max_lon") + padDeg &&
+          col("lat") >= col("min_lat") - padDeg && col("lat") <= col("max_lat") + padDeg,
+        "left")
       .withColumn("dist_m", GeoFunctions.distanceToMultiPolygonMeters(
         col("lon"), col("lat"), col("geom")))
-      .withColumn("rn", row_number().over(
+      .withColumn("__rn", row_number().over(
         // nulls LAST: a null-distance candidate (null geom, populated bbox)
         // must not take rank 1 and shadow a real candidate within the cutoff
         Window.partitionBy("event_hash")
-          .orderBy(col("dist_m").asc_nulls_last, col("mun_cd_mun").asc)))
-      .filter(col("rn") === 1 && col("dist_m") <= knnMaxMeters)
-      .drop("rn", "dist_m", "geom", "min_lon", "min_lat", "max_lon", "max_lat")
-
-    val knnMatchedHashes = cand.select(col("event_hash").as("eh2"))
-    val stillUnmatched = unmatched
-      .join(knnMatchedHashes, col("event_hash") === col("eh2"), "left_anti")
-      .withColumn("mun_cd_mun", lit(null).cast("string"))
-      .withColumn("mun_nm_mun", lit(null).cast("string"))
-      .withColumn("mun_uf", lit(null).cast("string"))
-      .withColumn("mun_area_km2", lit(null).cast("double"))
-
-    val cols = matched.columns.map(col).toIndexedSeq
-    matched.select(cols: _*)
-      .unionByName(cand.select(cols: _*))
-      .unionByName(stillUnmatched.select(cols: _*))
+          .orderBy(col("dist_m").asc_nulls_last, col("knn_cd_mun").asc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .withColumn("mun_cd_mun", coalesce(col("mun_cd_mun"), when(accept, col("knn_cd_mun"))))
+      .withColumn("mun_nm_mun", coalesce(col("mun_nm_mun"), when(accept, col("knn_nm_mun"))))
+      .withColumn("mun_uf", coalesce(col("mun_uf"), when(accept, col("knn_uf"))))
+      .withColumn("mun_area_km2", coalesce(col("mun_area_km2"), when(accept, col("knn_area_km2"))))
+      .drop("__rn", "dist_m", "knn_cd_mun", "knn_nm_mun", "knn_uf", "knn_area_km2",
+        "geom", "min_lon", "min_lat", "max_lon", "max_lat")
   }
 
   /** J4/W6 — generic first-match PIP enrichment (biome / UC / TI):

@@ -34,11 +34,32 @@ import graft.marts.Marts
   * window, so the bound is semantically safe.
   */
 final class Pipeline(spark: SparkSession, root: String,
-                     municipios: DataFrame, biomas: DataFrame,
-                     ucs: Option[DataFrame] = None, tis: Option[DataFrame] = None,
+                     municipios0: DataFrame, biomas0: DataFrame,
+                     ucs0: Option[DataFrame] = None, tis0: Option[DataFrame] = None,
                      retentionDays: Int = 45) {
 
   private def path(p: String) = s"$root/$p"
+
+  /** Dimension tables are bounded by contract (≤ thousands of polygon rows
+    * — the reference holds them as small Postgres tables) and broadcast-
+    * join in EVERY statement a runDay executes. Collected ONCE into a
+    * driver-local relation, each statement's broadcast build is a plan-
+    * local LocalTableScan — zero Spark jobs — instead of a fresh collect
+    * job per broadcast per statement (the round-12 profile: ~46 ×130 ms
+    * broadcast mini-jobs across the 16 executions of a twice-run day,
+    * pure scheduler overhead on identical dim bytes). A cluster catalog's
+    * cached dim table reaches the same state after first use; here the
+    * pipeline instance IS that scope. */
+  private def localized(df: DataFrame): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  private val municipios = localized(municipios0)
+  private val biomas = localized(biomas0)
+  private val ucs = ucs0.map(localized)
+  private val tis = tis0.map(localized)
+  /** UF area rollup is dim-derived and day-independent: one aggregate per
+    * pipeline instance, not one per mart write. */
+  private lazy val ufAreaDim =
+    localized(Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2"))))
 
   // Schemas of the warehouse stores this instance reads back: every
   // schema-less spark.read.parquet runs a footer-inference JOB first
@@ -51,7 +72,7 @@ final class Pipeline(spark: SparkSession, root: String,
   private val tableSchemas =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
 
-  private def readTable(p: String): DataFrame =
+  private[graft] def readTable(p: String): DataFrame =
     Option(tableSchemas.get(p)) match {
       case Some(sc) => spark.read.schema(sc).parquet(path(p))
       case None =>
@@ -59,6 +80,31 @@ final class Pipeline(spark: SparkSession, root: String,
         tableSchemas.put(p, df.schema)
         df
     }
+
+  /** Writers call this after writing `written` under store path `p`: a
+    * cached entry for that store (or a partition dir under it) survives
+    * only if every written data column still matches it by name+type —
+    * the steady state, identical-schema appends. Otherwise the entry is
+    * dropped so the next read re-infers instead of silently projecting a
+    * stale schema (a backfill that ADDS a column would otherwise read it
+    * back as absent for the life of this instance). `partCols` are
+    * excluded: a partition-dir read ("curated/file_date=X") never carries
+    * the partition column, by design. */
+  private[graft] def noteWrite(p: String, written: DataFrame,
+                        partCols: Seq[String] = Seq("file_date")): Unit = {
+    val dataFields = written.schema.fields.filterNot(f => partCols.contains(f.name))
+    val it = tableSchemas.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k == p || k.startsWith(p + "/") || p.startsWith(k + "/")) {
+        val cached = e.getValue
+        val stillValid = dataFields.forall(f =>
+          cached.fields.exists(c => c.name == f.name && c.dataType == f.dataType))
+        if (!stillValid) it.remove()
+      }
+    }
+  }
   // Hadoop FS probe, not java.io.File: with an HDFS/S3 root a local-FS
   // probe is always false, readOrEmpty would always come back empty, and
   // every re-run would duplicate rows through the "idempotent" append
@@ -147,6 +193,7 @@ final class Pipeline(spark: SparkSession, root: String,
     val fresh = Ingest.idempotentAppend(records, existingHashes)
       .observe(obsInserted, count(lit(1)).as("n"))
     fresh.write.mode("append").partitionBy("file_date").parquet(path("curated"))
+    noteWrite("curated", fresh)
     val attempted = obsAttempted.get("n").asInstanceOf[Long]
     val inserted = obsInserted.get("n").asInstanceOf[Long]
 
@@ -160,6 +207,7 @@ final class Pipeline(spark: SparkSession, root: String,
       else curatedDay
     val enriched = enrichDims(Enrich.enrichMunicipio(newRows, municipios))
     enriched.write.mode("append").partitionBy("file_date").parquet(path("enriched"))
+    noteWrite("enriched", enriched)
 
     writeMarts(d, marts)
     records.unpersist()
@@ -202,9 +250,13 @@ final class Pipeline(spark: SparkSession, root: String,
     lazy val monthFileFacts = slice(enrichedAll.filter(
       date_trunc("month", col("file_date")).cast("date") ===
         lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1)))))
-    lazy val ufArea = Marts.ufAreaRollup(municipios.select(col("uf"), col("area_km2")))
+    lazy val ufArea = ufAreaDim
     def mart(name: String)(build: => DataFrame, part: String = "day"): Unit =
-      if (only(name)) Marts.writePartitioned(build, path(s"marts/$name"), part)
+      if (only(name)) {
+        val b = build
+        Marts.writePartitioned(b, path(s"marts/$name"), part)
+        noteWrite(s"marts/$name", b, Seq(part))
+      }
     try {
 
     mart("focos_diario_municipio")(Marts.focosDiarioMunicipio(dayFacts))
@@ -219,9 +271,11 @@ final class Pipeline(spark: SparkSession, root: String,
     mart("focos_diario_ti")(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")))
     mart("focos_mensal_ti")(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")), "month")
     // trend view over the (small) daily UF mart — W1/W2 moving averages
-    if (only("focos_diario_uf_trend"))
-      Marts.focosDiarioUfTrend(readTable("marts/focos_diario_uf"))
-        .write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
+    if (only("focos_diario_uf_trend")) {
+      val trend = Marts.focosDiarioUfTrend(readTable("marts/focos_diario_uf"))
+      trend.write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
+      noteWrite("marts/focos_diario_uf_trend", trend, Seq.empty)
+    }
     // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
     // the UF code column the reference denormalizes; our dims carry uf text
     mart("mv_focos_day_dim")(
@@ -250,8 +304,9 @@ final class Pipeline(spark: SparkSession, root: String,
       // read-modify-overwrite of exactly one partition (§7.4 risk 7)
       val tmp = path(s"enriched_tmp_$fileDate")
       out.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).withColumn("file_date", lit(d))
-        .write.mode("overwrite").partitionBy("file_date").parquet(path("enriched"))
+      val rewritten = spark.read.parquet(tmp).withColumn("file_date", lit(d))
+      rewritten.write.mode("overwrite").partitionBy("file_date").parquet(path("enriched"))
+      noteWrite("enriched", rewritten)
       new scala.reflect.io.Directory(new java.io.File(tmp.stripPrefix("file:"))).deleteRecursively()
     }
     n

@@ -118,6 +118,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(cube.filter(col("cd_bioma") === "1").agg(sum("n_focos")).head.getLong(0) == 15)
   }
 
+  test("enrichMunicipio: KNN fallback snaps a gap point within 2 km to the " +
+    "nearest municipality and leaves a far point unassigned") {
+    import spark.implicits._
+    import graft.enrich.Enrich
+    // Alpha covers lon [0,10], Beta [10.5,20] — a 0.5° gap between them.
+    // (10.49, 5) is ~1.1 km from Beta's western edge → snaps to Beta;
+    // (10.25, 5) is ~27 km from both → stays null; (5, 5) is exact-PIP
+    // inside Alpha and must NOT be touched by the fallback.
+    val facts = Seq(("h1", 5.0, 5.0), ("h2", 10.49, 5.0), ("h3", 10.25, 5.0))
+      .toDF("event_hash", "lon", "lat")
+    val got = Enrich.enrichMunicipio(facts, municipios)
+      .select("event_hash", "mun_cd_mun", "mun_nm_mun", "mun_uf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("h1", "1100015", "Alpha", "RO"),
+      ("h2", "1100023", "Beta", "AC"),
+      ("h3", null, null, null)))
+    // exactly one output row per fact — the conservation invariant the
+    // linear join+window form must preserve
+    assert(Enrich.enrichMunicipio(facts, municipios).count() == 3)
+  }
+
+  test("schema cache: a write that changes the store schema invalidates the " +
+    "cached entry; an unchanged-schema write keeps it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_cache")
+    val root = dir.resolve("wh").toString
+    val p = new Pipeline(spark, root, municipios, biomas)
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/demo")
+    assert(p.readTable("demo").columns.toSeq == Seq("a", "b")) // primes cache
+    // the store gains a column; without invalidation the cached schema
+    // silently projects it away
+    val v2 = Seq((2, "y", 9L)).toDF("a", "b", "c")
+    v2.write.mode("overwrite").parquet(s"$root/demo")
+    assert(p.readTable("demo").columns.toSeq == Seq("a", "b"),
+      "precondition: the stale cache really is in play")
+    p.noteWrite("demo", v2, Seq.empty)
+    assert(p.readTable("demo").columns.toSeq.sorted == Seq("a", "b", "c"),
+      "changed-schema write must invalidate the cached entry")
+    // unchanged-schema append keeps the (re-primed) cache entry valid
+    p.noteWrite("demo", v2, Seq.empty)
+    assert(p.readTable("demo").columns.toSeq.sorted == Seq("a", "b", "c"))
+  }
+
   test("idempotent re-run inserts nothing and keeps counts stable") {
     val (p, root, dir) = fixture
     val again = p.runDay(writeDailyCsv(dir, d1), d1)
