@@ -254,10 +254,25 @@ object Bench {
     // later commit can preserve for cross-round comparison. stdout keeps
     // the one-JSON-line contract unchanged.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
+    // TWO copies: the mutable bench_last.json pointer (cheap to find), and
+    // a timestamp-stamped immutable file under bench/ — bench_last.json is
+    // overwritten by EVERY invocation including ad-hoc adjudication runs,
+    // which once destroyed a full end-of-round artifact; the stamped copy
+    // makes that impossible. SPARK_GRAFT_BENCH_STAMPED=0 disables the
+    // stamped copy (spec runs).
+    val stamped =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STAMPED", "1") == "0") Nil
+      else {
+        val dir = java.nio.file.Paths.get("bench")
+        Seq(dir.resolve(s"bench_${System.currentTimeMillis()}_${results.length}q.json"))
+      }
+    (java.nio.file.Paths.get(outPath) +: stamped).foreach { pth =>
+      try {
+        if (pth.getParent != null) java.nio.file.Files.createDirectories(pth.getParent)
+        java.nio.file.Files.write(pth, (line + "\n").getBytes("UTF-8")); ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $pth: $e") }
+    }
     println(line)
     spark.stop()
   }

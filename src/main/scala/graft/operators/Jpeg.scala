@@ -132,7 +132,7 @@ object Jpeg {
     if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
 
   // one frame component: sampling factors, tables, and its decoded plane
-  private final class Comp(val h: Int, val v: Int, val qId: Int) {
+  private final class Comp(val id: Int, val h: Int, val v: Int, val qId: Int) {
     var dcId = 0
     var acId = 0
     var pred = 0
@@ -150,7 +150,7 @@ object Jpeg {
     * the grayscale-MJPG contract of [[Multimodal.aviDecodeMjpg]] wants
     * color frames quarantined, not silently luma-flattened. */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    decodeImage(bytes) match {
+    decodeImage(bytes, grayOnly = true) match {
       case Some(img) if img.nComp == 1 => Some((img.width, img.height, img.px))
       case _ => None
     }
@@ -162,10 +162,11 @@ object Jpeg {
       else img.copy(px = img.px.map(g => (g << 16) | (g << 8) | g))
     }
 
-  private def decodeImage(bytes: Array[Byte]): Option[JpegImage] =
-    try decode0(bytes) catch { case scala.util.control.NonFatal(_) => None }
+  private def decodeImage(bytes: Array[Byte],
+                          grayOnly: Boolean = false): Option[JpegImage] =
+    try decode0(bytes, grayOnly) catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decode0(p: Array[Byte]): Option[JpegImage] = {
+  private def decode0(p: Array[Byte], grayOnly: Boolean): Option[JpegImage] = {
     var pos = 0
     def u8(): Int = { val v = p(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff); pos += 2; v }
@@ -192,14 +193,19 @@ object Jpeg {
           height = u16(); width = u16()
           val nc = u8()
           if (nc != 1 && nc != 3) return None
+          // gray-only callers (the grayscale-MJPG contract) reject color
+          // frames HERE, at header-parse time — never after decoding up to
+          // width·height·3 transient planes that would only be discarded
+          if (grayOnly && nc != 1) return None
           comps = Array.fill(nc) {
-            u8() // component id (JFIF order assumed: Y, Cb, Cr)
+            val id = u8() // component identifier (§B.2.2 Ci)
             val hv = u8()
             val q = u8()
-            val c = new Comp(hv >> 4, hv & 0xf, q)
+            val c = new Comp(id, hv >> 4, hv & 0xf, q)
             if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4) return None
             c
           }
+          if (comps.map(_.id).distinct.length != nc) return None
           pos = end
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -238,19 +244,30 @@ object Jpeg {
           // baseline single-scan only: Ns must cover the frame exactly
           // (1-component frames non-interleaved, 3-component interleaved)
           if (ns != comps.length) return None
+          // Cs selectors match frame components BY IDENTIFIER (§B.2.3 Csj
+          // = some Ci) — an unknown or duplicate selector quarantines; a
+          // reordered-but-valid selector list decodes correctly because the
+          // MCU block walk follows SCAN order while planes/color keep
+          // frame order
+          val scanComps = new Array[Comp](ns)
           var i = 0
           while (i < ns) {
-            u8() // component selector — JFIF order assumed
+            val cs = u8()
             val tdTa = u8()
-            comps(i).dcId = tdTa >> 4
-            comps(i).acId = tdTa & 0xf
+            val found = comps.find(_.id == cs)
+            if (found.isEmpty) return None // selector names no frame comp
+            val c = found.get
+            if (scanComps.contains(c)) return None // duplicate selector
+            c.dcId = tdTa >> 4
+            c.acId = tdTa & 0xf
+            scanComps(i) = c
             i += 1
           }
           pos = end // skip Ss/Se/Ah/Al (fixed for baseline)
           if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null ||
             qtabs(c.qId) == null)) return None
-          return decodeScan(p, pos, width, height, comps, qtabs, dcTabs, acTabs,
-            restartInterval)
+          return decodeScan(p, pos, width, height, comps, scanComps, qtabs,
+            dcTabs, acTabs, restartInterval)
         case _ => // APPn / COM / anything with a length — skip
           val len = u16()
           if (len < 2) return None // a backward skip would loop forever
@@ -261,7 +278,8 @@ object Jpeg {
   }
 
   private def decodeScan(p: Array[Byte], start: Int, width: Int, height: Int,
-                         comps: Array[Comp], qtabs: Array[Array[Int]],
+                         comps: Array[Comp], scanComps: Array[Comp],
+                         qtabs: Array[Array[Int]],
                          dcTabs: Array[Huff], acTabs: Array[Huff],
                          ri: Int): Option[JpegImage] = {
     if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
@@ -384,8 +402,8 @@ object Jpeg {
         val mx = mcu % mcusX
         val my = mcu / mcusX
         var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
           var bv = 0
           while (bv < c.v) {
             var bh = 0

@@ -635,6 +635,15 @@ object Multimodal {
   private[graft] final case class AviLayout(
       width: Int, height: Int, nFrames: Int, frames: Vector[(Long, Int)])
 
+  /** Frame-slice bound check BEFORE allocating, in Long arithmetic: a
+    * malformed index entry declaring a huge chunk size (sz near
+    * Int.MaxValue) must quarantine, not wrap `o.toInt + sz` negative and
+    * pass the check — today parseAvi's own offset walk happens to throw
+    * on such entries first, but the decode path must not depend on that
+    * accident. */
+  private[graft] def frameInBounds(o: Long, sz: Int, payloadLen: Int): Boolean =
+    sz >= 0 && o >= 0 && o + sz.toLong <= payloadLen
+
   private[graft] def parseAvi(p: Array[Byte]): Option[AviLayout] = {
     def u32(off: Int): Long =
       (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
@@ -1012,9 +1021,7 @@ object Multimodal {
         case Some(av) =>
           av.frames.iterator.zipWithIndex
             .filter(_._2 % every == 0).map { case ((o, sz), i) =>
-              // bounds-check BEFORE allocating: a malformed index entry
-              // declaring a huge chunk size must quarantine, not OOM
-              if (sz < 0 || o.toInt + sz > p.length)
+              if (!frameInBounds(o, sz, p.length))
                 VideoPixels(r.media_id, i, av.width, av.height, sz, 0L, 0L, 0, ok = false)
               else {
                 val frame = new Array[Byte](sz)

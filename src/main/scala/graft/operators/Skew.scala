@@ -97,7 +97,25 @@ object Skew {
                  k: Int, rankName: String = "rk", salts: Int = 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(salts >= 1, "salts must be >= 1")
-    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+    Seq("__tksalt", "__tkrn", rankName).foreach(n =>
+      require(!df.columns.contains(n),
+        s"topKPerKey reserves column name '$n' but the input already has it"))
+    // salt over key + order-referenced columns only (the order is a TOTAL
+    // order by contract, so these give full row entropy): hashing every
+    // input column would break on un-hashable types the caller never
+    // ranks by (xxhash64 rejects map columns at analysis time). Fall back
+    // to all columns when the order refs can't be extracted (resolved
+    // plans always yield them).
+    val orderRefs = order.flatMap(c =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      })
+    val saltCols = {
+      val named = (keys ++ orderRefs).distinct.filter(df.columns.contains)
+      if (named.nonEmpty) named else df.columns.toSeq
+    }
+    val salt = pmod(xxhash64(struct(saltCols.map(col).toIndexedSeq: _*)),
       lit(salts)).cast("int")
     val w1 = Window.partitionBy(keys.map(col) :+ col("__tksalt"): _*)
       .orderBy(order: _*)

@@ -50,8 +50,18 @@ final class Pipeline(spark: SparkSession, root: String,
     * pure scheduler overhead on identical dim bytes). A cluster catalog's
     * cached dim table reaches the same state after first use; here the
     * pipeline instance IS that scope. */
-  private def localized(df: DataFrame): DataFrame =
-    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  private def localized(df: DataFrame): DataFrame = {
+    // the bounded-dim contract, enforced loudly: collect limit+1 rows so a
+    // mis-wired fact-sized "dim" fails with a clear message instead of
+    // OOMing the driver mid-collect
+    val limit = 200000
+    val rows = df.limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"dimension exceeds the bounded-dim contract (> $limit rows); " +
+        "refusing to localize it into the driver — wire it as a regular " +
+        s"distributed table instead (schema: ${df.schema.simpleString})")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
   private val municipios = localized(municipios0)
   private val biomas = localized(biomas0)
   private val ucs = ucs0.map(localized)
@@ -83,25 +93,28 @@ final class Pipeline(spark: SparkSession, root: String,
 
   /** Writers call this after writing `written` under store path `p`: a
     * cached entry for that store (or a partition dir under it) survives
-    * only if every written data column still matches it by name+type —
-    * the steady state, identical-schema appends. Otherwise the entry is
-    * dropped so the next read re-infers instead of silently projecting a
-    * stale schema (a backfill that ADDS a column would otherwise read it
-    * back as absent for the life of this instance). `partCols` are
-    * excluded: a partition-dir read ("curated/file_date=X") never carries
-    * the partition column, by design. */
+    * only if its data fields and the written data fields are SET-EQUAL by
+    * name+type (modulo `partCols`) — the steady state, identical-schema
+    * appends. Otherwise the entry is dropped so the next read re-infers
+    * instead of silently projecting a stale schema. The check is
+    * two-directional on purpose: a write that ADDS a column would
+    * otherwise read back as absent, and a write that DROPS or renames one
+    * would otherwise read the missing column back as all-null for the
+    * life of this instance. `partCols` are excluded on BOTH sides: a
+    * partition-dir read ("curated/file_date=X") never carries the
+    * partition column, by design. */
   private[graft] def noteWrite(p: String, written: DataFrame,
                         partCols: Seq[String] = Seq("file_date")): Unit = {
-    val dataFields = written.schema.fields.filterNot(f => partCols.contains(f.name))
+    def dataSet(fields: Array[org.apache.spark.sql.types.StructField]) =
+      fields.filterNot(f => partCols.contains(f.name))
+        .map(f => (f.name, f.dataType)).toSet
+    val writtenSet = dataSet(written.schema.fields)
     val it = tableSchemas.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val k = e.getKey
       if (k == p || k.startsWith(p + "/") || p.startsWith(k + "/")) {
-        val cached = e.getValue
-        val stillValid = dataFields.forall(f =>
-          cached.fields.exists(c => c.name == f.name && c.dataType == f.dataType))
-        if (!stillValid) it.remove()
+        if (dataSet(e.getValue.fields) != writtenSet) it.remove()
       }
     }
   }

@@ -689,6 +689,134 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(rows.exists(!_.ok))
   }
 
+  test("frameInBounds: the decode-path bound is Long arithmetic — a chunk " +
+    "size near Int.MaxValue cannot wrap the sum negative and pass") {
+    import graft.operators.Multimodal.frameInBounds
+    // the wrap case: 300 + Int.MaxValue overflows Int to a negative value,
+    // which `o.toInt + sz > p.length` would NOT have caught
+    assert(!frameInBounds(300L, Int.MaxValue, 1000))
+    assert(!frameInBounds(300L, Int.MaxValue - 200, 1000))
+    assert(!frameInBounds(-1L, 10, 1000)) // negative offset
+    assert(!frameInBounds(0L, -1, 1000)) // negative size
+    assert(!frameInBounds(996L, 5, 1000)) // one past the end
+    assert(frameInBounds(996L, 4, 1000)) // exactly at the end
+    assert(frameInBounds(0L, 0, 0)) // empty slice of empty payload
+  }
+
+  test("Jpeg: SOS component selectors match SOF0 components BY IDENTIFIER — " +
+    "non-JFIF ids decode, unknown/duplicate selectors quarantine, and a " +
+    "reordered chroma selector list still decodes the neutral-gray fixture " +
+    "exactly (scan-order MCU walk)") {
+    import graft.operators.{Jpeg, Multimodal}
+    def v(bx: Int, by: Int): Int = 16 + (bx * 41 + by * 23) % 220
+    val base = encodeGrayDcOnly(24, 16, v, 0)
+    val Some((_, _, want)) = Jpeg.decodeGray(base)
+    // locate SOF0 (sig FFC0 len=11) and SOS (sig FFDA len=8 ns=1) in the
+    // from-spec encoder's output; comp id is SOF0+10, selector is SOS+5
+    def find(sig: Int, len: Int): Int = {
+      var i = 2
+      while (!((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == (sig & 0xff) &&
+        ((base(i + 2) & 0xff) << 8 | (base(i + 3) & 0xff)) == len)) i += 1
+      i
+    }
+    val sof = find(0xc0, 11)
+    val sos = find(0xda, 8)
+    // 1) same unusual id (5) in both headers: must decode identically —
+    //    a positional "JFIF order assumed" decoder also passes this, but
+    //    combined with (2) it pins id MATCHING, not position
+    val renamed = base.clone()
+    renamed(sof + 10) = 5; renamed(sos + 5) = 5
+    assert(Jpeg.decodeGray(renamed).map(_._3.toSeq) == Some(want.toSeq))
+    // 2) selector names no frame component: quarantine, never assume
+    val unknown = base.clone()
+    unknown(sos + 5) = 2
+    assert(Jpeg.decodeGray(unknown).isEmpty, "unknown selector must quarantine")
+    // 3) color stream with the two chroma selector ENTRIES swapped (ids +
+    //    table specs move together): on the neutral-gray fixture both
+    //    chroma planes are the constant 128, so a correct by-id decoder
+    //    reproduces the image exactly; a positional decoder that also
+    //    mis-assigns TABLES may still decode here, so the load-bearing
+    //    assertions are (2) and (4)
+    def gv(mx: Int, my: Int): Int = { val p = 20 + (mx * 37 + my * 11) % 200; (p << 16) | (p << 8) | p }
+    val cbytes = Multimodal.jpegRgbBytes(48, 32, gv)
+    val csos = { // SOS for ns=3: sig FFDA len=12, entries at +5
+      var i = 2
+      while (!((cbytes(i) & 0xff) == 0xff && (cbytes(i + 1) & 0xff) == 0xda &&
+        ((cbytes(i + 2) & 0xff) << 8 | (cbytes(i + 3) & 0xff)) == 12)) i += 1
+      i
+    }
+    val swapped = cbytes.clone()
+    swapped(csos + 7) = cbytes(csos + 9); swapped(csos + 8) = cbytes(csos + 10)
+    swapped(csos + 9) = cbytes(csos + 7); swapped(csos + 10) = cbytes(csos + 8)
+    val Some(img) = Jpeg.decodeRgb(swapped)
+    for (y <- 0 until 32; x <- 0 until 48)
+      assert(img.px(y * 48 + x) == gv(x / 16, y / 16),
+        s"reordered-selector pixel ($x,$y)")
+    // 4) duplicate selector: quarantine
+    val dup = cbytes.clone()
+    dup(csos + 9) = dup(csos + 7)
+    assert(Jpeg.decodeRgb(dup).isEmpty, "duplicate selector must quarantine")
+  }
+
+  test("Jpeg.decodeGray: color frames are rejected at HEADER-parse time — " +
+    "near-pixel-cap color headers with garbage entropy data return None " +
+    "without allocating the three full-size component planes") {
+    import graft.operators.Jpeg
+    // hand-build SOI + minimal DQT/SOF0(nc=3, 5792x5792 ≈ 33.5M px, just
+    // under the 1<<26 cap)/DHT/SOS + garbage: the OLD path allocated
+    // 3 × 33.5M-int planes (~400 MB) per call before the entropy eof threw;
+    // header-time rejection makes 50 calls effectively free
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = { out += v.toByte; () }
+    def b2(v: Int): Unit = { b(v >> 8); b(v & 0xff) }
+    b2(0xffd8)
+    b2(0xffdb); b2(67); b(0); for (_ <- 0 until 64) b(1)
+    b2(0xffc0); b2(8 + 3 * 3); b(8); b2(5792); b2(5792); b(3)
+    b(1); b(0x11); b(0); b(2); b(0x11); b(0); b(3); b(0x11); b(0)
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    b2(0xffc4); b2(2 + 1 + 16 + 12); b(0x00); dcBits.foreach(b); (0 to 11).foreach(b)
+    b2(0xffc4); b2(2 + 1 + 16 + 12); b(0x10); dcBits.foreach(b); (0 to 11).foreach(b)
+    b2(0xffda); b2(6 + 2 * 3); b(3)
+    b(1); b(0x00); b(2); b(0x00); b(3); b(0x00); b(0); b(63); b(0)
+    for (i <- 1 to 16) b(i * 37 % 251) // garbage entropy bytes
+    val colorHuge = out.toArray
+    // sanity: the same header IS in scope for the color path (proves the
+    // gray rejection below is the grayOnly gate, not general malformed-ness)
+    assert(Jpeg.decodeRgb(colorHuge).isEmpty) // garbage entropy → None, but parsed
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 50) assert(Jpeg.decodeGray(colorHuge).isEmpty)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 2.0,
+      f"50 gray-path rejections took $sec%.2f s — color frames are being " +
+        "decoded (or their planes allocated) before the nComp check")
+  }
+
+  test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
+    "map-typed payload column no longer breaks the salt hash") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10), ("a", 2, 9), ("b", 3, 8)).toDF("k", "id", "n")
+    for (bad <- Seq("__tksalt", "__tkrn")) {
+      val clash = df.withColumn(bad, col("n"))
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Skew.topKPerKey(clash, Seq("k"),
+          Seq(col("n").desc, col("id")), 1)
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Skew.topKPerKey(df, Seq("k"),
+        Seq(col("n").desc, col("id")), 1, rankName = "n")
+    }
+    assert(e2.getMessage.contains("'n'"))
+    // a map column (un-hashable by xxhash64) rides along untouched because
+    // the salt hashes only key + order-referenced columns
+    val withMap = df.withColumn("m", map(lit("x"), col("n")))
+    val got = graft.operators.Skew.topKPerKey(withMap, Seq("k"),
+      Seq(col("n").desc, col("id")), 1)
+      .select("k", "id", "rk").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("a", 1, 1), ("b", 3, 1)))
+  }
+
   test("adpcm: hand-checked first transitions, saturation clamps at both " +
     "rails, encoder round-trip tracks a smooth signal, operator features " +
     "match a direct decode; empty payloads quarantine") {

@@ -161,6 +161,26 @@ class PipelineSpec extends AnyFunSuite {
     // unchanged-schema append keeps the (re-primed) cache entry valid
     p.noteWrite("demo", v2, Seq.empty)
     assert(p.readTable("demo").columns.toSeq.sorted == Seq("a", "b", "c"))
+    // a write that DROPS a column must also invalidate (set equality, not
+    // subset): a one-directional check would keep the stale 3-column entry
+    // and read the vanished column back as all-null forever
+    val v3 = Seq((3, "z")).toDF("a", "b")
+    v3.write.mode("overwrite").parquet(s"$root/demo")
+    p.noteWrite("demo", v3, Seq.empty)
+    assert(p.readTable("demo").columns.toSeq.sorted == Seq("a", "b"),
+      "dropped-column write must invalidate the cached entry")
+  }
+
+  test("localized dims: a fact-sized frame mis-wired as a dimension fails " +
+    "the bounded-dim contract loudly instead of collecting unbounded") {
+    val dir = Files.createTempDirectory("graft_dim_guard")
+    val big = spark.range(200001).selectExpr("cast(id as string) as uf",
+      "cast(id as double) as area_km2", "'x' as nm_mun", "'1' as cd_mun",
+      "'g' as geom_json")
+    val e = intercept[IllegalArgumentException] {
+      new Pipeline(spark, dir.resolve("wh").toString, big, biomas)
+    }
+    assert(e.getMessage.contains("bounded-dim"))
   }
 
   test("idempotent re-run inserts nothing and keeps counts stable") {
