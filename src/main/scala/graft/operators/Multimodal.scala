@@ -96,9 +96,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(
-              if (r.payload == null) Array.empty[Byte] else r.payload))
+          val img = readImage(
+            if (r.payload == null) Array.empty[Byte] else r.payload)
           if (img == null) DecodedImage(r.media_id, 0, 0, 0L, ok = false)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -123,11 +122,80 @@ object Multimodal {
     }
   }
 
+  // javax.imageio's STATIC entry points (ImageIO.read / ImageIO.write) run
+  // a synchronized plugin-registry lookup per CALL; under 32 decode threads
+  // on tiny images that lock serializes the whole stage (measured on the
+  // 500×(≤31×16)-PNG gate row: best-of-N steady slower than the cold run —
+  // the contention grows as JIT makes everything else faster). One
+  // reader/writer per (thread, format), fed MemoryCache image streams
+  // directly, keeps the per-row path registry-free; readers reset() before
+  // reuse so a corrupt payload can't poison the next row.
+  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriterTL.get()
+    try { w.setOutput(out); w.write(img); out.flush() }
+    finally { w.setOutput(null); out.close() }
+    bos.toByteArray
+  }
+
+  private val jpegWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+  /** Quality-1.0 JPEG encode on the cached per-thread writer — the fixture
+    * encoders run per ROW inside map tasks, so the static registry lookup
+    * they used to make per call was the same 32-thread lock as the decode
+    * side. */
+  private def writeJpegQ1(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = jpegWriterTL.get()
+    val param = w.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      w.setOutput(out)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      out.flush()
+    } finally { w.setOutput(null); out.close() }
+    baos.toByteArray
+  }
+
+  private val readerTL: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, javax.imageio.ImageReader]())
+  private def sniffImageFormat(p: Array[Byte]): String =
+    if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') "gif"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else null
+  /** ImageIO decode without the static registry path: null for
+    * unrecognized/undecodable payloads (the quarantine contract), throws
+    * only what callers already catch. */
+  private def readImage(p: Array[Byte]): java.awt.image.BufferedImage =
+    sniffImageFormat(p) match {
+      case null => // exotic container: fall back to the registry path once
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      case fmt =>
+        val m = readerTL.get()
+        var r = m.get(fmt)
+        if (r == null) {
+          r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+          m.put(fmt, r)
+        }
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try { r.reset(); r.setInput(in, true, true); r.read(0) }
+        finally { in.close() }
+    }
+
   /** Real PNG bytes for a solid-`rgb` w×h image (ImageIO encoder). The
     * oracle-able fixture: PNG is lossless, so decoded dims and the pixel
     * checksum of a solid color are pure integer functions of (w, h, rgb). */
   def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -136,9 +204,7 @@ object Multimodal {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Real PNG bytes for a w×h GRAY GRADIENT image: pixel (x, y) has gray
@@ -147,7 +213,6 @@ object Multimodal {
     * wrong source pixels changes the checksum, which a solid color would
     * mask. */
   def pngGradientBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -160,9 +225,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   final case class ResizedImage(media_id: Long, width: Int, height: Int,
@@ -185,9 +248,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(
-              if (r.payload == null) Array.empty[Byte] else r.payload))
+          val img = readImage(
+            if (r.payload == null) Array.empty[Byte] else r.payload)
           if (img == null) ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -911,17 +973,7 @@ object Multimodal {
       }
       y += 1
     }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(1.0f)
-    val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally { writer.dispose(); ios.close() }
-    baos.toByteArray
+    writeJpegQ1(img)
   }
 
   /** Color JPEG fixture bytes via the JDK encoder: a TYPE_3BYTE_BGR image
@@ -948,17 +1000,7 @@ object Multimodal {
       }
       y += 1
     }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(1.0f)
-    val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally { writer.dispose(); ios.close() }
-    baos.toByteArray
+    writeJpegQ1(img)
   }
 
   final case class DecodedRgb(media_id: Long, width: Int, height: Int,
