@@ -902,7 +902,9 @@ object Queries {
       // round-12: the from-spec MJPG/JPEG decode's typed-encoder +
       // mapPartitions classes (and the decoder's own JIT) compile here
       "mm_decode_jpeg", "mm_decode_jpeg_color", "mm_decode_adpcm",
-      "mm_decode_adpcm_wav")
+      "mm_decode_adpcm_wav",
+      // round-14: the progressive (SOF2) multi-scan path JITs separately
+      "mm_decode_jpeg_progressive")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -5760,6 +5762,41 @@ object Queries {
                 (v << 16) | (v << 8) | v
               }),
               "image/jpeg", Some(16 * wb), Some(16 * hb), None)
+          })
+        graft.operators.Multimodal.decodeJpegRgb(media).toDF()
+          .orderBy("media_id")
+      }),
+
+    // PROGRESSIVE (SOF2) JPEG decode — the dominant web JPEG encoding,
+    // decoded by the from-spec multi-scan path (spectral selection +
+    // successive approximation, T.81 Annex G). Same block-constant
+    // quality-1.0 exactness contract as mm_decode_jpeg: DC-only blocks
+    // survive the successive-approximation bit splits bit-perfectly, so
+    // the oracle states pixel sums in closed form while the stream is the
+    // JDK encoder's real ~10-scan progression script.
+    QueryDef("mm_decode_jpeg_progressive", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb " +
+        "FROM documents WHERE doc_id % 19 = 5), " +
+        "s AS (SELECT doc_id, wb, hb, list_sum(list_transform(range(wb * hb), b -> " +
+        "20 + (doc_id*11 + (b % wb)*13 + (b // wb)*5) % 200)) AS vs, " +
+        "20 + (doc_id*11) % 200 AS v0 FROM v) " +
+        "SELECT doc_id AS media_id, CAST(wb * 8 AS INT) AS width, " +
+        "CAST(hb * 8 AS INT) AS height, " +
+        "CAST(64 * vs AS BIGINT) AS sum_r, CAST(64 * vs AS BIGINT) AS sum_g, " +
+        "CAST(64 * vs AS BIGINT) AS sum_b, " +
+        "CAST(v0 * 65536 + v0 * 256 + v0 AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM s ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 19 === 5).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val wb = 2 + (id % 3).toInt
+            val hb = 1 + (id % 2).toInt
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.jpegGrayProgressiveBytes(8 * wb, 8 * hb,
+                (bx, by) => (20 + (id * 11 + bx * 13 + by * 5) % 200).toInt),
+              "image/jpeg", Some(8 * wb), Some(8 * hb), None)
           })
         graft.operators.Multimodal.decodeJpegRgb(media).toDF()
           .orderBy("media_id")

@@ -8,14 +8,17 @@ package graft.operators
   * `javax.imageio`, which cannot be handed an in-container frame slice
   * without a per-frame stream copy anyway).
   *
-  * Scope (documented, spec-cited): baseline sequential DCT (SOF0), 8-bit
-  * precision, one-component grayscale AND three-component interleaved
-  * YCbCr color with arbitrary sampling factors ≤4 (4:4:4, 4:2:0 — the
-  * JDK encoder's invariable choice — and 4:2:2 all fall out of the
-  * general MCU walk), standard or optimized Huffman tables, restart
-  * intervals. Progressive (SOF2), arithmetic coding, hierarchical, and
-  * other component counts return None → callers quarantine (`ok=false`),
-  * never mis-decode.
+  * Scope (documented, spec-cited): baseline sequential DCT (SOF0) AND
+  * progressive DCT (SOF2, spectral selection + successive approximation
+  * per Annex G — the dominant web JPEG encoding), 8-bit precision,
+  * one-component grayscale and three-component interleaved YCbCr color
+  * with arbitrary sampling factors ≤4 (4:4:4, 4:2:0 — the JDK encoder's
+  * invariable choice — and 4:2:2 all fall out of the general MCU walk),
+  * standard or optimized Huffman tables, restart intervals. Arithmetic
+  * coding, hierarchical, extended-precision, and other component counts
+  * return None → callers quarantine (`ok=false`), never mis-decode.
+  * Progressive decode accumulates raw coefficients across scans in
+  * per-component MCU-padded grids and dequantizes + IDCTs once at EOI.
   *
   * Decode pipeline per T.81: marker parse (DQT §B.2.4.1, DHT §B.2.4.2,
   * SOF0 §B.2.2, DRI §B.2.4.4, SOS §B.2.3) → entropy-coded segment with
@@ -139,6 +142,11 @@ object Jpeg {
     var planeW = 0 // in pixels, = blocks across * 8
     var planeH = 0
     var plane: Array[Int] = null
+    // progressive (SOF2) only: the raw coefficient grid accumulated across
+    // scans (natural order within each 64-int block), MCU-padded
+    var blocksW = 0
+    var blocksH = 0
+    var coefs: Array[Int] = null
   }
 
   /** Decoded image: `px` is gray values for nComp==1, packed 0xRRGGBB
@@ -179,14 +187,28 @@ object Jpeg {
     var height = 0
     var comps: Array[Comp] = null
     var restartInterval = 0
+    var progressive = false
+    var sawProgScan = false
+    var hMax = 0
+    var vMax = 0
+    var mcusX = 0
+    var mcusY = 0
 
-    while (pos + 4 <= p.length) {
+    // 2-byte bound, not 4: EOI (FFD9) is the stream's final two bytes and
+    // the progressive path must reach it to reconstruct; length reads past
+    // the end throw and quarantine via decodeImage's catch
+    while (pos + 2 <= p.length) {
       var m = u8()
       if (m != 0xff) return None
       do { m = u8() } while (m == 0xff) // fill bytes
       m match {
-        case 0xd9 => return None // EOI before SOS
-        case 0xc0 => // SOF0 baseline
+        case 0xd9 => // EOI: progressive reconstructs here, baseline fails
+          return if (progressive && sawProgScan)
+            reconstructProgressive(width, height, comps, qtabs, hMax, vMax)
+          else None
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (comps != null) return None // second frame header
+          progressive = m == 0xc2
           val len = u16(); val end = pos + len - 2
           if (end < pos) return None // len < 2: malformed, never rewind
           if (u8() != 8) return None // precision
@@ -206,10 +228,29 @@ object Jpeg {
             c
           }
           if (comps.map(_.id).distinct.length != nc) return None
+          if (progressive) {
+            // coefficient grids live across ALL scans (4 B/coefficient +
+            // the pixel planes), so the progressive pixel cap is tighter
+            // than the baseline streaming path's
+            if (width <= 0 || height <= 0 ||
+              width.toLong * height > (1L << 24)) return None
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.blocksW = mcusX * c.h
+              c.blocksH = mcusY * c.v
+              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+              c.planeW = c.blocksW * 8
+              c.planeH = c.blocksH * 8
+              c.plane = new Array[Int](c.planeW * c.planeH)
+            }
+          }
           pos = end
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/lossless/arithmetic — out of scope
+          return None // extended/lossless/arithmetic — out of scope
         case 0xc4 => // DHT
           val len = u16(); val end = pos + len - 2
           while (pos < end) {
@@ -241,9 +282,11 @@ object Jpeg {
           val len = u16(); val end = pos + len - 2
           if (end < pos) return None
           val ns = u8()
-          // baseline single-scan only: Ns must cover the frame exactly
-          // (1-component frames non-interleaved, 3-component interleaved)
-          if (ns != comps.length) return None
+          // baseline single-scan: Ns must cover the frame exactly
+          // (1-component frames non-interleaved, 3-component interleaved);
+          // a progressive scan may cover any subset (AC scans exactly one)
+          if (ns < 1 || ns > comps.length ||
+            (!progressive && ns != comps.length)) return None
           // Cs selectors match frame components BY IDENTIFIER (§B.2.3 Csj
           // = some Ci) — an unknown or duplicate selector quarantines; a
           // reordered-but-valid selector list decodes correctly because the
@@ -263,11 +306,30 @@ object Jpeg {
             scanComps(i) = c
             i += 1
           }
-          pos = end // skip Ss/Se/Ah/Al (fixed for baseline)
-          if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null ||
-            qtabs(c.qId) == null)) return None
-          return decodeScan(p, pos, width, height, comps, scanComps, qtabs,
-            dcTabs, acTabs, restartInterval)
+          if (!progressive) {
+            pos = end // skip Ss/Se/Ah/Al (fixed for baseline)
+            if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null ||
+              qtabs(c.qId) == null)) return None
+            return decodeScan(p, pos, width, height, comps, scanComps, qtabs,
+              dcTabs, acTabs, restartInterval)
+          }
+          // progressive scan header (§G.1): spectral band + successive
+          // approximation; validate per B.2.3 / G.1.1.1.1 and quarantine
+          // anything non-conformant rather than guess
+          val ss = u8(); val se = u8(); val ahal = u8()
+          val ah = ahal >> 4; val al = ahal & 0xf
+          pos = end
+          if (ss > se || se > 63 || al > 13 ||
+            !(ah == 0 || ah == al + 1)) return None
+          if (ss == 0 && se != 0) return None // DC scan is exactly band 0
+          if (ss > 0 && ns != 1) return None // AC scans are single-component
+          if (ss == 0 && ah == 0 &&
+            scanComps.exists(c => dcTabs(c.dcId) == null)) return None
+          if (ss > 0 && acTabs(scanComps(0).acId) == null) return None
+          pos = progressiveScan(p, pos, scanComps, dcTabs, acTabs,
+            restartInterval, ss, se, ah, al, mcusX, mcusY, width, height,
+            hMax, vMax)
+          sawProgScan = true
         case _ => // APPn / COM / anything with a length — skip
           val len = u16()
           if (len < 2) return None // a backward skip would loop forever
@@ -275,6 +337,288 @@ object Jpeg {
       }
     }
     None
+  }
+
+  /** Separable IDCT (§A.3.3) of one DEQUANTIZED natural-order block into
+    * component `c`'s plane at top-left pixel (px0, py0), with level shift
+    * and clamp. `tmp` is caller-provided 64-double scratch. Shared by the
+    * baseline streaming path and the progressive coefficient-grid
+    * reconstruction. */
+  private def idctToPlane(coef: Array[Int], tmp: Array[Double], c: Comp,
+                          px0: Int, py0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = COS(x * 8 + u)
+          var v = 0
+          while (v < 8) {
+            acc += cu * COS(y * 8 + v) * coef(v * 8 + u)
+            v += 1
+          }
+          u += 1
+        }
+        tmp(y * 8 + x) = acc / 4.0
+        x += 1
+      }
+      y += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      val py = py0 + yy
+      var xx = 0
+      while (xx < 8) {
+        val v = math.round(tmp(yy * 8 + xx)).toInt + 128
+        c.plane((py * c.planeW) + px0 + xx) =
+          if (v < 0) 0 else if (v > 255) 255 else v
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Final image assembly from filled component planes: crop for
+    * grayscale, replication upsample + JFIF BT.601 YCbCr→RGB for color
+    * (CCIR 601 per the JFIF spec; chroma-constant fixtures are exact under
+    * ANY upsample). Shared by the baseline and progressive paths. */
+  private def assemble(width: Int, height: Int, comps: Array[Comp],
+                       hMax: Int, vMax: Int): Option[JpegImage] =
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out(y * width + x) = c.plane(y * c.planeW + x); x += 1 }
+        y += 1
+      }
+      Some(JpegImage(width, height, 1, out))
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
+          val pb = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
+          val pr = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
+          var r = math.round(yy + 1.402 * pr).toInt
+          var g = math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt
+          var b = math.round(yy + 1.772 * pb).toInt
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (b < 0) b = 0 else if (b > 255) b = 255
+          out(y * width + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      Some(JpegImage(width, height, 3, out))
+    }
+
+  /** One progressive scan (T.81 §G.1.2) into the components' coefficient
+    * grids: DC first/refinement over MCUs (interleaved) or the component's
+    * own block grid, AC first/refinement (run-length + EOBRUN, correction
+    * bits) always single-component non-interleaved. Coefficients are
+    * stored SHIFTED (value << Al accumulates across approximation passes).
+    * Returns the position of the next marker's 0xFF. */
+  private def progressiveScan(p: Array[Byte], start: Int,
+                              scanComps: Array[Comp],
+                              dcTabs: Array[Huff], acTabs: Array[Huff],
+                              ri: Int, ss: Int, se: Int, ah: Int, al: Int,
+                              mcusX: Int, mcusY: Int,
+                              width: Int, height: Int,
+                              hMax: Int, vMax: Int): Int = {
+    val br = new BitReader(p, start)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    def restart(): Unit = {
+      br.reset()
+      var q = br.pos
+      while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
+        ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
+      if (q + 1 >= p.length) throw new IllegalArgumentException("missing RST")
+      br.pos = q + 2
+      scanComps.foreach(_.pred = 0)
+      eobrun = 0
+    }
+
+    def dcFirst(c: Comp, bx: Int, by: Int): Unit = {
+      val t = dcTabs(c.dcId).decode(br) // §G.1.2.1: diff coded as baseline,
+      c.pred += extend(br.receive(t), t) // delivered at point transform Al
+      c.coefs(((by * c.blocksW) + bx) * 64) = c.pred << al
+    }
+    def dcRefine(c: Comp, bx: Int, by: Int): Unit = {
+      if (br.bit() == 1) c.coefs(((by * c.blocksW) + bx) * 64) |= (1 << al)
+    }
+    def acFirst(c: Comp, off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val ac = acTabs(c.acId)
+      var k = ss
+      while (k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4
+        val s = rs & 0xf
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of (1<<r)+ext blocks ending here (§G.1.2.2)
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            k = se + 1
+          } else k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) throw new IllegalArgumentException("AC band overrun")
+          c.coefs(off + ZIGZAG(k)) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    // §G.1.2.3: one correction bit per already-nonzero coefficient passed;
+    // new coefficients arrive as ±1 at bit Al
+    def acRefine(c: Comp, off: Int): Unit = {
+      val bit = 1 << al
+      val ac = acTabs(c.acId)
+      def correct(z: Int): Unit =
+        if (br.bit() == 1 && (c.coefs(z) & bit) == 0)
+          c.coefs(z) += (if (c.coefs(z) > 0) bit else -bit)
+      var k = ss
+      if (eobrun > 0) {
+        eobrun -= 1
+        while (k <= se) {
+          val z = off + ZIGZAG(k)
+          if (c.coefs(z) != 0) correct(z)
+          k += 1
+        }
+        return
+      }
+      while (k <= se) {
+        val rs = ac.decode(br)
+        var r = rs >> 4
+        val s = rs & 0xf
+        var newVal = 0
+        if (s == 0) {
+          if (r < 15) { // EOBn: correct the rest of this block, then run
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            while (k <= se) {
+              val z = off + ZIGZAG(k)
+              if (c.coefs(z) != 0) correct(z)
+              k += 1
+            }
+            return
+          } // else ZRL: r=15 → skip 16 zero-history positions below
+        } else {
+          if (s != 1) throw new IllegalArgumentException("bad refinement size")
+          newVal = if (br.bit() == 1) bit else -bit
+        }
+        // advance over r ZERO-HISTORY positions (correcting nonzero-history
+        // coefficients in passing), then place the new ±1 if any
+        var placed = false
+        while (k <= se && !placed) {
+          val z = off + ZIGZAG(k)
+          if (c.coefs(z) != 0) correct(z)
+          else if (r == 0) {
+            if (newVal != 0) c.coefs(z) = newVal
+            placed = true
+          } else r -= 1
+          k += 1
+        }
+      }
+    }
+
+    // single-component (non-interleaved) walk over the component's OWN
+    // block grid (§A.2.2), not the MCU-padded one
+    def walkBlocks(c: Comp, op: (Comp, Int, Int) => Unit): Unit = {
+      val bw = ((width * c.h + hMax - 1) / hMax + 7) / 8
+      val bh = ((height * c.v + vMax - 1) / vMax + 7) / 8
+      var blk = 0
+      val n = bw * bh
+      while (blk < n) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) restart()
+        op(c, blk % bw, blk / bw)
+        blk += 1
+      }
+    }
+
+    if (ss == 0) {
+      val op: (Comp, Int, Int) => Unit = if (ah == 0) dcFirst else dcRefine
+      if (scanComps.length > 1) {
+        var mcu = 0
+        val nMcu = mcusX * mcusY
+        while (mcu < nMcu) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) restart()
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh2 = 0
+              while (bh2 < c.h) {
+                op(c, mx * c.h + bh2, my * c.v + bv)
+                bh2 += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else walkBlocks(scanComps(0), op)
+    } else {
+      val c = scanComps(0)
+      val op: (Comp, Int, Int) => Unit =
+        if (ah == 0) (cc, bx, by) => acFirst(cc, ((by * cc.blocksW) + bx) * 64)
+        else (cc, bx, by) => acRefine(cc, ((by * cc.blocksW) + bx) * 64)
+      walkBlocks(c, op)
+    }
+
+    // byte-align and skip to the next true marker (RSTn between restart
+    // intervals were consumed in-scan; a trailing one is skipped here)
+    var q = br.pos
+    while (q + 1 < p.length && !((p(q) & 0xff) == 0xff && {
+      val nm = p(q + 1) & 0xff
+      nm != 0x00 && !(nm >= 0xd0 && nm <= 0xd7)
+    })) q += 1
+    q
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficient grids and
+    * assemble the final image (runs at EOI, §G.1.2's reconstruction). */
+  private def reconstructProgressive(width: Int, height: Int,
+                                     comps: Array[Comp],
+                                     qtabs: Array[Array[Int]],
+                                     hMax: Int, vMax: Int): Option[JpegImage] = {
+    if (comps == null) return None
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      val qt = qtabs(c.qId)
+      if (qt == null) return None
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = ((by * c.blocksW) + bx) * 64
+          var i = 0
+          while (i < 64) { // qt is zigzag-ordered, coefs natural-ordered
+            val z = ZIGZAG(i)
+            coef(z) = c.coefs(off + z) * qt(i)
+            i += 1
+          }
+          idctToPlane(coef, tmp, c, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(width, height, comps, hMax, vMax)
   }
 
   private def decodeScan(p: Array[Byte], start: Int, width: Int, height: Int,
@@ -321,38 +665,7 @@ object Jpeg {
           k += 1
         }
       }
-      var y = 0 // separable IDCT (§A.3.3)
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) {
-            val cu = COS(x * 8 + u)
-            var v = 0
-            while (v < 8) {
-              acc += cu * COS(y * 8 + v) * coef(v * 8 + u)
-              v += 1
-            }
-            u += 1
-          }
-          tmp(y * 8 + x) = acc / 4.0
-          x += 1
-        }
-        y += 1
-      }
-      var yy = 0
-      while (yy < 8) {
-        val py = py0 + yy
-        var xx = 0
-        while (xx < 8) {
-          val v = math.round(tmp(yy * 8 + xx)).toInt + 128
-          c.plane((py * c.planeW) + px0 + xx) =
-            if (v < 0) 0 else if (v > 255) 255 else v
-          xx += 1
-        }
-        yy += 1
-      }
+      idctToPlane(coef, tmp, c, px0, py0)
     }
 
     def restart(): Unit = {
@@ -384,14 +697,7 @@ object Jpeg {
         block(c, (blk % bw) * 8, (blk / bw) * 8)
         blk += 1
       }
-      val out = new Array[Int](width * height)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { out(y * width + x) = c.plane(y * c.planeW + x); x += 1 }
-        y += 1
-      }
-      Some(JpegImage(width, height, 1, out))
+      assemble(width, height, comps, hMax, vMax)
     } else {
       // interleaved MCUs (§A.2.3): per MCU, each component contributes
       // its h×v blocks in raster order
@@ -417,29 +723,7 @@ object Jpeg {
         }
         mcu += 1
       }
-      // replication upsample + JFIF BT.601 YCbCr→RGB (CCIR 601 per the
-      // JFIF spec; chroma-constant fixtures are exact under ANY upsample)
-      val cy = comps(0); val cb = comps(1); val cr = comps(2)
-      val out = new Array[Int](width * height)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
-          val pb = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
-          val pr = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
-          var r = math.round(yy + 1.402 * pr).toInt
-          var g = math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt
-          var b = math.round(yy + 1.772 * pb).toInt
-          if (r < 0) r = 0 else if (r > 255) r = 255
-          if (g < 0) g = 0 else if (g > 255) g = 255
-          if (b < 0) b = 0 else if (b > 255) b = 255
-          out(y * width + x) = (r << 16) | (g << 8) | b
-          x += 1
-        }
-        y += 1
-      }
-      Some(JpegImage(width, height, 3, out))
+      assemble(width, height, comps, hMax, vMax)
     }
   }
 }

@@ -149,11 +149,14 @@ object Multimodal {
     * encoders run per ROW inside map tasks, so the static registry lookup
     * they used to make per call was the same 32-thread lock as the decode
     * side. */
-  private def writeJpegQ1(img: java.awt.image.BufferedImage): Array[Byte] = {
+  private def writeJpegQ1(img: java.awt.image.BufferedImage,
+                          progressive: Boolean = false): Array[Byte] = {
     val w = jpegWriterTL.get()
     val param = w.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(1.0f)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val baos = new java.io.ByteArrayOutputStream()
     val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
@@ -959,7 +962,22 @@ object Multimodal {
     * (Huffman tables, zigzag, dequant and IDCT all genuinely exercised).
     * Fixture-side helper, pairs with [[graft.operators.Jpeg.decodeGray]]
     * exactly like [[rle8EncodeRows]] pairs with [[rle8Decode]]. */
-  def jpegGrayBytes(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+  def jpegGrayBytes(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] =
+    jpegGrayBytes0(w, h, blockVal, progressive = false)
+
+  /** The PROGRESSIVE (SOF2) twin of [[jpegGrayBytes]]: same block-constant
+    * quality-1.0 exactness argument — DC-only blocks survive successive
+    * approximation bit-perfectly (shifted diffs + refinement bits
+    * reconstruct every DC bit; all AC scans are pure EOB runs) — but the
+    * stream now carries the JDK encoder's multi-scan progression script
+    * (spectral selection + successive approximation, T.81 Annex G), the
+    * dominant encoding of web JPEGs. */
+  def jpegGrayProgressiveBytes(w: Int, h: Int,
+                               blockVal: (Int, Int) => Int): Array[Byte] =
+    jpegGrayBytes0(w, h, blockVal, progressive = true)
+
+  private def jpegGrayBytes0(w: Int, h: Int, blockVal: (Int, Int) => Int,
+                             progressive: Boolean): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "block-constant fixture needs 8-aligned dims")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -973,7 +991,7 @@ object Multimodal {
       }
       y += 1
     }
-    writeJpegQ1(img)
+    writeJpegQ1(img, progressive)
   }
 
   /** Color JPEG fixture bytes via the JDK encoder: a TYPE_3BYTE_BGR image

@@ -442,7 +442,8 @@ class OperatorQualitySpec extends AnyFunSuite {
   // arbitrary-pixel grayscale JPEG via the JDK encoder (test-side twin of
   // Multimodal.jpegGrayBytes, which is block-constant by design)
   private def jdkGrayJpeg(w: Int, h: Int, pix: (Int, Int) => Int,
-                          quality: Float): Array[Byte] = {
+                          quality: Float,
+                          progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until h; x <- 0 until w)
@@ -451,6 +452,8 @@ class OperatorQualitySpec extends AnyFunSuite {
     val param = wr.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
     try { wr.setOutput(ios); wr.write(null, new javax.imageio.IIOImage(img, null, null), param) }
@@ -638,7 +641,10 @@ class OperatorQualitySpec extends AnyFunSuite {
     val prog = baos.toByteArray
     assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
       "fixture is not actually progressive")
-    assert(Jpeg.decodeGray(prog).isEmpty, "progressive must quarantine")
+    // progressive is IN scope since round 14: the all-black frame decodes
+    // to exact zeros (deeper progressive coverage in its own tests below)
+    val Some((pw, ph, ppx)) = Jpeg.decodeGray(prog)
+    assert((pw, ph) == (16, 16) && ppx.forall(_ == 0))
     // fuzz: single-byte mutations of a valid stream + pure-random bytes
     // must return (None or Some) without throwing — the quarantine path's
     // whole contract
@@ -789,6 +795,80 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(sec < 2.0,
       f"50 gray-path rejections took $sec%.2f s — color frames are being " +
         "decoded (or their planes allocated) before the nComp check")
+  }
+
+  test("Jpeg progressive (SOF2) grayscale: block-constant quality-1.0 " +
+    "streams round-trip EXACTLY through the multi-scan path; a lossy " +
+    "gradient (non-8-aligned dims) matches the JDK decoder within IDCT " +
+    "rounding; truncation/fuzz never throws") {
+    import graft.operators.{Jpeg, Multimodal}
+    // exact: DC-only blocks survive successive approximation bit-perfectly
+    def v(bx: Int, by: Int): Int = 20 + (bx * 13 + by * 29) % 200
+    val (w, h) = (32, 24)
+    val exact = Multimodal.jpegGrayProgressiveBytes(w, h, v)
+    assert(exact.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "fixture is not actually progressive")
+    val Some((dw, dh, got)) = Jpeg.decodeGray(exact)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == v(x / 8, y / 8), s"exact pixel ($x,$y)")
+    // lossy gradient with partial edge blocks: every scan kind of the JDK
+    // progression script (DC SA, AC first bands, AC refinements, EOB runs)
+    // against the JDK's own decoder
+    val (gw, gh) = (37, 21)
+    def pix(x: Int, y: Int): Int = (x * 7 + y * 11 + (x * y) % 23) % 256
+    val grad = jdkGrayJpeg(gw, gh, pix, 0.9f, progressive = true)
+    val Some((gdw, gdh, gotG)) = Jpeg.decodeGray(grad)
+    assert((gdw, gdh) == (gw, gh))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(grad))
+    var maxDiff = 0
+    for (y <- 0 until gh; x <- 0 until gw)
+      maxDiff = math.max(maxDiff,
+        math.abs(gotG(y * gw + x) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max |spec - JDK| = $maxDiff")
+    // truncation at any prefix: None, never a throw (EOI is the commit point)
+    for (cut <- Seq(0, 2, 30, grad.length / 3, grad.length / 2, grad.length - 3))
+      assert(Jpeg.decodeGray(grad.take(cut)).isEmpty, s"cut=$cut")
+    // fuzz: single-byte mutations must never throw or hang
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 300) {
+      val m = grad.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Jpeg.decodeGray(m)
+    }
+  }
+
+  test("Jpeg progressive (SOF2) color: neutral-gray macroblocks round-trip " +
+    "EXACTLY through interleaved DC + per-component AC scans with 4:2:0 " +
+    "subsampling, match the JDK decoder bit-for-bit, and the gray path " +
+    "still rejects progressive color at header-parse time") {
+    import graft.operators.Jpeg
+    def gv(mx: Int, my: Int): Int = { val p = 20 + (mx * 37 + my * 11) % 200; (p << 16) | (p << 8) | p }
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, gv(x / 16, y / 16))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try { wr.setOutput(ios); wr.write(null, new javax.imageio.IIOImage(img, null, null), param) }
+    finally { wr.dispose(); ios.close() }
+    val bytes = baos.toByteArray
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "fixture is not actually progressive")
+    val Some(dec) = Jpeg.decodeRgb(bytes)
+    assert((dec.width, dec.height, dec.nComp) == (w, h, 3))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(dec.px(y * w + x) == gv(x / 16, y / 16),
+        f"neutral-gray pixel ($x,$y): got ${dec.px(y * w + x)}%06x")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(dec.px(y * w + x) == (ref.getRGB(x, y) & 0xffffff), s"vs ImageIO ($x,$y)")
+    assert(Jpeg.decodeGray(bytes).isEmpty, "gray path must reject progressive color")
   }
 
   test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
