@@ -838,6 +838,123 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  // Minimal from-spec PROGRESSIVE grayscale encoder for DC-only images —
+  // exists to exercise decoder paths the JDK's progression script never
+  // emits: DRI/RSTn inside progressive scans, EOBn runs with extension
+  // bits (the JDK uses them only mid-band), a custom AC Huffman table, and
+  // a DC quant step (8) that makes successive-approximation refinement
+  // bits genuinely nonzero ((v-128)&1, not the always-zero low bits of
+  // (v-128)*8 under an all-ones table). Scans: DC(Ah=0,Al=1) →
+  // DC refine(Ah=1,Al=0) → AC 1-63(Ah=0,Al=1) as one EOBn per restart
+  // segment → AC refine(Ah=1,Al=0) likewise. Output conformance is
+  // cross-checked by ImageIO decoding the same bytes.
+  private def encodeGrayDcOnlyProgressive(w: Int, h: Int,
+                                          blockVal: (Int, Int) => Int,
+                                          ri: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = { out += v.toByte; () }
+    def b2(v: Int): Unit = { b(v >> 8); b(v & 0xff) }
+    b2(0xffd8) // SOI
+    b2(0xffdb); b2(67); b(0) // DQT: qt[0]=8 (nontrivial DC bits), rest 1
+    b(8); for (_ <- 1 until 64) b(1)
+    b2(0xffc2); b2(11); b(8); b2(h); b2(w); b(1); b(1); b(0x11); b(0) // SOF2
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    b2(0xffc4); b2(2 + 1 + 16 + 12); b(0x00)
+    dcBits.foreach(b); (0 to 11).foreach(b)
+    // custom AC table: EOBn symbols 0x00..0x40 as five 3-bit codes
+    val acSyms = Seq(0x00, 0x10, 0x20, 0x30, 0x40)
+    b2(0xffc4); b2(2 + 1 + 16 + acSyms.length); b(0x10)
+    val acBits = Array(0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(b); acSyms.foreach(b)
+    if (ri > 0) { b2(0xffdd); b2(4); b2(ri) }
+    val dcCodes = {
+      val codes = new Array[(Int, Int)](12)
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        for (_ <- 0 until dcBits(l - 1)) { codes(k) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      codes
+    }
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b(byte); if (byte == 0xff) b(0x00)
+        nb -= 8
+      }
+    }
+    def flush(): Unit = if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb)
+    val bw = w / 8; val bh = h / 8; val nBlk = bw * bh
+    def dcOf(blk: Int): Int = blockVal(blk % bw, blk / bw) - 128 // qt[0]=8
+    var rst = 0
+    def sos(ss: Int, se: Int, ah: Int, al: Int)(body: => Unit): Unit = {
+      b2(0xffda); b2(8); b(1); b(1); b(0x00) // Cs=1, Td=0/Ta=0
+      b(ss); b(se); b((ah << 4) | al)
+      rst = 0; body; flush()
+    }
+    def maybeRestart(blk: Int)(resetState: => Unit): Unit =
+      if (ri > 0 && blk > 0 && blk % ri == 0) {
+        flush(); b2(0xffd0 + rst); rst = (rst + 1) % 8; resetState
+      }
+    sos(0, 0, 0, 1) { // DC first at Al=1: diffs of (dc >> 1), pred resets at RST
+      var pred = 0
+      for (blk <- 0 until nBlk) {
+        maybeRestart(blk) { pred = 0 }
+        val v = dcOf(blk) >> 1
+        val diff = v - pred; pred = v
+        val mag = math.abs(diff)
+        val s = if (mag == 0) 0 else 32 - Integer.numberOfLeadingZeros(mag)
+        val (c, l) = dcCodes(s)
+        putBits(c, l)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+    }
+    sos(0, 0, 1, 0)(for (blk <- 0 until nBlk) { // DC refinement: raw bit 0
+      maybeRestart(blk)(())
+      putBits(dcOf(blk) & 1, 1)
+    })
+    def eobnScan(): Unit = { // all-zero AC band: one EOBn per restart segment
+      var blk = 0
+      while (blk < nBlk) {
+        maybeRestart(blk)(())
+        val segLen = if (ri > 0) math.min(ri, nBlk - blk) else nBlk
+        val r = 31 - Integer.numberOfLeadingZeros(segLen) // floor(log2)
+        putBits(r, 3) // the custom table: symbol (r<<4) has 3-bit code r
+        if (r > 0) putBits(segLen - (1 << r), r)
+        blk += segLen
+      }
+    }
+    sos(1, 63, 0, 1)(eobnScan()) // AC first (nothing to send: pure EOB runs)
+    sos(1, 63, 1, 0)(eobnScan()) // AC refinement (no nonzero history → no bits)
+    b2(0xffd9)
+    out.toArray
+  }
+
+  test("Jpeg progressive: from-spec multi-scan stream with DRI/RSTn inside " +
+    "every scan, EOBn runs with extension bits, a custom AC table and " +
+    "NONZERO DC refinement bits decodes exactly; ImageIO accepts the same " +
+    "bytes (encoder conformance cross-check)") {
+    import graft.operators.Jpeg
+    def v(bx: Int, by: Int): Int = 17 + (bx * 41 + by * 23) % 219 // odd/even DCs
+    val (w, h) = (48, 24) // 6x3 blocks
+    for (ri <- Seq(0, 1, 4, 7)) {
+      val bytes = encodeGrayDcOnlyProgressive(w, h, v, ri)
+      val Some((dw, dh, got)) = Jpeg.decodeGray(bytes)
+      assert((dw, dh) == (w, h), s"ri=$ri")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == v(x / 8, y / 8), s"ri=$ri pixel ($x,$y)")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h,
+        s"ri=$ri ImageIO reject — the from-spec progressive encoder is non-conformant")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ref.getRaster.getSample(x, y, 0) == v(x / 8, y / 8),
+          s"ri=$ri vs ImageIO ($x,$y)")
+    }
+  }
+
   test("Jpeg progressive (SOF2) color: neutral-gray macroblocks round-trip " +
     "EXACTLY through interleaved DC + per-component AC scans with 4:2:0 " +
     "subsampling, match the JDK decoder bit-for-bit, and the gray path " +
