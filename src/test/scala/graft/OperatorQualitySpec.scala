@@ -986,6 +986,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     for (y <- 0 until h; x <- 0 until w)
       assert(dec.px(y * w + x) == (ref.getRGB(x, y) & 0xffffff), s"vs ImageIO ($x,$y)")
     assert(Jpeg.decodeGray(bytes).isEmpty, "gray path must reject progressive color")
+    // non-16-aligned dims: the Y component's OWN block grid (5×3) is
+    // smaller than its MCU-padded coefficient grid (6×4), so the
+    // single-component AC scans must walk the former while indexing the
+    // latter — an off-by-one there shifts whole block columns. A NEUTRAL
+    // gradient (R=G=B) keeps chroma at exactly 128, so upsampler choice
+    // cannot differ from the JDK and any disagreement is a real bug.
+    val (nw, nh) = (37, 21)
+    val nimg = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until nh; x <- 0 until nw) {
+      val g = (x * 7 + y * 11 + (x * y) % 23) % 256
+      nimg.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val wr2 = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p2 = wr2.getDefaultWriteParam
+    p2.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p2.setCompressionQuality(0.9f)
+    p2.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos2 = new java.io.ByteArrayOutputStream()
+    val ios2 = javax.imageio.ImageIO.createImageOutputStream(baos2)
+    try { wr2.setOutput(ios2); wr2.write(null, new javax.imageio.IIOImage(nimg, null, null), p2) }
+    finally { wr2.dispose(); ios2.close() }
+    val nbytes = baos2.toByteArray
+    val Some(ndec) = Jpeg.decodeRgb(nbytes)
+    assert((ndec.width, ndec.height) == (nw, nh))
+    val nref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(nbytes))
+    var maxDiff = 0
+    for (y <- 0 until nh; x <- 0 until nw; sh <- Seq(16, 8, 0))
+      maxDiff = math.max(maxDiff, math.abs(
+        ((ndec.px(y * nw + x) >> sh) & 0xff) - ((nref.getRGB(x, y) >> sh) & 0xff)))
+    assert(maxDiff <= 3, s"non-aligned progressive color: max |spec - JDK| = $maxDiff")
   }
 
   test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
