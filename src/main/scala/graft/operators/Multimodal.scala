@@ -96,23 +96,17 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         try {
-          val img = readImage(
-            if (r.payload == null) Array.empty[Byte] else r.payload)
-          if (img == null) DecodedImage(r.media_id, 0, 0, 0L, ok = false)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            // bulk getRGB: one ColorModel conversion for the whole image —
-            // per-pixel getRGB(x, y) pays that conversion per CALL and is
-            // ~10x slower on megapixel media rows
-            val buf = img.getRGB(0, 0, w, h, null, 0, w)
-            var s = 0L
-            var i = 0
-            while (i < buf.length) {
-              val rgb = buf(i)
-              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              i += 1
-            }
-            DecodedImage(r.media_id, w, h, s, ok = true)
+          pixelsOf(if (r.payload == null) Array.empty[Byte] else r.payload) match {
+            case None => DecodedImage(r.media_id, 0, 0, 0L, ok = false)
+            case Some((w, h, buf)) =>
+              var s = 0L
+              var i = 0
+              while (i < buf.length) {
+                val rgb = buf(i)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                i += 1
+              }
+              DecodedImage(r.media_id, w, h, s, ok = true)
           }
         } catch {
           case scala.util.control.NonFatal(_) =>
@@ -195,6 +189,27 @@ object Multimodal {
         finally { in.close() }
     }
 
+  /** Packed-RGB pixel extraction for the image operators: PNG goes through
+    * the from-spec [[Png]] decoder first (no ImageIO, no ColorModel
+    * conversion; PNG shapes outside its scope — 16-bit, interlaced,
+    * gray+alpha — fall back to the ImageIO reader), everything else
+    * through the cached per-thread ImageIO reader with one bulk getRGB
+    * (per-pixel getRGB pays the ColorModel conversion per CALL and is
+    * ~10x slower on megapixel rows). Null payload / unrecognized /
+    * undecodable → None (the quarantine contract). */
+  private def pixelsOf(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val viaSpec =
+      if (sniffImageFormat(p) == "png") Png.decodeRgb(p) else None
+    viaSpec.orElse {
+      val img = readImage(p)
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    }
+  }
+
   /** Real PNG bytes for a solid-`rgb` w×h image (ImageIO encoder). The
     * oracle-able fixture: PNG is lossless, so decoded dims and the pixel
     * checksum of a solid color are pure integer functions of (w, h, rgb). */
@@ -251,25 +266,22 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         try {
-          val img = readImage(
-            if (r.payload == null) Array.empty[Byte] else r.payload)
-          if (img == null) ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val buf = img.getRGB(0, 0, w, h, null, 0, w)
-            var s = 0L
-            var y2 = 0
-            while (y2 < outH) {
-              val sy = y2 * h / outH
-              var x2 = 0
-              while (x2 < outW) {
-                val rgb = buf(sy * w + x2 * w / outW)
-                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x2 += 1
+          pixelsOf(if (r.payload == null) Array.empty[Byte] else r.payload) match {
+            case None => ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
+            case Some((w, h, buf)) =>
+              var s = 0L
+              var y2 = 0
+              while (y2 < outH) {
+                val sy = y2 * h / outH
+                var x2 = 0
+                while (x2 < outW) {
+                  val rgb = buf(sy * w + x2 * w / outW)
+                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x2 += 1
+                }
+                y2 += 1
               }
-              y2 += 1
-            }
-            ResizedImage(r.media_id, w, h, outW, outH, s, ok = true)
+              ResizedImage(r.media_id, w, h, outW, outH, s, ok = true)
           }
         } catch {
           case scala.util.control.NonFatal(_) =>

@@ -1019,6 +1019,94 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(maxDiff <= 3, s"non-aligned progressive color: max |spec - JDK| = $maxDiff")
   }
 
+  test("Png.decodeRgb: gray / RGB / RGBA / palette PNGs decode bit-for-bit " +
+    "identical to the JDK codec (all five filter types exercised via " +
+    "gradients); out-of-scope and damaged streams return None; fuzz never " +
+    "throws") {
+    import graft.operators.Png
+    def jdkPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def refPx(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      // gray PNGs: compare RAW decoded samples (g,g,g) — libpng's
+      // convention and Png.decodeRgb's contract. BufferedImage.getRGB on
+      // the JDK's TYPE_BYTE_GRAY result would add a linear-gray→sRGB
+      // ColorModel conversion that is a java.awt artifact, not part of
+      // the PNG stream.
+      if (img.getColorModel.getNumComponents == 1)
+        (w, h, Array.tabulate(w * h) { i =>
+          val g = img.getRaster.getSample(i % w, i / w, 0)
+          (g << 16) | (g << 8) | g
+        })
+      else (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff))
+    }
+    // the JDK PNG encoder picks filters adaptively per row; gradients +
+    // noise force a mix of Sub/Up/Average/Paeth, solid rows force None/Up
+    def noisy(x: Int, y: Int): Int = ((x * 31 + y * 17) ^ (x * y * 7)) & 0xff
+    val fixtures = Seq(
+      { // grayscale (color type 0)
+        val img = new java.awt.image.BufferedImage(37, 23,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 23; x <- 0 until 37)
+          img.getRaster.setSample(x, y, 0, noisy(x, y))
+        jdkPng(img)
+      },
+      { // truecolor (color type 2)
+        val img = new java.awt.image.BufferedImage(41, 19,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 19; x <- 0 until 41)
+          img.setRGB(x, y, (noisy(x, y) << 16) | (noisy(y, x) << 8) | noisy(x + 1, y))
+        jdkPng(img)
+      },
+      { // truecolor + alpha (color type 6): alpha parsed then dropped,
+        // matching getRGB's rgb channels masked to 24 bits
+        val img = new java.awt.image.BufferedImage(29, 31,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        for (y <- 0 until 31; x <- 0 until 29)
+          img.setRGB(x, y, (noisy(x, y) << 24) | (noisy(y, x) << 16) |
+            (noisy(x + 2, y) << 8) | noisy(x, y + 2))
+        jdkPng(img)
+      },
+      { // palette (color type 3)
+        val cmap = Array.tabulate(256)(i => (i << 16) | ((255 - i) << 8) | (i ^ 0x5a))
+        val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+          java.awt.image.DataBuffer.TYPE_BYTE)
+        val img = new java.awt.image.BufferedImage(33, 17,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until 17; x <- 0 until 33)
+          img.getRaster.setSample(x, y, 0, noisy(x, y))
+        jdkPng(img)
+      })
+    for ((bytes, fi) <- fixtures.zipWithIndex) {
+      val Some((w, h, got)) = Png.decodeRgb(bytes)
+      val (rw, rh, want) = refPx(bytes)
+      assert((w, h) == (rw, rh), s"fixture $fi dims")
+      for (i <- got.indices)
+        assert(got(i) == want(i), f"fixture $fi px $i: ${got(i)}%06x vs ${want(i)}%06x")
+    }
+    // damage/scope: truncation at any prefix, bad signature, and a flipped
+    // IDAT byte must all return None (or a successful decode for damage
+    // past the pixels) without throwing
+    val base = fixtures(1)
+    for (cut <- Seq(0, 7, 8, 20, base.length / 2, base.length - 5))
+      assert(Png.decodeRgb(base.take(cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(21)
+    for (_ <- 1 to 300) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Png.decodeRgb(m) // must not throw
+    }
+    // the operators' fixture encoder round-trips through the from-spec
+    // path too (what mm_decode_image actually exercises now)
+    val fix = graft.operators.Multimodal.pngBytes(24, 9, 0x345678)
+    val Some((fw, fh, fpx)) = Png.decodeRgb(fix)
+    assert((fw, fh) == (24, 9) && fpx.forall(_ == 0x345678))
+  }
+
   test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
     "map-typed payload column no longer breaks the salt hash") {
     import spark.implicits._
