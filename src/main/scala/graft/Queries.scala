@@ -5802,6 +5802,54 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // From-spec BMP decode (RasterCodecs.decodeBmp: BI_RGB row layout,
+    // bottom-up, padded strides) certified by the same solid-color
+    // closed-form oracle as mm_decode_image; the JDK encoder produces the
+    // fixture, the from-spec decoder consumes it on the operator path.
+    QueryDef("mm_decode_bmp", Some(
+      "SELECT doc_id AS media_id, CAST(15 + doc_id % 14 AS INT) AS width, " +
+        "CAST(7 + doc_id % 11 AS INT) AS height, " +
+        "CAST((15 + doc_id % 14) * (7 + doc_id % 11) * " +
+        "(doc_id % 251 + (doc_id * 5) % 241 + (doc_id * 17) % 239) AS BIGINT) AS pix_sum, " +
+        "TRUE AS ok FROM documents WHERE doc_id % 13 = 4 ORDER BY 1"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 13 === 4).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (15 + (id % 14).toInt, 7 + (id % 11).toInt)
+            val rgb = ((id % 251).toInt << 16) |
+              (((id * 5) % 241).toInt << 8) | ((id * 17) % 239).toInt
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.bmpBytes(w, h, rgb),
+              "image/bmp", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.decodeImages(media).toDF()
+          .orderBy("media_id")
+      }),
+
+    // From-spec GIF decode (RasterCodecs.decodeGif: real LZW with
+    // dictionary growth, sub-block framing) — solid-gray frames through a
+    // 256-gray palette give the closed form w·h·3g.
+    QueryDef("mm_decode_gif", Some(
+      "SELECT doc_id AS media_id, CAST(14 + doc_id % 13 AS INT) AS width, " +
+        "CAST(6 + doc_id % 10 AS INT) AS height, " +
+        "CAST((14 + doc_id % 13) * (6 + doc_id % 10) * 3 * (doc_id % 256) AS BIGINT) AS pix_sum, " +
+        "TRUE AS ok FROM documents WHERE doc_id % 13 = 9 ORDER BY 1"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 13 === 9).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (14 + (id % 13).toInt, 6 + (id % 10).toInt)
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.gifGrayBytes(w, h, (id % 256).toInt),
+              "image/gif", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.decodeImages(media).toDF()
+          .orderBy("media_id")
+      }),
+
     // the decode stub is pure byte arithmetic (BE32 header ints, frame
     // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)
     QueryDef("mm_decode", Some(

@@ -124,17 +124,24 @@ object Multimodal {
   // reader/writer per (thread, format), fed MemoryCache image streams
   // directly, keeps the per-row path registry-free; readers reset() before
   // reuse so a corrupt payload can't poison the next row.
-  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
-    ThreadLocal.withInitial(() =>
-      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
-  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+  private val writerTL: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, javax.imageio.ImageWriter]())
+  private def writeVia(fmt: String,
+                       img: java.awt.image.BufferedImage): Array[Byte] = {
+    val m = writerTL.get()
+    var w = m.get(fmt)
+    if (w == null) {
+      w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+      m.put(fmt, w)
+    }
     val bos = new java.io.ByteArrayOutputStream()
     val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    val w = pngWriterTL.get()
     try { w.setOutput(out); w.write(img); out.flush() }
     finally { w.setOutput(null); out.close() }
     bos.toByteArray
   }
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    writeVia("png", img)
 
   private val jpegWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
     ThreadLocal.withInitial(() =>
@@ -189,17 +196,21 @@ object Multimodal {
         finally { in.close() }
     }
 
-  /** Packed-RGB pixel extraction for the image operators: PNG goes through
-    * the from-spec [[Png]] decoder first (no ImageIO, no ColorModel
-    * conversion; PNG shapes outside its scope — 16-bit, interlaced,
-    * gray+alpha — fall back to the ImageIO reader), everything else
-    * through the cached per-thread ImageIO reader with one bulk getRGB
-    * (per-pixel getRGB pays the ColorModel conversion per CALL and is
-    * ~10x slower on megapixel rows). Null payload / unrecognized /
-    * undecodable → None (the quarantine contract). */
+  /** Packed-RGB pixel extraction for the image operators: PNG/BMP/GIF go
+    * through the from-spec decoders first ([[Png]], [[RasterCodecs]] — no
+    * ImageIO, no ColorModel conversion; shapes outside their scope fall
+    * back to the ImageIO reader), JPEG and unrecognized containers through
+    * the cached per-thread ImageIO reader with one bulk getRGB (per-pixel
+    * getRGB pays the ColorModel conversion per CALL and is ~10x slower on
+    * megapixel rows). Null payload / unrecognized / undecodable → None
+    * (the quarantine contract). */
   private def pixelsOf(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    val viaSpec =
-      if (sniffImageFormat(p) == "png") Png.decodeRgb(p) else None
+    val viaSpec = sniffImageFormat(p) match {
+      case "png" => Png.decodeRgb(p)
+      case "bmp" => RasterCodecs.decodeBmp(p)
+      case "gif" => RasterCodecs.decodeGif(p)
+      case _ => None
+    }
     viaSpec.orElse {
       val img = readImage(p)
       if (img == null) None
@@ -223,6 +234,38 @@ object Multimodal {
       y += 1
     }
     writePng(img)
+  }
+
+  /** Real BMP bytes (JDK encoder: 24-bit BI_RGB, bottom-up, padded
+    * strides) for a solid-`rgb` w×h image — lossless like [[pngBytes]],
+    * same closed-form oracle story, decoded by the from-spec
+    * [[RasterCodecs.decodeBmp]]. */
+  def bmpBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    writeVia("bmp", img)
+  }
+
+  /** Real GIF bytes (JDK encoder: real LZW, 256-gray palette) for a solid
+    * gray w×h image — pixel RGB decodes to (g, g, g), so the checksum is
+    * the closed form w·h·3g. Decoded by the from-spec
+    * [[RasterCodecs.decodeGif]]. */
+  def gifGrayBytes(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, g & 0xff); x += 1 }
+      y += 1
+    }
+    writeVia("gif", img)
   }
 
   /** Real PNG bytes for a w×h GRAY GRADIENT image: pixel (x, y) has gray

@@ -1107,6 +1107,144 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert((fw, fh) == (24, 9) && fpx.forall(_ == 0x345678))
   }
 
+  test("RasterCodecs.decodeBmp: 24-bit and 8-bit-palette BMPs decode " +
+    "bit-for-bit identical to the JDK codec (bottom-up rows, aligned " +
+    "strides); compressed/odd shapes return None; fuzz never throws") {
+    import graft.operators.RasterCodecs
+    def noisy(x: Int, y: Int): Int = ((x * 29 + y * 13) ^ (x + y * y)) & 0xff
+    def jdk(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    // 24-bit truecolor at a width whose stride needs padding (37*3 = 111 → 112)
+    val rgb = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 23; x <- 0 until 37)
+      rgb.setRGB(x, y, (noisy(x, y) << 16) | (noisy(y, x) << 8) | noisy(x + 1, y))
+    // 8-bit palette
+    val cmap = Array.tabulate(256)(i => (i << 16) | ((i * 3) % 256 << 8) | (255 - i))
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val pal = new java.awt.image.BufferedImage(33, 17,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 17; x <- 0 until 33) pal.getRaster.setSample(x, y, 0, noisy(x, y))
+    for ((img, fi) <- Seq(rgb, pal).zipWithIndex) {
+      val bytes = jdk(img)
+      val Some((w, h, got)) = RasterCodecs.decodeBmp(bytes)
+      assert((w, h) == (img.getWidth, img.getHeight), s"fixture $fi dims")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == (ref.getRGB(x, y) & 0xffffff), s"fixture $fi ($x,$y)")
+    }
+    val base = jdk(rgb)
+    for (cut <- Seq(0, 2, 20, 53, base.length / 2))
+      assert(RasterCodecs.decodeBmp(base.take(cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 300) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      RasterCodecs.decodeBmp(m)
+    }
+  }
+
+  // minimal LITERAL-ONLY GIF LZW encoder: emits each pixel index as a root
+  // code while tracking the decoder's dictionary-size/code-width schedule
+  // exactly (entries still get ADDED on the decode side, so the width must
+  // grow in lockstep, with a clear code before the width would pass 12).
+  // Spec-honest output — ImageIO decodes it — but trivially implementable,
+  // which is what lets the test CONTROL the interlace flag the JDK encoder
+  // never sets.
+  private def gifEncode(w: Int, h: Int, idx: Array[Int], minCode: Int,
+                        interlaced: Boolean, palette: Array[Int]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(v: Int): Unit = { out += v.toByte; () }
+    def b2(v: Int): Unit = { b(v & 0xff); b(v >> 8) } // LE
+    "GIF89a".foreach(c => b(c))
+    b2(w); b2(h)
+    val bits = 31 - Integer.numberOfLeadingZeros(palette.length) // log2, exact
+    b(0x80 | (bits - 1)); b(0); b(0) // global table flag + size
+    palette.foreach { c => b(c >> 16); b((c >> 8) & 0xff); b(c & 0xff) }
+    b(0x2c); b2(0); b2(0); b2(w); b2(h); b(if (interlaced) 0x40 else 0x00)
+    b(minCode)
+    val clear = 1 << minCode
+    val codes = new scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (code,width)
+    var width = minCode + 1
+    var dictSize = clear + 2
+    codes += ((clear, width))
+    // rows in TRANSMISSION order: interlaced streams carry pass-ordered rows
+    val rowSeq =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+    var fresh = true // decoder adds NO entry for the first code after clear
+    for (y <- rowSeq; x <- 0 until w) {
+      codes += ((idx(y * w + x), width))
+      if (fresh) fresh = false
+      else if (dictSize < 4096) { // decoder adds one entry per later code
+        dictSize += 1
+        if (dictSize == (1 << width) && width < 12) width += 1
+      } // full dictionary: decoder stops adding; 12-bit literals stay valid
+    }
+    codes += ((clear + 1, width)) // EOI
+    var acc = 0L; var nb = 0
+    val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for ((c, cw) <- codes) {
+      acc |= c.toLong << nb; nb += cw
+      while (nb >= 8) { data += (acc & 0xff).toByte; acc >>>= 8; nb -= 8 }
+    }
+    if (nb > 0) data += (acc & 0xff).toByte
+    data.grouped(255).foreach { chunk => b(chunk.length); out ++= chunk }
+    b(0) // block terminator
+    b(0x3b) // trailer
+    out.toArray
+  }
+
+  test("RasterCodecs.decodeGif: JDK-encoded gray GIF decodes bit-for-bit; " +
+    "a from-spec INTERLACED stream (JDK encoders never interlace) " +
+    "deinterlaces exactly and ImageIO agrees; LZW edge cases (dictionary " +
+    "growth, KwKwK) via the JDK's compressed output; fuzz never throws") {
+    import graft.operators.RasterCodecs
+    def noisy(x: Int, y: Int): Int = ((x * 31 + y * 17) ^ (x * y * 7)) & 0xff
+    // JDK-encoded: real LZW compression exercises dictionary chains + KwKwK
+    val gimg = new java.awt.image.BufferedImage(41, 19,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 19; x <- 0 until 41)
+      gimg.getRaster.setSample(x, y, 0, noisy(x, y) % 37) // few colors → long chains
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "gif", bos)
+    val jbytes = bos.toByteArray
+    val Some((jw, jh, jgot)) = RasterCodecs.decodeGif(jbytes)
+    assert((jw, jh) == (41, 19))
+    val jref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jbytes))
+    for (y <- 0 until 19; x <- 0 until 41)
+      assert(jgot(y * 41 + x) == (jref.getRGB(x, y) & 0xffffff), s"JDK ($x,$y)")
+    // from-spec interlaced fixture with a known pixel function
+    val (w, h) = (23, 29)
+    val palette = Array.tabulate(64)(i => (i << 18) | ((63 - i) << 10) | (i << 2))
+    val idx = Array.tabulate(w * h)(i => (i % w * 5 + i / w * 11) % 64)
+    for (interlaced <- Seq(false, true)) {
+      val bytes = gifEncode(w, h, idx, minCode = 6, interlaced, palette)
+      val Some((dw, dh, got)) = RasterCodecs.decodeGif(bytes)
+      assert((dw, dh) == (w, h), s"interlaced=$interlaced")
+      for (i <- 0 until w * h)
+        assert(got(i) == palette(idx(i)), s"interlaced=$interlaced px $i")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"interlaced=$interlaced ImageIO reject — encoder non-conformant")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == (ref.getRGB(x, y) & 0xffffff),
+          s"interlaced=$interlaced vs ImageIO ($x,$y)")
+    }
+    // damage: truncation and byte mutations return None/garbage-free
+    for (cut <- Seq(0, 5, 6, 12, jbytes.length / 2))
+      assert(RasterCodecs.decodeGif(jbytes.take(cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 300) {
+      val m = jbytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      RasterCodecs.decodeGif(m)
+    }
+  }
+
   test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
     "map-typed payload column no longer breaks the salt hash") {
     import spark.implicits._
