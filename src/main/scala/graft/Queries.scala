@@ -5850,6 +5850,73 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // G.711 µ-law (WAV tag 0x07) telephony-audio decode — STATELESS
+    // segment expansion, so the DuckDB oracle replays the formula per
+    // byte in closed form (contrast mm_decode_adpcm's recursive CTE for
+    // the stateful IMA predictor). Kernel is table-equal to javax.sound
+    // for all 256 byte values (CI-pinned).
+    QueryDef("mm_decode_ulaw", Some(
+      "WITH v AS (SELECT doc_id, CAST(40 + doc_id % 50 AS INT) AS n " +
+        "FROM documents WHERE doc_id % 11 = 6), " +
+        "g AS (SELECT doc_id, n, gs.i AS i FROM v, " +
+        "LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gs), " +
+        "u AS (SELECT doc_id, n, i, 255 - (doc_id*7 + i*13) % 256 AS uu FROM g), " +
+        "t AS (SELECT doc_id, n, i, uu, " +
+        "((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8)) AS tv FROM u), " +
+        "s AS (SELECT doc_id, n, i, " +
+        "CASE WHEN uu >= 128 THEN 132 - tv ELSE tv - 132 END AS pcm FROM t) " +
+        "SELECT doc_id AS media_id, 'ulaw' AS law, n AS n_samples, " +
+        "CAST(sum(pcm) AS BIGINT) AS sum_pcm, CAST(min(pcm) AS INT) AS min_pcm, " +
+        "CAST(max(pcm) AS INT) AS max_pcm, " +
+        "CAST(max(CASE WHEN i = n - 1 THEN pcm END) AS INT) AS last_pcm, " +
+        "TRUE AS ok FROM s GROUP BY doc_id, n ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 11 === 6).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 40 + (id % 50).toInt
+            val bytes = Array.tabulate[Byte](n)(i => ((id * 7 + i * 13) % 256).toByte)
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.Multimodal.g711WavBytes(8000, bytes, mu = true),
+              "audio/wav", None, None, Some(n * 1000L / 8000L))
+          })
+        graft.operators.Multimodal.g711FromWav(media).toDF().orderBy("media_id")
+      }),
+
+    // G.711 A-law (WAV tag 0x06): the 0x55-toggle variant with its
+    // distinct segment-0/1 breakpoints and inverted sign convention.
+    QueryDef("mm_decode_alaw", Some(
+      "WITH v AS (SELECT doc_id, CAST(40 + doc_id % 50 AS INT) AS n " +
+        "FROM documents WHERE doc_id % 11 = 8), " +
+        "g AS (SELECT doc_id, n, gs.i AS i FROM v, " +
+        "LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gs), " +
+        "a AS (SELECT doc_id, n, i, xor((doc_id*7 + i*13) % 256, 85) AS aa FROM g), " +
+        "t AS (SELECT doc_id, n, i, aa, (aa % 16) * 16 AS tv, " +
+        "(aa // 16) % 8 AS seg FROM a), " +
+        "m AS (SELECT doc_id, n, i, aa, CASE WHEN seg = 0 THEN tv + 8 " +
+        "WHEN seg = 1 THEN tv + 264 ELSE (tv + 264) * (1 << (seg - 1)) END AS mag FROM t), " +
+        "s AS (SELECT doc_id, n, i, " +
+        "CASE WHEN aa >= 128 THEN mag ELSE -mag END AS pcm FROM m) " +
+        "SELECT doc_id AS media_id, 'alaw' AS law, n AS n_samples, " +
+        "CAST(sum(pcm) AS BIGINT) AS sum_pcm, CAST(min(pcm) AS INT) AS min_pcm, " +
+        "CAST(max(pcm) AS INT) AS max_pcm, " +
+        "CAST(max(CASE WHEN i = n - 1 THEN pcm END) AS INT) AS last_pcm, " +
+        "TRUE AS ok FROM s GROUP BY doc_id, n ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 11 === 8).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 40 + (id % 50).toInt
+            val bytes = Array.tabulate[Byte](n)(i => ((id * 7 + i * 13) % 256).toByte)
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.Multimodal.g711WavBytes(8000, bytes, mu = false),
+              "audio/wav", None, None, Some(n * 1000L / 8000L))
+          })
+        graft.operators.Multimodal.g711FromWav(media).toDF().orderBy("media_id")
+      }),
+
     // the decode stub is pure byte arithmetic (BE32 header ints, frame
     // count, byte-sum checksum), so DuckDB can oracle it from hex(payload)
     QueryDef("mm_decode", Some(

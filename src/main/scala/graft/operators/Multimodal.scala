@@ -628,6 +628,115 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------------------- G.711
+
+  /** G.711 µ-law byte → linear PCM (ITU-T G.711, the 0x07 WAV format tag
+    * and RFC 3551 PCMU payload): stateless 8-bit logarithmic companding,
+    * the telephony/speech-corpus codec. Output is the classic
+    * 16-bit-scaled linear value in [-32124, 32124] (the 14-bit G.711
+    * value << 2 — the same scale javax.sound and libavcodec emit). */
+  def ulawToPcm(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear PCM (the 0x06 WAV format tag / RFC 3551
+    * PCMA): 16-bit-scaled linear in [-32256, 32256] (the 13-bit G.711
+    * value << 3; 0x55 toggle + segment expansion; sign bit SET means
+    * positive, unlike µ-law). */
+  def alawToPcm(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val t = (a & 0x0f) << 4
+    val seg = (a >> 4) & 7
+    val mag = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case s => (t + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Minimal G.711 WAV container bytes: RIFF/WAVE, 16-byte `fmt ` chunk
+    * with tag 0x07 (µ-law) or 0x06 (A-law), mono, 8 bits/sample, one data
+    * chunk of raw companded bytes. Fixture-side helper, pairs with
+    * [[g711FromWav]]. */
+  def g711WavBytes(sampleRate: Int, bytes: Array[Byte],
+                   mu: Boolean): Array[Byte] = {
+    val n = bytes.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n + (n & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + n + (n & 1)).putInt(0x45564157)
+    bb.putInt(0x20746d66).putInt(16)
+      .putShort(if (mu) 0x07 else 0x06).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate) // byte rate = sample rate at 1 byte/sample
+      .putShort(1).putShort(8)
+    bb.putInt(0x61746164).putInt(n).put(bytes)
+    bb.array()
+  }
+
+  final case class G711Pcm(media_id: Long, law: String, n_samples: Int,
+                           sum_pcm: Long, min_pcm: Int, max_pcm: Int,
+                           last_pcm: Int, ok: Boolean)
+
+  /** REAL telephony-audio CONTAINER decode: WAV format 0x07 (µ-law) /
+    * 0x06 (A-law) parsed from the RIFF chunks, each companded byte
+    * expanded by the stateless G.711 kernel, integer stream features
+    * emitted (the decode is stateless, so the gate oracle replays the
+    * segment-expansion formula per byte in closed form). Not-mono /
+    * not-8-bit / not-G.711 payloads quarantine as one ok=false row. Same
+    * narrow mapPartitions shape as [[adpcmFromWav]]. */
+  def g711FromWav(media: Dataset[MediaRow]): Dataset[G711Pcm] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      def bad = G711Pcm(r.media_id, "", 0, 0L, 0, 0, 0, ok = false)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (p.length < 12 || bb.getInt(0) != 0x46464952 ||
+          bb.getInt(8) != 0x45564157) bad
+        else {
+          var off = 12
+          var tag = -1
+          var dataOff = -1
+          var dataLen = -1
+          while (off + 8 <= p.length) {
+            val id = bb.getInt(off)
+            val sz = bb.getInt(off + 4)
+            if (sz < 0 || off + 8 + sz > p.length) { off = p.length }
+            else {
+              if (id == 0x20746d66 && sz >= 16 && bb.getShort(off + 10) == 1 &&
+                (bb.getShort(off + 22) & 0xffff) == 8)
+                tag = bb.getShort(off + 8) & 0xffff
+              else if (id == 0x61746164) { dataOff = off + 8; dataLen = sz }
+              off += 8 + sz + (sz & 1)
+            }
+          }
+          if ((tag != 0x06 && tag != 0x07) || dataOff < 0 || dataLen <= 0) bad
+          else {
+            val mu = tag == 0x07
+            var s = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var last = 0
+            var i = 0
+            while (i < dataLen) {
+              val v = if (mu) ulawToPcm(p(dataOff + i) & 0xff)
+                else alawToPcm(p(dataOff + i) & 0xff)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              last = v
+              i += 1
+            }
+            G711Pcm(r.media_id, if (mu) "ulaw" else "alaw", dataLen, s, mn, mx,
+              last, ok = true)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => bad }
+    })
+  }
+
   final case class AdpcmPcm(media_id: Long, n_samples: Int, sum_pcm: Long,
                             min_pcm: Int, max_pcm: Int, last_pcm: Int,
                             ok: Boolean)

@@ -1245,6 +1245,54 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
+    "every byte value; the WAV container path decodes both laws and " +
+    "quarantines non-G.711 payloads") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def jdkTable(mu: Boolean): Array[Int] = {
+      val enc = if (mu) javax.sound.sampled.AudioFormat.Encoding.ULAW
+        else javax.sound.sampled.AudioFormat.Encoding.ALAW
+      val src = new javax.sound.sampled.AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val in = Array.tabulate[Byte](256)(_.toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(in), src, 256)
+      val out = javax.sound.sampled.AudioSystem.getAudioInputStream(dst, ais)
+      val buf = out.readAllBytes()
+      Array.tabulate(256)(i => ((buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)))
+    }
+    val muRef = jdkTable(mu = true)
+    val alRef = jdkTable(mu = false)
+    for (b <- 0 until 256) {
+      assert(Multimodal.ulawToPcm(b) == muRef(b), s"ulaw byte $b")
+      assert(Multimodal.alawToPcm(b) == alRef(b), s"alaw byte $b")
+    }
+    // container path: both laws round-trip; a PCM WAV quarantines
+    def bytesFor(id: Long, n: Int) = Array.tabulate[Byte](n)(i => ((id * 7 + i * 13) % 256).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio",
+        Multimodal.g711WavBytes(8000, bytesFor(1, 55), mu = true),
+        "audio/wav", None, None, None),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.g711WavBytes(8000, bytesFor(2, 44), mu = false),
+        "audio/wav", None, None, None),
+      Multimodal.MediaRow(3L, "audio",
+        Multimodal.wavBytes(Array.tabulate[Short](30)(i => (i * 100).toShort), 8000),
+        "audio/wav", None, None, None))
+    val got = Multimodal.g711FromWav(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    for ((id, n, mu) <- Seq((1L, 55, true), (2L, 44, false))) {
+      val pcm = bytesFor(id, n).map(b =>
+        if (mu) Multimodal.ulawToPcm(b & 0xff) else Multimodal.alawToPcm(b & 0xff))
+      val r = got(id)
+      assert(r.ok && r.law == (if (mu) "ulaw" else "alaw") && r.n_samples == n)
+      assert(r.sum_pcm == pcm.map(_.toLong).sum && r.min_pcm == pcm.min &&
+        r.max_pcm == pcm.max && r.last_pcm == pcm.last)
+    }
+    assert(!got(3L).ok, "PCM WAV must quarantine on the G.711 path")
+  }
+
   test("topKPerKey: reserved/rank column collisions fail loudly, and a " +
     "map-typed payload column no longer breaks the salt hash") {
     import spark.implicits._
