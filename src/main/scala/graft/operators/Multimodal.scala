@@ -209,6 +209,8 @@ object Multimodal {
       case "png" => Png.decodeRgb(p)
       case "bmp" => RasterCodecs.decodeBmp(p)
       case "gif" => RasterCodecs.decodeGif(p)
+      case "jpeg" => // baseline + progressive from spec; arithmetic/12-bit
+        Jpeg.decodeRgb(p).map(img => (img.width, img.height, img.px)) // → fallback
       case _ => None
     }
     viaSpec.orElse {

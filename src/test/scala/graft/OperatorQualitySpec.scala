@@ -1245,6 +1245,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("decodeImages: JPEG payloads route through the from-spec decoder " +
+    "(block-constant quality-1.0 frames give the exact closed-form sum, " +
+    "baseline and progressive alike)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def v(bx: Int, by: Int): Int = 25 + (bx * 19 + by * 7) % 190
+    val (w, h) = (24, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.jpegGrayBytes(w, h, v),
+        "image/jpeg", Some(w), Some(h), None),
+      Multimodal.MediaRow(2L, "image", Multimodal.jpegGrayProgressiveBytes(w, h, v),
+        "image/jpeg", Some(w), Some(h), None))
+    val got = Multimodal.decodeImages(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    val want = 3L * 64L * // gray packs to (g,g,g): 3 channels × 64 px/block
+      (for (by <- 0 until h / 8; bx <- 0 until w / 8) yield v(bx, by).toLong).sum
+    for (id <- Seq(1L, 2L)) {
+      assert(got(id).ok && got(id).width == w && got(id).height == h)
+      assert(got(id).pix_sum == want, s"id=$id")
+    }
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
