@@ -5850,6 +5850,33 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // EXIF orientation extraction (TIFF 6.0 IFD walk inside the Exif APP1
+    // segment, both byte orders) — the prep step an image pipeline runs
+    // before decode/resize so rotated captures land upright. Docs with
+    // doc_id % 5 == 0 carry NO Exif (has_exif=false, orientation 0); the
+    // rest plant 1 + doc_id % 8 in alternating endianness.
+    QueryDef("mm_image_exif", Some(
+      "SELECT doc_id AS media_id, doc_id % 5 <> 0 AS has_exif, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 + doc_id % 8 END AS INT) " +
+        "AS orientation, TRUE AS ok " +
+        "FROM documents WHERE doc_id % 11 = 3 ORDER BY 1"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 11 === 3).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val base = graft.operators.Multimodal.jpegGrayBytes(16, 8,
+              (_, _) => (30 + id % 100).toInt)
+            val payload =
+              if (id % 5 == 0) base
+              else graft.operators.Multimodal.jpegWithExif(base,
+                (1 + id % 8).toInt, le = id % 2 == 0)
+            graft.operators.Multimodal.MediaRow(id, "image", payload,
+              "image/jpeg", Some(16), Some(8), None)
+          })
+        graft.operators.Multimodal.imageExif(media).toDF().orderBy("media_id")
+      }),
+
     // G.711 µ-law (WAV tag 0x07) telephony-audio decode — STATELESS
     // segment expansion, so the DuckDB oracle replays the formula per
     // byte in closed form (contrast mm_decode_adpcm's recursive CTE for

@@ -238,6 +238,101 @@ object Multimodal {
     writePng(img)
   }
 
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — the
+    * public TIFF 6.0 IFD layout inside the Exif APP1 header: both byte
+    * orders (II/MM), IFD0 entry walk, SHORT value read in the declared
+    * endianness. Returns None when there is no APP1/Exif, no orientation
+    * tag, or the structure is damaged — a pipeline treats that as
+    * orientation 1 (upright) but must be able to DISTINGUISH absent from
+    * upright, hence Option. Bounds-checked throughout; never throws. */
+  def exifOrientation(p: Array[Byte]): Option[Int] = {
+    try {
+      if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+      var pos = 2
+      while (pos + 4 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return None
+        val m = p(pos + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+        else if (m == 0xda || m == 0xd9) return None // scan/EOI: no APP1 seen
+        else {
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          if (len < 2 || pos + 2 + len > p.length) return None
+          if (m == 0xe1 && len >= 16 &&
+            new String(p, pos + 4, 4, "US-ASCII") == "Exif" &&
+            p(pos + 8) == 0 && p(pos + 9) == 0) {
+            val tiff = pos + 10 // TIFF header base (offsets are relative to it)
+            val bom = new String(p, tiff, 2, "US-ASCII")
+            val le = bom == "II"
+            if (!le && bom != "MM") return None
+            def u16(o: Int): Int =
+              if (le) (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+              else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+            def u32(o: Int): Long =
+              if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+              else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+            if (u16(tiff + 2) != 42) return None
+            val ifd = tiff + u32(tiff + 4).toInt
+            if (ifd < tiff || ifd + 2 > p.length) return None
+            val n = u16(ifd)
+            var e = 0
+            while (e < n) {
+              val ent = ifd + 2 + 12 * e
+              if (ent + 12 > p.length) return None
+              if (u16(ent) == 0x0112 && u16(ent + 2) == 3 && u32(ent + 4) == 1L) {
+                val v = u16(ent + 8) // SHORT value left-justified in field
+                return if (v >= 1 && v <= 8) Some(v) else None
+              }
+              e += 1
+            }
+            return None // APP1 present, orientation absent
+          }
+          pos += 2 + len
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture: insert a minimal Exif APP1 (single IFD0 entry: orientation)
+    * right after SOI of an existing JPEG. `le` picks the TIFF byte order
+    * so both endiannesses are exercised. */
+  def jpegWithExif(jpeg: Array[Byte], orientation: Int,
+                   le: Boolean = true): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val app1 = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = { app1.write(v & 0xff); () }
+    def w16(v: Int): Unit = if (le) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Int): Unit =
+      if (le) { w16(v & 0xffff); w16(v >>> 16) } else { w16(v >>> 16); w16(v & 0xffff) }
+    b(0xff); b(0xe1); b(0); b(34) // APP1, len = 2+6+8+2+12+4
+    "Exif".foreach(c => b(c)); b(0); b(0)
+    (if (le) "II" else "MM").foreach(c => b(c))
+    w16(42); w32(8) // magic + IFD0 offset
+    w16(1) // one entry
+    w16(0x0112); w16(3); w32(1); w16(orientation); w16(0) // SHORT, padded
+    w32(0) // next IFD
+    jpeg.take(2) ++ app1.toByteArray ++ jpeg.drop(2)
+  }
+
+  final case class ImageExif(media_id: Long, has_exif: Boolean,
+                             orientation: Int, ok: Boolean)
+
+  /** Per-image EXIF orientation extraction — the prep step an image
+    * pipeline runs BEFORE decode/resize so rotated captures land upright
+    * (orientation 0 = no usable Exif; pipelines default it to 1). Narrow
+    * mapPartitions; payloads never reach a shuffle. */
+  def imageExif(media: Dataset[MediaRow]): Dataset[ImageExif] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      exifOrientation(p) match {
+        case Some(o) => ImageExif(r.media_id, has_exif = true, o, ok = true)
+        case None => ImageExif(r.media_id, has_exif = false, 0,
+          ok = p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      }
+    })
+  }
+
   /** Real BMP bytes (JDK encoder: 24-bit BI_RGB, bottom-up, padded
     * strides) for a solid-`rgb` w×h image — lossless like [[pngBytes]],
     * same closed-form oracle story, decoded by the from-spec

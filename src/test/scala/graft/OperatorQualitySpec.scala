@@ -1267,6 +1267,32 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("exifOrientation: both TIFF byte orders parse, the APP1-wrapped " +
+    "stream still DECODES (APP1 skipped), absent/invalid orientation " +
+    "returns None, fuzz never throws") {
+    import graft.operators.{Jpeg, Multimodal}
+    val base = Multimodal.jpegGrayBytes(16, 8, (_, _) => 77)
+    assert(Multimodal.exifOrientation(base).isEmpty, "no APP1 → None")
+    for (o <- 1 to 8; le <- Seq(true, false)) {
+      val tagged = Multimodal.jpegWithExif(base, o, le)
+      assert(Multimodal.exifOrientation(tagged) == Some(o), s"o=$o le=$le")
+      // the Exif segment must not disturb the actual decode
+      val Some((w, h, px)) = Jpeg.decodeGray(tagged)
+      assert((w, h) == (16, 8) && px.forall(_ == 77), s"decode with APP1 o=$o")
+    }
+    // out-of-range orientation quarantines
+    assert(Multimodal.exifOrientation(Multimodal.jpegWithExif(base, 9)).isEmpty)
+    val tagged = Multimodal.jpegWithExif(base, 6)
+    for (cut <- Seq(0, 1, 3, 10, 20, 30))
+      assert(Multimodal.exifOrientation(tagged.take(cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(51)
+    for (_ <- 1 to 300) {
+      val m = tagged.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.exifOrientation(m)
+    }
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
