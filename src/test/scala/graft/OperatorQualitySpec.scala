@@ -1148,6 +1148,54 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("RasterCodecs.decodeBmp: hand-built top-down and 32-bit BMPs — row " +
+    "orders and pixel widths the JDK encoder never emits — decode to the " +
+    "planted pixels") {
+    import graft.operators.RasterCodecs
+    def build(w: Int, h: Int, bits: Int, topDown: Boolean,
+              px: (Int, Int) => Int): Array[Byte] = {
+      val bytesPp = bits / 8
+      val stride = (w * bytesPp + 3) & ~3
+      val data = stride * h
+      val bb = java.nio.ByteBuffer.allocate(54 + data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + data)
+        .putInt(0).putInt(54) // reserved, data offset
+      bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+        .putShort(1).putShort(bits.toShort).putInt(0) // planes, bpp, BI_RGB
+        .putInt(data).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- 0 until h) {
+        val y = if (topDown) row else h - 1 - row // storage order
+        var x = 0
+        var written = 0
+        while (x < w) {
+          val c = px(x, y)
+          bb.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+            .put(((c >> 16) & 0xff).toByte)
+          written += 3
+          if (bits == 32) { bb.put(0xAB.toByte); written += 1 } // ignored alpha
+          x += 1
+        }
+        while (written < stride) { bb.put(0.toByte); written += 1 }
+      }
+      bb.array()
+    }
+    def px(x: Int, y: Int): Int =
+      (((x * 37 + y) & 0xff) << 16) | (((y * 53 + x) & 0xff) << 8) | ((x ^ y) & 0xff)
+    for (bits <- Seq(24, 32); topDown <- Seq(false, true)) {
+      val bytes = build(13, 7, bits, topDown, px)
+      val Some((w, h, got)) = RasterCodecs.decodeBmp(bytes)
+      assert((w, h) == (13, 7), s"bits=$bits topDown=$topDown")
+      for (y <- 0 until 7; x <- 0 until 13)
+        assert(got(y * 13 + x) == px(x, y), s"bits=$bits topDown=$topDown ($x,$y)")
+    }
+    // RLE-compressed BMP (compression != 0) must quarantine, not guess
+    val rle = build(13, 7, 24, topDown = false, px)
+    val bb = java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(30, 1) // BI_RLE8
+    assert(RasterCodecs.decodeBmp(rle).isEmpty)
+  }
+
   // minimal LITERAL-ONLY GIF LZW encoder: emits each pixel index as a root
   // code while tracking the decoder's dictionary-size/code-width schedule
   // exactly (entries still get ADDED on the decode side, so the width must
@@ -1156,16 +1204,21 @@ class OperatorQualitySpec extends AnyFunSuite {
   // which is what lets the test CONTROL the interlace flag the JDK encoder
   // never sets.
   private def gifEncode(w: Int, h: Int, idx: Array[Int], minCode: Int,
-                        interlaced: Boolean, palette: Array[Int]): Array[Byte] = {
+                        interlaced: Boolean, palette: Array[Int],
+                        localTable: Boolean = false): Array[Byte] = {
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     def b(v: Int): Unit = { out += v.toByte; () }
     def b2(v: Int): Unit = { b(v & 0xff); b(v >> 8) } // LE
     "GIF89a".foreach(c => b(c))
     b2(w); b2(h)
     val bits = 31 - Integer.numberOfLeadingZeros(palette.length) // log2, exact
-    b(0x80 | (bits - 1)); b(0); b(0) // global table flag + size
-    palette.foreach { c => b(c >> 16); b((c >> 8) & 0xff); b(c & 0xff) }
-    b(0x2c); b2(0); b2(0); b2(w); b2(h); b(if (interlaced) 0x40 else 0x00)
+    def table(): Unit =
+      palette.foreach { c => b(c >> 16); b((c >> 8) & 0xff); b(c & 0xff) }
+    b(if (localTable) 0x00 else 0x80 | (bits - 1)); b(0); b(0)
+    if (!localTable) table()
+    b(0x2c); b2(0); b2(0); b2(w); b2(h)
+    b((if (interlaced) 0x40 else 0x00) | (if (localTable) 0x80 | (bits - 1) else 0x00))
+    if (localTable) table()
     b(minCode)
     val clear = 1 << minCode
     val codes = new scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (code,width)
@@ -1222,17 +1275,18 @@ class OperatorQualitySpec extends AnyFunSuite {
     val (w, h) = (23, 29)
     val palette = Array.tabulate(64)(i => (i << 18) | ((63 - i) << 10) | (i << 2))
     val idx = Array.tabulate(w * h)(i => (i % w * 5 + i / w * 11) % 64)
-    for (interlaced <- Seq(false, true)) {
-      val bytes = gifEncode(w, h, idx, minCode = 6, interlaced, palette)
+    for (interlaced <- Seq(false, true); local <- Seq(false, true)) {
+      val bytes = gifEncode(w, h, idx, minCode = 6, interlaced, palette, local)
       val Some((dw, dh, got)) = RasterCodecs.decodeGif(bytes)
-      assert((dw, dh) == (w, h), s"interlaced=$interlaced")
+      assert((dw, dh) == (w, h), s"interlaced=$interlaced local=$local")
       for (i <- 0 until w * h)
-        assert(got(i) == palette(idx(i)), s"interlaced=$interlaced px $i")
+        assert(got(i) == palette(idx(i)), s"interlaced=$interlaced local=$local px $i")
       val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      assert(ref != null, s"interlaced=$interlaced ImageIO reject — encoder non-conformant")
+      assert(ref != null,
+        s"interlaced=$interlaced local=$local ImageIO reject — encoder non-conformant")
       for (y <- 0 until h; x <- 0 until w)
         assert(got(y * w + x) == (ref.getRGB(x, y) & 0xffffff),
-          s"interlaced=$interlaced vs ImageIO ($x,$y)")
+          s"interlaced=$interlaced local=$local vs ImageIO ($x,$y)")
     }
     // damage: truncation and byte mutations return None/garbage-free
     for (cut <- Seq(0, 5, 6, 12, jbytes.length / 2))
