@@ -262,12 +262,18 @@ object Queries {
     * (any sentinel time later than every real event works; a flush
     * sentinel is "+infinity", not a data-dependent value). */
   private val fmgwsSrcCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, org.apache.spark.sql.types.StructType)]
+    (SparkSession, String),
+    (Long, String, org.apache.spark.sql.types.StructType)]
   private def fmgwsStagedSource(
       s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) = {
     val key = (s, d)
+    // validated against events.parquet's mtime, same as the fileSchemas
+    // cache above: a corpus regenerated at the same path mid-session must
+    // re-stage, not stream stale rows against a fresh oracle
+    val mtime = tableMtime(d, "events")
     val existing = fmgwsSrcCache.get(key)
-    if (existing != null) return existing
+    if (existing != null && existing._1 == mtime)
+      return (existing._2, existing._3)
     val dir = s"${scratchRoot(s)}/fmgws_src_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val ev = T(s, d, "events").select(col("user_id"), col("ts"),
       col("event_type"), col("value"))
@@ -275,9 +281,9 @@ object Queries {
       timestamp_micros(lit(7258118400000000L)).as("ts"), // 2200-01-01 UTC
       lit("sentinel").as("event_type"), lit(0.0).as("value"))
     ev.unionByName(sentinel).write.mode("overwrite").parquet(dir)
-    val out = (dir, s.read.parquet(dir).schema)
-    fmgwsSrcCache.putIfAbsent(key, out)
-    fmgwsSrcCache.get(key)
+    val schema = s.read.parquet(dir).schema
+    fmgwsSrcCache.put(key, (mtime, dir, schema))
+    (dir, schema)
   }
 
   /** Rectangle dim row: attach bbox columns + the matching multipolygon

@@ -251,16 +251,22 @@ object Multimodal {
       var pos = 2
       while (pos + 4 <= p.length) {
         if ((p(pos) & 0xff) != 0xff) return None
-        val m = p(pos + 1) & 0xff
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+        // T.81 B.1.1.2 permits any number of 0xFF fill bytes before the
+        // marker code — skip them like the decoder's marker loop does
+        var mp = pos + 1
+        while (mp < p.length && (p(mp) & 0xff) == 0xff) mp += 1
+        if (mp + 1 >= p.length) return None
+        val m = p(mp) & 0xff
+        pos = mp + 1 // first byte after the marker code
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { /* standalone: done */ }
         else if (m == 0xda || m == 0xd9) return None // scan/EOI: no APP1 seen
         else {
-          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
-          if (len < 2 || pos + 2 + len > p.length) return None
+          val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+          if (len < 2 || pos + len > p.length) return None
           if (m == 0xe1 && len >= 16 &&
-            new String(p, pos + 4, 4, "US-ASCII") == "Exif" &&
-            p(pos + 8) == 0 && p(pos + 9) == 0) {
-            val tiff = pos + 10 // TIFF header base (offsets are relative to it)
+            new String(p, pos + 2, 4, "US-ASCII") == "Exif" &&
+            p(pos + 6) == 0 && p(pos + 7) == 0) {
+            val tiff = pos + 8 // TIFF header base (offsets are relative to it)
             val bom = new String(p, tiff, 2, "US-ASCII")
             val le = bom == "II"
             if (!le && bom != "MM") return None
@@ -286,7 +292,7 @@ object Multimodal {
             }
             return None // APP1 present, orientation absent
           }
-          pos += 2 + len
+          pos += len // len counts itself; pos already sits at the length field
         }
       }
       None

@@ -133,8 +133,10 @@ object Png {
     Some((w, h, out))
   }
 
-  /** Inflate to EXACTLY `want` bytes; null on short/corrupt streams. */
-  private def inflateExact(z: Array[Byte], want: Int): Array[Int] = {
+  /** Inflate to EXACTLY `want` bytes; null on short/corrupt streams. Kept
+    * as raw bytes — consumers mask with & 0xff — so a near-cap image does
+    * not pay a 4× Array[Int] transient copy per decode thread. */
+  private def inflateExact(z: Array[Byte], want: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(z)
@@ -146,10 +148,7 @@ object Png {
         got += n
       }
       if (got != want) return null
-      val out = new Array[Int](want)
-      var i = 0
-      while (i < want) { out(i) = buf(i) & 0xff; i += 1 }
-      out
+      buf
     } catch {
       case _: java.util.zip.DataFormatException => null
     } finally inf.end()

@@ -106,15 +106,20 @@ object Skew {
     // ranks by (xxhash64 rejects map columns at analysis time). Fall back
     // to all columns when the order refs can't be extracted (resolved
     // plans always yield them).
-    val orderRefs = order.flatMap(c =>
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
-      })
-    val saltCols = {
-      val named = (keys ++ orderRefs).distinct.filter(df.columns.contains)
-      if (named.nonEmpty) named else df.columns.toSeq
-    }
+    val orderRefs = order.flatMap(
+      org.apache.spark.sql.graftbridge.ColumnBridge.referencedNames).distinct
+    // the narrowing is only safe when EVERY order ref resolved to a
+    // top-level input column: a struct-field / qualified / case-mismatched
+    // ref that silently dropped out would leave salt = hash(keys) —
+    // constant per key, putting a hot key's every row in ONE salt bucket,
+    // the exact single-reducer straggler this function exists to prevent.
+    // Any unresolved ref ⇒ hash ALL columns (the map-type restriction
+    // returns in that corner, loudly, at analysis time).
+    val matched = orderRefs.filter(df.columns.contains)
+    val saltCols =
+      if (orderRefs.nonEmpty && matched.size == orderRefs.size)
+        (keys ++ matched).distinct
+      else df.columns.toSeq
     val salt = pmod(xxhash64(struct(saltCols.map(col).toIndexedSeq: _*)),
       lit(salts)).cast("int")
     val w1 = Window.partitionBy(keys.map(col) :+ col("__tksalt"): _*)

@@ -1336,6 +1336,14 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
     // out-of-range orientation quarantines
     assert(Multimodal.exifOrientation(Multimodal.jpegWithExif(base, 9)).isEmpty)
+    // T.81 B.1.1.2 fill bytes: extra 0xFF padding before the APP1 marker
+    // must not hide the tag (and the padded stream still decodes)
+    val padded = {
+      val t = Multimodal.jpegWithExif(base, 5)
+      t.take(2) ++ Array.fill[Byte](3)(0xff.toByte) ++ t.drop(2)
+    }
+    assert(Multimodal.exifOrientation(padded) == Some(5), "fill bytes before APP1")
+    assert(Jpeg.decodeGray(padded).nonEmpty)
     val tagged = Multimodal.jpegWithExif(base, 6)
     for (cut <- Seq(0, 1, 3, 10, 20, 30))
       assert(Multimodal.exifOrientation(tagged.take(cut)).isEmpty, s"cut=$cut")
@@ -1419,6 +1427,18 @@ class OperatorQualitySpec extends AnyFunSuite {
       Seq(col("n").desc, col("id")), 1)
       .select("k", "id", "rk").as[(String, Int, Int)].collect().toSet
     assert(got == Set(("a", 1, 1), ("b", 3, 1)))
+    // ...but an order ref that is NOT a plain top-level column (struct
+    // field) must take the hash-ALL-columns fallback, never the
+    // keys-only degenerate salt that would put a hot key's every row in
+    // one bucket — observable here because the fallback hits the map
+    // column and fails AT ANALYSIS instead of silently de-skewing nothing
+    val withStruct = withMap.withColumn("st", struct(col("n").as("inner")))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      graft.operators.Skew.topKPerKey(withStruct, Seq("k"),
+        Seq(col("st.inner").desc, col("id")), 1)
+        .queryExecution.analyzed
+    }
+    assert(e3.getMessage.contains("MAP"))
   }
 
   test("adpcm: hand-checked first transitions, saturation clamps at both " +
