@@ -4225,6 +4225,38 @@ object Queries {
     // order = class priority), clean_text reassembles from the split
     // segments interleaved with tokens. Patterns, tokens and count-column
     // names all come from TextFunctions.piiPatterns — one source of truth.
+    // HTML → text extraction (single-pass codegen kernel): each document
+    // is wrapped into a realistic page — raw-text script/style elements
+    // whose content contains '<p>' and '>' traps, a quoted-attribute '>'
+    // in <body onload>, a comment, entity-escaped body text, named +
+    // numeric character references, a counted <a href> — and the
+    // extraction must give back exactly the collapsed original text plus
+    // the fixed chrome. The oracle replays the CONSTRUCTION (escape is the
+    // inverse of decode; ws collapse mirrors the kernel), not the parse.
+    QueryDef("text_html_extract", Some(
+      "SELECT doc_id, trim(regexp_replace('Doc Doc ' || doc_id || ' ' || text || " +
+        "' & link HI!', '\\s+', ' ', 'g')) AS text, " +
+        "CAST(17 AS BIGINT) AS n_tags, CAST(1 AS BIGINT) AS n_links " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) => {
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>Doc</title>" +
+            "<script>var a='<p>not text</p>';</script>" +
+            "<style>p>span{color:red}</style></head>" +
+            "<body onload=\"f('>')\"><!-- no comment --><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><p>"), esc,
+          lit(" &amp; <a href=\"https://x.example/?q=1\">link</a>" +
+            " &#72;&#x49;!</p><br/></body></html>"))
+        T(s, d, "documents").select(col("doc_id"),
+            graft.functions.TextFunctions.htmlExtract(html).as("h"))
+          .select(col("doc_id"), col("h.text").as("text"),
+            col("h.n_tags").as("n_tags"), col("h.n_links").as("n_links"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("text_pii_scrub", Some {
       val pats = TextFunctions.piiPatterns
       val combined = graft.plans.PiiScrubKernel.combinedRegex

@@ -177,6 +177,15 @@ object TextFunctions {
   def scrubPii(text: Column): Column =
     scrubPiiWithCounts(text).getField("clean_text")
 
+  /** HTML → text in ONE pass (tags stripped and counted, script/style
+    * content dropped, comments vanish, quoted-attribute `>` honored,
+    * core + numeric character references decoded, whitespace-collapsed)
+    * as a native codegen expression — the crawl-to-corpus step every
+    * quality/dedup operator downstream assumes has already run. Returns
+    * struct(text, n_tags, n_links). */
+  def htmlExtract(html: Column): Column =
+    graft.plans.HtmlExtractExpr(html)
+
   // --------------------------------------------------------- fingerprinting
 
   /** 64-bit polynomial rolling hash over the whitespace-normalized,

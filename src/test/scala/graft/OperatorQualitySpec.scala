@@ -1355,6 +1355,43 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("HtmlKernel: raw-text element traps, literal '<', malformed refs, " +
+    "unterminated tags, link counting and numeric code points — and the " +
+    "expression survives codegen inside a DataFrame select") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def x(h: String): (String, Long, Long) = {
+      val r = graft.plans.HtmlKernel.extract(UTF8String.fromString(h))
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+    // script content with a fake closing-ish tag + case-variant end tag
+    assert(x("<p>a</p><SCRIPT>if(1</scr)x='</scrip>';</ScRiPt><p>b</p>") ==
+      (("a b", 5L, 0L)))
+    // style with '>' selectors; quoted '>' in an attribute
+    assert(x("<style>p>b{x:1}</style><div title=\"a>b\">t</div>") == (("t", 3L, 0L)))
+    // literal '<' (not a tag) and lone '&'
+    assert(x("1 < 2 & 3 > 0") == (("1 < 2 & 3 > 0", 0L, 0L)))
+    // entities: named, decimal, hex, invalid name, overlong, bad number
+    assert(x("&lt;x&gt; &amp;&quot;&apos; &#65;&#x42; &bogus; &#xZZ; &toolongname123;") ==
+      (("<x> &\"' AB &bogus; &#xZZ; &toolongname123;", 0L, 0L)))
+    // nbsp collapses as whitespace
+    assert(x("a&nbsp;&nbsp;b") == (("a b", 0L, 0L)))
+    // links: href required, closing </a> not counted, href in quotes
+    assert(x("<a href='u'>l</a><a name=x>m</a>") == (("l m", 4L, 1L)))
+    // unterminated tag and unterminated comment: drop, never throw
+    assert(x("ok <div attr='no close") == (("ok", 1L, 0L)))
+    assert(x("ok <!-- never closed") == (("ok", 0L, 0L)))
+    // unterminated script: rest of document is code, not text
+    assert(x("a<script>var x = 1;") == (("a", 1L, 0L)))
+    // codegen path: the expression inside a whole-stage-codegen'd select
+    import spark.implicits._
+    val df = Seq((1L, "<p>A &amp; B</p>"), (2L, "<a href=u>z</a>")).toDF("id", "h")
+    val got = df.select(col("id"),
+        graft.functions.TextFunctions.htmlExtract(col("h")).as("e"))
+      .select(col("id"), col("e.text"), col("e.n_tags"), col("e.n_links"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((1L, "A & B", 2L, 0L), (2L, "z", 2L, 1L)))
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
