@@ -4257,6 +4257,52 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // WARC → HTTP response → HTML → text: the Common Crawl ingest chain in
+    // one row. Each document becomes a two-record WARC (warcinfo + an
+    // HTTP 200 text/html response whose body is the SAME trap-laden page
+    // as text_html_extract), gzipped as concatenated per-record members
+    // for even doc_ids (the Common Crawl convention) and plain for odd —
+    // so both container paths sit under the oracle. Bodies are parsed out
+    // of Content-Length framing (byte-exact through multi-byte UTF-8),
+    // then the codegen HTML kernel recovers the original text.
+    QueryDef("web_warc_extract", Some(
+      "SELECT doc_id, 'https://example.org/doc/' || doc_id AS target_uri, " +
+        "CAST(200 AS INT) AS http_status, " +
+        "'text/html; charset=utf-8' AS content_type, " +
+        "trim(regexp_replace('Doc Doc ' || doc_id || ' ' || text || " +
+        "' & link HI!', '\\s+', ' ', 'g')) AS text, " +
+        "CAST(17 AS BIGINT) AS n_tags, CAST(1 AS BIGINT) AS n_links " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select("doc_id", "text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val esc = text.replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            val html = "<html><head><title>Doc</title>" +
+              "<script>var a='<p>not text</p>';</script>" +
+              "<style>p>span{color:red}</style></head>" +
+              "<body onload=\"f('>')\"><!-- no comment --><h1>Doc " + id +
+              "</h1><p>" + esc +
+              " &amp; <a href=\"https://x.example/?q=1\">link</a>" +
+              " &#72;&#x49;!</p><br/></body></html>"
+            graft.operators.Multimodal.MediaRow(id, "web",
+              graft.operators.Warc.warcBytes(
+                s"https://example.org/doc/$id", html, id, gzipped = id % 2 == 0),
+              "application/warc", None, None, None)
+          })
+        graft.operators.Warc.records(media).toDF()
+          .filter(col("warc_type") === "response")
+          .select(col("media_id").as("doc_id"), col("target_uri"),
+            col("http_status"), col("content_type"),
+            graft.functions.TextFunctions.htmlExtract(col("body")).as("h"))
+          .select(col("doc_id"), col("target_uri"), col("http_status"),
+            col("content_type"), col("h.text").as("text"),
+            col("h.n_tags").as("n_tags"), col("h.n_links").as("n_links"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("text_pii_scrub", Some {
       val pats = TextFunctions.piiPatterns
       val combined = graft.plans.PiiScrubKernel.combinedRegex

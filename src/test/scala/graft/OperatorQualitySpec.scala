@@ -1392,6 +1392,42 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got == Set((1L, "A & B", 2L, 0L), (2L, "z", 2L, 1L)))
   }
 
+  test("Warc.parse: multi-record framing (plain + gzip members) with " +
+    "byte-exact Content-Length through multi-byte UTF-8; truncated / " +
+    "length-lying / non-WARC payloads quarantine; fuzz never throws") {
+    import graft.operators.Warc
+    val html = "<p>héllo — ünïcode</p>" // multi-byte chars stress the framing
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.warcBytes("https://e.org/1", html, 7L, gz)
+      val recs = Warc.parse(9L, bytes).toVector
+      assert(recs.length == 2, s"gz=$gz")
+      assert(recs(0).warc_type == "warcinfo" && recs(0).ok && recs(0).body == "")
+      val r = recs(1)
+      assert(r.ok && r.warc_type == "response" && r.rec_idx == 1)
+      assert(r.target_uri == "https://e.org/1" && r.http_status == 200)
+      assert(r.content_type == "text/html; charset=utf-8")
+      assert(r.body == html, s"gz=$gz body framing")
+    }
+    val plain = Warc.warcBytes("https://e.org/1", html, 7L, gzipped = false)
+    // truncation mid-body and mid-header must quarantine, not emit a
+    // silently-short record
+    for (cut <- Seq(3, 20, plain.length / 2, plain.length - 6))
+      assert(Warc.parse(1L, plain.take(cut)).exists(!_.ok), s"cut=$cut")
+    // a Content-Length pointing past the payload quarantines
+    val lying = new String(plain, "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: 999999")
+      .getBytes("ISO-8859-1")
+    assert(Warc.parse(1L, lying).exists(!_.ok))
+    assert(Warc.parse(1L, "not a warc at all".getBytes).exists(!_.ok))
+    assert(Warc.parse(1L, Array.empty[Byte]).exists(!_.ok))
+    val rnd = new scala.util.Random(61)
+    for (_ <- 1 to 200) {
+      val m = plain.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Warc.parse(1L, m).foreach(_ => ()) // must not throw
+    }
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
