@@ -4257,6 +4257,52 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // robots.txt URL admission (RFC 9309): group selection (a decoy
+    // special-bot group must be ignored), '*' wildcards, the '$' end
+    // anchor, longest-match-wins with Allow beating Disallow on ties, and
+    // allow-all for hosts with no robots row. The fixture's rule set maps
+    // each path family to a closed-form verdict the oracle replays.
+    QueryDef("web_robots_filter", Some(
+      "WITH v AS (SELECT doc_id, 'h' || (doc_id % 7) || '.example' AS host, " +
+        "CASE doc_id % 5 WHEN 0 THEN '/public/page' || doc_id " +
+        "WHEN 1 THEN '/private/x' || doc_id " +
+        "WHEN 2 THEN '/private/ok/y' || doc_id " +
+        "WHEN 3 THEN '/files/doc' || doc_id || '.pdf' " +
+        "ELSE '/' END AS path FROM documents) " +
+        "SELECT host, path, " +
+        "CASE WHEN doc_id % 7 = 3 THEN TRUE WHEN doc_id % 5 = 1 THEN FALSE " +
+        "WHEN doc_id % 5 = 3 THEN FALSE ELSE TRUE END AS allowed, " +
+        "CASE WHEN doc_id % 7 = 3 THEN '' WHEN doc_id % 5 = 1 THEN '/private' " +
+        "WHEN doc_id % 5 = 2 THEN '/private/ok' " +
+        "WHEN doc_id % 5 = 3 THEN '/*.pdf$' ELSE '' END AS matched_rule, " +
+        "doc_id % 7 <> 3 AS has_robots " +
+        "FROM v ORDER BY host, path"),
+      (s, d) => {
+        val urls = T(s, d, "documents").select(
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example")).as("host"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/public/page"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/private/x"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/private/ok/y"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 5 === 3,
+              concat(lit("/files/doc"), col("doc_id").cast("string"), lit(".pdf")))
+            .otherwise(lit("/")).as("path"))
+        val robots = s.range(7).filter(col("id") =!= 3).select(
+          concat(lit("h"), col("id").cast("string"), lit(".example")).as("host"),
+          lit("# fixture robots\n" +
+            "User-agent: special-bot\nDisallow: /\n\n" +
+            "User-agent: *\n" +
+            "Disallow: /private\n" +
+            "Allow: /private/ok\n" +
+            "Disallow: /*.pdf$\n" +
+            "Sitemap: https://ignored.example/sitemap.xml\n").as("robots_txt"))
+        graft.operators.Robots.filterUrls(urls, robots).toDF()
+          .orderBy("host", "path")
+      }),
+
     // WARC → HTTP response → HTML → text: the Common Crawl ingest chain in
     // one row. Each document becomes a two-record WARC (warcinfo + an
     // HTTP 200 text/html response whose body is the SAME trap-laden page

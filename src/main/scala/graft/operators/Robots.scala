@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) parsing and URL
+  * admission — the crawl-politeness gate a web-scale corpus builder runs
+  * before fetching (and re-runs over an existing crawl to drop pages the
+  * site has since disallowed).
+  *
+  *  - [[parse]]: group selection per §2.2.1 (consecutive `User-agent`
+  *    lines share one group; the most specific matching group wins, `*`
+  *    as fallback; comments stripped; unknown directives ignored);
+  *  - [[matches]]: path patterns with `*` wildcards and the `$` end
+  *    anchor per §2.2.3, greedy two-pointer with backtracking;
+  *  - [[isAllowed]]: longest-match-wins by pattern OCTET length, `Allow`
+  *    beating `Disallow` on ties, empty-pattern rules ignored, default
+  *    allow (§2.2.2) — a missing robots.txt is also allow-all.
+  *
+  * Scale shape in [[filterUrls]]: the robots corpus is parsed ONCE per
+  * host (not per URL) on the dim side, then broadcast-joined to the URL
+  * fact table; rule evaluation is a row-local loop over that host's rule
+  * list — no shuffle of the fact beyond the join Spark picks.
+  */
+object Robots {
+
+  final case class Rule(pattern: String, allow: Boolean)
+
+  /** Rules of the group governing `agent` (exact case-insensitive match
+    * preferred, `*` group as fallback), in file order. */
+  def parse(body: String, agent: String = "*"): Seq[Rule] = {
+    final case class Group(agents: Seq[String], rules: Seq[Rule])
+    val groups = scala.collection.mutable.Buffer[Group]()
+    var curAgents = scala.collection.mutable.Buffer[String]()
+    var curRules = scala.collection.mutable.Buffer[Rule]()
+    var inHeader = true // consecutive user-agent lines extend the group
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups += Group(curAgents.toSeq, curRules.toSeq)
+      curAgents = scala.collection.mutable.Buffer[String]()
+      curRules = scala.collection.mutable.Buffer[Rule]()
+    }
+    for (raw <- body.linesIterator) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inHeader) flush()
+            curAgents += value.toLowerCase
+            inHeader = true
+          case "allow" | "disallow" =>
+            inHeader = false
+            if (value.nonEmpty) curRules += Rule(value, key == "allow")
+          case _ => inHeader = false // sitemap / crawl-delay / unknown
+        }
+      }
+    }
+    flush()
+    val want = agent.toLowerCase
+    groups.find(_.agents.contains(want))
+      .orElse(groups.find(_.agents.contains("*")))
+      .map(_.rules).getOrElse(Seq.empty)
+  }
+
+  /** §2.2.3 pattern match: prefix semantics with `*` (any run) and a
+    * trailing `$` anchoring the end of the path. */
+  def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    if (pat.isEmpty) return !anchored || path.isEmpty // "" is an empty prefix
+    var pi = 0
+    var si = 0
+    var starPi = -1
+    var starSi = -1
+    while (si < path.length) {
+      if (pi < pat.length && (pat.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (pi < pat.length && pat.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      else if (starPi >= 0) { pi = starPi + 1; starSi += 1; si = starSi }
+      else return false
+      if (pi == pat.length && !anchored) return true // prefix satisfied
+    }
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length // (anchored: must also have consumed the path)
+  }
+
+  /** (allowed, winning pattern): longest pattern wins, Allow wins ties,
+    * no match → (true, ""). */
+  def isAllowed(rules: Seq[Rule], path: String): (Boolean, String) = {
+    var bestLen = -1
+    var bestAllow = true
+    var bestPat = ""
+    for (r <- rules if matches(r.pattern, path)) {
+      val len = r.pattern.length
+      if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+        bestLen = len; bestAllow = r.allow; bestPat = r.pattern
+      }
+    }
+    if (bestLen < 0) (true, "") else (bestAllow, bestPat)
+  }
+
+  final case class UrlVerdict(host: String, path: String, allowed: Boolean,
+                              matched_rule: String, has_robots: Boolean)
+
+  /** Admission verdict per URL row: `urls(host, path)` against
+    * `robots(host, robots_txt)`. Hosts without a robots.txt row are
+    * allow-all with `has_robots = false`. The robots side parses once per
+    * HOST and broadcasts (robots bodies are small and per-host unique by
+    * contract); at 100 TB the fact side never re-parses a body. */
+  def filterUrls(urls: DataFrame, robots: DataFrame,
+                 agent: String = "*"): Dataset[UrlVerdict] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val parsed = robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)]
+      .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
+        .map(r => (r.pattern, r.allow))) }
+      .toDF("host", "rules")
+    urls.select(col("host"), col("path"))
+      .join(broadcast(parsed), Seq("host"), "left")
+      .as[(String, String, Option[Seq[(String, Boolean)]])]
+      .map { case (h, p, rules) =>
+        rules match {
+          case None => UrlVerdict(h, p, allowed = true, "", has_robots = false)
+          case Some(rs) =>
+            val (ok, pat) = isAllowed(rs.map(t => Rule(t._1, t._2)), p)
+            UrlVerdict(h, p, ok, pat, has_robots = true)
+        }
+      }
+  }
+}

@@ -1428,6 +1428,47 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("Robots: RFC 9309 wildcard/backtracking matcher, longest-match with " +
+    "Allow winning ties, group selection (specific agent beats *, decoy " +
+    "groups ignored), empty values and comments dropped") {
+    import graft.operators.Robots
+    import graft.operators.Robots.Rule
+    // matcher: wildcards, anchors, backtracking
+    assert(Robots.matches("/a", "/abc"))
+    assert(Robots.matches("/*.pdf$", "/x/y.pdf"))
+    assert(!Robots.matches("/*.pdf$", "/x/y.pdfz"))
+    assert(Robots.matches("/*.pdf", "/x/y.pdfz")) // unanchored: prefix-ish
+    assert(Robots.matches("/a*b*c", "/aXbYbZc-tail")) // needs backtracking
+    assert(!Robots.matches("/a*b*c", "/aXbY"))
+    assert(Robots.matches("*", "/anything"))
+    assert(Robots.matches("/a$", "/a") && !Robots.matches("/a$", "/ab"))
+    // longest match wins; Allow beats Disallow on equal length
+    val rules = Seq(Rule("/p", allow = false), Rule("/p/ok", allow = true),
+      Rule("/q", allow = false), Rule("/q", allow = true))
+    assert(Robots.isAllowed(rules, "/p/ok/x") == ((true, "/p/ok")))
+    assert(Robots.isAllowed(rules, "/p/no") == ((false, "/p")))
+    assert(Robots.isAllowed(rules, "/q/t") == ((true, "/q"))) // tie → Allow
+    assert(Robots.isAllowed(rules, "/else") == ((true, "")))
+    // group selection
+    val body =
+      """# comment
+        |User-agent: special-bot
+        |Disallow: /
+        |
+        |User-agent: other
+        |User-agent: *
+        |Disallow: /x # trailing comment
+        |Allow:
+        |Crawl-delay: 10
+        |Disallow: /y
+        |""".stripMargin
+    assert(Robots.parse(body) == Seq(Rule("/x", false), Rule("/y", false)))
+    assert(Robots.parse(body, "SPECIAL-BOT") == Seq(Rule("/", false)))
+    assert(Robots.parse(body, "other") == Seq(Rule("/x", false), Rule("/y", false)))
+    assert(Robots.parse("", "*").isEmpty)
+    assert(Robots.parse("User-agent: none\nDisallow: /", "*").isEmpty)
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
