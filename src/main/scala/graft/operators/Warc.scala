@@ -76,7 +76,7 @@ object Warc {
                   try parts(1).toInt catch { case _: NumberFormatException => 0 }
                 cType = headerMap(hl.drop(1)).getOrElse("content-type", "")
                 body = new String(p, httpEnd + 4,
-                  (bodyStart + len - (httpEnd + 4)).toInt, "UTF-8")
+                  (bodyStart + len - (httpEnd + 4)).toInt, charsetOf(cType))
               }
             }
           } else if (warcType != "response") {
@@ -90,6 +90,23 @@ object Warc {
       val res = out.result()
       if (res.isEmpty) bad else res.iterator
     } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Body charset from the Content-Type `charset=` parameter — a latin-1
+    * or windows-1252 page decoded as UTF-8 would turn every high byte
+    * into U+FFFD and silently corrupt the corpus. Unknown or absent
+    * charsets fall back to UTF-8 (the web default). */
+  private[graft] def charsetOf(contentType: String): java.nio.charset.Charset = {
+    val lower = contentType.toLowerCase
+    val i = lower.indexOf("charset=")
+    if (i < 0) java.nio.charset.StandardCharsets.UTF_8
+    else {
+      val raw = lower.substring(i + 8).takeWhile(c => c != ';' && c != ' ')
+        .stripPrefix("\"").stripSuffix("\"")
+      try java.nio.charset.Charset.forName(raw)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.charset.StandardCharsets.UTF_8 }
+    }
   }
 
   private def headerMap(lines: Array[String]): Map[String, String] =

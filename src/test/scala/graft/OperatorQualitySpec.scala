@@ -1426,6 +1426,24 @@ class OperatorQualitySpec extends AnyFunSuite {
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       Warc.parse(1L, m).foreach(_ => ()) // must not throw
     }
+    // charset honored: a latin-1 body decoded as UTF-8 would corrupt every
+    // high byte to U+FFFD
+    val latinBody = "café über"
+    val latinResp = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n").getBytes("ISO-8859-1") ++
+      latinBody.getBytes("ISO-8859-1")
+    val latinWarc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://e.org/l\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${latinResp.length}\r\n\r\n").getBytes("UTF-8") ++
+      latinResp ++ "\r\n\r\n".getBytes("UTF-8")
+    val lr = Warc.parse(3L, latinWarc).toVector
+    assert(lr.length == 1 && lr(0).ok && lr(0).body == latinBody,
+      "ISO-8859-1 body must decode through the declared charset")
+    assert(Warc.charsetOf("text/html; charset=\"windows-1252\"").name
+      .equalsIgnoreCase("windows-1252"))
+    assert(Warc.charsetOf("text/html; charset=no-such-cs-xyz").name == "UTF-8")
+    assert(Warc.charsetOf("text/html").name == "UTF-8")
   }
 
   test("Robots: RFC 9309 wildcard/backtracking matcher, longest-match with " +
