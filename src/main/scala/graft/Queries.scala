@@ -261,6 +261,29 @@ object Queries {
     * trigger, no two-source union, and no per-run max(ts) pre-scan job
     * (any sentinel time later than every real event works; a flush
     * sentinel is "+infinity", not a data-dependent value). */
+  // The trap-laden HTML page shared by text_html_extract and
+  // web_warc_extract — ONE definition (pre/mid/post fragments, tag count,
+  // the oracle's expected-text SQL) so the two rows' expectations cannot
+  // desynchronize when a trap is added to one of them.
+  private[graft] val htmlTrapPre = "<html><head><title>Doc</title>" +
+    "<script>var a='<p>not text</p>';</script>" +
+    "<style>p>span{color:red}</style></head>" +
+    "<body onload=\"f('>')\"><!-- no comment --><h1>Doc "
+  private[graft] val htmlTrapMid = "</h1><p>"
+  private[graft] val htmlTrapPost =
+    " &amp; <a href=\"https://x.example/?q=1\">link</a>" +
+      " &#72;&#x49;!</p><br/></body></html>"
+  private[graft] val htmlTrapNTags = 17
+  private[graft] val htmlTrapNLinks = 1
+  /** SQL fragment: the page's expected extracted text over `doc_id`/`text`. */
+  private[graft] val htmlTrapOracleText =
+    "trim(regexp_replace('Doc Doc ' || doc_id || ' ' || text || " +
+      "' & link HI!', '\\s+', ' ', 'g'))"
+  private[graft] def htmlTrapEscape(text: String): String =
+    text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private[graft] def htmlTrapPage(id: Long, text: String): String =
+    htmlTrapPre + id + htmlTrapMid + htmlTrapEscape(text) + htmlTrapPost
+
   private val fmgwsSrcCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     (Long, String, org.apache.spark.sql.types.StructType)]
@@ -4234,22 +4257,15 @@ object Queries {
     // the fixed chrome. The oracle replays the CONSTRUCTION (escape is the
     // inverse of decode; ws collapse mirrors the kernel), not the parse.
     QueryDef("text_html_extract", Some(
-      "SELECT doc_id, trim(regexp_replace('Doc Doc ' || doc_id || ' ' || text || " +
-        "' & link HI!', '\\s+', ' ', 'g')) AS text, " +
-        "CAST(17 AS BIGINT) AS n_tags, CAST(1 AS BIGINT) AS n_links " +
+      s"SELECT doc_id, $htmlTrapOracleText AS text, " +
+        s"CAST($htmlTrapNTags AS BIGINT) AS n_tags, " +
+        s"CAST($htmlTrapNLinks AS BIGINT) AS n_links " +
         "FROM documents ORDER BY doc_id"),
       (s, d) => {
         val esc = replace(replace(replace(col("text"),
           lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
-        val html = concat(
-          lit("<html><head><title>Doc</title>" +
-            "<script>var a='<p>not text</p>';</script>" +
-            "<style>p>span{color:red}</style></head>" +
-            "<body onload=\"f('>')\"><!-- no comment --><h1>Doc "),
-          col("doc_id"),
-          lit("</h1><p>"), esc,
-          lit(" &amp; <a href=\"https://x.example/?q=1\">link</a>" +
-            " &#72;&#x49;!</p><br/></body></html>"))
+        val html = concat(lit(htmlTrapPre), col("doc_id"),
+          lit(htmlTrapMid), esc, lit(htmlTrapPost))
         T(s, d, "documents").select(col("doc_id"),
             graft.functions.TextFunctions.htmlExtract(html).as("h"))
           .select(col("doc_id"), col("h.text").as("text"),
@@ -4315,27 +4331,19 @@ object Queries {
       "SELECT doc_id, 'https://example.org/doc/' || doc_id AS target_uri, " +
         "CAST(200 AS INT) AS http_status, " +
         "'text/html; charset=utf-8' AS content_type, " +
-        "trim(regexp_replace('Doc Doc ' || doc_id || ' ' || text || " +
-        "' & link HI!', '\\s+', ' ', 'g')) AS text, " +
-        "CAST(17 AS BIGINT) AS n_tags, CAST(1 AS BIGINT) AS n_links " +
+        s"$htmlTrapOracleText AS text, " +
+        s"CAST($htmlTrapNTags AS BIGINT) AS n_tags, " +
+        s"CAST($htmlTrapNLinks AS BIGINT) AS n_links " +
         "FROM documents ORDER BY doc_id"),
       (s, d) => {
         import s.implicits._
         val media = T(s, d, "documents").select("doc_id", "text")
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
-            val esc = text.replace("&", "&amp;")
-              .replace("<", "&lt;").replace(">", "&gt;")
-            val html = "<html><head><title>Doc</title>" +
-              "<script>var a='<p>not text</p>';</script>" +
-              "<style>p>span{color:red}</style></head>" +
-              "<body onload=\"f('>')\"><!-- no comment --><h1>Doc " + id +
-              "</h1><p>" + esc +
-              " &amp; <a href=\"https://x.example/?q=1\">link</a>" +
-              " &#72;&#x49;!</p><br/></body></html>"
             graft.operators.Multimodal.MediaRow(id, "web",
               graft.operators.Warc.warcBytes(
-                s"https://example.org/doc/$id", html, id, gzipped = id % 2 == 0),
+                s"https://example.org/doc/$id", htmlTrapPage(id, text), id,
+                gzipped = id % 2 == 0),
               "application/warc", None, None, None)
           })
         graft.operators.Warc.records(media).toDF()

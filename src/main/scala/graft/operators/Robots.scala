@@ -53,15 +53,20 @@ object Robots {
           case "allow" | "disallow" =>
             inHeader = false
             if (value.nonEmpty) curRules += Rule(value, key == "allow")
-          case _ => inHeader = false // sitemap / crawl-delay / unknown
+          // sitemap / crawl-delay / unknown lines neither start rules nor
+          // break a User-agent header run (mainstream-parser behavior:
+          // 'User-agent: a\nSitemap: …\nUser-agent: b' is ONE group)
+          case _ => ()
         }
       }
     }
     flush()
+    // §2.2.1: ALL groups matching the agent merge — a site repeating
+    // 'User-agent: *' contributes every group's rules, in file order
     val want = agent.toLowerCase
-    groups.find(_.agents.contains(want))
-      .orElse(groups.find(_.agents.contains("*")))
-      .map(_.rules).getOrElse(Seq.empty)
+    val exact = groups.filter(_.agents.contains(want))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toSeq
   }
 
   /** §2.2.3 pattern match: prefix semantics with `*` (any run) and a
@@ -87,14 +92,19 @@ object Robots {
 
   /** (allowed, winning pattern): longest pattern wins, Allow wins ties,
     * no match → (true, ""). */
-  def isAllowed(rules: Seq[Rule], path: String): (Boolean, String) = {
+  def isAllowed(rules: Seq[Rule], path: String): (Boolean, String) =
+    isAllowedT(rules.map(r => (r.pattern, r.allow)), path)
+
+  /** Tuple form — the broadcast-join hot path evaluates the host's rule
+    * list AS SHIPPED (no per-row Rule re-wrapping in the inner loop). */
+  def isAllowedT(rules: Seq[(String, Boolean)], path: String): (Boolean, String) = {
     var bestLen = -1
     var bestAllow = true
     var bestPat = ""
-    for (r <- rules if matches(r.pattern, path)) {
-      val len = r.pattern.length
-      if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
-        bestLen = len; bestAllow = r.allow; bestPat = r.pattern
+    for ((pattern, allow) <- rules if matches(pattern, path)) {
+      val len = pattern.length
+      if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
+        bestLen = len; bestAllow = allow; bestPat = pattern
       }
     }
     if (bestLen < 0) (true, "") else (bestAllow, bestPat)
@@ -124,7 +134,7 @@ object Robots {
         rules match {
           case None => UrlVerdict(h, p, allowed = true, "", has_robots = false)
           case Some(rs) =>
-            val (ok, pat) = isAllowed(rs.map(t => Rule(t._1, t._2)), p)
+            val (ok, pat) = isAllowedT(rs, p)
             UrlVerdict(h, p, ok, pat, has_robots = true)
         }
       }

@@ -59,13 +59,22 @@ object Warc {
           val len = h.getOrElse("content-length", "-1").trim.toLong
           val bodyStart = hdrEnd + 4
           if (len < 0 || bodyStart + len > p.length) return bad
-          val warcType = h.getOrElse("warc-type", "")
+          // WARC-Type values compare case-insensitively (the field is not
+          // normalized by producers; 'Response' must not skip HTTP parsing
+          // or downstream warc_type filters) — emitted lowercased
+          val warcType = h.getOrElse("warc-type", "").toLowerCase
           val uri = h.getOrElse("warc-target-uri", "")
           var status = 0
           var cType = h.getOrElse("content-type", "")
           var body = ""
+          var recOk = true
           if (warcType == "response" &&
             cType.toLowerCase.startsWith("application/http")) {
+            // an enclosed HTTP message that can't be parsed quarantines
+            // THIS record (ok=false, framing intact so the walk continues)
+            // — an ok=true row with an empty body would silently drop the
+            // page's text from the corpus
+            recOk = false
             val httpEnd = indexOfDoubleCrlf(p, bodyStart)
             if (httpEnd >= 0 && httpEnd + 4 <= bodyStart + len) {
               val httpHead = new String(p, bodyStart, httpEnd - bodyStart, "UTF-8")
@@ -77,12 +86,13 @@ object Warc {
                 cType = headerMap(hl.drop(1)).getOrElse("content-type", "")
                 body = new String(p, httpEnd + 4,
                   (bodyStart + len - (httpEnd + 4)).toInt, charsetOf(cType))
+                recOk = true
               }
             }
           } else if (warcType != "response") {
             body = "" // warcinfo/request/metadata payloads aren't corpus text
           }
-          out += WarcRecord(id, idx, warcType, uri, status, cType, body, ok = true)
+          out += WarcRecord(id, idx, warcType, uri, status, cType, body, recOk)
           idx += 1
           pos = (bodyStart + len).toInt
         }

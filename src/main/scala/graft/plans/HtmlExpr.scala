@@ -46,8 +46,14 @@ object HtmlKernel {
         sb.append(c)
       }
     }
+    // decoded references collapse under the SAME set as raw characters
+    // (the RE2 \s set the oracles replay: tab nl ff cr space) plus &nbsp;
+    // which IS a space semantically — NOT Character.isWhitespace, whose
+    // wider set (\v, unicode spaces) would make '&#11;' behave unlike a
+    // raw ''
     def emitCp(cp: Int): Unit =
-      if (cp == 0xa0 || Character.isWhitespace(cp)) { // incl. &nbsp;
+      if (cp == 0xa0 || cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        cp == '\f') {
         if (sb.length > 0) needSpace = true
       } else {
         if (needSpace) { sb.append(' '); needSpace = false }
@@ -79,7 +85,15 @@ object HtmlKernel {
             if (quote != 0) { if (t == quote) quote = 0.toChar }
             else if (t == '"' || t == '\'') quote = t
             else if (!closing && (t == 'h' || t == 'H') &&
-              html.regionMatches(true, j, "href", 0, 4)) hasHref = true
+              html.regionMatches(true, j, "href", 0, 4) &&
+              // attribute NAME position only: preceded by whitespace and
+              // followed by '=', whitespace or the tag end — 'data-href'
+              // and class=hrefbox must not count
+              j > 0 && Character.isWhitespace(html.charAt(j - 1)) && {
+                val a = j + 4
+                a >= n || html.charAt(a) == '=' || html.charAt(a) == '>' ||
+                  html.charAt(a) == '/' || Character.isWhitespace(html.charAt(a))
+              }) hasHref = true
             j += 1
           }
           val selfClosed = j > i && html.charAt(j - 1) == '/'
@@ -88,16 +102,16 @@ object HtmlKernel {
           if (sb.length > 0) needSpace = true
           if (!closing && name == "a" && hasHref) nLinks += 1
           if (!closing && !selfClosed && (name == "script" || name == "style")) {
-            // consume the raw-text element body through its end tag
+            // consume the raw-text element body through the EARLIEST end
+            // tag, case-insensitively — a case-sensitive fast path that
+            // skips '</SCRIPT>' to a later '</script>' would swallow the
+            // text in between
             val endTag = "</" + name
-            var k = html.indexOf(endTag, i)
-            // tolerate case variants: fall back to a case-insensitive scan
-            if (k < 0) {
-              var m = i
-              while (k < 0 && m + endTag.length <= n) {
-                if (html.regionMatches(true, m, endTag, 0, endTag.length)) k = m
-                m += 1
-              }
+            var k = -1
+            var m = i
+            while (k < 0 && m + endTag.length <= n) {
+              if (html.regionMatches(true, m, endTag, 0, endTag.length)) k = m
+              m += 1
             }
             if (k < 0) i = n
             else {
@@ -123,7 +137,12 @@ object HtmlKernel {
                 val v = if (ent.length > 2 && (ent.charAt(1) == 'x' || ent.charAt(1) == 'X'))
                   Integer.parseInt(ent.substring(2), 16)
                 else Integer.parseInt(ent.substring(1))
-                if (Character.isValidCodePoint(v) && v > 0) v else -1
+                // HTML parsing rules: NUL, surrogates and out-of-range
+                // references decode to U+FFFD (a lone surrogate would emit
+                // invalid UTF-8); a non-numeric body stays literal
+                if (v <= 0 || v > 0x10ffff ||
+                  (v >= 0xd800 && v <= 0xdfff)) 0xfffd
+                else v
               } catch { case _: NumberFormatException => -1 }
             case _ => -1
           }

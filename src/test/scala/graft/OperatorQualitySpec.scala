@@ -1366,6 +1366,16 @@ class OperatorQualitySpec extends AnyFunSuite {
     // script content with a fake closing-ish tag + case-variant end tag
     assert(x("<p>a</p><SCRIPT>if(1</scr)x='</scrip>';</ScRiPt><p>b</p>") ==
       (("a b", 5L, 0L)))
+    // EARLIEST end tag wins even when its case differs and a later
+    // lowercase one exists — a case-sensitive fast path would eat 'mid'
+    // (each script element = ONE counted tag: opener+content+closer unit)
+    assert(x("a<SCRIPT>x</SCRIPT>mid<script>y</script>b") == (("a mid b", 2L, 0L)))
+    // href must be an attribute NAME, not a substring of one
+    assert(x("<a data-href=u>x</a><a class=hrefbox>y</a><a href=z>w</a>") ==
+      (("x y w", 6L, 1L)))
+    // surrogate-range / out-of-range numeric refs → U+FFFD, never lone
+    // surrogates (invalid UTF-8)
+    assert(x("&#xD800;&#x110000;&#0;") == (("���", 0L, 0L)))
     // style with '>' selectors; quoted '>' in an attribute
     assert(x("<style>p>b{x:1}</style><div title=\"a>b\">t</div>") == (("t", 3L, 0L)))
     // literal '<' (not a tag) and lone '&'
@@ -1444,6 +1454,25 @@ class OperatorQualitySpec extends AnyFunSuite {
       .equalsIgnoreCase("windows-1252"))
     assert(Warc.charsetOf("text/html; charset=no-such-cs-xyz").name == "UTF-8")
     assert(Warc.charsetOf("text/html").name == "UTF-8")
+    // a response record whose enclosed HTTP block is unparseable (LF-only
+    // headers) quarantines as ok=false — never an ok=true empty body that
+    // silently drops the page
+    val lfResp = "HTTP/1.1 200 OK\nContent-Type: text/html\n\nbody".getBytes("UTF-8")
+    val lfWarc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://e.org/lf\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${lfResp.length}\r\n\r\n").getBytes("UTF-8") ++
+      lfResp ++ "\r\n\r\n".getBytes("UTF-8")
+    val lfRecs = Warc.parse(4L, lfWarc).toVector
+    assert(lfRecs.length == 1 && !lfRecs(0).ok,
+      "unparseable enclosed HTTP must quarantine the record")
+    // WARC-Type values compare case-insensitively and emit lowercased
+    val capWarc = new String(plain, "ISO-8859-1")
+      .replace("WARC-Type: response", "WARC-Type: Response")
+      .getBytes("ISO-8859-1")
+    val capRecs = Warc.parse(5L, capWarc).toVector
+    assert(capRecs.exists(r => r.warc_type == "response" && r.ok &&
+      r.http_status == 200 && r.body == html), "capitalized WARC-Type")
   }
 
   test("Robots: RFC 9309 wildcard/backtracking matcher, longest-match with " +
@@ -1485,6 +1514,14 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Robots.parse(body, "other") == Seq(Rule("/x", false), Rule("/y", false)))
     assert(Robots.parse("", "*").isEmpty)
     assert(Robots.parse("User-agent: none\nDisallow: /", "*").isEmpty)
+    // RFC 9309 §2.2.1: ALL groups matching the agent merge in file order
+    assert(Robots.parse("User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b") ==
+      Seq(Rule("/a", false), Rule("/b", false)))
+    // a Sitemap line between consecutive User-agent lines does not split
+    // the header run: both agents share the group's rules
+    val split = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /q"
+    assert(Robots.parse(split, "a") == Seq(Rule("/q", false)))
+    assert(Robots.parse(split, "b") == Seq(Rule("/q", false)))
   }
 
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
