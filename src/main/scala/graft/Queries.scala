@@ -271,7 +271,7 @@ object Queries {
     "<body onload=\"f('>')\"><!-- no comment --><h1>Doc "
   private[graft] val htmlTrapMid = "</h1><p>"
   private[graft] val htmlTrapPost =
-    " &amp; <a href=\"https://x.example/?q=1\">link</a>" +
+    " &amp; <a href=\"https://a.example.org/?q=1\">link</a>" +
       " &#72;&#x49;!</p><br/></body></html>"
   private[graft] val htmlTrapNTags = 17
   private[graft] val htmlTrapNLinks = 1
@@ -4314,7 +4314,7 @@ object Queries {
             "Disallow: /private\n" +
             "Allow: /private/ok\n" +
             "Disallow: /*.pdf$\n" +
-            "Sitemap: https://ignored.example/sitemap.xml\n").as("robots_txt"))
+            "Sitemap: https://ignored.example.org/sitemap.xml\n").as("robots_txt"))
         graft.operators.Robots.filterUrls(urls, robots).toDF()
           .orderBy("host", "path")
       }),

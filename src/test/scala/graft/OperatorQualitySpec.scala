@@ -1408,17 +1408,17 @@ class OperatorQualitySpec extends AnyFunSuite {
     import graft.operators.Warc
     val html = "<p>héllo — ünïcode</p>" // multi-byte chars stress the framing
     for (gz <- Seq(false, true)) {
-      val bytes = Warc.warcBytes("https://e.org/1", html, 7L, gz)
+      val bytes = Warc.warcBytes("https://e.example.org/1", html, 7L, gz)
       val recs = Warc.parse(9L, bytes).toVector
       assert(recs.length == 2, s"gz=$gz")
       assert(recs(0).warc_type == "warcinfo" && recs(0).ok && recs(0).body == "")
       val r = recs(1)
       assert(r.ok && r.warc_type == "response" && r.rec_idx == 1)
-      assert(r.target_uri == "https://e.org/1" && r.http_status == 200)
+      assert(r.target_uri == "https://e.example.org/1" && r.http_status == 200)
       assert(r.content_type == "text/html; charset=utf-8")
       assert(r.body == html, s"gz=$gz body framing")
     }
-    val plain = Warc.warcBytes("https://e.org/1", html, 7L, gzipped = false)
+    val plain = Warc.warcBytes("https://e.example.org/1", html, 7L, gzipped = false)
     // truncation mid-body and mid-header must quarantine, not emit a
     // silently-short record
     for (cut <- Seq(3, 20, plain.length / 2, plain.length - 6))
@@ -1443,7 +1443,7 @@ class OperatorQualitySpec extends AnyFunSuite {
       "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n").getBytes("ISO-8859-1") ++
       latinBody.getBytes("ISO-8859-1")
     val latinWarc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
-      "WARC-Target-URI: https://e.org/l\r\n" +
+      "WARC-Target-URI: https://e.example.org/l\r\n" +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${latinResp.length}\r\n\r\n").getBytes("UTF-8") ++
       latinResp ++ "\r\n\r\n".getBytes("UTF-8")
@@ -1459,7 +1459,7 @@ class OperatorQualitySpec extends AnyFunSuite {
     // silently drops the page
     val lfResp = "HTTP/1.1 200 OK\nContent-Type: text/html\n\nbody".getBytes("UTF-8")
     val lfWarc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
-      "WARC-Target-URI: https://e.org/lf\r\n" +
+      "WARC-Target-URI: https://e.example.org/lf\r\n" +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${lfResp.length}\r\n\r\n").getBytes("UTF-8") ++
       lfResp ++ "\r\n\r\n".getBytes("UTF-8")
@@ -1519,7 +1519,7 @@ class OperatorQualitySpec extends AnyFunSuite {
       Seq(Rule("/a", false), Rule("/b", false)))
     // a Sitemap line between consecutive User-agent lines does not split
     // the header run: both agents share the group's rules
-    val split = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /q"
+    val split = "User-agent: a\nSitemap: https://maps.example.org/s.xml\nUser-agent: b\nDisallow: /q"
     assert(Robots.parse(split, "a") == Seq(Rule("/q", false)))
     assert(Robots.parse(split, "b") == Seq(Rule("/q", false)))
   }
