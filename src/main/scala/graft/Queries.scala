@@ -5988,6 +5988,39 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // Perceptual image hash (sampled dHash) — the image-native near-dup
+    // key: 9×8 gray grid sampled with the resize operators' integer
+    // mapping, one bit per horizontal neighbor pair. Every bit is a pure
+    // integer function of the gradient fixture's pixel formula, so the
+    // oracle replays the full 64-bit hash closed-form.
+    QueryDef("mm_image_dhash", Some(
+      "WITH p AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 9 AS h, " +
+        "doc_id % 97 AS seed FROM documents WHERE doc_id % 7 = 2), " +
+        "g AS (SELECT doc_id, w, h, seed, y2.i AS y2, x2.i AS x2 FROM p, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) y2, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2), " +
+        "b AS (SELECT doc_id, w, h, y2, x2, " +
+        "CASE WHEN (seed + 3*((x2*w)//9) + 7*((y2*h)//8)) % 256 > " +
+        "(seed + 3*(((x2+1)*w)//9) + 7*((y2*h)//8)) % 256 " +
+        "THEN '1' ELSE '0' END AS bit FROM g) " +
+        "SELECT doc_id AS media_id, CAST(w AS INT) AS width, " +
+        "CAST(h AS INT) AS height, " +
+        "string_agg(bit, '' ORDER BY y2, x2) AS dhash_bits, TRUE AS ok " +
+        "FROM b GROUP BY doc_id, w, h ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 7 === 2).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.pngGradientBytes(w, h, (id % 97).toInt),
+              "image/png", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.imageDhash(media).toDF()
+          .orderBy("media_id")
+      }),
+
     // EXIF orientation extraction (TIFF 6.0 IFD walk inside the Exif APP1
     // segment, both byte orders) — the prep step an image pipeline runs
     // before decode/resize so rotated captures land upright. Docs with

@@ -339,6 +339,52 @@ object Multimodal {
     })
   }
 
+  final case class ImageDhash(media_id: Long, width: Int, height: Int,
+                              dhash_bits: String, ok: Boolean)
+
+  /** Sampled difference hash (dHash) — the image-native member of the
+    * near-dup family: decode, gray ((r+g+b)/3), sample a 9×8 grid with
+    * the SAME integer mapping as [[resizeImages]] (src = dst·srcDim div
+    * dstDim), emit one bit per horizontal neighbor pair (left > right),
+    * row-major, as a 64-char '0'/'1' string. Hash equality groups exact
+    * and near-exact rescales; banded substrings feed an LSH-style
+    * candidate join for small Hamming distances (the simhash recipe).
+    * The grid sampling (not region averaging) keeps every bit a pure
+    * integer function of the pixels, so the gate oracle replays the hash
+    * CLOSED-FORM from the gradient fixture's pixel formula. Undecodable
+    * or sub-grid (<9×8) images quarantine. */
+  def imageDhash(media: Dataset[MediaRow]): Dataset[ImageDhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        pixelsOf(if (r.payload == null) Array.empty[Byte] else r.payload) match {
+          case Some((w, h, buf)) if w >= 9 && h >= 8 =>
+            val bits = new java.lang.StringBuilder(64)
+            var y2 = 0
+            while (y2 < 8) {
+              val sy = y2 * h / 8
+              var x2 = 0
+              while (x2 < 8) {
+                def gray(xs: Int): Int = {
+                  val rgb = buf(sy * w + xs)
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                }
+                bits.append(
+                  if (gray(x2 * w / 9) > gray((x2 + 1) * w / 9)) '1' else '0')
+                x2 += 1
+              }
+              y2 += 1
+            }
+            ImageDhash(r.media_id, w, h, bits.toString, ok = true)
+          case _ => ImageDhash(r.media_id, 0, 0, "", ok = false)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ImageDhash(r.media_id, 0, 0, "", ok = false)
+      }
+    })
+  }
+
   /** Real BMP bytes (JDK encoder: 24-bit BI_RGB, bottom-up, padded
     * strides) for a solid-`rgb` w×h image — lossless like [[pngBytes]],
     * same closed-form oracle story, decoded by the from-spec

@@ -1524,6 +1524,30 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Robots.parse(split, "b") == Seq(Rule("/q", false)))
   }
 
+  test("imageDhash: brightness-invariant (uniform offset keeps every " +
+    "neighbor difference), identical images collide, sub-grid and corrupt " +
+    "payloads quarantine") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // no mod-256 wrap at these dims/seeds → +10 is a uniform brightness
+    // shift, and dHash (a difference sign) must be invariant to it
+    def png(seed: Int) = Multimodal.pngGradientBytes(18, 10, seed)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png(5), "image/png", None, None, None),
+      Multimodal.MediaRow(2L, "image", png(15), "image/png", None, None, None),
+      Multimodal.MediaRow(3L, "image", png(5), "image/png", None, None, None),
+      Multimodal.MediaRow(4L, "image", Multimodal.pngBytes(8, 4, 0x123456),
+        "image/png", None, None, None), // below the 9x8 grid
+      Multimodal.MediaRow(5L, "image", Array[Byte](1, 2, 3),
+        "image/png", None, None, None))
+    val got = Multimodal.imageDhash(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).ok && got(1L).dhash_bits.length == 64)
+    assert(got(1L).dhash_bits == got(3L).dhash_bits, "identical images collide")
+    assert(got(1L).dhash_bits == got(2L).dhash_bits, "brightness-shift invariant")
+    assert(!got(4L).ok && !got(5L).ok)
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
