@@ -5988,6 +5988,33 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // WebDataset shard indexing: each document becomes a ustar shard with
+    // three members (<id>.txt / <id>.json / <id>.cls, real 512-byte block
+    // framing + checksums + end blocks), and the operator groups members
+    // into samples by the WebDataset key convention. sample_bytes is
+    // closed-form: the text's UTF-8 octet length plus the two fixed parts.
+    QueryDef("mm_webdataset_index", Some(
+      "SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS key, " +
+        "CAST(3 AS BIGINT) AS n_parts, 'cls,json,txt' AS parts, " +
+        "CAST(strlen(text) + 8 AS BIGINT) AS sample_bytes, TRUE AS ok " + // strlen = BYTES in DuckDB
+        "FROM documents WHERE doc_id % 9 = 4 ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 9 === 4).select("doc_id", "text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            graft.operators.Multimodal.MediaRow(id, "shard",
+              graft.operators.Tar.tarBytes(Seq(
+                s"$id.txt" -> text.getBytes("UTF-8"),
+                s"$id.json" -> "{\"k\":1}".getBytes("UTF-8"),
+                s"$id.cls" -> Array[Byte]('7'))),
+              "application/x-tar", None, None, None)
+          })
+        graft.operators.Tar.webdatasetSamples(media).toDF()
+          .orderBy("media_id", "key")
+      }),
+
     // Perceptual image hash (sampled dHash) — the image-native near-dup
     // key: 9×8 gray grid sampled with the resize operators' integer
     // mapping, one bit per horizontal neighbor pair. Every bit is a pure

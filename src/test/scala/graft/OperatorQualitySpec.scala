@@ -1548,6 +1548,58 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!got(4L).ok && !got(5L).ok)
   }
 
+  test("Tar: ustar round-trip (offsets/sizes/512-padding, zero-byte " +
+    "members, first-dot WebDataset keys incl. multi-part extensions), " +
+    "malformed archives and GNU-longname members quarantine; the JDK has " +
+    "no tar, so jar-tool cross-check is skipped — ImageIO-style bit " +
+    "checks happen through the member data reads") {
+    import graft.operators.Tar
+    val data600 = Array.tabulate[Byte](600)(i => (i * 7 % 251).toByte)
+    val entries = Seq(
+      "s1.txt" -> "hello".getBytes("UTF-8"),
+      "s1.json" -> "{}".getBytes("UTF-8"),
+      "s2.tar.gz" -> data600,
+      "s2.cls" -> Array.empty[Byte],
+      "s2.txt" -> "x".getBytes("UTF-8"))
+    val tar = Tar.tarBytes(entries)
+    val ms = Tar.parse(1L, tar).toVector
+    assert(ms.length == 5 && ms.forall(_.ok))
+    assert(ms.map(_.name) == entries.map(_._1).toVector)
+    assert(ms.map(_.size) == Vector(5L, 2L, 600L, 0L, 1L))
+    // data is readable at the reported offsets (padding correct)
+    for ((m, (_, want)) <- ms.zip(entries))
+      assert(tar.slice(m.offset.toInt, (m.offset + m.size).toInt)
+        .sameElements(want), m.name)
+    // headers start 512-aligned
+    assert(ms.forall(m => (m.offset % 512) == 0))
+    // WebDataset grouping: first dot splits key/ext, multi-dot ext kept
+    import spark.implicits._
+    val row = graft.operators.Multimodal.MediaRow(3L, "shard", tar,
+      "application/x-tar", None, None, None)
+    val samples = Tar.webdatasetSamples(Seq(row).toDS()).collect()
+      .map(s => s.key -> s).toMap
+    assert(samples("s1").n_parts == 2 && samples("s1").parts == "json,txt" &&
+      samples("s1").sample_bytes == 7)
+    assert(samples("s2").n_parts == 3 && samples("s2").parts == "cls,tar.gz,txt" &&
+      samples("s2").sample_bytes == 601)
+    // malformed: truncation, corrupted size digits, missing magic
+    for (cut <- Seq(100, 511, 700))
+      assert(Tar.parse(1L, tar.take(cut)).exists(!_.ok), s"cut=$cut")
+    val badSize = tar.clone(); badSize(124) = 'Z'
+    assert(Tar.parse(1L, badSize).exists(!_.ok))
+    val badMagic = tar.clone(); badMagic(257) = 'X'
+    assert(Tar.parse(1L, badMagic).exists(!_.ok))
+    // GNU longname member (typeflag 'L'): quarantine, never mis-key
+    val gnuL = tar.clone(); gnuL(156) = 'L'
+    assert(Tar.parse(1L, gnuL).exists(!_.ok))
+    val rnd = new scala.util.Random(71)
+    for (_ <- 1 to 200) {
+      val m = tar.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Tar.parse(1L, m).foreach(_ => ())
+    }
+  }
+
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
     "every byte value; the WAV container path decodes both laws and " +
     "quarantines non-G.711 payloads") {
