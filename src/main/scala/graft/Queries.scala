@@ -261,6 +261,10 @@ object Queries {
     * trigger, no two-source union, and no per-run max(ts) pre-scan job
     * (any sentinel time later than every real event works; a flush
     * sentinel is "+infinity", not a data-dependent value). */
+  private val fmgwsSrcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Long, String, org.apache.spark.sql.types.StructType)]
+
   // The trap-laden HTML page shared by text_html_extract and
   // web_warc_extract — ONE definition (pre/mid/post fragments, tag count,
   // the oracle's expected-text SQL) so the two rows' expectations cannot
@@ -284,9 +288,6 @@ object Queries {
   private[graft] def htmlTrapPage(id: Long, text: String): String =
     htmlTrapPre + id + htmlTrapMid + htmlTrapEscape(text) + htmlTrapPost
 
-  private val fmgwsSrcCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
-    (Long, String, org.apache.spark.sql.types.StructType)]
   private def fmgwsStagedSource(
       s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) = {
     val key = (s, d)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions._
 
 /** POSIX ustar (tar) member indexing and WebDataset sample grouping — the
   * shard container multimodal training corpora actually ship in
@@ -39,39 +38,57 @@ object Tar {
       var pos = 0
       var idx = 0
       var done = false
+      var damaged = false
+      // uniform damage handling: keep the members that DID frame and
+      // append one ok=false marker, wherever the damage lands — a sample
+      // grouper sees partial shards as quarantined, never silently short
+      def quarantine(): Unit = { damaged = true; done = true }
+      def allZero(off: Int): Boolean = {
+        var i = 0
+        while (i < 512) { if (p(off + i) != 0) return false; i += 1 }
+        true
+      }
       while (!done && pos + 512 <= p.length) {
-        if (p(pos) == 0) done = true // zero block: end-of-archive
-        else {
+        if (p(pos) == 0) {
+          // end-of-archive per spec is a FULL zero block (two of them);
+          // a header whose first name byte is zero but whose block is
+          // otherwise nonzero is bit rot, not a clean end
+          if (allZero(pos)) done = true else quarantine()
+        } else {
           val magic = new String(p, pos + 257, 5, "US-ASCII")
-          if (magic != "ustar") return bad
-          def str(off: Int, len: Int): String = {
+          val sizeStr = {
             var e = 0
-            while (e < len && p(pos + off + e) != 0) e += 1
-            new String(p, pos + off, e, "UTF-8")
+            while (e < 12 && p(pos + 124 + e) != 0) e += 1
+            new String(p, pos + 124, e, "US-ASCII").trim
           }
-          val name0 = str(0, 100)
-          val prefix = str(345, 155)
-          val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
-          val sizeStr = str(124, 12).trim
-          if (sizeStr.isEmpty || !sizeStr.forall(c => c >= '0' && c <= '7'))
-            return bad
-          val size = java.lang.Long.parseLong(sizeStr, 8)
           val tf = p(pos + 156).toChar
-          if (tf == 'L' || tf == 'K' || tf == 'x' || tf == 'g')
-            return bad // GNU long names / PAX: out of scope, never mis-key
-          val dataStart = pos + 512
-          if (size < 0 || dataStart + size > p.length) return bad
-          if (tf == '0' || tf == 0.toChar) { // regular file
-            out += TarMember(id, idx, name, size, dataStart.toLong, ok = true)
-            idx += 1
-          } // directories ('5') etc. indexed past silently
-          pos = dataStart + (((size + 511) / 512) * 512).toInt
+          if (magic != "ustar" ||
+            sizeStr.isEmpty || !sizeStr.forall(c => c >= '0' && c <= '7') ||
+            tf == 'L' || tf == 'K' || tf == 'x' || tf == 'g') quarantine()
+          else {
+            def str(off: Int, len: Int): String = {
+              var e = 0
+              while (e < len && p(pos + off + e) != 0) e += 1
+              new String(p, pos + off, e, "UTF-8")
+            }
+            val name0 = str(0, 100)
+            val prefix = str(345, 155)
+            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+            val size = java.lang.Long.parseLong(sizeStr, 8)
+            val dataStart = pos + 512
+            if (size < 0 || dataStart + size > p.length) quarantine()
+            else {
+              if (tf == '0' || tf == 0.toChar) { // regular file
+                out += TarMember(id, idx, name, size, dataStart.toLong, ok = true)
+                idx += 1
+              } // directories ('5') etc. indexed past silently
+              pos = dataStart + (((size + 511) / 512) * 512).toInt
+            }
+          }
         }
       }
-      // an archive that ends WITHOUT the zero end-of-archive block was
-      // truncated mid-shard: emit the members that did frame plus one
-      // ok=false marker, so a sample grouper can't silently drop the tail
-      if (!done) out += TarMember(id, idx, "", 0L, 0L, ok = false)
+      // no end-of-archive zero block seen: truncated mid-shard
+      if (!done || damaged) out += TarMember(id, idx, "", 0L, 0L, ok = false)
       val res = out.result()
       if (res.isEmpty) bad else res.iterator
     } catch { case scala.util.control.NonFatal(_) => bad }

@@ -68,13 +68,16 @@ object Warc {
           var cType = h.getOrElse("content-type", "")
           var body = ""
           var recOk = true
+          if (warcType == "response") {
+            // a response record must carry an application/http payload we
+            // can parse; anything else quarantines THIS record (ok=false,
+            // framing intact so the walk continues) — an ok=true row with
+            // an empty body would silently drop the page's text from the
+            // corpus, including the Content-Type-missing shape
+            recOk = false
+          }
           if (warcType == "response" &&
             cType.toLowerCase.startsWith("application/http")) {
-            // an enclosed HTTP message that can't be parsed quarantines
-            // THIS record (ok=false, framing intact so the walk continues)
-            // — an ok=true row with an empty body would silently drop the
-            // page's text from the corpus
-            recOk = false
             val httpEnd = indexOfDoubleCrlf(p, bodyStart)
             if (httpEnd >= 0 && httpEnd + 4 <= bodyStart + len) {
               val httpHead = new String(p, bodyStart, httpEnd - bodyStart, "UTF-8")

@@ -86,10 +86,15 @@ object HtmlKernel {
             else if (t == '"' || t == '\'') quote = t
             else if (!closing && (t == 'h' || t == 'H') &&
               html.regionMatches(true, j, "href", 0, 4) &&
-              // attribute NAME position only: preceded by whitespace and
+              // attribute NAME position only: preceded by whitespace, a
+              // closing quote (missing-whitespace-between-attributes —
+              // browsers still honor <a class="x"href=u>), or '/', and
               // followed by '=', whitespace or the tag end — 'data-href'
               // and class=hrefbox must not count
-              j > 0 && Character.isWhitespace(html.charAt(j - 1)) && {
+              j > 0 && {
+                val b = html.charAt(j - 1)
+                Character.isWhitespace(b) || b == '"' || b == '\'' || b == '/'
+              } && {
                 val a = j + 4
                 a >= n || html.charAt(a) == '=' || html.charAt(a) == '>' ||
                   html.charAt(a) == '/' || Character.isWhitespace(html.charAt(a))

@@ -1373,6 +1373,9 @@ class OperatorQualitySpec extends AnyFunSuite {
     // href must be an attribute NAME, not a substring of one
     assert(x("<a data-href=u>x</a><a class=hrefbox>y</a><a href=z>w</a>") ==
       (("x y w", 6L, 1L)))
+    // ...but missing whitespace after a QUOTED value still counts (the
+    // browsers-honor-it parse-error shape real markup contains)
+    assert(x("<a class=\"x\"href=u>q</a>") == (("q", 2L, 1L)))
     // surrogate-range / out-of-range numeric refs → U+FFFD, never lone
     // surrogates (invalid UTF-8)
     assert(x("&#xD800;&#x110000;&#0;") == (("���", 0L, 0L)))
@@ -1466,6 +1469,18 @@ class OperatorQualitySpec extends AnyFunSuite {
     val lfRecs = Warc.parse(4L, lfWarc).toVector
     assert(lfRecs.length == 1 && !lfRecs(0).ok,
       "unparseable enclosed HTTP must quarantine the record")
+    // a response record WITHOUT an application/http payload (or with no
+    // Content-Type at all) is the same silent-drop shape → ok=false
+    val rawResp = "just bytes".getBytes("UTF-8")
+    def respWarc(ctLine: String) = ((
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://e.example.org/r\r\n" + ctLine +
+        s"Content-Length: ${rawResp.length}\r\n\r\n").getBytes("UTF-8") ++
+      rawResp ++ "\r\n\r\n".getBytes("UTF-8"))
+    assert(Warc.parse(6L, respWarc("Content-Type: text/html\r\n"))
+      .toVector.forall(!_.ok), "non-http response payload must quarantine")
+    assert(Warc.parse(7L, respWarc("")).toVector.forall(!_.ok),
+      "Content-Type-less response must quarantine")
     // WARC-Type values compare case-insensitively and emit lowercased
     val capWarc = new String(plain, "ISO-8859-1")
       .replace("WARC-Type: response", "WARC-Type: Response")
@@ -1592,6 +1607,20 @@ class OperatorQualitySpec extends AnyFunSuite {
     // GNU longname member (typeflag 'L'): quarantine, never mis-key
     val gnuL = tar.clone(); gnuL(156) = 'L'
     assert(Tar.parse(1L, gnuL).exists(!_.ok))
+    // a header whose FIRST byte rotted to zero is NOT a clean end-of-
+    // archive (that requires a fully-zero block): members before the
+    // damage survive, an ok=false marker quarantines the shard
+    val secondHdr = 512 + 512 // s1.txt data is one padded block
+    val zeroLed = tar.clone(); zeroLed(secondHdr) = 0
+    val zl = Tar.parse(1L, zeroLed).toVector
+    assert(zl.count(_.ok) == 1 && zl.exists(!_.ok),
+      "zero-led corrupt header must quarantine, keeping framed members")
+    // mid-DATA truncation also keeps framed members + the marker (same
+    // contract as mid-header truncation)
+    val midData = tar.take(secondHdr + 512 + 1) // inside s1.json's data
+    val md = Tar.parse(1L, midData).toVector
+    assert(md.count(_.ok) == 1 && md.exists(!_.ok),
+      "mid-data truncation keeps s1.txt and quarantines")
     val rnd = new scala.util.Random(71)
     for (_ <- 1 to 200) {
       val m = tar.clone()
