@@ -6016,6 +6016,50 @@ object Queries {
           .orderBy("media_id", "key")
       }),
 
+    // Image dedup via the perceptual hash: group by (dhash, dims), keep
+    // the lowest media_id per group as canonical and report group sizes —
+    // the image twin of dedup_exact's first-seen-wins. The oracle
+    // recomputes every 64-bit hash closed-form (the mm_image_dhash
+    // formula) and groups by it: gradients with DIFFERENT seeds genuinely
+    // collide whenever no mod-256 wrap lands inside the sampled grid, so
+    // grouping by the fixture key instead of the hash would be wrong.
+    QueryDef("dedup_image_dhash", Some(
+      "WITH p AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 9 AS h, " +
+        "doc_id % 97 AS seed FROM documents WHERE doc_id % 7 = 2), " +
+        "g AS (SELECT doc_id, w, h, seed, y2.i AS y2, x2.i AS x2 FROM p, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) y2, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2), " +
+        "b AS (SELECT doc_id, w, h, y2, x2, " +
+        "CASE WHEN (seed + 3*((x2*w)//9) + 7*((y2*h)//8)) % 256 > " +
+        "(seed + 3*(((x2+1)*w)//9) + 7*((y2*h)//8)) % 256 " +
+        "THEN '1' ELSE '0' END AS bit FROM g), " +
+        "hsh AS (SELECT doc_id, w, h, string_agg(bit, '' ORDER BY y2, x2) AS dh " +
+        "FROM b GROUP BY doc_id, w, h) " +
+        "SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, " +
+        "CAST(count(*) AS BIGINT) AS group_size " +
+        "FROM hsh GROUP BY dh, w, h ORDER BY canonical_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 7 === 2).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.pngGradientBytes(w, h, (id % 97).toInt),
+              "image/png", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.imageDhash(media).toDF()
+          .filter(col("ok"))
+          // dims disambiguate hash collisions across different image
+          // shapes — the dedup key is (hash, w, h), the rescale-invariant
+          // grouping a real pipeline uses
+          .groupBy("dhash_bits", "width", "height")
+          .agg(min("media_id").as("canonical_id"),
+            count(lit(1)).as("group_size"))
+          .select("canonical_id", "group_size")
+          .orderBy("canonical_id")
+      }),
+
     // Perceptual image hash (sampled dHash) — the image-native near-dup
     // key: 9×8 gray grid sampled with the resize operators' integer
     // mapping, one bit per horizontal neighbor pair. Every bit is a pure
