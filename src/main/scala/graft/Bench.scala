@@ -53,6 +53,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Degradation verdict over the in-loop canary series: any sample above
+    * 3× the series minimum means the host lost capacity at some point
+    * DURING the query loop (heavy-tail stall phase). Pure so the flag
+    * logic is unit-testable against synthetic stall series (BenchSpec). */
+  private[graft] def isDegraded(samples: Seq[Double]): Boolean = {
+    val clean = samples.filter(s => s > 0 && !s.isInfinity)
+    clean.size >= 2 && clean.max > 3.0 * clean.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -188,6 +197,34 @@ object Bench {
         ()
       }
     })
+    // In-loop degradation canary (round-15): the serial/parallel host
+    // probes run BEFORE the query loop, so a heavy-tail stall phase that
+    // starts mid-run (the BENCH_r14 failure mode: probes near-normal,
+    // individual rows 10-100× inflated) is invisible to them. A FIXED
+    // tiny Spark query — generated input (no IO), codegen string+hash
+    // work, one small shuffle, same plan every round — runs before the
+    // loop, after every 20th query, and after the loop; the sample series
+    // ships in the artifact and any sample > 3× the series minimum flags
+    // the whole artifact "degraded": true, making a bad-window artifact
+    // self-adjudicating.
+    val canary: DataFrame = spark.range(0, 200000, 1, 8)
+      .select((org.apache.spark.sql.functions.col("id") % 997).as("k"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("canary"),
+            org.apache.spark.sql.functions.col("id"))).as("h"))
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("h").as("m"))
+    // warm once so samples measure execution, not Janino compilation
+    try consume(canary) catch { case _: Throwable => () }
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleCanary(): Unit = {
+      val t0 = System.nanoTime()
+      try consume(canary) catch { case _: Throwable => () }
+      canarySamples += (System.nanoTime() - t0) / 1e9
+    }
     // sorted: Map iteration order shifts whenever a query is added, which
     // silently re-attributes shared memoized builds (e.g. the jaccard pair
     // mart) to whichever consumer happens to run first — name order keeps
@@ -198,7 +235,9 @@ object Bench {
     // plan (pre-execution, so AQE final shapes still show as initial) to
     // stderr before timing — the .explain feedback loop for plan iteration
     val doExplain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
-    val results = selected.map { case (name, fn) =>
+    sampleCanary()
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % 20 == 0) sampleCanary()
       if (doExplain) {
         System.err.println(s"==== EXPLAIN $name ====")
         try System.err.println(fn(spark, sfDir).queryExecution.explainString(
@@ -228,9 +267,13 @@ object Bench {
       (name, clean(times.head),
         if (times.size > 1) clean(times.tail.min) else -1.0)
     }
+    sampleCanary()
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val canarySeq = canarySamples.toSeq
+    val degraded = isDegraded(canarySeq)
+    val canaryJson = canarySeq.map(v => f"$v%.4f").mkString("[", ",", "]")
     val steadySuffix = if (repeat > 1) {
       val ss = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
         .mkString("{", ",", "}")
@@ -247,7 +290,10 @@ object Bench {
       "shares the enriched-fact proxy) charge the build to " +
       "the alphabetically first consumer, so such one-shot rows are not " +
       "independent measurements"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"host_probe_sec":$hostProbe,"host_probe_par_sec":$hostProbePar,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"host_probe_sec":$hostProbe,"host_probe_par_sec":$hostProbePar,"canary_sec":$canaryJson,"degraded":$degraded,"timing_contract":"$contract","queries":$qs$steadySuffix,"sf":"$sfDir"}"""
+    if (degraded) System.err.println(
+      s"[bench] DEGRADED WINDOW: canary series $canaryJson has a sample " +
+        "> 3x its minimum — treat every row in this artifact as suspect")
     // self-preserving artifact: the driver's stdout capture tail-truncates
     // on a full 210-row run (BENCH_r12 lost ~150 per-query numbers to
     // "parsed": null), so the full line is ALSO written to a file that a

@@ -967,6 +967,15 @@ object Queries {
     try {
       import spark.implicits._
       val src = s"$wdir/stream_warm_src"
+      // the ckpt/target dirs persist across bench invocations on one box
+      // (scratchRoot is /dev/shm in the bench): a SECOND run would find a
+      // checkpoint pointing at the previous run's (overwritten, so
+      // deleted) source part-file, throw inside populateStartOffsets, and
+      // silently skip the foreachBatch warmup — wipe them so every run
+      // warms identically (round-14 verdict item 2)
+      Seq(s"$wdir/stream_warm_ckpt", s"$wdir/stream_warm_target").foreach { d =>
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively(); ()
+      }
       T(spark, wdir, "events")
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .limit(50).write.mode("overwrite").parquet(src)
@@ -5991,14 +6000,22 @@ object Queries {
 
     // WebDataset shard indexing: each document becomes a ustar shard with
     // three members (<id>.txt / <id>.json / <id>.cls, real 512-byte block
-    // framing + checksums + end blocks), and the operator groups members
-    // into samples by the WebDataset key convention. sample_bytes is
+    // framing + checksums + end blocks) PLUS one long-named member (the
+    // URL-keyed WebDataset norm: basename > 100 bytes) shipped through a
+    // PAX `x` extended header on even ids and a GNU `L` longname member
+    // on odd ids — the sample keyed by the FULL long name proves both
+    // mechanisms parse rather than quarantine. sample_bytes is
     // closed-form: the text's UTF-8 octet length plus the two fixed parts.
     QueryDef("mm_webdataset_index", Some(
-      "SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS key, " +
+      "SELECT * FROM (" +
+        "SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS key, " +
         "CAST(3 AS BIGINT) AS n_parts, 'cls,json,txt' AS parts, " +
         "CAST(strlen(text) + 8 AS BIGINT) AS sample_bytes, TRUE AS ok " + // strlen = BYTES in DuckDB
-        "FROM documents WHERE doc_id % 9 = 4 ORDER BY media_id"),
+        "FROM documents WHERE doc_id % 9 = 4 " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(doc_id AS VARCHAR) || '_' || repeat('p', 110), " +
+        "CAST(1 AS BIGINT), 'bin', CAST(4 AS BIGINT), TRUE " +
+        "FROM documents WHERE doc_id % 9 = 4) ORDER BY media_id, key"),
       (s, d) => {
         import s.implicits._
         val media = T(s, d, "documents")
@@ -6009,7 +6026,10 @@ object Queries {
               graft.operators.Tar.tarBytes(Seq(
                 s"$id.txt" -> text.getBytes("UTF-8"),
                 s"$id.json" -> "{\"k\":1}".getBytes("UTF-8"),
-                s"$id.cls" -> Array[Byte]('7'))),
+                s"$id.cls" -> Array[Byte]('7'),
+                s"dir_${"d" * 40}/${id}_${"p" * 110}.bin" ->
+                  "LONG".getBytes("UTF-8")),
+                longStyle = if (id % 2 == 0) "pax" else "gnu"),
               "application/x-tar", None, None, None)
           })
         graft.operators.Tar.webdatasetSamples(media).toDF()

@@ -80,8 +80,11 @@ object Robots {
     var starPi = -1
     var starSi = -1
     while (si < path.length) {
-      if (pi < pat.length && (pat.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
-      else if (pi < pat.length && pat.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      // '*' is ALWAYS a wildcard (§2.2.3) — test it before the literal
+      // branch, else a literal '*' in the path consumes the pattern's '*'
+      // without recording a backtrack point (e.g. '/p*df' vs '/p*xdf')
+      if (pi < pat.length && pat.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      else if (pi < pat.length && (pat.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
       else if (starPi >= 0) { pi = starPi + 1; starSi += 1; si = starSi }
       else return false
       if (pi == pat.length && !anchored) return true // prefix satisfied

@@ -10,10 +10,15 @@ import org.apache.spark.sql.Dataset
   * From the public ustar layout: 512-byte headers (name 100, size as
   * octal at offset 124, typeflag 156, "ustar" magic 257, prefix 345),
   * member data rounded up to 512-byte blocks, end marked by two zero
-  * blocks (or payload end). Regular files only; GNU longname/longlink
-  * and PAX extension members quarantine the payload rather than
-  * mis-keying samples. Structural damage (bad octal, size past the end,
-  * missing magic) → one `ok = false` row.
+  * blocks — a shard ending cleanly at the last member's padded end (no
+  * trailer) is also accepted as complete. Long member names — the norm
+  * in URL-keyed WebDataset shards — resolve through both public
+  * mechanisms: GNU `L` longname members and PAX `x` extended headers
+  * (`path=`/`size=` records per POSIX.1-2001 pax(1), `%d key=value\n`
+  * with the length counting itself); PAX `g` global headers and GNU `K`
+  * longlink targets are skipped (we index regular files, not links).
+  * Structural damage (bad octal, size past the end, missing magic,
+  * malformed pax records) → one `ok = false` row.
   *
   * Scale shape: narrow mapPartitions; the tar payload never reaches a
   * shuffle — member rows carry name/size/offset only.
@@ -39,6 +44,9 @@ object Tar {
       var idx = 0
       var done = false
       var damaged = false
+      // GNU 'L' / PAX 'x' overrides apply to the NEXT member, then reset
+      var pendingName: String = null
+      var pendingSize = -1L
       // uniform damage handling: keep the members that DID frame and
       // append one ok=false marker, wherever the damage lands — a sample
       // grouper sees partial shards as quarantined, never silently short
@@ -47,6 +55,9 @@ object Tar {
         var i = 0
         while (i < 512) { if (p(off + i) != 0) return false; i += 1 }
         true
+      }
+      def trimNul(s: String): String = {
+        val z = s.indexOf('\u0000'); if (z < 0) s else s.substring(0, z)
       }
       while (!done && pos + 512 <= p.length) {
         if (p(pos) == 0) {
@@ -63,35 +74,92 @@ object Tar {
           }
           val tf = p(pos + 156).toChar
           if (magic != "ustar" ||
-            sizeStr.isEmpty || !sizeStr.forall(c => c >= '0' && c <= '7') ||
-            tf == 'L' || tf == 'K' || tf == 'x' || tf == 'g') quarantine()
+            sizeStr.isEmpty || !sizeStr.forall(c => c >= '0' && c <= '7')) quarantine()
           else {
             def str(off: Int, len: Int): String = {
               var e = 0
               while (e < len && p(pos + off + e) != 0) e += 1
               new String(p, pos + off, e, "UTF-8")
             }
-            val name0 = str(0, 100)
-            val prefix = str(345, 155)
-            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
             val size = java.lang.Long.parseLong(sizeStr, 8)
             val dataStart = pos + 512
             if (size < 0 || dataStart + size > p.length) quarantine()
-            else {
-              if (tf == '0' || tf == 0.toChar) { // regular file
-                out += TarMember(id, idx, name, size, dataStart.toLong, ok = true)
-                idx += 1
-              } // directories ('5') etc. indexed past silently
-              pos = dataStart + (((size + 511) / 512) * 512).toInt
+            else tf match {
+              case 'L' => // GNU longname: payload = next member's name
+                pendingName = trimNul(new String(p, dataStart, size.toInt, "UTF-8"))
+                pos = dataStart + (((size + 511) / 512) * 512).toInt
+              case 'K' => // GNU longlink target — links aren't indexed
+                pos = dataStart + (((size + 511) / 512) * 512).toInt
+              case 'x' => // PAX extended header for the next member
+                parsePax(p, dataStart, size.toInt) match {
+                  case Some(recs) =>
+                    recs.get("path").foreach(pendingName = _)
+                    recs.get("size").foreach { v =>
+                      try pendingSize = java.lang.Long.parseLong(v)
+                      catch { case _: NumberFormatException => quarantine() }
+                    }
+                    if (!done) pos = dataStart + (((size + 511) / 512) * 512).toInt
+                  case None => quarantine()
+                }
+              case 'g' => // PAX global defaults — skipped, not applied
+                if (parsePax(p, dataStart, size.toInt).isEmpty) quarantine()
+                else pos = dataStart + (((size + 511) / 512) * 512).toInt
+              case other =>
+                val name =
+                  if (pendingName != null) pendingName
+                  else {
+                    val name0 = str(0, 100)
+                    val prefix = str(345, 155)
+                    if (prefix.isEmpty) name0 else prefix + "/" + name0
+                  }
+                // PAX size= overrides the octal field (it can't hold
+                // >8 GiB); data advancement must use the real length
+                val effSize = if (pendingSize >= 0) pendingSize else size
+                pendingName = null
+                pendingSize = -1L
+                if (effSize < 0 || dataStart + effSize > p.length) quarantine()
+                else {
+                  if (other == '0' || other == 0.toChar) { // regular file
+                    out += TarMember(id, idx, name, effSize, dataStart.toLong, ok = true)
+                    idx += 1
+                  } // directories ('5') etc. indexed past silently
+                  pos = dataStart + (((effSize + 511) / 512) * 512).toInt
+                }
             }
           }
         }
       }
-      // no end-of-archive zero block seen: truncated mid-shard
-      if (!done || damaged) out += TarMember(id, idx, "", 0L, 0L, ok = false)
+      // a shard ending exactly at the last member's padded end (no zero
+      // trailer) is complete — only a MID-member end is truncation
+      if (done && pendingName != null) damaged = true // dangling longname
+      if ((!done && pos != p.length) || damaged)
+        out += TarMember(id, idx, "", 0L, 0L, ok = false)
       val res = out.result()
       if (res.isEmpty) bad else res.iterator
     } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** PAX extended-header records (`%d key=value\n`, the decimal length
+    * counting itself, the space, and the trailing newline — POSIX.1-2001
+    * pax(1) `-x pax` format). `None` on any malformed record. */
+  private[graft] def parsePax(p: Array[Byte], off: Int, len: Int): Option[Map[String, String]] = {
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < len) {
+      var j = i
+      while (j < len && p(off + j) != ' ') j += 1
+      if (j >= len || j == i) return None
+      val recLen =
+        try new String(p, off + i, j - i, "US-ASCII").toInt
+        catch { case _: NumberFormatException => return None }
+      if (recLen <= 0 || i + recLen > len || p(off + i + recLen - 1) != '\n') return None
+      val body = new String(p, off + j + 1, recLen - (j - i) - 2, "UTF-8")
+      val eq = body.indexOf('=')
+      if (eq < 0) return None
+      m += body.substring(0, eq) -> body.substring(eq + 1)
+      i += recLen
+    }
+    Some(m.result())
   }
 
   final case class WdSample(media_id: Long, key: String, n_parts: Long,
@@ -128,10 +196,16 @@ object Tar {
   // --------------------------------------------------------- fixture side
 
   /** ustar bytes for `entries` (name → data), standard header fields and
-    * checksum, two trailing zero blocks. */
-  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    * checksum, two trailing zero blocks. Names longer than 99 bytes emit
+    * the long-name mechanism chosen by `longStyle`: a PAX `x` extended
+    * header with a `path=` record (`"pax"`, what GNU tar
+    * `--format=posix` writes) or a GNU `L` longname member (`"gnu"`);
+    * the following ustar header carries the truncated name, exactly as
+    * real archivers do. */
+  def tarBytes(entries: Seq[(String, Array[Byte])],
+               longStyle: String = "pax"): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    for ((name, data) <- entries) {
+    def header(name: String, size: Int, typeflag: Char): Array[Byte] = {
       val h = new Array[Byte](512)
       def put(off: Int, s: String): Unit = {
         val b = s.getBytes("UTF-8")
@@ -139,18 +213,38 @@ object Tar {
       }
       put(0, name)
       put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
-      put(124, f"${data.length}%011o")
+      put(124, f"$size%011o")
       put(136, "00000000000")
-      h(156) = '0'
+      h(156) = typeflag.toByte
       put(257, "ustar"); h(263) = '0'; h(264) = '0' // version "00"
       java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
       var sum = 0
       for (b <- h) sum += b & 0xff
       put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '
-      bos.write(h)
+      h
+    }
+    def writeMember(name: String, data: Array[Byte], typeflag: Char): Unit = {
+      bos.write(header(name, data.length, typeflag))
       bos.write(data)
       val pad = (512 - data.length % 512) % 512
       bos.write(new Array[Byte](pad))
+    }
+    for ((name, data) <- entries) {
+      if (name.getBytes("UTF-8").length > 99) {
+        if (longStyle == "gnu")
+          writeMember("././@LongLink", (name + "\u0000").getBytes("UTF-8"), 'L')
+        else {
+          val body = {
+            val kv = s" path=$name\n"
+            // record length counts its own decimal digits (fixed point)
+            var len = kv.length + 1
+            while ((len.toString.length + kv.length) != len) len = len.toString.length + kv.length
+            s"$len$kv"
+          }
+          writeMember("./PaxHeaders.0/" + name.take(60), body.getBytes("UTF-8"), 'x')
+        }
+      }
+      writeMember(name.take(99), data, '0')
     }
     bos.write(new Array[Byte](1024)) // end-of-archive
     bos.toByteArray

@@ -1502,6 +1502,13 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Robots.matches("/*.pdf", "/x/y.pdfz")) // unanchored: prefix-ish
     assert(Robots.matches("/a*b*c", "/aXbYbZc-tail")) // needs backtracking
     assert(!Robots.matches("/a*b*c", "/aXbY"))
+    // '*' is ALWAYS a wildcard (RFC 9309 §2.2.3) even when the path has a
+    // literal '*' at that position — the ADVICE round-14 case: the old
+    // literal-first branch consumed the pattern's '*' without recording a
+    // backtrack point and wrongly returned false
+    assert(Robots.matches("/p*df", "/p*xdf"))
+    assert(Robots.matches("/p*df", "/pdf")) // wildcard matches empty too
+    assert(Robots.matches("/a*b", "/a*b"))
     assert(Robots.matches("*", "/anything"))
     assert(Robots.matches("/a$", "/a") && !Robots.matches("/a$", "/ab"))
     // longest match wins; Allow beats Disallow on equal length
@@ -1565,7 +1572,7 @@ class OperatorQualitySpec extends AnyFunSuite {
 
   test("Tar: ustar round-trip (offsets/sizes/512-padding, zero-byte " +
     "members, first-dot WebDataset keys incl. multi-part extensions), " +
-    "malformed archives and GNU-longname members quarantine; the JDK has " +
+    "malformed archives quarantine; the JDK has " +
     "no tar, so jar-tool cross-check is skipped — ImageIO-style bit " +
     "checks happen through the member data reads") {
     import graft.operators.Tar
@@ -1604,9 +1611,13 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Tar.parse(1L, badSize).exists(!_.ok))
     val badMagic = tar.clone(); badMagic(257) = 'X'
     assert(Tar.parse(1L, badMagic).exists(!_.ok))
-    // GNU longname member (typeflag 'L'): quarantine, never mis-key
+    // typeflag flipped to 'L': the first member's data ("hello") becomes
+    // a GNU longname applying to the NEXT member — 4 ok members, s1.json
+    // renamed "hello" (bit-rot of the flag reads as valid GNU semantics;
+    // the checksum we deliberately don't verify would catch it upstream)
     val gnuL = tar.clone(); gnuL(156) = 'L'
-    assert(Tar.parse(1L, gnuL).exists(!_.ok))
+    val gl = Tar.parse(1L, gnuL).toVector
+    assert(gl.length == 4 && gl.count(_.ok) == 4 && gl.head.name == "hello")
     // a header whose FIRST byte rotted to zero is NOT a clean end-of-
     // archive (that requires a fully-zero block): members before the
     // damage survive, an ok=false marker quarantines the shard
@@ -1627,6 +1638,71 @@ class OperatorQualitySpec extends AnyFunSuite {
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       Tar.parse(1L, m).foreach(_ => ())
     }
+  }
+
+  test("Tar long names: PAX `x` path/size records and GNU `L` longname " +
+    "members resolve >100-byte names (the URL-keyed WebDataset norm); " +
+    "clean payload end without a zero trailer is complete; malformed pax " +
+    "records and dangling longnames quarantine") {
+    import graft.operators.Tar
+    val long1 = "dir_" + ("d" * 40) + "/" + ("k" * 110) + ".jpg"
+    val entries = Seq(
+      "short.txt" -> "abc".getBytes("UTF-8"),
+      long1 -> Array.tabulate[Byte](700)(i => (i % 127).toByte))
+    for (style <- Seq("pax", "gnu")) {
+      val tar = Tar.tarBytes(entries, longStyle = style)
+      val ms = Tar.parse(1L, tar).toVector
+      assert(ms.length == 2 && ms.forall(_.ok), style)
+      assert(ms(1).name == long1, s"$style full name survives")
+      assert(ms(1).size == 700L, style)
+      // data readable at the reported offset through the meta member
+      assert(tar.slice(ms(1).offset.toInt, ms(1).offset.toInt + 700)
+        .sameElements(entries(1)._2), style)
+    }
+    // layout sanity: the pax meta member precedes the file header
+    // (short.txt hdr+data, pax hdr+record block, then the file header)
+    val paxTar = Tar.tarBytes(entries, longStyle = "pax")
+    val fileHdr = 512 * 4
+    assert(paxTar(fileHdr + 156) == '0'.toByte)
+    assert(paxTar(512 * 2 + 156) == 'x'.toByte)
+    val paxRecord = {
+      // build "len path=...\nlen size=700\n" with self-counting lengths
+      def rec(body: String): String = {
+        var len = body.length + 2
+        while ((len.toString.length + body.length + 2) != len)
+          len = len.toString.length + body.length + 2
+        s"$len $body\n"
+      }
+      rec(s"path=$long1") + rec("size=700")
+    }
+    val paxOk = Tar.parsePax(
+      paxRecord.getBytes("UTF-8"), 0, paxRecord.getBytes("UTF-8").length)
+    assert(paxOk.exists(m => m("path") == long1 && m("size") == "700"))
+    // malformed pax: record length lying about the newline position
+    val badPax = "7 a=b\nX".getBytes("UTF-8")
+    assert(Tar.parsePax(badPax, 0, badPax.length).isEmpty)
+    // shard ending exactly at the last member's padded end (no trailer)
+    // is complete — ADVICE round-14: payload end is a clean end
+    val noTrailer = {
+      val full = Tar.tarBytes(Seq("a.txt" -> "xyz".getBytes("UTF-8")))
+      full.take(full.length - 1024)
+    }
+    val nt = Tar.parse(1L, noTrailer).toVector
+    assert(nt.length == 1 && nt.head.ok, "clean payload end accepted")
+    // dangling longname (meta member then trailer, no file) quarantines
+    val dangling = {
+      val gnu = Tar.tarBytes(Seq(long1 -> Array[Byte](1)), longStyle = "gnu")
+      // keep the 'L' member (hdr + 1 name block) then jump to a trailer
+      gnu.take(512 * 2) ++ new Array[Byte](1024)
+    }
+    assert(Tar.parse(1L, dangling).exists(!_.ok))
+    // webdataset grouping keys on the long BASENAME before the first dot
+    import spark.implicits._
+    val row = graft.operators.Multimodal.MediaRow(9L, "shard",
+      Tar.tarBytes(entries, longStyle = "pax"), "application/x-tar",
+      None, None, None)
+    val samples = Tar.webdatasetSamples(Seq(row).toDS()).collect()
+    assert(samples.forall(_.ok) && samples.exists(_.key == "k" * 110))
   }
 
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
