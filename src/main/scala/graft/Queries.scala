@@ -934,7 +934,10 @@ object Queries {
       "mm_decode_jpeg", "mm_decode_jpeg_color", "mm_decode_adpcm",
       "mm_decode_adpcm_wav",
       // round-14: the progressive (SOF2) multi-scan path JITs separately
-      "mm_decode_jpeg_progressive")
+      "mm_decode_jpeg_progressive",
+      // round-15: the resize→re-encode→dHash→banded-hamming-join chain
+      // compiles its own typed-encoder + chunk-join codegen classes
+      "dedup_image_near")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -6078,6 +6081,71 @@ object Queries {
             count(lit(1)).as("group_size"))
           .select("canonical_id", "group_size")
           .orderBy("canonical_id")
+      }),
+
+    // Perceptual near-dup at hamming ≤ 3 (round-14 verdict item 3): the
+    // REAL pipeline composition resize → PNG re-encode → dHash → banded
+    // hamming join. Every doc_id % 3 == 0 image gains a 3/2-upscaled
+    // thumbnail twin (Multimodal.resizeEncodePng, nearest-neighbor with
+    // the integer mapping), and Dedup.bitstringNearPairs bands the 64-bit
+    // hashes into 4 × 16-bit pigeonhole chunks — a twin whose floor-
+    // composed sampling drifts by 1-3 bits is CAUGHT at hamming > 0,
+    // which exact-(hash,dims) grouping (dedup_image_dhash) cannot do.
+    // The oracle replays the full composed integer chain closed-form:
+    // hash bit of image with effective dims (ew,eh) reads source pixel
+    // x = ((x2·ew)÷9·w)÷ew (identity when ew = w), then bands and
+    // hamming-counts in SQL. Fixture is the STRIPED gradient
+    // (pngStripeBytes): a pure gradient resamples to hamming 0
+    // everywhere, which would reduce this row to the exact join.
+    QueryDef("dedup_image_near", Some(
+      "WITH p AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 9 AS h, " +
+        "doc_id % 97 AS seed FROM documents WHERE doc_id % 7 = 2), " +
+        "imgs AS (SELECT doc_id AS id, w, h, seed, w AS ew, h AS eh FROM p " +
+        "UNION ALL SELECT doc_id + 10000000000 AS id, w, h, seed, " +
+        "(3*w)//2 AS ew, (3*h)//2 AS eh FROM p WHERE doc_id % 3 = 0), " +
+        "g AS (SELECT i.id, i.w, i.h, i.seed, i.ew, i.eh, y2.i AS y2, x2.i AS x2 FROM imgs i, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) y2, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2), " +
+        "xy AS (SELECT id, seed, y2, x2, " +
+        "(((x2*ew)//9)*w)//ew AS xl, ((((x2+1)*ew)//9)*w)//ew AS xr, " +
+        "(((y2*eh)//8)*h)//eh AS yy FROM g), " +
+        "b AS (SELECT id, y2, x2, CASE WHEN " +
+        "(seed + 3*xl + 7*yy + 60*((xl//5)%2)) % 256 > " +
+        "(seed + 3*xr + 7*yy + 60*((xr//5)%2)) % 256 " +
+        "THEN '1' ELSE '0' END AS bit FROM xy), " +
+        "hsh AS (SELECT id, string_agg(bit, '' ORDER BY y2, x2) AS dh " +
+        "FROM b GROUP BY id), " +
+        "ch AS (SELECT id, dh, c.i AS chunk, substr(dh, 1 + 16*c.i, 16) AS cv " +
+        "FROM hsh, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) c), " +
+        "cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b, " +
+        "a.dh AS dh_a, b2.dh AS dh_b FROM ch a JOIN ch b2 " +
+        "ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.id < b2.id), " +
+        "pairs AS (SELECT id_a, id_b, list_sum(list_transform(range(64), " +
+        "i -> CASE WHEN substr(dh_a, CAST(i AS INT)+1, 1) <> " +
+        "substr(dh_b, CAST(i AS INT)+1, 1) THEN 1 ELSE 0 END)) AS hamming " +
+        "FROM cand) " +
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3 " +
+        "ORDER BY id_a, id_b"),
+      (s, d) => {
+        import s.implicits._
+        val originals = T(s, d, "documents")
+          .filter(col("doc_id") % 7 === 2).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+            graft.operators.Multimodal.MediaRow(id, "image",
+              graft.operators.Multimodal.pngStripeBytes(w, h, (id % 97).toInt),
+              "image/png", Some(w), Some(h), None)
+          })
+        val twins = graft.operators.Multimodal.resizeEncodePng(
+            originals.filter(col("media_id") % 3 === 0), 3, 2)
+          .map(r => r.copy(media_id = r.media_id + 10000000000L))
+        val hashes = graft.operators.Multimodal
+          .imageDhash(originals.union(twins)).toDF()
+          .filter(col("ok"))
+        graft.operators.Dedup.bitstringNearPairs(
+            hashes, "media_id", "dhash_bits", maxHamming = 3)
+          .orderBy("id_a", "id_b")
       }),
 
     // Perceptual image hash (sampled dHash) — the image-native near-dup

@@ -336,6 +336,51 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Hamming-≤k near-duplicate pairs over any 64-bit signature shipped as
+    * a 64-char '0'/'1' string (e.g. [[Multimodal.imageDhash]]'s
+    * `dhash_bits` — the perceptual image near-dup join the round-14
+    * verdict called for). Same pigeonhole recipe as [[simHashPairs]]:
+    * 4 × 16-bit chunks, equal-chunk equi-join (any of 4 catches every
+    * pair with hamming ≤ 3), first-matching-chunk predicate so a pair
+    * matching several chunks is emitted once WITHOUT a dedup shuffle,
+    * codegen popcount verify. The chunks parse via `conv(substr)` (16
+    * bits always fit a long — no 64-bit sign trap), so the whole pipeline
+    * stays built-in expressions. Scale: the only shuffle is the banded
+    * equi-join, candidates ∝ colliding 16-bit buckets, never all-pairs —
+    * identical shape to the text simhash join that is plan-pinned at
+    * 100 TB. */
+  def bitstringNearPairs(hashes: DataFrame, idCol: String, bitsCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val chunkCols = (0 to 3).map { c =>
+      conv(substring(col(bitsCol), 1 + 16 * c, 16), 2, 10)
+        .cast("long").as(s"c$c")
+    }
+    val withSig = graft.CacheRegistry.register(
+      hashes.select((col(idCol).as("id") +: chunkCols): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val chunked = withSig.select(col("id"), col("c0"), col("c1"),
+        col("c2"), col("c3"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val",
+        element_at(array(col("c0"), col("c1"), col("c2"), col("c3")),
+          col("chunk") + 1))
+    def side(sfx: String) = chunked.select(
+      (Seq(col("chunk"), col("chunk_val")) ++
+        (Seq("id", "c0", "c1", "c2", "c3").map(n => col(n).as(s"$n$sfx")))): _*)
+    val earlierChunkMatches = (0 to 2).map { c =>
+      (col("chunk") > c) && (col(s"c${c}_a") === col(s"c${c}_b"))
+    }.reduce(_ || _)
+    val hamming = (0 to 3).map { c =>
+      bit_count(col(s"c${c}_a").bitwiseXOR(col(s"c${c}_b")))
+    }.reduce(_ + _).cast("int")
+    side("_a").join(side("_b"), Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!earlierChunkMatches)
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact set-Jaccard pairs via PPJoin-style prefix filtering — provably
     * complete, never all-pairs.
     *

@@ -230,14 +230,26 @@ object Jpeg {
           if (comps.map(_.id).distinct.length != nc) return None
           if (progressive) {
             // coefficient grids live across ALL scans (4 B/coefficient +
-            // the pixel planes), so the progressive pixel cap is tighter
-            // than the baseline streaming path's
+            // the pixel planes), so the progressive path is budgeted by
+            // its EXACT transient allocation, not a pixel-count proxy — a
+            // crafted SOF2 header maxing dims could otherwise pressure
+            // ~150-400 MB per decode thread (ADVICE round-14). Default
+            // 2^27 B (134 MB) admits ~8 MP 4:2:0; raise
+            // -Dgraft.jpeg.progressiveByteBudget for larger scans.
             if (width <= 0 || height <= 0 ||
-              width.toLong * height > (1L << 24)) return None
+              width.toLong * height > (1L << 26)) return None
             hMax = comps.map(_.h).max
             vMax = comps.map(_.v).max
             mcusX = (width + 8 * hMax - 1) / (8 * hMax)
             mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            val budget = java.lang.Long.getLong(
+              "graft.jpeg.progressiveByteBudget", 1L << 27)
+            val transientBytes = comps.map { c =>
+              val bw = mcusX.toLong * c.h
+              val bh = mcusY.toLong * c.v
+              bw * bh * 64L * 4L + (bw * 8L) * (bh * 8L) * 4L
+            }.sum
+            if (transientBytes > budget) return None
             comps.foreach { c =>
               c.blocksW = mcusX * c.h
               c.blocksH = mcusY * c.v

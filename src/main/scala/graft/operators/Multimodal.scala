@@ -204,6 +204,17 @@ object Multimodal {
     * getRGB pays the ColorModel conversion per CALL and is ~10x slower on
     * megapixel rows). Null payload / unrecognized / undecodable → None
     * (the quarantine contract). */
+  /** Decoded RGB pixels via the from-spec decoders, ImageIO as fallback
+    * for out-of-scope shapes. PATH BOUNDARY (ADVICE round-14): the two
+    * paths are NOT bit-identical for every input class — from-spec PNG
+    * gray is raw (g,g,g) while ImageIO applies a gray→sRGB ColorModel,
+    * and the from-spec float-IDCT JPEG can differ ±1 LSB from the JDK
+    * decoder. Pixel-derived KEYS (dhash, checksums) are therefore only
+    * comparable within one path; the from-spec decoders cover every
+    * fixture/gate input, so the boundary is only crossed by inputs the
+    * spec decoders reject (arithmetic JPEG, 12-bit, exotic PNG bit
+    * depths), which a dedup pass should treat as a separate stratum —
+    * see [[imageDhash]]. */
   private def pixelsOf(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val viaSpec = sniffImageFormat(p) match {
       case "png" => Png.decodeRgb(p)
@@ -352,7 +363,10 @@ object Multimodal {
     * The grid sampling (not region averaging) keeps every bit a pure
     * integer function of the pixels, so the gate oracle replays the hash
     * CLOSED-FORM from the gradient fixture's pixel formula. Undecodable
-    * or sub-grid (<9×8) images quarantine. */
+    * or sub-grid (<9×8) images quarantine. Hash keys are path-dependent
+    * at the from-spec/ImageIO boundary (see [[pixelsOf]]): the same
+    * visual content decoded once by each path can hash apart (gray
+    * handling, ±1 IDCT LSB) — group within one decoder stratum. */
   def imageDhash(media: Dataset[MediaRow]): Dataset[ImageDhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
@@ -438,6 +452,30 @@ object Multimodal {
     writePng(img)
   }
 
+  /** Gradient + a 5-px-period 60-gray stripe: the near-dup fixture. A
+    * pure gradient is dHash-INVARIANT under the integer resample (floor
+    * composition lands on the same source pixel), so resized twins hash
+    * at hamming 0 and a near-dup row degenerates to the exact join; the
+    * stripe plants sparse high-frequency edges whose sampled column can
+    * shift by one under a 3/2 resample, flipping 1-3 hash bits — the
+    * regime a hamming-≤k band join exists for. Still closed-form:
+    * g = (seed + 3x + 7y + 60·((x div 5) mod 2)) mod 256. */
+  def pngStripeBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (seed + 3 * x + 7 * y + 60 * ((x / 5) % 2)) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    writePng(img)
+  }
+
   final case class ResizedImage(media_id: Long, width: Int, height: Int,
                                 out_w: Int, out_h: Int, pix_sum: Long,
                                 ok: Boolean)
@@ -478,6 +516,56 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) =>
             ResizedImage(r.media_id, 0, 0, outW, outH, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Resize-and-MATERIALIZE: the thumbnail twin of [[resizeImages]] that
+    * re-encodes the resampled grid as a lossless PNG `MediaRow`, so the
+    * result can feed any downstream image operator ([[imageDhash]],
+    * [[decodeImages]], …) — the real-pipeline composition "resize, then
+    * perceptual-hash the thumbnail". Same integer mapping as
+    * [[resizeImages]] (src = dst·srcDim div dstDim) at output dims
+    * (w·num div den, h·num div den), so every surviving pixel — and
+    * therefore every downstream hash bit — stays a pure integer function
+    * of the source pixels that a SQL oracle can replay. Narrow
+    * mapPartitions; payloads never cross a shuffle. Undecodable inputs
+    * or degenerate output dims quarantine as an empty-payload row (every
+    * downstream decoder already treats that as ok=false). */
+  def resizeEncodePng(media: Dataset[MediaRow], num: Int, den: Int): Dataset[MediaRow] = {
+    require(num > 0 && den > 0, "scale factors must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          pixelsOf(if (r.payload == null) Array.empty[Byte] else r.payload) match {
+            case Some((w, h, buf)) if w.toLong * num / den > 0 && h.toLong * num / den > 0 =>
+              val ow = (w.toLong * num / den).toInt
+              val oh = (h.toLong * num / den).toInt
+              val img = new java.awt.image.BufferedImage(
+                ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y2 = 0
+              while (y2 < oh) {
+                val sy = (y2.toLong * h / oh).toInt
+                var x2 = 0
+                while (x2 < ow) {
+                  img.setRGB(x2, y2, buf(sy * w + (x2.toLong * w / ow).toInt))
+                  x2 += 1
+                }
+                y2 += 1
+              }
+              MediaRow(r.media_id, "image", writePng(img), "image/png",
+                Some(ow), Some(oh), None)
+            case _ =>
+              MediaRow(r.media_id, "image", Array.empty[Byte], "image/png",
+                None, None, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            MediaRow(r.media_id, "image", Array.empty[Byte], "image/png",
+              None, None, None)
         }
       }
     }

@@ -148,6 +148,14 @@ object Png {
         got += n
       }
       if (got != want) return null
+      // 'exactly' also bounds the OTHER side: a stream that would inflate
+      // past `want` is corrupt/oversized, not a short read — one more
+      // inflate() must produce nothing and leave the inflater finished
+      // (ADVICE round-14: unchecked, an oversized IDAT decoded silently)
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        if (inf.inflate(probe, 0, 1) != 0 || !inf.finished()) return null
+      }
       buf
     } catch {
       case _: java.util.zip.DataFormatException => null

@@ -1105,6 +1105,41 @@ class OperatorQualitySpec extends AnyFunSuite {
     val fix = graft.operators.Multimodal.pngBytes(24, 9, 0x345678)
     val Some((fw, fh, fpx)) = Png.decodeRgb(fix)
     assert((fw, fh) == (24, 9) && fpx.forall(_ == 0x345678))
+    // 'exactly' bounds BOTH sides (ADVICE round-14): an IDAT stream that
+    // would inflate past stride·height is corrupt and must quarantine,
+    // not silently decode its prefix. Hand-assembled 4×3 RGB PNG whose
+    // zlib stream carries 10 extra raw bytes.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      bos.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb); bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(be32(crc.getValue.toInt))
+      bos.toByteArray
+    }
+    def minimalPng(extraRaw: Int): Array[Byte] = {
+      val (w, h) = (4, 3)
+      val ihdr = Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte,
+        8, 2, 0, 0, 0) // bit depth 8, color type 2 (RGB)
+      val raw = new Array[Byte](h * (1 + 3 * w) + extraRaw) // all zeros
+      val defl = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = d.deflate(buf); d.end()
+        buf.take(n)
+      }
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", defl) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    assert(Png.decodeRgb(minimalPng(0)).exists { case (w, h, px) =>
+      w == 4 && h == 3 && px.forall(_ == 0) }, "exact-length control decodes")
+    assert(Png.decodeRgb(minimalPng(10)).isEmpty, "oversized IDAT quarantines")
   }
 
   test("RasterCodecs.decodeBmp: 24-bit and 8-bit-palette BMPs decode " +
@@ -1638,6 +1673,57 @@ class OperatorQualitySpec extends AnyFunSuite {
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       Tar.parse(1L, m).foreach(_ => ())
     }
+  }
+
+  test("bitstringNearPairs: pigeonhole recall is exact for hamming <= 3 " +
+    "(0/1/3 caught, 4 missed by contract), multi-chunk matches emit ONE " +
+    "row, and resizeEncodePng twins flow through the composed pipeline") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    def flip(s: String, is: Int*): String = {
+      val a = s.toCharArray
+      is.foreach(i => a(i) = if (a(i) == '0') '1' else '0')
+      new String(a)
+    }
+    val base = "01" * 32
+    val rows = Seq(
+      (1L, base), (2L, base),                 // hamming 0
+      (3L, flip(base, 5)),                    // 1 from base
+      (4L, flip(base, 0, 20, 40)),            // 3 from base
+      (5L, flip(base, 1, 17, 33, 49)),        // 4 from base in EVERY chunk: missed
+      (6L, flip(base, 63))                    // 1 from base (last bit)
+    ).toDF("id", "bits")
+    val got = Dedup.bitstringNearPairs(rows, "id", "bits", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0)
+    assert(got((1L, 3L)) == 1 && got((2L, 3L)) == 1)
+    assert(got((1L, 4L)) == 3)
+    assert(got((1L, 6L)) == 1 && got((3L, 6L)) == 2)
+    assert(!got.contains((1L, 5L)), "hamming-4-in-all-chunks pair excluded")
+    // (1,2) share ALL four chunks — first-match predicate keeps one row
+    val dupCheck = Dedup.bitstringNearPairs(rows, "id", "bits", 3)
+      .filter(col("id_a") === 1 && col("id_b") === 2).count()
+    assert(dupCheck == 1, "multi-chunk pair must emit exactly once")
+    // composed pipeline: stripes → 3/2 thumbnail → dHash → band join
+    val media = Seq(10L, 11L).toDS().map { id =>
+      Multimodal.MediaRow(id, "image",
+        Multimodal.pngStripeBytes(20 + id.toInt, 12, 37 + id.toInt),
+        "image/png", None, None, None)
+    }
+    val twins = Multimodal.resizeEncodePng(media, 3, 2)
+      .map(r => r.copy(media_id = r.media_id + 100))
+    val hashes = Multimodal.imageDhash(media.union(twins)).toDF()
+    assert(hashes.filter(col("ok")).count() == 4, "all four images hash")
+    val pairs = Dedup.bitstringNearPairs(
+        hashes.filter(col("ok")), "media_id", "dhash_bits", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 110L)) && pairs.contains((11L, 111L)),
+      s"each original must pair with its thumbnail twin: $pairs")
+    // quarantine path: garbage payload yields ok=false, never a throw
+    val bad = Seq(Multimodal.MediaRow(7L, "image", Array[Byte](1, 2, 3),
+      "image/png", None, None, None)).toDS()
+    assert(Multimodal.resizeEncodePng(bad, 3, 2).collect()
+      .forall(_.payload.isEmpty))
   }
 
   test("Tar long names: PAX `x` path/size records and GNU `L` longname " +

@@ -439,6 +439,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("dedup_image_near: banded 16-bit-chunk equi-join — no UDF in the " +
+    "pair join, never a nested loop / cartesian (the image twin of the " +
+    "simhash pigeonhole pin)") {
+    val p = plan("dedup_image_near")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+    // the signature projection is cached so the self-join's two sides
+    // don't re-decode every image
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"withSig persist() lost — both join sides re-hash the corpus:\n$p")
+  }
+
   test("dedup_winnow: codegen kernel (no UDF), gram equi-join, never a nested loop") {
     val p = plan("dedup_winnow")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
