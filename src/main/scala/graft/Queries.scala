@@ -5190,6 +5190,48 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // PageRank with the STANDARD dangling-mass redistribution (round-14
+    // verdict item 5): doc_id % 4 == 0 nodes emit NO out-edges (the first
+    // link family starts at % 4 >= 1 here), so a quarter of the mass
+    // lands on dangling nodes each round; redistributeDangling = true
+    // folds Σ rank(dangling) back uniformly — one 1-row aggregate
+    // broadcast per iteration, still O(E)/round, still integer-exact.
+    // The oracle unrolls all 3 iterations WITH the per-iteration dmass
+    // scalar, so a leaking variant (the old default) hash-fails.
+    QueryDef("web_pagerank_dangling", Some(
+      "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents), " +
+        "ids AS (SELECT doc_id AS id FROM documents), " +
+        "edges AS (" +
+        "SELECT doc_id AS src, (doc_id*17+1) % cnt AS dst FROM documents, nn WHERE doc_id % 4 >= 1 " +
+        "UNION ALL SELECT doc_id, (doc_id*101+7) % cnt FROM documents, nn WHERE doc_id % 4 >= 2 " +
+        "UNION ALL SELECT doc_id, (doc_id*31+13) % cnt FROM documents, nn WHERE doc_id % 4 >= 3), " +
+        "ew AS (SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS odeg FROM edges), " +
+        "r0 AS (SELECT id, 1000000000 // cnt AS r FROM ids, nn), " +
+        "d1 AS (SELECT CAST(sum(r) AS BIGINT) AS dm FROM r0 WHERE id % 4 = 0), " +
+        "i1 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r0 r ON ew.src = r.id GROUP BY 1), " +
+        "r1 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * (COALESCE(i1.f, 0) + (SELECT dm FROM d1) // cnt)) // 100 AS r FROM ids LEFT JOIN i1 ON ids.id = i1.id, nn), " +
+        "d2 AS (SELECT CAST(sum(r) AS BIGINT) AS dm FROM r1 WHERE id % 4 = 0), " +
+        "i2 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r1 r ON ew.src = r.id GROUP BY 1), " +
+        "r2 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * (COALESCE(i2.f, 0) + (SELECT dm FROM d2) // cnt)) // 100 AS r FROM ids LEFT JOIN i2 ON ids.id = i2.id, nn), " +
+        "d3 AS (SELECT CAST(sum(r) AS BIGINT) AS dm FROM r2 WHERE id % 4 = 0), " +
+        "i3 AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.odeg) AS BIGINT) AS f FROM ew JOIN r2 r ON ew.src = r.id GROUP BY 1), " +
+        "r3 AS (SELECT ids.id, (15 * (1000000000 // cnt) + 85 * (COALESCE(i3.f, 0) + (SELECT dm FROM d3) // cnt)) // 100 AS r FROM ids LEFT JOIN i3 ON ids.id = i3.id, nn) " +
+        "SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e9 FROM r3 ORDER BY doc_id"),
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id")
+        val nCnt = docs.count()
+        val linkDefs = Seq((17L, 1L), (101L, 7L), (31L, 13L))
+        val edges = linkDefs.zipWithIndex.map { case ((a, c), i) =>
+          docs.filter(col("doc_id") % 4 >= i + 1)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") * a + c) % nCnt).as("dst"))
+        }.reduce(_ unionByName _)
+        operators.Web.pageRankE9(edges, docs.select(col("doc_id").as("id")),
+            iterations = 3, redistributeDangling = true)
+          .select(col("id").as("doc_id"), col("rank_e9"))
+          .orderBy("doc_id")
+      }),
+
     // the 31-based polynomial hash is exactly expressible in DuckDB via
     // HUGEINT mod-2^64 arithmetic over the codepoints (== UTF-16 units for
     // BMP text), so the fingerprint gets a real value-level oracle
@@ -5520,6 +5562,109 @@ object Queries {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("tokens").cast("long").as("n_tokens"))
           .orderBy("lang")
+      }),
+
+    // The crawl twin of corpus_build_pipeline (round-14 verdict item 8):
+    // the whole round-14 crawl family composed END-TO-END under one
+    // oracle — WARC shards (gzip members on even ids) → robots.txt
+    // admission (RFC 9309 fixture, h3 has no robots = allow-all) → HTML
+    // extract (trap-laden page) → URL canonicalize → content-key exact
+    // dedup (first-seen-wins after stripping the id header the fixture
+    // injects) → token/stopword quality gate → per-host corpus stats.
+    // Every stage reuses the per-stage gate row's fixture and oracle
+    // block, so this row proves the FAMILY composes deterministically,
+    // not just each stage alone.
+    QueryDef("crawl_build_pipeline", Some {
+      val sw = TextFunctions.stopwords("en").toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      "WITH v AS (SELECT doc_id, text, 'h' || (doc_id % 7) || '.example' AS host, " +
+        "CASE doc_id % 5 WHEN 0 THEN '/public/page' || doc_id " +
+        "WHEN 1 THEN '/private/x' || doc_id " +
+        "WHEN 2 THEN '/private/ok/y' || doc_id " +
+        "WHEN 3 THEN '/files/doc' || doc_id || '.pdf' " +
+        "ELSE '/' END AS path FROM documents), " +
+        // robots verdict closed-form (web_robots_filter's oracle): no
+        // robots on h3; /private/x and /*.pdf$ disallowed elsewhere
+        "adm AS (SELECT * FROM v WHERE doc_id % 7 = 3 OR doc_id % 5 IN (0, 2, 4)), " +
+        "ext AS (SELECT doc_id, host, 'https://' || host || path AS url_canon, " +
+        s"$htmlTrapOracleText AS text FROM adm), " +
+        "ded AS (SELECT * FROM (SELECT e.*, row_number() OVER (PARTITION BY " +
+        "md5(regexp_replace(text, '^Doc Doc [0-9]+ ', '')) ORDER BY doc_id) AS rn " +
+        "FROM ext e) WHERE rn = 1), " +
+        "q0 AS (SELECT doc_id, host, url_canon, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS tokens, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> len(x) > 0) AS toks " +
+        "FROM ded), " +
+        "q AS (SELECT doc_id, host, url_canon, tokens, CASE WHEN len(toks) > 0 THEN " +
+        s"round(CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks), 4) " +
+        "ELSE 0.0 END AS sq FROM q0 WHERE tokens >= 20) " +
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls, " +
+        "min(doc_id) AS min_doc FROM q WHERE sq >= 0.05 " +
+        "GROUP BY 1 ORDER BY 1"
+    },
+      (s, d) => {
+        import s.implicits._
+        // 1) WARC shards, robots-fixture host/path scheme
+        val media = T(s, d, "documents").select("doc_id", "text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val host = s"h${id % 7}.example"
+            val path = (id % 5) match {
+              case 0 => s"/public/page$id"
+              case 1 => s"/private/x$id"
+              case 2 => s"/private/ok/y$id"
+              case 3 => s"/files/doc$id.pdf"
+              case _ => "/"
+            }
+            graft.operators.Multimodal.MediaRow(id, "web",
+              graft.operators.Warc.warcBytes(
+                s"https://$host$path", htmlTrapPage(id, text), id,
+                gzipped = id % 2 == 0),
+              "application/warc", None, None, None)
+          })
+        // 2) WARC parse + URL canonicalize off the RECOVERED target URI
+        val resp = graft.operators.Warc.records(media).toDF()
+          .filter(col("warc_type") === "response")
+          .select(col("media_id").as("doc_id"), col("target_uri"), col("body"))
+          .withColumn("url_canon", operators.Web.canonicalUrl(col("target_uri")))
+          .withColumn("host", operators.Web.urlHost(col("target_uri")))
+          .withColumn("path",
+            expr("substring(target_uri, length(host) + 9)"))
+        // 3) robots admission via the broadcast-parsed rule sets
+        val robots = s.range(7).filter(col("id") =!= 3).select(
+          concat(lit("h"), col("id").cast("string"), lit(".example")).as("host"),
+          lit("# fixture robots\n" +
+            "User-agent: special-bot\nDisallow: /\n\n" +
+            "User-agent: *\n" +
+            "Disallow: /private\n" +
+            "Allow: /private/ok\n" +
+            "Disallow: /*.pdf$\n" +
+            "Sitemap: https://ignored.example.org/sitemap.xml\n").as("robots_txt"))
+        val verdicts = graft.operators.Robots.filterUrls(
+          resp.select("host", "path"), robots).toDF()
+        val admitted = resp.join(verdicts.filter(col("allowed"))
+          .select("host", "path"), Seq("host", "path"))
+        // 4) HTML extract  5) content-key first-seen dedup
+        val extracted = admitted.select(col("doc_id"), col("host"),
+            col("url_canon"),
+            graft.functions.TextFunctions.htmlExtract(col("body"))
+              .getField("text").as("text"))
+          .withColumn("content_key",
+            regexp_replace(col("text"), "^Doc Doc [0-9]+ ", ""))
+        val ded = Dedup.exact(extracted, Seq("content_key"), "doc_id")
+        // 6) quality gate  7) per-host corpus stats
+        ded.select(col("doc_id"), col("host"), col("url_canon"),
+            tokensWs.as("tokens"),
+            TextFunctions.stopwordRatio(col("text")).as("sq"))
+          .filter(col("tokens") >= 20 && col("sq") >= 0.05)
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("tokens").cast("long").as("n_tokens"),
+            countDistinct(col("url_canon")).as("n_urls"),
+            min("doc_id").as("min_doc"))
+          .orderBy("host")
       }),
 
     // ------------------------------------------------------------ multimodal
