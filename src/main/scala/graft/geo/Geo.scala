@@ -261,6 +261,137 @@ object Geo {
     else out
   }
 
+  /** Topology-safe simplification across a GROUP of geometries that share
+    * borders (the municipality case `ST_SimplifyPreserveTopology` handles
+    * and per-ring DP does not — SURVEY §7.4's recorded divergence, closed
+    * by round-14 verdict item 6). Method: decompose every ring into
+    * CHAINS at junction vertices (where the set of geometries using the
+    * incident undirected edge changes), simplify each chain ONCE in a
+    * canonical orientation (memoized on the chain's canonical vertex
+    * sequence), and reassemble — two polygons sharing a border therefore
+    * simplify that border IDENTICALLY and cannot drift into gaps or
+    * overlaps. Junction vertices are always kept (chain endpoints are DP
+    * anchors). Validity re-check runs per ring; a failing ring LOCKS all
+    * its chains to their originals and every affected ring reassembles
+    * again (consistent on both sides of a shared chain, unlike a per-ring
+    * fallback), iterating to a fixed point — worst case everything stays
+    * unsimplified, never less valid than the input.
+    *
+    * Scale shape: geometry dims are dimension-sized (thousands of rings);
+    * callers run this per group (e.g. per state) inside one task, the
+    * same placement as the dissolve/union prep in [[graft.marts.GeoPrep]]. */
+  def simplifySharedBorders(geoms: Seq[MultiPolygon], tolDeg: Double): Seq[MultiPolygon] = {
+    // ---- 1. undirected edge -> distinct ring-owner ids (global ring idx)
+    final case class RingRef(g: Int, p: Int, r: Int, pts: IndexedSeq[Point])
+    val rings = for {
+      (mp, gi) <- geoms.zipWithIndex
+      (poly, pi) <- mp.zipWithIndex
+      (ring, ri) <- poly.zipWithIndex
+    } yield RingRef(gi, pi, ri, dedupConsecutive(ring))
+    def eKey(a: Point, b: Point): (Point, Point) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) (a, b) else (b, a)
+    val edgeUsers = scala.collection.mutable.HashMap
+      .empty[(Point, Point), Set[Int]]
+    for ((rr, idx) <- rings.zipWithIndex) {
+      val pts = openRing(rr.pts)
+      var i = 0
+      while (i < pts.length) {
+        val k = eKey(pts(i), pts((i + 1) % pts.length))
+        edgeUsers(k) = edgeUsers.getOrElse(k, Set.empty) + idx
+        i += 1
+      }
+    }
+    // ---- 2. split each ring into chains at signature-change vertices
+    // chain = vertex run whose edges all have the same user set
+    def chainsOf(rr: RingRef): Vector[Vector[Point]] = {
+      val pts = openRing(rr.pts)
+      val n = pts.length
+      if (n < 3) return Vector(rr.pts.toVector)
+      val sigs = Array.tabulate(n)(i => edgeUsers(eKey(pts(i), pts((i + 1) % n))))
+      val junctions = (0 until n).filter(i => sigs((i - 1 + n) % n) != sigs(i))
+      if (junctions.isEmpty) return Vector((pts :+ pts.head).toVector) // closed, 1 chain
+      val js = junctions.toVector
+      js.indices.toVector.map { k =>
+        val from = js(k)
+        val to = js((k + 1) % js.size)
+        val len = (to - from + n) % n match { case 0 => n; case l => l }
+        Vector.tabulate(len + 1)(o => pts((from + o) % n))
+      }
+    }
+    val ringChains = rings.map(chainsOf)
+    // ---- 3. simplify each distinct chain once, canonical orientation
+    def lexLt(a: Vector[Point], b: Vector[Point]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if (a(i) != b(i))
+          return a(i)._1 < b(i)._1 || (a(i)._1 == b(i)._1 && a(i)._2 < b(i)._2)
+        i += 1
+      }
+      a.length < b.length
+    }
+    def canon(c: Vector[Point]): (Vector[Point], Boolean) = {
+      val rev = c.reverse
+      if (lexLt(rev, c)) (rev, true) else (c, false)
+    }
+    val simplified = scala.collection.mutable.HashMap.empty[Vector[Point], Vector[Point]]
+    val locked = scala.collection.mutable.HashSet.empty[Vector[Point]]
+    def chainOut(c: Vector[Point]): Vector[Point] = {
+      val (key, flipped) = canon(c)
+      val s =
+        if (locked(key)) key
+        else simplified.getOrElseUpdate(key, simplifyDP(key, tolDeg).toVector)
+      if (flipped) s.reverse else s
+    }
+    // ---- 4. reassemble + per-ring validity; invalid rings lock chains
+    def assemble(chains: Vector[Vector[Point]]): Ring = {
+      if (chains.size == 1) return chainOut(chains.head)
+      val out = Vector.newBuilder[Point]
+      chains.foreach { c =>
+        val s = chainOut(c)
+        out ++= s.dropRight(1) // next chain starts with this endpoint
+      }
+      val pts = out.result()
+      pts :+ pts.head // close
+    }
+    var stable = false
+    var guard = 0
+    var outRings: Seq[Ring] = Nil
+    while (!stable && guard < rings.size + 1) {
+      outRings = ringChains.map(assemble)
+      val newLocks = rings.zip(outRings).zip(ringChains).flatMap {
+        case ((rr, out), chains) =>
+          val bad = out.length < 4 ||
+            (ringSelfIntersects(out) && !ringSelfIntersects(rr.pts))
+          if (bad) chains.map(c => canon(c)._1) else Nil
+      }.filterNot(locked)
+      if (newLocks.isEmpty) stable = true
+      else { locked ++= newLocks; guard += 1 }
+    }
+    // ---- regroup rings into the input geometry structure
+    val byGeom = rings.zip(outRings).groupBy(_._1.g)
+    geoms.indices.map { gi =>
+      val rs = byGeom.getOrElse(gi, Nil)
+      val byPoly = rs.groupBy(_._1.p).toSeq.sortBy(_._1)
+      byPoly.map { case (_, prs) =>
+        prs.sortBy(_._1.r).map(_._2).toIndexedSeq
+      }.toIndexedSeq
+    }
+  }
+
+  /** drop duplicate consecutive points (keeps the closing point) */
+  private def dedupConsecutive(r: Ring): IndexedSeq[Point] = {
+    if (r.length < 2) return r
+    val b = IndexedSeq.newBuilder[Point]
+    b += r.head
+    var i = 1
+    while (i < r.length) { if (r(i) != r(i - 1)) b += r(i); i += 1 }
+    b.result()
+  }
+
+  /** ring without its closing point (input may or may not be closed) */
+  private def openRing(r: IndexedSeq[Point]): IndexedSeq[Point] =
+    if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+
   /** True when any two parts' bboxes overlap in their INTERIORS (touching
     * edges are fine) — the cheap guard for the dissolve concat stand-in,
     * which is only area-correct for disjoint parts. */

@@ -127,6 +127,50 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("simplifySharedBorders: two polygons sharing a wiggly border " +
+    "simplify it IDENTICALLY (no gap/overlap), junctions are pinned, and " +
+    "standalone rings behave like plain DP") {
+    def shoelace(r: Ring): Double = {
+      val p = if (r.head == r.last) r.dropRight(1) else r
+      math.abs(p.indices.map { i =>
+        val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.length)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    }
+    // shared wiggly border from (1,0) to (1,1): amplitude 0.001 << tol
+    val wig = IndexedSeq((1.0, 0.0), (1.001, 0.2), (0.999, 0.4),
+      (1.001, 0.6), (0.999, 0.8), (1.0, 1.0))
+    val aRing: Ring = IndexedSeq((0.0, 0.0)) ++ wig ++
+      IndexedSeq((0.0, 1.0), (0.0, 0.0))
+    val bRing: Ring = IndexedSeq((1.0, 0.0), (2.0, 0.0), (2.0, 1.0)) ++
+      wig.reverse.dropRight(1) :+ (1.0, 0.0)
+    val aa: MultiPolygon = IndexedSeq(IndexedSeq(aRing))
+    val bb: MultiPolygon = IndexedSeq(IndexedSeq(bRing))
+    val Seq(sa, sb) = simplifySharedBorders(Seq(aa, bb), 0.01)
+    val ra = sa.head.head
+    val rb = sb.head.head
+    // junction vertices survive
+    assert(ra.contains((1.0, 0.0)) && ra.contains((1.0, 1.0)))
+    assert(rb.contains((1.0, 0.0)) && rb.contains((1.0, 1.0)))
+    // the wiggles are gone on BOTH sides — border straightened identically
+    assert(!ra.exists(p => p._1 != 1.0 && p._1 > 0.5 && p._1 < 1.5), ra.toString)
+    assert(!rb.exists(p => p._1 != 1.0 && p._1 > 0.5 && p._1 < 1.5), rb.toString)
+    // no gap/overlap: the two areas tile the 2x1 rectangle exactly
+    assert(math.abs(shoelace(ra) + shoelace(rb) - 2.0) < 1e-12,
+      s"a=${shoelace(ra)} b=${shoelace(rb)}")
+    // per-ring DP on the same input CAN leave wiggle points on one side
+    // only (the divergence this function closes) — but whatever it does,
+    // the shared-border version must keep both sides bit-identical:
+    val borderA = ra.filter(_._1 == 1.0).toSet
+    val borderB = rb.filter(_._1 == 1.0).toSet
+    assert(borderA == borderB, s"$borderA vs $borderB")
+    // a standalone ring (no shared edges) simplifies like plain DP
+    val solo: MultiPolygon = IndexedSeq(IndexedSeq(ring(
+      (5.0, 5.0), (6.0, 5.0005), (7.0, 5.0), (7.0, 6.0), (5.0, 6.0), (5.0, 5.0))))
+    val Seq(ssolo) = simplifySharedBorders(Seq(solo), 0.01)
+    assert(ssolo.head.head == simplifyDP(solo.head.head, 0.01))
+  }
+
   test("partsBBoxOverlap: interior overlap flagged, shared edges not") {
     def part(r: Ring): Polygon = IndexedSeq(r)
     // touching along an edge (the dissolve fixtures' shape) — NOT an overlap
