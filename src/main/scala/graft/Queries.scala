@@ -936,8 +936,9 @@ object Queries {
       // round-14: the progressive (SOF2) multi-scan path JITs separately
       "mm_decode_jpeg_progressive",
       // round-15: the resize→re-encode→dHash→banded-hamming-join chain
-      // compiles its own typed-encoder + chunk-join codegen classes
-      "dedup_image_near")
+      // compiles its own typed-encoder + chunk-join codegen classes, and
+      // the arithmetic-JPEG row JITs the QM coder + encoder fixture path
+      "dedup_image_near", "mm_decode_jpeg_arith")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -6150,6 +6151,82 @@ object Queries {
               graft.operators.Multimodal.jpegGrayProgressiveBytes(8 * wb, 8 * hb,
                 (bx, by) => (20 + (id * 11 + bx * 13 + by * 5) % 200).toInt),
               "image/jpeg", Some(8 * wb), Some(8 * hb), None)
+          })
+        graft.operators.Multimodal.decodeJpegRgb(media).toDF()
+          .orderBy("media_id")
+      }),
+
+    // ARITHMETIC-coded (SOF9) JPEG decode — the last entropy branch of
+    // the DCT family, decoded by the from-spec T.81 Annex D QM coder +
+    // §F.2.4 statistical models (operators/JpegArith.scala). No codec in
+    // this container can produce arithmetic JPEGs, so the from-spec
+    // ENCODER builds the fixtures (JpegArithSpec pins it bit-level,
+    // model-level, and against JDK-Huffman twins). Even doc_ids are
+    // grayscale streams WITH restart intervals (per-interval coder flush
+    // + statistics reset on the decode path); odd doc_ids are 3-component
+    // 4:2:0 interleaved color. Same block-constant quality-1.0 exactness
+    // contract as mm_decode_jpeg: every block is DC-only under all-ones
+    // quantization, so pixel sums have closed forms while the stream is
+    // genuine adaptive-arithmetic entropy data.
+    QueryDef("mm_decode_jpeg_arith", Some(
+      "WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 17), " +
+        "g AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + (doc_id // 2) % 2 AS hb " +
+        "FROM v WHERE doc_id % 2 = 0), " +
+        "c AS (SELECT doc_id, 1 + (doc_id // 2) % 2 AS mw, 1 + doc_id % 3 AS mh " +
+        "FROM v WHERE doc_id % 2 = 1), " +
+        "gs AS (SELECT doc_id, wb, hb, list_sum(list_transform(range(wb * hb), b -> " +
+        "20 + (doc_id*7 + (b % wb)*13 + (b // wb)*5) % 200)) AS vs, " +
+        "20 + (doc_id*7) % 200 AS v0 FROM g), " +
+        "cs AS (SELECT doc_id, mw, mh, list_sum(list_transform(range(mw * mh), b -> " +
+        "20 + (doc_id*7 + (b % mw)*11 + (b // mw)*3) % 200)) AS vs, " +
+        "20 + (doc_id*7) % 200 AS v0 FROM c) " +
+        "SELECT doc_id AS media_id, CAST(wb * 8 AS INT) AS width, " +
+        "CAST(hb * 8 AS INT) AS height, " +
+        "CAST(64 * vs AS BIGINT) AS sum_r, CAST(64 * vs AS BIGINT) AS sum_g, " +
+        "CAST(64 * vs AS BIGINT) AS sum_b, " +
+        "CAST(v0 * 65536 + v0 * 256 + v0 AS INT) AS first_pixel, TRUE AS ok FROM gs " +
+        "UNION ALL SELECT doc_id, CAST(mw * 16 AS INT), CAST(mh * 16 AS INT), " +
+        "CAST(256 * vs AS BIGINT), CAST(256 * vs AS BIGINT), CAST(256 * vs AS BIGINT), " +
+        "CAST(v0 * 65536 + v0 * 256 + v0 AS INT), TRUE FROM cs ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 17).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val onesQ = Array.fill(64)(1)
+            val (w, h, bytes) =
+              if (id % 2 == 0) { // gray, restart interval 2
+                val wb = 2 + (id % 3).toInt
+                val hb = 1 + ((id / 2) % 2).toInt
+                val b = graft.operators.JpegArith.encodeSequential(8 * wb, 8 * hb,
+                  Seq(graft.operators.JpegArith.ArithComp(1, 1, 1, 0, 0, 0)),
+                  Map(0 -> onesQ),
+                  (_, bx, by) => {
+                    val blk = new Array[Int](64)
+                    blk(0) = 8 * ((20 + (id * 7 + bx * 13 + by * 5) % 200).toInt - 128)
+                    blk
+                  }, ri = 2)
+                (8 * wb, 8 * hb, b)
+              } else { // neutral-gray 4:2:0 color
+                val mw = 1 + ((id / 2) % 2).toInt
+                val mh = 1 + (id % 3).toInt
+                val b = graft.operators.JpegArith.encodeSequential(16 * mw, 16 * mh,
+                  Seq(graft.operators.JpegArith.ArithComp(1, 2, 2, 0, 0, 0),
+                    graft.operators.JpegArith.ArithComp(2, 1, 1, 1, 1, 1),
+                    graft.operators.JpegArith.ArithComp(3, 1, 1, 1, 1, 1)),
+                  Map(0 -> onesQ, 1 -> onesQ),
+                  (ci, bx, by) => {
+                    val blk = new Array[Int](64)
+                    if (ci == 0) {
+                      val v = (20 + (id * 7 + (bx / 2) * 11 + (by / 2) * 3) % 200).toInt
+                      blk(0) = 8 * (v - 128)
+                    } // chroma: neutral gray → DC 0 (level 128)
+                    blk
+                  })
+                (16 * mw, 16 * mh, b)
+              }
+            graft.operators.Multimodal.MediaRow(id, "image", bytes,
+              "image/jpeg", Some(w), Some(h), None)
           })
         graft.operators.Multimodal.decodeJpegRgb(media).toDF()
           .orderBy("media_id")

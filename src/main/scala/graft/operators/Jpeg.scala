@@ -14,9 +14,12 @@ package graft.operators
   * one-component grayscale and three-component interleaved YCbCr color
   * with arbitrary sampling factors ≤4 (4:4:4, 4:2:0 — the JDK encoder's
   * invariable choice — and 4:2:2 all fall out of the general MCU walk),
-  * standard or optimized Huffman tables, restart intervals. Arithmetic
-  * coding, hierarchical, extended-precision, and other component counts
-  * return None → callers quarantine (`ok=false`), never mis-decode.
+  * standard or optimized Huffman tables, restart intervals, AND
+  * sequential ARITHMETIC entropy coding (SOF9, 8-bit) via the from-spec
+  * T.81 Annex D QM coder in [[JpegArith]] (DAC conditioning, restart
+  * statistics resets). Progressive-arithmetic (SOFA), hierarchical,
+  * extended-precision, and other component counts return None → callers
+  * quarantine (`ok=false`), never mis-decode.
   * Progressive decode accumulates raw coefficients across scans in
   * per-component MCU-padded grids and dequantizes + IDCTs once at EOI.
   *
@@ -139,6 +142,7 @@ object Jpeg {
     var dcId = 0
     var acId = 0
     var pred = 0
+    var dcCtx = 0 // arithmetic DC conditioning category (§F.1.4.4.1.2)
     var planeW = 0 // in pixels, = blocks across * 8
     var planeH = 0
     var plane: Array[Int] = null
@@ -188,6 +192,11 @@ object Jpeg {
     var comps: Array[Comp] = null
     var restartInterval = 0
     var progressive = false
+    var arith = false
+    // DAC conditioning (§B.2.4.3); spec defaults L=0, U=1, Kx=5
+    val arithDcL = Array.fill(4)(0)
+    val arithDcU = Array.fill(4)(1)
+    val arithAcKx = Array.fill(4)(5)
     var sawProgScan = false
     var hMax = 0
     var vMax = 0
@@ -206,9 +215,12 @@ object Jpeg {
           return if (progressive && sawProgScan)
             reconstructProgressive(width, height, comps, qtabs, hMax, vMax)
           else None
-        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+        case 0xc0 | 0xc2 | 0xc9 => // SOF0 baseline / SOF2 progressive /
+          // SOF9 extended sequential with ARITHMETIC entropy coding —
+          // decoded via the from-spec QM coder in [[JpegArith]]
           if (comps != null) return None // second frame header
           progressive = m == 0xc2
+          arith = m == 0xc9
           val len = u16(); val end = pos + len - 2
           if (end < pos) return None // len < 2: malformed, never rewind
           if (u8() != 8) return None // precision
@@ -261,8 +273,10 @@ object Jpeg {
           }
           pos = end
         case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/lossless/arithmetic — out of scope
+             0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended-Huffman/lossless/hierarchical and
+          // PROGRESSIVE-arithmetic (SOFA) — out of scope; sequential
+          // arithmetic (SOF9) is handled above
         case 0xc4 => // DHT
           val len = u16(); val end = pos + len - 2
           while (pos < end) {
@@ -286,6 +300,21 @@ object Jpeg {
               i += 1
             }
             qtabs(pqTq & 3) = q
+          }
+        case 0xcc => // DAC: arithmetic conditioning (§B.2.4.3)
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val tcTb = u8()
+            val cs = u8()
+            val id = tcTb & 3
+            if ((tcTb >> 4) == 0) {
+              val l = cs & 0xf; val u = cs >> 4
+              if (l > u) return None
+              arithDcL(id) = l; arithDcU(id) = u
+            } else {
+              if (cs < 1 || cs > 63) return None
+              arithAcKx(id) = cs
+            }
           }
         case 0xdd => // DRI
           u16(); restartInterval = u16()
@@ -319,9 +348,13 @@ object Jpeg {
             i += 1
           }
           if (!progressive) {
-            pos = end // skip Ss/Se/Ah/Al (fixed for baseline)
-            if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null ||
-              qtabs(c.qId) == null)) return None
+            pos = end // skip Ss/Se/Ah/Al (fixed for sequential)
+            if (comps.exists(c => qtabs(c.qId) == null)) return None
+            if (arith) // Td/Ta select DAC conditioning, not Huffman tables
+              return decodeScanArith(p, pos, width, height, comps, scanComps,
+                qtabs, arithDcL, arithDcU, arithAcKx, restartInterval)
+            if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null))
+              return None
             return decodeScan(p, pos, width, height, comps, scanComps, qtabs,
               dcTabs, acTabs, restartInterval)
           }
@@ -713,6 +746,117 @@ object Jpeg {
     } else {
       // interleaved MCUs (§A.2.3): per MCU, each component contributes
       // its h×v blocks in raster order
+      var mcu = 0
+      val nMcu = mcusX * mcusY
+      while (mcu < nMcu) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) restart()
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var bv = 0
+          while (bv < c.v) {
+            var bh = 0
+            while (bh < c.h) {
+              block(c, (mx * c.h + bh) * 8, (my * c.v + bv) * 8)
+              bh += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      assemble(width, height, comps, hMax, vMax)
+    }
+  }
+
+  /** Sequential ARITHMETIC scan (SOF9): same MCU walk as [[decodeScan]]
+    * but the entropy layer is the T.81 Annex D QM coder with the §F.2.4
+    * DC/AC statistical models ([[JpegArith]]). Restart markers flush the
+    * coder and reset ALL statistics areas, DC predictors, and DC
+    * conditioning categories (§F.1.4.4.1.3). The walk is kept parallel
+    * to decodeScan's rather than abstracted over it — the per-block
+    * decode shapes differ enough (streamed Huffman bits vs decision
+    * trees over persistent statistics) that a shared harness would be
+    * all parameters. */
+  private def decodeScanArith(p: Array[Byte], start: Int,
+                              width: Int, height: Int,
+                              comps: Array[Comp], scanComps: Array[Comp],
+                              qtabs: Array[Array[Int]],
+                              dcL: Array[Int], dcU: Array[Int],
+                              acKx: Array[Int],
+                              ri: Int): Option[JpegImage] = {
+    if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.pred = 0
+      c.dcCtx = 0
+    }
+    var dec = new JpegArith.QmDecoder(p, start)
+    var dcStats = Array.fill(4)(JpegArith.freshStats(64))
+    var acStats = Array.fill(4)(JpegArith.freshStats(256))
+    var fb = JpegArith.freshStats(1)
+    fb(0) = JpegArith.FixedBin
+    val coefZ = new Array[Int](64)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+
+    def block(c: Comp, px0: Int, py0: Int): Unit = {
+      val qt = qtabs(c.qId)
+      java.util.Arrays.fill(coefZ, 0)
+      val (diff, nctx) = JpegArith.decodeDcDiff(
+        dec, dcStats(c.dcId), c.dcCtx, dcL(c.dcId), dcU(c.dcId))
+      c.dcCtx = nctx
+      c.pred += diff
+      coefZ(0) = c.pred
+      JpegArith.decodeAcBlock(dec, acStats(c.acId), fb, acKx(c.acId), coefZ)
+      var i = 0 // dequantize + inverse zigzag (qt is zigzag-ordered)
+      while (i < 64) { coef(ZIGZAG(i)) = coefZ(i) * qt(i); i += 1 }
+      idctToPlane(coef, tmp, c, px0, py0)
+    }
+
+    def restart(): Unit = {
+      // the QM decoder stops consuming at any marker; entropy remnants
+      // before it can only contain stuffed FF00 pairs, so scanning for
+      // FF D0-D7 cannot false-positive
+      var q = dec.pos
+      while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
+        ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
+      if (q + 1 >= p.length) throw new IllegalArgumentException("missing RST")
+      dec = new JpegArith.QmDecoder(p, q + 2)
+      dcStats = Array.fill(4)(JpegArith.freshStats(64))
+      acStats = Array.fill(4)(JpegArith.freshStats(256))
+      fb = JpegArith.freshStats(1)
+      fb(0) = JpegArith.FixedBin
+      comps.foreach { c => c.pred = 0; c.dcCtx = 0 }
+    }
+
+    if (comps.length == 1) {
+      // non-interleaved single-component walk (§A.2.2), same grid fixup
+      // as decodeScan's
+      val c = comps(0)
+      val bw = (width + 7) / 8
+      val bh = (height + 7) / 8
+      c.planeW = bw * 8
+      c.planeH = bh * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var blk = 0
+      val nBlk = bw * bh
+      while (blk < nBlk) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) restart()
+        block(c, (blk % bw) * 8, (blk / bw) * 8)
+        blk += 1
+      }
+      assemble(width, height, comps, hMax, vMax)
+    } else {
       var mcu = 0
       val nMcu = mcusX * mcusY
       while (mcu < nMcu) {

@@ -1,0 +1,311 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Jpeg, JpegArith, Multimodal}
+
+/** T.81 Annex D QM coder + §F.1.4/§F.2.4 sequential-DCT statistical
+  * models. No arithmetic-JPEG codec exists in this container, so
+  * conformance is pinned by (a) encoder↔decoder round-trips at the bit,
+  * coefficient-block, and full-stream levels, (b) pixel parity between
+  * an arithmetic stream and its JDK-Huffman twin carrying the SAME
+  * quantized coefficients, and (c) structural invariants of the Table
+  * D.3 state machine (see JpegArith's scaladoc for the full story). */
+class JpegArithSpec extends AnyFunSuite {
+
+  // deterministic PRNG — fixture bytes must be identical across runs
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("Table D.3 structural invariants: Qe bounds, switch states, fixed bin") {
+    val switchStates = (0 until 113).filter(JpegArith.switchOf(_) == 1)
+    // the fast-attack states at the head of each estimation plane
+    assert(switchStates == Seq(0, 14, 36, 64, 80, 88, 95, 105, 110, 112))
+    (0 until JpegArith.tableSize).foreach { i =>
+      assert(JpegArith.qeOf(i) >= 1 && JpegArith.qeOf(i) < 0x8000, s"Qe($i)")
+      assert(JpegArith.nmpsOf(i) < JpegArith.tableSize, s"NMPS($i)")
+    }
+    // no ADAPTIVE state transitions into the fixed bin
+    (0 until 113).foreach(i => assert(JpegArith.nlpsOf(i) < 113, s"NLPS($i)"))
+    // index 113 is the non-adaptive bin: self-loops, never switches MPS
+    assert(JpegArith.nmpsOf(113) == 113 && JpegArith.nlpsOf(113) == 113 &&
+      JpegArith.switchOf(113) == 0)
+    // along the steady-state MPS chain (past the attack states) the LPS
+    // estimate Qe must shrink — the adaptation direction of §D.1.5
+    (1 until 13).foreach { i =>
+      assert(JpegArith.qeOf(JpegArith.nmpsOf(i)) <= JpegArith.qeOf(i), s"chain at $i")
+    }
+  }
+
+  test("bit-level round-trip: biased random decision streams, many contexts") {
+    val r = rng(0xA117L)
+    // several biases to drive states deep into each estimation plane and
+    // exercise LPS/MPS exchange, carry chains, and FF stuffing
+    for (bias <- Seq(0.02, 0.2, 0.5, 0.8, 0.98); n <- Seq(1, 7, 64)) {
+      val ctxOf = Array.fill(5000)(r.nextInt(n))
+      val bits = Array.fill(5000)(if (r.nextDouble() < bias) 1 else 0)
+      val encStats = JpegArith.freshStats(n)
+      val enc = new JpegArith.QmEncoder
+      var i = 0
+      while (i < bits.length) { enc.encode(encStats, ctxOf(i), bits(i)); i += 1 }
+      val seg = enc.finish()
+      // stuffing invariant: inside the segment every 0xFF is followed by 0x00
+      seg.indices.dropRight(1).foreach { j =>
+        if ((seg(j) & 0xff) == 0xff) assert((seg(j + 1) & 0xff) == 0x00, s"at $j")
+      }
+      val decStats = JpegArith.freshStats(n)
+      val dec = new JpegArith.QmDecoder(seg, 0)
+      i = 0
+      while (i < bits.length) {
+        assert(dec.decode(decStats, ctxOf(i)) == bits(i), s"bias=$bias n=$n bit $i")
+        i += 1
+      }
+    }
+  }
+
+  test("bit-level round-trip survives trailing-zero-byte truncation " +
+    "(the spec lets encoders discard trailing 0x00s; decoder pads zeros)") {
+    val r = rng(0xBEEF)
+    val bits = Array.fill(800)(if (r.nextDouble() < 0.7) 1 else 0)
+    val st = JpegArith.freshStats(1)
+    val enc = new JpegArith.QmEncoder
+    bits.foreach(enc.encode(st, 0, _))
+    var seg = enc.finish()
+    while (seg.nonEmpty && seg.last == 0 &&
+      (seg.length < 2 || (seg(seg.length - 2) & 0xff) != 0xff)) // keep stuffs
+      seg = seg.dropRight(1)
+    val dst = JpegArith.freshStats(1)
+    val dec = new JpegArith.QmDecoder(seg, 0)
+    bits.zipWithIndex.foreach { case (b, i) => assert(dec.decode(dst, 0) == b, s"bit $i") }
+  }
+
+  test("DC model round-trip: diffs across magnitudes, signs, conditioning") {
+    for ((l, u) <- Seq((0, 1), (0, 0), (2, 5), (0, 15))) {
+      val r = rng(1000L * l + u)
+      val diffs = Array.fill(600)(r.nextInt(5) match {
+        case 0 => 0
+        case 1 => r.nextInt(3) - 1
+        case 2 => (r.nextInt(64) + 1) * (if (r.nextBoolean()) 1 else -1)
+        case 3 => (r.nextInt(2047) + 1) * (if (r.nextBoolean()) 1 else -1)
+        case _ => (r.nextInt(16383) + 1) * (if (r.nextBoolean()) 1 else -1)
+      })
+      val encSt = JpegArith.freshStats(64)
+      val enc = new JpegArith.QmEncoder
+      var ctx = 0
+      diffs.foreach { d => ctx = JpegArith.encodeDcDiff(enc, encSt, ctx, l, u, d) }
+      val seg = enc.finish()
+      val decSt = JpegArith.freshStats(64)
+      val dec = new JpegArith.QmDecoder(seg, 0)
+      var dctx = 0
+      diffs.zipWithIndex.foreach { case (d, i) =>
+        val (got, nctx) = JpegArith.decodeDcDiff(dec, decSt, dctx, l, u)
+        assert(got == d, s"L=$l U=$u diff $i")
+        dctx = nctx
+      }
+    }
+  }
+
+  test("AC model round-trip: random blocks with runs, EOBs, magnitude banks") {
+    for (kx <- Seq(1, 5, 63)) {
+      val r = rng(7700L + kx)
+      val blocks = Array.fill(300) {
+        val b = new Array[Int](64)
+        val nnz = r.nextInt(12) // 0 = immediate EOB
+        (0 until nnz).foreach { _ =>
+          val k = 1 + r.nextInt(63)
+          b(k) = (r.nextInt(3) match {
+            case 0 => r.nextInt(2) + 1
+            case 1 => r.nextInt(255) + 1
+            case _ => r.nextInt(16383) + 1
+          }) * (if (r.nextBoolean()) 1 else -1)
+        }
+        b
+      }
+      val encSt = JpegArith.freshStats(256)
+      val encFb = JpegArith.freshStats(1); encFb(0) = JpegArith.FixedBin
+      val enc = new JpegArith.QmEncoder
+      blocks.foreach(JpegArith.encodeAcBlock(enc, encSt, encFb, kx, _))
+      val seg = enc.finish()
+      val decSt = JpegArith.freshStats(256)
+      val decFb = JpegArith.freshStats(1); decFb(0) = JpegArith.FixedBin
+      val dec = new JpegArith.QmDecoder(seg, 0)
+      blocks.zipWithIndex.foreach { case (b, i) =>
+        val got = new Array[Int](64)
+        JpegArith.decodeAcBlock(dec, decSt, decFb, kx, got)
+        assert(got.drop(1).sameElements(b.drop(1)), s"kx=$kx block $i")
+      }
+    }
+  }
+
+  // ---- full-stream fixtures ----
+
+  private val onesQ = Array.fill(64)(1)
+
+  /** Gray arithmetic stream from block-constant values — DC-only blocks
+    * (forward DCT of a constant block v is exactly 8·(v−128)). */
+  private def arithGray(w: Int, h: Int, blockVal: (Int, Int) => Int,
+                        ri: Int = 0): Array[Byte] =
+    JpegArith.encodeSequential(w, h,
+      Seq(JpegArith.ArithComp(id = 1, h = 1, v = 1, qId = 0, dcId = 0, acId = 0)),
+      Map(0 -> onesQ),
+      (_, bx, by) => {
+        val b = new Array[Int](64)
+        b(0) = 8 * ((blockVal(bx, by) & 0xff) - 128)
+        b
+      }, ri = ri)
+
+  test("full-stream gray: arithmetic stream decodes; pixel parity with the " +
+    "JDK-Huffman twin carrying the same coefficients") {
+    val v = (bx: Int, by: Int) => (37 * bx + 11 * by * by + 5) % 256
+    val (w, h) = (48, 24)
+    val Some((aw, ah, apx)) = Jpeg.decodeGray(arithGray(w, h, v)): @unchecked
+    assert(aw == w && ah == h)
+    // exactness: block-constant + all-ones quant round-trips bit-perfectly
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        assert(apx(y * w + x) == v(x / 8, y / 8), s"($x,$y)")
+      }
+    }
+    // parity with the Huffman twin (JDK encoder at quality 1.0 = all-ones
+    // quant on these block-constant pixels → identical coefficients)
+    val Some((hw, hh, hpx)) =
+      Jpeg.decodeGray(Multimodal.jpegGrayBytes(w, h, v)): @unchecked
+    assert(hw == aw && hh == ah && hpx.sameElements(apx))
+  }
+
+  test("full-stream gray with restart intervals: per-interval flush + " +
+    "statistics reset round-trips") {
+    val v = (bx: Int, by: Int) => (203 * bx + 31 * by) % 256
+    val (w, h) = (64, 32)
+    for (ri <- Seq(1, 3, 7)) {
+      val Some((dw, dh, px)) = Jpeg.decodeGray(arithGray(w, h, v, ri = ri)): @unchecked
+      assert(dw == w && dh == h)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          assert(px(y * w + x) == v(x / 8, y / 8), s"ri=$ri ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("full-stream gray with AC energy: decode matches an independent " +
+    "dequant+IDCT reference on random coefficient blocks") {
+    val r = rng(0xDC7)
+    val (w, h) = (32, 16)
+    val bw = w / 8
+    val coefs = Array.fill(h / 8, bw) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(401) - 200
+      (0 until 6).foreach(_ => b(1 + r.nextInt(63)) = r.nextInt(41) - 20)
+      b
+    }
+    val bytes = JpegArith.encodeSequential(w, h,
+      Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0)), Map(0 -> onesQ),
+      (_, bx, by) => coefs(by)(bx))
+    val Some((dw, dh, px)) = Jpeg.decodeGray(bytes): @unchecked
+    assert(dw == w && dh == h)
+    // reference: direct O(64²) IDCT of the same (zigzag-ordered) blocks
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val blk = coefs(y / 8)(x / 8)
+        val nat = new Array[Int](64)
+        (0 until 64).foreach(i => nat(zig(i)) = blk(i))
+        var acc = 0.0
+        (0 until 8).foreach { u =>
+          (0 until 8).foreach { vv =>
+            acc += cc(u) * cc(vv) * nat(vv * 8 + u) *
+              math.cos((2 * (x % 8) + 1) * u * math.Pi / 16) *
+              math.cos((2 * (y % 8) + 1) * vv * math.Pi / 16)
+          }
+        }
+        val want = math.max(0, math.min(255, math.round(acc / 4.0).toInt + 128))
+        assert(px(y * w + x) == want, s"($x,$y)")
+      }
+    }
+  }
+
+  test("full-stream color 4:2:0 neutral-gray: parity with the JDK-Huffman " +
+    "color twin through the full interleaved pipeline") {
+    val (w, h) = (32, 32) // 2×2 macroblocks
+    val gv = (mx: Int, my: Int) => { val g = 40 + 60 * mx + 90 * my; (g << 16) | (g << 8) | g }
+    // neutral gray: Y = v exactly, Cb = Cr = 128 → chroma DC diff 0
+    val comps = Seq(
+      JpegArith.ArithComp(1, 2, 2, 0, 0, 0), // Y, 4:2:0
+      JpegArith.ArithComp(2, 1, 1, 1, 1, 1), // Cb
+      JpegArith.ArithComp(3, 1, 1, 1, 1, 1)) // Cr
+    val bytes = JpegArith.encodeSequential(w, h, comps,
+      Map(0 -> onesQ, 1 -> onesQ),
+      (ci, bx, by) => {
+        val b = new Array[Int](64)
+        if (ci == 0) { // Y plane: 8×8 blocks inside 16×16 macroblocks
+          val g = (gv(bx / 2, by / 2) & 0xff)
+          b(0) = 8 * (g - 128)
+        } // chroma: level 128 → coefficient 0
+        b
+      })
+    val Some(aimg) = Jpeg.decodeRgb(bytes): @unchecked
+    val Some(himg) = Jpeg.decodeRgb(Multimodal.jpegRgbBytes(w, h, gv)): @unchecked
+    assert(aimg.width == w && aimg.height == h && aimg.nComp == 3)
+    assert(himg.width == aimg.width && himg.height == aimg.height)
+    assert(aimg.px.sameElements(himg.px))
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        assert(aimg.px(y * w + x) == gv(x / 16, y / 16), s"($x,$y)")
+      }
+    }
+  }
+
+  test("malformed arithmetic streams quarantine (None), never mis-decode") {
+    val good = arithGray(16, 16, (bx, by) => 50 + 10 * bx + 20 * by)
+    assert(Jpeg.decodeGray(good).nonEmpty)
+    // truncations across the whole stream: the entropy decoder pads
+    // zeros at EOF, so a cut stream either fails marker parse (None) or
+    // yields pixels — it must never throw
+    (2 until good.length by 3).foreach { cut =>
+      Jpeg.decodeGray(good.take(cut)) // must not throw
+    }
+    // progressive-arithmetic (SOFA) stays out of scope → quarantine
+    val sofa = good.clone()
+    val sofIdx = sofa.indices.find(i =>
+      (sofa(i) & 0xff) == 0xff && (sofa(i + 1) & 0xff) == 0xc9).get
+    sofa(sofIdx + 1) = 0xca.toByte
+    assert(Jpeg.decodeGray(sofa).isEmpty)
+    // DAC with L > U quarantines
+    val badDac = good.clone()
+    val dacIdx = badDac.indices.find(i =>
+      (badDac(i) & 0xff) == 0xff && (badDac(i + 1) & 0xff) == 0xcc).get
+    badDac(dacIdx + 5) = 0x0f.toByte // L=15, U=0
+    assert(Jpeg.decodeGray(badDac).isEmpty)
+  }
+
+  test("Multimodal plumbing: arithmetic JPEGs flow through decodeJpegRgb " +
+    "and imageDhash identically to their Huffman twins") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val (w, h) = (32, 32)
+    val gv = (mx: Int, my: Int) => { val g = 30 + 50 * mx + 70 * my; (g << 16) | (g << 8) | g }
+    val arith = JpegArith.encodeSequential(w, h,
+      Seq(JpegArith.ArithComp(1, 2, 2, 0, 0, 0),
+        JpegArith.ArithComp(2, 1, 1, 1, 1, 1),
+        JpegArith.ArithComp(3, 1, 1, 1, 1, 1)),
+      Map(0 -> onesQ, 1 -> onesQ),
+      (ci, bx, by) => {
+        val b = new Array[Int](64)
+        if (ci == 0) b(0) = 8 * ((gv(bx / 2, by / 2) & 0xff) - 128)
+        b
+      })
+    val huff = Multimodal.jpegRgbBytes(w, h, gv)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", arith, "image/jpeg", Some(w), Some(h), None),
+      Multimodal.MediaRow(2L, "image", huff, "image/jpeg", Some(w), Some(h), None))
+    val ds = spark.createDataset(rows)
+    val out = Multimodal.decodeJpegRgb(ds).collect().sortBy(_.media_id)
+    assert(out.forall(_.ok))
+    assert(out(0).sum_r == out(1).sum_r && out(0).sum_g == out(1).sum_g &&
+      out(0).sum_b == out(1).sum_b && out(0).first_pixel == out(1).first_pixel)
+  }
+}
