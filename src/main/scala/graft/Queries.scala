@@ -6156,18 +6156,20 @@ object Queries {
           .orderBy("media_id")
       }),
 
-    // ARITHMETIC-coded (SOF9) JPEG decode — the last entropy branch of
-    // the DCT family, decoded by the from-spec T.81 Annex D QM coder +
-    // §F.2.4 statistical models (operators/JpegArith.scala). No codec in
-    // this container can produce arithmetic JPEGs, so the from-spec
-    // ENCODER builds the fixtures (JpegArithSpec pins it bit-level,
-    // model-level, and against JDK-Huffman twins). Even doc_ids are
-    // grayscale streams WITH restart intervals (per-interval coder flush
-    // + statistics reset on the decode path); odd doc_ids are 3-component
-    // 4:2:0 interleaved color. Same block-constant quality-1.0 exactness
-    // contract as mm_decode_jpeg: every block is DC-only under all-ones
-    // quantization, so pixel sums have closed forms while the stream is
-    // genuine adaptive-arithmetic entropy data.
+    // ARITHMETIC-coded JPEG decode — the last entropy branches of the
+    // DCT family, decoded by the from-spec T.81 Annex D QM coder +
+    // §F.2.4/§G.2 statistical models (operators/JpegArith.scala). No
+    // codec in this container can produce arithmetic JPEGs, so the
+    // from-spec ENCODER builds the fixtures (JpegArithSpec pins it
+    // bit-level, model-level, and against JDK-Huffman twins). Even
+    // doc_ids are grayscale with restart intervals, odd doc_ids are
+    // 3-component 4:2:0 interleaved color; within each, doc_id%4 picks
+    // the framing — SEQUENTIAL (SOF9) or PROGRESSIVE (SOFA: DC
+    // first/refine + banded AC first/refine successive-approximation
+    // scans; interleaved DC for color) — under ONE oracle, because the
+    // closed-form pixel sums are framing-independent: a wrong multi-scan
+    // reconstruction quarantines or mis-sums and hash-fails. Same
+    // block-constant quality-1.0 exactness contract as mm_decode_jpeg.
     QueryDef("mm_decode_jpeg_arith", Some(
       "WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 17), " +
         "g AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + (doc_id // 2) % 2 AS hb " +
@@ -6194,35 +6196,57 @@ object Queries {
           .filter(col("doc_id") % 23 === 17).select("doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val onesQ = Array.fill(64)(1)
+            val prog = (id % 4) >= 2 // SOFA framing for the upper residues
+            val grayScript = Seq( // DC + banded AC, split at Al=1
+              graft.operators.JpegArith.ProgScan(Seq(0), 0, 0, 0, 1),
+              graft.operators.JpegArith.ProgScan(Seq(0), 1, 5, 0, 1),
+              graft.operators.JpegArith.ProgScan(Seq(0), 6, 63, 0, 1),
+              graft.operators.JpegArith.ProgScan(Seq(0), 0, 0, 1, 0),
+              graft.operators.JpegArith.ProgScan(Seq(0), 1, 5, 1, 0),
+              graft.operators.JpegArith.ProgScan(Seq(0), 6, 63, 1, 0))
+            val colorScript = Seq( // interleaved DC, per-component AC
+              graft.operators.JpegArith.ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+              graft.operators.JpegArith.ProgScan(Seq(0), 1, 63, 0, 0),
+              graft.operators.JpegArith.ProgScan(Seq(1), 1, 63, 0, 0),
+              graft.operators.JpegArith.ProgScan(Seq(2), 1, 63, 0, 0),
+              graft.operators.JpegArith.ProgScan(Seq(0, 1, 2), 0, 0, 1, 0))
             val (w, h, bytes) =
               if (id % 2 == 0) { // gray, restart interval 2
                 val wb = 2 + (id % 3).toInt
                 val hb = 1 + ((id / 2) % 2).toInt
-                val b = graft.operators.JpegArith.encodeSequential(8 * wb, 8 * hb,
-                  Seq(graft.operators.JpegArith.ArithComp(1, 1, 1, 0, 0, 0)),
-                  Map(0 -> onesQ),
-                  (_, bx, by) => {
-                    val blk = new Array[Int](64)
-                    blk(0) = 8 * ((20 + (id * 7 + bx * 13 + by * 5) % 200).toInt - 128)
-                    blk
-                  }, ri = 2)
+                val comps = Seq(graft.operators.JpegArith.ArithComp(1, 1, 1, 0, 0, 0))
+                val blocks = (_: Int, bx: Int, by: Int) => {
+                  val blk = new Array[Int](64)
+                  blk(0) = 8 * ((20 + (id * 7 + bx * 13 + by * 5) % 200).toInt - 128)
+                  blk
+                }
+                val b =
+                  if (prog) graft.operators.JpegArith.encodeProgressive(
+                    8 * wb, 8 * hb, comps, Map(0 -> onesQ), blocks, grayScript, ri = 2)
+                  else graft.operators.JpegArith.encodeSequential(
+                    8 * wb, 8 * hb, comps, Map(0 -> onesQ), blocks, ri = 2)
                 (8 * wb, 8 * hb, b)
               } else { // neutral-gray 4:2:0 color
                 val mw = 1 + ((id / 2) % 2).toInt
                 val mh = 1 + (id % 3).toInt
-                val b = graft.operators.JpegArith.encodeSequential(16 * mw, 16 * mh,
-                  Seq(graft.operators.JpegArith.ArithComp(1, 2, 2, 0, 0, 0),
-                    graft.operators.JpegArith.ArithComp(2, 1, 1, 1, 1, 1),
-                    graft.operators.JpegArith.ArithComp(3, 1, 1, 1, 1, 1)),
-                  Map(0 -> onesQ, 1 -> onesQ),
-                  (ci, bx, by) => {
-                    val blk = new Array[Int](64)
-                    if (ci == 0) {
-                      val v = (20 + (id * 7 + (bx / 2) * 11 + (by / 2) * 3) % 200).toInt
-                      blk(0) = 8 * (v - 128)
-                    } // chroma: neutral gray → DC 0 (level 128)
-                    blk
-                  })
+                val comps = Seq(
+                  graft.operators.JpegArith.ArithComp(1, 2, 2, 0, 0, 0),
+                  graft.operators.JpegArith.ArithComp(2, 1, 1, 1, 1, 1),
+                  graft.operators.JpegArith.ArithComp(3, 1, 1, 1, 1, 1))
+                val blocks = (ci: Int, bx: Int, by: Int) => {
+                  val blk = new Array[Int](64)
+                  if (ci == 0) {
+                    val v = (20 + (id * 7 + (bx / 2) * 11 + (by / 2) * 3) % 200).toInt
+                    blk(0) = 8 * (v - 128)
+                  } // chroma: neutral gray → DC 0 (level 128)
+                  blk
+                }
+                val b =
+                  if (prog) graft.operators.JpegArith.encodeProgressive(
+                    16 * mw, 16 * mh, comps, Map(0 -> onesQ, 1 -> onesQ),
+                    blocks, colorScript)
+                  else graft.operators.JpegArith.encodeSequential(
+                    16 * mw, 16 * mh, comps, Map(0 -> onesQ, 1 -> onesQ), blocks)
                 (16 * mw, 16 * mh, b)
               }
             graft.operators.Multimodal.MediaRow(id, "image", bytes,

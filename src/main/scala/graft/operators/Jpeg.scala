@@ -14,12 +14,13 @@ package graft.operators
   * one-component grayscale and three-component interleaved YCbCr color
   * with arbitrary sampling factors ≤4 (4:4:4, 4:2:0 — the JDK encoder's
   * invariable choice — and 4:2:2 all fall out of the general MCU walk),
-  * standard or optimized Huffman tables, restart intervals, AND
-  * sequential ARITHMETIC entropy coding (SOF9, 8-bit) via the from-spec
-  * T.81 Annex D QM coder in [[JpegArith]] (DAC conditioning, restart
-  * statistics resets). Progressive-arithmetic (SOFA), hierarchical,
-  * extended-precision, and other component counts return None → callers
-  * quarantine (`ok=false`), never mis-decode.
+  * standard or optimized Huffman tables, restart intervals, AND both
+  * ARITHMETIC entropy framings — sequential (SOF9) and progressive
+  * (SOFA, §G.2) — via the from-spec T.81 Annex D QM coder in
+  * [[JpegArith]] (DAC conditioning, per-scan/per-restart statistics
+  * resets). Hierarchical, extended-precision, and other component
+  * counts return None → callers quarantine (`ok=false`), never
+  * mis-decode.
   * Progressive decode accumulates raw coefficients across scans in
   * per-component MCU-padded grids and dequantizes + IDCTs once at EOI.
   *
@@ -215,12 +216,13 @@ object Jpeg {
           return if (progressive && sawProgScan)
             reconstructProgressive(width, height, comps, qtabs, hMax, vMax)
           else None
-        case 0xc0 | 0xc2 | 0xc9 => // SOF0 baseline / SOF2 progressive /
-          // SOF9 extended sequential with ARITHMETIC entropy coding —
-          // decoded via the from-spec QM coder in [[JpegArith]]
+        case 0xc0 | 0xc2 | 0xc9 | 0xca => // SOF0 baseline / SOF2
+          // progressive / SOF9 sequential-arithmetic / SOFA
+          // progressive-arithmetic — the arithmetic entropy layers decode
+          // via the from-spec QM coder in [[JpegArith]]
           if (comps != null) return None // second frame header
-          progressive = m == 0xc2
-          arith = m == 0xc9
+          progressive = m == 0xc2 || m == 0xca
+          arith = m == 0xc9 || m == 0xca
           val len = u16(); val end = pos + len - 2
           if (end < pos) return None // len < 2: malformed, never rewind
           if (u8() != 8) return None // precision
@@ -273,10 +275,9 @@ object Jpeg {
           }
           pos = end
         case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-             0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended-Huffman/lossless/hierarchical and
-          // PROGRESSIVE-arithmetic (SOFA) — out of scope; sequential
-          // arithmetic (SOF9) is handled above
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended-Huffman/lossless/hierarchical — out of
+          // scope; both arithmetic DCT frames (SOF9/SOFA) decode above
         case 0xc4 => // DHT
           val len = u16(); val end = pos + len - 2
           while (pos < end) {
@@ -368,12 +369,18 @@ object Jpeg {
             !(ah == 0 || ah == al + 1)) return None
           if (ss == 0 && se != 0) return None // DC scan is exactly band 0
           if (ss > 0 && ns != 1) return None // AC scans are single-component
-          if (ss == 0 && ah == 0 &&
-            scanComps.exists(c => dcTabs(c.dcId) == null)) return None
-          if (ss > 0 && acTabs(scanComps(0).acId) == null) return None
-          pos = progressiveScan(p, pos, scanComps, dcTabs, acTabs,
-            restartInterval, ss, se, ah, al, mcusX, mcusY, width, height,
-            hMax, vMax)
+          if (arith) {
+            pos = progressiveScanArith(p, pos, comps, scanComps,
+              arithDcL, arithDcU, arithAcKx, restartInterval,
+              ss, se, ah, al, mcusX, mcusY, width, height, hMax, vMax)
+          } else {
+            if (ss == 0 && ah == 0 &&
+              scanComps.exists(c => dcTabs(c.dcId) == null)) return None
+            if (ss > 0 && acTabs(scanComps(0).acId) == null) return None
+            pos = progressiveScan(p, pos, scanComps, dcTabs, acTabs,
+              restartInterval, ss, se, ah, al, mcusX, mcusY, width, height,
+              hMax, vMax)
+          }
           sawProgScan = true
         case _ => // APPn / COM / anything with a length — skip
           val len = u16()
@@ -627,6 +634,124 @@ object Jpeg {
     // byte-align and skip to the next true marker (RSTn between restart
     // intervals were consumed in-scan; a trailing one is skipped here)
     var q = br.pos
+    while (q + 1 < p.length && !((p(q) & 0xff) == 0xff && {
+      val nm = p(q + 1) & 0xff
+      nm != 0x00 && !(nm >= 0xd0 && nm <= 0xd7)
+    })) q += 1
+    q
+  }
+
+  /** One PROGRESSIVE-ARITHMETIC scan (SOFA, T.81 §G.2) into the
+    * components' coefficient grids: the same spectral-band/successive-
+    * approximation walk as [[progressiveScan]] but the entropy layer is
+    * the QM coder with per-scan statistics — DC first scans run the
+    * §F.2.4 diff model in the point-transformed domain, DC refinements
+    * are one fixed-bin bit per block, AC first scans band-parameterize
+    * the sequential model (no cross-block EOBRUN in arithmetic coding),
+    * AC refinements follow Figure G.8's correction-bit walk. Statistics,
+    * predictors, and conditioning reset per scan and per restart.
+    * Returns the position of the next marker's 0xFF. */
+  private def progressiveScanArith(p: Array[Byte], start: Int,
+                                   comps: Array[Comp], scanComps: Array[Comp],
+                                   dcL: Array[Int], dcU: Array[Int],
+                                   acKx: Array[Int],
+                                   ri: Int, ss: Int, se: Int, ah: Int, al: Int,
+                                   mcusX: Int, mcusY: Int,
+                                   width: Int, height: Int,
+                                   hMax: Int, vMax: Int): Int = {
+    var dec = new JpegArith.QmDecoder(p, start)
+    var dcStats = Array.fill(4)(JpegArith.freshStats(64))
+    var acStats = Array.fill(4)(JpegArith.freshStats(256))
+    var fb = JpegArith.freshStats(1)
+    fb(0) = JpegArith.FixedBin
+    scanComps.foreach { c => c.pred = 0; c.dcCtx = 0 }
+    val coefZ = new Array[Int](64)
+
+    def restart(): Unit = {
+      var q = dec.pos
+      while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
+        ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
+      if (q + 1 >= p.length) throw new IllegalArgumentException("missing RST")
+      dec = new JpegArith.QmDecoder(p, q + 2)
+      dcStats = Array.fill(4)(JpegArith.freshStats(64))
+      acStats = Array.fill(4)(JpegArith.freshStats(256))
+      fb = JpegArith.freshStats(1)
+      fb(0) = JpegArith.FixedBin
+      scanComps.foreach { c => c.pred = 0; c.dcCtx = 0 }
+    }
+
+    def dcFirstA(c: Comp, bx: Int, by: Int): Unit = {
+      val (diff, nctx) = JpegArith.decodeDcDiff(
+        dec, dcStats(c.dcId), c.dcCtx, dcL(c.dcId), dcU(c.dcId))
+      c.dcCtx = nctx
+      c.pred += diff // predictor lives in the point-transformed domain
+      c.coefs(((by * c.blocksW) + bx) * 64) = c.pred << al
+    }
+    def dcRefineA(c: Comp, bx: Int, by: Int): Unit =
+      if (dec.decode(fb, 0) == 1)
+        c.coefs(((by * c.blocksW) + bx) * 64) |= (1 << al)
+    def acFirstA(c: Comp, off: Int): Unit = {
+      java.util.Arrays.fill(coefZ, 0)
+      JpegArith.decodeAcBand(dec, acStats(c.acId), fb, acKx(c.acId), coefZ,
+        ss, se, al)
+      var k = ss
+      while (k <= se) {
+        if (coefZ(k) != 0) c.coefs(off + ZIGZAG(k)) = coefZ(k)
+        k += 1
+      }
+    }
+    def acRefineA(c: Comp, off: Int): Unit =
+      JpegArith.decodeAcRefineBlock(dec, acStats(c.acId), fb, c.coefs, off,
+        ZIGZAG, ss, se, al)
+
+    def walkBlocks(c: Comp, op: (Comp, Int, Int) => Unit): Unit = {
+      val bw = ((width * c.h + hMax - 1) / hMax + 7) / 8
+      val bh = ((height * c.v + vMax - 1) / vMax + 7) / 8
+      var blk = 0
+      val n = bw * bh
+      while (blk < n) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) restart()
+        op(c, blk % bw, blk / bw)
+        blk += 1
+      }
+    }
+
+    if (ss == 0) {
+      val op: (Comp, Int, Int) => Unit = if (ah == 0) dcFirstA else dcRefineA
+      if (scanComps.length > 1) {
+        var mcu = 0
+        val nMcu = mcusX * mcusY
+        while (mcu < nMcu) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) restart()
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh2 = 0
+              while (bh2 < c.h) {
+                op(c, mx * c.h + bh2, my * c.v + bv)
+                bh2 += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else walkBlocks(scanComps(0), op)
+    } else {
+      val c = scanComps(0)
+      val op: (Comp, Int, Int) => Unit =
+        if (ah == 0) (cc, bx, by) => acFirstA(cc, ((by * cc.blocksW) + bx) * 64)
+        else (cc, bx, by) => acRefineA(cc, ((by * cc.blocksW) + bx) * 64)
+      walkBlocks(c, op)
+    }
+
+    // byte-align and skip to the next true marker, as progressiveScan does
+    var q = dec.pos
     while (q + 1 < p.length && !((p(q) & 0xff) == 0xff && {
       val nm = p(q + 1) & 0xff
       nm != 0x00 && !(nm >= 0xd0 && nm <= 0xd7)

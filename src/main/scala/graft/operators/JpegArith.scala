@@ -329,14 +329,22 @@ object JpegArith {
     * order, indices 1..63; index 0 untouched). `fb` is the shared
     * fixed-bin byte array (one cell, index 0 = [[FixedBin]] state). */
   def decodeAcBlock(dec: QmDecoder, st: Array[Byte], fb: Array[Byte],
-                    kx: Int, coefZ: Array[Int]): Unit = {
-    var k = 1
-    while (k <= 63) {
+                    kx: Int, coefZ: Array[Int]): Unit =
+    decodeAcBand(dec, st, fb, kx, coefZ, 1, 63, 0)
+
+  /** Band-parameterized AC decode — sequential uses the full band
+    * (ss=1, se=63, al=0); a progressive AC FIRST scan (§G.2) decodes
+    * [ss, se] and stores values shifted left by the point transform. */
+  def decodeAcBand(dec: QmDecoder, st: Array[Byte], fb: Array[Byte],
+                   kx: Int, coefZ: Array[Int],
+                   ss: Int, se: Int, al: Int): Unit = {
+    var k = ss
+    while (k <= se) {
       var s = 3 * (k - 1)
       if (dec.decode(st, s) == 1) return // EOB
       while (dec.decode(st, s + 1) == 0) {
         s += 3; k += 1
-        if (k > 63) throw new IllegalArgumentException("AC run past band end")
+        if (k > se) throw new IllegalArgumentException("AC run past band end")
       }
       val sign = dec.decode(fb, 0)
       s += 2
@@ -354,7 +362,7 @@ object JpegArith {
       s += 14
       while ({ m >>= 1; m != 0 }) if (dec.decode(st, s) == 1) v |= m
       v += 1
-      coefZ(k) = if (sign == 1) -v else v
+      coefZ(k) = (if (sign == 1) -v else v) << al
       k += 1
     }
   }
@@ -362,16 +370,28 @@ object JpegArith {
   /** Encode the 63 AC coefficients of one block from `coefZ` (ZIGZAG
     * order); exact mirror of [[decodeAcBlock]]. */
   def encodeAcBlock(enc: QmEncoder, st: Array[Byte], fb: Array[Byte],
-                    kx: Int, coefZ: Array[Int]): Unit = {
-    var ke = 63
-    while (ke >= 1 && coefZ(ke) == 0) ke -= 1
-    var k = 1
+                    kx: Int, coefZ: Array[Int]): Unit =
+    encodeAcBand(enc, st, fb, kx, coefZ, 1, 63, 0)
+
+  /** Band-parameterized AC encode; mirror of [[decodeAcBand]]. `coefZ`
+    * holds FULL coefficients — the point transform (|v| >> al with sign,
+    * §G.1.2.2) is applied here. */
+  def encodeAcBand(enc: QmEncoder, st: Array[Byte], fb: Array[Byte],
+                   kx: Int, coefZ: Array[Int],
+                   ss: Int, se: Int, al: Int): Unit = {
+    def tv(k: Int): Int = { // point-transformed value at band position k
+      val x = coefZ(k)
+      if (x < 0) -((-x) >> al) else x >> al
+    }
+    var ke = se
+    while (ke >= ss && tv(ke) == 0) ke -= 1
+    var k = ss
     while (k <= ke) {
       var s = 3 * (k - 1)
       enc.encode(st, s, 0) // not EOB: a nonzero coefficient remains
-      while (coefZ(k) == 0) { enc.encode(st, s + 1, 0); s += 3; k += 1 }
+      while (tv(k) == 0) { enc.encode(st, s + 1, 0); s += 3; k += 1 }
       enc.encode(st, s + 1, 1)
-      val x = coefZ(k)
+      val x = tv(k)
       val sign = if (x < 0) 1 else 0
       enc.encode(fb, 0, sign)
       val v = (if (sign == 1) -x else x) - 1
@@ -398,7 +418,86 @@ object JpegArith {
       }
       k += 1
     }
-    if (ke < 63) enc.encode(st, 3 * k - 3, 1) // EOB at the first all-zero k
+    if (ke < se) enc.encode(st, 3 * k - 3, 1) // EOB at the first all-zero k
+  }
+
+  /** Decode one AC REFINEMENT scan block (§G.2, correction bits at Al):
+    * previously-nonzero coefficients get a correction bit (bin s+2),
+    * zero-history positions a newly-nonzero decision (bin s+1) with the
+    * fixed sign bin; the EOB decision only arms past the last nonzero
+    * HISTORY position. `coefN` is the NATURAL-ORDER coefficient grid at
+    * offset `off` (the progressive accumulation grids); `zig` maps
+    * zigzag→natural. */
+  def decodeAcRefineBlock(dec: QmDecoder, st: Array[Byte], fb: Array[Byte],
+                          coefN: Array[Int], off: Int, zig: Array[Int],
+                          ss: Int, se: Int, al: Int): Unit = {
+    val p1 = 1 << al
+    var kex = se
+    while (kex >= ss && coefN(off + zig(kex)) == 0) kex -= 1
+    var k = ss - 1
+    while (k < se) {
+      val s = 3 * k
+      if (k >= kex && dec.decode(st, s) == 1) return // EOB
+      var done = false
+      var sRun = s
+      while (!done) {
+        k += 1
+        val z = off + zig(k)
+        if (coefN(z) != 0) {
+          if (dec.decode(st, sRun + 2) == 1)
+            coefN(z) += (if (coefN(z) < 0) -p1 else p1)
+          done = true
+        } else if (dec.decode(st, sRun + 1) == 1) {
+          coefN(z) = if (dec.decode(fb, 0) == 1) -p1 else p1
+          done = true
+        } else {
+          sRun += 3
+          if (k >= se)
+            throw new IllegalArgumentException("AC refinement past band end")
+        }
+      }
+    }
+  }
+
+  /** Encode one AC refinement scan block; exact mirror of
+    * [[decodeAcRefineBlock]]. `coefN` holds FULL coefficients in natural
+    * order; history = bits above Al, this scan transmits bit Al. */
+  def encodeAcRefineBlock(enc: QmEncoder, st: Array[Byte], fb: Array[Byte],
+                          coefN: Array[Int], off: Int, zig: Array[Int],
+                          ss: Int, se: Int, al: Int): Unit = {
+    def mag(k: Int): Int = { val x = coefN(off + zig(k)); if (x < 0) -x else x }
+    var kex = se // last position with nonzero history (bits above al)
+    while (kex >= ss && (mag(kex) >> (al + 1)) == 0) kex -= 1
+    var kend = se // last position nonzero AFTER this scan's bit lands
+    while (kend >= ss && (mag(kend) >> al) == 0) kend -= 1
+    var k = ss - 1
+    while (k < se) {
+      val s = 3 * k
+      if (k >= kex) {
+        if (k >= kend) { enc.encode(st, s, 1); return } // EOB
+        enc.encode(st, s, 0)
+      }
+      var done = false
+      var sRun = s
+      while (!done) {
+        k += 1
+        val hist = mag(k) >> (al + 1)
+        val bit = (mag(k) >> al) & 1
+        if (hist != 0) {
+          enc.encode(st, sRun + 2, bit)
+          done = true
+        } else if (bit == 1) {
+          enc.encode(st, sRun + 1, 1)
+          enc.encode(fb, 0, if (coefN(off + zig(k)) < 0) 1 else 0)
+          done = true
+        } else {
+          enc.encode(st, sRun + 1, 0)
+          sRun += 3
+          if (k >= se)
+            throw new IllegalArgumentException("AC refinement encode overrun")
+        }
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -535,6 +634,152 @@ object JpegArith {
     }
     out.write(enc.finish())
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One scan of a progressive-arithmetic script: which frame components
+    * participate (indices into the comps seq), the spectral band, and the
+    * successive-approximation split. DC scans (ss=0,se=0) may interleave
+    * components; AC scans are single-component per §B.2.3. */
+  final case class ProgScan(compIdx: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** Encode a PROGRESSIVE arithmetic-coded (SOFA, 0xCA) 8-bit JPEG from
+    * full quantized coefficient blocks. Same `blocks` contract as
+    * [[encodeSequential]]; each scan applies its own point transform.
+    * Statistics areas, DC predictors, and conditioning categories reset
+    * at every scan start and restart marker (§F.1.4.4.1.3 / §G.2). */
+  def encodeProgressive(width: Int, height: Int, comps: Seq[ArithComp],
+                        qtabZ: Map[Int, Array[Int]],
+                        blocks: (Int, Int, Int) => Array[Int],
+                        script: Seq[ProgScan],
+                        ri: Int = 0,
+                        dcL: Int = 0, dcU: Int = 1, acKx: Int = 5): Array[Byte] = {
+    require(comps.nonEmpty && comps.size <= 3)
+    require(width > 0 && height > 0 && script.nonEmpty)
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    marker(0xd8)
+    qtabZ.toSeq.sortBy(_._1).foreach { case (tq, q) =>
+      require(q.length == 64 && q.forall(x => x >= 1 && x <= 255))
+      marker(0xdb); u16(2 + 1 + 64); u8(tq); q.foreach(u8)
+    }
+    marker(0xca); u16(8 + 3 * comps.size); u8(8); u16(height); u16(width)
+    u8(comps.size)
+    comps.foreach { c => u8(c.id); u8((c.h << 4) | c.v); u8(c.qId) }
+    val dacEntries =
+      comps.map(c => (0, c.dcId)).distinct ++ comps.map(c => (1, c.acId)).distinct
+    marker(0xcc); u16(2 + 2 * dacEntries.size)
+    dacEntries.foreach { case (cls, id) =>
+      u8((cls << 4) | id)
+      u8(if (cls == 0) (dcU << 4) | dcL else acKx)
+    }
+    if (ri > 0) { marker(0xdd); u16(4); u16(ri) }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+
+    script.foreach { sc =>
+      val dcScan = sc.ss == 0
+      require(!dcScan || sc.se == 0, "DC scan band is exactly 0")
+      require(dcScan || sc.compIdx.size == 1, "AC scans are single-component")
+      require(sc.ah == 0 || sc.ah == sc.al + 1, "successive approximation split")
+      val scanComps = sc.compIdx.map(comps)
+
+      marker(0xda); u16(6 + 2 * scanComps.size); u8(scanComps.size)
+      scanComps.foreach { c => u8(c.id); u8((c.dcId << 4) | c.acId) }
+      u8(sc.ss); u8(sc.se); u8((sc.ah << 4) | sc.al)
+
+      var enc = new QmEncoder
+      var dcStats = Array.fill(4)(freshStats(64))
+      var acStats = Array.fill(4)(freshStats(256))
+      var fb = freshStats(1); fb(0) = FixedBin
+      val preds = new Array[Int](comps.size)
+      val ctxs = new Array[Int](comps.size)
+      var rstN = 0
+      def restartFlush(): Unit = {
+        out.write(enc.finish())
+        marker(0xd0 + rstN)
+        rstN = (rstN + 1) & 7
+        enc = new QmEncoder
+        dcStats = Array.fill(4)(freshStats(64))
+        acStats = Array.fill(4)(freshStats(256))
+        fb = freshStats(1); fb(0) = FixedBin
+        java.util.Arrays.fill(preds, 0)
+        java.util.Arrays.fill(ctxs, 0)
+      }
+
+      val coefN = new Array[Int](64) // natural-order scratch for refinement
+      def codeBlock(ciGlobal: Int, bx: Int, by: Int): Unit = {
+        val c = comps(ciGlobal)
+        val src = blocks(ciGlobal, bx, by)
+        if (dcScan) {
+          if (sc.ah == 0) { // DC first: diff chain in the SHIFTED domain
+            val v = src(0) >> sc.al // DC point transform is arithmetic shift
+            val diff = v - preds(ciGlobal)
+            preds(ciGlobal) = v
+            ctxs(ciGlobal) =
+              encodeDcDiff(enc, dcStats(c.dcId), ctxs(ciGlobal), dcL, dcU, diff)
+          } else { // DC refinement: one fixed-bin bit per block
+            enc.encode(fb, 0, (src(0) >> sc.al) & 1)
+          }
+        } else {
+          if (sc.ah == 0)
+            encodeAcBand(enc, acStats(c.acId), fb, acKx, src, sc.ss, sc.se, sc.al)
+          else {
+            var i = 0
+            while (i < 64) { coefN(zig(i)) = src(i); i += 1 }
+            encodeAcRefineBlock(enc, acStats(c.acId), fb, coefN, 0, zig,
+              sc.ss, sc.se, sc.al)
+          }
+        }
+      }
+
+      if (dcScan && scanComps.size > 1) { // interleaved MCU walk
+        var mcu = 0
+        val nMcu = mcusX * mcusY
+        while (mcu < nMcu) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) restartFlush()
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          sc.compIdx.foreach { ci =>
+            val c = comps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh2 = 0
+              while (bh2 < c.h) {
+                codeBlock(ci, mx * c.h + bh2, my * c.v + bv)
+                bh2 += 1
+              }
+              bv += 1
+            }
+          }
+          mcu += 1
+        }
+      } else { // the component's own block grid (§A.2.2), decoder-matched
+        val ci = sc.compIdx.head
+        val c = comps(ci)
+        val bw = ((width * c.h + hMax - 1) / hMax + 7) / 8
+        val bh = ((height * c.v + vMax - 1) / vMax + 7) / 8
+        var blk = 0
+        val n = bw * bh
+        while (blk < n) {
+          if (ri > 0 && blk > 0 && blk % ri == 0) restartFlush()
+          codeBlock(ci, blk % bw, blk / bw)
+          blk += 1
+        }
+      }
+      out.write(enc.finish())
+    }
+    marker(0xd9)
     out.toByteArray
   }
 }

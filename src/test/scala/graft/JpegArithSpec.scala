@@ -268,7 +268,8 @@ class JpegArithSpec extends AnyFunSuite {
     (2 until good.length by 3).foreach { cut =>
       Jpeg.decodeGray(good.take(cut)) // must not throw
     }
-    // progressive-arithmetic (SOFA) stays out of scope → quarantine
+    // a sequential-shaped scan header under a SOFA frame marker violates
+    // the progressive scan rules (DC band must be exactly 0) → quarantine
     val sofa = good.clone()
     val sofIdx = sofa.indices.find(i =>
       (sofa(i) & 0xff) == 0xff && (sofa(i + 1) & 0xff) == 0xc9).get
@@ -280,6 +281,109 @@ class JpegArithSpec extends AnyFunSuite {
       (badDac(i) & 0xff) == 0xff && (badDac(i + 1) & 0xff) == 0xcc).get
     badDac(dacIdx + 5) = 0x0f.toByte // L=15, U=0
     assert(Jpeg.decodeGray(badDac).isEmpty)
+  }
+
+  // ---- progressive-arithmetic (SOFA, §G.2) ----
+
+  private val fullProgScript = Seq(
+    JpegArith.ProgScan(Seq(0), 0, 0, 0, 1),   // DC first at Al=1
+    JpegArith.ProgScan(Seq(0), 1, 5, 0, 1),   // AC band first at Al=1
+    JpegArith.ProgScan(Seq(0), 6, 63, 0, 1),
+    JpegArith.ProgScan(Seq(0), 0, 0, 1, 0),   // DC refinement
+    JpegArith.ProgScan(Seq(0), 1, 5, 1, 0),   // AC refinements
+    JpegArith.ProgScan(Seq(0), 6, 63, 1, 0))
+
+  test("progressive-arithmetic gray: multi-scan successive approximation " +
+    "decodes identically to the sequential-arithmetic twin") {
+    val r = rng(0x50FA)
+    val (w, h) = (32, 16)
+    val coefs = Array.fill(h / 8, w / 8) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(401) - 200
+      (0 until 8).foreach(_ => b(1 + r.nextInt(63)) = r.nextInt(41) - 20)
+      b
+    }
+    val comps = Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0))
+    val blocks = (_: Int, bx: Int, by: Int) => coefs(by)(bx)
+    val seqBytes = JpegArith.encodeSequential(w, h, comps, Map(0 -> onesQ), blocks)
+    val progBytes = JpegArith.encodeProgressive(w, h, comps, Map(0 -> onesQ),
+      blocks, fullProgScript)
+    val Some((sw, sh, spx)) = Jpeg.decodeGray(seqBytes): @unchecked
+    val Some((pw, ph, ppx)) = Jpeg.decodeGray(progBytes): @unchecked
+    assert(pw == sw && ph == sh && ppx.sameElements(spx))
+  }
+
+  test("progressive-arithmetic gray with restart intervals round-trips") {
+    val r = rng(0x50FB)
+    val (w, h) = (48, 16)
+    val coefs = Array.fill(h / 8, w / 8) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(201) - 100
+      (0 until 5).foreach(_ => b(1 + r.nextInt(63)) = r.nextInt(21) - 10)
+      b
+    }
+    val comps = Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0))
+    val blocks = (_: Int, bx: Int, by: Int) => coefs(by)(bx)
+    val seqBytes = JpegArith.encodeSequential(w, h, comps, Map(0 -> onesQ), blocks)
+    val progBytes = JpegArith.encodeProgressive(w, h, comps, Map(0 -> onesQ),
+      blocks, fullProgScript, ri = 2)
+    val Some((_, _, spx)) = Jpeg.decodeGray(seqBytes): @unchecked
+    val Some((pw, ph, ppx)) = Jpeg.decodeGray(progBytes): @unchecked
+    assert(pw == w && ph == h && ppx.sameElements(spx))
+  }
+
+  test("progressive-arithmetic block-constant gray: pixel parity with the " +
+    "JDK progressive-HUFFMAN twin and exact closed-form values") {
+    val v = (bx: Int, by: Int) => (55 + 41 * bx + 23 * by) % 256
+    val (w, h) = (40, 24)
+    val comps = Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0))
+    val bytes = JpegArith.encodeProgressive(w, h, comps, Map(0 -> onesQ),
+      (_, bx, by) => {
+        val b = new Array[Int](64)
+        b(0) = 8 * ((v(bx, by) & 0xff) - 128)
+        b
+      }, fullProgScript)
+    val Some((dw, dh, px)) = Jpeg.decodeGray(bytes): @unchecked
+    assert(dw == w && dh == h)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x => assert(px(y * w + x) == v(x / 8, y / 8), s"($x,$y)") }
+    }
+    val Some((hw, hh, hpx)) =
+      Jpeg.decodeGray(Multimodal.jpegGrayProgressiveBytes(w, h, v)): @unchecked
+    assert(hw == dw && hh == dh && hpx.sameElements(px))
+  }
+
+  test("progressive-arithmetic 4:2:0 color: interleaved DC scan + per-" +
+    "component AC scans match the sequential-arithmetic twin") {
+    val (w, h) = (32, 32)
+    val r = rng(0x50FC)
+    // luma blocks carry AC energy; chroma stays neutral (DC 0)
+    val yCoefs = Array.fill(4, 4) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(201) - 100
+      (0 until 4).foreach(_ => b(1 + r.nextInt(63)) = r.nextInt(17) - 8)
+      b
+    }
+    val comps = Seq(
+      JpegArith.ArithComp(1, 2, 2, 0, 0, 0),
+      JpegArith.ArithComp(2, 1, 1, 1, 1, 1),
+      JpegArith.ArithComp(3, 1, 1, 1, 1, 1))
+    val blocks = (ci: Int, bx: Int, by: Int) =>
+      if (ci == 0) yCoefs(by)(bx) else new Array[Int](64)
+    val script = Seq(
+      JpegArith.ProgScan(Seq(0, 1, 2), 0, 0, 0, 1), // interleaved DC first
+      JpegArith.ProgScan(Seq(0), 1, 63, 0, 0),      // AC full-band, Al=0
+      JpegArith.ProgScan(Seq(1), 1, 63, 0, 0),
+      JpegArith.ProgScan(Seq(2), 1, 63, 0, 0),
+      JpegArith.ProgScan(Seq(0, 1, 2), 0, 0, 1, 0)) // DC refinement
+    val seqBytes = JpegArith.encodeSequential(w, h, comps,
+      Map(0 -> onesQ, 1 -> onesQ), blocks)
+    val progBytes = JpegArith.encodeProgressive(w, h, comps,
+      Map(0 -> onesQ, 1 -> onesQ), blocks, script)
+    val Some(simg) = Jpeg.decodeRgb(seqBytes): @unchecked
+    val Some(pimg) = Jpeg.decodeRgb(progBytes): @unchecked
+    assert(pimg.width == w && pimg.height == h && pimg.nComp == 3)
+    assert(pimg.px.sameElements(simg.px))
   }
 
   test("Multimodal plumbing: arithmetic JPEGs flow through decodeJpegRgb " +
