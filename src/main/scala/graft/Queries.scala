@@ -5700,10 +5700,10 @@ object Queries {
             "Allow: /private/ok\n" +
             "Disallow: /*.pdf$\n" +
             "Sitemap: https://ignored.example.org/sitemap.xml\n").as("robots_txt"))
-        val verdicts = graft.operators.Robots.filterUrls(
-          resp.select("host", "path"), robots).toDF()
-        val admitted = resp.join(verdicts.filter(col("allowed"))
-          .select("host", "path"), Seq("host", "path"))
+        // admission is row-local behind a broadcast of the parsed rule
+        // sets — ONE linear plan: the WARC build+parse lineage executes
+        // once (a filterUrls verdict frame joined back would run it twice)
+        val admitted = graft.operators.Robots.admitted(resp, robots, "host", "path")
         // 4) HTML extract  5) content-key first-seen dedup
         val extracted = admitted.select(col("doc_id"), col("host"),
             col("url_canon"),

@@ -142,4 +142,38 @@ object Robots {
         }
       }
   }
+
+  /** Row-local admission on an arbitrary fact frame: broadcast-join the
+    * parsed per-host rule sets onto `fact` and keep only allowed rows
+    * (hosts without a robots row are allow-all, RFC 9309 §2.3.1.4).
+    * Unlike deriving a [[filterUrls]] verdict frame from the same
+    * lineage and joining it back — which executes the fact's lineage
+    * TWICE and shuffles on (host, path) — this is ONE linear plan: the
+    * fact executes once and admission is a per-row filter behind a
+    * broadcast hash join, the shape that holds at crawl scale. */
+  def admitted(fact: DataFrame, robots: DataFrame,
+               hostCol: String, pathCol: String,
+               agent: String = "*"): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val parsed = robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)]
+      .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
+        .map(r => (r.pattern, r.allow))) }
+      .toDF(hostCol, "__robots_rules")
+    val joined = fact.join(broadcast(parsed), Seq(hostCol), "left")
+    val schema = joined.schema
+    val rulesIdx = schema.fieldIndex("__robots_rules")
+    val pathIdx = schema.fieldIndex(pathCol)
+    joined.mapPartitions { it =>
+      it.filter { row =>
+        row.isNullAt(rulesIdx) || { // no robots.txt → allow-all
+          val rs = row.getSeq[org.apache.spark.sql.Row](rulesIdx)
+            .map(r => (r.getString(0), r.getBoolean(1)))
+          isAllowedT(rs, row.getString(pathIdx))._1
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("__robots_rules")
+  }
 }

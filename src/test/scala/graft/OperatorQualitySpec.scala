@@ -1581,6 +1581,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Robots.parse(split, "b") == Seq(Rule("/q", false)))
   }
 
+  test("Robots.admitted: single-plan row-local admission keeps exactly the " +
+    "filterUrls-allowed rows and every fact column") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Robots
+    val fact = (0 until 60).map { i =>
+      (i.toLong, s"h${i % 3}.example",
+        i % 4 match {
+          case 0 => s"/ok/$i"
+          case 1 => s"/private/$i"
+          case 2 => s"/private/ok/$i"
+          case _ => s"/x$i.pdf"
+        }, s"payload-$i")
+    }.toDF("doc_id", "host", "path", "body")
+    // h2 has no robots row → allow-all
+    val robots = Seq(
+      ("h0.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+      ("h1.example", "User-agent: *\nDisallow: /*.pdf$\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.admitted(fact, robots, "host", "path")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("body"))).toSet
+    val want = Robots.filterUrls(fact.select("host", "path"), robots).toDF()
+      .filter(col("allowed"))
+      .join(fact, Seq("host", "path"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("body"))).toSet
+    assert(got == want)
+    // spot-pin semantics directly (not just equivalence):
+    assert(!got.contains((7L, "payload-7"))) // h1, /x7.pdf → Disallow /*.pdf$
+    assert(got.contains((5L, "payload-5"))) // h2 has no robots row → allow-all
+    assert(!got.contains((9L, "payload-9"))) // h0, /private/9 → Disallow /private
+    assert(got.contains((6L, "payload-6"))) // h0, /private/ok/6 → Allow beats Disallow
+  }
+
   test("imageDhash: brightness-invariant (uniform offset keeps every " +
     "neighbor difference), identical images collide, sub-grid and corrupt " +
     "payloads quarantine") {
