@@ -6256,6 +6256,55 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    // 12-BIT extended-sequential JPEG decode (T.81 extended precision,
+    // grayscale, 0-4095 samples) — even doc_ids are SOF1 HUFFMAN streams
+    // from the hand-rolled from-spec fixture encoder (DC categories up
+    // to 15, 16-bit Pq=1 quant tables), odd doc_ids SOF9 ARITHMETIC at
+    // precision 12. Decoded via the dedicated wide-range path
+    // (Jpeg.decodeGray12 → Multimodal.decodeGray12); the 8-bit contract
+    // paths quarantine these streams by design (CI-pinned). Block-
+    // constant fixtures under all-ones quantization → closed-form sums.
+    QueryDef("mm_decode_jpeg_12bit", Some(
+      "WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb " +
+        "FROM documents WHERE doc_id % 19 = 7), " +
+        "s AS (SELECT doc_id, wb, hb, " +
+        "list_sum(list_transform(range(wb * hb), b -> " +
+        "160 + (doc_id*37 + (b % wb)*257 + (b // wb)*101) % 3800)) AS vs, " +
+        "list_max(list_transform(range(wb * hb), b -> " +
+        "160 + (doc_id*37 + (b % wb)*257 + (b // wb)*101) % 3800)) AS vm, " +
+        "160 + (doc_id*37) % 3800 AS v0 FROM v) " +
+        "SELECT doc_id AS media_id, CAST(wb * 8 AS INT) AS width, " +
+        "CAST(hb * 8 AS INT) AS height, CAST(64 * vs AS BIGINT) AS sum_px, " +
+        "CAST(vm AS INT) AS max_px, CAST(v0 AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM s ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 19 === 7).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val wb = 2 + (id % 3).toInt
+            val hb = 1 + (id % 2).toInt
+            val v12 = (bx: Int, by: Int) =>
+              (160 + (id * 37 + bx * 257 + by * 101) % 3800).toInt
+            val bytes =
+              if (id % 2 == 0)
+                graft.operators.Multimodal.jpegGray12HuffBytes(8 * wb, 8 * hb, v12)
+              else
+                graft.operators.JpegArith.encodeSequential(8 * wb, 8 * hb,
+                  Seq(graft.operators.JpegArith.ArithComp(1, 1, 1, 0, 0, 0)),
+                  Map(0 -> Array.fill(64)(1)),
+                  (_, bx, by) => {
+                    val blk = new Array[Int](64)
+                    blk(0) = 8 * (v12(bx, by) - 2048)
+                    blk
+                  }, precision = 12)
+            graft.operators.Multimodal.MediaRow(id, "image", bytes,
+              "image/jpeg", Some(8 * wb), Some(8 * hb), None)
+          })
+        graft.operators.Multimodal.decodeGray12(media).toDF()
+          .orderBy("media_id")
+      }),
+
     // From-spec BMP decode (RasterCodecs.decodeBmp: BI_RGB row layout,
     // bottom-up, padded strides) certified by the same solid-color
     // closed-form oracle as mm_decode_image; the JDK encoder produces the

@@ -18,9 +18,11 @@ package graft.operators
   * ARITHMETIC entropy framings — sequential (SOF9) and progressive
   * (SOFA, §G.2) — via the from-spec T.81 Annex D QM coder in
   * [[JpegArith]] (DAC conditioning, per-scan/per-restart statistics
-  * resets). Hierarchical, extended-precision, and other component
-  * counts return None → callers quarantine (`ok=false`), never
-  * mis-decode.
+  * resets). 12-BIT extended precision decodes for the sequential
+  * grayscale frames (SOF1 Huffman / SOF9 arithmetic) through the
+  * dedicated [[decodeGray12]] entry point. Hierarchical, lossless,
+  * 12-bit color/progressive, and other component counts return None →
+  * callers quarantine (`ok=false`), never mis-decode.
   * Progressive decode accumulates raw coefficients across scans in
   * per-component MCU-padded grids and dequantizes + IDCTs once at EOI.
   *
@@ -175,11 +177,27 @@ object Jpeg {
       else img.copy(px = img.px.map(g => (g << 16) | (g << 8) | g))
     }
 
-  private def decodeImage(bytes: Array[Byte],
-                          grayOnly: Boolean = false): Option[JpegImage] =
-    try decode0(bytes, grayOnly) catch { case scala.util.control.NonFatal(_) => None }
+  /** Decode a 12-BIT extended-sequential GRAYSCALE JPEG (SOF1 Huffman or
+    * SOF9 arithmetic; T.81 extended precision). Returns row-major pixels
+    * 0-4095. Deliberately a SEPARATE entry point: [[decodeGray]] /
+    * [[decodeRgb]] keep their 8-bit pixel contract (a 12-bit sample
+    * would overflow the packed 0xRRGGBB channels), so 12-bit streams
+    * quarantine there and only decode where the caller asked for the
+    * wide range. 12-bit color and 12-bit progressive stay out of scope. */
+  def decodeGray12(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeImage(bytes, grayOnly = true, allow12 = true) match {
+      case Some(img) if img.nComp == 1 => Some((img.width, img.height, img.px))
+      case _ => None
+    }
 
-  private def decode0(p: Array[Byte], grayOnly: Boolean): Option[JpegImage] = {
+  private def decodeImage(bytes: Array[Byte],
+                          grayOnly: Boolean = false,
+                          allow12: Boolean = false): Option[JpegImage] =
+    try decode0(bytes, grayOnly, allow12)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decode0(p: Array[Byte], grayOnly: Boolean,
+                      allow12: Boolean): Option[JpegImage] = {
     var pos = 0
     def u8(): Int = { val v = p(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff); pos += 2; v }
@@ -194,6 +212,7 @@ object Jpeg {
     var restartInterval = 0
     var progressive = false
     var arith = false
+    var precision = 8
     // DAC conditioning (§B.2.4.3); spec defaults L=0, U=1, Kx=5
     val arithDcL = Array.fill(4)(0)
     val arithDcU = Array.fill(4)(1)
@@ -216,19 +235,27 @@ object Jpeg {
           return if (progressive && sawProgScan)
             reconstructProgressive(width, height, comps, qtabs, hMax, vMax)
           else None
-        case 0xc0 | 0xc2 | 0xc9 | 0xca => // SOF0 baseline / SOF2
-          // progressive / SOF9 sequential-arithmetic / SOFA
-          // progressive-arithmetic — the arithmetic entropy layers decode
-          // via the from-spec QM coder in [[JpegArith]]
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca => // SOF0 baseline / SOF1
+          // extended sequential / SOF2 progressive / SOF9 sequential-
+          // arithmetic / SOFA progressive-arithmetic — the arithmetic
+          // entropy layers decode via the from-spec QM coder in
+          // [[JpegArith]]
           if (comps != null) return None // second frame header
           progressive = m == 0xc2 || m == 0xca
           arith = m == 0xc9 || m == 0xca
           val len = u16(); val end = pos + len - 2
           if (end < pos) return None // len < 2: malformed, never rewind
-          if (u8() != 8) return None // precision
+          // precision: 8-bit everywhere; 12-bit admitted only for the
+          // extended SEQUENTIAL frames (SOF1/SOF9) when the caller used
+          // the wide-range entry point, and only grayscale (a 12-bit
+          // sample overflows the packed-RGB contract)
+          precision = u8()
+          val prec12ok = allow12 && (m == 0xc1 || m == 0xc9)
+          if (precision != 8 && !(precision == 12 && prec12ok)) return None
           height = u16(); width = u16()
           val nc = u8()
           if (nc != 1 && nc != 3) return None
+          if (precision == 12 && nc != 1) return None
           // gray-only callers (the grayscale-MJPG contract) reject color
           // frames HERE, at header-parse time — never after decoding up to
           // width·height·3 transient planes that would only be discarded
@@ -353,11 +380,12 @@ object Jpeg {
             if (comps.exists(c => qtabs(c.qId) == null)) return None
             if (arith) // Td/Ta select DAC conditioning, not Huffman tables
               return decodeScanArith(p, pos, width, height, comps, scanComps,
-                qtabs, arithDcL, arithDcU, arithAcKx, restartInterval)
+                qtabs, arithDcL, arithDcU, arithAcKx, restartInterval,
+                precision)
             if (comps.exists(c => dcTabs(c.dcId) == null || acTabs(c.acId) == null))
               return None
             return decodeScan(p, pos, width, height, comps, scanComps, qtabs,
-              dcTabs, acTabs, restartInterval)
+              dcTabs, acTabs, restartInterval, precision)
           }
           // progressive scan header (§G.1): spectral band + successive
           // approximation; validate per B.2.3 / G.1.1.1.1 and quarantine
@@ -397,7 +425,8 @@ object Jpeg {
     * baseline streaming path and the progressive coefficient-grid
     * reconstruction. */
   private def idctToPlane(coef: Array[Int], tmp: Array[Double], c: Comp,
-                          px0: Int, py0: Int): Unit = {
+                          px0: Int, py0: Int,
+                          half: Int = 128, maxV: Int = 255): Unit = {
     var y = 0
     while (y < 8) {
       var x = 0
@@ -423,9 +452,9 @@ object Jpeg {
       val py = py0 + yy
       var xx = 0
       while (xx < 8) {
-        val v = math.round(tmp(yy * 8 + xx)).toInt + 128
+        val v = math.round(tmp(yy * 8 + xx)).toInt + half // level shift (2^(P-1))
         c.plane((py * c.planeW) + px0 + xx) =
-          if (v < 0) 0 else if (v > 255) 255 else v
+          if (v < 0) 0 else if (v > maxV) maxV else v
         xx += 1
       }
       yy += 1
@@ -795,7 +824,9 @@ object Jpeg {
                          comps: Array[Comp], scanComps: Array[Comp],
                          qtabs: Array[Array[Int]],
                          dcTabs: Array[Huff], acTabs: Array[Huff],
-                         ri: Int): Option[JpegImage] = {
+                         ri: Int, precision: Int = 8): Option[JpegImage] = {
+    val half = 1 << (precision - 1)
+    val maxV = (1 << precision) - 1
     if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
@@ -835,7 +866,7 @@ object Jpeg {
           k += 1
         }
       }
-      idctToPlane(coef, tmp, c, px0, py0)
+      idctToPlane(coef, tmp, c, px0, py0, half, maxV)
     }
 
     def restart(): Unit = {
@@ -912,7 +943,9 @@ object Jpeg {
                               qtabs: Array[Array[Int]],
                               dcL: Array[Int], dcU: Array[Int],
                               acKx: Array[Int],
-                              ri: Int): Option[JpegImage] = {
+                              ri: Int, precision: Int = 8): Option[JpegImage] = {
+    val half = 1 << (precision - 1)
+    val maxV = (1 << precision) - 1
     if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
@@ -945,7 +978,7 @@ object Jpeg {
       JpegArith.decodeAcBlock(dec, acStats(c.acId), fb, acKx(c.acId), coefZ)
       var i = 0 // dequantize + inverse zigzag (qt is zigzag-ordered)
       while (i < 64) { coef(ZIGZAG(i)) = coefZ(i) * qt(i); i += 1 }
-      idctToPlane(coef, tmp, c, px0, py0)
+      idctToPlane(coef, tmp, c, px0, py0, half, maxV)
     }
 
     def restart(): Unit = {

@@ -523,9 +523,11 @@ object JpegArith {
                        qtabZ: Map[Int, Array[Int]],
                        blocks: (Int, Int, Int) => Array[Int],
                        ri: Int = 0,
-                       dcL: Int = 0, dcU: Int = 1, acKx: Int = 5): Array[Byte] = {
+                       dcL: Int = 0, dcU: Int = 1, acKx: Int = 5,
+                       precision: Int = 8): Array[Byte] = {
     require(comps.nonEmpty && comps.size <= 3)
     require(width > 0 && height > 0)
+    require(precision == 8 || precision == 12)
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -539,7 +541,8 @@ object JpegArith {
       q.foreach(u8)
     }
     // SOF9: extended sequential DCT, arithmetic coding (§B.2.2)
-    marker(0xc9); u16(8 + 3 * comps.size); u8(8); u16(height); u16(width)
+    marker(0xc9); u16(8 + 3 * comps.size); u8(precision)
+    u16(height); u16(width)
     u8(comps.size)
     comps.foreach { c =>
       u8(c.id); u8((c.h << 4) | c.v); u8(c.qId)

@@ -1395,6 +1395,125 @@ object Multimodal {
     writeJpegQ1(img, progressive)
   }
 
+  /** 12-BIT extended-sequential Huffman (SOF1) grayscale JPEG fixture,
+    * built from spec — the JDK encoder is 8-bit only, so like the
+    * arithmetic fixtures this stream has no other possible source in
+    * this container. Block-constant 12-bit values (0..4095) under
+    * all-ones 16-bit (Pq=1) quantization: every block is DC-only, DC =
+    * 8·(v−2048) survives exactly, so decoded sums are closed-form.
+    * Hand-rolled canonical tables: DC categories 0..15 (fourteen 5-bit
+    * codes + two 6-bit — 12-bit diffs reach category 15, beyond the
+    * Annex K 8-bit tables), AC = a single 1-bit EOB code. Entropy bits
+    * are FF00-stuffed and 1-padded per §F.1.2.3. */
+  def jpegGray12HuffBytes(w: Int, h: Int,
+                          blockVal12: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "block-constant fixture needs 8-aligned dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 128); u8(0x10) // Pq=1 (16-bit), Tq=0
+    (0 until 64).foreach(_ => u16(1))
+    marker(0xc1); u16(11); u8(12); u16(h); u16(w); u8(1) // SOF1, P=12
+    u8(1); u8(0x11); u8(0)
+    // DHT: DC table 0 — categories 0..15 canonical (counts L5=14, L6=2)
+    marker(0xc4); u16(2 + 1 + 16 + 16)
+    u8(0x00)
+    val dcCounts = Array(0, 0, 0, 0, 14, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcCounts.foreach(u8)
+    (0 to 15).foreach(u8)
+    // DHT: AC table 0 — single EOB symbol, 1-bit code '0'
+    marker(0xc4); u16(2 + 1 + 16 + 1)
+    u8(0x10)
+    val acCounts = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acCounts.foreach(u8)
+    u8(0x00)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // canonical code assignment mirrors the decoder's mincode walk
+    val dcCode = new Array[Int](16)
+    val dcLen = new Array[Int](16)
+    locally {
+      var code = 0
+      var l = 1
+      var sym = 0
+      while (l <= 16) {
+        var i = 0
+        while (i < dcCounts(l - 1)) { dcCode(sym) = code; dcLen(sym) = l; code += 1; sym += 1; i += 1 }
+        code <<= 1
+        l += 1
+      }
+    }
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          u8(bitBuf)
+          if ((bitBuf & 0xff) == 0xff) u8(0) // §B.1.1.5 byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        val dc = 8 * ((blockVal12(bx, by) & 0xfff) - 2048)
+        val diff = dc - pred
+        pred = dc
+        var t = 0
+        var mag = if (diff < 0) -diff else diff
+        while (mag != 0) { t += 1; mag >>= 1 }
+        putBits(dcCode(t), dcLen(t))
+        if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        putBits(0, 1) // EOB (AC code '0')
+        bx += 1
+      }
+      by += 1
+    }
+    if (bitCnt > 0) { // 1-fill pad (§F.1.2.3)
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      u8(bitBuf)
+      if ((bitBuf & 0xff) == 0xff) u8(0)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  final case class DecodedGray12(media_id: Long, width: Int, height: Int,
+                                 sum_px: Long, max_px: Int, first_pixel: Int,
+                                 ok: Boolean)
+
+  /** 12-bit extended-sequential grayscale decode (SOF1 Huffman or SOF9
+    * arithmetic) via [[graft.operators.Jpeg.decodeGray12]]; pixel range
+    * 0-4095 — kept OFF the 8-bit decode paths by contract. Same narrow
+    * mapPartitions shape as [[decode]]: payloads never reach a shuffle. */
+  def decodeGray12(media: Dataset[MediaRow]): Dataset[DecodedGray12] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      graft.operators.Jpeg.decodeGray12(p) match {
+        case Some((w, h, px)) =>
+          var sum = 0L
+          var mx = 0
+          var i = 0
+          while (i < px.length) {
+            sum += px(i)
+            if (px(i) > mx) mx = px(i)
+            i += 1
+          }
+          DecodedGray12(r.media_id, w, h, sum, mx, px(0), ok = true)
+        case None => DecodedGray12(r.media_id, 0, 0, 0L, 0, 0, ok = false)
+      }
+    })
+  }
+
   /** Color JPEG fixture bytes via the JDK encoder: a TYPE_3BYTE_BGR image
     * whose 16×16 MACROBLOCKS (the 4:2:0 MCU the JDK encoder always emits)
     * are each a CONSTANT color `rgbVal(mx, my)`, written at quality 1.0.

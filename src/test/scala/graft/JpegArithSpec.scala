@@ -386,6 +386,110 @@ class JpegArithSpec extends AnyFunSuite {
     assert(pimg.px.sameElements(simg.px))
   }
 
+  // ---- 12-bit extended sequential (SOF1 Huffman / SOF9 arithmetic) ----
+
+  test("12-bit: SOF1-Huffman and SOF9-arithmetic twins decode to identical " +
+    "0-4095 pixels incl. range extremes; 8-bit entry points quarantine") {
+    val v12 = (bx: Int, by: Int) => Seq(0, 4095, 2048, 17, 3333, 512)(
+      (bx + by * 3) % 6)
+    val (w, h) = (24, 16)
+    val huff = Multimodal.jpegGray12HuffBytes(w, h, v12)
+    val ones16 = Array.fill(64)(1)
+    val arith = JpegArith.encodeSequential(w, h,
+      Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0)), Map(0 -> ones16),
+      (_, bx, by) => {
+        val b = new Array[Int](64)
+        b(0) = 8 * ((v12(bx, by) & 0xfff) - 2048)
+        b
+      }, precision = 12)
+    val Some((hw, hh, hpx)) = Jpeg.decodeGray12(huff): @unchecked
+    val Some((aw, ah, apx)) = Jpeg.decodeGray12(arith): @unchecked
+    assert(hw == w && hh == h && aw == w && ah == h)
+    assert(hpx.sameElements(apx))
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        assert(hpx(y * w + x) == v12(x / 8, y / 8), s"($x,$y)")
+      }
+    }
+    // the 8-bit contract paths must quarantine 12-bit streams, never
+    // deliver out-of-range samples into packed-RGB arithmetic
+    assert(Jpeg.decodeGray(huff).isEmpty && Jpeg.decodeGray(arith).isEmpty)
+    assert(Jpeg.decodeRgb(huff).isEmpty && Jpeg.decodeRgb(arith).isEmpty)
+    // and decodeGray12 still reads plain 8-bit streams (superset entry)
+    assert(Jpeg.decodeGray12(
+      Multimodal.jpegGrayBytes(16, 8, (_, _) => 77)).nonEmpty)
+  }
+
+  test("12-bit arithmetic with AC energy: decode matches the dequant+IDCT " +
+    "reference at the 2048 level shift and 4095 clamp") {
+    val r = rng(0x12B1)
+    val (w, h) = (16, 16)
+    val coefs = Array.fill(2, 2) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(8001) - 4000
+      (0 until 6).foreach(_ => b(1 + r.nextInt(63)) = r.nextInt(801) - 400)
+      b
+    }
+    val bytes = JpegArith.encodeSequential(w, h,
+      Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0)), Map(0 -> onesQ),
+      (_, bx, by) => coefs(by)(bx), precision = 12)
+    val Some((dw, dh, px)) = Jpeg.decodeGray12(bytes): @unchecked
+    assert(dw == w && dh == h)
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val blk = coefs(y / 8)(x / 8)
+        val nat = new Array[Int](64)
+        (0 until 64).foreach(i => nat(zig(i)) = blk(i))
+        var acc = 0.0
+        (0 until 8).foreach { u =>
+          (0 until 8).foreach { vv =>
+            acc += cc(u) * cc(vv) * nat(vv * 8 + u) *
+              math.cos((2 * (x % 8) + 1) * u * math.Pi / 16) *
+              math.cos((2 * (y % 8) + 1) * vv * math.Pi / 16)
+          }
+        }
+        val want = math.max(0, math.min(4095, math.round(acc / 4.0).toInt + 2048))
+        assert(px(y * w + x) == want, s"($x,$y)")
+      }
+    }
+  }
+
+  test("fuzz: bit-flip and truncation mutations of arithmetic streams " +
+    "(SOF9/SOFA/12-bit) never throw or hang — decode or quarantine") {
+    val r = rng(0xF022)
+    val gray = arithGray(24, 16, (bx, by) => (40 * bx + 90 * by) % 256, ri = 2)
+    val prog = JpegArith.encodeProgressive(16, 16,
+      Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0)), Map(0 -> onesQ),
+      (_, bx, by) => { val b = new Array[Int](64); b(0) = 64 * (bx - by); b },
+      fullProgScript)
+    val b12 = JpegArith.encodeSequential(16, 8,
+      Seq(JpegArith.ArithComp(1, 1, 1, 0, 0, 0)), Map(0 -> onesQ),
+      (_, bx, by) => { val b = new Array[Int](64); b(0) = 8 * (500 * bx - 2000); b },
+      precision = 12)
+    for (base <- Seq(gray, prog, b12); _ <- 0 until 150) {
+      val m = base.clone()
+      r.nextInt(3) match {
+        case 0 => // single bit flip anywhere
+          val i = r.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+        case 1 => // byte splice
+          m(r.nextInt(m.length)) = r.nextInt(256).toByte
+        case _ => () // plain truncation below
+      }
+      val cut = 2 + r.nextInt(m.length - 1)
+      // must terminate without an uncaught throw; result value is free
+      Jpeg.decodeGray(m)
+      Jpeg.decodeGray12(m)
+      Jpeg.decodeGray(m.take(cut))
+      Jpeg.decodeGray12(m.take(cut))
+    }
+  }
+
   test("Multimodal plumbing: arithmetic JPEGs flow through decodeJpegRgb " +
     "and imageDhash identically to their Huffman twins") {
     val spark = SparkTestSession.spark

@@ -476,6 +476,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinOps == 1, s"expected exactly one join operator, got $joinOps:\n$p")
   }
 
+  test("crawl_build_pipeline: robots admission is a broadcast join, never " +
+    "a shuffled self-join that re-executes the WARC build+parse lineage") {
+    val p = plan("crawl_build_pipeline")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"robots rules not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"admission shuffled — the verdict self-join shape is back:\n$p")
+    // the WARC fixture build (the first typed mapPartitions over the
+    // documents scan) must appear in exactly ONE subtree: a verdict frame
+    // joined back onto the same lineage would print the documents scan
+    // twice (no cache/reuse in this query)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected one documents scan, got $docScans:\n$p")
+  }
+
   test("text_bpe_encode: dictionary encode — the interpreted merge folds run on DISTINCT words only") {
     val p = plan("text_bpe_encode")
     // the fold (aggregate HOF) must sit above the distinct-vocab aggregate,
