@@ -938,7 +938,9 @@ object Queries {
       // round-15: the resize→re-encode→dHash→banded-hamming-join chain
       // compiles its own typed-encoder + chunk-join codegen classes, and
       // the arithmetic-JPEG row JITs the QM coder + encoder fixture path
-      "dedup_image_near", "mm_decode_jpeg_arith")
+      "dedup_image_near", "mm_decode_jpeg_arith",
+      // the audio-envelope signature op compiles its own typed encoder
+      "dedup_audio_near")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -6497,6 +6499,123 @@ object Queries {
           .filter(col("ok"))
         graft.operators.Dedup.bitstringNearPairs(
             hashes, "media_id", "dhash_bits", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Perceptual AUDIO near-dup: energy-envelope signature (the audio
+    // analog of the image dHash — consecutive-window Σs² comparisons,
+    // invariant under amplitude scaling) banded through the SAME
+    // hamming≤3 pigeonhole join as images/simhash. Fixtures are real
+    // PCM16 WAVs decoded through javax.sound: 4-member families where
+    // member 1 is a 2× amplitude-scaled copy (hamming 0 — gain
+    // normalization is the classic benign audio edit), member 2 bumps
+    // one window's energy (hamming ≤ 2), member 3 is unrelated. The
+    // envelope is window-constant, so every signature bit — and thus
+    // every emitted (pair, hamming) — is closed-form in SQL; the 4-chunk
+    // banding is exact for hamming ≤ 3, so the brute-force SQL pair join
+    // is the complete expected set.
+    QueryDef("dedup_audio_near", Some(
+      "WITH v AS (SELECT doc_id, (doc_id // 17) // 4 AS fam, (doc_id // 17) % 4 AS m " +
+        "FROM documents WHERE doc_id % 17 = 9), " +
+        "env AS (SELECT doc_id, list_transform(range(65), w -> " +
+        "CASE m WHEN 0 THEN 100 + (fam*31 + w*w*7) % 3000 " +
+        "WHEN 1 THEN 2 * (100 + (fam*31 + w*w*7) % 3000) " +
+        "WHEN 2 THEN 100 + (fam*31 + w*w*7) % 3000 + " +
+        "CASE WHEN w = 30 THEN 5000 ELSE 0 END " +
+        "ELSE 100 + ((fam*53 + 7)*37 + w*13) % 3000 END) AS e FROM v), " +
+        "sig AS (SELECT doc_id, list_transform(range(64), w -> " +
+        "CASE WHEN e[w+1] > e[w+2] THEN 1 ELSE 0 END) AS bits FROM env), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_filter(range(64), w -> a.bits[w+1] <> b.bits[w+1])) AS ham " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(ham AS INT) AS hamming FROM pr " +
+        "WHERE ham <= 3 ORDER BY id_a, id_b"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 17 === 9).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            // family/member from the DENSE slice index (one doc per
+            // 17-block), so planted family members actually co-occur
+            val fam = (id / 17) / 4
+            val m = ((id / 17) % 4).toInt
+            def base(w: Int): Int = (100 + (fam * 31 + w.toLong * w * 7) % 3000).toInt
+            def v(w: Int): Int = m match {
+              case 0 => base(w)
+              case 1 => 2 * base(w)
+              case 2 => base(w) + (if (w == 30) 5000 else 0)
+              case _ => (100 + ((fam * 53 + 7) * 37 + w.toLong * 13) % 3000).toInt
+            }
+            val samples = Array.tabulate[Short](65 * 64)(i => v(i / 64).toShort)
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.Multimodal.wavBytes(samples, 8000),
+              "audio/wav", None, None, None)
+          })
+        val sigs = graft.operators.Multimodal
+          .audioEnvelopeSig(media, 64, 65).toDF().filter(col("ok"))
+        graft.operators.Dedup.bitstringNearPairs(sigs, "media_id", "sig",
+            maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // VIDEO near-dup via shared-frame overlap: each decoded frame reduces
+    // to an exact content key (pixel sum, top-row sum, corner pixel — the
+    // features aviDecodeRle8 already emits), videos pair when ≥2 distinct
+    // frame keys coincide — the shot-level content-ID shape. Scale: the
+    // join is an EQUI-join on the frame key (candidate generation by
+    // content bucket, no all-pairs), pair aggregation is match-sized.
+    // Families share overlapping frame windows (member 0 = frames 0-2,
+    // member 1 = frames 1-3 → 2 shared; member 2 disjoint); frame pixels
+    // are row-constant RLE8 content so every key — and the full expected
+    // pair set — is closed-form in SQL.
+    QueryDef("dedup_video_near", Some(
+      "WITH v AS (SELECT doc_id, (doc_id // 17) // 3 AS fam, (doc_id // 17) % 3 AS m " +
+        "FROM documents WHERE doc_id % 17 = 5), " +
+        "fr AS (SELECT doc_id, fam, CASE m WHEN 0 THEN k.i WHEN 1 THEN k.i + 1 " +
+        "ELSE k.i + 10 END AS fi FROM v, " +
+        "LATERAL (SELECT unnest(generate_series(0, 2)) AS i) k), " +
+        "ky AS (SELECT DISTINCT doc_id, " +
+        "12 * list_sum(list_transform(range(6), y -> (fam*31 + fi*13 + y*7) % 251)) AS ds, " +
+        "12 * ((fam*31 + fi*13 + 35) % 251) AS tr, " +
+        "(fam*31 + fi*13 + 35) % 251 AS fp FROM fr), " +
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh " +
+        "FROM ky a JOIN ky b ON a.ds = b.ds AND a.tr = b.tr AND a.fp = b.fp " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(sh AS BIGINT) AS shared_frames FROM pr " +
+        "WHERE sh >= 2 ORDER BY id_a, id_b"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 17 === 5).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val fam = (id / 17) / 3
+            val m = ((id / 17) % 3).toInt
+            val fis = m match {
+              case 0 => Array(0, 1, 2)
+              case 1 => Array(1, 2, 3)
+              case _ => Array(10, 11, 12)
+            }
+            val frames = fis.map { fi =>
+              val rows = Array.tabulate(6)(y => Array.fill(12)(
+                ((fam * 31 + fi * 13 + y * 7) % 251).toByte))
+              graft.operators.Multimodal.rle8EncodeRows(rows, _ % 2 == 1)
+            }
+            graft.operators.Multimodal.MediaRow(id, "video",
+              graft.operators.Multimodal.aviBytesFrames(frames, 12, 6, 40000, "MRLE"),
+              "video/avi", Some(12), Some(6), Some(fis.length * 40L))
+          })
+        val keys = graft.operators.Multimodal.aviDecodeRle8(media).toDF()
+          .filter(col("ok"))
+          .select(col("media_id"), col("sum_bytes").as("ds"),
+            col("top_row_sum").as("tr"), col("first_pixel").as("fp"))
+          .distinct()
+        val a = keys.select(col("media_id").as("id_a"), col("ds"), col("tr"), col("fp"))
+        val b = keys.select(col("media_id").as("id_b"), col("ds"), col("tr"), col("fp"))
+        a.join(b, Seq("ds", "tr", "fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("shared_frames"))
+          .filter(col("shared_frames") >= 2)
           .orderBy("id_a", "id_b")
       }),
 

@@ -666,6 +666,65 @@ object Multimodal {
     })
   }
 
+  final case class AudioSig(media_id: Long, sig: String, ok: Boolean)
+
+  /** Perceptual AUDIO signature for near-dup detection: the energy-
+    * envelope analog of [[imageDhash]]. The first `nWin` windows of
+    * `winSize` samples each reduce to Σs² (the same feature
+    * [[audioWindows]] emits), and each bit compares consecutive window
+    * energies — so the signature is invariant under amplitude scaling
+    * (gain/normalization, the most common benign audio transform), the
+    * way dHash is invariant under brightness shift. nWin=65 yields the
+    * 64-bit string [[Dedup.bitstringNearPairs]] bands. Too-short or
+    * non-PCM16 payloads quarantine. Zero shuffle: payload → one
+    * signature row inside the decode mapPartitions. */
+  def audioEnvelopeSig(media: Dataset[MediaRow], winSize: Int,
+                       nWin: Int): Dataset[AudioSig] = {
+    require(winSize >= 1 && nWin >= 2)
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(
+            if (r.payload == null) Array.empty[Byte] else r.payload))
+        val fmt = in.getFormat
+        val pcm16Mono = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        if (!pcm16Mono) AudioSig(r.media_id, "", ok = false)
+        else {
+          val bytes = in.readAllBytes()
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          if (sb.remaining() < winSize * nWin) AudioSig(r.media_id, "", ok = false)
+          else {
+            val sums = Array.tabulate(nWin) { w =>
+              var i = w * winSize
+              val end = i + winSize
+              var ss = 0L
+              while (i < end) {
+                val s = sb.get(i).toInt
+                ss += s.toLong * s
+                i += 1
+              }
+              ss
+            }
+            val bits = new java.lang.StringBuilder(nWin - 1)
+            var w = 0
+            while (w < nWin - 1) {
+              bits.append(if (sums(w) > sums(w + 1)) '1' else '0')
+              w += 1
+            }
+            AudioSig(r.media_id, bits.toString, ok = true)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => AudioSig(r.media_id, "", ok = false)
+      }
+    })
+  }
+
   // IMA/DVI ADPCM tables (public spec: IMA "Recommended Practices for
   // Enhancing Digital Audio Compatibility", rev 3.00 — the same tables in
   // RFC 3551 §4.5.1 and the WAV format-0x11 codec)
