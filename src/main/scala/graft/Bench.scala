@@ -55,11 +55,16 @@ object Bench {
 
   /** Degradation verdict over the in-loop canary series: any sample above
     * 3× the series minimum means the host lost capacity at some point
-    * DURING the query loop (heavy-tail stall phase). Pure so the flag
-    * logic is unit-testable against synthetic stall series (BenchSpec). */
+    * DURING the query loop (heavy-tail stall phase). Failed canary runs
+    * arrive as the -1 sentinel: they measured nothing, so they are
+    * excluded from the ratio — but any failure ALSO flags degraded (a
+    * canary that cannot run cannot vouch for the window). Pure so the
+    * flag logic is unit-testable against synthetic stall series
+    * (BenchSpec). */
   private[graft] def isDegraded(samples: Seq[Double]): Boolean = {
     val clean = samples.filter(s => s > 0 && !s.isInfinity)
-    clean.size >= 2 && clean.max > 3.0 * clean.min
+    samples.exists(s => !(s > 0) || s.isInfinity) ||
+      (clean.size >= 2 && clean.max > 3.0 * clean.min)
   }
 
   def main(args: Array[String]): Unit = {
@@ -222,8 +227,12 @@ object Bench {
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
     def sampleCanary(): Unit = {
       val t0 = System.nanoTime()
-      try consume(canary) catch { case _: Throwable => () }
-      canarySamples += (System.nanoTime() - t0) / 1e9
+      // a FAILED canary run measures nothing: record the sentinel -1
+      // (excluded from the verdict's min/max), never its time-to-throw —
+      // a 5 ms failure sample would make every healthy sample look >3×
+      // the minimum and flag a clean run degraded
+      try { consume(canary); canarySamples += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => canarySamples += -1.0 }
     }
     // sorted: Map iteration order shifts whenever a query is added, which
     // silently re-attributes shared memoized builds (e.g. the jaccard pair
@@ -273,7 +282,9 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val canarySeq = canarySamples.toSeq
     val degraded = isDegraded(canarySeq)
-    val canaryJson = canarySeq.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val canaryJson = canarySeq // Locale.ROOT: f"" uses the default locale
+      .map(v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+      .mkString("[", ",", "]")
     val steadySuffix = if (repeat > 1) {
       val ss = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
         .mkString("{", ",", "}")

@@ -48,7 +48,7 @@ package graft.operators
   */
 object Jpeg {
 
-  private val ZIGZAG: Array[Int] = Array(
+  private[graft] val ZIGZAG: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -301,10 +301,10 @@ object Jpeg {
             }
           }
           pos = end
-        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended-Huffman/lossless/hierarchical — out of
-          // scope; both arithmetic DCT frames (SOF9/SOFA) decode above
+          return None // lossless/hierarchical — out of scope; all four
+          // DCT frames (SOF0/SOF1/SOF2/SOF9/SOFA) decode above
         case 0xc4 => // DHT
           val len = u16(); val end = pos + len - 2
           while (pos < end) {

@@ -659,10 +659,7 @@ object JpegArith {
                         dcL: Int = 0, dcU: Int = 1, acKx: Int = 5): Array[Byte] = {
     require(comps.nonEmpty && comps.size <= 3)
     require(width > 0 && height > 0 && script.nonEmpty)
-    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zig = Jpeg.ZIGZAG // one shared transcription of the §A.3.6 table
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }

@@ -116,6 +116,17 @@ object Robots {
   final case class UrlVerdict(host: String, path: String, allowed: Boolean,
                               matched_rule: String, has_robots: Boolean)
 
+  // shared parse-once-per-host rule-set frame for the two admission APIs
+  private def parsedRules(robots: DataFrame,
+                          agent: String): Dataset[(String, Seq[(String, Boolean)])] = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host"), col("robots_txt"))
+      .as[(String, String)]
+      .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
+        .map(r => (r.pattern, r.allow))) }
+  }
+
   /** Admission verdict per URL row: `urls(host, path)` against
     * `robots(host, robots_txt)`. Hosts without a robots.txt row are
     * allow-all with `has_robots = false`. The robots side parses once per
@@ -125,11 +136,7 @@ object Robots {
                  agent: String = "*"): Dataset[UrlVerdict] = {
     val spark = urls.sparkSession
     import spark.implicits._
-    val parsed = robots.select(col("host"), col("robots_txt"))
-      .as[(String, String)]
-      .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
-        .map(r => (r.pattern, r.allow))) }
-      .toDF("host", "rules")
+    val parsed = parsedRules(robots, agent).toDF("host", "rules")
     urls.select(col("host"), col("path"))
       .join(broadcast(parsed), Seq("host"), "left")
       .as[(String, String, Option[Seq[(String, Boolean)]])]
@@ -156,11 +163,7 @@ object Robots {
                agent: String = "*"): DataFrame = {
     val spark = fact.sparkSession
     import spark.implicits._
-    val parsed = robots.select(col("host"), col("robots_txt"))
-      .as[(String, String)]
-      .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
-        .map(r => (r.pattern, r.allow))) }
-      .toDF(hostCol, "__robots_rules")
+    val parsed = parsedRules(robots, agent).toDF(hostCol, "__robots_rules")
     val joined = fact.join(broadcast(parsed), Seq(hostCol), "left")
     val schema = joined.schema
     val rulesIdx = schema.fieldIndex("__robots_rules")

@@ -130,8 +130,11 @@ object Tar {
         }
       }
       // a shard ending exactly at the last member's padded end (no zero
-      // trailer) is complete — only a MID-member end is truncation
-      if (done && pendingName != null) damaged = true // dangling longname
+      // trailer) is complete — only a MID-member end is truncation. A
+      // dangling longname/PAX header is truncation however the shard
+      // ended (trailer or clean payload end): the member it names is
+      // missing and must not vanish silently
+      if (pendingName != null || pendingSize >= 0) damaged = true
       if ((!done && pos != p.length) || damaged)
         out += TarMember(id, idx, "", 0L, 0L, ok = false)
       val res = out.result()
@@ -236,9 +239,12 @@ object Tar {
         else {
           val body = {
             val kv = s" path=$name\n"
-            // record length counts its own decimal digits (fixed point)
-            var len = kv.length + 1
-            while ((len.toString.length + kv.length) != len) len = len.toString.length + kv.length
+            // record length counts its own decimal digits (fixed point),
+            // in OCTETS — kv may contain multi-byte UTF-8
+            val kvBytes = kv.getBytes("UTF-8").length
+            var len = kvBytes + 1
+            while ((len.toString.length + kvBytes) != len)
+              len = len.toString.length + kvBytes
             s"$len$kv"
           }
           writeMember("./PaxHeaders.0/" + name.take(60), body.getBytes("UTF-8"), 'x')

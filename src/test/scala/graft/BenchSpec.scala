@@ -25,9 +25,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isDegraded(Seq(1.5, 1.6, 1.4, 0.12)))
   }
 
-  test("isDegraded: failed/invalid samples (0, Inf) don't poison the verdict") {
-    assert(!Bench.isDegraded(Seq(0.0, 0.12, 0.13)))
-    assert(!Bench.isDegraded(Seq(Double.PositiveInfinity, 0.12, 0.13)))
-    assert(Bench.isDegraded(Seq(Double.PositiveInfinity, 0.12, 0.5)))
+  test("isDegraded: failed/invalid samples are excluded from the ratio but " +
+    "ALWAYS flag — a canary that couldn't run can't vouch for the window") {
+    // the -1 failure sentinel must not enter the min (a 5ms time-to-throw
+    // would make every healthy sample look >3x the floor) …
+    assert(Bench.isDegraded(Seq(-1.0, 0.12, 0.13)))
+    assert(Bench.isDegraded(Seq(0.0, 0.12, 0.13)))
+    assert(Bench.isDegraded(Seq(Double.PositiveInfinity, 0.12, 0.13)))
+    // … and flagging is from the sentinel itself, not a poisoned ratio:
+    // the same healthy spread stays clean without the failure
+    assert(!Bench.isDegraded(Seq(0.12, 0.13)))
   }
 }

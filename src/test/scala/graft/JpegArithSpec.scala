@@ -204,10 +204,7 @@ class JpegArithSpec extends AnyFunSuite {
     val Some((dw, dh, px)) = Jpeg.decodeGray(bytes): @unchecked
     assert(dw == w && dh == h)
     // reference: direct O(64²) IDCT of the same (zigzag-ordered) blocks
-    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zig = Jpeg.ZIGZAG
     def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
     (0 until h).foreach { y =>
       (0 until w).foreach { x =>
@@ -435,10 +432,7 @@ class JpegArithSpec extends AnyFunSuite {
       (_, bx, by) => coefs(by)(bx), precision = 12)
     val Some((dw, dh, px)) = Jpeg.decodeGray12(bytes): @unchecked
     assert(dw == w && dh == h)
-    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zig = Jpeg.ZIGZAG
     def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
     (0 until h).foreach { y =>
       (0 until w).foreach { x =>

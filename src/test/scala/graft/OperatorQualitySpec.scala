@@ -1815,6 +1815,22 @@ class OperatorQualitySpec extends AnyFunSuite {
       gnu.take(512 * 2) ++ new Array[Byte](1024)
     }
     assert(Tar.parse(1L, dangling).exists(!_.ok))
+    // dangling longname at a CLEAN payload end (no trailer) quarantines
+    // too — the named member is missing either way (round-15 review find:
+    // the no-trailer acceptance path skipped the dangling check)
+    val danglingNoTrailer = {
+      val gnu = Tar.tarBytes(Seq("a.txt" -> "xyz".getBytes("UTF-8"),
+        long1 -> Array[Byte](1)), longStyle = "gnu")
+      gnu.take(512 * 4) // good member (hdr+data) then just the 'L' member
+    }
+    assert(Tar.parse(1L, danglingNoTrailer).exists(!_.ok),
+      "dangling longname at clean payload end must quarantine")
+    // PAX record lengths are OCTET counts: a multi-byte UTF-8 long name
+    // round-trips (round-15 review find: char-count self-mismatched)
+    val uniName = ("ü" * 60) + ".bin"
+    val uniTar = Tar.tarBytes(Seq(uniName -> Array[Byte](7)), longStyle = "pax")
+    val uni = Tar.parse(3L, uniTar).toVector
+    assert(uni.forall(_.ok) && uni.exists(_.name == uniName), uni.toString)
     // webdataset grouping keys on the long BASENAME before the first dot
     import spark.implicits._
     val row = graft.operators.Multimodal.MediaRow(9L, "shard",
