@@ -476,6 +476,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinOps == 1, s"expected exactly one join operator, got $joinOps:\n$p")
   }
 
+  test("dedup_video_near: candidate generation is an equi-join on the " +
+    "frame content key — no cartesian/nested-loop pair enumeration") {
+    val p = plan("dedup_video_near")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs shape in the video near-dup join:\n$p")
+    assert(p.contains("Join"), p) // the key equi-join is present
+  }
+
   test("crawl_build_pipeline: robots admission is a broadcast join, never " +
     "a shuffled self-join that re-executes the WARC build+parse lineage") {
     val p = plan("crawl_build_pipeline")
