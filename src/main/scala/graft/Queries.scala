@@ -7447,6 +7447,88 @@ object Queries {
           .orderBy("digest")
       }),
 
+    // Streaming PERCEPTUAL admission — the near-dup twin of
+    // stream_admit_history: the REAL stream runs TWICE against the same
+    // target (fresh checkpoint), each batch admitting only signatures
+    // with no history signature within hamming ≤ 3 via the banded
+    // probe-vs-index join (Dedup.bitstringHits), idempotently appended
+    // (run 2 inserts nothing). Signatures are closed-form 64-bit
+    // strings: odd (stream) ids flip the first (fam % 6) bits of their
+    // even twin's base pattern, so admission flips exactly at the
+    // hamming>3 boundary and the oracle replays the full
+    // NOT-EXISTS-within-3 predicate bit-by-bit. Output is the admitted
+    // signature SET (arrival-order independent).
+    QueryDef("stream_admit_near", Some(
+      "WITH h AS (SELECT doc_id, doc_id // 2 AS fam FROM documents WHERE doc_id % 2 = 0), " +
+        "s AS (SELECT doc_id, doc_id // 2 AS fam, (doc_id // 2) % 6 AS m " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "hbit AS (SELECT doc_id, g.i AS w, CASE WHEN (fam*31 + g.i*g.i*5) % 64 < 32 " +
+        "THEN '1' ELSE '0' END AS bit FROM h, " +
+        "LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g), " +
+        "sbit AS (SELECT doc_id, g.i AS w, CASE WHEN " +
+        "((fam*31 + g.i*g.i*5) % 64 < 32) <> (g.i < m) THEN '1' ELSE '0' END AS bit " +
+        "FROM s, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g), " +
+        "hsig AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS sig " +
+        "FROM hbit GROUP BY doc_id), " +
+        "ssig AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS sig " +
+        "FROM sbit GROUP BY doc_id), " +
+        // per (stream sig, history sig) hamming via position unnest —
+        // DuckDB lambdas cannot correlate the outer row, so the bit
+        // comparison rides a LATERAL series. The cross runs over the
+        // DISTINCT sig sets: grouping doc-level rows by sig string would
+        // sum each position difference once per duplicate doc pair
+        "ssd AS (SELECT DISTINCT sig FROM ssig), " +
+        "hsd AS (SELECT DISTINCT sig FROM hsig), " +
+        "hm AS (SELECT ss.sig, hh.sig AS hsig, " +
+        "sum(CASE WHEN substr(ss.sig, CAST(g.i AS INT), 1) <> " +
+        "substr(hh.sig, CAST(g.i AS INT), 1) THEN 1 ELSE 0 END) AS ham " +
+        "FROM ssd ss, hsd hh, " +
+        "LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g " +
+        "GROUP BY 1, 2), " +
+        "near AS (SELECT DISTINCT sig FROM hm WHERE ham <= 3) " +
+        "SELECT sig FROM ssd WHERE sig NOT IN (SELECT sig FROM near) " +
+        "ORDER BY sig"),
+      (s, d) => {
+        import s.implicits._
+        def sigOf(id: Long): String = {
+          val fam = id / 2
+          val m = (fam % 6).toInt
+          val sb = new java.lang.StringBuilder(64)
+          var w = 0
+          while (w < 64) {
+            val base = (fam * 31 + w.toLong * w * 5) % 64 < 32
+            val bit = base ^ (id % 2 == 1 && w < m) // odd = perturbed twin
+            sb.append(if (bit) '1' else '0')
+            w += 1
+          }
+          sb.toString
+        }
+        val root = scratchRoot(s) + "/graft_admitnear_q_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val target = s"$root/target"
+        val hist = T(s, d, "documents").filter(col("doc_id") % 2 === 0)
+          .select("doc_id").as[Long].map(id => Tuple1(sigOf(id))).toDF("sig")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        def src: DataFrame = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 2 === 1)
+          .select("doc_id").as[Long]
+          .map(id => (id, sigOf(id))).toDF("doc_id", "sig")
+        graft.streaming.StreamingJobs.withDrainParallelism(s) {
+          for (run <- 1 to 2) { // run 2 = full replay: must insert nothing
+            val q = graft.streaming.StreamingJobs.admitNearSink(src, hist,
+              target, s"$root/ckpt$run", "doc_id", "sig")
+            q.awaitTermination()
+          }
+        }
+        s.read.parquet(target).select("sig").distinct().orderBy("sig")
+      }),
+
     // Streaming Gopher gate run AS A STREAM end-to-end (readStream →
     // row-local rules → append memory sink, AvailableNow drain) — the
     // 100 TB ingest-gate shape: stateless, zero state store, throughput

@@ -349,6 +349,46 @@ object Dedup {
     * equi-join, candidates ∝ colliding 16-bit buckets, never all-pairs —
     * identical shape to the text simhash join that is plan-pinned at
     * 100 TB. */
+  /** Probe-vs-index near-dup MEMBERSHIP: the ids of `probe` rows whose
+    * 64-bit signature lies within `maxHamming` of AT LEAST one `index`
+    * signature — the admission primitive (is this new item a near-dup of
+    * the corpus?), vs [[bitstringNearPairs]]'s pair enumeration. Same
+    * 4×16-bit pigeonhole banding; since only EXISTENCE matters, the
+    * verify step collapses to a distinct on probe ids (no
+    * first-matching-chunk bookkeeping). Scale: the index side's chunk
+    * table is what a persisted ANN admission index stores; candidates ∝
+    * colliding 16-bit buckets, never |probe|×|index|. */
+  def bitstringHits(probe: DataFrame, idCol: String, bitsCol: String,
+                    index: DataFrame, indexBitsCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    def chunked(df: DataFrame, bits: String, pfx: String,
+                id: Option[String]): DataFrame = {
+      val cs = (0 to 3).map { c =>
+        conv(substring(col(bits), 1 + 16 * c, 16), 2, 10).cast("long").as(s"$pfx$c")
+      }
+      val base = id match {
+        case Some(ic) => df.select(col(ic).as("id") +: cs: _*)
+        case None => df.select(cs: _*)
+      }
+      base.select((id.map(_ => col("id")).toSeq ++
+          (0 to 3).map(c => col(s"$pfx$c")) :+
+          explode(sequence(lit(0), lit(3))).as("chunk")): _*)
+        .withColumn("chunk_val",
+          element_at(array((0 to 3).map(c => col(s"$pfx$c")): _*), col("chunk") + 1))
+    }
+    val p = chunked(probe, bitsCol, "p", Some(idCol))
+    val ix = chunked(index.select(col(indexBitsCol).as("__ibits")).distinct(),
+      "__ibits", "i", None)
+    val hamming = (0 to 3).map { c =>
+      bit_count(col(s"p$c").bitwiseXOR(col(s"i$c")))
+    }.reduce(_ + _).cast("int")
+    p.join(ix, Seq("chunk", "chunk_val"))
+      .filter(hamming <= maxHamming)
+      .select(col("id"))
+      .distinct()
+  }
+
   def bitstringNearPairs(hashes: DataFrame, idCol: String, bitsCol: String,
                          maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")

@@ -142,6 +142,47 @@ object StreamingJobs {
       }
       .trigger(trigger).start()
 
+  /** Streaming PERCEPTUAL admission sink — the near-dup twin of
+    * [[admitStream]]: each microbatch admits only the rows whose 64-bit
+    * signature (`sigCol`, a '0'/'1' string) has NO history signature
+    * within `maxHamming`, via [[graft.operators.Dedup.bitstringHits]]'s
+    * banded probe-vs-index join, then appends them to `targetPath`
+    * idempotently (left-anti on the current target's signatures — a
+    * replayed batch inserts nothing). In-batch exact-signature
+    * duplicates collapse first. Per-batch near-pairs BOTH admit by
+    * design (deterministic; the refreshed history/target absorbs them at
+    * the next ingest cycle), mirroring how production perceptual
+    * admission indexes are maintained. foreachBatch is the seam: the
+    * banded join + existence aggregate is a batch shape the streaming
+    * planner cannot express as a stateful transform. Scale: the history
+    * side is the persisted chunk index; candidates ∝ colliding 16-bit
+    * buckets, never |batch|×|history|. */
+  def admitNearSink(stream: DataFrame, historySigs: DataFrame,
+                    targetPath: String, checkpoint: String,
+                    idCol: String, sigCol: String,
+                    maxHamming: Int = 3,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val once = batch.dropDuplicates(sigCol)
+        val hits = graft.operators.Dedup.bitstringHits(
+          once, idCol, sigCol, historySigs, sigCol, maxHamming)
+        val admitted = once.join(
+          hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        val fresh =
+          if (exists) {
+            val existing = spark.read.parquet(targetPath).select(sigCol)
+            admitted.join(existing, Seq(sigCol), "left_anti")
+          } else admitted
+        fresh.write.mode("append").parquet(targetPath)
+        ()
+      }
+      .trigger(trigger).start()
+
   /** Streaming type-1 MERGE sink — the streaming twin of
     * [[graft.operators.Scd.upsert]]: each microbatch dedups on `keyCols`
     * (last-row-wins within the batch by `orderCol`, with the attribute
