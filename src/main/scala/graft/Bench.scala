@@ -128,11 +128,12 @@ object Bench {
       .foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
     // JVM/codegen/file-listing warmup so the first timed query isn't charged
     // for session startup (round-2 bench showed 3.8 s vs 0.15 s steady-state).
-    // a1_daily_mart: same lineitem scan+agg shape as the old q1 warmup but
-    // NOT memoized — q1 now builds the shared pricingSummary mart, and
-    // warming it here would hide the mart's build cost from the timed loop
-    // instead of charging it to q1 per the timing contract
-    SparkEntry.queries.get("a1_daily_mart")
+    // a12_distinct_days: a lineitem scan+shuffle with NO memoized mart —
+    // a1_daily_mart (the previous warmup row) now runs the REAL municipality
+    // mart over the memoized enrichedProxy, and warming it here would hide
+    // the proxy's build cost from the timed loop instead of charging it to
+    // the alphabetically first consumer per the timing contract
+    SparkEntry.queries.get("a12_distinct_days")
       .foreach(fn => try consume(fn(spark, sfDir)) catch { case _: Throwable => })
     // shared serve inputs are persisted marts in production — warm once here
     try Queries.warmupShared(spark, sfDir) catch { case _: Throwable => }

@@ -1074,6 +1074,13 @@ object Queries {
           .otherwise(date_format(col("o_orderdate").cast("date"),
             "yyyy-MM-dd HH:mm:ss"))
           .as("view_ts"),
+        // municipality keys for the A1/A2 rows' REAL mart builders: null
+        // off a modulus (pins the builders' null-drop filter), area a pure
+        // integer function of the key so max(area) is deterministic
+        when(col("o_orderkey") % 13 =!= 0, col("c_custkey")).as("mun_cd_mun"),
+        when(col("o_orderkey") % 13 =!= 0,
+          concat(lit("MUN-"), col("c_custkey"))).as("mun_nm_mun"),
+        (col("c_custkey") % 1000 + 10).cast("long").as("mun_area_km2"),
         col("c_mktsegment").as("mun_uf"),
         col("c_nationkey").as("cd_bioma"),
         col("n_name").as("bioma"),
@@ -1090,6 +1097,9 @@ object Queries {
       "CASE WHEN o_orderkey % 7 = 0 THEN 'pending' " +
       "WHEN o_orderkey % 3 = 0 THEN strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') " +
       "ELSE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') END AS view_ts, " +
+      "CASE WHEN o_orderkey % 13 <> 0 THEN c_custkey END AS mun_cd_mun, " +
+      "CASE WHEN o_orderkey % 13 <> 0 THEN 'MUN-' || c_custkey END AS mun_nm_mun, " +
+      "CAST(c_custkey % 1000 + 10 AS BIGINT) AS mun_area_km2, " +
       "c_mktsegment AS mun_uf, c_nationkey AS cd_bioma, n_name AS bioma, " +
       "CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey % 100 END AS cd_cnuc, " +
       "CASE WHEN o_orderkey % 5 = 0 THEN 'UC-' || (o_orderkey % 100) END AS uc_nome, " +
@@ -1135,26 +1145,45 @@ object Queries {
         "FROM lineitem GROUP BY 1,2"),
       (s, d) => pricingSummary(s, d)),
 
+    // A1 — the REAL Marts.focosDiarioMunicipio under the gate (round-16:
+    // the old row tested an aggregate SHAPE over lineitem; this one runs
+    // the actual builder): coalesce(view_ts::date, file_date) day key,
+    // null-municipality drop, and the reference's max(area) density
+    // denominator (10_focos_diario_municipio.sql:44-47). Density emitted
+    // as the exact half-up integer at 1e-4 scale (densityE4 pattern).
     QueryDef("a1_daily_mart", Some(
-      "SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag, count(*) AS n_focos, " +
-        "max(l_quantity) AS max_qty, " +
-        "round(100.0*count(*)/NULLIF(sum(l_quantity),0), 4) AS density " +
-        "FROM lineitem GROUP BY 1,2"),
-      (s, d) => T(s, d, "lineitem")
-        .groupBy(col("l_shipdate").cast("date").as("day"), col("l_returnflag"))
-        .agg(count(lit(1)).as("n_focos"), max("l_quantity").as("max_qty"),
-          round(lit(100.0) * count(lit(1)) /
-            when(sum("l_quantity") === 0, null).otherwise(sum("l_quantity")), 4)
-            .as("density"))),
+      s"WITH e AS ($enrProxySql), " +
+        "m AS (SELECT coalesce(try_cast(view_ts AS DATE), file_date) AS day, " +
+        "mun_cd_mun, mun_nm_mun, mun_uf, max(mun_area_km2) AS mun_area_km2, " +
+        "count(*) AS n_focos FROM e WHERE mun_cd_mun IS NOT NULL GROUP BY 1,2,3,4) " +
+        "SELECT day, mun_cd_mun, mun_nm_mun, mun_uf, mun_area_km2, " +
+        "CAST(n_focos AS BIGINT) AS n_focos, " +
+        "(2000000 * n_focos + mun_area_km2) // (2 * mun_area_km2) AS density_e4 " +
+        "FROM m ORDER BY day, mun_cd_mun"),
+      (s, d) => graft.marts.Marts.focosDiarioMunicipio(enrichedProxy(s, d))
+        .select(col("day"), col("mun_cd_mun"), col("mun_nm_mun"), col("mun_uf"),
+          col("mun_area_km2"), col("n_focos"),
+          expr("(2000000 * n_focos + mun_area_km2) div (2 * mun_area_km2)")
+            .as("density_e4"))
+        .orderBy("day", "mun_cd_mun")),
 
+    // A2 — the REAL Marts.focosMensalMunicipio (11_focos_mensal_municipio
+    // .sql): same semantics with the coalesce day key truncated to month.
     QueryDef("a2_monthly_mart", Some(
-      "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_returnflag, " +
-        "count(*) AS n_focos, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
-        "FROM lineitem GROUP BY 1,2"),
-      (s, d) => T(s, d, "lineitem")
-        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
-          col("l_returnflag"))
-        .agg(count(lit(1)).as("n_focos"), sum("l_quantity").cast("long").as("sum_qty"))),
+      s"WITH e AS ($enrProxySql), " +
+        "m AS (SELECT CAST(date_trunc('month', coalesce(try_cast(view_ts AS DATE), file_date)) AS DATE) AS month, " +
+        "mun_cd_mun, mun_nm_mun, mun_uf, max(mun_area_km2) AS mun_area_km2, " +
+        "count(*) AS n_focos FROM e WHERE mun_cd_mun IS NOT NULL GROUP BY 1,2,3,4) " +
+        "SELECT month, mun_cd_mun, mun_nm_mun, mun_uf, mun_area_km2, " +
+        "CAST(n_focos AS BIGINT) AS n_focos, " +
+        "(2000000 * n_focos + mun_area_km2) // (2 * mun_area_km2) AS density_e4 " +
+        "FROM m ORDER BY month, mun_cd_mun"),
+      (s, d) => graft.marts.Marts.focosMensalMunicipio(enrichedProxy(s, d))
+        .select(col("month"), col("mun_cd_mun"), col("mun_nm_mun"), col("mun_uf"),
+          col("mun_area_km2"), col("n_focos"),
+          expr("(2000000 * n_focos + mun_area_km2) div (2 * mun_area_km2)")
+            .as("density_e4"))
+        .orderBy("month", "mun_cd_mun")),
 
     // A3 — daily UF mart over the REAL Marts.focosDiarioUf: day key is
     // coalesce(view_ts::date, file_date) (20_focos_diario_uf.sql:30-43),

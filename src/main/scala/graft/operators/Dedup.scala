@@ -357,11 +357,25 @@ object Dedup {
     * verify step collapses to a distinct on probe ids (no
     * first-matching-chunk bookkeeping). Scale: the index side's chunk
     * table is what a persisted ANN admission index stores; candidates ∝
-    * colliding 16-bit buckets, never |probe|×|index|. */
+    * colliding 16-bit buckets, never |probe|×|index|.
+    *
+    * Malformed signatures (anything but exactly 64 '0'/'1' chars) FAIL
+    * CLOSED: a probe row whose signature cannot be parsed cannot prove
+    * its distance from the corpus, so its id is RETURNED as a hit
+    * (admission gates built on this — [[graft.streaming.StreamingJobs
+    * .admitNearSink]] — therefore quarantine it rather than admit it);
+    * malformed INDEX signatures are dropped (`conv` would otherwise
+    * null/zero their chunk values and either vanish silently or collide
+    * with every chunk_val=0 probe). */
   def bitstringHits(probe: DataFrame, idCol: String, bitsCol: String,
                     index: DataFrame, indexBitsCol: String,
                     maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val sigOk = col(bitsCol).rlike("^[01]{64}$")
+    val badProbeIds = probe.filter(!sigOk || col(bitsCol).isNull)
+      .select(col(idCol).as("id"))
+    val probeOk = probe.filter(sigOk)
+    val indexOk = index.filter(col(indexBitsCol).rlike("^[01]{64}$"))
     def chunked(df: DataFrame, bits: String, pfx: String,
                 id: Option[String]): DataFrame = {
       val cs = (0 to 3).map { c =>
@@ -377,8 +391,8 @@ object Dedup {
         .withColumn("chunk_val",
           element_at(array((0 to 3).map(c => col(s"$pfx$c")): _*), col("chunk") + 1))
     }
-    val p = chunked(probe, bitsCol, "p", Some(idCol))
-    val ix = chunked(index.select(col(indexBitsCol).as("__ibits")).distinct(),
+    val p = chunked(probeOk, bitsCol, "p", Some(idCol))
+    val ix = chunked(indexOk.select(col(indexBitsCol).as("__ibits")).distinct(),
       "__ibits", "i", None)
     val hamming = (0 to 3).map { c =>
       bit_count(col(s"p$c").bitwiseXOR(col(s"i$c")))
@@ -386,6 +400,7 @@ object Dedup {
     p.join(ix, Seq("chunk", "chunk_val"))
       .filter(hamming <= maxHamming)
       .select(col("id"))
+      .unionByName(badProbeIds)
       .distinct()
   }
 
@@ -628,10 +643,20 @@ object Dedup {
     // override is ignored (default kept) rather than thrown.
     val localThreshold = sess.conf.getOption("spark.graft.cc.localEdgeThreshold")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(2000000L)
+    // The budget is ALSO expressible in BYTES (`spark.graft.cc.
+    // localEdgeBytes`, default 32 MB): the edge-count default is a proxy
+    // for driver pressure, and a byte budget keeps the bound meaningful
+    // if the collected footprint model ever widens. Per collected edge =
+    // 2 longs = 16 B by construction (the integral-id guard + cast above),
+    // so bytes convert exactly; the TIGHTER of the two caps wins.
+    val localEdgeBytes = sess.conf.getOption("spark.graft.cc.localEdgeBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(32L * 1024 * 1024)
+    val effThreshold = math.min(localThreshold, localEdgeBytes / 16L)
     val pairsCached =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (idIsIntegral && pairsCached && localThreshold > 0 &&
-        p0.count() <= localThreshold) {
+    if (idIsIntegral && pairsCached && effThreshold > 0 &&
+        p0.count() <= effThreshold) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -988,12 +1013,18 @@ object Dedup {
     * over documents, no all-pairs stage. The threshold is the integer form
     * `den·inter ≥ num·sz` — no float boundary. Skew note: a shingle seen
     * in d docs contributes d² pair rows; corpora with heavy boilerplate
-    * should pre-drop hot shingles ([[winnowPairs]]' maxDf cap) or route
-    * through [[minHashLshPairs]] — this operator is the exact-verdict tier.
+    * should set `maxDf` (same mechanism as [[winnowPairs]]': shingles seen
+    * in more than maxDf docs of a block are dropped from the inverted index
+    * BEFORE the pair join, bounding any single posting list's contribution
+    * to maxDf²) or route through [[minHashLshPairs]]. The cap is lossy the
+    * documented way: `sz_a` stays the FULL shingle count, so capped runs
+    * only lose intersection mass carried exclusively by boilerplate grams —
+    * containment scores can only drop, never inflate.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockKey: Column, shingleSize: Int = 5,
-                       num: Int = 1, den: Int = 2): DataFrame = {
+                       num: Int = 1, den: Int = 2,
+                       maxDf: Long = 0L): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     // persisted: both self-join sides read the shingled frame
     val base = graft.CacheRegistry.register(
@@ -1002,10 +1033,23 @@ object Dedup {
         .filter(size(col("sh")) > 0)
         .withColumn("sz", size(col("sh")).cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val probe = base.select(col("id").as("id_a"), col("block"),
-      col("sz").as("sz_a"), explode(col("sh")).as("g"))
-    val index = base.select(col("id").as("id_b"), col("block"),
+    // sz is computed above, BEFORE any df cap — the containment denominator
+    // must stay the document's true shingle count under the cap
+    val exploded = base.select(col("id"), col("block"), col("sz"),
       explode(col("sh")).as("g"))
+    val kept =
+      if (maxDf <= 0L) exploded
+      else {
+        // one postings-keyed window (a shuffle the pair join needs anyway —
+        // same partitioning key) counts each (block, shingle)'s document
+        // frequency; sh is a DISTINCT-shingle set so count(*) IS the df
+        val wDf = Window.partitionBy("block", "g")
+        exploded.withColumn("__df", count(lit(1)).over(wDf))
+          .filter(col("__df") <= maxDf).drop("__df")
+      }
+    val probe = kept.select(col("id").as("id_a"), col("block"),
+      col("sz").as("sz_a"), col("g"))
+    val index = kept.select(col("id").as("id_b"), col("block"), col("g"))
     probe.join(index, Seq("block", "g"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")

@@ -334,6 +334,10 @@ object Jpeg {
           while (pos < end) {
             val tcTb = u8()
             val cs = u8()
+            // §B.2.4.3: Tc ∈ {0 (DC), 1 (AC)}, Tb ∈ 0..3 — an out-of-range
+            // class or table id quarantines the stream instead of silently
+            // aliasing onto a valid conditioning slot via the & 3 mask
+            if ((tcTb >> 4) > 1 || (tcTb & 0xf) > 3) return None
             val id = tcTb & 3
             if ((tcTb >> 4) == 0) {
               val l = cs & 0xf; val u = cs >> 4

@@ -205,16 +205,15 @@ object Multimodal {
     * megapixel rows). Null payload / unrecognized / undecodable → None
     * (the quarantine contract). */
   /** Decoded RGB pixels via the from-spec decoders, ImageIO as fallback
-    * for out-of-scope shapes. PATH BOUNDARY (ADVICE round-14): the two
-    * paths are NOT bit-identical for every input class — from-spec PNG
-    * gray is raw (g,g,g) while ImageIO applies a gray→sRGB ColorModel,
-    * and the from-spec float-IDCT JPEG can differ ±1 LSB from the JDK
-    * decoder. Pixel-derived KEYS (dhash, checksums) are therefore only
-    * comparable within one path; the from-spec decoders cover every
-    * fixture/gate input, so the boundary is only crossed by inputs the
-    * spec decoders reject (arithmetic JPEG, 12-bit, exotic PNG bit
-    * depths), which a dedup pass should treat as a separate stratum —
-    * see [[imageDhash]]. */
+    * for out-of-scope shapes. PATH BOUNDARY (ADVICE round-14, closed in
+    * code round-16): GRAY is normalized — the ImageIO fallback reads raw
+    * raster samples as (g,g,g) (libpng convention, matching [[Png]])
+    * instead of getRGB's gray→sRGB ColorModel ramp, so gray content
+    * yields one pixel value (and one dhash key) across both strata
+    * (CI-pinned in OperatorQualitySpec). The residual difference is
+    * lossy-JPEG IDCT (±1 LSB between the from-spec float IDCT and the
+    * JDK decoder) — inherent to JPEG, absorbed by hamming-tolerant
+    * joins, not a key seam for lossless formats. */
   private def pixelsOf(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val viaSpec = sniffImageFormat(p) match {
       case "png" => Png.decodeRgb(p)
@@ -229,7 +228,32 @@ object Multimodal {
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
-        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+        // Gray images: read RAW raster samples as (g,g,g) — the same
+        // libpng convention the from-spec PNG decoder uses — instead of
+        // getRGB's linear-gray→sRGB ColorModel ramp. Without this, the
+        // SAME visual content hashes differently depending on which
+        // decoder stratum handled it (e.g. a 16-bit gray PNG falls back
+        // here while its 8-bit twin decodes from spec), silently
+        // splitting dedup groups on a key seam. 16-bit samples take the
+        // high byte, matching the 8-bit truncation everywhere else.
+        val isGray = img.getColorModel.getColorSpace.getType ==
+          java.awt.color.ColorSpace.TYPE_GRAY
+        if (isGray) {
+          val raster = img.getRaster
+          val shift = if (raster.getSampleModel.getSampleSize(0) > 8) 8 else 0
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (raster.getSample(x, y, 0) >> shift) & 0xff
+              out(y * w + x) = (g << 16) | (g << 8) | g
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, out))
+        } else Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
       }
     }
   }
@@ -363,10 +387,12 @@ object Multimodal {
     * The grid sampling (not region averaging) keeps every bit a pure
     * integer function of the pixels, so the gate oracle replays the hash
     * CLOSED-FORM from the gradient fixture's pixel formula. Undecodable
-    * or sub-grid (<9×8) images quarantine. Hash keys are path-dependent
-    * at the from-spec/ImageIO boundary (see [[pixelsOf]]): the same
-    * visual content decoded once by each path can hash apart (gray
-    * handling, ±1 IDCT LSB) — group within one decoder stratum. */
+    * or sub-grid (<9×8) images quarantine. Decoder-stratum note (see
+    * [[pixelsOf]]): gray handling is NORMALIZED across the from-spec and
+    * ImageIO paths (both emit raw (g,g,g)), so gray content hashes
+    * identically whichever stratum decodes it; the residual seam is the
+    * ±1 IDCT LSB of lossy JPEG across decoders — inherent to JPEG, and
+    * absorbed by the hamming-≤3 near join rather than exact grouping. */
   def imageDhash(media: Dataset[MediaRow]): Dataset[ImageDhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>

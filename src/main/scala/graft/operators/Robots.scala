@@ -116,12 +116,18 @@ object Robots {
   final case class UrlVerdict(host: String, path: String, allowed: Boolean,
                               matched_rule: String, has_robots: Boolean)
 
-  // shared parse-once-per-host rule-set frame for the two admission APIs
+  // shared parse-once-per-host rule-set frame for the two admission APIs.
+  // One row per host is ENFORCED, not assumed: a duplicate host row in the
+  // robots frame would otherwise multiply every joined fact row (row
+  // duplication, not just a wrong verdict). min() picks the surviving body
+  // deterministically (task retries and partitioning cannot flip it);
+  // a host whose only bodies are null parses as the empty file (allow-all).
   private def parsedRules(robots: DataFrame,
                           agent: String): Dataset[(String, Seq[(String, Boolean)])] = {
     val spark = robots.sparkSession
     import spark.implicits._
     robots.select(col("host"), col("robots_txt"))
+      .groupBy("host").agg(min("robots_txt").as("robots_txt"))
       .as[(String, String)]
       .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
         .map(r => (r.pattern, r.allow))) }
@@ -141,7 +147,10 @@ object Robots {
       .join(broadcast(parsed), Seq("host"), "left")
       .as[(String, String, Option[Seq[(String, Boolean)]])]
       .map { case (h, p, rules) =>
-        rules match {
+        // a null path is unfetchable and unmatchable — fail closed
+        // (allowed=false) instead of NPEing inside the matcher
+        if (p == null) UrlVerdict(h, p, allowed = false, "", rules.isDefined)
+        else rules match {
           case None => UrlVerdict(h, p, allowed = true, "", has_robots = false)
           case Some(rs) =>
             val (ok, pat) = isAllowedT(rs, p)
@@ -170,11 +179,14 @@ object Robots {
     val pathIdx = schema.fieldIndex(pathCol)
     joined.mapPartitions { it =>
       it.filter { row =>
-        row.isNullAt(rulesIdx) || { // no robots.txt → allow-all
-          val rs = row.getSeq[org.apache.spark.sql.Row](rulesIdx)
-            .map(r => (r.getString(0), r.getBoolean(1)))
-          isAllowedT(rs, row.getString(pathIdx))._1
-        }
+        // a null path is unfetchable — fail closed (drop the row) before
+        // the matcher, which would NPE on it
+        !row.isNullAt(pathIdx) &&
+          (row.isNullAt(rulesIdx) || { // no robots.txt → allow-all
+            val rs = row.getSeq[org.apache.spark.sql.Row](rulesIdx)
+              .map(r => (r.getString(0), r.getBoolean(1)))
+            isAllowedT(rs, row.getString(pathIdx))._1
+          })
       }
     }(org.apache.spark.sql.Encoders.row(schema))
       .drop("__robots_rules")

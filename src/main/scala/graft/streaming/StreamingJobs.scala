@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -99,11 +99,21 @@ object StreamingJobs {
     * that already holds its rows and inserts nothing.
     *
     * Scale: the anti-join's target side reads only `keyCols` (column
-    * pruning reaches the parquet footers), and `partitionCols` (when
-    * given) partition the target so downstream readers prune; bounding
-    * the anti-join's target scan by the batch's partition range is the
-    * caller's predicate to add when keys carry a partition column. No
-    * state store — the TABLE is the state.
+    * pruning reaches the parquet footers) AND is bounded by the batch's
+    * key envelope: the batch's per-key [min, max] (plus an isNull arm when
+    * the batch carries null keys) is pushed as range predicates into the
+    * target scan, so parquet row-group min/max stats skip every row group
+    * outside the envelope — and when a key is also a partition column,
+    * directory-level partition pruning applies on top. A target row
+    * outside the envelope on ANY key cannot null-safe-equal any batch
+    * row, so the prune is unconditionally sound. For the common
+    * append-only shapes (monotonic ids, time-partitioned days) the
+    * per-batch probe cost is therefore batch-envelope-sized, not
+    * O(target); a target with keys uniformly shuffled across its files
+    * degrades to the old full keyCols scan, no worse. No state store,
+    * no side index (a digest index would add a write not atomic with the
+    * target append — a crash between the two either loses rows or
+    * duplicates them on replay) — the TABLE is the state.
     *
     * @param trigger AvailableNow by default (drain-and-stop, the backfill
     *                shape); pass a processing-time trigger for a live
@@ -124,23 +134,68 @@ object StreamingJobs {
         val p = new org.apache.hadoop.fs.Path(targetPath)
         val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
         // in-batch dedup first: one upstream file delivering a new key
-        // twice in the same microbatch must still insert it once
+        // twice in the same microbatch must still insert it once.
+        // Persisted: the batch feeds BOTH the key-envelope aggregate and
+        // the anti-join probe side — without it the dedup shuffle runs
+        // twice per microbatch.
         val once = batch.dropDuplicates(keyCols)
-        val fresh =
-          if (exists) {
-            val existing = spark.read.parquet(targetPath)
-              .select(keyCols.map(col): _*)
-            // null-safe equality (<=>): a null-keyed row already in the
-            // target must block its replayed twin
-            val cond = keyCols.map(k => once(k) <=> existing(k)).reduce(_ && _)
-            once.join(existing, cond, "left_anti")
-          } else once
-        val writer = fresh.write.mode("append")
-        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-         else writer).parquet(targetPath)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val fresh =
+            if (exists) {
+              val existing = prunedTargetKeys(spark, targetPath, keyCols, once)
+              // null-safe equality (<=>): a null-keyed row already in the
+              // target must block its replayed twin
+              val cond = keyCols.map(k => once(k) <=> existing(k)).reduce(_ && _)
+              once.join(existing, cond, "left_anti")
+            } else once
+          val writer = fresh.write.mode("append")
+          (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+           else writer).parquet(targetPath)
+        } finally { once.unpersist(); () }
         ()
       }
       .trigger(trigger).start()
+
+  /** The target-side probe frame for [[idempotentAppendSink]]'s anti-join:
+    * the target's `keyCols`, filtered to the BATCH's key envelope — for
+    * each key, `key between batchMin and batchMax`, with an `isNull` arm
+    * when the batch has null keys (and ONLY the null arm when it has
+    * nothing else). These are plain comparisons on scan output columns,
+    * so they reach the parquet reader as pushed filters (row-group
+    * min/max skipping; partition pruning when a key is a partition
+    * column). Soundness: the anti-join's null-safe match requires
+    * equality on EVERY key, and a target row outside the envelope on any
+    * key equals no batch row — dropping it cannot admit a duplicate.
+    * Factored out (package-private) so the plan audit can assert the
+    * pushed filters on the probe scan directly. */
+  private[graft] def prunedTargetKeys(spark: SparkSession, targetPath: String,
+                                      keyCols: Seq[String],
+                                      once: DataFrame): DataFrame = {
+    val existing = spark.read.parquet(targetPath).select(keyCols.map(col): _*)
+    // one batch-sized aggregate: per-key min/max (nulls ignored by both)
+    // plus a has-null flag; collected to the driver as ONE row
+    val aggs = keyCols.flatMap { k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+        max(col(k).isNull.cast("int")).as(s"__hasnull_$k"))
+    }
+    val env = once.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val filters = keyCols.zipWithIndex.map { case (k, i) =>
+      val mn = env.get(3 * i); val mx = env.get(3 * i + 1)
+      val hasNull = !env.isNullAt(3 * i + 2) && env.getInt(3 * i + 2) == 1
+      val range: Option[Column] =
+        if (mn == null) None // batch key is all-null (or batch empty)
+        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+      val nullArm: Option[Column] = if (hasNull) Some(col(k).isNull) else None
+      (range, nullArm) match {
+        case (Some(r), Some(n)) => r || n
+        case (Some(r), None) => r
+        case (None, Some(n)) => n
+        case (None, None) => lit(false) // empty batch: probe nothing
+      }
+    }
+    existing.filter(filters.reduce(_ && _))
+  }
 
   /** Streaming PERCEPTUAL admission sink — the near-dup twin of
     * [[admitStream]]: each microbatch admits only the rows whose 64-bit
@@ -149,32 +204,55 @@ object StreamingJobs {
     * banded probe-vs-index join, then appends them to `targetPath`
     * idempotently (left-anti on the current target's signatures — a
     * replayed batch inserts nothing). In-batch exact-signature
-    * duplicates collapse first. Per-batch near-pairs BOTH admit by
-    * design (deterministic; the refreshed history/target absorbs them at
-    * the next ingest cycle), mirroring how production perceptual
-    * admission indexes are maintained. foreachBatch is the seam: the
-    * banded join + existence aggregate is a batch shape the streaming
-    * planner cannot express as a stateful transform. Scale: the history
-    * side is the persisted chunk index; candidates ∝ colliding 16-bit
-    * buckets, never |batch|×|history|. */
+    * duplicates collapse first. Rows whose signature is malformed (not
+    * exactly 64 '0'/'1' chars) are QUARANTINED, not admitted:
+    * [[graft.operators.Dedup.bitstringHits]] fails closed by returning
+    * their ids as hits — an unparseable signature cannot prove distance
+    * from the corpus, and an admission gate must not fail open on bad
+    * input.
+    *
+    * Within-run near-dedup contract: by default, near-pairs arriving in
+    * DIFFERENT microbatches of the same run all admit (the near check
+    * probes the static `historySigs` snapshot only; exact-signature
+    * replays are still blocked by the target anti-join). Callers relying
+    * on the default MUST refresh `historySigs` from the target between
+    * runs — that refresh cycle is what absorbs within-run near-dups,
+    * mirroring how production perceptual admission indexes are
+    * maintained. Set `nearDedupWithinRun=true` to instead union the
+    * CURRENT target's signatures into the probe index every batch
+    * (one extra batch-vs-target banded probe; the target side prunes to
+    * `sigCol`), so a near-dup of anything admitted earlier in the same
+    * run is rejected too.
+    *
+    * foreachBatch is the seam: the banded join + existence aggregate is
+    * a batch shape the streaming planner cannot express as a stateful
+    * transform. Scale: the history side is the persisted chunk index;
+    * candidates ∝ colliding 16-bit buckets, never |batch|×|history|. */
   def admitNearSink(stream: DataFrame, historySigs: DataFrame,
                     targetPath: String, checkpoint: String,
                     idCol: String, sigCol: String,
                     maxHamming: Int = 3,
+                    nearDedupWithinRun: Boolean = false,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val once = batch.dropDuplicates(sigCol)
+        val tPath = new org.apache.hadoop.fs.Path(targetPath)
+        val targetExists = tPath.getFileSystem(
+          spark.sessionState.newHadoopConf()).exists(tPath)
+        val probeIndex =
+          if (nearDedupWithinRun && targetExists)
+            historySigs.select(sigCol)
+              .unionByName(spark.read.parquet(targetPath).select(sigCol))
+          else historySigs
         val hits = graft.operators.Dedup.bitstringHits(
-          once, idCol, sigCol, historySigs, sigCol, maxHamming)
+          once, idCol, sigCol, probeIndex, sigCol, maxHamming)
         val admitted = once.join(
           hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        val p = new org.apache.hadoop.fs.Path(targetPath)
-        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
         val fresh =
-          if (exists) {
+          if (targetExists) {
             val existing = spark.read.parquet(targetPath).select(sigCol)
             admitted.join(existing, Seq(sigCol), "left_anti")
           } else admitted

@@ -1638,6 +1638,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!got(4L).ok && !got(5L).ok)
   }
 
+  test("imageDhash: one gray content → one hash key across decoder strata " +
+    "(8-bit gray PNG decodes from spec, 16-bit falls back to ImageIO)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // same visual gradient, two containers: an 8-bit gray PNG (from-spec
+    // Png path, raw (g,g,g)) and a 16-bit gray PNG with samples g<<8
+    // (bitDepth 16 is outside the spec decoder's scope → ImageIO fallback,
+    // which must now read raw raster samples, not the gray→sRGB ramp)
+    def grayAt(x: Int, y: Int): Int = (x * 13 + y * 29) % 256
+    def grayPng(ushort: Boolean): Array[Byte] = {
+      val t = if (ushort) java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+              else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      val img = new java.awt.image.BufferedImage(18, 10, t)
+      val ras = img.getRaster
+      for (y <- 0 until 10; x <- 0 until 18) {
+        val g = grayAt(x, y)
+        ras.setSample(x, y, 0, if (ushort) g << 8 else g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", grayPng(ushort = false), "image/png", None, None, None),
+      Multimodal.MediaRow(2L, "image", grayPng(ushort = true), "image/png", None, None, None))
+    val got = Multimodal.imageDhash(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).ok && got(2L).ok)
+    assert(got(1L).dhash_bits.length == 64)
+    assert(got(1L).dhash_bits == got(2L).dhash_bits,
+      s"stratum seam: spec=${got(1L).dhash_bits} imageio=${got(2L).dhash_bits}")
+  }
+
   test("Tar: ustar round-trip (offsets/sizes/512-padding, zero-byte " +
     "members, first-dot WebDataset keys incl. multi-part extensions), " +
     "malformed archives quarantine; the JDK has " +
@@ -1757,6 +1790,32 @@ class OperatorQualitySpec extends AnyFunSuite {
       "image/png", None, None, None)).toDS()
     assert(Multimodal.resizeEncodePng(bad, 3, 2).collect()
       .forall(_.payload.isEmpty))
+  }
+
+  test("bitstringHits: malformed signatures FAIL CLOSED (probe id returned " +
+    "as a hit; malformed index sigs dropped, not zero-aliased)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "01" * 32
+    def flip(s: String, is: Int*): String = {
+      val a = s.toCharArray
+      is.foreach(i => a(i) = if (a(i) == '0') '1' else '0')
+      new String(a)
+    }
+    val index = Seq(base, "not-a-signature", "0" * 63).toDF("sig")
+    val probe = Seq(
+      (1L, flip(base, 7)),            // near base → hit
+      (2L, flip(base, 1, 17, 33, 49)), // hamming 4 in every chunk → miss
+      (3L, "0" * 60),                  // short → malformed → fail-closed hit
+      (4L, "01xx" + "01" * 30),        // bad charset → fail-closed hit
+      (5L, null.asInstanceOf[String]), // null sig → fail-closed hit
+      // all-zero chunks: would collide with a zero-aliased malformed index
+      // sig if the index were not charset-filtered; base is nowhere near
+      (6L, "0" * 64)
+    ).toDF("id", "sig")
+    val got = Dedup.bitstringHits(probe, "id", "sig", index, "sig", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 5L), s"got $got")
   }
 
   test("Tar long names: PAX `x` path/size records and GNU `L` longname " +
@@ -2354,6 +2413,31 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(atBoundary == justBelow,
       "fast path at threshold == count diverged from the iterative loop")
     assert(atBoundary(4L) == 1L && atBoundary(7L) == 5L && atBoundary(16L) == 16L)
+    pairs.unpersist()
+  }
+
+  test("connectedComponents: localEdgeBytes is honored at the boundary " +
+    "(16 B/edge model) and the tighter of the two caps wins") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L)) // 5 edges
+    val pairs = edges.toDF("a", "b").persist()
+    def run(bytes: Long): (Map[Long, Long], Int) = {
+      spark.conf.set("spark.graft.cc.localEdgeBytes", bytes.toString)
+      try {
+        val m = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (m, Dedup.lastCcRounds.get)
+      } finally spark.conf.unset("spark.graft.cc.localEdgeBytes")
+    }
+    // budget exactly 5 edges × 16 B → fast path (rounds == 0)
+    val (atBudget, rFast) = run(5L * 16L)
+    assert(rFast == 0, s"expected driver fast path at the byte budget, rounds=$rFast")
+    // one byte less → edge cap rounds down to 4 < 5 → distributed loop
+    val (belowBudget, rLoop) = run(5L * 16L - 1L)
+    assert(rLoop > 0, "expected the iterative loop just under the byte budget")
+    assert(atBudget == belowBudget, "paths diverged at the byte boundary")
+    assert(atBudget(3L) == 1L && atBudget(5L) == 4L && atBudget(10L) == 10L)
     pairs.unpersist()
   }
 
@@ -3319,6 +3403,44 @@ class OperatorQualitySpec extends AnyFunSuite {
     // all 4 of doc1's shingles appear in doc2 → C(1,2) = 1.0; doc2 has far
     // more shingles than the shared 4 → C(2,1) < 0.5; doc3 shares nothing
     assert(got === List((1L, 2L, 1000000L)), s"got $got")
+  }
+
+  test("containmentPairs maxDf: the cap drops only the boilerplate gram's " +
+    "candidates; genuine containment survives with its full denominator") {
+    import spark.implicits._
+    // ten unrelated docs share ONE 5-word boilerplate run (license-header
+    // shape); each then diverges into 5 unique words, so every unrelated
+    // pair shares exactly the boilerplate shingle and nothing else
+    val boiler = "standard license header words five"
+    val unrelated = (10L to 19L).map { i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }
+    // one genuine directed containment with no boilerplate at all
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = (unrelated ++ Seq(
+      (1L, quote),
+      (2L, s"intro words here then $quote and a long tail " +
+        "november oscar papa quebec romeo sierra tango uniform victor whiskey")
+    )).toDF("doc_id", "text")
+    def run(maxDf: Long) = operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", lit(1), shingleSize = 5,
+        num = 1, den = 10, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList.sorted
+    // uncapped at the permissive 1/10 threshold: every unrelated ordered
+    // pair qualifies through the single boilerplate gram (inter=1, sz=6)
+    val uncapped = run(0L)
+    val boilerPairs = uncapped.filter { case (a, b, _, _, _) => a >= 10L && b >= 10L }
+    assert(boilerPairs.size == 90, s"expected 10*9 boilerplate pairs, got ${boilerPairs.size}")
+    // the genuine pair appears BOTH directions at 1/10 (doc2 is 26 words →
+    // 22 shingles; 4/22 ≥ 1/10)
+    val genuine = List((1L, 2L, 4L, 4L, 1000000L), (2L, 1L, 4L, 22L, 181818L))
+    assert(genuine.forall(uncapped.contains), s"got $uncapped")
+    // capped at maxDf=3: the boilerplate shingle (df=10) leaves the index;
+    // unrelated pairs lose their only shared gram and vanish; the genuine
+    // pair's grams (df=2) survive untouched — same inter, same FULL sz_a
+    val capped = run(3L)
+    assert(capped === genuine, s"got $capped")
   }
 
   test("jaccardTopK: exact |∩|·10⁶ div |∪| scores over distinct token sets") {

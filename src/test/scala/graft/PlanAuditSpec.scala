@@ -75,12 +75,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("a1_daily_mart: single-pass aggregation with whole-stage codegen") {
-    val p = executedPlan("a1_daily_mart")
+  test("a1_daily_mart: the REAL municipality mart — broadcast dim joins, " +
+    "one agg exchange + one output sort, whole-stage codegen") {
+    // split at the AQE appendix: the final-plan string repeats every
+    // exchange under "== Initial Plan =="
+    val p = executedPlan("a1_daily_mart").split("== Initial Plan ==")(0)
     // codegen'd operators print with the *(stageId) marker
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
-    assert("Exchange".r.findAllIn(p).size <= 2,
-      s"more shuffles than one agg exchange (+AQE read):\n$p")
+    // the enriched proxy's customer/nation joins must broadcast — the
+    // fact side never shuffles for a dimension
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+    // shuffles: exactly the mart's agg hash exchange + the ORDER BY range
+    // exchange (broadcast exchanges are dim-sized, not data shuffles)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"more than agg+sort shuffles ($shuffles):\n$p")
   }
 
   test("dedup_exact: one hash shuffle on the digest, nothing more") {

@@ -133,6 +133,42 @@ class ScaleProbeSpec extends AnyFunSuite {
         f"${tInc100 / tInc1}%.1fx ($tInc1%.2fs -> $tInc100%.2fs)")
   }
 
+  test("containmentPairs maxDf: capped candidates track MATCHES, not " +
+    "postings² (boilerplate-shingle skew fixture)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // B unrelated docs all sharing one boilerplate 5-word run (each pair's
+    // ONLY common shingle), plus one genuine containment pair. Uncapped,
+    // the boilerplate posting list alone yields ~B² candidate pairs; the
+    // maxDf cap must make output INDEPENDENT of B — the stop-token
+    // catastrophe this guard exists for.
+    def fixture(b: Int) = {
+      import spark.implicits._
+      val boiler = "standard license header words five"
+      val quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+      ((1 to b).map(i => (i.toLong + 100L, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+        Seq((1L, quote),
+          (2L, s"prefix tokens then $quote trailing run november oscar papa " +
+            "quebec romeo sierra tango uniform victor whiskey")))
+        .toDF("doc_id", "text")
+    }
+    def rows(b: Int, maxDf: Long): Long = {
+      val n = Dedup.containmentPairs(fixture(b), "doc_id", "text", lit(1),
+        shingleSize = 5, num = 1, den = 10, maxDf = maxDf).count()
+      CacheRegistry.unpersistAll(spark, blocking = true)
+      n
+    }
+    val uncapped30 = rows(30, 0L)
+    assert(uncapped30 >= 30L * 29L,
+      s"fixture lost its boilerplate blowup: $uncapped30")
+    val capped30 = rows(30, 5L)
+    val capped120 = rows(120, 5L)
+    assert(capped30 == capped120,
+      s"capped output grew with boilerplate corpus size: $capped30 -> $capped120")
+    assert(capped30 == 2L, // the genuine pair, both directions at 1/10
+      s"cap dropped genuine containment: $capped30")
+  }
+
   test("scan layout: a multi-file parquet layout parallelizes the " +
     "scan stage the single-row-group local artifact serializes") {
     val (tOne, tMany) = ScaleProbe.scanLayout(spark, sf)

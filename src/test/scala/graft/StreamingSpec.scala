@@ -121,6 +121,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.length == 2, s"replayed null/dup keys re-appended: ${after.toSeq}")
   }
 
+  test("idempotentAppendSink probe: the batch's key envelope is PUSHED into " +
+    "the target scan (row-group pruning), null/empty batches handled") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_sink_prune").toString + "/t"
+    // a multi-file target: each file carries a disjoint key range, so the
+    // envelope predicate can actually skip files/row groups
+    (0 until 5).foreach { f =>
+      (f * 100L until f * 100L + 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(target)
+    }
+    // batch inside one file's range
+    val batch = Seq((Option(205L), "x"), (Option(210L), "y")).toDF("k", "v")
+    val probe = StreamingJobs.prunedTargetKeys(spark, target, Seq("k"), batch)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      "GreaterThanOrEqual\\(k,205\\)".r.findFirstIn(plan).isDefined &&
+      "LessThanOrEqual\\(k,210\\)".r.findFirstIn(plan).isDefined,
+      s"key-envelope filters not pushed to the parquet scan:\n$plan")
+    // only rows inside the envelope survive — the anti-join's probe side
+    // is batch-envelope-sized, not O(target)
+    val got = probe.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (205L to 210L).toSeq, got.mkString(","))
+    // a batch with a null key keeps the isNull arm: target has no null
+    // keys here, so the probe returns just the range rows
+    val withNull = Seq((Option(205L), "x"), (None: Option[Long], "n")).toDF("k", "v")
+    val got2 = StreamingJobs.prunedTargetKeys(spark, target, Seq("k"), withNull)
+      .collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == Seq(205L))
+    // an empty batch probes nothing (lit(false) short-circuit)
+    val empty = batch.filter(col("k") < 0)
+    assert(StreamingJobs.prunedTargetKeys(spark, target, Seq("k"), empty).count() == 0)
+  }
+
   test("upsertSink: streaming MERGE — updates overwrite, replays are noops, last-in-batch wins") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ups_in").toString
