@@ -31,7 +31,11 @@ def main(sfdir, outdir, names):
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # a table may be a single parquet file (driver testdata) or a
+        # directory of part files (the ScaleGen sf1 slice) — glob the latter
+        path = f"{sfdir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     import cc_cache
     t0 = time.time()
