@@ -940,7 +940,10 @@ object Queries {
       // the arithmetic-JPEG row JITs the QM coder + encoder fixture path
       "dedup_image_near", "mm_decode_jpeg_arith",
       // the audio-envelope signature op compiles its own typed encoder
-      "dedup_audio_near")
+      "dedup_audio_near",
+      // round-16: the SOF3 predictive codec path JITs its own encoder/
+      // decoder loop + typed-encoder classes
+      "mm_decode_jpeg_lossless")
       .foreach(q => run(queries(q)(spark, wdir)))
     val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -6335,6 +6338,53 @@ object Queries {
               "image/jpeg", Some(8 * wb), Some(8 * hb), None)
           })
         graft.operators.Multimodal.decodeGray12(media).toDF()
+          .orderBy("media_id")
+      }),
+
+    // LOSSLESS JPEG decode (SOF3, T.81 Annex H — predictive, no DCT):
+    // from-spec fixture streams sweeping predictors 1-7 with the doc_id,
+    // precisions 8/12/16, point transform 0/1, and per-row restart
+    // markers on doc_id % 4 == 1. Lossless means the decoder recovers the
+    // sample grid BIT-EXACTLY, so the oracle replays the closed-form
+    // sample formula directly — no neutral-gray/DC tricks needed. Odd
+    // (non-8-aligned) dims exercise the blockless sample walk.
+    QueryDef("mm_decode_jpeg_lossless", Some(
+      "WITH v AS (SELECT doc_id, 9 + doc_id % 8 AS w, 6 + doc_id % 5 AS h, " +
+        "8 + (doc_id % 3) * 4 AS p, doc_id % 2 AS pt " +
+        "FROM documents WHERE doc_id % 23 = 5), " +
+        "s AS (SELECT doc_id, w, h, p, pt, " +
+        "list_sum(list_transform(range(w * h), i -> " +
+        "((doc_id*31 + (i % w)*17 + (i // w)*29) % (1 << (p - pt))) * (1 << pt))) AS sum_px, " +
+        "list_max(list_transform(range(w * h), i -> " +
+        "((doc_id*31 + (i % w)*17 + (i // w)*29) % (1 << (p - pt))) * (1 << pt))) AS max_px, " +
+        "((doc_id*31) % (1 << (p - pt))) * (1 << pt) AS first_pixel FROM v) " +
+        "SELECT doc_id AS media_id, CAST(w AS INT) AS width, " +
+        "CAST(h AS INT) AS height, CAST(p AS INT) AS prec, " +
+        "CAST(sum_px AS BIGINT) AS sum_px, CAST(max_px AS INT) AS max_px, " +
+        "CAST(first_pixel AS INT) AS first_pixel, TRUE AS ok " +
+        "FROM s ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents")
+          .filter(col("doc_id") % 23 === 5).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (9 + id % 8).toInt
+            val h = (6 + id % 5).toInt
+            val p = (8 + (id % 3) * 4).toInt
+            val pt = (id % 2).toInt
+            val mod = 1 << (p - pt)
+            val samples = Array.tabulate(w * h)(i =>
+              ((id * 31 + (i % w) * 17 + (i / w) * 29) % mod).toInt)
+            val bytes = graft.operators.Jpeg.encodeLossless(
+              w, h, p, predictor = (1 + id % 7).toInt, ptShift = pt, samples,
+              restartInterval = if (id % 4 == 1) w else 0)
+            graft.operators.Multimodal.MediaRow(id, "image", bytes,
+              "image/jpeg", Some(w), Some(h), None)
+          })
+        graft.operators.Multimodal.decodeJpegLossless(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("precision").as("prec"), col("sum_px"), col("max_px"),
+            col("first_pixel"), col("ok"))
           .orderBy("media_id")
       }),
 

@@ -20,7 +20,10 @@ package graft.operators
   * [[JpegArith]] (DAC conditioning, per-scan/per-restart statistics
   * resets). 12-BIT extended precision decodes for the sequential
   * grayscale frames (SOF1 Huffman / SOF9 arithmetic) through the
-  * dedicated [[decodeGray12]] entry point. Hierarchical, lossless,
+  * dedicated [[decodeGray12]] entry point, and LOSSLESS predictive
+  * frames (SOF3, Annex H — predictors 1-7, point transform, restarts,
+  * 2-16-bit precision, single component) through [[decodeLossless]].
+  * Hierarchical, arithmetic-lossless (SOF11), multi-component lossless,
   * 12-bit color/progressive, and other component counts return None →
   * callers quarantine (`ok=false`), never mis-decode.
   * Progressive decode accumulates raw coefficients across scans in
@@ -189,6 +192,265 @@ object Jpeg {
       case Some(img) if img.nComp == 1 => Some((img.width, img.height, img.px))
       case _ => None
     }
+
+  /** Decode a LOSSLESS JPEG (SOF3, T.81 Annex H — the last non-exotic DCT
+    * -family branch): single-component (grayscale) Huffman process,
+    * predictors 1-7 (§H.1.2.1), point transform Pt, restart intervals
+    * (prediction resets per §H.2.2), sample precision P ∈ 2..16, modulo-
+    * 2¹⁶ reconstruction (§H.1.2.1) with the SSSS=16 "diff = 32768" escape.
+    * Returns (width, height, row-major samples shifted left by Pt — the
+    * §H.1.2 output convention — precision). Multi-component lossless,
+    * arithmetic lossless (SOF11) and DNL return None → quarantine; the
+    * DCT entry points ([[decodeGray]]/[[decodeRgb]]/[[decodeGray12]])
+    * keep quarantining SOF3 streams by design.
+    *
+    * Conformance note (same honest boundary as [[JpegArith]]): encoder
+    * ([[encodeLossless]]) and decoder are mirrors by the same author;
+    * round-trips are self-consistent and the predictor math is pinned by
+    * closed-form unit fixtures, but no external SOF3 bitstream is
+    * available in this environment to anchor cross-codec conformance. */
+  def decodeLossless(bytes: Array[Byte]): Option[(Int, Int, Array[Int], Int)] =
+    try decodeLossless0(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeLossless0(p: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
+    var pos = 0
+    def u8(): Int = { val v = p(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff); pos += 2; v }
+    if (p.length < 4 || u16() != 0xffd8) return None // SOI
+    val dcTabs = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var precision = 0
+    var restartInterval = 0
+    var result: Array[Int] = null
+    var pt = 0
+    while (result == null) {
+      if (pos + 1 >= p.length) return None
+      if (u8() != 0xff) return None
+      var m = u8()
+      while (m == 0xff && pos < p.length) m = u8() // §B.1.1.2 fill bytes
+      m match {
+        case 0xc3 => // SOF3 (§H.1)
+          if (precision != 0) return None // one frame only
+          u16() // Lf
+          precision = u8()
+          if (precision < 2 || precision > 16) return None
+          height = u16(); width = u16()
+          val nf = u8()
+          // single-component scope; multi-component lossless quarantines
+          if (nf != 1 || width <= 0 || height <= 0) return None
+          // header-driven allocation guard (the progressive-budget lesson):
+          // a crafted SOF3 maxing dims must not OOM before entropy data is
+          // even read — 2²⁶ samples ≈ 256 MB of Int, far above any fixture
+          if (width.toLong * height.toLong >
+            java.lang.Long.getLong("graft.jpeg.losslessSampleBudget", 1L << 26))
+            return None
+          u8() // Ci
+          if (u8() != 0x11) return None // H=V=1 for the only component
+          u8() // Tq (§H.1: quantization unused in lossless; selector ignored)
+        case 0xc4 => // DHT — lossless uses DC-class tables only
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val tcTh = u8()
+            if ((tcTh >> 4) > 1 || (tcTh & 0xf) > 3) return None
+            val counts = new Array[Int](16)
+            var n = 0
+            var i = 0
+            while (i < 16) { counts(i) = u8(); n += counts(i); i += 1 }
+            val syms = new Array[Byte](n)
+            i = 0
+            while (i < n) { syms(i) = p(pos).toByte; pos += 1; i += 1 }
+            val h = new Huff(counts, syms)
+            if ((tcTh >> 4) == 0) dcTabs(tcTh & 3) = h
+            // AC-class tables are legal to carry, unused in lossless
+          }
+        case 0xdd => // DRI
+          u16(); restartInterval = u16()
+        case 0xda => // SOS (§H.1: Ss = predictor selector, Al = Pt)
+          if (precision == 0) return None
+          u16() // Ls
+          if (u8() != 1) return None // Ns
+          u8() // Cs
+          val tdta = u8()
+          val huff = dcTabs((tdta >> 4) & 0xf)
+          if ((tdta >> 4) > 3 || huff == null) return None
+          val ss = u8() // predictor 1..7
+          val se = u8()
+          val ahal = u8()
+          pt = ahal & 0xf
+          if (ss < 1 || ss > 7 || se != 0 || (ahal >> 4) != 0) return None
+          if (pt >= precision) return None
+          val w = width
+          val out = new Array[Int](w * height)
+          val defaultPred = 1 << (precision - pt - 1)
+          var br = new BitReader(p, pos)
+          var sinceRestart = 0
+          var restartCount = 0
+          var resetPred = true
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < w) {
+              if (restartInterval > 0 && sinceRestart == restartInterval) {
+                // byte-aligned RSTn in modulo-8 sequence (§E.1.4); for the
+                // non-interleaved single-component scan one MCU = 1 sample
+                br.reset()
+                var q = br.pos
+                while (q + 1 < p.length && !((p(q) & 0xff) == 0xff &&
+                  ((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7))) q += 1
+                if (q + 1 >= p.length) return None
+                if ((p(q + 1) & 0xff) != 0xd0 + (restartCount & 7)) return None
+                restartCount += 1
+                br = new BitReader(p, q + 2)
+                sinceRestart = 0
+                resetPred = true // §H.2.2: prediction resets at the interval
+              }
+              val pred =
+                if (resetPred) { resetPred = false; defaultPred }
+                else if (y == 0) out(x - 1) // first line: predictor 1 (§H.1.2.2)
+                else if (x == 0) out((y - 1) * w) // first column: Rb
+                else {
+                  val a = out(y * w + x - 1)
+                  val b = out((y - 1) * w + x)
+                  val c = out((y - 1) * w + x - 1)
+                  ss match {
+                    case 1 => a
+                    case 2 => b
+                    case 3 => c
+                    case 4 => a + b - c
+                    case 5 => a + ((b - c) >> 1)
+                    case 6 => b + ((a - c) >> 1)
+                    case _ => (a + b) >> 1
+                  }
+                }
+              val t = huff.decode(br)
+              if (t > 16) return None
+              val diff = if (t == 16) 32768 else extend(br.receive(t), t)
+              out(y * w + x) = (pred + diff) & 0xffff // §H.1.2.1 mod 2¹⁶
+              sinceRestart += 1
+              x += 1
+            }
+            y += 1
+          }
+          result = out
+        case 0xd9 => return None // EOI before any scan
+        case x if x >= 0xe0 && x <= 0xef => val len = u16(); pos += len - 2
+        case 0xfe => val len = u16(); pos += len - 2 // COM
+        // anything else — DQT is pointless-but-legal noise we still skip;
+        // other SOFs, DAC, DNL, unknown markers quarantine
+        case 0xdb => val len = u16(); pos += len - 2
+        case _ => return None
+      }
+    }
+    val px = if (pt == 0) result else result.map(_ << pt)
+    Some((width, height, px, precision))
+  }
+
+  /** From-spec SOF3 fixture ENCODER — mirrors [[decodeLossless]] (same
+    * predictor walk, same modulo-2¹⁶ diffs, SSSS=16 escape, restart
+    * handling), emitting one canonical 17-symbol Huffman table (all
+    * categories at 5 bits — valid canonical lengths, trivially decodable).
+    * `samples` are the POST-point-transform values (what the decoder
+    * reconstructs before its `<< pt` output shift). */
+  private[graft] def encodeLossless(w: Int, h: Int, precision: Int,
+                                    predictor: Int, ptShift: Int,
+                                    samples: Array[Int],
+                                    restartInterval: Int = 0): Array[Byte] = {
+    require(samples.length == w * h, "sample grid must be w*h")
+    require(predictor >= 1 && predictor <= 7, "predictor 1..7")
+    require(precision >= 2 && precision <= 16 && ptShift < precision)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xc3); u16(11); u8(precision); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    // DHT: DC table 0 — 17 symbols (categories 0..16), all 5-bit canonical
+    marker(0xc4); u16(2 + 1 + 16 + 17)
+    u8(0x00)
+    val counts = Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    counts.foreach(u8)
+    (0 to 16).foreach(u8)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00)
+    u8(predictor); u8(0); u8(ptShift)
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          u8(bitBuf)
+          if ((bitBuf & 0xff) == 0xff) u8(0) // §B.1.1.5 byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushByte(): Unit = if (bitCnt > 0) { // 1-fill pad (§F.1.2.3)
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      u8(bitBuf)
+      if ((bitBuf & 0xff) == 0xff) u8(0)
+      bitBuf = 0; bitCnt = 0
+    }
+    val defaultPred = 1 << (precision - ptShift - 1)
+    var sinceRestart = 0
+    var restartCount = 0
+    var resetPred = true
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          flushByte()
+          marker(0xd0 + (restartCount & 7))
+          restartCount += 1
+          sinceRestart = 0
+          resetPred = true
+        }
+        val pred =
+          if (resetPred) { resetPred = false; defaultPred }
+          else if (y == 0) samples(x - 1)
+          else if (x == 0) samples((y - 1) * w)
+          else {
+            val a = samples(y * w + x - 1)
+            val b = samples((y - 1) * w + x)
+            val c = samples((y - 1) * w + x - 1)
+            predictor match {
+              case 1 => a
+              case 2 => b
+              case 3 => c
+              case 4 => a + b - c
+              case 5 => a + ((b - c) >> 1)
+              case 6 => b + ((a - c) >> 1)
+              case _ => (a + b) >> 1
+            }
+          }
+        // diff modulo 2¹⁶, represented in [-32767, 32768] with the
+        // SSSS=16 no-bits escape for exactly 32768 (§H.1.2.2)
+        val d16 = (samples(y * w + x) - pred) & 0xffff
+        if (d16 == 0x8000) putBits(16, 5)
+        else {
+          val diff = if (d16 >= 0x8000) d16 - 0x10000 else d16
+          var t = 0
+          var mag = if (diff < 0) -diff else diff
+          while (mag != 0) { t += 1; mag >>= 1 }
+          putBits(t, 5) // canonical 5-bit code for category t IS t
+          if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        }
+        sinceRestart += 1
+        x += 1
+      }
+      y += 1
+    }
+    flushByte()
+    marker(0xd9)
+    out.toByteArray
+  }
 
   private def decodeImage(bytes: Array[Byte],
                           grayOnly: Boolean = false,

@@ -1599,6 +1599,35 @@ object Multimodal {
     })
   }
 
+  final case class DecodedLossless(media_id: Long, width: Int, height: Int,
+                                   precision: Int, sum_px: Long, max_px: Int,
+                                   first_pixel: Int, ok: Boolean)
+
+  /** LOSSLESS JPEG (SOF3, T.81 Annex H) grayscale decode via
+    * [[graft.operators.Jpeg.decodeLossless]] — bit-exact sample recovery
+    * at 2-16-bit precision, kept OFF the DCT decode paths by contract
+    * (they quarantine SOF3). Same narrow mapPartitions shape as
+    * [[decode]]: payloads never reach a shuffle. */
+  def decodeJpegLossless(media: Dataset[MediaRow]): Dataset[DecodedLossless] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      graft.operators.Jpeg.decodeLossless(p) match {
+        case Some((w, h, px, prec)) =>
+          var sum = 0L
+          var mx = 0
+          var i = 0
+          while (i < px.length) {
+            sum += px(i)
+            if (px(i) > mx) mx = px(i)
+            i += 1
+          }
+          DecodedLossless(r.media_id, w, h, prec, sum, mx, px(0), ok = true)
+        case None => DecodedLossless(r.media_id, 0, 0, 0, 0L, 0, 0, ok = false)
+      }
+    })
+  }
+
   /** Color JPEG fixture bytes via the JDK encoder: a TYPE_3BYTE_BGR image
     * whose 16×16 MACROBLOCKS (the 4:2:0 MCU the JDK encoder always emits)
     * are each a CONSTANT color `rgbVal(mx, my)`, written at quality 1.0.

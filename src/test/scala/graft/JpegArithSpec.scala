@@ -510,4 +510,67 @@ class JpegArithSpec extends AnyFunSuite {
     assert(out(0).sum_r == out(1).sum_r && out(0).sum_g == out(1).sum_g &&
       out(0).sum_b == out(1).sum_b && out(0).first_pixel == out(1).first_pixel)
   }
+
+  test("SOF3 lossless: bit-exact round-trip across predictors 1-7, " +
+    "precisions 2/8/12/16, point transform, odd dims, restart intervals") {
+    val r = rng(0x50f3)
+    for {
+      predictor <- 1 to 7
+      precision <- Seq(2, 8, 12, 16)
+      pt <- Seq(0, 1) if pt < precision
+      restart <- Seq(0, 5)
+    } {
+      val (w, h) = (11, 7) // no 8-alignment in lossless — sample walk only
+      val mod = 1 << (precision - pt)
+      val samples = Array.fill(w * h)(r.nextInt(mod))
+      val bytes = Jpeg.encodeLossless(w, h, precision, predictor, pt,
+        samples, restartInterval = restart)
+      val Some((dw, dh, px, dp)) = Jpeg.decodeLossless(bytes): @unchecked
+      assert((dw, dh, dp) == (w, h, precision),
+        s"pred=$predictor p=$precision pt=$pt rst=$restart")
+      assert(px.toSeq == samples.map(_ << pt).toSeq,
+        s"pixels diverged: pred=$predictor p=$precision pt=$pt rst=$restart")
+    }
+  }
+
+  test("SOF3 lossless: the SSSS=16 escape (diff ≡ 32768 mod 2^16) " +
+    "round-trips at full 16-bit swing") {
+    // first sample: default pred 1<<15 = 32768, sample 0 → d16 = 0x8000;
+    // then a 0 → 65535 swing forces the escape mid-scan too
+    val samples = Array(0, 65535, 0, 65535, 32768, 0)
+    val bytes = Jpeg.encodeLossless(3, 2, 16, 1, 0, samples)
+    val Some((_, _, px, _)) = Jpeg.decodeLossless(bytes): @unchecked
+    assert(px.toSeq == samples.toSeq)
+  }
+
+  test("SOF3 lossless: scope boundaries — DCT entry points quarantine " +
+    "SOF3 streams, decodeLossless quarantines DCT/malformed streams") {
+    val samples = Array.tabulate(6 * 4)(i => i * 9 % 256)
+    val sof3 = Jpeg.encodeLossless(6, 4, 8, 4, 0, samples)
+    // DCT paths must not mis-decode a lossless stream
+    assert(Jpeg.decodeGray(sof3).isEmpty)
+    assert(Jpeg.decodeRgb(sof3).isEmpty)
+    assert(Jpeg.decodeGray12(sof3).isEmpty)
+    // and the lossless path must not touch a DCT stream
+    val dct = Multimodal.jpegGray12HuffBytes(8, 8, (_, _) => 1234)
+    assert(Jpeg.decodeLossless(dct).isEmpty)
+    // malformed: truncation never throws and never yields WRONG pixels —
+    // a cut inside the entropy data quarantines; a cut that only loses
+    // the trailing EOI may still decode, but then must be bit-exact
+    val want = samples.toSeq
+    (1 until sof3.length by 7).foreach { n =>
+      Jpeg.decodeLossless(sof3.take(n)) match {
+        case None => ()
+        case Some((w, h, px, _)) =>
+          assert((w, h) == (6, 4) && px.toSeq == want,
+            s"truncation at $n decoded WRONG pixels")
+      }
+    }
+    // crafted header maxing dims trips the sample budget, not an OOM
+    val big = sof3.clone()
+    // height/width live at SOF3 payload offsets +5/+7 (after FFD8 FFC3 len P)
+    big(7) = 0x7f.toByte; big(8) = 0xff.toByte // height 32767
+    big(9) = 0x7f.toByte; big(10) = 0xff.toByte // width 32767
+    assert(Jpeg.decodeLossless(big).isEmpty)
+  }
 }
