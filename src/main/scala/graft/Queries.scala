@@ -97,6 +97,23 @@ object Queries {
     else df
   }
 
+  /** Layout-agnostic STREAMING source for one testdata table: the driver's
+    * testdata ships `<table>.parquet` as a single FILE inside `dir` (stream
+    * from `dir` with a leaf-name filter — a file path is not a valid
+    * stream source directory), while the ScaleGen sf1 slice ships it as a
+    * DIRECTORY of part files (stream from that directory — the name filter
+    * would match no `part-*.parquet` leaf and the stream would drain
+    * empty, the round-16 sf1 stream_append_idempotent failure). */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+                          schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      s.readStream.schema(schema).parquet(p.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** DuckDB fold for [[TextFunctions.fingerprint64]]'s polynomial
     * (31·h + codepoint, seed 1125899906842597, mod 2⁶⁴) over the chars of
     * `e` — ONE source of truth for every oracle that must stay bit-identical
@@ -7342,8 +7359,7 @@ object Queries {
         // the sf tables are single files and the streaming file source
         // wants a directory — stream the sf dir with a glob pinned to the
         // events table
-        val raw = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val raw = streamTable(s, d, "events", schema)
         val ev = if (tsIsLong)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw
@@ -7373,8 +7389,7 @@ object Queries {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         def src: DataFrame = {
-          val raw = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(d)
+          val raw = streamTable(s, d, "events", schema)
           if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           else raw
         }
@@ -7413,8 +7428,7 @@ object Queries {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         def src: DataFrame = {
-          val raw = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(d)
+          val raw = streamTable(s, d, "events", schema)
           val ev = if (tsIsLong)
             raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           else raw
@@ -7463,8 +7477,7 @@ object Queries {
           StructField("p_size", IntegerType),
           StructField("p_retailprice", DoubleType)))
         def srcStream: DataFrame = {
-          val raw = s.readStream.schema(schema)
-            .option("pathGlobFilter", "part.parquet").parquet(d)
+          val raw = streamTable(s, d, "part", schema)
           raw.filter(col("p_partkey") % 3 === 0)
             .select(col("p_partkey"), col("p_brand"),
               (col("p_retailprice") + 1).as("p_retailprice"))
@@ -7509,8 +7522,7 @@ object Queries {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val src = streamTable(s, d, "documents", schema)
           .filter(col("doc_id") % 2 === 1)
           // event time synthesized from the id (one doc per hour) — the
           // watermark column the in-stream dedup state is bounded by
@@ -7593,8 +7605,7 @@ object Queries {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        def src: DataFrame = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        def src: DataFrame = streamTable(s, d, "documents", schema)
           .filter(col("doc_id") % 2 === 1)
           .select("doc_id").as[Long]
           .map(id => (id, sigOf(id))).toDF("doc_id", "sig")
@@ -7621,8 +7632,7 @@ object Queries {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        val docs = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val docs = streamTable(s, d, "documents", schema)
           .select("doc_id", "text")
         graft.streaming.StreamingJobs.gopherGate(docs, "text")
           .drop("text")
@@ -7650,8 +7660,7 @@ object Queries {
           StructField("c_custkey", LongType), StructField("c_name", StringType),
           StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
           StructField("c_mktsegment", StringType)))
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "customer.parquet").parquet(d)
+        val src = streamTable(s, d, "customer", schema)
           .select(col("c_custkey"),
             ((col("c_custkey") * 7919 % 3600) / 10.0 - 179.95).as("lon"),
             ((col("c_custkey") * 104729 % 1700) / 10.0 - 84.95).as("lat"))

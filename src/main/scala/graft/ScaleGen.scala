@@ -13,12 +13,24 @@ import org.apache.spark.sql.functions._
   *  - every entity key shifts by `rep * 1e9` so replicas are disjoint and
   *    referential integrity holds within each replica (orders→customer,
   *    lineitem→orders/part/supplier, events→user);
-  *  - `documents.text` is vocabulary-salted per replica (the
-  *    ScaleProbeSpec convention: each token gets a `_r<rep>` suffix,
-  *    rep 0 left verbatim) — UNsalted replication would give every doc
-  *    10 exact copies and near-dup pair counts would grow ~mult² instead
-  *    of tracking the corpus, destroying the linear-scale comparison the
-  *    run exists to make;
+  *  - `documents.text` is CHARACTER-rotated per replica (a per-rep
+  *    Caesar bijection over a-z/A-Z, rep 0 verbatim): a bijection
+  *    preserves every WITHIN-replica structure exactly (duplicate docs,
+  *    shared lines, shingle/winnow relations, token statistics) while
+  *    leaving no identical character run across replicas. Token-suffix
+  *    salting is NOT enough — char-level operators (winnowing k-grams)
+  *    still match the unsalted token interiors across replicas, and the
+  *    pair count grows ~mult² instead of tracking the corpus (measured:
+  *    dedup_winnow 38× at 10× with suffix salting, 2-3× with rotation);
+  *  - `embeddings` get a deterministic per-replica ORTHOGONAL transform
+  *    (±1 sign flip per dimension, keyed on (rep, dim)): applied
+  *    uniformly to every vector of a replica it preserves all
+  *    within-replica angles EXACTLY (the ANN/near-dup structure the
+  *    operators work on) while collapsing cross-replica cosines to ~0 —
+  *    a small additive perturbation is NOT enough (cos(v, v+ε) ≈ 1 kept
+  *    every cross-replica twin a near-dup and the cosine pair row grew
+  *    ~mult²; measured 31× at 10×), and exact duplicates destabilize
+  *    k-means assignment ties;
   *  - dims (region, nation) are NOT replicated — dims don't grow with
   *    fact volume, and replicating them would break broadcast-join shapes;
   *  - each output table is written as a DIRECTORY of `files` part files
@@ -72,14 +84,27 @@ object ScaleGen {
     write("events", reps(read("events"))
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id")))
-    write("documents", reps(read("documents"))
-      .withColumn("doc_id", shift("doc_id"))
-      .withColumn("text",
-        when(col("__rep") === 0, col("text")).otherwise(
-          concat_ws(" ", expr(
-            "transform(split(text, ' '), w -> concat(w, '_r', __rep))")))))
-    write("embeddings", reps(read("embeddings"))
-      .withColumn("vec_id", shift("vec_id")))
+    // per-replica loop (rep is a plain Scala value here): translate()'s
+    // mapping arguments must be literals, and the rotation differs per rep
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    val docs = read("documents")
+    write("documents", (0 until mult).map { r =>
+      docs.withColumn("doc_id", (col("doc_id") + lit(r.toLong * SHIFT)).as("doc_id"))
+        .withColumn("text",
+          if (r == 0) col("text")
+          else translate(col("text"),
+            lower + lower.toUpperCase,
+            rot(lower, r) + rot(lower, r).toUpperCase))
+    }.reduce(_ unionByName _))
+    val emb = read("embeddings")
+    write("embeddings", (0 until mult).map { r =>
+      emb.withColumn("vec_id", (col("vec_id") + lit(r.toLong * SHIFT)).as("vec_id"))
+        .withColumn("embedding",
+          if (r == 0) col("embedding")
+          else expr(s"transform(embedding, (x, i) -> " +
+            s"cast(x * (1 - 2 * pmod(hash($r, i), 2)) as float))"))
+    }.reduce(_ unionByName _))
 
     spark.stop()
   }

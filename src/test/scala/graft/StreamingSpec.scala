@@ -154,6 +154,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingJobs.prunedTargetKeys(spark, target, Seq("k"), empty).count() == 0)
   }
 
+  test("admitNearSink: nearDedupWithinRun rejects cross-batch near-dups of " +
+    "the SAME run; malformed sigs quarantine (fail-closed); default admits") {
+    import spark.implicits._
+    val base = "01" * 32
+    val near = base.dropRight(1) + (if (base.last == '0') "1" else "0")
+    val far = "0" * 32 + "1" * 32
+    def runSink(withinRun: Boolean): Set[String] = {
+      val in = Files.createTempDirectory("graft_anear_in").toString
+      val target = Files.createTempDirectory("graft_anear_tgt").toString + "/t"
+      val ck = Files.createTempDirectory("graft_anear_ck").toString
+      // two files → two microbatches (maxFilesPerTrigger=1); mtime order
+      Seq((1L, base)).toDF("id", "sig").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100) // file-source ordering is mtime-second-granular
+      Seq((2L, near), (3L, "not-a-sig"), (4L, far)).toDF("id", "sig")
+        .coalesce(1).write.mode("append").parquet(in)
+      val hist = Seq.empty[Tuple1[String]].toDF("sig")
+      val src = spark.readStream
+        .schema(Seq((1L, "x")).toDF("id", "sig").schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = StreamingJobs.admitNearSink(src, hist, target, ck,
+        "id", "sig", nearDedupWithinRun = withinRun)
+      q.awaitTermination(); q.stop()
+      spark.read.parquet(target).collect().map(_.getAs[String]("sig")).toSet
+    }
+    // within-run: batch 2's near-twin is rejected against the target's
+    // own sigs; the malformed sig fails CLOSED; the far sig admits
+    assert(runSink(withinRun = true) == Set(base, far))
+    // default contract: cross-batch near-dups of one run BOTH admit (the
+    // history-refresh cycle absorbs them); malformed still quarantines
+    assert(runSink(withinRun = false) == Set(base, near, far))
+  }
+
   test("upsertSink: streaming MERGE — updates overwrite, replays are noops, last-in-batch wins") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ups_in").toString
