@@ -14,12 +14,20 @@ Used by check_oracle.py and check_gate.py; the driver's own gate is NOT
 affected (it runs the original oracle_sql.json verbatim).
 """
 
+import sys
+
 # The closure chain always ends with this CTE (rounds baked into the lN
 # table name); matching on it keeps the rewrite robust to new consumers.
 _CC_MARK = "cl AS (SELECT id AS doc_id, lbl AS cluster_id FROM l"
 
 
-def materialize_cc(con, oracle, names=None):
+#: oracle-SQL sentinel a budgeted sweep substitutes for closure consumers
+#: whose shared materialization blew the budget — callers record them as
+#: budget-exceeded instead of each re-hanging on the same closure
+BUDGET_MARK = "__CC_BUDGET_EXCEEDED__"
+
+
+def materialize_cc(con, oracle, names=None, runner=None):
     """Rewrite CC-closure consumers in `oracle` to read a temp table.
 
     Returns (rewritten_oracle, n_rewritten). On the first closure found,
@@ -28,6 +36,9 @@ def materialize_cc(con, oracle, names=None):
     `names` (optional) limits the scan to the queries a subset sweep will
     actually run — fewer than 2 closure consumers selected means the
     materialization would cost more than it saves, so it is skipped.
+    `runner` (optional) executes the materialization statement under the
+    caller's wall budget and returns -2.0 on budget exceeded, in which
+    case every selected closure consumer's SQL becomes [[BUDGET_MARK]].
     """
     sqls = [s for q, s in oracle.items() if names is None or q in names]
     if sum(_CC_MARK in s for s in sqls) < 2:
@@ -46,7 +57,20 @@ def materialize_cc(con, oracle, names=None):
         break
     if chain is None:
         return oracle, 0
-    con.execute(f"CREATE TEMP TABLE __cc_cl AS WITH {chain} SELECT * FROM cl")
+    create = f"CREATE TEMP TABLE __cc_cl AS WITH {chain} SELECT * FROM cl"
+    if runner is not None:
+        if runner(create) == -2.0:
+            out = dict(oracle)
+            marked = 0
+            for q, sql in oracle.items():
+                if _CC_MARK in sql and (names is None or q in names):
+                    out[q] = BUDGET_MARK
+                    marked += 1
+            print(f"[cc_cache] closure materialization exceeded the wall "
+                  f"budget; marking {marked} consumer(s) budget-exceeded", file=sys.stderr)
+            return out, marked
+    else:
+        con.execute(create)
     # shape check: the materialized closure must be the (doc_id, cluster_id)
     # relation every consumer expects — a chain that captured extra
     # consumer-specific CTEs, or a changed closure output, aborts the
@@ -54,7 +78,7 @@ def materialize_cc(con, oracle, names=None):
     cols = [r[0] for r in con.execute("DESCRIBE __cc_cl").fetchall()]
     if cols != ["doc_id", "cluster_id"]:
         print(f"[cc_cache] materialized closure has unexpected shape {cols}; "
-              "skipping the rewrite (all consumers keep their original SQL)")
+              "skipping the rewrite (all consumers keep their original SQL)", file=sys.stderr)
         con.execute("DROP TABLE __cc_cl")
         return oracle, 0
     out = {}
@@ -73,7 +97,7 @@ def materialize_cc(con, oracle, names=None):
                 n += 1
             except Exception as e:
                 print(f"[cc_cache] rewrite of {q} does not plan "
-                      f"({type(e).__name__}); keeping original SQL")
+                      f"({type(e).__name__}); keeping original SQL", file=sys.stderr)
                 out[q] = sql
         else:
             out[q] = sql
@@ -87,5 +111,5 @@ def materialize_cc(con, oracle, names=None):
     if diverged:
         print(f"[cc_cache] {len(diverged)} closure consumer(s) did not match "
               f"the materialized chain, keeping original SQL: "
-              f"{', '.join(diverged)}")
+              f"{', '.join(diverged)}", file=sys.stderr)
     return out, n

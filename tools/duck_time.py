@@ -37,25 +37,56 @@ def main(sfdir, outdir, names):
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # DUCK_BUDGET_SEC: per-statement wall budget (0 = unbounded, the
+    # default). Above-sf0.1 sweeps need it — several oracle SQL shapes
+    # (the recursive-CTE CC closure, the pair-join dedup mirrors) are
+    # super-linear in DuckDB and can run for hours at 10x; a budgeted run
+    # records -2.0 ("budget exceeded at >= budget seconds") instead of
+    # hanging, which IS the baseline datapoint. Interrupt arrives via
+    # con.interrupt() from a timer thread.
+    budget = float(os.environ.get("DUCK_BUDGET_SEC", "0") or 0)
+    import threading
+
+    def timed(sql):
+        t0 = time.time()
+        timer = None
+        if budget > 0:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
+        try:
+            con.execute(sql).fetchall()
+            return round(time.time() - t0, 4)
+        except Exception as e:
+            if budget > 0 and time.time() - t0 >= budget - 0.5:
+                return -2.0  # budget exceeded (interrupted)
+            raise e
+        finally:
+            if timer is not None:
+                timer.cancel()
+
     import cc_cache
     t0 = time.time()
     oracle, n_cc = cc_cache.materialize_cc(con, oracle,
-                                           set(names) if names else None)
+                                           set(names) if names else None,
+                                           runner=timed if budget > 0 else None)
     cc_sec = time.time() - t0 if n_cc else 0.0
     times = {}
     for q in sorted(oracle):
         if names and q not in names:
             continue
-        t0 = time.time()
         try:
-            con.execute(oracle[q]).fetchall()
-            times[q] = round(time.time() - t0, 4)
+            times[q] = (-2.0 if oracle[q] == cc_cache.BUDGET_MARK
+                        else timed(oracle[q]))
+            if times[q] == -2.0:
+                print(f"[duck_time] {q} BUDGET-EXCEEDED (> {budget}s)",
+                      file=sys.stderr)
         except Exception as e:
             print(f"[duck_time] {q} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
             times[q] = -1.0
     print(json.dumps({
         "cc_closure_sec": round(cc_sec, 2),
+        "budget_sec": budget,
         "total_sec": round(sum(v for v in times.values() if v > 0), 2),
         "queries": times}))
 
