@@ -866,10 +866,15 @@ object Dedup {
     *
     * Scale: candidate generation IS the clustering — the only join is a
     * within-cell self-join (hash equi-join on the cell id), the same
-    * bounded-bucket shape as [[embeddingCosinePairs]]; with k sized so
-    * cells hold ~corpus/k docs, pair work is n²/k spread over the cluster.
-    * Assignment/distances are codegen'd centroid-literal expressions — the
-    * corpus is scanned, never collected.
+    * bounded-bucket shape as [[embeddingCosinePairs]]; pair work is n²/k
+    * spread over the cells, so **k must scale with the corpus** (k ∝ N
+    * keeps cell sizes — and per-cell pair work — constant; SemDeDup
+    * itself runs k = 11k cells on LAION-440M for the same reason). A
+    * FIXED k re-used at 10× the corpus grows every cell 10× and the pair
+    * join ~100×/k — measured on the round-16 sf1 run and pinned the
+    * other way (k ∝ N → ~linear) in ScaleProbeSpec. Assignment/distances
+    * are codegen'd centroid-literal expressions — the corpus is scanned,
+    * never collected.
     *
     * @return (idCol, cell, kept) for every input row — kept=false means a
     *         better in-cell near-duplicate exists

@@ -169,6 +169,39 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"cap dropped genuine containment: $capped30")
   }
 
+  test("semanticDedup with k ∝ N stays ~linear at 10x (the production " +
+    "parameterization — the sf1 run showed fixed k grows cells with the " +
+    "corpus and within-cell pair work superlinearly)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    def vecs(n: Int) = spark.range(0, n.toLong, 1, 8)
+      .select(col("id"), expr(
+        "transform(sequence(0, 15), i -> " +
+          "cast(pmod(hash(id, i), 997) as double) / 997.0)").as("v"))
+    def run(n: Int, k: Int): Double = {
+      val df = vecs(n).cache()
+      df.count()
+      // centroids are the coarse quantizer — fit OUTSIDE the timing (a
+      // standing artifact in production, like the IVF quantizer)
+      val cents = Similarity.kmeansFit(df, "id", "v", k = k, iters = 2)
+      def consume() = Dedup.semanticDedup(df, "id", "v", cents, threshold = 0.9)
+        .queryExecution.toRdd.count()
+      consume() // warm the plan shape
+      val t0 = System.nanoTime()
+      consume()
+      val t = (System.nanoTime() - t0) / 1e9
+      df.unpersist()
+      CacheRegistry.unpersistAll(spark, blocking = true)
+      t
+    }
+    run(500, 4) // JIT/codegen warm
+    val t1 = run(2000, 8)
+    val t10 = run(20000, 80) // k scales with N → cell size ~constant
+    assert(t10 / t1 <= 8.0,
+      f"semanticDedup at 10x with k∝N cost ${t10 / t1}%.1fx " +
+        f"($t1%.2fs -> $t10%.2fs) — cells are not staying bounded")
+  }
+
   test("scan layout: a multi-file parquet layout parallelizes the " +
     "scan stage the single-row-group local artifact serializes") {
     val (tOne, tMany) = ScaleProbe.scanLayout(spark, sf)
