@@ -7308,8 +7308,13 @@ object Queries {
     // doc_id — one doc per hour): per-6h-window token counts >= 10. The
     // streaming path itself (watermark-closed append, exactly-once emit) is
     // pinned in StreamingSpec against this exact computation.
+    // The synthesized epoch is doc_id MOD 1e6 — identity at every driver
+    // sf (ids are far smaller), but without the bound a large-corpus id
+    // (the sf1 slice shifts ids by n·1e9) times 3600·1e6 µs overflows
+    // LONG inside timestamp_seconds; real pipelines derive event time
+    // from a bounded clock, not an unbounded id.
     QueryDef("stream_trending_tokens", Some(
-      "WITH t AS (SELECT doc_id * 3600 AS ep, " +
+      "WITH t AS (SELECT doc_id % 1000000 * 3600 AS ep, " +
         "unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS term " +
         "FROM documents) " +
         "SELECT CAST(ep // 21600 * 21600 AS BIGINT) AS bucket_start, term, " +
@@ -7317,7 +7322,8 @@ object Queries {
         "ORDER BY bucket_start, term"),
       (s, d) => {
         val docs = T(s, d, "documents")
-          .select(timestamp_seconds(col("doc_id") * 3600).as("ts"), col("text"))
+          .select(timestamp_seconds(pmod(col("doc_id"), lit(1000000L)) * 3600)
+            .as("ts"), col("text"))
         graft.streaming.StreamingJobs.trendingTokens(docs, "text", "6 hours", "1 day", 10L)
           .select(col("bucket_start").cast("long").as("bucket_start"),
             col("term"), col("n"))
@@ -7524,9 +7530,12 @@ object Queries {
           StructField("n_chars", LongType)))
         val src = streamTable(s, d, "documents", schema)
           .filter(col("doc_id") % 2 === 1)
-          // event time synthesized from the id (one doc per hour) — the
-          // watermark column the in-stream dedup state is bounded by
-          .withColumn("ts", timestamp_seconds(col("doc_id") * 3600))
+          // event time synthesized from the id (one doc per hour, id MOD
+          // 1e6 — identity at driver sfs, overflow-safe at sf1's shifted
+          // ids) — the watermark column the in-stream dedup state is
+          // bounded by
+          .withColumn("ts",
+            timestamp_seconds(pmod(col("doc_id"), lit(1000000L)) * 3600))
           .select("doc_id", "text", "ts")
         // admission = dedup + stream-static anti join — both emit in the
         // carrying batch; skip the trailing watermark-only batch
