@@ -484,6 +484,32 @@ class JpegArithSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: bit-flip and truncation mutations of SOF3 lossless streams " +
+    "never throw or hang — decode or quarantine") {
+    val r = rng(0x50F3F0)
+    val bases = Seq(
+      Jpeg.encodeLossless(13, 9, 8, 4, 0,
+        Array.tabulate(13 * 9)(i => i * 37 % 256)),
+      Jpeg.encodeLossless(8, 8, 16, 7, 1,
+        Array.tabulate(64)(i => i * 991 % 32768), restartInterval = 8))
+    for (base <- bases; _ <- 0 until 200) {
+      val m = base.clone()
+      r.nextInt(3) match {
+        case 0 =>
+          val i = r.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+        case 1 => m(r.nextInt(m.length)) = r.nextInt(256).toByte
+        case _ => ()
+      }
+      val cut = 2 + r.nextInt(m.length - 1)
+      Jpeg.decodeLossless(m)
+      Jpeg.decodeLossless(m.take(cut))
+      // the DCT paths must also survive mutated SOF3 bytes (sniffed as
+      // JPEG, routed to decode0, quarantined there)
+      Jpeg.decodeGray(m)
+    }
+  }
+
   test("Multimodal plumbing: arithmetic JPEGs flow through decodeJpegRgb " +
     "and imageDhash identically to their Huffman twins") {
     val spark = SparkTestSession.spark
