@@ -43,6 +43,11 @@ object ScaleGen {
     val dest = if (args.length > 1) args(1) else "/dev/shm/graft_sf1"
     val mult = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 8
+    // the Caesar rotation collapses modulo 26: reps r and r+26 would get
+    // byte-identical text, silently reintroducing the cross-replica dup
+    // blowup the rotation exists to prevent — refuse rather than lie
+    require(mult >= 1 && mult <= 26,
+      s"mult=$mult: the char-rotation salting supports at most 26 distinct replicas")
     val spark = SparkEntry.configure(
       SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")

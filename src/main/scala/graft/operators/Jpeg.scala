@@ -273,8 +273,12 @@ object Jpeg {
           if (u8() != 1) return None // Ns
           u8() // Cs
           val tdta = u8()
-          val huff = dcTabs((tdta >> 4) & 0xf)
-          if ((tdta >> 4) > 3 || huff == null) return None
+          // range-check Td BEFORE indexing the length-4 table array — the
+          // quarantine path must be the `return None`, not a swallowed
+          // ArrayIndexOutOfBounds
+          if ((tdta >> 4) > 3) return None
+          val huff = dcTabs(tdta >> 4)
+          if (huff == null) return None
           val ss = u8() // predictor 1..7
           val se = u8()
           val ahal = u8()
@@ -288,6 +292,13 @@ object Jpeg {
           var sinceRestart = 0
           var restartCount = 0
           var resetPred = true
+          // §H.1.2.2: the 1-D horizontal predictor (Ra) is used for the
+          // first LINE of samples at the start of the scan AND at the
+          // beginning of each restart interval — not just the first
+          // sample. raLineY tracks the line where the current reset
+          // happened; that whole line (from the reset sample on) predicts
+          // with Ra, later lines resume the selected predictor.
+          var raLineY = 0
           var y = 0
           while (y < height) {
             var x = 0
@@ -305,10 +316,11 @@ object Jpeg {
                 br = new BitReader(p, q + 2)
                 sinceRestart = 0
                 resetPred = true // §H.2.2: prediction resets at the interval
+                raLineY = y
               }
               val pred =
                 if (resetPred) { resetPred = false; defaultPred }
-                else if (y == 0) out(x - 1) // first line: predictor 1 (§H.1.2.2)
+                else if (y == raLineY) out(y * w + x - 1) // Ra regime line
                 else if (x == 0) out((y - 1) * w) // first column: Rb
                 else {
                   val a = out(y * w + x - 1)
@@ -401,6 +413,7 @@ object Jpeg {
     var sinceRestart = 0
     var restartCount = 0
     var resetPred = true
+    var raLineY = 0 // §H.1.2.2 Ra regime line — mirrors the decoder
     var y = 0
     while (y < h) {
       var x = 0
@@ -411,10 +424,11 @@ object Jpeg {
           restartCount += 1
           sinceRestart = 0
           resetPred = true
+          raLineY = y
         }
         val pred =
           if (resetPred) { resetPred = false; defaultPred }
-          else if (y == 0) samples(x - 1)
+          else if (y == raLineY) samples(y * w + x - 1)
           else if (x == 0) samples((y - 1) * w)
           else {
             val a = samples(y * w + x - 1)

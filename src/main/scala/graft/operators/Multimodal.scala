@@ -240,13 +240,21 @@ object Multimodal {
           java.awt.color.ColorSpace.TYPE_GRAY
         if (isGray) {
           val raster = img.getRaster
-          val shift = if (raster.getSampleModel.getSampleSize(0) > 8) 8 else 0
+          // arbitrary sample depth → 8-bit: >8-bit keeps the high byte
+          // (shift = size-8, matching the 16-bit high-byte truncation
+          // everywhere else — a flat shift of 8 would near-zero 9-15-bit
+          // samples), sub-8-bit scales linearly to full range (0..2ⁿ-1 →
+          // 0..255) so a 4-bit white is white, not 15/255 gray
+          val size = raster.getSampleModel.getSampleSize(0)
           val out = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val g = (raster.getSample(x, y, 0) >> shift) & 0xff
+              val s = raster.getSample(x, y, 0)
+              val g =
+                if (size >= 8) (s >> (size - 8)) & 0xff
+                else (s * 255) / ((1 << size) - 1)
               out(y * w + x) = (g << 16) | (g << 8) | g
               x += 1
             }

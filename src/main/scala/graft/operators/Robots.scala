@@ -147,9 +147,13 @@ object Robots {
       .join(broadcast(parsed), Seq("host"), "left")
       .as[(String, String, Option[Seq[(String, Boolean)]])]
       .map { case (h, p, rules) =>
-        // a null path is unfetchable and unmatchable — fail closed
-        // (allowed=false) instead of NPEing inside the matcher
-        if (p == null) UrlVerdict(h, p, allowed = false, "", rules.isDefined)
+        // a null host or path is unfetchable and unmatchable — fail
+        // closed (allowed=false) instead of NPEing in the matcher or
+        // silently riding the no-robots-row allow-all arm (a null host
+        // matches no robots row by SQL null equality, which is absence
+        // of EVIDENCE, not absence of rules)
+        if (h == null || p == null)
+          UrlVerdict(h, p, allowed = false, "", rules.isDefined)
         else rules match {
           case None => UrlVerdict(h, p, allowed = true, "", has_robots = false)
           case Some(rs) =>
@@ -177,11 +181,14 @@ object Robots {
     val schema = joined.schema
     val rulesIdx = schema.fieldIndex("__robots_rules")
     val pathIdx = schema.fieldIndex(pathCol)
+    val hostIdx = schema.fieldIndex(hostCol)
     joined.mapPartitions { it =>
       it.filter { row =>
-        // a null path is unfetchable — fail closed (drop the row) before
-        // the matcher, which would NPE on it
-        !row.isNullAt(pathIdx) &&
+        // a null host or path is unfetchable — fail closed (drop the
+        // row): the matcher would NPE on a null path, and a null host
+        // rides the allow-all arm only because SQL null equality matched
+        // no robots row, which proves nothing
+        !row.isNullAt(pathIdx) && !row.isNullAt(hostIdx) &&
           (row.isNullAt(rulesIdx) || { // no robots.txt → allow-all
             val rs = row.getSeq[org.apache.spark.sql.Row](rulesIdx)
               .map(r => (r.getString(0), r.getBoolean(1)))

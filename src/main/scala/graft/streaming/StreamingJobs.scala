@@ -238,25 +238,41 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        // persisted: the deduped batch feeds THREE plans per microbatch —
+        // the fail-closed probe ids + the banded chunk probe inside
+        // bitstringHits, and the anti-join's left side (the
+        // idempotentAppendSink convention)
         val once = batch.dropDuplicates(sigCol)
-        val tPath = new org.apache.hadoop.fs.Path(targetPath)
-        val targetExists = tPath.getFileSystem(
-          spark.sessionState.newHadoopConf()).exists(tPath)
-        val probeIndex =
-          if (nearDedupWithinRun && targetExists)
-            historySigs.select(sigCol)
-              .unionByName(spark.read.parquet(targetPath).select(sigCol))
-          else historySigs
-        val hits = graft.operators.Dedup.bitstringHits(
-          once, idCol, sigCol, probeIndex, sigCol, maxHamming)
-        val admitted = once.join(
-          hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        val fresh =
-          if (targetExists) {
-            val existing = spark.read.parquet(targetPath).select(sigCol)
-            admitted.join(existing, Seq(sigCol), "left_anti")
-          } else admitted
-        fresh.write.mode("append").parquet(targetPath)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val tPath = new org.apache.hadoop.fs.Path(targetPath)
+          val targetExists = tPath.getFileSystem(
+            spark.sessionState.newHadoopConf()).exists(tPath)
+          // the CURRENT target's signatures are read by up to two plans
+          // (within-run probe index + the idempotency anti-join) — one
+          // pruned scan, persisted for the batch
+          val targetSigs =
+            if (targetExists)
+              Some(spark.read.parquet(targetPath).select(sigCol)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            else None
+          try {
+            val probeIndex = targetSigs match {
+              case Some(ts) if nearDedupWithinRun =>
+                historySigs.select(sigCol).unionByName(ts)
+              case _ => historySigs
+            }
+            val hits = graft.operators.Dedup.bitstringHits(
+              once, idCol, sigCol, probeIndex, sigCol, maxHamming)
+            val admitted = once.join(
+              hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+            val fresh = targetSigs match {
+              case Some(ts) => admitted.join(ts, Seq(sigCol), "left_anti")
+              case None => admitted
+            }
+            fresh.write.mode("append").parquet(targetPath)
+          } finally { targetSigs.foreach(_.unpersist()); () }
+        } finally { once.unpersist(); () }
         ()
       }
       .trigger(trigger).start()

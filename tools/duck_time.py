@@ -50,15 +50,26 @@ def main(sfdir, outdir, names):
     def timed(sql):
         t0 = time.time()
         timer = None
+        # explicit state, not a wall-clock heuristic: a genuine failure
+        # arriving after the budget elapses must still record FAILED, and
+        # a timer firing in the gap between fetchall() returning and
+        # cancel() must not leave a stray interrupt for the NEXT statement
+        state = {"fired": False, "done": False}
         if budget > 0:
-            timer = threading.Timer(budget, con.interrupt)
+            def fire():
+                if not state["done"]:
+                    state["fired"] = True
+                    con.interrupt()
+            timer = threading.Timer(budget, fire)
             timer.start()
         try:
             con.execute(sql).fetchall()
+            state["done"] = True
             return round(time.time() - t0, 4)
         except Exception as e:
-            if budget > 0 and time.time() - t0 >= budget - 0.5:
-                return -2.0  # budget exceeded (interrupted)
+            state["done"] = True
+            if state["fired"]:
+                return -2.0  # budget exceeded (interrupted by the timer)
             raise e
         finally:
             if timer is not None:
