@@ -204,12 +204,15 @@ object StreamingJobs {
     * banded probe-vs-index join, then appends them to `targetPath`
     * idempotently (left-anti on the current target's signatures — a
     * replayed batch inserts nothing). In-batch exact-signature
-    * duplicates collapse first. Rows whose signature is malformed (not
-    * exactly 64 '0'/'1' chars) are QUARANTINED, not admitted:
-    * [[graft.operators.Dedup.bitstringHits]] fails closed by returning
-    * their ids as hits — an unparseable signature cannot prove distance
-    * from the corpus, and an admission gate must not fail open on bad
-    * input.
+    * duplicates collapse first. FAIL-CLOSED rejections (dropped, never
+    * admitted — this sink keeps no quarantine output; a caller needing
+    * triage recomputes the rejected set with
+    * [[graft.operators.Dedup.bitstringHits]] / an id-null filter):
+    * rows whose signature is malformed (not exactly 64 '0'/'1' chars —
+    * bitstringHits returns their ids as hits, since an unparseable
+    * signature cannot prove distance from the corpus) and rows whose
+    * `idCol` is NULL (a null id cannot ride the id-keyed anti-join —
+    * plain equality would silently ADMIT it past both gates).
     *
     * Within-run near-dedup contract: by default, near-pairs arriving in
     * DIFFERENT microbatches of the same run all admit (the near check
@@ -241,21 +244,28 @@ object StreamingJobs {
         // persisted: the deduped batch feeds THREE plans per microbatch —
         // the fail-closed probe ids + the banded chunk probe inside
         // bitstringHits, and the anti-join's left side (the
-        // idempotentAppendSink convention)
-        val once = batch.dropDuplicates(sigCol)
+        // idempotentAppendSink convention). Null-id rows drop FIRST
+        // (fail closed): the admission verdict joins back on idCol with
+        // plain equality, under which a null id matches no hit row and
+        // would be admitted no matter what its signature is near.
+        val once = batch.filter(col(idCol).isNotNull).dropDuplicates(sigCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val tPath = new org.apache.hadoop.fs.Path(targetPath)
           val targetExists = tPath.getFileSystem(
             spark.sessionState.newHadoopConf()).exists(tPath)
-          // the CURRENT target's signatures are read by up to two plans
-          // (within-run probe index + the idempotency anti-join) — one
-          // pruned scan, persisted for the batch
+          // the CURRENT target's signatures: ONE pruned scan, persisted
+          // only in within-run mode, where two plans read it (the probe
+          // index union + the idempotency anti-join) — in the default
+          // mode it has exactly one consumer and caching a frame that
+          // grows with the target would be pure block-manager churn
           val targetSigs =
-            if (targetExists)
-              Some(spark.read.parquet(targetPath).select(sigCol)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-            else None
+            if (targetExists) {
+              val ts = spark.read.parquet(targetPath).select(sigCol)
+              Some(if (nearDedupWithinRun)
+                ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              else ts)
+            } else None
           try {
             val probeIndex = targetSigs match {
               case Some(ts) if nearDedupWithinRun =>

@@ -165,13 +165,18 @@ class StreamingSpec extends AnyFunSuite {
       val target = Files.createTempDirectory("graft_anear_tgt").toString + "/t"
       val ck = Files.createTempDirectory("graft_anear_ck").toString
       // two files → two microbatches (maxFilesPerTrigger=1); mtime order
-      Seq((1L, base)).toDF("id", "sig").coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(1100) // file-source ordering is mtime-second-granular
-      Seq((2L, near), (3L, "not-a-sig"), (4L, far)).toDF("id", "sig")
+      Seq((Option(1L), base)).toDF("id", "sig")
         .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100) // file-source ordering is mtime-second-granular
+      // the null-id row carries a perfectly good far signature — it must
+      // STILL be rejected (fail closed): a null id cannot ride the
+      // id-keyed admission anti-join
+      Seq((Option(2L), near), (Option(3L), "not-a-sig"), (Option(4L), far),
+        (None: Option[Long], "10" * 32))
+        .toDF("id", "sig").coalesce(1).write.mode("append").parquet(in)
       val hist = Seq.empty[Tuple1[String]].toDF("sig")
       val src = spark.readStream
-        .schema(Seq((1L, "x")).toDF("id", "sig").schema)
+        .schema(Seq((Option(1L), "x")).toDF("id", "sig").schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = StreamingJobs.admitNearSink(src, hist, target, ck,
         "id", "sig", nearDedupWithinRun = withinRun)
