@@ -6458,7 +6458,8 @@ object Queries {
     // framing + checksums + end blocks) PLUS one long-named member (the
     // URL-keyed WebDataset norm: basename > 100 bytes) shipped through a
     // PAX `x` extended header on even ids and a GNU `L` longname member
-    // on odd ids — the sample keyed by the FULL long name proves both
+    // on odd ids — the sample keyed by the FULL long name (directory
+    // prefix kept, the webdataset base_plus_ext convention) proves both
     // mechanisms parse rather than quarantine. sample_bytes is
     // closed-form: the text's UTF-8 octet length plus the two fixed parts.
     QueryDef("mm_webdataset_index", Some(
@@ -6468,7 +6469,7 @@ object Queries {
         "CAST(strlen(text) + 8 AS BIGINT) AS sample_bytes, TRUE AS ok " + // strlen = BYTES in DuckDB
         "FROM documents WHERE doc_id % 9 = 4 " +
         "UNION ALL " +
-        "SELECT doc_id, CAST(doc_id AS VARCHAR) || '_' || repeat('p', 110), " +
+        "SELECT doc_id, 'dir_' || repeat('d', 40) || '/' || CAST(doc_id AS VARCHAR) || '_' || repeat('p', 110), " +
         "CAST(1 AS BIGINT), 'bin', CAST(4 AS BIGINT), TRUE " +
         "FROM documents WHERE doc_id % 9 = 4) ORDER BY media_id, key"),
       (s, d) => {

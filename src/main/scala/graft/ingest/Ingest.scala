@@ -56,46 +56,60 @@ object Ingest {
       .otherwise(trim(c))
 
   /** Read a daily CSV with delimiter sniffing (S4: the reference lets pandas
-    * sniff; we sniff the header line driver-side, then hand Spark the
-    * explicit separator so the scan stays distributed). Uses the Hadoop
-    * FileSystem API so directories, globs, and non-local filesystems
-    * (hdfs://, s3://) all resolve; an empty match is a clear error rather
-    * than a NoSuchElementException.
+    * sniff PER FILE because INPE changed both delimiter and headers over
+    * time; we sniff each file's header line driver-side — one line per
+    * file — then hand Spark explicit separators so the scan stays
+    * distributed). Files are GROUPED by sniffed delimiter and each group
+    * reads with its own separator + its own header, unioned by name with
+    * missing columns null-filled: sniffing only the first file and
+    * applying its delimiter to the whole directory parsed every
+    * other-delimiter file as one giant column whose rows the null-coord
+    * filter then silently dropped. Uses the Hadoop FileSystem API so
+    * directories, globs, and non-local filesystems (hdfs://, s3://) all
+    * resolve; an empty match is a clear error rather than a
+    * NoSuchElementException.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.{FileStatus, Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def firstCsv(statuses: Array[FileStatus], what: String): HPath = {
+    def allCsvs(statuses: Array[FileStatus], what: String): Seq[HPath] = {
       val files = Option(statuses).getOrElse(Array.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".csv"))
       require(files.nonEmpty, s"no .csv files $what: $path")
-      files.minBy(_.getPath.getName).getPath
+      files.sortBy(_.getPath.getName).map(_.getPath).toSeq
     }
-    val target =
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) firstCsv(fs.listStatus(p), "in directory")
-      else if (fs.exists(p)) p
-      else firstCsv(fs.globStatus(p), "matching glob")
-    val in = fs.open(target)
-    val firstLine =
-      try {
-        val r = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-        Option(r.readLine()).getOrElse("")
-      } finally in.close()
-    val sep = if (firstLine.count(_ == ';') > firstLine.count(_ == ',')) ";" else ","
-    spark.read.option("header", "true").option("sep", sep)
-      .option("inferSchema", "false") // everything arrives as string, like dtype=str
-      .csv(path)
-      // File-order key for the P9 "first occurrence wins" dedup: for multi-
-      // file input FileSourceScanExec packs splits by SIZE, not name, so
-      // partition order alone does not reproduce file order. (file_path,
-      // file_block_start, within-split row index) does, for any mix of
-      // files/globs/dirs. Struct comparison is lexicographic by field.
-      .withColumn("__src_order", struct(
-        col("_metadata.file_path").as("f"),
-        col("_metadata.file_block_start").as("b"),
-        monotonically_increasing_id().as("i")))
+    val targets: Seq[HPath] =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        allCsvs(fs.listStatus(p), "in directory")
+      else if (fs.exists(p)) Seq(p)
+      else allCsvs(fs.globStatus(p), "matching glob")
+    def sniff(t: HPath): String = {
+      val in = fs.open(t)
+      val firstLine =
+        try {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          Option(r.readLine()).getOrElse("")
+        } finally in.close()
+      if (firstLine.count(_ == ';') > firstLine.count(_ == ',')) ";" else ","
+    }
+    def readGroup(sep: String, files: Seq[HPath]): DataFrame =
+      spark.read.option("header", "true").option("sep", sep)
+        .option("inferSchema", "false") // everything arrives as string, like dtype=str
+        .csv(files.map(_.toString): _*)
+        // File-order key for the P9 "first occurrence wins" dedup: for multi-
+        // file input FileSourceScanExec packs splits by SIZE, not name, so
+        // partition order alone does not reproduce file order. (file_path,
+        // file_block_start, within-split row index) does, for any mix of
+        // files/globs/dirs. Struct comparison is lexicographic by field.
+        .withColumn("__src_order", struct(
+          col("_metadata.file_path").as("f"),
+          col("_metadata.file_block_start").as("b"),
+          monotonically_increasing_id().as("i")))
+    targets.groupBy(sniff).toSeq.sortBy(_._1)
+      .map { case (sep, files) => readGroup(sep, files) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Full transform: raw CSV DataFrame → curated records.

@@ -168,27 +168,33 @@ object Tar {
   final case class WdSample(media_id: Long, key: String, n_parts: Long,
                             parts: String, sample_bytes: Long, ok: Boolean)
 
-  /** WebDataset view: members grouped into samples by the name before the
-    * FIRST dot (the WebDataset key convention), parts listed as the
+  /** WebDataset view: members grouped into samples by the name up to the
+    * first dot of the BASENAME with the directory prefix KEPT — the
+    * webdataset library's `base_plus_ext` convention (key = optional
+    * directory prefix plus the dot-free basename head): train/0001.jpg
+    * and val/0001.jpg are DIFFERENT samples; stripping the directory
+    * would silently fuse basename collisions across subdirectories.
+    * Parts listed as the
     * sorted comma-joined extension set. Runs per shard payload inside the
     * same map task — no shuffle; a corrupt shard yields one ok=false
     * sample row. */
   def webdatasetSamples(media: Dataset[Multimodal.MediaRow]): Dataset[WdSample] = {
     import media.sparkSession.implicits._
+    // first dot AFTER the last slash — a dotted directory name
+    // (v1.2/x.jpg) must not split the key early
+    def dotAt(name: String): Int = name.indexOf('.', name.lastIndexOf('/') + 1)
     media.mapPartitions(_.flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
       val ms = parse(r.media_id, p).toVector
       if (ms.exists(!_.ok)) Iterator.single(
         WdSample(r.media_id, "", 0L, "", 0L, ok = false))
       else ms.groupBy { m =>
-        val base = m.name.substring(m.name.lastIndexOf('/') + 1)
-        val dot = base.indexOf('.')
-        if (dot < 0) base else base.substring(0, dot)
+        val dot = dotAt(m.name)
+        if (dot < 0) m.name else m.name.substring(0, dot)
       }.iterator.map { case (key, parts) =>
         val exts = parts.map { m =>
-          val base = m.name.substring(m.name.lastIndexOf('/') + 1)
-          val dot = base.indexOf('.')
-          if (dot < 0) "" else base.substring(dot + 1)
+          val dot = dotAt(m.name)
+          if (dot < 0) "" else m.name.substring(dot + 1)
         }.sorted.mkString(",")
         WdSample(r.media_id, key, parts.length.toLong, exts,
           parts.map(_.size).sum, ok = true)

@@ -12,9 +12,10 @@ import org.apache.spark.sql.Dataset
   * payloads (the Common Crawl convention — `GZIPInputStream` consumes
   * concatenated members natively). `response` records additionally parse
   * the enclosed HTTP/1.x message: status code, `Content-Type` and the
-  * body after the header terminator. Anything structurally damaged
-  * quarantines as one `ok = false` row — never a task failure, never a
-  * silently-skipped tail.
+  * body after the header terminator. Structural damage KEEPS the records
+  * framed before it and appends one `ok = false` marker row for the
+  * damaged tail — never a task failure, never a silently-skipped tail,
+  * never a discarded good prefix.
   *
   * Scale shape: one narrow mapPartitions; the multi-GB WARC payload never
   * reaches a shuffle — only per-record header fields and the (bounded)
@@ -36,29 +37,38 @@ object Warc {
   }
 
   private[graft] def parse(id: Long, payload: Array[Byte]): Iterator[WarcRecord] = {
-    def bad = Iterator.single(WarcRecord(id, 0, "", "", 0, "", "", ok = false))
+    val out = Vector.newBuilder[WarcRecord]
+    var idx = 0
+    // Structural damage truncates the WALK, never the result: every record
+    // framed BEFORE the damage is real corpus data (a truncated final
+    // record is a routine crawl-download shape), so it is kept and one
+    // trailing ok=false marker records the damaged tail — the Tar.parse
+    // convention. Discarding the good prefix threw away thousands of valid
+    // pages per damaged archive.
+    def damaged(): Iterator[WarcRecord] = {
+      out += WarcRecord(id, idx, "", "", 0, "", "", ok = false)
+      out.result().iterator
+    }
     try {
       val p =
         if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
           (payload(1) & 0xff) == 0x8b) gunzipAll(payload)
         else payload
-      val out = Vector.newBuilder[WarcRecord]
       var pos = 0
-      var idx = 0
       while (pos < p.length) {
         // skip inter-record blank lines
         while (pos < p.length && (p(pos) == '\r' || p(pos) == '\n')) pos += 1
         if (pos >= p.length) { /* clean end */ }
         else {
           val hdrEnd = indexOfDoubleCrlf(p, pos)
-          if (hdrEnd < 0) return bad
+          if (hdrEnd < 0) return damaged()
           val head = new String(p, pos, hdrEnd - pos, "UTF-8")
           val lines = head.split("\r\n")
-          if (!lines(0).startsWith("WARC/")) return bad
+          if (!lines(0).startsWith("WARC/")) return damaged()
           val h = headerMap(lines.drop(1))
           val len = h.getOrElse("content-length", "-1").trim.toLong
           val bodyStart = hdrEnd + 4
-          if (len < 0 || bodyStart + len > p.length) return bad
+          if (len < 0 || bodyStart + len > p.length) return damaged()
           // WARC-Type values compare case-insensitively (the field is not
           // normalized by producers; 'Response' must not skip HTTP parsing
           // or downstream warc_type filters) — emitted lowercased
@@ -101,8 +111,8 @@ object Warc {
         }
       }
       val res = out.result()
-      if (res.isEmpty) bad else res.iterator
-    } catch { case scala.util.control.NonFatal(_) => bad }
+      if (res.isEmpty) damaged() else res.iterator
+    } catch { case scala.util.control.NonFatal(_) => damaged() }
   }
 
   /** Body charset from the Content-Type `charset=` parameter — a latin-1

@@ -157,10 +157,18 @@ final class Pipeline(spark: SparkSession, root: String,
 
   /** Mart input for day `d`: partition-pruned read of enriched/, then the
     * derived day-key filter. The `file_date` BETWEEN bound is what makes a
-    * single-day run scan O(retention) partitions instead of full history. */
+    * single-day run scan O(retention) partitions instead of full history
+    * (the reference scans the FULL enriched table with only the day-key
+    * predicate, 10_focos_diario_municipio.sql:50 — the window is the
+    * deliberate scale deviation, same as [[monthInput]]'s). Padded BOTH
+    * sides: the day key can lag file_date (GMT view_ts vs local file day)
+    * AND lead it (late files carrying earlier view days — a monthly-
+    * archive backfill), so a one-sided [d-retention, d] window silently
+    * dropped late-arriving rows from every day-d rebuild. */
   def martInput(enrichedAll: DataFrame, d: Date): DataFrame =
     enrichedAll
-      .filter(col("file_date").between(date_sub(lit(d), retentionDays), lit(d)))
+      .filter(col("file_date").between(
+        date_sub(lit(d), retentionDays), date_add(lit(d), retentionDays)))
       .filter(Marts.dayKey === lit(d))
 
   /** Monthly-mart input: the whole month containing `d` (the reference
@@ -320,14 +328,27 @@ final class Pipeline(spark: SparkSession, root: String,
       val rewritten = spark.read.parquet(tmp).withColumn("file_date", lit(d))
       rewritten.write.mode("overwrite").partitionBy("file_date").parquet(path("enriched"))
       noteWrite("enriched", rewritten)
-      new scala.reflect.io.Directory(new java.io.File(tmp.stripPrefix("file:"))).deleteRecursively()
+      // Hadoop FS delete, not java.io: with an HDFS/S3 root a local-FS
+      // delete silently no-ops and enriched_tmp_* datasets leak forever
+      val tmpHp = new org.apache.hadoop.fs.Path(tmp)
+      tmpHp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tmpHp, true)
+      ()
     }
     n
   }
 
   /** Conservation-of-counts invariants (src/etl/backfill.py:69-135):
     * curated(day) == enriched(day); sum(mun mart) == enriched rows with
-    * municipality == sum over the UF mart. Returns error strings. */
+    * municipality == sum over the UF mart. Returns error strings.
+    *
+    * Deliberate divergence from the reference check: backfill.py:112
+    * compares the mart (keyed on the DERIVED day) against enriched rows
+    * scoped by FILE_DATE — an invariant that only balances when
+    * view-day == file-day for every row of the day. The engine compares
+    * the mart against [[martInput]] — the exact frame the mart was built
+    * from — so the conservation claim holds under cross-day rows too
+    * (and a stale mart after late files arrive fails LOUDLY instead of
+    * being unverifiable). */
   def checkDay(fileDate: LocalDate): Seq[String] = {
     val d = Date.valueOf(fileDate)
     val errs = scala.collection.mutable.Buffer[String]()
@@ -335,7 +356,8 @@ final class Pipeline(spark: SparkSession, root: String,
     val enriched = readTable("enriched").filter(col("file_date") === lit(d))
     val nCur = curated.count(); val nEnr = enriched.count()
     if (nCur != nEnr) errs += s"curated($nCur) != enriched($nEnr) for $fileDate"
-    val withMun = enriched.filter(col("mun_cd_mun").isNotNull && Marts.dayKey === lit(d)).count()
+    val withMun = martInput(readTable("enriched"), d)
+      .filter(col("mun_cd_mun").isNotNull).count()
     def martSum(mart: String, valueCol: String): Long =
       readTable(s"marts/$mart").filter(col("day") === lit(d))
         .agg(coalesce(sum(valueCol), lit(0L))).head().getLong(0)
@@ -348,22 +370,36 @@ final class Pipeline(spark: SparkSession, root: String,
 
   // ------------------------------------------------------ resumable backfill
 
-  private def statePath = Paths.get(path("backfill_state.json").stripPrefix("file:"))
+  // Hadoop FS, not java.nio: with an HDFS/S3 warehouse root a java.nio
+  // Paths.get("s3://…") is a LOCAL relative path — state writes would land
+  // on the driver's disk, a resumed backfill on another driver would find
+  // nothing, and the whole range would silently re-run from `start`
+  private def statePath = new org.apache.hadoop.fs.Path(path("backfill_state.json"))
+  private def stateFs =
+    statePath.getFileSystem(spark.sessionState.newHadoopConf())
 
   def readState(): Option[LocalDate] =
-    if (Files.exists(statePath)) {
-      val s = Files.readString(statePath)
+    if (stateFs.exists(statePath)) {
+      val in = stateFs.open(statePath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
       "\"last_completed\"\\s*:\\s*\"([0-9-]+)\"".r.findFirstMatchIn(s)
         .map(m => LocalDate.parse(m.group(1)))
     } else None
 
-  /** Atomic tmp+rename state write (backfill.py:63-66). */
+  /** Atomic tmp+rename state write (backfill.py:63-66): FileContext.rename
+    * with Rename.OVERWRITE is the Hadoop API with the atomic-replace
+    * contract the reference's Path.replace relies on (FileSystem.rename
+    * does not overwrite). */
   def writeState(last: LocalDate): Unit = {
-    val tmp = Paths.get(statePath.toString + ".tmp")
-    Files.createDirectories(statePath.getParent)
-    Files.writeString(tmp, s"""{"last_completed": "$last"}""")
-    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new org.apache.hadoop.fs.Path(statePath.toString + ".tmp")
+    val out = stateFs.create(tmp, true)
+    try out.write(s"""{"last_completed": "$last"}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(statePath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, statePath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
   }
 
   /** EP2 — range mode: loop days, stop on first failure, resume from state.

@@ -62,6 +62,23 @@ class IngestSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("S4: mixed-delimiter directories sniff PER FILE — the other-dialect " +
+    "file's rows parse instead of silently nulling out") {
+    val dir = Files.createTempDirectory("graft_mixed")
+    // alphabetically-first file is comma; the semicolon file would have
+    // been parsed as one giant column under single-file sniffing, its
+    // coordinates nulled, and every row silently dropped by P4
+    Files.writeString(dir.resolve("a_comma.csv"),
+      "latitude,longitude,satelite\n-10.5,-55.1,AQUA\n")
+    Files.writeString(dir.resolve("b_semi.csv"),
+      "latitude;longitude;satelite\n-11.5;-56.1;TERRA\n-11.6;-56.2;NOAA\n")
+    val out = Ingest.transform(Ingest.readCsv(spark, dir.toString),
+      java.sql.Date.valueOf("2024-01-01"))
+    assert(out.count() == 3, "a row from the other-dialect file was dropped")
+    assert(out.filter(col("lat") === -11.5).count() == 1)
+    assert(out.filter(col("lat") === -10.5).count() == 1)
+  }
+
   test("P9: multi-file reads dedup with a file-order survivor key") {
     val dir = Files.createTempDirectory("graft_multifile")
     // same event hash inputs in both files, different municipio: the survivor

@@ -1468,6 +1468,17 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Warc.parse(1L, lying).exists(!_.ok))
     assert(Warc.parse(1L, "not a warc at all".getBytes).exists(!_.ok))
     assert(Warc.parse(1L, Array.empty[Byte]).exists(!_.ok))
+    // damage mid-archive keeps the GOOD PREFIX (the routine truncated-
+    // download shape): the warcinfo record framed before the damaged
+    // response must survive, with one trailing ok=false marker
+    val prefixKept = Warc.parse(2L, plain.take(plain.length - 6)).toVector
+    assert(prefixKept.exists(r => r.ok && r.warc_type == "warcinfo"),
+      s"good prefix discarded: $prefixKept")
+    assert(prefixKept.count(!_.ok) == 1 && !prefixKept.last.ok)
+    // the lying length hits the FIRST record: no good prefix exists, so
+    // the result is exactly the one marker row
+    val lyingKept = Warc.parse(2L, lying).toVector
+    assert(lyingKept.length == 1 && !lyingKept.head.ok)
     val rnd = new scala.util.Random(61)
     for (_ <- 1 to 200) {
       val m = plain.clone()
@@ -1890,13 +1901,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     val uniTar = Tar.tarBytes(Seq(uniName -> Array[Byte](7)), longStyle = "pax")
     val uni = Tar.parse(3L, uniTar).toVector
     assert(uni.forall(_.ok) && uni.exists(_.name == uniName), uni.toString)
-    // webdataset grouping keys on the long BASENAME before the first dot
+    // webdataset grouping keys on the name up to the basename's first dot
+    // with the DIRECTORY KEPT (base_plus_ext): basename collisions across
+    // subdirectories stay distinct samples
     import spark.implicits._
     val row = graft.operators.Multimodal.MediaRow(9L, "shard",
       Tar.tarBytes(entries, longStyle = "pax"), "application/x-tar",
       None, None, None)
     val samples = Tar.webdatasetSamples(Seq(row).toDS()).collect()
-    assert(samples.forall(_.ok) && samples.exists(_.key == "k" * 110))
+    assert(samples.forall(_.ok) &&
+      samples.exists(_.key == "dir_" + ("d" * 40) + "/" + ("k" * 110)))
+    // cross-directory basename collision: two DISTINCT samples
+    val coll = Tar.tarBytes(Seq(
+      "train/0001.jpg" -> Array[Byte](1),
+      "train/0001.json" -> Array[Byte](2, 3),
+      "val/0001.jpg" -> Array[Byte](4),
+      "val/0001.json" -> Array[Byte](5, 6)))
+    val cRow = graft.operators.Multimodal.MediaRow(10L, "shard", coll,
+      "application/x-tar", None, None, None)
+    val cs = Tar.webdatasetSamples(Seq(cRow).toDS()).collect()
+      .map(s => s.key -> s).toMap
+    assert(cs.keySet == Set("train/0001", "val/0001"), cs.keySet.toString)
+    assert(cs("train/0001").n_parts == 2 && cs("train/0001").parts == "jpg,json")
   }
 
   test("G.711: ulaw/alaw expansion matches javax.sound's converter for " +
