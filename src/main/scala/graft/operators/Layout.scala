@@ -56,12 +56,17 @@ object Layout {
     * computed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it cannot
     * overflow even for full-64-bit key spans (epoch-micros, snowflake
     * ids, hashes — a long multiply would wrap silently with ANSI off),
-    * and `div` keeps the quotient exact-integral on both engines. Formula
-    * mirrored in [[scaleSql]]. */
+    * and integral div keeps the quotient exact on both engines. Column
+    * expressions, not spliced SQL text (the gopherRules rule): a column
+    * name needing backticks (dots/spaces) would parse wrong — and a
+    * crafted name would be interpreted as SQL. Formula mirrored in
+    * [[scaleSql]]. */
   private def scaleExpr(c: String, lo: String, hi: String, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    expr(s"((CAST($c AS DECIMAL(38,0)) - $lo) * ${mask}L) " +
-      s"div greatest(CAST($hi AS DECIMAL(38,0)) - $lo, 1)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = (col(c).cast(dec) - col(lo)) * lit(mask)
+    val den = greatest(col(hi).cast(dec) - col(lo), lit(1))
+    try_divide(num - pmod(num, den), den).cast("long")
   }
 
   private def scaleSql(c: String, lo: String, hi: String, bits: Int): String = {

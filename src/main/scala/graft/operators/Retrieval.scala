@@ -150,11 +150,7 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg((sum(col("c")) * 1000000).cast("long").as("score_micro"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank"))
+    perQueryTopK(scored, "score_micro", k)
   }
 
   /** Query–document Jaccard top-k: a second, set-based lexical ranker for
@@ -188,11 +184,7 @@ object Retrieval {
       .withColumn("score_micro", expr(
         "CAST(size(array_intersect(dw, qw)) AS BIGINT) * CAST(1000000 AS BIGINT)" +
           " div CAST(size(array_union(dw, qw)) AS BIGINT)"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score_micro"), col("rank"))
+    perQueryTopK(scored, "score_micro", k)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
@@ -218,11 +210,19 @@ object Retrieval {
         expr(s"CAST(1000000 AS BIGINT) div CAST($kConst + rank AS BIGINT)").as("p"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("p")).as("rrf_micro"), count(lit(1)).as("n_rankers"))
+    perQueryTopK(fused, "rrf_micro", k, Seq("n_rankers"))
+  }
+
+  /** The shared per-query top-k tail — rank by (score desc, doc_id asc),
+    * keep rank <= k. ONE implementation (the Similarity.rerankTopK rule)
+    * so the rankers rrfFuse fuses can never silently diverge on the
+    * tie-break contract. */
+  private def perQueryTopK(scored: DataFrame, scoreCol: String, k: Int,
+                           extra: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("query_id")
-      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w))
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
-        col("n_rankers"), col("rank"))
+      .select((Seq("query_id", "doc_id", scoreCol) ++ extra :+ "rank").map(col): _*)
   }
 }

@@ -31,19 +31,32 @@ object Scd {
     *         open a new version at eff; identical updates are no-ops;
     *         history rows pass through untouched. Attribute comparison is
     *         null-safe (a NULL attr equals NULL — no churn on NULLs).
+    *         Updates with a NULL eff are UNVERSIONABLE and fail closed:
+    *         an existing key keeps its open version unchanged, a
+    *         brand-new key emits nothing — never a version row with
+    *         valid_from = NULL, which would corrupt the dimPresent
+    *         contract every later merge relies on.
     */
   def scd2Apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
                 attrCols: Seq[String], effCol: String): DataFrame = {
     val validToType = dim.schema("valid_to").dataType
     val keys = keyCols.map(col)
+    // explicit presence marker (the upsert convention) — inferring
+    // presence from __eff.isNotNull conflated "no update row joined" with
+    // "update row whose eff is NULL", silently dropping the latter's
+    // changed attributes and, worse, inserting brand-new keys with
+    // valid_from = NULL (which the NEXT merge's dimPresent contract then
+    // misclassifies, overwriting the open version without closing it)
     val u = updates.select(
       keyCols.map(col) ++
-        attrCols.map(a => col(a).as(s"__u_$a")) :+ col(effCol).as("__eff"): _*)
+        attrCols.map(a => col(a).as(s"__u_$a")) :+
+        col(effCol).as("__eff") :+ lit(true).as("__u_present"): _*)
     val open = dim.filter(col("is_current"))
     val hist = dim.filter(!col("is_current"))
     val j = open.join(u, keyCols, "full_outer")
     val dimPresent = col("valid_from").isNotNull // non-null by SCD2 contract
-    val updPresent = col("__eff").isNotNull
+    val updPresent = col("__u_present").isNotNull
+    val effOk = col("__eff").isNotNull
     val same = attrCols.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
     def row(attrs: Seq[Column], vf: Column, vt: Column, cur: Column): Column =
       struct(keys ++ attrs :+ vf.as("valid_from") :+
@@ -55,9 +68,13 @@ object Scd {
     val fresh = row(attrCols.map(a => col(s"__u_$a").as(a)), col("__eff"),
       lit(null), lit(true))
     val branches =
-      when(dimPresent && updPresent && !same, array(closed, fresh))
-        .when(dimPresent, array(keepOld)) // no update, or a no-op update
-        .otherwise(array(fresh))          // brand-new key
+      when(dimPresent && updPresent && effOk && !same, array(closed, fresh))
+        .when(dimPresent, array(keepOld)) // no/no-op/unversionable update
+        .when(updPresent && effOk, array(fresh)) // brand-new key
+        // brand-new key with a NULL eff: unversionable — FAIL CLOSED with
+        // an empty branch (slice(_,1,0) = typed empty array; explode
+        // drops it) rather than open a version with valid_from = NULL
+        .otherwise(slice(array(fresh), 1, 0))
     val outCols = (keyCols ++ attrCols ++ Seq("valid_from", "valid_to", "is_current")).map(col)
     hist.select(outCols: _*)
       .unionAll(j.select(explode(branches).as("__r")).select(col("__r.*"))

@@ -115,7 +115,14 @@ object Sketches {
     // deduped keys yields the IDENTICAL estimate, the exact side becomes a
     // plain count, and both stages combine map-side — each row crosses the
     // wire once (measured ~25% faster at sf0.1, Expand-free plan).
-    df.select(col(groupCol), col(keyCol)).distinct()
+    // null keys drop BEFORE the distinct: approx_count_distinct ignores
+    // nulls but count(lit(1)) over the deduped frame would count the
+    // (group, null) row, so any group containing null keys would flunk
+    // within_bound against a sketch that is actually spot-on. A group
+    // whose keys are ALL null is omitted — zero distinct values means
+    // there is nothing to certify
+    df.select(col(groupCol), col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("exact_distinct"),
         approx_count_distinct(col(keyCol), relativeSD).as("approx_distinct"))
@@ -302,7 +309,12 @@ object Sketches {
   def approxQuantilesAudit(df: DataFrame, groupCol: String, valCol: String,
                            probabilities: Seq[Double],
                            accuracy: Int = 10000): DataFrame = {
+    // nulls drop FIRST (the rankSelect convention): percentile_approx
+    // ignores them, but they would inflate __n (shifting every rank
+    // anchor) and occupy rank 1 of the NULLS FIRST exact-side window,
+    // corrupting the very exact_q the sketch is certified against
     val ev = df.select(col(groupCol), col(valCol).as("__v"))
+      .filter(col("__v").isNotNull)
     // the audited artifact: the GK sketch, one mergeable aggregation pass
     val grp = ev.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__n"),

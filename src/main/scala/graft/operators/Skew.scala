@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // xxhash64 rejects MAP-typed columns at analysis time (maps have no
+  // canonical order to hash) — salt entropy comes from every HASHABLE
+  // column instead, so an irrelevant map metadata column can't fail the
+  // whole operator (the topKPerKey lesson, generalized to the salted
+  // siblings). A row that is ONLY maps salts constantly — the unsalted
+  // plan, not an error.
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+
+  private def saltHashCols(df: DataFrame): Seq[Column] = {
+    val cs = df.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name)).toSeq
+    if (cs.isEmpty) Seq(lit(1)) else cs
+  }
+
   /** Two-stage salted aggregation: stage 1 groups by (key, salt) so a hot
     * key's rows spread over `salts` reducers and combine map-side; stage 2
     * combines the ≤`salts` partial rows per key. Result is IDENTICAL to a
@@ -30,7 +51,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, key: Column, keyName: String,
                      sumCol: Column, salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts))
+    val salt = pmod(xxhash64(struct(saltHashCols(df): _*)), lit(salts))
     df.select(key.as(keyName), sumCol.cast("decimal(38,6)").as("__v"),
         salt.as("__salt"))
       .groupBy(col(keyName), col("__salt"))
@@ -57,7 +78,7 @@ object Skew {
                  bigKey: String, smallKey: String,
                  salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val salt = pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+    val salt = pmod(xxhash64(struct(saltHashCols(big): _*)),
       lit(salts)).cast("int")
     val b = big.withColumn("__bsalt", salt)
     val s = small.withColumn("__ssalt",

@@ -57,6 +57,13 @@ object TemporalJoins {
       // its payload onto every pre-first-version left row — "no ord" means
       // "never valid", so drop it
       .filter(col("__ord").isNotNull)
+      // null-KEYED versions drop too: the union+window implementation
+      // would otherwise group them with null-keyed LEFT rows (window
+      // partitioning is null-safe) and hand those rows a payload a plain
+      // equi-join — the documented "same key" semantics, and the oracle's
+      // SQL join — would never produce. Null-keyed left rows are KEPT and
+      // get null payloads, like any unmatched probe row
+      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
     val pType = rPre.schema("__p").dataType
     val rAligned = extras.foldLeft(rPre.withColumn("__pri", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))

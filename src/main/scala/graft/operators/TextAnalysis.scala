@@ -60,7 +60,11 @@ object TextAnalysis {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isEval: Column, n: Int = 5): DataFrame = {
-    val tagged = docs.withColumn("__eval", isEval)
+    // a NULL predicate result must not make the row vanish from BOTH
+    // sides (filter(!NULL) and filter(NULL) each drop it): an
+    // unclassifiable document defaults to the TRAIN side, where it still
+    // gets audited against the eval grams
+    val tagged = docs.withColumn("__eval", coalesce(isEval, lit(false)))
     // per-doc hash sets are already distinct (sorted-dedup inside the
     // expression), so neither join input needs its own distinct shuffle.
     // The signature frame is persisted PRE-explode (one row per doc, the
@@ -176,7 +180,14 @@ object TextAnalysis {
     * [[percentRankMicro]]: every row annotated with its exact
     * (score desc, id asc) corpus rank and the corpus size `__n`, without a
     * global sort — per-bin counts roll up on a tiny frame, the in-bin
-    * row_number window is bin-partitioned. */
+    * row_number window is bin-partitioned.
+    *
+    * NULL scores: the row is RETURNED (the "every row annotated"
+    * contract) with NULL rank/__n — an unscored document cannot be
+    * ranked — and is excluded from `__n`, so non-null rows' percentiles
+    * are computed over the rankable corpus only. (The old inner join
+    * silently DROPPED null-score rows while still counting them in __n,
+    * deflating every real row's percentile.) */
   private def binnedRank(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // both the bin aggregate and the probe side read the scored frame
@@ -184,15 +195,17 @@ object TextAnalysis {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wAbove = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bins = t.groupBy(scoreCol).agg(count(lit(1)).as("__bn"))
+    val bins = t.filter(col(scoreCol).isNotNull)
+      .groupBy(scoreCol).agg(count(lit(1)).as("__bn"))
     val binsC = bins
       .withColumn("__cum_above", coalesce(sum("__bn").over(wAbove), lit(0L)))
       .withColumn("__n", sum("__bn").over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col(scoreCol), col("__cum_above"), col("__n"))
     val wIn = Window.partitionBy(scoreCol).orderBy(idCol)
-    t.join(broadcast(binsC), Seq(scoreCol))
-      .withColumn("rank", col("__cum_above") + row_number().over(wIn))
+    t.join(broadcast(binsC), Seq(scoreCol), "left")
+      .withColumn("rank", when(col(scoreCol).isNotNull,
+        col("__cum_above") + row_number().over(wIn)))
       .drop("__cum_above")
   }
 
