@@ -135,7 +135,6 @@ object Enrich {
       .withColumn(checkedFlag, lit(true))
       .drop("rn", "dim_id", "geom", "min_lon", "min_lat", "max_lon", "max_lat")
       .drop(extraOrder: _*)
-      .drop(outCols.keys.toSeq.filterNot(outCols.contains).distinct: _*)
       .drop(outCols.keys.toSeq.filterNot(k => outCols(k) == k): _*)
   }
 

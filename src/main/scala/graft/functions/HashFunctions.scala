@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions.udf
 object HashFunctions {
 
   /** Python `round(x, 6)` — correctly-rounded half-even decimal rounding of
-    * the exact binary value (CPython `double_round`). */
-  def pyRound6(x: Double): Double =
-    new JBigDecimal(x).setScale(6, RoundingMode.HALF_EVEN).doubleValue()
+    * the exact binary value (CPython `double_round`). SIGNED ZERO is
+    * preserved: CPython rounds any negative value that lands on zero to
+    * -0.0 (round(-1e-7, 6) == -0.0, rendered "-0.0" by json.dumps), but
+    * BigDecimal has no signed zero — re-apply the input's sign bit. */
+  def pyRound6(x: Double): Double = {
+    val r = new JBigDecimal(x).setScale(6, RoundingMode.HALF_EVEN).doubleValue()
+    if (r == 0.0 && java.lang.Double.doubleToRawLongBits(x) < 0) -0.0 else r
+  }
 
   /** Python `repr(float)` for doubles that are exactly representable at ≤6
     * decimal places (the post-round(·,6) domain): plain decimal, trailing
@@ -38,7 +43,10 @@ object HashFunctions {
     val bd = if (bd0.compareTo(JBigDecimal.ZERO) == 0) JBigDecimal.ZERO else bd0
     val digits = bd.unscaledValue.abs.toString
     val adjExp = digits.length - bd.scale - 1 // power of ten of leading digit
-    val sign = if (bd.signum < 0) "-" else ""
+    // Python repr(-0.0) is "-0.0": BigDecimal drops the zero's sign, so
+    // recover it from the double's sign bit
+    val sign = if (bd.signum < 0 ||
+      (bd.signum == 0 && java.lang.Double.doubleToRawLongBits(x) < 0)) "-" else ""
     // Python repr switches to scientific when exp < -4 or >= 16
     if (adjExp < -4 || adjExp >= 16) {
       val mant =
@@ -48,7 +56,10 @@ object HashFunctions {
       f"$sign$mant%se$expSign${math.abs(adjExp)}%02d"
     } else {
       val s = bd.toPlainString
-      if (s.contains('.')) s else s + ".0"
+      // toPlainString carries the '-' for nonzero negatives but not for
+      // the recovered negative ZERO — prepend it there
+      val signed = if (bd.signum == 0 && sign == "-") "-" + s else s
+      if (signed.contains('.')) signed else signed + ".0"
     }
   }
 
@@ -60,6 +71,9 @@ object HashFunctions {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
+      // Python json.dumps uses the SHORT escapes for backspace/form-feed
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
       case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c) // ensure_ascii=False: non-ascii passes through
     }
@@ -96,7 +110,11 @@ object HashFunctions {
 
   def eventHash(fileDate: String, lat: Double, lon: Double,
                 viewTs: String, satelite: String): String =
-    md5Hex(canonicalEventPayload(fileDate, lat, lon, viewTs, satelite))
+    // null-propagate on a null file_date (the one argument that was NOT
+    // guarded — it NPE'd the whole task) like Spark's builtins; viewTs
+    // and satelite render as JSON null per the reference payload
+    if (fileDate == null) null
+    else md5Hex(canonicalEventPayload(fileDate, lat, lon, viewTs, satelite))
 
   val eventHashUdf =
     udf((fileDate: String, lat: Double, lon: Double, viewTs: String, sat: String) =>

@@ -309,7 +309,24 @@ object Geo {
       if (n < 3) return Vector(rr.pts.toVector)
       val sigs = Array.tabulate(n)(i => edgeUsers(eKey(pts(i), pts((i + 1) % n))))
       val junctions = (0 until n).filter(i => sigs((i - 1 + n) % n) != sigs(i))
-      if (junctions.isEmpty) return Vector((pts :+ pts.head).toVector) // closed, 1 chain
+      if (junctions.isEmpty) {
+        // junction-free closed ring: canonicalize the ROTATION before it
+        // becomes the memo key — two geometries can store the identical
+        // shared ring with different start vertices, and keying on the
+        // stored rotation would anchor DP at different endpoints per
+        // copy, simplifying "the same border" differently (exactly the
+        // gap/overlap this function exists to prevent). Start at the
+        // lexicographically smallest vertex; canon() handles direction.
+        var mi = 0
+        var i = 1
+        while (i < n) {
+          if (pts(i)._1 < pts(mi)._1 ||
+            (pts(i)._1 == pts(mi)._1 && pts(i)._2 < pts(mi)._2)) mi = i
+          i += 1
+        }
+        val rot = Vector.tabulate(n)(o => pts((mi + o) % n))
+        return Vector(rot :+ rot.head) // closed, 1 chain
+      }
       val js = junctions.toVector
       js.indices.toVector.map { k =>
         val from = js(k)

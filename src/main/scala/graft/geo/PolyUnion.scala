@@ -286,12 +286,25 @@ object PolyUnion {
     if (exteriors.isEmpty) return IndexedSeq.empty
     val polys = exteriors.map(e => mutable.ArrayBuffer[Ring](e._1))
     holes.foreach { h =>
-      // attach to the smallest exterior containing a hole vertex
-      val (hx, hy) = h.head
-      val idx = exteriors.zipWithIndex
-        .filter { case ((ext, _), _) => Geo.pointInRing(hx, hy, ext) }
-        .sortBy(_._1._2)
-        .headOption.map(_._2)
+      // attach to the smallest exterior containing the hole. Probe with
+      // EDGE MIDPOINTS, not a vertex: at a pinch/tangency the hole's
+      // vertex can lie exactly ON the exterior ring, where the ray cast's
+      // verdict is implementation-defined and the hole could silently
+      // drop (over-covering its area). A snapped-vertex tangency never
+      // puts a whole hole EDGE on the exterior, so some midpoint is
+      // strictly interior; take the first midpoint that attaches, falling
+      // back to the head vertex for degenerate rings.
+      val probes = (0 until h.length - 1).iterator
+        .map(i => ((h(i)._1 + h(i + 1)._1) / 2, (h(i)._2 + h(i + 1)._2) / 2)) ++
+        Iterator.single(h.head)
+      val idx = probes
+        .map { case (px, py) =>
+          exteriors.zipWithIndex
+            .filter { case ((ext, _), _) => Geo.pointInRing(px, py, ext) }
+            .sortBy(_._1._2)
+            .headOption.map(_._2)
+        }
+        .collectFirst { case Some(i) => i }
       idx.foreach(i => polys(i) += h)
     }
     polys.map(_.toIndexedSeq).toIndexedSeq

@@ -64,7 +64,11 @@ object HtmlKernel {
       val c = html.charAt(i)
       if (c == '<') {
         if (html.startsWith("<!--", i)) { // comment: vanish entirely
-          val end = html.indexOf("-->", i + 4)
+          // search from i+2, NOT i+4: the closer may OVERLAP the opener's
+          // dashes — the spec's abruptly-closed comments <!--> and <!--->
+          // are complete comments, and starting past them swallowed the
+          // entire rest of the document into the "unclosed comment" arm
+          val end = html.indexOf("-->", i + 2)
           i = if (end < 0) n else end + 3
           if (sb.length > 0) needSpace = true
         } else if (i + 1 < n && {
@@ -106,7 +110,11 @@ object HtmlKernel {
           nTags += 1
           if (sb.length > 0) needSpace = true
           if (!closing && name == "a" && hasHref) nLinks += 1
-          if (!closing && !selfClosed && (name == "script" || name == "style")) {
+          // the self-closing flag is IGNORED on script/style (HTML only
+          // honors it on void/foreign elements): <script src=x/> still
+          // opens a raw-text element, and skipping the body consumption
+          // here leaked the script's code into the training text
+          if (!closing && (name == "script" || name == "style")) {
             // consume the raw-text element body through the EARLIEST end
             // tag, case-insensitively — a case-sensitive fast path that
             // skips '</SCRIPT>' to a later '</script>' would swallow the

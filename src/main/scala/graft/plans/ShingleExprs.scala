@@ -253,8 +253,14 @@ object ShingleKernel {
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      if (len > 0 && out(len - 1) == l && t == r) out(len - 1) = m
-      else { out(len) = t; len += 1 }
+      // null elements DROP (the sibling kernels' convention): a tokenizer
+      // never produces them, but a crafted SQL array literal can — and the
+      // declared output type is containsNull=false, so storing the null
+      // would corrupt the unsafe array downstream
+      if (t != null) {
+        if (len > 0 && out(len - 1) == l && t == r) out(len - 1) = m
+        else { out(len) = t; len += 1 }
+      }
       i += 1
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], len))

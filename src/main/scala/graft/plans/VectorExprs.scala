@@ -113,9 +113,19 @@ object L2NormExpr {
   * one entry per centroid, order preserved). The matrix rides along as a
   * reference object in generated code — never rebuilt per row, unlike a
   * `typedLit` touched inside a HOF lambda.
+  *
+  * The case-class field is the VALUE-comparable IndexedSeq form (the
+  * UrlKernel.PslSets convention): an Array field compares by reference,
+  * so two bindings of the same centroid table would never canonicalize
+  * equal and Catalyst's subexpression elimination could not dedup the
+  * per-row distance loop. The Array form the kernel wants is derived once
+  * lazily.
   */
-case class SqDistsExpr(child: Expression, cents: Array[Array[Double]])
+case class SqDistsExpr(child: Expression, cents: IndexedSeq[IndexedSeq[Double]])
   extends UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -125,10 +135,10 @@ case class SqDistsExpr(child: Expression, cents: Array[Array[Double]])
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernel.sqDists(v.asInstanceOf[ArrayData], cents)
+    VectorKernel.sqDists(v.asInstanceOf[ArrayData], centsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev, v => s"graft.plans.VectorKernel.sqDists($v, $ref)")
   }
 
@@ -139,5 +149,5 @@ case class SqDistsExpr(child: Expression, cents: Array[Array[Double]])
 object SqDistsExpr {
   def apply(v: Column, cents: Seq[Seq[Double]]): Column =
     ColumnBridge.column(new SqDistsExpr(
-      ColumnBridge.expression(v), cents.map(_.toArray).toArray))
+      ColumnBridge.expression(v), cents.map(_.toIndexedSeq).toIndexedSeq))
 }

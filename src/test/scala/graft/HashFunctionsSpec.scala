@@ -48,6 +48,16 @@ class HashFunctionsSpec extends AnyFunSuite {
       "25409df508b5bdbdedbed0822ef64ae1")
     assert(eventHash("2024-12-31", 89.9999994, -179.9999996, "t", "s") ==
       "a93cb0b961353ffeba98c69f4801839c")
+    // CPython golden vectors for the round-16 parity fixes, generated with
+    // json.dumps + hashlib.md5 directly:
+    // signed zero — round(-1e-7, 6) is -0.0 and renders "-0.0"
+    assert(eventHash("2024-01-01", -1e-7, 55.5, null, "AQUA") ==
+      "e5ffe47b7c556104289b1b3ec7b38e1e")
+    // \b and \f use Python's SHORT escapes, and -0.0 passes through
+    assert(eventHash("2024-01-01", -0.0, 0.0, "a\bb\fc", "S") ==
+      "461c5b6a8d4b1f98e25abf0639d29012")
+    // a null file_date null-propagates instead of NPEing the task
+    assert(eventHash(null, 1.0, 2.0, "t", "s") == null)
   }
 
   test("simhash: near-identical token lists have small hamming distance") {
