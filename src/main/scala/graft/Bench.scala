@@ -135,11 +135,21 @@ object Bench {
     // the alphabetically first consumer per the timing contract
     SparkEntry.queries.get("a12_distinct_days")
       .foreach(fn => try consume(fn(spark, sfDir)) catch { case _: Throwable => })
+    // warmup failures must not kill the run BUT must be LOUD: a swallowed
+    // mid-warmup throw silently skips every remaining twin and the first
+    // timed rows absorb 1-3 s of Janino/JIT — an artifact that reads as an
+    // engine regression with no host-probe signal to exonerate it
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP ABORTED ($what): " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage} — one-shot timings " +
+          "downstream of this point include first-use compilation")
+      }
     // shared serve inputs are persisted marts in production — warm once here
-    try Queries.warmupShared(spark, sfDir) catch { case _: Throwable => }
+    warm("warmupShared")(Queries.warmupShared(spark, sfDir))
     // compile the heavy dedup/LSH codegen classes on a tiny slice so the
     // one-shot timings below measure execution, not Janino compilation
-    try Queries.warmupPlans(spark, sfDir) catch { case _: Throwable => }
+    warm("warmupPlans")(Queries.warmupPlans(spark, sfDir))
     // optional comma-separated filter for local iteration (unset in CI)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // default 2: "queries" stays the ONE-SHOT (first-run) timing — fully
@@ -147,7 +157,10 @@ object Bench {
     // steady-state decomposition (what a warm service pays once shared
     // marts/Janino are amortized) into the driver's own artifact instead
     // of only the README. Costs ~one extra minute per full run.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    // clamped to >= 1: REPEAT=0 would make times.head throw AFTER the full
+    // multi-minute warmup, with no artifact written
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2))
     // diagnostic listener (SPARK_GRAFT_DEBUG_JOBS=1): per-query job/stage/
     // task counts + summed task wall-time, to split scheduler/plan fixed
     // cost from actual execution when a small-SF one-shot number looks slow
@@ -175,7 +188,9 @@ object Bench {
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         if (sys.env.get("SPARK_GRAFT_DEBUG_JOBS").contains("3")) {
           val (st, site) = Option(jobStart.remove(j.jobId)).getOrElse((j.time, "?"))
-          val gap = st - lastEnd.getAndSet(j.time)
+          // first job: no previous end — gap is 0, not an epoch-sized delta
+          val prev = lastEnd.getAndSet(j.time)
+          val gap = if (prev == 0L) 0L else st - prev
           System.err.println(f"[job-dbg] job=${j.jobId}%4d wall=${(j.time - st) / 1000.0}%.3fs " +
             f"gapBefore=${math.max(0L, gap) / 1000.0}%.3fs $site")
         }
@@ -255,7 +270,12 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"explain failed: $e") }
       }
       if (dbg) { jobC.set(0); stageC.set(0); taskC.set(0); taskMs.set(0) }
-      val times = (1 to repeat).map { _ =>
+      // snapshot debug counters after the FIRST iteration: wall= prints the
+      // first-run time, so the counters beside it must be first-run too —
+      // letting them accumulate across repeats printed ~repeat× the task
+      // time against a single run's wall
+      var dbgSnap = (0L, 0L, 0L, 0L)
+      val times = (1 to repeat).map { it =>
         val t0 = System.nanoTime()
         val ok =
           try { consume(fn(spark, sfDir)); true } catch {
@@ -263,13 +283,15 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               false
           }
+        if (dbg && it == 1)
+          dbgSnap = (jobC.get, stageC.get, taskC.get, taskMs.get)
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       // a failed iteration must never masquerade as a (fast) timing; if
       // every iteration failed, report -1 so the JSON is loud too
       if (dbg) System.err.println(
-        f"[bench-dbg] $name jobs=${jobC.get} stages=${stageC.get} " +
-          f"tasks=${taskC.get} taskTime=${taskMs.get / 1000.0}%.1fs " +
+        f"[bench-dbg] $name jobs=${dbgSnap._1} stages=${dbgSnap._2} " +
+          f"tasks=${dbgSnap._3} taskTime=${dbgSnap._4 / 1000.0}%.1fs " +
           f"wall=${times.head}%.2fs")
       def clean(v: Double) = if (v.isInfinity) -1.0 else v
       // "queries"/"value" are the FIRST run — the one-shot contract every
@@ -280,7 +302,10 @@ object Bench {
     sampleCanary()
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the headline total sums PASSING rows only: folding the -1 failure
+    // sentinels in would make a lost row read as a speedup in any
+    // round-over-round total comparison (per-row -1s stay in "queries")
+    val total = results.map(_._2).filter(_ > 0).sum
     val canarySeq = canarySamples.toSeq
     val degraded = isDegraded(canarySeq)
     val canaryJson = canarySeq // Locale.ROOT: f"" uses the default locale

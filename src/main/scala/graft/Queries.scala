@@ -281,6 +281,10 @@ object Queries {
   private val fmgwsSrcCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     (Long, String, org.apache.spark.sql.types.StructType)]
+  // eviction hook like every sibling session-keyed cache (dfCache, bpeCache,
+  // …): without it a stopped session's key pins the whole SparkSession
+  // graph in this map forever
+  CacheRegistry.addHook(s => fmgwsSrcCache.keySet.removeIf(_._1 == s))
 
   // The trap-laden HTML page shared by text_html_extract and
   // web_warc_extract — ONE definition (pre/mid/post fragments, tag count,

@@ -62,9 +62,17 @@ object Verify {
     failures.toMap
   }
 
-  /** Names in `selected` with no committed parquet output under `outDir`. */
-  private[graft] def census(outDir: String, names: Seq[String]): Seq[String] =
-    names.filterNot(n => Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+  /** Names in `selected` with no committed parquet output under `outDir`.
+    * Hadoop FS probe, not java.nio: the outputs are WRITTEN through the
+    * Hadoop writer, so a non-local outDir (hdfs://, s3a://) would read as
+    * all-missing under a local-path check and fail a fully successful run. */
+  private[graft] def census(outDir: String, names: Seq[String]): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    names.filterNot { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$n/_SUCCESS")
+      p.getFileSystem(conf).exists(p)
+    }
+  }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
