@@ -283,9 +283,16 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               false
           }
-        if (dbg && it == 1)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (dbg && it == 1) {
+          // listener events are delivered async on the bus — snapshotting
+          // the instant the action returns can under-count under load.
+          // No public drain API, so a short settle sleep (dbg-only, and
+          // AFTER `elapsed` is captured so it never pollutes the timing).
+          Thread.sleep(150)
           dbgSnap = (jobC.get, stageC.get, taskC.get, taskMs.get)
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+        }
+        if (ok) elapsed else Double.PositiveInfinity
       }
       // a failed iteration must never masquerade as a (fast) timing; if
       // every iteration failed, report -1 so the JSON is loud too

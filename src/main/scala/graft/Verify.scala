@@ -65,9 +65,12 @@ object Verify {
   /** Names in `selected` with no committed parquet output under `outDir`.
     * Hadoop FS probe, not java.nio: the outputs are WRITTEN through the
     * Hadoop writer, so a non-local outDir (hdfs://, s3a://) would read as
-    * all-missing under a local-path check and fail a fully successful run. */
-  private[graft] def census(outDir: String, names: Seq[String]): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    * all-missing under a local-path check and fail a fully successful run.
+    * Takes the SESSION's Hadoop conf (captured before spark.stop()), not a
+    * bare `new Configuration()` — spark.hadoop.* credentials/settings are
+    * exactly what a remote outDir needs to connect. */
+  private[graft] def census(outDir: String, names: Seq[String],
+                            conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     names.filterNot { n =>
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$n/_SUCCESS")
       p.getFileSystem(conf).exists(p)
@@ -110,12 +113,14 @@ object Verify {
     val failures = runQueries(spark, selected, sfDir, outDir)
     writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     writeJsonMap(s"$outDir/failures.json", failures)
+    // captured BEFORE stop(): the session is gone by census time
+    val hadoopConf = spark.sessionState.newHadoopConf()
     spark.stop()
     // Census: every selected query must have produced a parquet dir — a
     // missing output can otherwise read as "not run" downstream. Checked
     // AFTER oracle_sql.json/failures.json are written so a failing census
     // still leaves the artifacts, and surfaced as a non-zero exit.
-    val missing = census(outDir, selected.map(_._1))
+    val missing = census(outDir, selected.map(_._1), hadoopConf)
     if (missing.nonEmpty) {
       System.err.println(
         s"[verify] CENSUS FAILURE: ${missing.size}/${selected.size} query " +

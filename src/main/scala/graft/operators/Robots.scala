@@ -119,18 +119,43 @@ object Robots {
   // shared parse-once-per-host rule-set frame for the two admission APIs.
   // One row per host is ENFORCED, not assumed: a duplicate host row in the
   // robots frame would otherwise multiply every joined fact row (row
-  // duplication, not just a wrong verdict). min() picks the surviving body
-  // deterministically (task retries and partitioning cannot flip it);
-  // a host whose only bodies are null parses as the empty file (allow-all).
+  // duplication, not just a wrong verdict). Duplicate bodies resolve
+  // FAIL-CLOSED: the body whose parse yields the most disallow rules wins
+  // (then most total rules, then lexicographically larger rule list) — an
+  // admission gate must not let a permissive body shadow a restrictive one
+  // the way a lexicographic min() could. The comparator is a total order
+  // on the PARSE OUTPUT, so task retries and reduce order cannot flip the
+  // verdicts. A host whose only bodies are null parses as the empty file
+  // (allow-all).
   private def parsedRules(robots: DataFrame,
                           agent: String): Dataset[(String, Seq[(String, Boolean)])] = {
     val spark = robots.sparkSession
     import spark.implicits._
     robots.select(col("host"), col("robots_txt"))
-      .groupBy("host").agg(min("robots_txt").as("robots_txt"))
       .as[(String, String)]
       .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
         .map(r => (r.pattern, r.allow))) }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) => if (moreRestrictive(a._2, b._2)) a else b }
+      .map(_._2)
+  }
+
+  /** Total order for the duplicate-host tie-break: true iff `a` wins over
+    * `b`. More disallow rules first, then more rules overall, then the
+    * lexicographically larger (pattern, allow) sequence — associative and
+    * commutative, so reduceGroups is deterministic under any grouping. */
+  private def moreRestrictive(a: Seq[(String, Boolean)],
+                              b: Seq[(String, Boolean)]): Boolean = {
+    val da = a.count(!_._2); val db = b.count(!_._2)
+    if (da != db) return da > db
+    if (a.length != b.length) return a.length > b.length
+    val it = a.iterator.zip(b.iterator)
+    while (it.hasNext) {
+      val ((pa, aa), (pb, ab)) = it.next()
+      if (pa != pb) return pa > pb
+      if (aa != ab) return !aa // disallow sorts above allow
+    }
+    true // identical rule lists: either wins, verdicts identical
   }
 
   /** Admission verdict per URL row: `urls(host, path)` against

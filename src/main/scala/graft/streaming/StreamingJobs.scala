@@ -109,11 +109,15 @@ object StreamingJobs {
     * row, so the prune is unconditionally sound. For the common
     * append-only shapes (monotonic ids, time-partitioned days) the
     * per-batch probe cost is therefore batch-envelope-sized, not
-    * O(target); a target with keys uniformly shuffled across its files
-    * degrades to the old full keyCols scan, no worse. No state store,
-    * no side index (a digest index would add a write not atomic with the
-    * target append — a crash between the two either loses rows or
-    * duplicates them on replay) — the TABLE is the state.
+    * O(target). Hash keys (the reference's K1 `event_hash` md5) have no
+    * useful envelope — for them the [[KeyIndex]] sidecar (on by default,
+    * `spark.graft.keyIndex.enabled`) bounds the probe instead: a
+    * bucket-pruned read of a compacted key index that is a pure CACHE of
+    * the target (derivable, never authoritative), so there is no
+    * atomic-two-write seam — a crash between target append and index
+    * refresh just leaves the new files "uncovered" and the next batch's
+    * probe scans that batch-sized delta while the index heals forward.
+    * No state store — the TABLE is the state; the index is a cache of it.
     *
     * @param trigger AvailableNow by default (drain-and-stop, the backfill
     *                shape); pass a processing-time trigger for a live
@@ -141,17 +145,27 @@ object StreamingJobs {
         val once = batch.dropDuplicates(keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val fresh =
+          val useIdx = KeyIndex.enabled(spark)
+          val (fresh, priorManifest) =
             if (exists) {
-              val existing = prunedTargetKeys(spark, targetPath, keyCols, once)
+              val (existing, prior) =
+                if (useIdx) {
+                  val pr = KeyIndex.probe(spark, targetPath, keyCols, once)
+                  (pr.frame, pr.manifest)
+                } else
+                  (prunedTargetKeys(spark, targetPath, keyCols, once), None)
               // null-safe equality (<=>): a null-keyed row already in the
               // target must block its replayed twin
               val cond = keyCols.map(k => once(k) <=> existing(k)).reduce(_ && _)
-              once.join(existing, cond, "left_anti")
-            } else once
+              (once.join(existing, cond, "left_anti"), prior)
+            } else (once, None)
           val writer = fresh.write.mode("append")
           (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
            else writer).parquet(targetPath)
+          // AFTER the target append (ordering is the crash-safety): index
+          // the files the manifest doesn't cover — normally just the ones
+          // this batch wrote, after a crash also the orphaned delta
+          if (useIdx) KeyIndex.refresh(spark, targetPath, keyCols, priorManifest)
         } finally { once.unpersist(); () }
         ()
       }
@@ -171,30 +185,60 @@ object StreamingJobs {
     * pushed filters on the probe scan directly. */
   private[graft] def prunedTargetKeys(spark: SparkSession, targetPath: String,
                                       keyCols: Seq[String],
-                                      once: DataFrame): DataFrame = {
-    val existing = spark.read.parquet(targetPath).select(keyCols.map(col): _*)
-    // one batch-sized aggregate: per-key min/max (nulls ignored by both)
-    // plus a has-null flag; collected to the driver as ONE row
-    val aggs = keyCols.flatMap { k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
-        max(col(k).isNull.cast("int")).as(s"__hasnull_$k"))
-    }
+                                      once: DataFrame): DataFrame =
+    spark.read.parquet(targetPath).select(keyCols.map(col): _*)
+      .filter(envelopeFilter(once, keyCols))
+
+  /** The batch key-envelope predicate, applicable to ANY frame carrying
+    * `keyCols` (the target scan, the key index, an uncovered-file scan).
+    * One batch-sized aggregate collected as ONE driver row. Non-atomic
+    * key types (struct/array/map) get no range term — min()/max() on
+    * them fails at analysis time — only the null arm; a batch that is
+    * empty returns lit(false) (probe nothing) via an explicit count, not
+    * the all-null inference (which a complex-only key set would fake). */
+  private[graft] def envelopeFilter(once: DataFrame, keyCols: Seq[String]): Column = {
+    val schema = once.schema
+    // range-capable = non-complex: min/max on struct/array may analyze,
+    // but lit(collected Row/array) cannot round-trip the value back into
+    // a literal; map isn't even orderable
+    val atomic = keyCols.map(k => schema(k).dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    })
+    val aggs = keyCols.zip(atomic).flatMap { case (k, at) =>
+      (if (at) Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))
+       else Seq(max(col(k).isNotNull.cast("int")).as(s"__hasval_$k"))) :+
+        max(col(k).isNull.cast("int")).as(s"__hasnull_$k")
+    } :+ count(lit(1)).as("__cnt")
     val env = once.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val filters = keyCols.zipWithIndex.map { case (k, i) =>
-      val mn = env.get(3 * i); val mx = env.get(3 * i + 1)
-      val hasNull = !env.isNullAt(3 * i + 2) && env.getInt(3 * i + 2) == 1
+    if (env.getLong(env.length - 1) == 0L) return lit(false) // empty batch
+    var i = 0
+    val filters = keyCols.zip(atomic).map { case (k, at) =>
+      // the non-null arm: atomic → [min, max] (None when all-null);
+      // complex → unprunable lit(true) when any non-null value exists
+      // (an isNull-only term would wrongly drop every non-null probe key)
       val range: Option[Column] =
-        if (mn == null) None // batch key is all-null (or batch empty)
-        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+        if (at) {
+          val mn = env.get(i); val mx = env.get(i + 1); i += 2
+          if (mn == null) None // batch key is all-null
+          else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+        } else {
+          val hasVal = !env.isNullAt(i) && env.getInt(i) == 1; i += 1
+          if (hasVal) Some(lit(true)) else None
+        }
+      val hasNull = !env.isNullAt(i) && env.getInt(i) == 1
+      i += 1
       val nullArm: Option[Column] = if (hasNull) Some(col(k).isNull) else None
       (range, nullArm) match {
         case (Some(r), Some(n)) => r || n
         case (Some(r), None) => r
         case (None, Some(n)) => n
-        case (None, None) => lit(false) // empty batch: probe nothing
+        case (None, None) => lit(false) // unreachable on a non-empty batch
       }
     }
-    existing.filter(filters.reduce(_ && _))
+    filters.reduce(_ && _)
   }
 
   /** Streaming PERCEPTUAL admission sink — the near-dup twin of

@@ -1625,6 +1625,27 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got.contains((6L, "payload-6"))) // h0, /private/ok/6 → Allow beats Disallow
   }
 
+  test("Robots duplicate-host tie-break is FAIL-CLOSED: the body with more " +
+    "disallow rules wins regardless of lexicographic order") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Robots
+    val urls = Seq(("dup.example", "/private/x"), ("dup.example", "/open"))
+      .toDF("host", "path")
+    // the permissive body sorts lexicographically FIRST — a min() tie-break
+    // would pick it and admit /private/x
+    val permissive = "User-agent: *\nAllow: /\n"
+    val restrictive = "User-agent: *\nDisallow: /private\n"
+    for (order <- Seq(Seq(permissive, restrictive), Seq(restrictive, permissive))) {
+      val robots = order.map(("dup.example", _)).toDF("host", "robots_txt")
+      val got = Robots.filterUrls(urls, robots).toDF()
+        .collect().map(r => r.getAs[String]("path") -> r.getAs[Boolean]("allowed")).toMap
+      assert(got == Map("/private/x" -> false, "/open" -> true), order.head.take(20))
+      // one row per host is still enforced: no fact-row multiplication
+      assert(Robots.admitted(urls, robots, "host", "path").count() == 1)
+    }
+  }
+
   test("imageDhash: brightness-invariant (uniform offset keeps every " +
     "neighbor difference), identical images collide, sub-grid and corrupt " +
     "payloads quarantine") {

@@ -36,7 +36,7 @@ class VerifySpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$out/aa_ok/_SUCCESS")))
     assert(spark.read.parquet(s"$out/aa_ok").count() == 2)
     // census reports exactly the poisoned name
-    assert(Verify.census(out, Seq("aa_ok", "zz_poison")) == Seq("zz_poison"))
+    assert(Verify.census(out, Seq("aa_ok", "zz_poison"), spark.sessionState.newHadoopConf()) == Seq("zz_poison"))
     // and the artifact file round-trips as JSON the driver could read
     Verify.writeJsonMap(s"$out/failures.json", failures)
     val txt = Files.readString(Paths.get(s"$out/failures.json"))
@@ -56,7 +56,7 @@ class VerifySpec extends AnyFunSuite {
     assert(failures.isEmpty, s"flaky query should recover on retry: $failures")
     assert(calls.get() == 2)
     assert(Files.exists(Paths.get(s"$out/ab_flaky/_SUCCESS")))
-    assert(Verify.census(out, Seq("ab_flaky")).isEmpty)
+    assert(Verify.census(out, Seq("ab_flaky"), spark.sessionState.newHadoopConf()).isEmpty)
   }
 
   test("deterministic failure (DecimalType guard) fails both attempts and is recorded") {
@@ -69,6 +69,6 @@ class VerifySpec extends AnyFunSuite {
     val failures = Verify.runQueries(spark, Seq(dec), "unused", out)
     assert(failures.contains("ac_decimal"))
     assert(failures("ac_decimal").contains("DecimalType"))
-    assert(Verify.census(out, Seq("ac_decimal")) == Seq("ac_decimal"))
+    assert(Verify.census(out, Seq("ac_decimal"), spark.sessionState.newHadoopConf()) == Seq("ac_decimal"))
   }
 }

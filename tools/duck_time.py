@@ -51,23 +51,29 @@ def main(sfdir, outdir, names):
         t0 = time.time()
         timer = None
         # explicit state, not a wall-clock heuristic: a genuine failure
-        # arriving after the budget elapses must still record FAILED, and
-        # a timer firing in the gap between fetchall() returning and
-        # cancel() must not leave a stray interrupt for the NEXT statement
+        # arriving after the budget elapses must still record FAILED. The
+        # lock makes done-check + interrupt atomic against fetchall()
+        # returning: without it a timer firing in that gap would leave a
+        # stray interrupt that aborts the NEXT statement as a spurious
+        # -1.0 FAILED.
         state = {"fired": False, "done": False}
+        lock = threading.Lock()
         if budget > 0:
             def fire():
-                if not state["done"]:
-                    state["fired"] = True
-                    con.interrupt()
+                with lock:
+                    if not state["done"]:
+                        state["fired"] = True
+                        con.interrupt()
             timer = threading.Timer(budget, fire)
             timer.start()
         try:
             con.execute(sql).fetchall()
-            state["done"] = True
+            with lock:
+                state["done"] = True
             return round(time.time() - t0, 4)
         except Exception as e:
-            state["done"] = True
+            with lock:
+                state["done"] = True
             if state["fired"]:
                 return -2.0  # budget exceeded (interrupted by the timer)
             raise e
