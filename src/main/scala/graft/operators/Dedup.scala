@@ -775,53 +775,85 @@ object Dedup {
     // doesn't apply to label frames.)
     try {
       while (!converged && iter < maxIter) {
-        // min over self + neighbors' labels. Self rows are tagged so the
-        // aggregation carries each node's PREVIOUS label alongside the new
-        // min for free (every id has exactly one self row), making the
-        // per-round change count directly observable. Convergence = first
-        // round with zero changes; unlike the sum-comparison form this needs
-        // no second round when the INITIAL labeling is already final (size-≤2
-        // components everywhere — the common near-dup case at low thresholds).
-        val fromNeighbors = edges.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("label"), lit(false).as("self"))
-        // checkpointed ONCE per round: the jump self-join reads it twice, and
-        // Catalyst does not dedupe common subtrees across join sides — without
-        // this the whole join+union+agg pipeline runs twice per round
-        val minned = labels.withColumn("self", lit(true))
-          .unionByName(fromNeighbors)
+        // Hop 1: min over self + neighbors' labels. Self rows are tagged so
+        // the aggregation carries each node's ROUND-START label alongside
+        // the new min for free (every id has exactly one self row), making
+        // the per-round change count directly observable. The hop-1
+        // Observation doubles as an EARLY EXIT: a round whose first hop
+        // changes nothing is the zero-change confirmation round — it can
+        // skip hop 2 and the jump entirely, so the final round costs one
+        // checkpoint job instead of three (round-16 VERDICT #5).
+        val obs1 = org.apache.spark.sql.Observation(s"cc_round_${iter}_h1")
+        val hop1 = labels.withColumn("self", lit(true))
+          .unionByName(edges.join(labels, col("src") === col("id"))
+            .select(col("dst").as("id"), col("label"), lit(false).as("self")))
           .groupBy("id").agg(min("label").as("label"),
             min(when(col("self"), col("label"))).as("prev"))
+          // checkpointed ONCE per hop: the next stage reads it twice, and
+          // Catalyst does not dedupe common subtrees across join sides —
+          // without this the whole join+union+agg pipeline runs twice
+          .observe(obs1,
+            sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
           .localCheckpoint(true)
-        val minnedCkpt = ckptRdd(minned)
-        // pointer jump: labels are always node ids, so the chain lookup is a
-        // self-equi-join on the (same-sized) label frame. (A second composed
-        // jump was measured and did NOT cut rounds on near-dup graphs — the
-        // tail of convergence is propagation-limited, not chain-limited.)
-        val jumped = minned
-          .join(minned.select(col("id").as("label"), col("label").as("label2")),
-            Seq("label"), "left")
-          .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
-            col("prev"))
-        // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
-        // Observation collects the count DURING the checkpoint job — no
-        // convergence join, no extra action, no confirmation round.
-        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-        labels = jumped
-          .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
-          .select("id", "label")
-          .localCheckpoint(true)
-        // round t is materialized: free the blocks deferred at round t-1
-        // (i.e. round t-2's label frame and intermediate — nothing can
-        // reference them any more), then defer round t-1's own superseded
-        // blocks until round t+1 lands
-        deferredRelease.foreach(_.unpersist(false))
-        deferredRelease = prevCkpt.toList ++ minnedCkpt.toList
-        prevCkpt = ckptRdd(labels)
-        val chg = obs.get("chg").asInstanceOf[Long]
-        converged = chg == 0L
-        iter += 1
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
+        val hop1Ckpt = ckptRdd(hop1)
+        val chg1 = obs1.get("chg").asInstanceOf[Long]
+        if (chg1 == 0L) {
+          // hop 1 is a fixpoint ⟹ labels == hop1(id, label); keep the
+          // round-start frame and stop — no hop 2, no jump, no extra job
+          deferredRelease.foreach(_.unpersist(false))
+          deferredRelease = hop1Ckpt.toList
+          converged = true
+          iter += 1
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            System.err.println(s"[cc] round $iter changed=0 (hop1 early exit) t=${System.nanoTime() / 1000000}")
+        } else {
+          // Hop 2: a SECOND neighbor-min in the same round. The per-round
+          // cost is dominated by fixed driver overhead (plan analysis, the
+          // eager checkpoint jobs, scheduler round-trips), not by the label
+          // frame — so propagating two hops per round halves the round
+          // count on propagation-limited graphs for ~one extra checkpoint,
+          // a net cut in total jobs (round-16 VERDICT #5). `prev` (the
+          // round-start label) rides along on the self rows only.
+          val hop2 = hop1.withColumn("self", lit(true))
+            .unionByName(edges.join(hop1, col("src") === col("id"))
+              .select(col("dst").as("id"), col("label"),
+                lit(null).cast(idType).as("prev"), lit(false).as("self")))
+            .groupBy("id").agg(min("label").as("label"),
+              min(when(col("self"), col("prev"))).as("prev"))
+            .localCheckpoint(true)
+          val hop2Ckpt = ckptRdd(hop2)
+          // pointer jump: labels are always node ids, so the chain lookup is
+          // a self-equi-join on the (same-sized) label frame. (A second
+          // composed jump was measured and did NOT cut rounds on near-dup
+          // graphs — the convergence tail is propagation-limited, which is
+          // what hop 2 attacks — but the single jump still compresses the
+          // label chains the double hop builds.)
+          val jumped = hop2
+            .join(hop2.select(col("id").as("label"), col("label").as("label2")),
+              Seq("label"), "left")
+            .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
+              col("prev"))
+          // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
+          // Observation collects the count DURING the checkpoint job — no
+          // convergence join, no extra action, no confirmation round.
+          val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+          labels = jumped
+            .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
+            .select("id", "label")
+            .localCheckpoint(true)
+          // round t is materialized: free the blocks deferred at round t-1
+          // (i.e. round t-2's label frame and intermediates — nothing can
+          // reference them any more), then defer round t-1's own superseded
+          // blocks until round t+1 lands
+          deferredRelease.foreach(_.unpersist(false))
+          deferredRelease = prevCkpt.toList ++ hop1Ckpt.toList ++ hop2Ckpt.toList
+          prevCkpt = ckptRdd(labels)
+          val chg = obs.get("chg").asInstanceOf[Long]
+          converged = chg == 0L
+          iter += 1
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
+        }
       }
     } finally {
       // loop done: the still-deferred blocks are ≥1 materialized round

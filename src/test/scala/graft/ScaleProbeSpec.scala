@@ -93,7 +93,9 @@ class ScaleProbeSpec extends AnyFunSuite {
     ccRun(30) // warm the loop's plan shapes
     val (tCc1, r1) = ccRun(300)      //    900 edges
     val (tCc100, r100) = ccRun(30000) // 90,000 edges
-    assert(r100 <= r1 && r100 <= 4,
+    // ≤ 2 pins the round-17 double-hop round: a 4-node chain is one
+    // two-hop propagation round plus the hop-1-only confirmation round
+    assert(r100 <= r1 && r100 <= 2,
       s"CC rounds grew with edges on a fixed-diameter graph: $r1 -> $r100")
     assert(tCc100 / tCc1 <= 8.0,
       f"CC at 100x edges cost ${tCc100 / tCc1}%.1fx " +
