@@ -208,7 +208,12 @@ object Jpeg {
     * ([[encodeLossless]]) and decoder are mirrors by the same author;
     * round-trips are self-consistent and the predictor math is pinned by
     * closed-form unit fixtures, but no external SOF3 bitstream is
-    * available in this environment to anchor cross-codec conformance. */
+    * available in this environment to anchor cross-codec conformance.
+    * Since round 17 the boundary is ALSO regression-pinned: golden
+    * bitstreams + pixel dumps for the predictor × precision × restart ×
+    * point-transform matrix are checked in under
+    * `src/test/resources/golden_jpeg/` (GoldenBitstreamSpec), so either
+    * side drifting — even in tandem — fails CI. */
   def decodeLossless(bytes: Array[Byte]): Option[(Int, Int, Array[Int], Int)] =
     try decodeLossless0(bytes)
     catch { case scala.util.control.NonFatal(_) => None }

@@ -30,7 +30,11 @@ package graft.operators
   *     ways — JDK Huffman baseline vs this arithmetic encoder — decodes
   *     to identical pixel arrays through [[Jpeg]] (the entropy layer is
   *     the only difference, so any model/coder asymmetry surfaces);
-  *   - restart-interval streams (per-interval flush + statistics reset).
+  *   - restart-interval streams (per-interval flush + statistics reset);
+  *   - golden-bitstream regression pins (GoldenBitstreamSpec, round 17):
+  *     checked-in SOF9/SOFA bytes + pixel dumps for a gray/color/
+  *     restart/conditioning matrix — encoder OR decoder drift, even in
+  *     tandem, fails CI against the pinned corpus.
   * The Table D.3 constants are spec values shared by both directions, so
   * a transcription slip would still round-trip — the structural test
   * pins the documented invariants instead (Switch exactly on the fast
