@@ -6782,6 +6782,174 @@ object Queries {
         graft.operators.Multimodal.imageExif(media).toDF().orderBy("media_id")
       }),
 
+    // END-TO-END MULTIMODAL PIPELINE (round-16 VERDICT #6) — the third
+    // composition twin next to corpus_build_pipeline/crawl_build_pipeline:
+    // webdataset tar shards → member extraction (payload slicing) →
+    // mixed-strata decode (PNG stripe / solid BMP / block-constant JPEG,
+    // one planted corrupt member per id%45 stratum hitting each decoder)
+    // → EXIF orientation (JPEG stratum, alternating endianness, id%5=0
+    // carries none) → 3/2 nearest-neighbor resize twins (odd PNG ids;
+    // a corrupt source propagates quarantine THROUGH the resize) → dHash
+    // → exact-(hash,dims) grouping → banded hamming≤3 near-pairs over
+    // group representatives → connected components → keep-best canonical
+    // (most pixels, then lowest id). Every stage is individually gated
+    // elsewhere; this row proves the SEAMS compose: quarantine
+    // propagation, payload-drop boundaries, stratum-normalized hashing,
+    // rep-level clustering folding back onto members. The oracle chains
+    // the per-stage SQL blocks (stripe dHash incl. the resize-composed
+    // sampling, closed-form BMP/JPEG hashes, the pigeonhole banding, an
+    // unrolled label-propagation closure) under ONE statement.
+    QueryDef("mm_build_pipeline", Some(
+      "WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 9 = 7), " +
+        "base AS (SELECT id, (id // 9) % 3 AS st, id % 45 = 7 AS corrupt, " +
+        "CASE (id // 9) % 3 WHEN 0 THEN 16 + id % 16 WHEN 1 THEN 12 + id % 8 ELSE 16 END AS w, " +
+        "CASE (id // 9) % 3 WHEN 0 THEN 8 + id % 9 WHEN 1 THEN 8 + id % 5 ELSE 8 END AS h, " +
+        "id % 97 AS seed FROM ids), " +
+        "imgs AS (SELECT id, st, corrupt, w, h, seed, w AS ew, h AS eh, FALSE AS twin FROM base " +
+        "UNION ALL SELECT id + 10000000000, 0, corrupt, w, h, seed, (3*w)//2, (3*h)//2, TRUE " +
+        "FROM base WHERE st = 0 AND id % 2 = 1), " +
+        "g AS (SELECT i.id, i.seed, i.w, i.h, i.ew, i.eh, y2.i AS y2, x2.i AS x2 FROM imgs i, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) y2, " +
+        "LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x2 WHERE i.st = 0), " +
+        "xy AS (SELECT id, seed, y2, x2, " +
+        "(((x2*ew)//9)*w)//ew AS xl, ((((x2+1)*ew)//9)*w)//ew AS xr, " +
+        "(((y2*eh)//8)*h)//eh AS yy FROM g), " +
+        "b0 AS (SELECT id, y2, x2, CASE WHEN " +
+        "(seed + 3*xl + 7*yy + 60*((xl//5)%2)) % 256 > " +
+        "(seed + 3*xr + 7*yy + 60*((xr//5)%2)) % 256 THEN '1' ELSE '0' END AS bit FROM xy), " +
+        "hsh AS (SELECT id, string_agg(bit, '' ORDER BY y2, x2) AS dh FROM b0 GROUP BY id " +
+        "UNION ALL SELECT id, repeat('0', 64) FROM imgs WHERE st = 1 " +
+        "UNION ALL SELECT id, CASE WHEN id % 2 = 1 THEN repeat('00001000', 8) " +
+        "ELSE repeat('0', 64) END FROM imgs WHERE st = 2), " +
+        "alive AS (SELECT i.id, i.ew AS w, i.eh AS h, s2.dh FROM imgs i " +
+        "JOIN hsh s2 ON s2.id = i.id WHERE NOT i.corrupt), " +
+        "grp AS MATERIALIZED (SELECT dh, w, h, min(id) AS rep FROM alive GROUP BY dh, w, h), " +
+        "mem AS (SELECT a.id, a.w, a.h, g2.rep FROM alive a " +
+        "JOIN grp g2 ON a.dh = g2.dh AND a.w = g2.w AND a.h = g2.h), " +
+        "rch AS (SELECT rep, dh, c.i AS chunk, substr(dh, 1 + 16*c.i, 16) AS cv " +
+        "FROM grp, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) c), " +
+        "cand AS (SELECT DISTINCT a.rep AS ra, b2.rep AS rb, a.dh AS dha, b2.dh AS dhb " +
+        "FROM rch a JOIN rch b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.rep < b2.rep), " +
+        "prs AS (SELECT ra, rb FROM cand WHERE list_sum(list_transform(range(64), " +
+        "i -> CASE WHEN substr(dha, CAST(i AS INT)+1, 1) <> " +
+        "substr(dhb, CAST(i AS INT)+1, 1) THEN 1 ELSE 0 END)) <= 3), " +
+        "e AS MATERIALIZED (SELECT ra AS src, rb AS dst FROM prs UNION ALL SELECT rb, ra FROM prs), " +
+        "l0 AS MATERIALIZED (SELECT rep AS nid, rep AS lbl FROM grp), " +
+        (0 until 4).map { t =>
+          s"a$t AS MATERIALIZED (SELECT l.nid, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl " +
+            s"FROM l$t l LEFT JOIN e ON e.src = l.nid LEFT JOIN l$t nl ON nl.nid = e.dst " +
+            "GROUP BY l.nid, l.lbl), " +
+            s"l${t + 1} AS MATERIALIZED (SELECT a.nid, a2.lbl FROM a$t a JOIN a$t a2 ON a2.nid = a.lbl)"
+        }.mkString(", ") + ", " +
+        "cl AS (SELECT nid AS rep, lbl AS cluster_id FROM l4), " +
+        "memc AS (SELECT m.id, m.w, m.h, c2.cluster_id FROM mem m JOIN cl c2 ON c2.rep = m.rep), " +
+        "kept AS (SELECT id, cluster_id, row_number() OVER " +
+        "(PARTITION BY cluster_id ORDER BY w*h DESC, id ASC) = 1 AS is_kept FROM memc) " +
+        "SELECT CAST(i.id AS BIGINT) AS media_id, " +
+        "CAST(CASE WHEN i.twin THEN NULL ELSE 2 END AS BIGINT) AS n_parts, " +
+        "NOT i.corrupt AS ok, " +
+        "CAST(CASE WHEN i.corrupt THEN NULL ELSE i.ew END AS INT) AS width, " +
+        "CAST(CASE WHEN i.corrupt THEN NULL ELSE i.eh END AS INT) AS height, " +
+        "CAST(CASE WHEN i.corrupt THEN NULL " +
+        "WHEN i.st = 2 AND i.id % 5 <> 0 THEN 1 + i.id % 8 ELSE 0 END AS INT) AS orientation, " +
+        "CAST(k.cluster_id AS BIGINT) AS cluster_id, k.is_kept AS is_kept " +
+        "FROM imgs i LEFT JOIN kept k ON k.id = i.id ORDER BY media_id"),
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Multimodal => M}
+        val TWIN = 10000000000L
+        // fixture: tar shards of ≤4 samples, each sample = image + json
+        val shards = T(s, d, "documents").filter(col("doc_id") % 9 === 7)
+          .select("doc_id").as[Long]
+          .groupByKey(_ / 36)
+          .mapGroups { (shard, it) =>
+            val entries = it.toSeq.sorted.flatMap { id =>
+              val corrupt = id % 45 == 7
+              val (name, bytes) = ((id / 9) % 3) match {
+                case 0 =>
+                  val (w, h) = (16 + (id % 16).toInt, 8 + (id % 9).toInt)
+                  (s"$id.png", M.pngStripeBytes(w, h, (id % 97).toInt))
+                case 1 =>
+                  val (w, h) = (12 + (id % 8).toInt, 8 + (id % 5).toInt)
+                  (s"$id.bmp", M.bmpBytes(w, h, 0x203040 + (id % 200).toInt))
+                case _ =>
+                  val v0 = 30 + (id % 100).toInt
+                  val v1 = if (id % 2 == 0) v0 + 40 else v0 - 20
+                  val base = M.jpegGrayBytes(16, 8, (bx, _) => if (bx == 0) v0 else v1)
+                  (s"$id.jpg",
+                    if (id % 5 == 0) base
+                    else M.jpegWithExif(base, (1 + id % 8).toInt, le = id % 2 == 0))
+              }
+              Seq(name -> (if (corrupt) bytes.take(10) else bytes),
+                s"$id.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+            }
+            M.MediaRow(shard, "shard", graft.operators.Tar.tarBytes(entries),
+              "application/x-tar", None, None, None)
+          }
+        // stage 1-2: webdataset index + member payload extraction
+        val nParts = graft.operators.Tar.webdatasetSamples(shards).toDF()
+          .filter(col("ok"))
+          .select(col("key").cast("long").as("media_id"), col("n_parts"))
+        val images = graft.operators.Tar.memberPayloads(shards)
+          .filter(m => m.ok && !m.name.endsWith(".json"))
+          .map { m =>
+            val dot = m.name.indexOf('.')
+            val mime = m.name.substring(dot + 1) match {
+              case "png" => "image/png"; case "bmp" => "image/bmp"
+              case _ => "image/jpeg"
+            }
+            M.MediaRow(m.name.substring(0, dot).toLong, "image", m.payload,
+              mime, None, None, None)
+          }
+        // stage 3: EXIF orientation off the JPEG stratum
+        val ori = M.imageExif(images.filter(_.mime == "image/jpeg")).toDF()
+          .select(col("media_id"), col("orientation"))
+        // stage 4: resize twins (quarantine propagates through the resize)
+        val twins = M.resizeEncodePng(
+            images.filter(r => r.mime == "image/png" && r.media_id % 2 == 1), 3, 2)
+          .map(r => r.copy(media_id = r.media_id + TWIN))
+        // stage 5: perceptual hash over originals + twins (payload drops here)
+        val hs = M.imageDhash(images.unionByName(twins)).toDF()
+        // stage 6: exact-(hash,dims) groups, then banded near-pairs over
+        // the group REPRESENTATIVES only — blank-image classes collapse to
+        // one rep each, so pair work tracks distinct hashes, not images.
+        // `alive` is persisted: four downstream plans (grp, mem, pairs,
+        // the final projection) would otherwise each re-run the tar build
+        // + decode + hash chain; `pairs` is persisted so the CC call can
+        // take its driver union-find fast path (rep graphs are tiny).
+        val alive = CacheRegistry.register(hs.filter(col("ok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val grp = alive.groupBy("dhash_bits", "width", "height")
+          .agg(min("media_id").as("rep"))
+        val mem = alive.join(grp, Seq("dhash_bits", "width", "height"))
+        val pairs = CacheRegistry.register(graft.operators.Dedup.bitstringNearPairs(
+          grp.select(col("rep").as("media_id"), col("dhash_bits")),
+          "media_id", "dhash_bits", maxHamming = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // stage 7: clusters over reps, folded back onto members; keep-best
+        val cc = graft.operators.Dedup.connectedComponents(
+          grp.select("rep"), "rep", pairs, "id_a", "id_b")
+        val kept = mem.join(cc, "rep")
+          .withColumn("is_kept", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy((col("width") * col("height")).desc, col("media_id").asc)) === 1)
+          .select(col("media_id"), col("cluster_id"), col("is_kept"))
+        hs.select(col("media_id"), col("ok"), col("width"), col("height"))
+          .join(nParts, Seq("media_id"), "left")
+          .join(ori, Seq("media_id"), "left")
+          .join(kept, Seq("media_id"), "left")
+          .select(col("media_id"),
+            col("n_parts").cast("long").as("n_parts"),
+            col("ok"),
+            when(col("ok"), col("width")).cast("int").as("width"),
+            when(col("ok"), col("height")).cast("int").as("height"),
+            when(col("ok"), coalesce(col("orientation"), lit(0)))
+              .cast("int").as("orientation"),
+            col("cluster_id").cast("long").as("cluster_id"),
+            col("is_kept"))
+          .orderBy("media_id")
+      }),
+
     // G.711 µ-law (WAV tag 0x07) telephony-audio decode — STATELESS
     // segment expansion, so the DuckDB oracle replays the formula per
     // byte in closed form (contrast mm_decode_adpcm's recursive CTE for

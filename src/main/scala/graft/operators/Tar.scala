@@ -168,6 +168,32 @@ object Tar {
   final case class WdSample(media_id: Long, key: String, n_parts: Long,
                             parts: String, sample_bytes: Long, ok: Boolean)
 
+  final case class TarMemberPayload(media_id: Long, name: String,
+                                    payload: Array[Byte], ok: Boolean)
+
+  /** Member EXTRACTION — the shard→sample boundary of a WebDataset
+    * pipeline: one row per regular member with its name and payload bytes
+    * sliced out of the shard, ready to feed the image/audio decoders.
+    * A structurally damaged shard emits one `ok = false` row (quarantine
+    * propagates; the good prefix before the damage is still extracted,
+    * matching [[parse]]'s contract). Unlike [[members]] this row CARRIES
+    * the payload — callers must drop it before any shuffle (the decoders
+    * do: hash/decode outputs are payload-free). Runs per shard inside one
+    * map task; the shard bytes themselves never cross a shuffle. */
+  def memberPayloads(media: Dataset[Multimodal.MediaRow]): Dataset[TarMemberPayload] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      parse(r.media_id, p).map { m =>
+        if (!m.ok || m.offset + m.size > p.length)
+          TarMemberPayload(r.media_id, m.name, Array.empty[Byte], ok = false)
+        else TarMemberPayload(r.media_id, m.name,
+          java.util.Arrays.copyOfRange(p, m.offset.toInt, (m.offset + m.size).toInt),
+          ok = true)
+      }
+    })
+  }
+
   /** WebDataset view: members grouped into samples by the name up to the
     * first dot of the BASENAME with the directory prefix KEPT — the
     * webdataset library's `base_plus_ext` convention (key = optional
