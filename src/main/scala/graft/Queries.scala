@@ -6913,12 +6913,15 @@ object Queries {
         // stage 6: exact-(hash,dims) groups, then banded near-pairs over
         // the group REPRESENTATIVES only — blank-image classes collapse to
         // one rep each, so pair work tracks distinct hashes, not images.
-        // `alive` is persisted: four downstream plans (grp, mem, pairs,
-        // the final projection) would otherwise each re-run the tar build
-        // + decode + hash chain; `pairs` is persisted so the CC call can
-        // take its driver union-find fast path (rep graphs are tiny).
-        val alive = CacheRegistry.register(hs.filter(col("ok"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // `hs` is persisted at the payload-drop boundary: all FIVE
+        // downstream plans (alive→grp, mem, pairs, and the final
+        // projection which reads hs UNFILTERED for the quarantine rows)
+        // would otherwise each re-run the tar build + decode + hash
+        // chain; `pairs` is persisted so the CC call can take its driver
+        // union-find fast path (rep graphs are tiny).
+        val hsC = CacheRegistry.register(
+          hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val alive = hsC.filter(col("ok"))
         val grp = alive.groupBy("dhash_bits", "width", "height")
           .agg(min("media_id").as("rep"))
         val mem = alive.join(grp, Seq("dhash_bits", "width", "height"))
@@ -6934,7 +6937,7 @@ object Queries {
             Window.partitionBy("cluster_id")
               .orderBy((col("width") * col("height")).desc, col("media_id").asc)) === 1)
           .select(col("media_id"), col("cluster_id"), col("is_kept"))
-        hs.select(col("media_id"), col("ok"), col("width"), col("height"))
+        hsC.select(col("media_id"), col("ok"), col("width"), col("height"))
           .join(nParts, Seq("media_id"), "left")
           .join(ori, Seq("media_id"), "left")
           .join(kept, Seq("media_id"), "left")

@@ -67,9 +67,18 @@ object KeyIndex {
 
   /** What the index covers. `covered`: target data file rel-path → length
     * (length change = rewrite = invalidation). `keyDirs`: key-file
-    * directories under `_keyidx/`, each a parquet dir of keyCols+__kb. */
-  final case class Manifest(keyCols: Seq[String], buckets: Int,
+    * directories under `_keyidx/`, each a parquet dir of keyCols+__kb.
+    * `keyTypes`: catalog strings of the key columns AS WRITTEN — xxhash64
+    * hashes the same logical value differently per physical type (int vs
+    * long take different width paths), so a key-column type change must
+    * invalidate the index or bucket pruning silently drops the very rows
+    * that prove duplicates. */
+  final case class Manifest(keyCols: Seq[String], keyTypes: Seq[String],
+                            buckets: Int,
                             covered: Map[String, Long], keyDirs: Seq[String])
+
+  private def typesOf(df: DataFrame, keyCols: Seq[String]): Seq[String] =
+    keyCols.map(k => df.schema(k).dataType.catalogString)
 
   /** The probe plan plus the manifest state [[refresh]] continues from
     * (None = index absent/invalid: refresh rebuilds from scratch). */
@@ -95,7 +104,7 @@ object KeyIndex {
     val current = listDataFiles(fs, root)
     val idx = new Path(root, DirName)
     val mOpt = readManifest(fs, idx).filter { m =>
-      m.keyCols == keyCols &&
+      m.keyCols == keyCols && m.keyTypes == typesOf(once, keyCols) &&
         m.covered.forall { case (p, l) => current.get(p).contains(l) } &&
         m.keyDirs.forall(d => fs.exists(new Path(idx, d)))
     }
@@ -177,19 +186,29 @@ object KeyIndex {
     val fs = root.getFileSystem(conf)
     val idx = new Path(root, DirName)
     val current = listDataFiles(fs, root)
-    val covered0 = prior.map(_.covered).getOrElse(Map.empty[String, Long])
-    val buckets = prior.map(_.buckets).getOrElse(confBuckets(spark))
+    // REVALIDATE the prior against THIS listing, not the probe-time one:
+    // a covered file removed/rewritten between probe and refresh (external
+    // retention, compaction) would otherwise bake its stale keys into a
+    // manifest that forever reads as clean — stale EXTRA keys wrongly
+    // block re-inserts, the one staleness direction the index must never
+    // have. On mismatch, rebuild from scratch (old dirs are GC'd below).
+    val prior0 = prior.filter(
+      _.covered.forall { case (p, l) => current.get(p).contains(l) })
+    val covered0 = prior0.map(_.covered).getOrElse(Map.empty[String, Long])
+    val buckets = prior0.map(_.buckets).getOrElse(confBuckets(spark))
     val delta = current.filterNot { case (p, l) => covered0.get(p).contains(l) }
-    val oldDirs = prior.map(_.keyDirs).getOrElse(Nil)
-    if (delta.isEmpty && prior.isDefined && oldDirs.size <= compactAt(spark)) return
-    val deltaFrame =
+    val oldDirs = prior0.map(_.keyDirs).getOrElse(Nil)
+    if (delta.isEmpty && prior0.isDefined && oldDirs.size <= compactAt(spark)) return
+    val deltaKeys =
       if (delta.isEmpty) None
-      else {
-        val raw = spark.read.option("basePath", targetPath)
-          .parquet(delta.keysIterator.map(p => new Path(root, p).toString).toSeq.sorted: _*)
-          .select(keyCols.map(col): _*)
-        Some(withBucket(raw, keyCols, buckets))
-      }
+      else Some(spark.read.option("basePath", targetPath)
+        .parquet(delta.keysIterator.map(p => new Path(root, p).toString).toSeq.sorted: _*)
+        .select(keyCols.map(col): _*))
+    // types AS WRITTEN ride in the manifest (probe invalidates on change)
+    val keyTypes = deltaKeys.map(typesOf(_, keyCols))
+      .orElse(prior0.map(_.keyTypes))
+      .getOrElse(return) // empty target, no prior: nothing to index
+    val deltaFrame = deltaKeys.map(withBucket(_, keyCols, buckets))
     val (newDirs, dropDirs) =
       if (oldDirs.size + deltaFrame.size > compactAt(spark) && oldDirs.nonEmpty) {
         // compaction generation: ALL keys rewritten bucket-range-partitioned
@@ -210,7 +229,7 @@ object KeyIndex {
         case None => (oldDirs, Nil)
       }
     writeManifest(spark, fs, idx,
-      Manifest(keyCols, buckets, current, newDirs))
+      Manifest(keyCols, keyTypes, buckets, current, newDirs))
     // after the manifest is committed, superseded generations and crash
     // orphans (any child not in the new manifest) are unreferenced — GC
     val keep = newDirs.toSet + ManifestName
@@ -260,6 +279,7 @@ object KeyIndex {
     val node = om.createObjectNode()
     node.put("v", 1)
     val kc = node.putArray("keyCols"); m.keyCols.foreach(kc.add)
+    val kt = node.putArray("keyTypes"); m.keyTypes.foreach(kt.add)
     node.put("buckets", m.buckets)
     val cov = node.putArray("covered")
     m.covered.toSeq.sortBy(_._1).foreach { case (p, l) =>
@@ -297,12 +317,13 @@ object KeyIndex {
         else {
           import scala.jdk.CollectionConverters._
           val keyCols = node.path("keyCols").elements().asScala.map(_.asText()).toSeq
+          val keyTypes = node.path("keyTypes").elements().asScala.map(_.asText()).toSeq
           val buckets = node.path("buckets").asInt()
           val covered = node.path("covered").elements().asScala
             .map(e => e.path("p").asText() -> e.path("l").asLong()).toMap
           val keyDirs = node.path("keyDirs").elements().asScala.map(_.asText()).toSeq
-          if (keyCols.isEmpty || buckets <= 0) None
-          else Some(Manifest(keyCols, buckets, covered, keyDirs))
+          if (keyCols.isEmpty || keyTypes.size != keyCols.size || buckets <= 0) None
+          else Some(Manifest(keyCols, keyTypes, buckets, covered, keyDirs))
         }
       }
     } catch { case _: Exception => None } // corrupt manifest = no index

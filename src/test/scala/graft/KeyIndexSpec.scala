@@ -151,6 +151,60 @@ class KeyIndexSpec extends AnyFunSuite {
     assert(m.isDefined && m.get.covered.nonEmpty)
   }
 
+  test("refresh revalidates against ITS OWN listing: a covered file " +
+    "removed after the probe cannot bake stale keys into the index") {
+    import org.apache.spark.sql.functions.col
+    val target = tmp("graft_kidx_stale") + "/t"
+    drain(digestRows(0 until 60), target)
+    val fs = hfs(target)
+    val idx = new Path(target, KeyIndex.DirName)
+    val prior = KeyIndex.readManifest(fs, idx).get
+    // external retention removes a covered data file AFTER the probe
+    // validated `prior` (simulated by deleting now and calling refresh
+    // with the stale prior directly)
+    val victim = prior.covered.keys.min
+    fs.delete(new Path(target, victim), false)
+    val goneKeys = 60 - spark.read.parquet(target).count()
+    assert(goneKeys > 0)
+    KeyIndex.refresh(spark, target, Seq("k"), Some(prior))
+    // the rebuilt index holds EXACTLY the surviving target keys — the
+    // removed file's keys must not linger and block re-inserts
+    val m = KeyIndex.readManifest(fs, idx).get
+    val idxKeys = spark.read.parquet(m.keyDirs.map(d =>
+      new Path(idx, d).toString): _*).select("k")
+    assert(idxKeys.count() == 60 - goneKeys)
+    assert(idxKeys.join(spark.read.parquet(target).select("k"), Seq("k"),
+      "left_anti").count() == 0)
+    // and a batch replaying the deleted rows now INSERTS them
+    val all = digestRows(0 until 60)
+    drain(all, target)
+    assert(spark.read.parquet(target).select(col("k")).distinct().count() == 60)
+  }
+
+  test("key-column type change invalidates the manifest (xxhash64 buckets " +
+    "are type-dependent) — probe falls back instead of mispruning") {
+    import spark.implicits._
+    val target = tmp("graft_kidx_type") + "/t"
+    // long keys in the target + index
+    StreamingJobs.withDrainParallelism(spark) {
+      val in = tmp("graft_kidx_type_in")
+      (0L until 40L).map(i => (i, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(in)
+      val q = StreamingJobs.idempotentAppendSink(
+        spark.readStream.schema((0L until 1L).map(i => (i, i)).toDF("k", "v").schema)
+          .parquet(in), target, Seq("k"), tmp("graft_kidx_type_ck"))
+      q.awaitTermination(); q.stop()
+    }
+    // an int-keyed batch: same logical values, different xxhash64 widths
+    val intBatch = (0 until 40).map(i => (i, i)).toDF("k", "v")
+    val pr = KeyIndex.probe(spark, target, Seq("k"), intBatch)
+    assert(pr.manifest.isEmpty,
+      "type-mismatched batch must invalidate the index, not bucket-prune with it")
+    // the fallback still proves every duplicate (equality coerces types)
+    assert(intBatch.join(pr.frame,
+      intBatch("k") === pr.frame("k"), "left_semi").count() == 40)
+  }
+
   test("complex-typed keys (ADVICE r16): array key neither breaks the " +
     "envelope aggregate nor the index; null-safe dedup holds") {
     import spark.implicits._
