@@ -18,6 +18,7 @@ ratios:
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,7 +28,62 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def run_isolated(sfdir, outdir, sel, budget):
+    """One subprocess per query (DUCK_ISOLATE=1, budgeted sweeps only).
+
+    con.interrupt() is COOPERATIVE and some operator shapes never check it
+    (observed: the j2_pip_join scalar point-in-polygon evaluation at sf1
+    ran >50 min past a 60 s budget) — in-process, one such query wedges
+    the whole sweep. Here the child measures its own elapsed (spawn and
+    view setup excluded from the reported time) and the parent enforces a
+    HARD kill at 2*budget+30, recording -2.0. The cooperative interrupt
+    still handles the normal case inside the child; the hard kill is the
+    backstop. cc closure cost is reported as the MAX child closure (it is
+    materialized once per consumer child, not shared)."""
+    times = {}
+    cc_sec = 0.0
+    for q in sel:
+        try:
+            env = dict(os.environ)
+            env["DUCK_ISOLATE"] = "0"
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sfdir, outdir, q],
+                capture_output=True, text=True, timeout=2 * budget + 30,
+                env=env)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            d = json.loads(line)
+            times[q] = d["queries"][q]
+            cc_sec = max(cc_sec, d.get("cc_closure_sec", 0.0))
+            if times[q] == -2.0:
+                print(f"[duck_time] {q} BUDGET-EXCEEDED (> {budget}s)",
+                      file=sys.stderr)
+            elif times[q] == -1.0:
+                tail = (r.stderr or "").strip().splitlines()
+                print(f"[duck_time] {q} FAILED: {tail[-1] if tail else '?'}",
+                      file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            times[q] = -2.0
+            print(f"[duck_time] {q} BUDGET-EXCEEDED (hard kill at "
+                  f"{2 * budget + 30:.0f}s; interrupt not honored)",
+                  file=sys.stderr)
+        except Exception as e:
+            times[q] = -1.0
+            print(f"[duck_time] {q} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "cc_closure_sec": round(cc_sec, 2),
+        "budget_sec": budget,
+        "isolated": True,
+        "total_sec": round(sum(v for v in times.values() if v > 0), 2),
+        "queries": times}))
+
+
 def main(sfdir, outdir, names):
+    budget0 = float(os.environ.get("DUCK_BUDGET_SEC", "0") or 0)
+    if os.environ.get("DUCK_ISOLATE", "") == "1" and budget0 > 0:
+        oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+        sel = sorted(n for n in oracle if not names or n in names)
+        return run_isolated(sfdir, outdir, sel, budget0)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
