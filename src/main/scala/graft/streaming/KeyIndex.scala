@@ -90,6 +90,15 @@ object KeyIndex {
     spark.conf.get("spark.graft.keyIndex.buckets", "1024").toInt
   private def compactAt(spark: SparkSession): Int =
     spark.conf.get("spark.graft.keyIndex.compactAt", "64").toInt
+  // Below this target size the index CANNOT win: the full keyCols scan is
+  // a handful of footer reads, while maintaining the sidecar costs a
+  // delta read + a write + a manifest rename per microbatch. The index
+  // starts being built (one bootstrap scan) the first time the target
+  // crosses the threshold; an EXISTING index keeps being used and
+  // maintained regardless (it is already paid for).
+  private def minTargetBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.keyIndex.minTargetBytes",
+      (64L * 1024 * 1024).toString).toLong
 
   // ---------------------------------------------------------------- probe
 
@@ -186,6 +195,11 @@ object KeyIndex {
     val fs = root.getFileSystem(conf)
     val idx = new Path(root, DirName)
     val current = listDataFiles(fs, root)
+    // Bootstrap gate: no index yet + target under the amortization
+    // threshold → maintaining a sidecar would cost more than the full
+    // scan it replaces. An existing index is always maintained.
+    if (!fs.exists(new Path(idx, ManifestName)) &&
+        current.valuesIterator.sum < minTargetBytes(spark)) return
     // REVALIDATE the prior against THIS listing, not the probe-time one:
     // a covered file removed/rewritten between probe and refresh (external
     // retention, compaction) would otherwise bake its stale keys into a

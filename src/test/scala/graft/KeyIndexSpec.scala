@@ -17,7 +17,13 @@ import graft.streaming.{KeyIndex, StreamingJobs}
   * can never re-admit a duplicate.
   */
 class KeyIndexSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    // the amortization gate would skip index bootstrap on these tiny
+    // fixture targets — this suite exists to exercise the index itself
+    s.conf.set("spark.graft.keyIndex.minTargetBytes", "0")
+    s
+  }
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
@@ -149,6 +155,35 @@ class KeyIndexSpec extends AnyFunSuite {
     // and the refresh rebuilt a manifest covering everything
     val m = KeyIndex.readManifest(fs, new Path(target, KeyIndex.DirName))
     assert(m.isDefined && m.get.covered.nonEmpty)
+  }
+
+  test("amortization gate: under minTargetBytes no sidecar is built (the " +
+    "full scan is cheaper), dedup still exact; an existing index is " +
+    "always maintained") {
+    val target = tmp("graft_kidx_amort") + "/t"
+    spark.conf.set("spark.graft.keyIndex.minTargetBytes",
+      (64L * 1024 * 1024).toString) // the default: far above this fixture
+    try {
+      drain(digestRows(0 until 50), target)
+      drain(digestRows(25 until 75), target)
+      assert(spark.read.parquet(target).count() == 75)
+      val fs = hfs(target)
+      assert(!fs.exists(new Path(target, KeyIndex.DirName)),
+        "sidecar built below the amortization threshold")
+      // once an index EXISTS (threshold dropped / target grew), it is
+      // used and maintained even if the target is small again
+      spark.conf.set("spark.graft.keyIndex.minTargetBytes", "0")
+      drain(digestRows(50 until 100), target)
+      assert(fs.exists(new Path(target, KeyIndex.DirName)))
+      val m = KeyIndex.readManifest(fs, new Path(target, KeyIndex.DirName))
+      assert(m.isDefined && m.get.covered.nonEmpty)
+      spark.conf.set("spark.graft.keyIndex.minTargetBytes",
+        (64L * 1024 * 1024).toString)
+      drain(digestRows(75 until 125), target) // maintained despite threshold
+      assert(spark.read.parquet(target).count() == 125)
+      val m2 = KeyIndex.readManifest(fs, new Path(target, KeyIndex.DirName))
+      assert(m2.get.covered.size > m.get.covered.size)
+    } finally spark.conf.set("spark.graft.keyIndex.minTargetBytes", "0")
   }
 
   test("refresh revalidates against ITS OWN listing: a covered file " +
