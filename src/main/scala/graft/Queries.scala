@@ -6886,6 +6886,12 @@ object Queries {
             M.MediaRow(shard, "shard", graft.operators.Tar.tarBytes(entries),
               "application/x-tar", None, None, None)
           }
+          // persisted: the shard build (documents scan + groupByKey + the
+          // per-member PNG/BMP/JPEG fixture ENCODERS) feeds two plans (the
+          // webdataset index and the member extraction) — and the encode
+          // work dwarfs the bytes cached (~KB per sample)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        CacheRegistry.register(shards.toDF())
         // stage 1-2: webdataset index + member payload extraction
         val nParts = graft.operators.Tar.webdatasetSamples(shards).toDF()
           .filter(col("ok"))
@@ -6901,6 +6907,10 @@ object Queries {
             M.MediaRow(m.name.substring(0, dot).toLong, "image", m.payload,
               mime, None, None, None)
           }
+        // persisted: decoded member payloads feed FOUR plans (EXIF, the
+        // resize-twin branch, and both arms of the hash union)
+        images.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        CacheRegistry.register(images.toDF())
         // stage 3: EXIF orientation off the JPEG stratum
         val ori = M.imageExif(images.filter(_.mime == "image/jpeg")).toDF()
           .select(col("media_id"), col("orientation"))

@@ -812,14 +812,16 @@ object Dedup {
           // eager checkpoint jobs, scheduler round-trips), not by the label
           // frame — so propagating two hops per round halves the round
           // count on propagation-limited graphs for ~one extra checkpoint,
-          // a net cut in total jobs (round-16 VERDICT #5). `prev` (the
-          // round-start label) rides along on the self rows only.
-          val hop2 = hop1.withColumn("self", lit(true))
+          // a net cut in total jobs (round-16 VERDICT #5). No convergence
+          // observation here: labels only decrease, so a round whose hop 1
+          // changed something (this branch) cannot end at the round-start
+          // fixpoint — convergence is ALWAYS declared by the next round's
+          // hop-1 early exit, and threading `prev` through hop 2 + jump
+          // would be dead plumbing.
+          val hop2 = hop1.select("id", "label").withColumn("self", lit(true))
             .unionByName(edges.join(hop1, col("src") === col("id"))
-              .select(col("dst").as("id"), col("label"),
-                lit(null).cast(idType).as("prev"), lit(false).as("self")))
-            .groupBy("id").agg(min("label").as("label"),
-              min(when(col("self"), col("prev"))).as("prev"))
+              .select(col("dst").as("id"), col("label"), lit(false).as("self")))
+            .groupBy("id").agg(min("label").as("label"))
             .localCheckpoint(true)
           val hop2Ckpt = ckptRdd(hop2)
           // pointer jump: labels are always node ids, so the chain lookup is
@@ -828,18 +830,10 @@ object Dedup {
           // graphs — the convergence tail is propagation-limited, which is
           // what hop 2 attacks — but the single jump still compresses the
           // label chains the double hop builds.)
-          val jumped = hop2
+          labels = hop2
             .join(hop2.select(col("id").as("label"), col("label").as("label2")),
               Seq("label"), "left")
-            .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
-              col("prev"))
-          // labels only ever decrease, so zero per-row changes ⟺ fixpoint.
-          // Observation collects the count DURING the checkpoint job — no
-          // convergence join, no extra action, no confirmation round.
-          val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-          labels = jumped
-            .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
-            .select("id", "label")
+            .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
             .localCheckpoint(true)
           // round t is materialized: free the blocks deferred at round t-1
           // (i.e. round t-2's label frame and intermediates — nothing can
@@ -848,11 +842,9 @@ object Dedup {
           deferredRelease.foreach(_.unpersist(false))
           deferredRelease = prevCkpt.toList ++ hop1Ckpt.toList ++ hop2Ckpt.toList
           prevCkpt = ckptRdd(labels)
-          val chg = obs.get("chg").asInstanceOf[Long]
-          converged = chg == 0L
           iter += 1
           if (sys.env.contains("GRAFT_CC_DEBUG"))
-            System.err.println(s"[cc] round $iter changed=$chg converged=$converged t=${System.nanoTime() / 1000000}")
+            System.err.println(s"[cc] round $iter hop1Changed=$chg1 t=${System.nanoTime() / 1000000}")
         }
       }
     } finally {
@@ -866,7 +858,9 @@ object Dedup {
     if (!converged && iter > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (components with diameter > 2^maxIter are beyond it)")
+          "raise maxIter (each round propagates two hops plus a pointer " +
+          "jump, so only components of diameter far beyond ~3^maxIter " +
+          "can exhaust it)")
     lastCcRounds.set(iter)
     // singletons come back with label = own id
     nodes.select(col(idCol).as("id")).na.drop().distinct()

@@ -119,13 +119,17 @@ object Robots {
   // shared parse-once-per-host rule-set frame for the two admission APIs.
   // One row per host is ENFORCED, not assumed: a duplicate host row in the
   // robots frame would otherwise multiply every joined fact row (row
-  // duplication, not just a wrong verdict). Duplicate bodies resolve
-  // FAIL-CLOSED: the body whose parse yields the most disallow rules wins
-  // (then most total rules, then lexicographically larger rule list) — an
-  // admission gate must not let a permissive body shadow a restrictive one
-  // the way a lexicographic min() could. The comparator is a total order
-  // on the PARSE OUTPUT, so task retries and reduce order cannot flip the
-  // verdicts. A host whose only bodies are null parses as the empty file
+  // duplication, not just a wrong verdict). Duplicate bodies resolve by
+  // RULE-SET UNION — every observed rule applies, the same way RFC 9309
+  // §2.2.1 merges multiple matching groups WITHIN one file. Set union is
+  // associative/commutative (reduce order and task retries cannot flip
+  // verdicts) and genuinely fail-closed: no permissive body can shadow
+  // another body's Disallow (a count- or length-based "most restrictive
+  // body wins" pick fails open whenever the permissive body happens to
+  // carry more rules — e.g. `Disallow: /tmp` + `Disallow: /var` outvoting
+  // `Disallow: /`). The evaluator (longest match, Allow wins length ties)
+  // is order-independent, so the union's sort is only canonicalization.
+  // A host whose only bodies are null parses as the empty file
   // (allow-all).
   private def parsedRules(robots: DataFrame,
                           agent: String): Dataset[(String, Seq[(String, Boolean)])] = {
@@ -136,26 +140,8 @@ object Robots {
       .map { case (h, body) => (h, parse(if (body == null) "" else body, agent)
         .map(r => (r.pattern, r.allow))) }
       .groupByKey(_._1)
-      .reduceGroups { (a, b) => if (moreRestrictive(a._2, b._2)) a else b }
-      .map(_._2)
-  }
-
-  /** Total order for the duplicate-host tie-break: true iff `a` wins over
-    * `b`. More disallow rules first, then more rules overall, then the
-    * lexicographically larger (pattern, allow) sequence — associative and
-    * commutative, so reduceGroups is deterministic under any grouping. */
-  private def moreRestrictive(a: Seq[(String, Boolean)],
-                              b: Seq[(String, Boolean)]): Boolean = {
-    val da = a.count(!_._2); val db = b.count(!_._2)
-    if (da != db) return da > db
-    if (a.length != b.length) return a.length > b.length
-    val it = a.iterator.zip(b.iterator)
-    while (it.hasNext) {
-      val ((pa, aa), (pb, ab)) = it.next()
-      if (pa != pb) return pa > pb
-      if (aa != ab) return !aa // disallow sorts above allow
-    }
-    true // identical rule lists: either wins, verdicts identical
+      .reduceGroups { (a, b) => (a._1, (a._2 ++ b._2).distinct) }
+      .map { case (h, (_, rules)) => (h, rules.distinct.sorted) }
   }
 
   /** Admission verdict per URL row: `urls(host, path)` against

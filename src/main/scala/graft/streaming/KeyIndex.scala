@@ -237,7 +237,16 @@ object KeyIndex {
       } else deltaFrame match {
         case Some(df) =>
           val dir = "keys-" + java.util.UUID.randomUUID().toString
-          df.coalesce(1).sortWithinPartitions(BucketCol)
+          // microbatch deltas coalesce to one file; a BOOTSTRAP or
+          // rebuild delta (the whole target) must not funnel a huge scan
+          // + sort through a single task — above the threshold it takes
+          // the same bucket-range layout compaction writes
+          val big = delta.valuesIterator.sum >
+            spark.conf.get("spark.graft.keyIndex.bigDeltaBytes",
+              (512L * 1024 * 1024).toString).toLong
+          (if (big) df.repartitionByRange(math.max(1, buckets / 128), col(BucketCol))
+           else df.coalesce(1))
+            .sortWithinPartitions(BucketCol)
             .write.mode("overwrite").parquet(new Path(idx, dir).toString)
           (oldDirs :+ dir, Nil)
         case None => (oldDirs, Nil)
@@ -249,8 +258,10 @@ object KeyIndex {
     val keep = newDirs.toSet + ManifestName
     val children =
       if (fs.exists(idx)) fs.listStatus(idx).toSeq else Nil
-    (dropDirs ++ children.map(_.getPath.getName).filterNot(keep.contains)
-      .filterNot(_.endsWith(".tmp"))).distinct
+    // includes a crash-orphaned manifest.json.tmp: GC runs strictly after
+    // this refresh's rename committed and the sink is single-writer, so
+    // no live tmp can exist here
+    (dropDirs ++ children.map(_.getPath.getName).filterNot(keep.contains)).distinct
       .foreach(d => try { fs.delete(new Path(idx, d), true); () } catch { case _: Exception => () })
     ()
   }

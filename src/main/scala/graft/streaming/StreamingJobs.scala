@@ -134,9 +134,14 @@ object StreamingJobs {
         val spark = batch.sparkSession
         // Hadoop FS existence check, not java.io.File — the target is
         // HDFS/S3 in production, where a local-FS probe would always be
-        // false and every replayed batch would append duplicates
+        // false and every replayed batch would append duplicates. "Exists"
+        // means HAS DATA FILES: external retention can empty the directory
+        // while leaving `_keyidx`/`_SUCCESS` behind, and reading such a
+        // dir throws schema-inference AnalysisException on every restart —
+        // a zero-data target must take the fresh-target path instead.
         val p = new org.apache.hadoop.fs.Path(targetPath)
-        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        val tfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val exists = tfs.exists(p) && KeyIndex.listDataFiles(tfs, p).nonEmpty
         // in-batch dedup first: one upstream file delivering a new key
         // twice in the same microbatch must still insert it once.
         // Persisted: the batch feeds BOTH the key-envelope aggregate and
@@ -296,8 +301,12 @@ object StreamingJobs {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val tPath = new org.apache.hadoop.fs.Path(targetPath)
-          val targetExists = tPath.getFileSystem(
-            spark.sessionState.newHadoopConf()).exists(tPath)
+          val tfs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+          // has-data-files, not bare existence: an externally emptied dir
+          // must read as fresh, not throw schema inference (see the
+          // idempotentAppendSink twin)
+          val targetExists =
+            tfs.exists(tPath) && KeyIndex.listDataFiles(tfs, tPath).nonEmpty
           // the CURRENT target's signatures: ONE pruned scan, persisted
           // only in within-run mode, where two plans read it (the probe
           // index union + the idempotency anti-join) — in the default

@@ -16,13 +16,21 @@ import graft.streaming.{KeyIndex, StreamingJobs}
   * of uncovered files), a crash between target append and index refresh
   * can never re-admit a duplicate.
   */
-class KeyIndexSpec extends AnyFunSuite {
+class KeyIndexSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = {
     val s = SparkTestSession.spark
     // the amortization gate would skip index bootstrap on these tiny
-    // fixture targets — this suite exists to exercise the index itself
+    // fixture targets — this suite exists to exercise the index itself.
+    // Restored in afterAll: leaking the override to later suites would
+    // make OTHER suites' sink behavior depend on execution order.
     s.conf.set("spark.graft.keyIndex.minTargetBytes", "0")
     s
+  }
+
+  override def afterAll(): Unit = {
+    SparkTestSession.spark.conf.unset("spark.graft.keyIndex.minTargetBytes")
+    super.afterAll()
   }
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString

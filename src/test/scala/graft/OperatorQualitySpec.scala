@@ -1625,8 +1625,27 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got.contains((6L, "payload-6"))) // h0, /private/ok/6 → Allow beats Disallow
   }
 
-  test("Robots duplicate-host tie-break is FAIL-CLOSED: the body with more " +
-    "disallow rules wins regardless of lexicographic order") {
+  test("Robots duplicate hosts: rule-set UNION — no body can shadow " +
+    "another's Disallow, even one with more rules") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Robots
+    // the count-heuristic trap: the PERMISSIVE body carries MORE disallow
+    // rules than the deny-everything body — union must still deny /home
+    val robots = Seq(
+      ("dup2.example", "User-agent: *\nDisallow: /\n"),
+      ("dup2.example", "User-agent: *\nDisallow: /tmp\nDisallow: /var\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq(("dup2.example", "/home"), ("dup2.example", "/tmp/x"))
+      .toDF("host", "path")
+    val got = Robots.filterUrls(urls, robots).toDF()
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Boolean]("allowed")).toMap
+    assert(got == Map("/home" -> false, "/tmp/x" -> false))
+    assert(Robots.admitted(urls, robots, "host", "path").count() == 0)
+  }
+
+  test("Robots duplicate-host tie-break is FAIL-CLOSED: the restrictive " +
+    "body's rules apply regardless of lexicographic order") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     import graft.operators.Robots

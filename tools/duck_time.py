@@ -142,6 +142,13 @@ def main(sfdir, outdir, names):
             with lock:
                 state["done"] = True
             if state["fired"]:
+                # the exception may be a GENUINE error that raced the
+                # timer: the interrupt could still be pending and would
+                # abort the NEXT statement — absorb it either way
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
                 return -2.0  # budget exceeded (interrupted by the timer)
             raise e
         finally:
