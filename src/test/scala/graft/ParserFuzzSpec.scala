@@ -68,8 +68,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     val html = "<html><head><title>t</title></head><body>" +
       (1 to 40).map(i => s"<p>para $i with some words</p>").mkString + "</body></html>"
     val bases = Seq(
-      Warc.warcBytes("https://h0.example/x", html, 7L, gzipped = false),
-      Warc.warcBytes("https://h1.example/y", html, 8L, gzipped = true))
+      Warc.warcBytes("https://h0.example.org/x", html, 7L, gzipped = false),
+      Warc.warcBytes("https://h1.example.org/y", html, 8L, gzipped = true))
     for (base <- bases; _ <- 0 until 250) {
       var m = mutate(r, base)
       if (r.nextInt(4) == 0) {
