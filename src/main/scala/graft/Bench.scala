@@ -67,9 +67,53 @@ object Bench {
       (clean.size >= 2 && clean.max > 3.0 * clean.min)
   }
 
+  /** FS settle barrier (round-17 VERDICT #3): the driver runs the
+    * correctness gate in the same session right before this bench, and
+    * the gate's warehouse writes (Verify outDir + /tmp scratch, real
+    * disk) leave dirty pages whose background writeback lands INSIDE the
+    * timed loop — the FS-heavy rows (`layout_partition_prune`,
+    * `mart_bucketed_join`, `layout_compact_files`, `mm_build_pipeline`)
+    * swung 3–7× between same-probe windows with zero code cause. `sync`
+    * flushes that backlog here, OUTSIDE any timing; the short sleep lets
+    * the elevator drain. Also sweeps stale `graft_bench_*` scratch roots
+    * left by earlier invocations in the same driver session (each run
+    * gets a fresh root, see below) so tmpfs never accumulates and no
+    * timed overwrite inherits deletion work. SPARK_GRAFT_FS_SETTLE=0
+    * skips both (spec runs / hosts without a sync binary). */
+  private def fsSettle(scratchParent: String, keepRoot: String): Unit = {
+    if (sys.env.getOrElse("SPARK_GRAFT_FS_SETTLE", "1") == "0") return
+    try {
+      val dir = new java.io.File(scratchParent)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_bench") &&
+          f.getAbsolutePath != keepRoot)
+        .foreach(deleteRecursively)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scratch sweep failed (continuing): $e") }
+    try {
+      val p = new ProcessBuilder("sync").inheritIO().start()
+      p.waitFor(); ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sync unavailable (continuing): $e") }
+    Thread.sleep(1500)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-run scratch root (round-17 VERDICT #3): a FIXED root shared
+    // across invocations let one run's leftovers add deletion work to the
+    // next run's first overwrite of the same path — and the correctness
+    // gate's churn reached the bench through it. Unique per run, swept
+    // here at startup and deleted on exit.
+    val scratchRoot = s"/dev/shm/graft_bench_${System.currentTimeMillis()}"
+    fsSettle("/dev/shm", scratchRoot)
     // probe BEFORE the Spark session spins up (clean JVM, no competing
     // executor threads) — the value reflects the host, not the workload
     val hostProbe = hostProbeSec()
@@ -109,7 +153,7 @@ object Bench {
       // throwaway sink/checkpoint scratch on tmpfs: the lifecycle rows
       // (pipeline_*, stream_*, ingest roundtrips) are bounded by local-disk
       // fsync latency, which is bench-box environment, not engine cost
-      .config("spark.graft.scratchRoot", "/dev/shm/graft_bench")
+      .config("spark.graft.scratchRoot", scratchRoot)
       // let AQE coalesce the output partitioning of persisted frames: an
       // operator-internal mart (pruned postings, bigram streams) otherwise
       // caches at spark.sql.shuffle.partitions partitions however tiny it
@@ -365,5 +409,9 @@ object Bench {
     }
     println(line)
     spark.stop()
+    // leave tmpfs the way we found it — the next invocation's sweep is
+    // then a no-op instead of a multi-GB recursive delete
+    try deleteRecursively(new java.io.File(scratchRoot))
+    catch { case _: Throwable => () }
   }
 }

@@ -77,7 +77,7 @@ object KeyIndex {
                             buckets: Int,
                             covered: Map[String, Long], keyDirs: Seq[String])
 
-  private def typesOf(df: DataFrame, keyCols: Seq[String]): Seq[String] =
+  private[streaming] def typesOf(df: DataFrame, keyCols: Seq[String]): Seq[String] =
     keyCols.map(k => df.schema(k).dataType.catalogString)
 
   /** The probe plan plus the manifest state [[refresh]] continues from
@@ -107,7 +107,28 @@ object KeyIndex {
     * back to the full envelope-pruned target scan when the index is
     * absent or invalid. `once` is the deduped (persisted) batch. */
   def probe(spark: SparkSession, targetPath: String, keyCols: Seq[String],
-            once: DataFrame): Probe = {
+            once: DataFrame): Probe =
+    probeImpl(spark, targetPath, keyCols, once, prune = true)
+
+  /** UNPRUNED whole-key-set view, for consumers that need EVERY target
+    * key each batch (e.g. [[StreamingJobs.admitNearSink]]'s within-run
+    * near-dup union, where the neighbors of a batch signature live in
+    * arbitrary buckets, so bucket/envelope pruning would be unsound):
+    * manifest key files ∪ uncovered-file scan — the same key set as a
+    * full target read, but served from the compacted bucket-sorted
+    * sidecar (few files, keyCols-only) plus a batch-sized delta instead
+    * of listing and opening every target data file per microbatch. Falls
+    * back to the full target keyCols scan when the index is absent or
+    * invalid. Soundness both ways: the manifest's covered-⊆-current
+    * check guarantees the index holds exactly the covered files' keys
+    * (no stale extras), and ∪ uncovered closes the gap to the target. */
+  def fullKeys(spark: SparkSession, targetPath: String, keyCols: Seq[String],
+               once: DataFrame): Probe =
+    probeImpl(spark, targetPath, keyCols, once, prune = false)
+
+  private def probeImpl(spark: SparkSession, targetPath: String,
+                        keyCols: Seq[String], once: DataFrame,
+                        prune: Boolean): Probe = {
     val root = new Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val current = listDataFiles(fs, root)
@@ -119,17 +140,20 @@ object KeyIndex {
     }
     mOpt match {
       case Some(m) =>
-        val env = StreamingJobs.envelopeFilter(once, keyCols)
+        val env =
+          if (prune) StreamingJobs.envelopeFilter(once, keyCols) else lit(true)
         val idxFrame =
           if (m.keyDirs.isEmpty) None
           else {
             val dirs = m.keyDirs.map(d => new Path(idx, d).toString)
             val raw = spark.read.parquet(dirs: _*)
-            val pruned = batchBuckets(once, keyCols, m.buckets) match {
-              case Some(bs) => raw.filter(col(BucketCol).isin(bs: _*))
-              case None => raw
-            }
-            Some(pruned.filter(env).select(keyCols.map(col): _*))
+            val bucketed =
+              if (!prune) raw
+              else batchBuckets(once, keyCols, m.buckets) match {
+                case Some(bs) => raw.filter(col(BucketCol).isin(bs: _*))
+                case None => raw
+              }
+            Some(bucketed.filter(env).select(keyCols.map(col): _*))
           }
         val uncovered = current.keysIterator.filterNot(m.covered.contains).toSeq.sorted
         val uncFrame =
@@ -142,7 +166,12 @@ object KeyIndex {
           .getOrElse(once.select(keyCols.map(col): _*).limit(0))
         Probe(frame, Some(m))
       case None =>
-        Probe(StreamingJobs.prunedTargetKeys(spark, targetPath, keyCols, once), None)
+        Probe(
+          if (prune)
+            StreamingJobs.prunedTargetKeys(spark, targetPath, keyCols, once)
+          else
+            spark.read.parquet(targetPath).select(keyCols.map(col): _*),
+          None)
     }
   }
 
@@ -187,9 +216,24 @@ object KeyIndex {
     * append them as one bucket-sorted key file, and swing the manifest
     * atomically. Runs AFTER the target append — a crash anywhere in here
     * leaves a stale-but-valid manifest (probe falls back to the uncovered
-    * delta scan) or an orphaned key file (invisible; GC'd next time). */
+    * delta scan) or an orphaned key file (invisible; GC'd next time).
+    *
+    * `batchTypes` (ADVICE r17): the catalog types of the keys AS THE SINK
+    * WRITES THEM. The delta parquet read can disagree with them — e.g. a
+    * key column that is also a partition column round-trips through
+    * partition-value inference as a different type — and an index whose
+    * files hash `__kb` under one type while the probe hashes under
+    * another can never be used: every probe would invalidate the manifest
+    * and every refresh would rebuild O(target), silently doubling the
+    * cost the index exists to remove. When the delta's types disagree
+    * with `batchTypes`, maintenance is SKIPPED (the existing manifest
+    * stays a correct, if stale, cache for a future same-typed stream);
+    * casting the delta to the batch types instead is unsound — a
+    * narrowing cast can collide distinct target keys onto a batch key
+    * and wrongly block a legitimate insert. */
   def refresh(spark: SparkSession, targetPath: String, keyCols: Seq[String],
-              prior: Option[Manifest]): Unit = {
+              prior: Option[Manifest],
+              batchTypes: Option[Seq[String]] = None): Unit = {
     val root = new Path(targetPath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -206,8 +250,11 @@ object KeyIndex {
     // manifest that forever reads as clean — stale EXTRA keys wrongly
     // block re-inserts, the one staleness direction the index must never
     // have. On mismatch, rebuild from scratch (old dirs are GC'd below).
-    val prior0 = prior.filter(
-      _.covered.forall { case (p, l) => current.get(p).contains(l) })
+    // A prior whose recorded types cannot match this batch is equally
+    // unusable — its key files hash __kb under the other type.
+    val prior0 = prior.filter(m =>
+      m.covered.forall { case (p, l) => current.get(p).contains(l) } &&
+        batchTypes.forall(_ == m.keyTypes))
     val covered0 = prior0.map(_.covered).getOrElse(Map.empty[String, Long])
     val buckets = prior0.map(_.buckets).getOrElse(confBuckets(spark))
     val delta = current.filterNot { case (p, l) => covered0.get(p).contains(l) }
@@ -218,8 +265,20 @@ object KeyIndex {
       else Some(spark.read.option("basePath", targetPath)
         .parquet(delta.keysIterator.map(p => new Path(root, p).toString).toSeq.sorted: _*)
         .select(keyCols.map(col): _*))
+    val deltaTypes = deltaKeys.map(typesOf(_, keyCols))
+    // batch-type guard (see Scaladoc): an index this probe stream can
+    // never validate must not be built or churned — skip maintenance
+    if (batchTypes.exists(b => deltaTypes.exists(_ != b))) return
+    // cross-check (ADVICE r17): delta types diverging from a RETAINED
+    // prior's keyTypes means the old key files' __kb buckets were hashed
+    // under the old type — bucket pruning over the mix could drop the
+    // very keys that prove duplicates. Rebuild from scratch under the
+    // delta's own types instead of appending a mixed-hash generation.
+    if (prior0.isDefined && deltaTypes.exists(_ != prior0.get.keyTypes)) {
+      refresh(spark, targetPath, keyCols, None, batchTypes); return
+    }
     // types AS WRITTEN ride in the manifest (probe invalidates on change)
-    val keyTypes = deltaKeys.map(typesOf(_, keyCols))
+    val keyTypes = deltaTypes
       .orElse(prior0.map(_.keyTypes))
       .getOrElse(return) // empty target, no prior: nothing to index
     val deltaFrame = deltaKeys.map(withBucket(_, keyCols, buckets))

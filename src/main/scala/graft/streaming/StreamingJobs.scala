@@ -150,14 +150,38 @@ object StreamingJobs {
         val once = batch.dropDuplicates(keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val useIdx = KeyIndex.enabled(spark)
+          // The sidecar is bypassed when a key column is ALSO a partition
+          // column (ADVICE r17): partition values round-trip target reads
+          // through partition-value INFERENCE, so the delta read's key
+          // types (and worse, its VALUES — "007" infers as int 7 and no
+          // cast restores the string) need not match what the batch
+          // writes; the index would be invalidated by every probe and
+          // rebuilt by every refresh. That shape takes a SCHEMA-TYPED
+          // envelope read below instead — the right plan anyway: a range
+          // predicate on a partition key PARTITION-PRUNES the target
+          // scan, while the index exists for hash keys, which are never
+          // partition keys.
+          val keyedByPartition = keyCols.intersect(partitionCols).nonEmpty
+          val useIdx = KeyIndex.enabled(spark) && !keyedByPartition
           val (fresh, priorManifest) =
             if (exists) {
               val (existing, prior) =
                 if (useIdx) {
                   val pr = KeyIndex.probe(spark, targetPath, keyCols, once)
                   (pr.frame, pr.manifest)
-                } else
+                } else if (keyedByPartition)
+                  // partition-key probes are type- and VALUE-stable only
+                  // under the batch's schema: inference re-types "007" as
+                  // int 7, under which the string envelope mis-coerces
+                  // (range [min,max] compared numerically prunes true
+                  // duplicates → re-insertion) and the original string
+                  // can never round-trip. With the user schema, partition
+                  // directory names parse AS the batch's type, and
+                  // Catalyst still partition-prunes on the envelope.
+                  (spark.read.schema(once.schema).parquet(targetPath)
+                    .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+                    .filter(envelopeFilter(once, keyCols)), None)
+                else
                   (prunedTargetKeys(spark, targetPath, keyCols, once), None)
               // null-safe equality (<=>): a null-keyed row already in the
               // target must block its replayed twin
@@ -169,8 +193,11 @@ object StreamingJobs {
            else writer).parquet(targetPath)
           // AFTER the target append (ordering is the crash-safety): index
           // the files the manifest doesn't cover — normally just the ones
-          // this batch wrote, after a crash also the orphaned delta
-          if (useIdx) KeyIndex.refresh(spark, targetPath, keyCols, priorManifest)
+          // this batch wrote, after a crash also the orphaned delta. The
+          // batch's key types ride along so refresh can refuse to build
+          // an index the probe side would never validate.
+          if (useIdx) KeyIndex.refresh(spark, targetPath, keyCols, priorManifest,
+            Some(KeyIndex.typesOf(once, keyCols)))
         } finally { once.unpersist(); () }
         ()
       }
@@ -279,7 +306,11 @@ object StreamingJobs {
     * foreachBatch is the seam: the banded join + existence aggregate is
     * a batch shape the streaming planner cannot express as a stateful
     * transform. Scale: the history side is the persisted chunk index;
-    * candidates ∝ colliding 16-bit buckets, never |batch|×|history|. */
+    * candidates ∝ colliding 16-bit buckets, never |batch|×|history| —
+    * and the per-batch TARGET reads go through the [[KeyIndex]] sidecar
+    * (bucket-pruned for the exact anti-join; compacted-index ∪
+    * uncovered-delta for the within-run union), so neither grows into an
+    * O(target) data-file scan per microbatch. */
   def admitNearSink(stream: DataFrame, historySigs: DataFrame,
                     targetPath: String, checkpoint: String,
                     idCol: String, sigCol: String,
@@ -307,34 +338,60 @@ object StreamingJobs {
           // idempotentAppendSink twin)
           val targetExists =
             tfs.exists(tPath) && KeyIndex.listDataFiles(tfs, tPath).nonEmpty
-          // the CURRENT target's signatures: ONE pruned scan, persisted
-          // only in within-run mode, where two plans read it (the probe
-          // index union + the idempotency anti-join) — in the default
-          // mode it has exactly one consumer and caching a frame that
-          // grows with the target would be pure block-manager churn
-          val targetSigs =
-            if (targetExists) {
-              val ts = spark.read.parquet(targetPath).select(sigCol)
-              Some(if (nearDedupWithinRun)
-                ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              else ts)
-            } else None
+          val useIdx = KeyIndex.enabled(spark)
+          // The CURRENT target's signatures, served through the `_keyidx`
+          // sidecar (round-17 VERDICT #1 — this was the last per-batch
+          // O(target) read in the inventory; signatures are hash-like
+          // bitstrings, exactly the shape whose batch envelope cannot
+          // prune). Two consumers with DIFFERENT soundness envelopes:
+          //  - the exact-signature idempotency anti-join only needs
+          //    EQUALITY candidates → the bucket-pruned KeyIndex.probe;
+          //  - the within-run near-dup union needs the WHOLE signature
+          //    set (a near neighbor differs in some bits, so it lives in
+          //    an arbitrary bucket — pruning would re-admit near-dups) →
+          //    KeyIndex.fullKeys: compacted index files ∪ uncovered
+          //    delta, persisted because the union and the anti-join both
+          //    read it. In default mode the pruned probe has exactly one
+          //    consumer and caching a frame would be block-manager churn.
+          val probeOpt =
+            if (!targetExists) None
+            else if (nearDedupWithinRun) {
+              val pr =
+                if (useIdx) KeyIndex.fullKeys(spark, targetPath, Seq(sigCol), once)
+                else KeyIndex.Probe(
+                  spark.read.parquet(targetPath).select(sigCol), None)
+              Some((pr.frame.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+                pr.manifest, true))
+            } else {
+              val pr =
+                if (useIdx) KeyIndex.probe(spark, targetPath, Seq(sigCol), once)
+                else KeyIndex.Probe(
+                  spark.read.parquet(targetPath).select(sigCol), None)
+              Some((pr.frame, pr.manifest, false))
+            }
           try {
-            val probeIndex = targetSigs match {
-              case Some(ts) if nearDedupWithinRun =>
-                historySigs.select(sigCol).unionByName(ts)
+            val probeIndex = probeOpt match {
+              case Some((ts, _, true)) => historySigs.select(sigCol).unionByName(ts)
               case _ => historySigs
             }
             val hits = graft.operators.Dedup.bitstringHits(
               once, idCol, sigCol, probeIndex, sigCol, maxHamming)
             val admitted = once.join(
               hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-            val fresh = targetSigs match {
-              case Some(ts) => admitted.join(ts, Seq(sigCol), "left_anti")
+            val fresh = probeOpt match {
+              case Some((ts, _, _)) => admitted.join(ts, Seq(sigCol), "left_anti")
               case None => admitted
             }
             fresh.write.mode("append").parquet(targetPath)
-          } finally { targetSigs.foreach(_.unpersist()); () }
+            // AFTER the append (the crash-safety ordering): cover this
+            // batch's files; a crash in between leaves them as the
+            // uncovered delta the next probe scans and heals
+            if (useIdx) KeyIndex.refresh(spark, targetPath, Seq(sigCol),
+              probeOpt.flatMap(_._2), Some(KeyIndex.typesOf(once, Seq(sigCol))))
+          } finally {
+            probeOpt.foreach { case (ts, _, p) => if (p) { ts.unpersist(); () } }
+          }
         } finally { once.unpersist(); () }
         ()
       }

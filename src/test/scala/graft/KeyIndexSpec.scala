@@ -248,6 +248,265 @@ class KeyIndexSpec extends AnyFunSuite
       intBatch("k") === pr.frame("k"), "left_semi").count() == 40)
   }
 
+  test("big-delta bootstrap (r17 VERDICT #2): bucket-range layout with " +
+    "disjoint __kb file ranges, probe-equivalent, crash orphan GC'd") {
+    val target = tmp("graft_kidx_big") + "/t"
+    // multi-file target that EXISTS before any index — the bootstrap case
+    digestRows(0 until 2000).repartition(4)
+      .write.mode("overwrite").parquet(target)
+    val fs = hfs(target)
+    val idx = new Path(target, KeyIndex.DirName)
+    // crash-mid-bootstrap: a key dir written but no manifest committed.
+    // The orphan is invisible — the probe falls back to the full target
+    // scan, which still blocks every duplicate — and the real bootstrap
+    // GCs it after its own manifest commits.
+    val orphan = new Path(idx, "keys-orphan")
+    digestRows(0 until 5).select(col("k"))
+      .withColumn(KeyIndex.BucketCol, lit(0))
+      .coalesce(1).write.parquet(orphan.toString)
+    val pre = KeyIndex.probe(spark, target, Seq("k"), digestRows(0 until 50))
+    assert(pre.manifest.isEmpty)
+    assert(pre.frame.join(digestRows(0 until 50), Seq("k"), "left_semi")
+      .count() == 50)
+    // bootstrap with the big-delta threshold forced below the target size:
+    // the whole-target delta must take the bucket-range layout, not
+    // funnel through coalesce(1)
+    spark.conf.set("spark.graft.keyIndex.bigDeltaBytes", "1")
+    try KeyIndex.refresh(spark, target, Seq("k"), None)
+    finally spark.conf.unset("spark.graft.keyIndex.bigDeltaBytes")
+    val m = KeyIndex.readManifest(fs, idx).get
+    assert(m.covered.size == 4 && m.keyDirs.size == 1)
+    assert(!fs.exists(orphan), "crash orphan survived the bootstrap GC")
+    // (a) the layout: multiple key files, disjoint sorted __kb ranges
+    // (range partitioning assigns each bucket value to exactly one file)
+    val dir = new Path(idx, m.keyDirs.head)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    assert(parts.length > 1, "bucket-range layout wrote a single file")
+    val ranges = parts.toSeq.flatMap { p =>
+      val r = spark.read.parquet(p.toString)
+        .agg(min(col(KeyIndex.BucketCol)), max(col(KeyIndex.BucketCol)))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
+    }.sortBy(_._1)
+    assert(ranges.size > 1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping __kb ranges: $ranges")
+      case _ => ()
+    }
+    // (b) probe equivalence with the small-delta path: dups proven, plan
+    // reads the sidecar
+    val batch = digestRows(1990 until 2010)
+    val pr = KeyIndex.probe(spark, target, Seq("k"), batch)
+    assert(pr.manifest.isDefined)
+    assert(pr.frame.join(digestRows(1990 until 2000), Seq("k"), "left_semi")
+      .count() == 10)
+    assert(pr.frame.queryExecution.executedPlan.toString
+      .contains(KeyIndex.DirName))
+    // (c) end-to-end through the sink: 10 dups blocked, 10 new inserted
+    drain(batch, target)
+    val got = spark.read.parquet(target)
+    assert(got.count() == 2010 && got.select("k").distinct().count() == 2010)
+  }
+
+  test("refresh skips maintenance when the batch's key types cannot match " +
+    "the target's written types (ADVICE r17) — no per-batch rebuild churn") {
+    val target = tmp("graft_kidx_btyp") + "/t"
+    drain(digestRows(0 until 100), target)
+    val fs = hfs(target)
+    val idx = new Path(target, KeyIndex.DirName)
+    val m0 = KeyIndex.readManifest(fs, idx).get
+    assert(m0.keyTypes == Seq("string"))
+    // a long-typed batch stream can never validate this string-typed
+    // index (xxhash64 buckets are type-sensitive): refresh must neither
+    // rebuild it per batch nor poison its manifest — byte-stable no-op
+    KeyIndex.refresh(spark, target, Seq("k"), None, Some(Seq("bigint")))
+    val m1 = KeyIndex.readManifest(fs, idx).get
+    assert(m1 == m0, "mismatched-type refresh churned the manifest")
+  }
+
+  test("refresh cross-check (ADVICE r17): a retained prior whose keyTypes " +
+    "diverge from the delta's read types triggers a full rebuild, never a " +
+    "mixed-hash append") {
+    val target = tmp("graft_kidx_xchk") + "/t"
+    drain(digestRows(0 until 60), target)
+    drain(digestRows(60 until 120), target)
+    val fs = hfs(target)
+    val idx = new Path(target, KeyIndex.DirName)
+    val m = KeyIndex.readManifest(fs, idx).get
+    // simulate the divergence: a prior that covers only part of the
+    // target (so the delta is non-empty) and records the WRONG type for
+    // the key its files were hashed under
+    val doctored = m.copy(keyTypes = Seq("bigint"),
+      covered = m.covered - m.covered.keys.min)
+    KeyIndex.refresh(spark, target, Seq("k"), Some(doctored))
+    val m2 = KeyIndex.readManifest(fs, idx).get
+    assert(m2.keyTypes == Seq("string"))
+    // full rebuild: no key dir of the doctored generation survives (its
+    // files' __kb buckets are not trustworthy under the corrected type)
+    assert(m2.keyDirs.toSet.intersect(doctored.keyDirs.toSet).isEmpty,
+      s"mixed-hash generations retained: ${m2.keyDirs} vs ${doctored.keyDirs}")
+    // the rebuild covers the WHOLE target again, including the file the
+    // doctored prior had dropped
+    assert(m2.covered == m.covered)
+    // and the rebuilt index still proves every duplicate
+    drain(digestRows(0 until 120), target)
+    assert(spark.read.parquet(target).count() == 120)
+  }
+
+  test("partition-key intersection bypasses the sidecar (ADVICE r17): " +
+    "inference-typed partition values cause no index churn, dedup holds") {
+    import spark.implicits._
+    val target = tmp("graft_kidx_pkey") + "/t"
+    // ALL-numeric string partition values: partition-value inference
+    // reads them back as ints — the type (and for "007" the VALUE) does
+    // not round-trip, which is exactly why the index must stay out
+    def rows(vs: Seq[String]): org.apache.spark.sql.DataFrame =
+      vs.zipWithIndex.map { case (d, i) => (d, i) }.toDF("d", "v")
+    def run(vs: Seq[String]): Unit =
+      StreamingJobs.withDrainParallelism(spark) {
+        val in = tmp("graft_kidx_pkey_in")
+        rows(vs).write.mode("overwrite").parquet(in)
+        val q = StreamingJobs.idempotentAppendSink(
+          spark.readStream.schema(rows(Seq("x")).schema).parquet(in),
+          target, keyCols = Seq("d"), checkpoint = tmp("graft_kidx_pkey_ck"),
+          partitionCols = Seq("d"))
+        q.awaitTermination(); q.stop()
+      }
+    run(Seq("7", "8", "100"))
+    assert(spark.read.parquet(target).count() == 3)
+    // no sidecar despite minTargetBytes=0 (suite-wide): the bypass, not
+    // the amortization gate, kept it out
+    assert(!hfs(target).exists(new Path(target, KeyIndex.DirName)),
+      "sidecar built for a partition-column key")
+    // replay + one new partition value: dedup via the schema-typed
+    // envelope read (string envelope ["100","8"] would mis-coerce
+    // against an inference-typed int column and re-insert everything)
+    run(Seq("7", "8", "100", "200"))
+    val got = spark.read.parquet(target)
+    assert(got.count() == 4, got.collect().mkString(","))
+    assert(!hfs(target).exists(new Path(target, KeyIndex.DirName)))
+    // VALUE-exactness: "07" is a DIFFERENT key than "7" (inference would
+    // collapse both to int 7 — under the schema-typed read they stay
+    // distinct strings), and its replay is blocked like any other
+    run(Seq("7", "07"))
+    assert(spark.read.parquet(target).count() == 5)
+    run(Seq("07"))
+    assert(spark.read.parquet(target).count() == 5)
+  }
+
+  test("scale shape (r17 VERDICT #4): at a target ~400x the batch, the " +
+    "probe reads batch-bucket index row groups + the uncovered delta, " +
+    "not O(target)") {
+    val target = tmp("graft_kidx_scale") + "/t"
+    // small parquet row groups so row-group pruning is measurable at
+    // fixture scale (at 100 TB the default 128 MB groups play this role);
+    // AQE off so the executed plan exposes raw FileSourceScan metrics
+    spark.conf.set("parquet.block.size", (8 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      digestRows(0 until 40000).coalesce(1)
+        .write.mode("overwrite").parquet(target)
+      KeyIndex.refresh(spark, target, Seq("k"), None)
+      // an uncovered delta exactly one "crashed microbatch" big
+      digestRows(40000 until 40100).coalesce(1)
+        .write.mode("append").parquet(target)
+      // 5 keys: 3 covered by the index, 2 in the uncovered delta
+      val batch = digestRows(39997 until 40002)
+      val pr = KeyIndex.probe(spark, target, Seq("k"), batch)
+      assert(pr.manifest.isDefined)
+      // execute, then read the scans' own row counters
+      assert(pr.frame.join(batch, Seq("k"), "left_semi").count() == 5)
+      val probed = pr.frame
+      val n = probed.collect().length
+      assert(n >= 5)
+      val scans = probed.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val idxRows = scans.filter(_.toString.contains(KeyIndex.DirName))
+        .map(_.metrics("numOutputRows").value).sum
+      val uncRows = scans.filterNot(_.toString.contains(KeyIndex.DirName))
+        .map(_.metrics("numOutputRows").value).sum
+      // the uncovered side reads its one delta file, nothing more
+      assert(uncRows <= 100, s"uncovered scan read $uncRows rows")
+      // the index side reads only the row groups holding the batch's
+      // buckets: a 5-bucket batch against 1024 buckets over ~200
+      // row-groups must skip the overwhelming majority of the 40k keys
+      assert(idxRows > 0 && idxRows < 4000,
+        s"index scan read $idxRows of 40000 keys — not bucket-pruned")
+      // the shape this replaced: the full keyCols scan reads O(target)
+      // (hash keys — the batch envelope prunes nothing)
+      val full = StreamingJobs.prunedTargetKeys(spark, target, Seq("k"), batch)
+      val fullN = full.collect().length
+      val fullScanRows = full.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+      assert(fullN <= 40100 && fullScanRows > 35000,
+        s"expected the replaced full-scan shape to read O(target), " +
+          s"read $fullScanRows")
+    } finally {
+      spark.conf.unset("parquet.block.size")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("admitNearSink probes through the sidecar (r17 VERDICT #1): index " +
+    "at the sig key, replay blocked, crash heals, within-run union served") {
+    import spark.implicits._
+    def sigOf(i: Int): String = {
+      val r = new java.util.Random(0x51600d + i * 7919L)
+      (0 until 64).map(_ => if (r.nextBoolean()) '1' else '0').mkString
+    }
+    val target = tmp("graft_kidx_anear") + "/t"
+    val hist = Seq.empty[Tuple1[String]].toDF("sig")
+    val schema = Seq((1L, "x")).toDF("id", "sig").schema
+    def run(rows: Seq[(Long, String)], withinRun: Boolean = false): Unit =
+      StreamingJobs.withDrainParallelism(spark) {
+        val in = tmp("graft_kidx_anear_in")
+        rows.toDF("id", "sig").write.mode("overwrite").parquet(in)
+        val q = StreamingJobs.admitNearSink(
+          spark.readStream.schema(schema).parquet(in), hist, target,
+          tmp("graft_kidx_anear_ck"), "id", "sig",
+          nearDedupWithinRun = withinRun)
+        q.awaitTermination(); q.stop()
+      }
+    val batch1 = (0 until 300).map(i => (i.toLong, sigOf(i)))
+    run(batch1)
+    assert(spark.read.parquet(target).count() == 300)
+    val fs = hfs(target)
+    val m = KeyIndex.readManifest(fs, new Path(target, KeyIndex.DirName))
+    assert(m.isDefined && m.get.keyCols == Seq("sig"),
+      "admitNearSink built no sig-keyed sidecar")
+    // exact replay through a fresh checkpoint: the bucket-pruned probe
+    // blocks all 300
+    run(batch1)
+    assert(spark.read.parquet(target).count() == 300)
+    // crash between target append and refresh: rows reach the target,
+    // the index never hears of them — the uncovered delta must still
+    // prove them on replay, then the refresh heals the manifest forward
+    val crashed = (300 until 350).map(i => (i.toLong, sigOf(i)))
+    crashed.toDF("id", "sig").write.mode("append").parquet(target)
+    run(crashed)
+    assert(spark.read.parquet(target).count() == 350)
+    val m2 = KeyIndex.readManifest(fs, new Path(target, KeyIndex.DirName)).get
+    assert(m2.covered.size > m.get.covered.size, "refresh did not heal")
+    // within-run mode: a hamming-1 twin of a TARGET-resident (not
+    // history) signature must be rejected — proves the near-union is
+    // really served from the sidecar's full key set
+    val twin = {
+      val s = sigOf(0)
+      (if (s.head == '0') "1" else "0") + s.tail
+    }
+    run(Seq((999L, twin)), withinRun = true)
+    assert(spark.read.parquet(target).count() == 350,
+      "near twin of a target signature admitted in within-run mode")
+    // and in default mode the same twin admits (history is empty) —
+    // the union above was the sidecar's doing, not an accident
+    run(Seq((998L, twin)))
+    assert(spark.read.parquet(target).count() == 351)
+  }
+
   test("complex-typed keys (ADVICE r16): array key neither breaks the " +
     "envelope aggregate nor the index; null-safe dedup holds") {
     import spark.implicits._

@@ -8,7 +8,8 @@ import graft.operators.{Multimodal, RasterCodecs, Tar, Warc}
   * VERDICT #7): the JPEG family already lives under decode-or-quarantine
   * fuzz discipline; Tar (POSIX ustar + pax/GNU longnames), Warc (ISO 28500
   * + gzip members) and the GIF LZW decoder get the same treatment here.
-  * Mutations: single bit flips, byte splices, truncations, and TARGETED
+  * Mutations: single bit flips, slice splices, short insert/deletes
+  * (every downstream offset shifts), truncations, and TARGETED
   * length-field lies (tar octal size, WARC Content-Length, GIF descriptor
   * dims and sub-block lengths). The contract under fuzz: parse or
   * quarantine — never an uncaught throw, never a hang, never an
@@ -19,19 +20,39 @@ class ParserFuzzSpec extends AnyFunSuite {
 
   private def rng(seed: Long) = new java.util.Random(seed)
 
-  /** Generic mutation: flip / splice / truncate (truncation applied by the
-    * caller so targeted mutations can compose with it). */
-  private def mutate(r: java.util.Random, base: Array[Byte]): Array[Byte] = {
-    val m = base.clone()
+  /** Generic mutation, three arms that all mutate (ADVICE r17): a single
+    * bit flip, a splice (a random slice copied over another region —
+    * mis-frames structures without changing length), and an insert/delete
+    * of a short run (SHIFTS every downstream offset, the class the other
+    * two can't reach). Truncation is applied by the caller so targeted
+    * length-field lies can compose with it. Length changes stay ≤16 bytes
+    * so callers' structure-relative offsets (tar's 512-byte header grid)
+    * remain in bounds. */
+  private def mutate(r: java.util.Random, base: Array[Byte]): Array[Byte] =
     r.nextInt(3) match {
       case 0 =>
+        val m = base.clone()
         val i = r.nextInt(m.length)
         m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
-      case 1 => m(r.nextInt(m.length)) = r.nextInt(256).toByte
-      case _ => ()
+        m
+      case 1 =>
+        val m = base.clone()
+        val len = 1 + r.nextInt(math.min(64, m.length))
+        val src = r.nextInt(m.length - len + 1)
+        val dst = r.nextInt(m.length - len + 1)
+        System.arraycopy(m, src, m, dst, len)
+        m
+      case _ =>
+        val len = 1 + r.nextInt(16)
+        if (r.nextBoolean() && base.length > len + 2) {
+          val at = r.nextInt(base.length - len)
+          base.take(at) ++ base.drop(at + len)
+        } else {
+          val at = r.nextInt(base.length)
+          val ins = Array.fill(len)(r.nextInt(256).toByte)
+          base.take(at) ++ ins ++ base.drop(at)
+        }
     }
-    m
-  }
 
   test("Tar.parse fuzz: flips, splices, truncations and octal size-field " +
     "lies parse-or-quarantine, never throw") {
