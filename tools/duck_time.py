@@ -80,7 +80,12 @@ def run_isolated(sfdir, outdir, sel, budget):
 
 def main(sfdir, outdir, names):
     budget0 = float(os.environ.get("DUCK_BUDGET_SEC", "0") or 0)
-    if os.environ.get("DUCK_ISOLATE", "") == "1" and budget0 > 0:
+    # Budgeted sweeps isolate BY DEFAULT (round-17: j2_pip_join's scalar
+    # PIP ignored con.interrupt() for >50 min at sf1 and wedged the whole
+    # in-process sweep — the hard-kill backstop only exists per-child).
+    # DUCK_ISOLATE=0 opts back into the in-process path; unbudgeted runs
+    # stay in-process (nothing to kill against).
+    if os.environ.get("DUCK_ISOLATE", "1") != "0" and budget0 > 0:
         oracle = json.load(open(f"{outdir}/oracle_sql.json"))
         sel = sorted(n for n in oracle if not names or n in names)
         return run_isolated(sfdir, outdir, sel, budget0)
