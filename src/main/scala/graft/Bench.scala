@@ -84,9 +84,14 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_FS_SETTLE", "1") == "0") return
     try {
       val dir = new java.io.File(scratchParent)
+      // only roots idle for >2h are reaped: a normal run deletes its own
+      // root on exit, so an old root is a crashed session's leftover —
+      // while a RECENT root may belong to a concurrently running
+      // invocation whose live checkpoints must not vanish mid-loop
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("graft_bench") &&
-          f.getAbsolutePath != keepRoot)
+          f.getAbsolutePath != keepRoot && f.lastModified < cutoff)
         .foreach(deleteRecursively)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scratch sweep failed (continuing): $e") }
@@ -99,7 +104,10 @@ object Bench {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    // never FOLLOW a directory symlink (isDirectory is true for one):
+    // recursing through it would delete files outside the scratch root —
+    // unlink the link itself instead
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }

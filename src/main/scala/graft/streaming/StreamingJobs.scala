@@ -142,12 +142,33 @@ object StreamingJobs {
         val p = new org.apache.hadoop.fs.Path(targetPath)
         val tfs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val exists = tfs.exists(p) && KeyIndex.listDataFiles(tfs, p).nonEmpty
+        // Partition-value STORAGE semantics, applied up front: partitionBy
+        // stores both "" and the literal default-partition token as
+        // __HIVE_DEFAULT_PARTITION__, and every read returns that as
+        // NULL. A batch row keyed "" could therefore never match its own
+        // written twin (the envelope's [""..""] range sees only nulls) and
+        // would re-append on EVERY replay. Collapsing those values to null
+        // before dedup/write makes the in-flight batch agree with what the
+        // table will actually say; the null-safe anti-join does the rest.
+        val keyedByPartition = keyCols.intersect(partitionCols).nonEmpty
+        val aligned =
+          if (!keyedByPartition) batch
+          else keyCols.intersect(partitionCols).foldLeft(
+            batch: org.apache.spark.sql.DataFrame) { (df, k) =>
+            df.schema(k).dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                df.withColumn(k, when(col(k) === "" ||
+                  col(k) === "__HIVE_DEFAULT_PARTITION__", lit(null))
+                  .otherwise(col(k)))
+              case _ => df
+            }
+          }
         // in-batch dedup first: one upstream file delivering a new key
         // twice in the same microbatch must still insert it once.
         // Persisted: the batch feeds BOTH the key-envelope aggregate and
         // the anti-join probe side — without it the dedup shuffle runs
         // twice per microbatch.
-        val once = batch.dropDuplicates(keyCols)
+        val once = aligned.dropDuplicates(keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // The sidecar is bypassed when a key column is ALSO a partition
@@ -160,8 +181,14 @@ object StreamingJobs {
           // envelope read below instead — the right plan anyway: a range
           // predicate on a partition key PARTITION-PRUNES the target
           // scan, while the index exists for hash keys, which are never
-          // partition keys.
-          val keyedByPartition = keyCols.intersect(partitionCols).nonEmpty
+          // partition keys. A sidecar a PRE-bypass version left behind
+          // would otherwise sit stale in the table forever (nothing
+          // probes or refreshes it under the bypass) — it is a pure
+          // cache, so it is deleted on sight.
+          if (keyedByPartition) {
+            val idxPath = new org.apache.hadoop.fs.Path(p, KeyIndex.DirName)
+            if (tfs.exists(idxPath)) { tfs.delete(idxPath, true); () }
+          }
           val useIdx = KeyIndex.enabled(spark) && !keyedByPartition
           val (fresh, priorManifest) =
             if (exists) {
@@ -355,24 +382,23 @@ object StreamingJobs {
           //    consumer and caching a frame would be block-manager churn.
           val probeOpt =
             if (!targetExists) None
-            else if (nearDedupWithinRun) {
+            else {
               val pr =
-                if (useIdx) KeyIndex.fullKeys(spark, targetPath, Seq(sigCol), once)
-                else KeyIndex.Probe(
+                if (!useIdx) KeyIndex.Probe(
                   spark.read.parquet(targetPath).select(sigCol), None)
-              Some((pr.frame.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-                pr.manifest, true))
-            } else {
-              val pr =
-                if (useIdx) KeyIndex.probe(spark, targetPath, Seq(sigCol), once)
-                else KeyIndex.Probe(
-                  spark.read.parquet(targetPath).select(sigCol), None)
-              Some((pr.frame, pr.manifest, false))
+                else if (nearDedupWithinRun)
+                  KeyIndex.fullKeys(spark, targetPath, Seq(sigCol), once)
+                else KeyIndex.probe(spark, targetPath, Seq(sigCol), once)
+              val frame =
+                if (nearDedupWithinRun) pr.frame.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                else pr.frame
+              Some((frame, pr.manifest))
             }
           try {
             val probeIndex = probeOpt match {
-              case Some((ts, _, true)) => historySigs.select(sigCol).unionByName(ts)
+              case Some((ts, _)) if nearDedupWithinRun =>
+                historySigs.select(sigCol).unionByName(ts)
               case _ => historySigs
             }
             val hits = graft.operators.Dedup.bitstringHits(
@@ -380,7 +406,7 @@ object StreamingJobs {
             val admitted = once.join(
               hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
             val fresh = probeOpt match {
-              case Some((ts, _, _)) => admitted.join(ts, Seq(sigCol), "left_anti")
+              case Some((ts, _)) => admitted.join(ts, Seq(sigCol), "left_anti")
               case None => admitted
             }
             fresh.write.mode("append").parquet(targetPath)
@@ -390,7 +416,8 @@ object StreamingJobs {
             if (useIdx) KeyIndex.refresh(spark, targetPath, Seq(sigCol),
               probeOpt.flatMap(_._2), Some(KeyIndex.typesOf(once, Seq(sigCol))))
           } finally {
-            probeOpt.foreach { case (ts, _, p) => if (p) { ts.unpersist(); () } }
+            if (nearDedupWithinRun)
+              probeOpt.foreach { case (ts, _) => ts.unpersist(); () }
           }
         } finally { once.unpersist(); () }
         ()

@@ -394,6 +394,14 @@ class KeyIndexSpec extends AnyFunSuite
     assert(spark.read.parquet(target).count() == 5)
     run(Seq("07"))
     assert(spark.read.parquet(target).count() == 5)
+    // storage-semantics collapse: partitionBy stores "" as the default
+    // partition (reads back NULL) — the sink aligns the batch to that,
+    // so an ""-keyed row inserts ONCE and its replay is blocked instead
+    // of re-appending forever (review r18)
+    run(Seq(""))
+    assert(spark.read.parquet(target).count() == 6)
+    run(Seq(""))
+    assert(spark.read.parquet(target).count() == 6)
   }
 
   test("scale shape (r17 VERDICT #4): at a target ~400x the batch, the " +
