@@ -96,8 +96,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scratch sweep failed (continuing): $e") }
     try {
+      // bounded wait: sync flushes EVERY filesystem, and one wedged
+      // mount (stale NFS/fuse) would otherwise hang the bench before it
+      // prints anything — a partial flush plus the settle sleep is
+      // strictly better than no barrier
       val p = new ProcessBuilder("sync").inheritIO().start()
-      p.waitFor(); ()
+      if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        System.err.println("[bench] sync timed out after 60s (continuing)")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sync unavailable (continuing): $e") }
     Thread.sleep(1500)
@@ -121,6 +128,14 @@ object Bench {
     // gate's churn reached the bench through it. Unique per run, swept
     // here at startup and deleted on exit.
     val scratchRoot = s"/dev/shm/graft_bench_${System.currentTimeMillis()}"
+    // shutdown hook, not an end-of-main delete: a run that throws
+    // mid-loop (failing query, OOM) must still return its multi-GB
+    // tmpfs root — the startup sweep deliberately leaves roots younger
+    // than 2h alone (they may be a live concurrent run), so a crash
+    // leak would survive exactly the crash-retry window where it hurts
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(new java.io.File(scratchRoot))
+      catch { case _: Throwable => () }))
     fsSettle("/dev/shm", scratchRoot)
     // probe BEFORE the Spark session spins up (clean JVM, no competing
     // executor threads) — the value reflects the host, not the workload
@@ -417,9 +432,7 @@ object Bench {
     }
     println(line)
     spark.stop()
-    // leave tmpfs the way we found it — the next invocation's sweep is
-    // then a no-op instead of a multi-GB recursive delete
-    try deleteRecursively(new java.io.File(scratchRoot))
-    catch { case _: Throwable => () }
+    // the shutdown hook registered at startup deletes scratchRoot on
+    // every exit path, normal or thrown
   }
 }

@@ -105,10 +105,15 @@ object KeyIndex {
   /** The target-key probe for the idempotent anti-join: index keys (bucket-
     * and envelope-pruned) ∪ uncovered-file keys (envelope-pruned). Falls
     * back to the full envelope-pruned target scan when the index is
-    * absent or invalid. `once` is the deduped (persisted) batch. */
+    * absent or invalid. `once` is the deduped (persisted) batch.
+    * `listing` lets the sink pass the data-file listing it already took
+    * for its has-data-files check — no write happens between the two, so
+    * reusing it is sound and saves a recursive LIST per microbatch
+    * (object-store targets pay real latency per traversal). */
   def probe(spark: SparkSession, targetPath: String, keyCols: Seq[String],
-            once: DataFrame): Probe =
-    probeImpl(spark, targetPath, keyCols, once, prune = true)
+            once: DataFrame,
+            listing: Option[Map[String, Long]] = None): Probe =
+    probeImpl(spark, targetPath, keyCols, once, prune = true, listing)
 
   /** UNPRUNED whole-key-set view, for consumers that need EVERY target
     * key each batch (e.g. [[StreamingJobs.admitNearSink]]'s within-run
@@ -123,15 +128,17 @@ object KeyIndex {
     * check guarantees the index holds exactly the covered files' keys
     * (no stale extras), and ∪ uncovered closes the gap to the target. */
   def fullKeys(spark: SparkSession, targetPath: String, keyCols: Seq[String],
-               once: DataFrame): Probe =
-    probeImpl(spark, targetPath, keyCols, once, prune = false)
+               once: DataFrame,
+               listing: Option[Map[String, Long]] = None): Probe =
+    probeImpl(spark, targetPath, keyCols, once, prune = false, listing)
 
   private def probeImpl(spark: SparkSession, targetPath: String,
                         keyCols: Seq[String], once: DataFrame,
-                        prune: Boolean): Probe = {
+                        prune: Boolean,
+                        listing: Option[Map[String, Long]]): Probe = {
     val root = new Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val current = listDataFiles(fs, root)
+    val current = listing.getOrElse(listDataFiles(fs, root))
     val idx = new Path(root, DirName)
     val mOpt = readManifest(fs, idx).filter { m =>
       m.keyCols == keyCols && m.keyTypes == typesOf(once, keyCols) &&

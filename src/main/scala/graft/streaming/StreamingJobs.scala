@@ -141,7 +141,11 @@ object StreamingJobs {
         // a zero-data target must take the fresh-target path instead.
         val p = new org.apache.hadoop.fs.Path(targetPath)
         val tfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val exists = tfs.exists(p) && KeyIndex.listDataFiles(tfs, p).nonEmpty
+        // ONE recursive listing per batch, shared with the probe below
+        // (no write happens in between); refresh re-lists by contract —
+        // it must see the files the append just wrote
+        val dataFiles = KeyIndex.listDataFiles(tfs, p)
+        val exists = dataFiles.nonEmpty
         // Partition-value STORAGE semantics, applied up front: partitionBy
         // stores both "" and the literal default-partition token as
         // __HIVE_DEFAULT_PARTITION__, and every read returns that as
@@ -194,22 +198,22 @@ object StreamingJobs {
             if (exists) {
               val (existing, prior) =
                 if (useIdx) {
-                  val pr = KeyIndex.probe(spark, targetPath, keyCols, once)
+                  val pr = KeyIndex.probe(spark, targetPath, keyCols, once,
+                    listing = Some(dataFiles))
                   (pr.frame, pr.manifest)
-                } else if (keyedByPartition)
-                  // partition-key probes are type- and VALUE-stable only
-                  // under the batch's schema: inference re-types "007" as
-                  // int 7, under which the string envelope mis-coerces
-                  // (range [min,max] compared numerically prunes true
-                  // duplicates → re-insertion) and the original string
-                  // can never round-trip. With the user schema, partition
-                  // directory names parse AS the batch's type, and
-                  // Catalyst still partition-prunes on the envelope.
-                  (spark.read.schema(once.schema).parquet(targetPath)
-                    .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-                    .filter(envelopeFilter(once, keyCols)), None)
-                else
-                  (prunedTargetKeys(spark, targetPath, keyCols, once), None)
+                } else
+                  // partition-key probes (keyedByPartition) are type- and
+                  // VALUE-stable only under the batch's schema: inference
+                  // re-types "007" as int 7, under which the string
+                  // envelope mis-coerces (range [min,max] compared
+                  // numerically prunes true duplicates → re-insertion)
+                  // and the original string can never round-trip. With
+                  // the user schema, partition directory names parse AS
+                  // the batch's type, and Catalyst still partition-prunes
+                  // on the envelope.
+                  (prunedTargetKeys(spark, targetPath, keyCols, once,
+                    userSchema = if (keyedByPartition) Some(once.schema)
+                                 else None), None)
               // null-safe equality (<=>): a null-keyed row already in the
               // target must block its replayed twin
               val cond = keyCols.map(k => once(k) <=> existing(k)).reduce(_ && _)
@@ -241,11 +245,19 @@ object StreamingJobs {
     * equality on EVERY key, and a target row outside the envelope on any
     * key equals no batch row — dropping it cannot admit a duplicate.
     * Factored out (package-private) so the plan audit can assert the
-    * pushed filters on the probe scan directly. */
+    * pushed filters on the probe scan directly.
+    *
+    * `userSchema`: pass the batch schema when a key column is ALSO a
+    * partition column — partition directory names then parse AS that
+    * type instead of going through value inference, which re-types
+    * "007" as int 7 (the envelope then mis-coerces against the string
+    * range) and loses the original string for good. */
   private[graft] def prunedTargetKeys(spark: SparkSession, targetPath: String,
                                       keyCols: Seq[String],
-                                      once: DataFrame): DataFrame =
-    spark.read.parquet(targetPath).select(keyCols.map(col): _*)
+                                      once: DataFrame,
+                                      userSchema: Option[StructType] = None): DataFrame =
+    userSchema.map(spark.read.schema).getOrElse(spark.read)
+      .parquet(targetPath).select(keyCols.map(col): _*)
       .filter(envelopeFilter(once, keyCols))
 
   /** The batch key-envelope predicate, applicable to ANY frame carrying
@@ -362,9 +374,10 @@ object StreamingJobs {
           val tfs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
           // has-data-files, not bare existence: an externally emptied dir
           // must read as fresh, not throw schema inference (see the
-          // idempotentAppendSink twin)
-          val targetExists =
-            tfs.exists(tPath) && KeyIndex.listDataFiles(tfs, tPath).nonEmpty
+          // idempotentAppendSink twin). One listing per batch, shared
+          // with the probe below.
+          val dataFiles = KeyIndex.listDataFiles(tfs, tPath)
+          val targetExists = dataFiles.nonEmpty
           val useIdx = KeyIndex.enabled(spark)
           // The CURRENT target's signatures, served through the `_keyidx`
           // sidecar (round-17 VERDICT #1 — this was the last per-batch
@@ -387,8 +400,10 @@ object StreamingJobs {
                 if (!useIdx) KeyIndex.Probe(
                   spark.read.parquet(targetPath).select(sigCol), None)
                 else if (nearDedupWithinRun)
-                  KeyIndex.fullKeys(spark, targetPath, Seq(sigCol), once)
-                else KeyIndex.probe(spark, targetPath, Seq(sigCol), once)
+                  KeyIndex.fullKeys(spark, targetPath, Seq(sigCol), once,
+                    listing = Some(dataFiles))
+                else KeyIndex.probe(spark, targetPath, Seq(sigCol), once,
+                  listing = Some(dataFiles))
               val frame =
                 if (nearDedupWithinRun) pr.frame.persist(
                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -39,8 +39,18 @@ class ParserFuzzSpec extends AnyFunSuite {
         val m = base.clone()
         val len = 1 + r.nextInt(math.min(64, m.length))
         val src = r.nextInt(m.length - len + 1)
-        val dst = r.nextInt(m.length - len + 1)
-        System.arraycopy(m, src, m, dst, len)
+        // dst must differ from src — a same-offset copy is a structural
+        // no-op and this arm exists to mutate. When the slice spans the
+        // whole buffer (only one placement possible), degrade to a bit
+        // flip rather than fuzz the unmutated base.
+        if (m.length == len) {
+          val i = r.nextInt(m.length)
+          m(i) = (m(i) ^ 1).toByte
+        } else {
+          var dst = r.nextInt(m.length - len + 1)
+          while (dst == src) dst = r.nextInt(m.length - len + 1)
+          System.arraycopy(m, src, m, dst, len)
+        }
         m
       case _ =>
         val len = 1 + r.nextInt(16)

@@ -28,47 +28,64 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run_isolated(sfdir, outdir, sel, budget):
-    """One subprocess per query (DUCK_ISOLATE=1, budgeted sweeps only).
+def run_isolated(sfdir, outdir, sel, budget, oracle):
+    """Subprocess-isolated sweep (budgeted runs' default).
 
     con.interrupt() is COOPERATIVE and some operator shapes never check it
     (observed: the j2_pip_join scalar point-in-polygon evaluation at sf1
     ran >50 min past a 60 s budget) — in-process, one such query wedges
-    the whole sweep. Here the child measures its own elapsed (spawn and
+    the whole sweep. Here each child measures its own elapsed (spawn and
     view setup excluded from the reported time) and the parent enforces a
-    HARD kill at 2*budget+30, recording -2.0. The cooperative interrupt
-    still handles the normal case inside the child; the hard kill is the
-    backstop. cc closure cost is reported as the MAX child closure (it is
-    materialized once per consumer child, not shared)."""
+    HARD kill at (2*budget+30) per query, recording -2.0. The cooperative
+    interrupt still handles the normal case inside the child; the hard
+    kill is the backstop.
+
+    The CC-closure consumers run together in ONE child: per-query
+    children would make cc_cache.materialize_cc skip (it needs >=2
+    selected consumers), silently folding the 60-75 s closure into every
+    consumer's reported time while cc_closure_sec read 0.0 — baselines
+    incomparable with every in-process sweep. The group gets a
+    proportionally larger hard-kill window; a wedge inside it marks the
+    whole family budget-exceeded, the honest verdict for rows that share
+    one materialization. cc closure cost is that child's
+    cc_closure_sec."""
+    import cc_cache
     times = {}
     cc_sec = 0.0
-    for q in sel:
+    cc = [q for q in sel if cc_cache._CC_MARK in oracle[q]]
+    rest = [q for q in sel if q not in cc]
+    groups = ([cc] if len(cc) >= 2 else [[q] for q in cc]) + [[q] for q in rest]
+    for group in groups:
+        label = group[0] if len(group) == 1 else f"cc-group({len(group)})"
+        kill_at = (2 * budget + 30) * len(group)
         try:
             env = dict(os.environ)
             env["DUCK_ISOLATE"] = "0"
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), sfdir, outdir, q],
-                capture_output=True, text=True, timeout=2 * budget + 30,
-                env=env)
+                [sys.executable, os.path.abspath(__file__), sfdir, outdir]
+                + group,
+                capture_output=True, text=True, timeout=kill_at, env=env)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
             d = json.loads(line)
-            times[q] = d["queries"][q]
             cc_sec = max(cc_sec, d.get("cc_closure_sec", 0.0))
-            if times[q] == -2.0:
-                print(f"[duck_time] {q} BUDGET-EXCEEDED (> {budget}s)",
-                      file=sys.stderr)
-            elif times[q] == -1.0:
-                tail = (r.stderr or "").strip().splitlines()
-                print(f"[duck_time] {q} FAILED: {tail[-1] if tail else '?'}",
-                      file=sys.stderr)
+            for q in group:
+                times[q] = d["queries"].get(q, -1.0)
+                if times[q] == -2.0:
+                    print(f"[duck_time] {q} BUDGET-EXCEEDED (> {budget}s)",
+                          file=sys.stderr)
+                elif times[q] == -1.0:
+                    tail = (r.stderr or "").strip().splitlines()
+                    print(f"[duck_time] {q} FAILED: "
+                          f"{tail[-1] if tail else '?'}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            times[q] = -2.0
-            print(f"[duck_time] {q} BUDGET-EXCEEDED (hard kill at "
-                  f"{2 * budget + 30:.0f}s; interrupt not honored)",
-                  file=sys.stderr)
+            for q in group:
+                times[q] = -2.0
+            print(f"[duck_time] {label} BUDGET-EXCEEDED (hard kill at "
+                  f"{kill_at:.0f}s; interrupt not honored)", file=sys.stderr)
         except Exception as e:
-            times[q] = -1.0
-            print(f"[duck_time] {q} FAILED: {type(e).__name__}: {e}",
+            for q in group:
+                times[q] = -1.0
+            print(f"[duck_time] {label} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
     print(json.dumps({
         "cc_closure_sec": round(cc_sec, 2),
@@ -88,7 +105,7 @@ def main(sfdir, outdir, names):
     if os.environ.get("DUCK_ISOLATE", "1") != "0" and budget0 > 0:
         oracle = json.load(open(f"{outdir}/oracle_sql.json"))
         sel = sorted(n for n in oracle if not names or n in names)
-        return run_isolated(sfdir, outdir, sel, budget0)
+        return run_isolated(sfdir, outdir, sel, budget0, oracle)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
