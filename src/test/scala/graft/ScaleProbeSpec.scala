@@ -135,6 +135,50 @@ class ScaleProbeSpec extends AnyFunSuite {
         f"${tInc100 / tInc1}%.1fx ($tInc1%.2fs -> $tInc100%.2fs)")
   }
 
+  test("CC byte-budget edge: driver union-find and the two-hop loop agree " +
+    "on a propagation-limited graph (multi-round on the loop side)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // The OperatorQualitySpec boundary tests pin the conf gate on graphs
+    // that converge at init; here the SAME budget edge is pinned on a graph
+    // the two-hop loop has to actually iterate (a 64-node chain, diameter
+    // 63), so the equivalence covers the round structure — hop 1, hop 2,
+    // pointer jump, hop-1 early exit — not just the degenerate first round.
+    val chain = (100L until 163L).map(i => (i, i + 1))       // 63 edges
+    val extras = Seq((500L, 501L), (502L, 503L), (504L, 505L),
+      (600L, 601L), (600L, 602L))                            // 5 edges
+    val edges = chain ++ extras                              // 68 edges
+    import spark.implicits._
+    val nodes = ((100L to 163L) ++ (500L to 505L) ++ (600L to 602L) ++
+      Seq(900L, 901L)).toDF("id")                            // + singletons
+    val pairs = edges.toDF("a", "b").persist()
+    def run(bytes: Long): (Map[Long, Long], Int) = {
+      spark.conf.set("spark.graft.cc.localEdgeBytes", bytes.toString)
+      try {
+        val m = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (m, Dedup.lastCcRounds.get)
+      } finally {
+        spark.conf.unset("spark.graft.cc.localEdgeBytes")
+        CacheRegistry.unpersistAll(spark, blocking = true); ()
+      }
+    }
+    val budget = edges.size.toLong * 16L  // exact 16 B/edge model
+    val (fastLabels, fastRounds) = run(budget)       // at budget → driver
+    val (loopLabels, loopRounds) = run(budget - 1L)  // one byte under → loop
+    assert(fastRounds == 0, s"expected driver fast path at the byte budget, " +
+      s"rounds=$fastRounds")
+    assert(loopRounds >= 2,
+      s"loop converged in $loopRounds round(s) on a 63-edge chain — the " +
+        "graph no longer exercises the multi-round two-hop structure")
+    assert(fastLabels == loopLabels,
+      "driver union-find and the two-hop loop diverged at the byte budget " +
+        s"edge (rounds=$loopRounds)")
+    assert(fastLabels(163L) == 100L && fastLabels(505L) == 504L &&
+      fastLabels(602L) == 600L && fastLabels(900L) == 900L)
+    pairs.unpersist()
+  }
+
   test("containmentPairs maxDf: capped candidates track MATCHES, not " +
     "postings² (boilerplate-shingle skew fixture)") {
     import org.apache.spark.sql.functions._
