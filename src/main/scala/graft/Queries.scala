@@ -75,6 +75,28 @@ object Queries {
     } else raw
   }
 
+  /** Run independent driver-side Spark actions concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially — a small pool lets the scheduler back-fill executors
+    * freed by one job's tail with the next job's tasks, and overlaps the
+    * per-action driver latency, plan analysis + commit + listing, which on
+    * lifecycle rows is ~half the wall). For READ-ONLY actions (counts,
+    * aggregate heads); all futures are awaited before the first failure is
+    * rethrown so nothing is left in flight. */
+  private def inParallel[A](bodies: Seq[() => A]): Seq[A] = {
+    if (bodies.lengthCompare(1) <= 0) return bodies.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, bodies.length))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = bodies.map(b => scala.concurrent.Future(b())(ec))
+      val rs = fs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      rs.collectFirst { case scala.util.Failure(e) => throw e }
+      rs.map(_.get)
+    } finally pool.shutdown()
+  }
+
   /** Restore input parallelism ahead of CPU-heavy per-row work (tokenize /
     * per-row hashing / join+agg fusion) when the source scan cannot split.
     *
@@ -2043,28 +2065,33 @@ object Queries {
         def stamped(df: DataFrame, fmt: String): DataFrame =
           df.select(concat(date_format(col("day"), fmt), lit(" 00:30:00"))
             .as("Data Hora GMT"), col("event_id").cast("string").as("valor"))
-        writeCsv(stamped(rows.filter(month(col("day")) === 1), "dd/MM/yyyy"),
-          s"$dir/monthly_2024-01")
-        writeCsv(stamped(rows.filter(month(col("day")) === 2), "yyyy-MM-dd"),
-          s"$dir/monthly_2024-02")
-        for (idx <- Seq(4, 40)) {
-          val dayStr = jan1.plusDays(idx.toLong).toString
-          writeCsv(stamped(rows.filter(col("idx") === idx), "yyyy-MM-dd")
-            .unionByName(Seq(("sentinel", "-1")).toDF("Data Hora GMT", "valor")),
-            s"$dir/daily_$dayStr")
-        }
+        // the four fixture CSVs are independent writes to distinct paths —
+        // §2.6 overlap (each is a coalesce(1) write whose wall is mostly
+        // driver commit latency)
+        inParallel[Unit](Seq(
+          () => writeCsv(stamped(rows.filter(month(col("day")) === 1), "dd/MM/yyyy"),
+            s"$dir/monthly_2024-01"),
+          () => writeCsv(stamped(rows.filter(month(col("day")) === 2), "yyyy-MM-dd"),
+            s"$dir/monthly_2024-02")) ++ Seq(4, 40).map(idx => () => {
+            val dayStr = jan1.plusDays(idx.toLong).toString
+            writeCsv(stamped(rows.filter(col("idx") === idx), "yyyy-MM-dd")
+              .unionByName(Seq(("sentinel", "-1")).toDF("Data Hora GMT", "valor")),
+              s"$dir/daily_$dayStr")
+          }))
         val daily: java.time.LocalDate => Option[String] = dt =>
           Option(s"$dir/daily_$dt").filter(_ => Seq(4L, 40L).contains(
             java.time.temporal.ChronoUnit.DAYS.between(jan1, dt)))
         val monthly: java.time.YearMonth => Option[String] =
           ym => Some(s"$dir/monthly_$ym")
         // 4 bounded driver-side resolves: each models one ARRIVING day — the
-        // production unit of work — not a distributed scan
-        Seq(4, 5, 40, 41).map { idx =>
+        // production unit of work — not a distributed scan. The four days
+        // are independent (distinct sources, read-only against the fixture
+        // dirs), so they run overlapped too (§2.6).
+        inParallel(Seq(4, 5, 40, 41).map(idx => () => {
           val dt = jan1.plusDays(idx.toLong)
           val r = graft.sources.Sources.resolveDaily(s, dt, daily, monthly, today)
           (java.sql.Date.valueOf(dt), r.source.split(":")(0), r.df.count())
-        }.toDF("day", "source", "n_rows").orderBy("day")
+        })).toDF("day", "source", "n_rows").orderBy("day")
       }),
 
     // The JSONL corpus source under the gate: a REAL .jsonl file with
@@ -3040,13 +3067,17 @@ object Queries {
           if (fs.exists(hp)) fs.delete(hp, true)
         }
         // fanOut: the bucketed write is parquet decode+encode CPU and the
-        // local one-row-group scans otherwise feed it one core
-        marts.Marts.writeBucketed(
-          fanOut(T(s, d, "lineitem").select("l_orderkey", "l_quantity")),
-          lt, 8, Seq("l_orderkey"))
-        marts.Marts.writeBucketed(
-          fanOut(T(s, d, "orders").select("o_orderkey", "o_orderpriority")),
-          ot, 8, Seq("o_orderkey"))
+        // local one-row-group scans otherwise feed it one core. The two
+        // table writes are independent (distinct catalog entries, distinct
+        // paths) — run overlapped (§2.6) so one write's commit latency
+        // back-fills with the other's tasks.
+        inParallel[Unit](Seq(
+          () => marts.Marts.writeBucketed(
+            fanOut(T(s, d, "lineitem").select("l_orderkey", "l_quantity")),
+            lt, 8, Seq("l_orderkey")),
+          () => marts.Marts.writeBucketed(
+            fanOut(T(s, d, "orders").select("o_orderkey", "o_orderpriority")),
+            ot, 8, Seq("o_orderkey"))))
         val joined = s.table(lt).hint("MERGE")
           .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         // the pin: sort-merge join straight off the bucket scans, ZERO
@@ -3152,11 +3183,15 @@ object Queries {
         // day is already the compacted shape, so the fragmentation
         // precondition is VACUOUSLY satisfied rather than failed. On any
         // fragmentable corpus the strict >1 check still gates.
-        val fragmentable = s.read.parquet(fragDir).groupBy("day")
-          .agg(count(lit(1)).as("nd")).agg(max("nd")).head.getLong(0) > 1
-        s.read.parquet(fragDir)
-          .repartition(col("day")) // one task per day => one file per day
-          .write.partitionBy("day").parquet(outDir)
+        // The guard aggregate and the compaction write both read fragDir
+        // and are independent of each other — overlapped (§2.6)
+        val Seq(fragmentableAny, _) = inParallel[Any](Seq(
+          () => s.read.parquet(fragDir).groupBy("day")
+            .agg(count(lit(1)).as("nd")).agg(max("nd")).head.getLong(0) > 1,
+          () => s.read.parquet(fragDir)
+            .repartition(col("day")) // one task per day => one file per day
+            .write.partitionBy("day").parquet(outDir)))
+        val fragmentable = fragmentableAny.asInstanceOf[Boolean]
         val outCounts = filesPerDay(outDir)
         s.read.parquet(outDir).groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -7245,12 +7280,15 @@ object Queries {
         val r2 = p.runDayFrom(raw, day, marts)
         def martSum(name: String, c: String): Long =
           s.read.parquet(s"$root/marts/$name").agg(sum(col(c))).head().getLong(0)
+        // five independent read-only verification actions — §2.6 overlap
+        val Seq(curatedN, enrichedN, munSum, ufSum, bioSum) = inParallel(Seq(
+          () => s.read.parquet(s"$root/curated").count(),
+          () => s.read.parquet(s"$root/enriched").count(),
+          () => martSum("focos_diario_municipio", "n_focos"),
+          () => martSum("focos_diario_uf", "n_focos"),
+          () => martSum("focos_diario_bioma", "focos")))
         Seq((r1("attempted"), r1("inserted"), r2("attempted"), r2("inserted"),
-          s.read.parquet(s"$root/curated").count(),
-          s.read.parquet(s"$root/enriched").count(),
-          martSum("focos_diario_municipio", "n_focos"),
-          martSum("focos_diario_uf", "n_focos"),
-          martSum("focos_diario_bioma", "focos")))
+          curatedN, enrichedN, munSum, ufSum, bioSum))
           .toDF("attempted_1", "inserted_1", "attempted_2", "inserted_2",
             "curated_n", "enriched_n", "mart_mun_sum", "mart_uf_sum", "mart_bioma_sum")
       }),

@@ -259,15 +259,28 @@ object Web {
     val n = nodes.count()
     val base = teleportBaseE9(n)
     // standing edge structure: out-degree attached once, persisted for the
-    // k iteration joins (released via CacheRegistry like the dedup marts)
+    // k iteration joins (released via CacheRegistry like the dedup marts).
+    // NOTE (round-18 measurement): unlike the CC loop, this chain is LAZY
+    // (k fixed iterations in one plan) and was measured FASTER with AQE
+    // left ON — an AQE-off cloned session (the CC recipe) cut the job
+    // count 71→15 on the dangling gate row but nearly doubled its wall
+    // (0.97→1.83 s steady): AQE's partition coalescing on the tiny
+    // label-frame shuffles beats the static plan's fixed-partition
+    // sort-merge stages, and the AQE mini-jobs overlap (gap≈0). Kept on.
     val odeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     val edgesW = graft.CacheRegistry.register(
       edges.join(odeg, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = nodes.select(col("id"))
-    // dangling = nodes with no out-edges; their mass share enters every
-    // node's inflow as ONE broadcast scalar row (lazy — no driver action)
-    lazy val dangling = ids.join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
+    // dangling = nodes with no out-edges — ITERATION-INVARIANT, so it is
+    // persisted instead of re-deriving the anti-join (edge scan + probe)
+    // inside every iteration's dmass lineage; the per-iteration mass
+    // aggregate still enters each node's inflow as ONE broadcast scalar
+    // row (lazy — no driver action; the cache fills on the first
+    // iteration's stage and later iterations read it)
+    lazy val dangling = graft.CacheRegistry.register(
+      ids.join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var ranks = ids.withColumn("rank_e9", lit(base))
     var converged = false
     var i = 1

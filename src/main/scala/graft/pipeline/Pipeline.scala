@@ -272,36 +272,93 @@ final class Pipeline(spark: SparkSession, root: String,
       date_trunc("month", col("file_date")).cast("date") ===
         lit(Date.valueOf(d.toLocalDate.withDayOfMonth(1)))))
     lazy val ufArea = ufAreaDim
+    // The twelve mart tables are INDEPENDENT writes to distinct paths (the
+    // one exception — the trend view reads the daily-UF mart — is ordered
+    // below), and each is a small aggregate job followed by driver-side
+    // commit/listing latency. Submitting them from a bounded pool overlaps
+    // one mart's driver latency with another's executor work instead of
+    // serializing ~12 × (plan + job + commit) — the §2.6 back-fill
+    // pattern; Spark's scheduler runs concurrent jobs FIFO, which is
+    // exactly the desired fill-the-tail behavior. 3 in flight is enough
+    // to hide the latency without the tiny aggregates fighting for cores.
+    // Job groups/descriptions are thread-local, so per-thread submission
+    // also keeps the UI attribution correct. Failures propagate: every
+    // future is awaited and the first throwable rethrown.
     def mart(name: String)(build: => DataFrame, part: String = "day"): Unit =
       if (only(name)) {
         val b = build
         Marts.writePartitioned(b, path(s"marts/$name"), part)
         noteWrite(s"marts/$name", b, Seq(part))
       }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val jobs = scala.collection.mutable.Buffer[scala.concurrent.Future[Unit]]()
+    def submit(body: => Unit): Unit =
+      jobs += scala.concurrent.Future(body)(ec)
     try {
+      // materialize the shared cached slices up front on THIS thread (the
+      // lazy vals are thread-safe but a racing first-use from two pool
+      // threads would serialize on the lazy-init lock while holding a
+      // running job); forcing the ones this rebuild reads keeps the pool
+      // threads to pure aggregate+write work. Referencing the lazy val is
+      // enough — the cache itself stays lazy Spark-side.
+      val needsDay = Seq("focos_diario_municipio", "focos_diario_uf",
+        "mv_focos_day_dim").exists(only)
+      val needsMonth = Seq("focos_mensal_municipio", "focos_mensal_uf").exists(only)
+      val needsFile = Seq("focos_diario_bioma", "focos_diario_uc",
+        "focos_diario_ti").exists(only)
+      val needsMonthFile = Seq("focos_mensal_bioma", "focos_mensal_uc",
+        "focos_mensal_ti").exists(only)
+      if (needsDay) dayFacts
+      if (needsMonth) monthFacts
+      if (needsFile) fileDateFacts
+      if (needsMonthFile) monthFileFacts
+      if (Seq("focos_diario_uf", "focos_mensal_uf").exists(only)) ufArea
 
-    mart("focos_diario_municipio")(Marts.focosDiarioMunicipio(dayFacts))
-    mart("focos_mensal_municipio")(Marts.focosMensalMunicipio(monthFacts), "month")
-    mart("focos_diario_uf")(Marts.focosDiarioUf(dayFacts, ufArea))
-    mart("focos_mensal_uf")(Marts.focosMensalUf(monthFacts, ufArea), "month")
-    // biome/UC/TI marts key on raw file_date (40/50/60_*.sql — §7.4 risk 5)
-    mart("focos_diario_bioma")(Marts.focosDiarioBioma(fileDateFacts))
-    mart("focos_mensal_bioma")(Marts.focosMensalBioma(monthFileFacts), "month")
-    mart("focos_diario_uc")(Marts.focosDiarioKeyed(fileDateFacts, "cd_cnuc", Seq("uc_nome")))
-    mart("focos_mensal_uc")(Marts.focosMensalKeyed(monthFileFacts, "cd_cnuc", Seq("uc_nome")), "month")
-    mart("focos_diario_ti")(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")))
-    mart("focos_mensal_ti")(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")), "month")
-    // trend view over the (small) daily UF mart — W1/W2 moving averages
-    if (only("focos_diario_uf_trend")) {
-      val trend = Marts.focosDiarioUfTrend(readTable("marts/focos_diario_uf"))
-      trend.write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
-      noteWrite("marts/focos_diario_uf_trend", trend, Seq.empty)
+      submit {
+        mart("focos_diario_municipio")(Marts.focosDiarioMunicipio(dayFacts))
+        mart("focos_mensal_municipio")(Marts.focosMensalMunicipio(monthFacts), "month")
+      }
+      submit {
+        mart("focos_diario_uf")(Marts.focosDiarioUf(dayFacts, ufArea))
+        mart("focos_mensal_uf")(Marts.focosMensalUf(monthFacts, ufArea), "month")
+        // trend view over the (small) daily UF mart — W1/W2 moving
+        // averages; stays on the SAME task as its input mart's write
+        if (only("focos_diario_uf_trend")) {
+          val trend = Marts.focosDiarioUfTrend(readTable("marts/focos_diario_uf"))
+          trend.write.mode("overwrite").parquet(path("marts/focos_diario_uf_trend"))
+          noteWrite("marts/focos_diario_uf_trend", trend, Seq.empty)
+        }
+      }
+      // biome/UC/TI marts key on raw file_date (40/50/60_*.sql — §7.4 risk 5)
+      submit {
+        mart("focos_diario_bioma")(Marts.focosDiarioBioma(fileDateFacts))
+        mart("focos_mensal_bioma")(Marts.focosMensalBioma(monthFileFacts), "month")
+      }
+      submit {
+        mart("focos_diario_uc")(Marts.focosDiarioKeyed(fileDateFacts, "cd_cnuc", Seq("uc_nome")))
+        mart("focos_mensal_uc")(Marts.focosMensalKeyed(monthFileFacts, "cd_cnuc", Seq("uc_nome")), "month")
+      }
+      submit {
+        mart("focos_diario_ti")(Marts.focosDiarioKeyed(fileDateFacts, "terrai_cod", Seq("ti_nome")))
+        mart("focos_mensal_ti")(Marts.focosMensalKeyed(monthFileFacts, "terrai_cod", Seq("ti_nome")), "month")
+      }
+      // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
+      // the UF code column the reference denormalizes; our dims carry uf text
+      submit {
+        mart("mv_focos_day_dim")(
+          Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))))
+      }
+      // await ALL before surfacing the first failure, so no write is still
+      // in flight when the caller sees the exception (or unpersists below)
+      val results = jobs.toSeq.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally {
+      pool.shutdown()
+      cached.foreach(_.unpersist(false))
     }
-    // fact cube for the serving layer (065_mv_focos_day_dim.sql) — cd_uf is
-    // the UF code column the reference denormalizes; our dims carry uf text
-    mart("mv_focos_day_dim")(
-      Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))))
-    } finally cached.foreach(_.unpersist(false))
   }
 
   /** Checked-flag read path: re-enrich only rows some dimension has not
