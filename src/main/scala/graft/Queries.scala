@@ -7389,11 +7389,15 @@ object Queries {
         s.read.parquet(s"$root/doctored").withColumn("file_date", dlit)
           .write.mode("overwrite").partitionBy("file_date").parquet(s"$root/enriched")
         val nUnchecked = p.reenrichDay(day)
+        // one aggregation pass instead of three filtered count() actions —
+        // the three verification counts are conditional sums over the same
+        // scan (3 jobs + driver gaps → 1 job, and at scale one read of the
+        // enriched store instead of three)
         val after = s.read.parquet(s"$root/enriched")
-        Seq((nUnchecked,
-            after.filter(col("cd_cnuc").isNotNull).count(),
-            after.filter(!col("uc_checked")).count(),
-            after.count()))
+          .agg(coalesce(sum(when(col("cd_cnuc").isNotNull, 1L).otherwise(0L)), lit(0L)).as("r"),
+            coalesce(sum(when(!col("uc_checked"), 1L).otherwise(0L)), lit(0L)).as("f"),
+            count(lit(1)).as("n")).head()
+        Seq((nUnchecked, after.getLong(0), after.getLong(1), after.getLong(2)))
           .toDF("n_unchecked", "n_restored", "n_flags_clear", "n_rows")
       }),
 
