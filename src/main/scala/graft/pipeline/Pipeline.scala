@@ -211,16 +211,39 @@ final class Pipeline(spark: SparkSession, root: String,
       if (existing.columns.contains("event_hash")) existing
       else records.limit(0)
     val obsInserted = org.apache.spark.sql.Observation()
+    // persisted (O(batch), one day's inserts): the anti-joined frame feeds
+    // BOTH the curated append and the curatedDay union below — without the
+    // cache the left-anti join would re-run when the enrich chain executes.
+    // The Observation attaches ABOVE the cache, on the write's frame only:
+    // observe-then-persist buries CollectMetrics inside the InMemoryRelation,
+    // where the write's QueryExecution cannot surface the metric (measured:
+    // obs.get then throws key-not-found on any run whose anti-join survives
+    // optimization).
     val fresh = Ingest.idempotentAppend(records, existingHashes)
-      .observe(obsInserted, count(lit(1)).as("n"))
-    fresh.write.mode("append").partitionBy("file_date").parquet(path("curated"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fresh.observe(obsInserted, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("file_date").parquet(path("curated"))
     noteWrite("curated", fresh)
     val attempted = obsAttempted.get("n").asInstanceOf[Long]
     val inserted = obsInserted.get("n").asInstanceOf[Long]
 
-    // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI
-    val curatedDay = readTable("curated")
-      .filter(col("file_date") === lit(d))
+    // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI.
+    // The day's post-append curated content is EXACTLY existing ∪ fresh —
+    // both frames already in hand (`existing`'s file listing was pinned
+    // when the frame was created, BEFORE the append, so re-executing its
+    // plan cannot double-count the new files) — so the store re-read the
+    // union replaces (a full-store listing + day-partition scan per
+    // runDay; at production retention the listing alone is O(days)) adds
+    // nothing but I/O. Column order matches the old read-back: data
+    // columns first, partition column appended last. The file_date guard
+    // is vacuous on the partition dir but pins the read-back's exact
+    // filter semantics for `fresh`.
+    val curatedDay = {
+      val ex = if (existing.columns.contains("file_date")) existing
+               else existing.withColumn("file_date", lit(d))
+      ex.unionByName(fresh.select(ex.columns.map(col): _*))
+        .filter(col("file_date") === lit(d))
+    }
     val already = readOrEmpty("enriched", curatedDay)
     val newRows =
       if (already.columns.contains("event_hash"))
@@ -232,6 +255,7 @@ final class Pipeline(spark: SparkSession, root: String,
 
     writeMarts(d, marts)
     records.unpersist()
+    fresh.unpersist()
     Map("attempted" -> attempted, "inserted" -> inserted)
   }
 

@@ -209,6 +209,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(pf.isDefined, s"no file_date partition filter in plan:\n$plan")
   }
 
+  test("curatedDay union view: a re-run heals curated orphans AND admits the " +
+    "late batch's new rows (existing ∪ fresh ≡ the partition read-back)") {
+    // Own root: this test doctors the curated store, so it must not share
+    // the lazy fixture other tests assert exact counts against.
+    val dir2 = Files.createTempDirectory("graft_pipeline_union")
+    val root = dir2.resolve("warehouse").toString
+    val p = new Pipeline(spark, root, municipios, biomas, Some(ucs), Some(tis))
+    val day = LocalDate.parse("2024-02-01")
+    val first = p.runDay(writeDailyCsv(dir2, day), day)
+    assert(first("inserted") == 5)
+
+    // Simulate a prior crashed batch: two curated rows whose enrichment
+    // never happened (curated append succeeded, enriched write did not).
+    // runDayFrom used to see them via the partition READ-BACK; the
+    // existing ∪ fresh union view must see them via `existing`.
+    val part = s"$root/curated/file_date=$day"
+    val orphans = spark.read.parquet(part).limit(2)
+      .withColumn("event_hash", concat(lit("orphan_"), col("event_hash")))
+      .withColumn("lat", col("lat") + lit(0.01))
+    orphans.write.mode("append").parquet(part)
+
+    // Late file for the SAME day: the original rows plus one new point
+    // (valid coords inside mun Alpha / biome / UC boxes)
+    val f = dir2.resolve(s"$day-late.csv")
+    val d = day.toString
+    Files.writeString(f,
+      "latitude;longitude;data_hora_gmt;satelite;municipio;estado;bioma\n" +
+        s"2,5;1,5;$d 12:00:00;AQUA;Alpha;RO;Amazonia\n" +
+        s"9,1;2,2;$d 18:00:00;AQUA;Alpha;RO;Amazonia\n")
+    val again = p.runDay(f.toString, day)
+    assert(again("attempted") == 2)
+    assert(again("inserted") == 1) // the 18:00 point only
+
+    // curated: 5 original + 2 orphans + 1 late insert
+    val curated = spark.read.parquet(s"$root/curated")
+    assert(curated.count() == 8)
+    // enriched must match curated 1:1 — the 2 orphans healed (only the
+    // read-back used to guarantee that) AND the fresh row admitted (only
+    // `fresh` carries it: its files postdate `existing`'s pinned listing)
+    val enriched = spark.read.parquet(s"$root/enriched")
+    assert(enriched.count() == 8)
+    assert(enriched.select("event_hash").distinct().count() == 8)
+    assert(enriched.filter(col("event_hash").startsWith("orphan_")).count() == 2)
+    assert(enriched.filter(col("mun_cd_mun").isNull).count() == 0)
+    assert(p.checkDay(day).isEmpty)
+  }
+
   test("checked-flags read path: reenrichDay restores a late-arriving dimension") {
     val (p, root, dir2) = fixture
     // simulate "UC dim arrived late": null the UC outputs of day 1 and clear its flag
