@@ -426,12 +426,31 @@ object Bench {
     (java.nio.file.Paths.get(outPath) +: stamped).foreach { pth =>
       try {
         if (pth.getParent != null) java.nio.file.Files.createDirectories(pth.getParent)
-        java.nio.file.Files.write(pth, (line + "\n").getBytes("UTF-8")); ()
+        // atomic tmp+move: a reader (the driver's PERF comparison, a
+        // concurrent adjudication script) must never observe a half-written
+        // bench_last.json — the r17 round lost its entire per-query PERF
+        // table to a truncated capture, so the file copies are the
+        // authoritative artifact and must be all-or-nothing
+        val tmp = pth.resolveSibling(pth.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+        try java.nio.file.Files.move(tmp, pth,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, pth,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
+        ()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $pth: $e") }
     }
+    // stop BEFORE the println so the one-line JSON is the LAST stdout this
+    // process emits (r18 VERDICT item 2: the driver's tail capture is
+    // byte-bounded, and every stdout byte after the JSON line — session
+    // teardown noise, trailers — eats into what survives of it)
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed (continuing): $e") }
     println(line)
-    spark.stop()
     // the shutdown hook registered at startup deletes scratchRoot on
     // every exit path, normal or thrown
   }

@@ -75,27 +75,13 @@ object Queries {
     } else raw
   }
 
-  /** Run independent driver-side Spark actions concurrently (guide §2.6:
-    * actions are only sequential because driver code calls them
-    * sequentially — a small pool lets the scheduler back-fill executors
-    * freed by one job's tail with the next job's tasks, and overlaps the
-    * per-action driver latency, plan analysis + commit + listing, which on
-    * lifecycle rows is ~half the wall). For READ-ONLY actions (counts,
-    * aggregate heads); all futures are awaited before the first failure is
-    * rethrown so nothing is left in flight. */
-  private def inParallel[A](bodies: Seq[() => A]): Seq[A] = {
-    if (bodies.lengthCompare(1) <= 0) return bodies.map(_())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, bodies.length))
-    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val fs = bodies.map(b => scala.concurrent.Future(b())(ec))
-      val rs = fs.map(f => scala.util.Try(
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
-      rs.collectFirst { case scala.util.Failure(e) => throw e }
-      rs.map(_.get)
-    } finally pool.shutdown()
-  }
+  /** Run independent driver-side Spark actions concurrently (guide §2.6).
+    * Delegates to [[graft.pipeline.Pipeline.inParallel]] — one shared
+    * implementation with daemon threads + a bounded await (r18 VERDICT
+    * item 4: `Await.result(…, Inf)` on a non-daemon pool turned a wedged
+    * FS write into a forever-hang instead of a loud failure). */
+  private def inParallel[A](bodies: Seq[() => A]): Seq[A] =
+    graft.pipeline.Pipeline.inParallel(bodies)
 
   /** Restore input parallelism ahead of CPU-heavy per-row work (tokenize /
     * per-row hashing / join+agg fusion) when the source scan cannot split.

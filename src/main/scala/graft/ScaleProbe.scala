@@ -67,8 +67,14 @@ object ScaleProbe {
 
   /** Warm up, then time every probe at 1× and `mult`× on `spark`.
     * Callable from CI (ScaleProbeSpec pins ratio ceilings) and from the
-    * [[main]] evidence run at sf0.1. */
-  def run(spark: SparkSession, sfDir: String, mult: Int): Seq[Timing] = {
+    * [[main]] evidence run at sf0.1.
+    *
+    * `only`: restrict to a subset of probe names (empty = all). Exists for
+    * the spec's one-retry-on-exceed path: re-measuring just the operators
+    * whose first sample crossed a ceiling, instead of the whole battery,
+    * keeps the retry cheap and load-isolated. */
+  def run(spark: SparkSession, sfDir: String, mult: Int,
+          only: Set[String] = Set.empty): Seq[Timing] = {
 
     // replicate a frame k times: long id columns offset by 10^9 per replica
     // (disjoint key spaces), text words suffixed "_rI" (disjoint vocab)
@@ -222,14 +228,17 @@ object ScaleProbe {
         org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
         Measured(t, cached + taskPeak.get, spillBytes.get)
       } finally graft.CacheRegistry.unpersistAll(spark, blocking = true)
+    def selected(k: Int) =
+      if (only.isEmpty) probes(k)
+      else probes(k).filter { case (n, _) => only.contains(n) }
     try {
       // warm the JVM/codegen on the 1× shapes before timing anything
-      probes(1).foreach { case (_, f) =>
+      selected(1).foreach { case (_, f) =>
         try f() catch { case _: Throwable => }
         graft.CacheRegistry.unpersistAll(spark, blocking = true)
       }
-      val t1 = probes(1).map { case (n, f) => n -> timed(f) }.toMap
-      val tn = probes(mult).map { case (n, f) => n -> timed(f) }
+      val t1 = selected(1).map { case (n, f) => n -> timed(f) }.toMap
+      val tn = selected(mult).map { case (n, f) => n -> timed(f) }
       tn.map { case (n, m) =>
         val m1 = t1(n)
         Timing(n, m1.t, m.t, m1.mem, m.mem, m1.spill, m.spill)

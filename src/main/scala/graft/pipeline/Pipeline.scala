@@ -11,6 +11,48 @@ import graft.enrich.Enrich
 import graft.ingest.Ingest
 import graft.marts.Marts
 
+object Pipeline {
+  /** Bounded await for the concurrent-action pools (r18 VERDICT item 4):
+    * `Await.result(…, Duration.Inf)` on a non-daemon pool turns one wedged
+    * write (stale FS mount) into a forever-hang of the whole query; the
+    * bound fails loudly instead. Generous by design — it exists to catch
+    * wedges, never to time out real work; override via env for clusters
+    * whose single mart write legitimately exceeds it. */
+  private[graft] val awaitLimit: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      sys.env.getOrElse("SPARK_GRAFT_PARALLEL_AWAIT_SEC", "14400").toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Run independent driver-side Spark actions concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially — a small pool lets the scheduler back-fill executors
+    * freed by one job's tail with the next job's tasks, and overlaps the
+    * per-action driver latency: plan analysis + commit + listing, ~half
+    * the wall on lifecycle rows). Daemon threads (a wedged body can never
+    * pin the JVM open) + the bounded await above. ALL futures are awaited
+    * before the first failure is rethrown, so nothing is left in flight
+    * when the caller sees the exception. Job groups/descriptions are
+    * thread-local, so per-thread submission keeps UI attribution correct. */
+  private[graft] def inParallel[A](bodies: Seq[() => A], threads: Int = 4): Seq[A] = {
+    if (bodies.lengthCompare(1) <= 0) return bodies.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(threads, bodies.length),
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-parallel-action"); t.setDaemon(true); t
+        }
+      })
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = bodies.map(b => scala.concurrent.Future(b())(ec))
+      val rs = fs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, awaitLimit)))
+      rs.collectFirst { case scala.util.Failure(e) => throw e }
+      rs.map(_.get)
+    } finally pool.shutdown()
+  }
+}
+
 /** Orchestration: the reference's per-day batch model (SURVEY §2.10, EP1/EP2)
   * — one invocation per date, idempotent re-runs, resumable backfill with an
   * atomically-written JSON state file (src/etl/backfill.py:47-66,151-212).
@@ -221,42 +263,80 @@ final class Pipeline(spark: SparkSession, root: String,
     // optimization).
     val fresh = Ingest.idempotentAppend(records, existingHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fresh.observe(obsInserted, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("file_date").parquet(path("curated"))
-    noteWrite("curated", fresh)
-    val attempted = obsAttempted.get("n").asInstanceOf[Long]
-    val inserted = obsInserted.get("n").asInstanceOf[Long]
+    // try/finally: a failing write below must still release the two cached
+    // frames — a long backfill on a shared session would otherwise
+    // accumulate leaked cache entries across failed days
+    try {
+      // Materialize the records cache with ONE action before the two
+      // concurrent writers start: obsAttempted's CollectMetrics lives
+      // INSIDE the cached plan, and a materialization split across two
+      // racing jobs would fire the Observation with a partial count (each
+      // execution observes only the partitions IT computed). Must be a SQL
+      // action (`count()`), NOT `queryExecution.toRdd` — a raw RDD action
+      // skips SQLExecution.withNewExecutionId, the QueryExecutionListener
+      // never fires, and obs.get blocks forever (measured: PipelineSpec
+      // hangs). One extra tiny job; both writers then read the warm cache.
+      records.count()
+      val attempted = obsAttempted.get("n").asInstanceOf[Long]
 
-    // Enrich: new-rows-only; municipality PIP+KNN, then biome/UC/TI.
-    // The day's post-append curated content is EXACTLY existing ∪ fresh —
-    // both frames already in hand (`existing`'s file listing was pinned
-    // when the frame was created, BEFORE the append, so re-executing its
-    // plan cannot double-count the new files) — so the store re-read the
-    // union replaces (a full-store listing + day-partition scan per
-    // runDay; at production retention the listing alone is O(days)) adds
-    // nothing but I/O. Column order matches the old read-back: data
-    // columns first, partition column appended last. The file_date guard
-    // is vacuous on the partition dir but pins the read-back's exact
-    // filter semantics for `fresh`.
-    val curatedDay = {
-      val ex = if (existing.columns.contains("file_date")) existing
-               else existing.withColumn("file_date", lit(d))
-      ex.unionByName(fresh.select(ex.columns.map(col): _*))
-        .filter(col("file_date") === lit(d))
+      // The curated append and the enrich chain are INDEPENDENT writes to
+      // distinct stores: the enrich input is EXACTLY existing ∪ fresh —
+      // both frames already in hand (`existing`'s file listing was pinned
+      // when the frame was created, BEFORE the append, so re-executing its
+      // plan cannot double-count the new files; the store re-read this
+      // union replaced cost a full-store listing, O(days) at production
+      // retention, plus a day-partition re-scan per runDay) — so the two
+      // writes' driver latencies overlap (§2.6) instead of serializing.
+      // Crash safety is order-free: an interrupted run leaves an orphan on
+      // EITHER side and the next runDay heals both — a curated row missing
+      // from enriched re-enriches via newRowsOnly; an enriched row missing
+      // from curated re-inserts via the anti-join and is NOT re-enriched
+      // (its event_hash is already in `already`) — PipelineSpec pins both
+      // directions. Column order matches the old read-back: data columns
+      // first, partition column appended last. The file_date guard is
+      // vacuous on the partition dir but pins the read-back's exact filter
+      // semantics for `fresh`.
+      val curatedDay = {
+        val ex = if (existing.columns.contains("file_date")) existing
+                 else existing.withColumn("file_date", lit(d))
+        // fail-loud on store drift, with the drifted columns NAMED: an older
+        // curated partition carrying a data column the current transform no
+        // longer produces is a store-vs-code drift an operator must
+        // adjudicate (re-baseline the store or fix the transform) — a bare
+        // AnalysisException from the select reads as a bug, not as drift
+        val missing = ex.columns.filterNot(fresh.columns.contains)
+        require(missing.isEmpty,
+          s"curated store partition file_date=$fileDate carries column(s) " +
+            s"${missing.mkString(", ")} the current transform no longer " +
+            "produces — store schema drift, not a code bug; re-baseline the " +
+            "store or restore the column(s) in Ingest.transform")
+        ex.unionByName(fresh.select(ex.columns.map(col): _*))
+          .filter(col("file_date") === lit(d))
+      }
+      val already = readOrEmpty("enriched", curatedDay)
+      val newRows =
+        if (already.columns.contains("event_hash"))
+          Enrich.newRowsOnly(curatedDay, already.filter(col("file_date") === lit(d)))
+        else curatedDay
+      val enriched = enrichDims(Enrich.enrichMunicipio(newRows, municipios))
+      Pipeline.inParallel(Seq(
+        () => {
+          fresh.observe(obsInserted, count(lit(1)).as("n"))
+            .write.mode("append").partitionBy("file_date").parquet(path("curated"))
+          noteWrite("curated", fresh)
+        },
+        () => {
+          enriched.write.mode("append").partitionBy("file_date").parquet(path("enriched"))
+          noteWrite("enriched", enriched)
+        }))
+      val inserted = obsInserted.get("n").asInstanceOf[Long]
+
+      writeMarts(d, marts)
+      Map("attempted" -> attempted, "inserted" -> inserted)
+    } finally {
+      records.unpersist()
+      fresh.unpersist()
     }
-    val already = readOrEmpty("enriched", curatedDay)
-    val newRows =
-      if (already.columns.contains("event_hash"))
-        Enrich.newRowsOnly(curatedDay, already.filter(col("file_date") === lit(d)))
-      else curatedDay
-    val enriched = enrichDims(Enrich.enrichMunicipio(newRows, municipios))
-    enriched.write.mode("append").partitionBy("file_date").parquet(path("enriched"))
-    noteWrite("enriched", enriched)
-
-    writeMarts(d, marts)
-    records.unpersist()
-    fresh.unpersist()
-    Map("attempted" -> attempted, "inserted" -> inserted)
   }
 
   /** All marts for one day (delete-day-then-insert ≡ dynamic partition
@@ -314,11 +394,8 @@ final class Pipeline(spark: SparkSession, root: String,
         Marts.writePartitioned(b, path(s"marts/$name"), part)
         noteWrite(s"marts/$name", b, Seq(part))
       }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val jobs = scala.collection.mutable.Buffer[scala.concurrent.Future[Unit]]()
-    def submit(body: => Unit): Unit =
-      jobs += scala.concurrent.Future(body)(ec)
+    val bodies = scala.collection.mutable.Buffer[() => Unit]()
+    def submit(body: => Unit): Unit = bodies += (() => body)
     try {
       // materialize the shared cached slices up front on THIS thread (the
       // lazy vals are thread-safe but a racing first-use from two pool
@@ -373,14 +450,12 @@ final class Pipeline(spark: SparkSession, root: String,
         mart("mv_focos_day_dim")(
           Marts.factCube(dayFacts.withColumn("cd_uf", col("mun_uf"))))
       }
-      // await ALL before surfacing the first failure, so no write is still
-      // in flight when the caller sees the exception (or unpersists below)
-      val results = jobs.toSeq.map(f => scala.util.Try(
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
-      results.collectFirst { case scala.util.Failure(e) => throw e }
+      // 3 in flight (Pipeline.inParallel awaits ALL before surfacing the
+      // first failure, so no write is still in flight when the caller sees
+      // the exception or the unpersist below runs)
+      Pipeline.inParallel(bodies.toSeq, threads = 3)
       ()
     } finally {
-      pool.shutdown()
       cached.foreach(_.unpersist(false))
     }
   }
@@ -433,18 +508,21 @@ final class Pipeline(spark: SparkSession, root: String,
   def checkDay(fileDate: LocalDate): Seq[String] = {
     val d = Date.valueOf(fileDate)
     val errs = scala.collection.mutable.Buffer[String]()
-    val curated = readTable("curated").filter(col("file_date") === lit(d))
-    val enriched = readTable("enriched").filter(col("file_date") === lit(d))
-    val nCur = curated.count(); val nEnr = enriched.count()
-    if (nCur != nEnr) errs += s"curated($nCur) != enriched($nEnr) for $fileDate"
-    val withMun = martInput(readTable("enriched"), d)
-      .filter(col("mun_cd_mun").isNotNull).count()
     def martSum(mart: String, valueCol: String): Long =
       readTable(s"marts/$mart").filter(col("day") === lit(d))
         .agg(coalesce(sum(valueCol), lit(0L))).head().getLong(0)
-    val munSum = martSum("focos_diario_municipio", "n_focos")
+    // five INDEPENDENT read-only verification aggregates — §2.6 overlap
+    // (they were five serialized actions, each a tiny job plus its driver
+    // latency; the invariant comparisons below are pure driver arithmetic)
+    val Seq(nCur, nEnr, withMun, munSum, ufSum) = Pipeline.inParallel(Seq(
+      () => readTable("curated").filter(col("file_date") === lit(d)).count(),
+      () => readTable("enriched").filter(col("file_date") === lit(d)).count(),
+      () => martInput(readTable("enriched"), d)
+        .filter(col("mun_cd_mun").isNotNull).count(),
+      () => martSum("focos_diario_municipio", "n_focos"),
+      () => martSum("focos_diario_uf", "n_focos")))
+    if (nCur != nEnr) errs += s"curated($nCur) != enriched($nEnr) for $fileDate"
     if (withMun != munSum) errs += s"mun mart sum($munSum) != enriched with mun($withMun) for $fileDate"
-    val ufSum = martSum("focos_diario_uf", "n_focos")
     if (munSum != ufSum) errs += s"uf mart sum($ufSum) != mun mart sum($munSum) for $fileDate"
     errs.toSeq
   }
